@@ -1,0 +1,321 @@
+package graft
+
+/** DuckDB oracle SQL for every oracle-able query in [[SparkEntry.queries]]
+  * (driver contract: same parquet tables, UTC, hash compare after sorting
+  * columns by name — SURVEY §5).
+  *
+  * Parity rules used throughout (see graft.functions.Fns):
+  *  - identical column aliases and ORDER BY on both sides;
+  *  - double sums routed through DECIMAL(18,x) then cast back to double →
+  *    bit-identical, aggregation-order-independent;
+  *  - dot products / norms as strict left-to-right folds on both sides;
+  *  - integer outputs as BIGINT on both sides;
+  *  - the polynomial hash (base 31 / 131, mod 1e9+7 / 1e9+9) reproduced
+  *    with list_reduce.
+  */
+object Oracles {
+
+  private val Toks =
+    "SELECT doc_id, unnest(regexp_split_to_array(text,'[^a-zA-Z]+')) AS word FROM documents"
+
+  private val TokList =
+    "SELECT doc_id, lang, text, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'), w -> w <> '') AS t FROM documents"
+
+  /** Portable polynomial rolling hash of a string expression, as SQL. */
+  private def polyHashSql(e: String, base: Int = 31, mod: Long = 1000000007L): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    s"list_transform(regexp_extract_all($e,'.'), c -> CAST(ascii(c) AS BIGINT))), " +
+    s"(h,c) -> (h*$base+c) % $mod)"
+
+  private def sumD(col: String, scale: Int, alias: String): String =
+    s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE) AS $alias"
+
+  val sql: Map[String, String] = Map(
+
+    // ------------------------------------------------------ MR app suite
+    "q_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM ($Toks) t
+         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_inverted_index" ->
+      s"""WITH pairs AS (SELECT DISTINCT word, CAST(doc_id AS VARCHAR) AS doc
+         |  FROM ($Toks) t WHERE word <> '')
+         |SELECT word, count(*) AS n_docs, string_agg(doc, ',' ORDER BY doc) AS docs
+         |FROM pairs GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_sorted_concat" ->
+      s"""WITH kv AS (
+         |  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
+         |  UNION ALL SELECT 'b', CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
+         |  UNION ALL SELECT 'c', CAST(n_chars AS VARCHAR) FROM documents
+         |  UNION ALL SELECT 'd', 'xyzzy' FROM documents)
+         |SELECT key, string_agg(value, ' ' ORDER BY value) AS cval
+         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+
+    "q_tokens_per_doc" ->
+      s"""SELECT doc_id, count(*) AS n_tokens FROM ($Toks) t
+         |WHERE word <> '' GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_distinct_words" ->
+      s"SELECT DISTINCT word FROM ($Toks) t WHERE word <> '' ORDER BY word",
+
+    "q_sort_docs" ->
+      "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY lang, n_chars DESC, doc_id",
+
+    "q_union_names" ->
+      s"""SELECT c_name AS name, 'customer' AS kind FROM customer
+         |UNION ALL SELECT s_name, 'supplier' FROM supplier ORDER BY kind, name""".stripMargin,
+
+    // -------------------------------------------- MR API (plugin contract)
+    "q_mr_wordcount" ->
+      s"""SELECT word AS key, CAST(count(*) AS VARCHAR) AS value FROM ($Toks) t
+         |WHERE word <> '' GROUP BY word ORDER BY key""".stripMargin,
+
+    "q_mr_inverted_index" ->
+      s"""WITH pairs AS (SELECT DISTINCT word, CAST(doc_id AS VARCHAR) AS doc
+         |  FROM ($Toks) t WHERE word <> '')
+         |SELECT word AS key,
+         |  CAST(count(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS value
+         |FROM pairs GROUP BY word ORDER BY key""".stripMargin,
+
+    "q_mr_sorted_concat" ->
+      s"""WITH kv AS (
+         |  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents
+         |  UNION ALL SELECT 'b', CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) FROM documents
+         |  UNION ALL SELECT 'c', CAST(length(text) AS VARCHAR) FROM documents
+         |  UNION ALL SELECT 'd', 'xyzzy' FROM documents)
+         |SELECT key, string_agg(value, ' ' ORDER BY value) AS value
+         |FROM kv GROUP BY key ORDER BY key""".stripMargin,
+
+    // ------------------------------------------------------- relational
+    "q_grouped_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumD("l_quantity", 2, "sum_qty")},
+         |  ${sumD("l_extendedprice", 2, "sum_base_price")},
+         |  ${sumD("l_extendedprice*(1-l_discount)", 6, "sum_disc_price")},
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice, l_discount
+         |FROM lineitem WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_topk_orders" ->
+      s"""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_join_agg" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${sumD("o_totalprice", 2, "revenue")}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_multi" ->
+      s"""SELECT r_name, n_name, ${sumD("l_extendedprice*(1-l_discount)", 6, "revenue")},
+         |  count(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_semi_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_anti_join" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_rank" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    CAST(row_number() OVER (PARTITION BY o_custkey
+         |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+         |  FROM orders) t
+         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+         |  count(*) AS n, ${sumD("l_quantity", 2, "sum_qty")}
+         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         |ORDER BY flag, status""".stripMargin,
+
+    "q_cube_docs" ->
+      s"""SELECT coalesce(lang,'ALL') AS lang, coalesce(source,'ALL') AS source,
+         |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source""".stripMargin,
+
+    "q_tumbling_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+         |  count(*) AS n, ${sumD("value", 2, "sum_value")}
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_json_extract" ->
+      s"""SELECT event_type, count(*) AS n,
+         |  sum(CAST(json_extract(props,'$$.k') AS BIGINT)) AS sum_k,
+         |  count(DISTINCT CAST(json_extract(props,'$$.k') AS BIGINT)) AS distinct_k
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |s AS (SELECT user_id, ts, event_id,
+         |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+         |      THEN 1 ELSE 0 END AS new_sess FROM e),
+         |t AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM s)
+         |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
+         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ------------------------------------------------------ LLM pipeline
+    "q_dedup_exact" ->
+      s"""SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+         |FROM documents GROUP BY sha256(text) ORDER BY h""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |shs AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) z),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shs GROUP BY sh) f
+         |  WHERE df <= 100),
+         |shr AS (SELECT s1.doc_id, s1.sh FROM shs s1 JOIN rare USING (sh)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, jaccard FROM (
+         |  SELECT doc_a, doc_b,
+         |    CAST(common AS DOUBLE)/CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+         |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) j
+         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, word, count(*) AS cnt FROM ($Toks) t
+         |  WHERE word <> '' GROUP BY doc_id, word),
+         |h AS (SELECT doc_id, cnt, ${polyHashSql("word")} AS h FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |    sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS sc
+         |  FROM h, (SELECT unnest(range(0,32)) AS b) bb GROUP BY doc_id, b)
+         |SELECT doc_id,
+         |  sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_text_stats" ->
+      s"""WITH d AS ($TokList),
+         |s AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |  CAST(length(text) - length(regexp_replace(text,'[.,]','','g')) AS BIGINT) AS n_punct,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(t, w -> CAST(length(w) AS BIGINT))), (a,b) -> a+b) AS sum_token_len
+         |FROM d)
+         |SELECT doc_id, n_chars, n_tokens, n_distinct, n_punct, sum_token_len,
+         |  CAST(sum_token_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_token_len,
+         |  CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS ttr
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH d AS ($TokList),
+         |s AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+         |  CAST(length(text) - length(regexp_replace(text,'[.,]','','g')) AS BIGINT) AS n_punct,
+         |  CAST(length(text) AS BIGINT) AS n_chars FROM d),
+         |sc AS (SELECT doc_id, n_tokens, n_stop, n_punct,
+         |  (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1 ELSE 0 END) * CAST(0.5 AS DOUBLE)
+         |  + CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.01 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |  + CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS score
+         |FROM s)
+         |SELECT doc_id, n_tokens, n_stop, n_punct, score, score >= 0.75 AS keep
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH d AS ($TokList),
+         |s AS (SELECT doc_id, lang AS labeled_lang,
+         |  CAST(len(list_filter(t, w -> w IN ('the','a','of'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(t, w -> w IN ('der','die','das'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(t, w -> w IN ('le','la','les'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(t, w -> w IN ('el','los','las'))) AS BIGINT) AS s_es
+         |FROM d)
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN s_es > greatest(s_en, s_de, s_fr, CAST(0 AS BIGINT)) THEN 'es'
+         |       WHEN s_fr > greatest(s_en, s_de, CAST(0 AS BIGINT)) THEN 'fr'
+         |       WHEN s_de > greatest(s_en, CAST(0 AS BIGINT)) THEN 'de'
+         |       WHEN s_en > CAST(0 AS BIGINT) THEN 'en'
+         |       ELSE 'und' END AS pred_lang,
+         |  s_en, s_de, s_fr, s_es
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text,' +'), w -> w <> '')) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text,'[a-z]+|[0-9]+|[.,]')) AS BIGINT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"SELECT doc_id, ${polyHashSql("text")} AS fp FROM documents ORDER BY doc_id",
+
+    "q_similarity_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
+         |sc AS (SELECT p.vec_id AS probe_id, x.vec_id AS vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(p.v, (a,i) -> a * x.v[i])), (s1,t1) -> s1+t1) / (p.nrm * x.nrm) AS cos
+         |  FROM n p JOIN n x ON x.vec_id <> p.vec_id WHERE p.vec_id < 5),
+         |r AS (SELECT probe_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    "q_embedding_neardup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(a.v, (x,i) -> x * b.v[i])), (s1,t1) -> s1+t1) / (a.nrm * b.nrm) AS cos
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) p
+         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // ------------------------------------------------------- multimodal
+    "q_multimodal_meta" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST(length(text) % 640 + 1 AS BIGINT) AS width,
+         |  CAST((length(text) * 7) % 480 + 1 AS BIGINT) AS height,
+         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+         |    ELSE 'video' END AS format
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // -------------------------------------------------------- streaming
+    "q_stream_window" ->
+      s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+         |  count(*) AS n
+         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q_stream_sessions" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |s AS (SELECT user_id,
+         |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+         |      THEN 1 ELSE 0 END AS new_sess FROM e)
+         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
+         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,13 +1,84 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{MrApi, MrSuite, Pipeline, Relational}
+import graft.multimodal.Media
+import graft.streaming.Streams
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query inventory (SURVEY §2):
+  *  - MR app suite (§2b): q_wordcount, q_inverted_index, q_sorted_concat,
+  *    q_tokens_per_doc, q_distinct_words, q_sort_docs, q_union_names.
+  *  - Plugin-contract API (§2c UDF/UDAF/UDTF row): q_mr_* run the same
+  *    workloads through graft.mr.MapReduceJob (groupByKey + mapGroups).
+  *  - Relational generalization (§2c): q_grouped_agg … q_sessionize.
+  *  - LLM-pipeline north star: q_dedup_*, q_simhash, q_text_stats,
+  *    q_quality_score, q_lang_id, q_token_count, q_fingerprint,
+  *    q_similarity_topk, q_embedding_neardup, q_ann_lsh, q_multimodal_meta.
+  *  - Structured Streaming (§2c): q_stream_window, q_stream_sessions.
+  *
+  * q_dedup_minhash and q_ann_lsh are probabilistic-recall operators →
+  * deliberately absent from oracleSql (driver rows-only check).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    MrSuite.wordCount(Engine.tune(spark), "/root/testdata/sf0.001")
+
+  private def q(fn: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => fn(Engine.tune(s), dir)
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MR app suite
+    "q_wordcount"         -> q(MrSuite.wordCount),
+    "q_inverted_index"    -> q(MrSuite.invertedIndex),
+    "q_sorted_concat"     -> q(MrSuite.sortedConcat),
+    "q_tokens_per_doc"    -> q(MrSuite.tokensPerDoc),
+    "q_distinct_words"    -> q(MrSuite.distinctWords),
+    "q_sort_docs"         -> q(MrSuite.sortDocs),
+    "q_union_names"       -> q(MrSuite.unionNames),
+    // MapReduce plugin API
+    "q_mr_wordcount"      -> q(MrApi.mrWordCount),
+    "q_mr_inverted_index" -> q(MrApi.mrInvertedIndex),
+    "q_mr_sorted_concat"  -> q(MrApi.mrSortedConcat),
+    // relational generalization
+    "q_grouped_agg"       -> q(Relational.groupedAgg),
+    "q_filter_project"    -> q(Relational.filterProject),
+    "q_topk_orders"       -> q(Relational.topkOrders),
+    "q_join_agg"          -> q(Relational.joinAgg),
+    "q_join_multi"        -> q(Relational.joinMulti),
+    "q_semi_join"         -> q(Relational.semiJoin),
+    "q_anti_join"         -> q(Relational.antiJoin),
+    "q_window_rank"       -> q(Relational.windowRank),
+    "q_rollup"            -> q(Relational.rollupAgg),
+    "q_cube_docs"         -> q(Relational.cubeDocs),
+    "q_tumbling_window"   -> q(Relational.tumblingWindow),
+    "q_json_extract"      -> q(Relational.jsonExtract),
+    "q_sessionize"        -> q(Relational.sessionize),
+    // LLM data pipeline
+    "q_dedup_exact"       -> q(Pipeline.dedupExact),
+    "q_dedup_ngram"       -> q(Pipeline.dedupNgram),
+    "q_dedup_minhash"     -> q(Pipeline.dedupMinhash),
+    "q_simhash"           -> q(Pipeline.simhash),
+    "q_text_stats"        -> q(Pipeline.textStats),
+    "q_quality_score"     -> q(Pipeline.qualityScore),
+    "q_lang_id"           -> q(Pipeline.langId),
+    "q_token_count"       -> q(Pipeline.tokenCount),
+    "q_fingerprint"       -> q(Pipeline.fingerprint),
+    "q_similarity_topk"   -> q(Pipeline.similarityTopk),
+    "q_embedding_neardup" -> q(Pipeline.embeddingNeardup),
+    "q_ann_lsh"           -> q(Pipeline.annLsh),
+    // multimodal
+    "q_multimodal_meta"   -> q(Media.mediaMeta),
+    // structured streaming
+    "q_stream_window"     -> q(Streams.streamWindow),
+    "q_stream_sessions"   -> q(Streams.streamSessions)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Oracles.sql
 }

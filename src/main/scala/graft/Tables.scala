@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture loaders for the driver-generated parquet tables (TESTDATA.md).
+  *
+  * All queries read through here so every scan is a columnar parquet read
+  * with Catalyst predicate pushdown / column pruning intact. At cluster
+  * scale these would be partitioned tables behind a catalog; the loader is
+  * the single seam where that swap happens.
+  */
+object Tables {
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame    = load(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame    = load(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame  = load(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame  = load(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame      = load(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame    = load(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame  = load(s, dir, "lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+    * read it as a raw INT64 (legacy nanosAsLong) and convert. The fixture's
+    * timestamps are micro-aligned (verified: epoch_ns % 1000 == 0) so the
+    * ns→µs integer division is lossless and DuckDB sees identical instants. */
+  def eventsRaw(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, dir, "events")
+  }
+
+  def normalizeEvents(raw: DataFrame): DataFrame =
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else raw
+
+  def events(s: SparkSession, dir: String): DataFrame = normalizeEvents(eventsRaw(s, dir))
+  def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
+}
+
+/** Session tuning applied once per session before queries run.
+  * Runtime-settable confs only (the session is created by the driver). */
+object Engine {
+  def tune(spark: SparkSession): SparkSession = {
+    val c = spark.conf
+    c.set("spark.sql.adaptive.enabled", "true")
+    c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // dimension tables (region/nation/customer/supplier/part) stay well
+    // under this at bench scale; at 100 TB the same hint-based broadcasts
+    // in the query code keep the big-table joins shuffle-free on one side.
+    c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    spark
+  }
+}

@@ -1,0 +1,92 @@
+package graft.mr
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+import scala.collection.mutable.ArrayBuffer
+
+/** The reference's user-facing computation model
+  * (`/root/reference/src/mr/worker.go:15-18`, `src/main/mrworker.go:34-43`):
+  *
+  * {{{
+  *   Map(filename, contents) -> []KeyValue        // 1 input → n pairs
+  *   Reduce(key, values)     -> string            // full value list at once
+  * }}}
+  *
+  * re-expressed on Spark. `run` is the library's signature API: a user of
+  * the reference can hand the same two functions here and get the same
+  * result, with Spark supplying scheduling, shuffle, fault tolerance, and
+  * stragglers (reference `coordinator.go` is zero code here — SURVEY §3b).
+  *
+  * Semantics preserved exactly (SURVEY §1):
+  *  - `reducef` receives the COMPLETE value list per key — `groupByKey` +
+  *    `mapGroups`, never a commutative fold — because reference reducers
+  *    such as indexer.go:36-38 need the whole list.
+  *  - Value order within a key is unspecified, as in the reference (Go map
+  *    iteration, `worker.go:131`); deterministic reducers must sort, as the
+  *    reference apps do (`crash.go:49-51`).
+  *  - Memory is bounded per key, not per partition: Spark spills groups;
+  *    the reference held the whole partition in RAM (`worker.go:96-123`).
+  */
+object MapReduceJob {
+
+  type MapF    = (String, String) => IterableOnce[(String, String)]
+  type ReduceF = (String, Seq[String]) => String
+
+  /** Run a MapReduce job over (name, contents) records. */
+  def run(spark: SparkSession, input: Dataset[(String, String)],
+          mapf: MapF, reducef: ReduceF): Dataset[(String, String)] = {
+    import spark.implicits._
+    input
+      .flatMap { case (k, v) => mapf(k, v) }
+      .groupByKey(_._1)
+      .mapGroups { (key, it) => (key, reducef(key, it.map(_._2).toSeq)) }
+  }
+
+  /** DataFrame adapter: documents(doc_id, text) stand in for the
+    * reference's (filename, contents) input files (FIXTURES.md §2). */
+  def runOnDocs(spark: SparkSession, docs: DataFrame,
+                mapf: MapF, reducef: ReduceF): DataFrame = {
+    import spark.implicits._
+    val input = docs.selectExpr("cast(doc_id as string)", "text").as[(String, String)]
+    run(spark, input, mapf, reducef).toDF("key", "value")
+  }
+
+  /** Untyped variant of the reduce contract for `DataFrame.agg` /
+    * SQL registration via `functions.udaf`: buffers the full value list,
+    * then applies `reducef`. For fold-style reducers (wc) prefer the
+    * built-in aggregates — Catalyst's partial aggregation is strictly
+    * better; this exists for API fidelity with arbitrary reducers. */
+  def reduceAggregator(key: String, reducef: ReduceF): Aggregator[String, ArrayBuffer[String], String] =
+    new Aggregator[String, ArrayBuffer[String], String] {
+      def zero: ArrayBuffer[String] = ArrayBuffer.empty
+      def reduce(b: ArrayBuffer[String], v: String): ArrayBuffer[String] = { b += v; b }
+      def merge(a: ArrayBuffer[String], b: ArrayBuffer[String]): ArrayBuffer[String] = { a ++= b; a }
+      def finish(b: ArrayBuffer[String]): String = reducef(key, b.toSeq)
+      def bufferEncoder: Encoder[ArrayBuffer[String]] =
+        Encoders.kryo[ArrayBuffer[String]]
+      def outputEncoder: Encoder[String] = Encoders.STRING
+    }
+}
+
+/** The reference's application plugins (`src/mrapps/&#42;.go`) as (mapf,
+  * reducef) pairs runnable on [[MapReduceJob.run]] — used by the
+  * `q_mr_*` queries and the property tests to prove API fidelity. */
+object RefApps {
+  /** wc.go:21-44 — split on non-letters, emit (word,"1"); reduce = count. */
+  val wcMap: MapReduceJob.MapF = (_, contents) =>
+    contents.split("[^a-zA-Z]+").iterator.filter(_.nonEmpty).map(w => (w, "1"))
+  val wcReduce: MapReduceJob.ReduceF = (_, values) => values.size.toString
+
+  /** indexer.go:20-39 — per-doc distinct words; reduce = "N doc1,doc2,..."
+    * with docs sorted lexicographically. */
+  val indexerMap: MapReduceJob.MapF = (name, contents) =>
+    contents.split("[^a-zA-Z]+").iterator.filter(_.nonEmpty).distinct.map(w => (w, name))
+  val indexerReduce: MapReduceJob.ReduceF = (_, values) => {
+    val docs = values.distinct.sorted
+    s"${docs.size} ${docs.mkString(",")}"
+  }
+
+  /** crash.go:34-55 payload — reduce sorts the full value list, joins on " ". */
+  val sortedConcatReduce: MapReduceJob.ReduceF = (_, values) => values.sorted.mkString(" ")
+}

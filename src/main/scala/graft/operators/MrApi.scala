@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.Tables
+import graft.mr.{MapReduceJob, RefApps}
+
+/** The reference plugin apps executed through the generic
+  * [[graft.mr.MapReduceJob]] API — proving the plugin contract
+  * (`Map(file, contents) → []KV`, `Reduce(key, values) → string`,
+  * `/root/reference/src/main/mrworker.go:34-43`) runs unchanged on this
+  * engine. The pure-DataFrame twins in [[MrSuite]] are the optimized path;
+  * these go through `groupByKey`+`mapGroups` exactly like an opaque user
+  * reducer would, and hash-match the same oracles. */
+object MrApi {
+
+  def mrWordCount(s: SparkSession, dir: String): DataFrame =
+    MapReduceJob.runOnDocs(s, Tables.documents(s, dir), RefApps.wcMap, RefApps.wcReduce)
+      .orderBy("key")
+
+  def mrInvertedIndex(s: SparkSession, dir: String): DataFrame =
+    MapReduceJob.runOnDocs(s, Tables.documents(s, dir), RefApps.indexerMap, RefApps.indexerReduce)
+      .orderBy("key")
+
+  /** crash.go/nocrash.go payload through the API: map emits the four fixed
+    * keys a–d per document; reduce = sorted concat (order-insensitive
+    * input, deterministic output — SURVEY §1 determinism contract). */
+  def mrSortedConcat(s: SparkSession, dir: String): DataFrame = {
+    val mapf: MapReduceJob.MapF = (name, contents) => Seq(
+      ("a", name),
+      ("b", name.length.toString),
+      ("c", contents.length.toString),
+      ("d", "xyzzy"))
+    MapReduceJob.runOnDocs(s, Tables.documents(s, dir), mapf, RefApps.sortedConcatReduce)
+      .orderBy("key")
+  }
+}

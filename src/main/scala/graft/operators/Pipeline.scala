@@ -1,0 +1,340 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns
+import graft.functions.Fns._
+
+/** LLM-training-data pipeline operators (BASELINE.json north star):
+  * deduplication, text analysis, similarity search over the `documents`
+  * and `embeddings` fixtures.
+  *
+  * Scale notes: each operator is a constant number of shuffles regardless
+  * of corpus size; pairwise comparisons are always gated by a blocking
+  * step (shared shingle with a document-frequency cap, LSH band bucket,
+  * hyperplane bucket) so the candidate set grows ~linearly, never the full
+  * O(n²) cross product.
+  */
+object Pipeline {
+
+  /** (doc_id, word) token pairs, the common map phase. */
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Fns.tokensArr(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+
+  // ---------------------------------------------------------------- dedup
+
+  /** Exact deduplication by full-content hash: one hash-aggregate keyed by
+    * sha256(text) — the 100 TB-safe exact-dup plan (hash first, never
+    * compare raw text across the wire). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("h")
+
+  /** Word 3-gram shingle set per document, distinct. Shingles seen in more
+    * than `maxDf` documents are dropped before pairing (stop-shingle cap) —
+    * this is what keeps the candidate join linear-ish at scale. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), Fns.tokensArr(col("text")).as("t"))
+      .select(col("doc_id"), filter(col("t"), w => w =!= lit("")).as("t"))
+    d.select(col("doc_id"),
+        explode(when(size(col("t")) >= 3,
+            transform(sequence(lit(0), size(col("t")) - 3),
+              i => concat_ws(" ", element_at(col("t"), i + 1),
+                                  element_at(col("t"), i + 2),
+                                  element_at(col("t"), i + 3))))
+          .otherwise(array().cast("array<string>"))).as("sh"))
+      .distinct()
+  }
+
+  private val MaxShingleDf = 100
+
+  /** Near-dup detection via exact n-gram Jaccard with shared-shingle
+    * blocking: docs pair only if they share a (non-stop) shingle; Jaccard
+    * computed from exact distinct-set sizes. Threshold 0.2 (fixture corpus
+    * is random text; real near-dups would sit ≫ 0.8). */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("sh")
+    val shRare = sh.join(broadcast(rare), "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = shRare.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(shRare.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val MinhashPerms = 64
+  private val MinhashBandRows = 4 // 16 bands × 4 rows
+
+  /** MinHash + LSH near-duplicate candidates, verified by exact Jaccard.
+    *
+    * Pipeline: shingle → two portable polynomial hashes per shingle → one
+    * shuffle collecting each doc's shingle hashes → 64 permutation minima
+    * computed in a single pass via nested array `transform` (perm i uses
+    * h1 + i·h2 mod 2³¹−1) → signatures cut into 16 bands of 4 → docs
+    * sharing any (band, band-signature) become candidates → candidates are
+    * re-verified with exact Jaccard over their shingle sets.
+    *
+    * Precision is exact (verification step); recall is the standard LSH
+    * probability 1-(1-s⁴)¹⁶, hence no SQL oracle (driver rows-only check).
+    * At 100 TB the candidate generation is an equi-join on (band, key) —
+    * linear shuffle, never an O(n²) cross product. */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val hashed = sh.select(col("doc_id"),
+      Fns.polyHash(col("sh")).as("h1"), Fns.polyHash2(col("sh")).as("h2"))
+    val sigs = hashed.groupBy("doc_id")
+      .agg(collect_list(struct(col("h1"), col("h2"))).as("hs"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(MinhashPerms - 1)),
+          i => array_min(transform(col("hs"),
+            h => pmod(h.getField("h1") + i * h.getField("h2"), lit(2147483647L))))).as("sig"))
+    val nBands = MinhashPerms / MinhashBandRows
+    val bands = sigs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(nBands - 1)),
+          b => struct(b.as("b"),
+            array_join(transform(slice(col("sig"), b * MinhashBandRows + 1, lit(MinhashBandRows)),
+              x => x.cast("string")), ",").as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = bands.select(col("b"), col("key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("b"), col("key"), col("doc_id").as("doc_b")), Seq("b", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    // exact-Jaccard verification restricted to candidate docs only
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    val shc = sh.join(broadcast(candDocs), "doc_id")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = shc.select(col("sh"), col("doc_id").as("doc_a"))
+      .join(shc.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .join(broadcast(cand), Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    cand.join(common, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("common"), lit(0L)).cast("double") /
+          (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L))).cast("double")).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 32-bit SimHash per document from token frequency vectors, using the
+    * portable polynomial token hash so the DuckDB oracle can reproduce it
+    * bit-for-bit (integer-only arithmetic end to end). */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val tf = toks(s, dir).groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      .select(col("doc_id"), col("cnt"), Fns.polyHash(col("word")).as("h"))
+    val bits = tf.select(col("doc_id"), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(31))).as("b"))
+      .select(col("doc_id"), col("b"),
+        when(expr("(shiftright(h, cast(b as int)) & 1) = 1"), col("cnt"))
+          .otherwise(-col("cnt")).as("contrib"))
+      .groupBy("doc_id", "b").agg(sum(col("contrib")).as("sc"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("sc") > 0, expr("shiftleft(cast(1 as bigint), cast(b as int))"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  /** Per-document corpus statistics: token counts, distinct tokens, char
+    * counts, punctuation counts, mean token length. Integer counts plus
+    * ratios of integers → bit-stable across engines. */
+  def textStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,]", "")))
+          .cast("long").as("n_punct"),
+        aggregate(col("t"), lit(0L), (a, w) => a + length(w)).as("sum_token_len"))
+      .withColumn("avg_token_len",
+        col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Heuristic quality score in [0,1] from length / stopword / punctuation
+    * signals, with a keep/drop verdict — the standard pre-training corpus
+    * filter shape. All signals are integers; the score is a fixed rational
+    * combination, so both engines agree bitwise. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    val scored = d.select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(filter(col("t"), w => w.isin(Stopwords.map(lit): _*))).cast("long").as("n_stop"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,]", "")))
+          .cast("long").as("n_punct"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio", col("n_punct").cast("double") / col("n_chars"))
+      .withColumn("len_ok", when(col("n_tokens").between(20, 10000), 1).otherwise(0))
+      .withColumn("score",
+        (col("len_ok") * lit(0.5)) +
+        when(col("stop_ratio") > 0.01, 0.25).otherwise(0.0) +
+        when(col("punct_ratio") < 0.2, 0.25).otherwise(0.0))
+    scored.select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
+        col("score"), (col("score") >= 0.75).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"),
+    "es" -> Seq("el", "los", "las"))
+
+  /** Marker-token language identification (n-gram heuristic): count marker
+    * hits per language, argmax with a fixed precedence order. The fixture
+    * labels are synthetic so accuracy is incidental; the operator contract
+    * is the deterministic rule itself (oracle implements the same rule). */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    val withScores = LangMarkers.foldLeft(d) { case (df, (lang, markers)) =>
+      df.withColumn(s"s_$lang",
+        size(filter(col("t"), w => w.isin(markers.map(lit): _*))).cast("long"))
+    }
+    val best = LangMarkers.map(_._1).foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestScore), lang) =>
+        val better = col(s"s_$lang") > bestScore
+        (when(better, lit(lang)).otherwise(bestLang),
+         when(better, col(s"s_$lang")).otherwise(bestScore))
+    }
+    withScores
+      .select(col("doc_id"), col("lang").as("labeled_lang"), best._1.as("pred_lang"),
+        col("s_en"), col("s_de"), col("s_fr"), col("s_es"))
+      .orderBy("doc_id")
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex token
+    * stream (letter runs / digit runs / single punctuation). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(filter(split(col("text"), " +"), w => w =!= lit(""))).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[.,]"), lit(0)))
+          .cast("long").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  /** Whole-document fingerprint: polynomial rolling hash over every
+    * character — the cheap stand-in for a content-defined chunking hash;
+    * integer arithmetic, oracle-reproducible. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Fns.polyHash(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------ similarity
+
+  private def embDouble(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** Brute-force cosine top-k: probes (vec_id < 5) broadcast against the
+    * full corpus, per-probe top-10 via window rank. The exact baseline the
+    * ANN variant is measured against. Dot products are strict left-to-right
+    * folds → bit-identical to the oracle. */
+  def similarityTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn"))
+    val scored = e.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dotD(col("pv"), col("v")) / (col("pn") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: all pairs with cosine ≥ 0.4
+    * (fixture vectors are random; real dup corpora would use ≥ 0.95).
+    * Brute force at test SF; the LSH variant below is the scale path. */
+  def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val LshTables = 4        // independent hash tables (OR-amplification)
+  private val LshPlanesPerTable = 6 // sign bits per table → 64 buckets/table
+
+  /** ANN via multi-table random-hyperplane LSH: 4 independent tables of
+    * 6 sign bits each; a probe's candidates are the union of its 4 buckets,
+    * then exact cosine re-rank keeps the top 10. Hyperplane components are
+    * a deterministic hash of (plane, dim), so the index is reproducible
+    * with no stored state. Recall < 1 → rows-only check (no SQL oracle);
+    * the exact twin is [[similarityTopk]].
+    *
+    * At 100 TB: candidate generation is an equi-join on (table, bucket) —
+    * a linear shuffle, never the O(n²) cross product; tables/planes tune
+    * the recall/cost point, and the bucketed layout can be persisted once
+    * and reused across probe batches. */
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
+    val dim = 64
+    def bucketFor(t: Int): Column = {
+      val bits = (0 until LshPlanesPerTable).map { j =>
+        val p = t * LshPlanesPerTable + j
+        val dot = aggregate(
+          zip_with(col("v"),
+            transform(sequence(lit(0), lit(dim - 1)),
+              d => (pmod(hash(lit(p), d), lit(1000)).cast("double") / 500.0) - 1.0),
+            (x, h) => x * h),
+          lit(0.0), (acc, x) => acc + x)
+        when(dot > 0, lit(1 << j)).otherwise(lit(0))
+      }
+      bits.reduce(_ + _)
+    }
+    val eb = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(array((0 until LshTables).map(t =>
+          struct(lit(t).as("t"), bucketFor(t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+              col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val probes = eb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+              col("nrm").as("pn"), col("t"), col("bucket"))
+    val cand = eb.join(broadcast(probes), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"), col("pv"), col("v"), col("pn"), col("nrm"))
+      .distinct() // union of buckets across tables
+      .select(col("probe_id"), col("vec_id"),
+        (dotD(col("pv"), col("v")) / (col("pn") * col("nrm"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("probe_id", "rank")
+  }
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns._
+
+/** Relational generalization of the MapReduce surface (SURVEY §7 M2) over
+  * the TPC-H-ish fixtures.
+  *
+  * Scale notes (100 TB design):
+  *  - Fact-side scans carry their filters/projections in the plan so they
+  *    reach the parquet reader (PushedFilters / pruned ReadSchema).
+  *  - Every dimension join uses an explicit `broadcast()` hint: customer /
+  *    nation / region stay tiny relative to orders/lineitem at any SF, so
+  *    the fact table never shuffles for them.
+  *  - Double sums go through decimal(18,x) (see [[graft.functions.Fns]]):
+  *    exact, order-independent, and therefore stable under any partitioning
+  *    or AQE re-plan — correctness does not depend on reduce order.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-heavy grouped aggregation with map-side partials. */
+  def groupedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumD2(col("l_quantity")).as("sum_qty"),
+        sumD2(col("l_extendedprice")).as("sum_base_price"),
+        sumD6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (sumD2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Filter + projection; both pushed into the parquet scan. */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+              col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Global top-k: `orderBy.limit(k)` compiles to TakeOrderedAndProject —
+    * per-partition heaps + driver merge, no total sort, no full shuffle. */
+  def topkOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  /** Broadcast dimension join (reduce-side join in MR terms, done map-side):
+    * orders ⋈ customer, revenue per market segment. */
+  def joinAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+            col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"), sumD2(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+
+  /** Multi-way star join: lineitem ⋈ orders (shuffle, the only big-big join)
+    * with customer/nation/region broadcast onto it. Revenue per nation. */
+  def joinMulti(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o  = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c  = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n  = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r  = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sumD6(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Left-semi join — EXISTS. Broadcast the *keys only* of the probe side. */
+  def semiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Left-anti join — NOT EXISTS. */
+  def antiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** Windowed top-N per group: 3 biggest orders per customer. One shuffle on
+    * the partition key; deterministic tiebreak on o_orderkey. */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** ROLLUP hierarchy totals. NULL grouping keys surfaced as 'ALL' so both
+    * engines sort/hash them identically. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sumD2(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  /** CUBE over the documents dimensions. */
+  def cubeDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+              coalesce(col("source"), lit("ALL")).as("source"),
+              col("n_docs"), col("sum_chars"))
+      .orderBy("lang", "source")
+
+  /** Tumbling event-time window (batch form): hourly counts + exact sums.
+    * Keyed by (hour, event_type) → single shuffle; at stream scale this is
+    * the same plan Structured Streaming runs incrementally. */
+  def tumblingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** JSON extraction from the events.props payload + grouped aggregation. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+           countDistinct(col("k")).as("distinct_k"))
+      .orderBy("event_type")
+
+  /** Sessionization (batch): a session breaks after a 30-minute silence.
+    * Two window functions over one (user_id, ts) shuffle, then a grouped
+    * rollup per user. The streaming twin is Streams.statefulSessions. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+             unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(Long.MinValue, 0)))
+      .groupBy("user_id")
+      .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+}

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Event record for the stateful session stream. */
+case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
+
+/** Running per-user session state carried across micro-batches. */
+case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
+
+/** Emitted per user per micro-batch: cumulative session/event counts. */
+case class SessOut(user_id: Long, n_sessions: Long, n_events: Long)
+
+/** Structured Streaming surface (SURVEY §2c streaming row). The reference
+  * is strictly batch (rpc.go:23-27 has only Map/Reduce/Finished phases);
+  * these operators are the 100 TB-pipeline extension: the same event
+  * analytics, run incrementally.
+  *
+  * Both queries read the events parquet through `readStream`, so the whole
+  * source → transform → sink path is the real streaming engine; a memory
+  * sink + `processAllAvailable()` makes them synchronously checkable by the
+  * driver harness. On a cluster the sink would be a Delta/parquet append
+  * and the trigger a real schedule.
+  */
+object Streams {
+
+  /** Tumbling 1-hour event-time window, streaming form of
+    * [[graft.operators.Relational.tumblingWindow]]. Complete output mode:
+    * every trigger re-emits the full window table, so after one pass over
+    * the fixture the result equals the batch group-by (oracle-checkable). */
+  def streamWindow(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, dir).schema
+    val stream = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"), col("n"))
+    val name = "graft_stream_window"
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name).orderBy("hour", "event_type")
+  }
+
+  /** Stateful sessionization via flatMapGroupsWithState: a session closes
+    * after 30 minutes of silence. State is one tiny struct per user
+    * (last-seen time + counters), so state size is O(users), not O(events)
+    * — the shape that survives unbounded streams. Within a batch events are
+    * sorted by (ts, event_id) before folding, which makes the single-batch
+    * result equal to the batch sessionization oracle. */
+  def streamSessions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val schema = Tables.eventsRaw(s, dir).schema
+    val stream = Tables.normalizeEvents(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+    def fn(user: Long, events: Iterator[Ev], state: GroupState[SessState]): Iterator[SessOut] = {
+      val evs = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      if (evs.isEmpty) Iterator.empty
+      else {
+        var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+        evs.foreach { e =>
+          val t = micros(e.ts)
+          val newSession = st.lastTsMicros == Long.MinValue || t - st.lastTsMicros > 1800L * 1000000L
+          st = SessState(t, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+        }
+        state.update(st)
+        Iterator.single(SessOut(user, st.nSessions, st.nEvents))
+      }
+    }
+
+    val out = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    val name = "graft_stream_sessions"
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    s.table(name).orderBy("user_id")
+  }
+}
