@@ -21,7 +21,9 @@ object Oracles {
   private val TokList =
     "SELECT doc_id, lang, text, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'), w -> w <> '') AS t FROM documents"
 
-  /** Portable polynomial rolling hash of a string expression, as SQL. */
+  /** Portable polynomial rolling hash of a string expression, as SQL
+    * (per-codepoint; equals the engine's byte-based PolyHashExpr on the
+    * ASCII fixture corpus). */
   private def polyHashSql(e: String, base: Int = 31, mod: Long = 1000000007L): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
     s"list_transform(regexp_extract_all($e,'.'), c -> CAST(ascii(c) AS BIGINT))), " +
@@ -199,6 +201,34 @@ object Oracles {
          |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) j
          |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
 
+    "q_dedup_minhash" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |shs AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) z),
+         |hashed AS (SELECT doc_id, ${polyHashSql("sh")} AS h1,
+         |  ${polyHashSql("sh", 131, 1000000009L)} AS h2 FROM shs),
+         |perms AS (SELECT doc_id, i, min((h1 + i*h2) % 2147483647) AS mv
+         |  FROM hashed, (SELECT unnest(range(0,64)) AS i) ii GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS b,
+         |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM perms GROUP BY doc_id, i // 4),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT c.doc_a, c.doc_b,
+         |  CAST(coalesce(cm.common, 0) AS DOUBLE) /
+         |    CAST(sa.sz + sb.sz - coalesce(cm.common, 0) AS DOUBLE) AS jaccard
+         |FROM cand c
+         |LEFT JOIN common cm ON c.doc_a = cm.doc_a AND c.doc_b = cm.doc_b
+         |JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
+         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
     "q_simhash" ->
       s"""WITH tok AS (SELECT doc_id, word, count(*) AS cnt FROM ($Toks) t
          |  WHERE word <> '' GROUP BY doc_id, word),
@@ -217,8 +247,7 @@ object Oracles {
          |  CAST(len(t) AS BIGINT) AS n_tokens,
          |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
          |  CAST(length(text) - length(regexp_replace(text,'[.,]','','g')) AS BIGINT) AS n_punct,
-         |  list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(t, w -> CAST(length(w) AS BIGINT))), (a,b) -> a+b) AS sum_token_len
+         |  CAST(length(regexp_replace(text,'[^a-zA-Z]','','g')) AS BIGINT) AS sum_token_len
          |FROM d)
          |SELECT doc_id, n_chars, n_tokens, n_distinct, n_punct, sum_token_len,
          |  CAST(sum_token_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_token_len,

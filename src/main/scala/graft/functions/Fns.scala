@@ -27,21 +27,23 @@ object Fns {
     * string. Portable: the oracle reproduces it with
     * list_reduce(list_prepend(0, list_transform(regexp_extract_all(s,'.'),
     * c -> ascii(c))), (h,c) -> (h*31+c) % 1000000007).
-    * Used for document fingerprinting and SimHash token hashes. Stays in
-    * codegen via the `aggregate` higher-order function. */
+    * Used for document fingerprinting and SimHash token hashes; backed by
+    * the codegen'd [[PolyHashExpr]]. */
   def polyHash(str: Column): Column =
-    aggregate(split(str, ""), lit(0L), (h, c) => (h * lit(31L) + ascii(c)) % lit(1000000007L))
+    VectorExpressions.polyHash(str, 31L, 1000000007L)
 
   /** Second independent polynomial hash (base 131 mod 1e9+9) for algorithms
     * needing two hash families (MinHash permutations via h1 + i*h2). */
   def polyHash2(str: Column): Column =
-    aggregate(split(str, ""), lit(0L), (h, c) => (h * lit(131L) + ascii(c)) % lit(1000000009L))
+    VectorExpressions.polyHash(str, 131L, 1000000009L)
 
   /** Dot product of two array<double> columns as a strict left-to-right fold,
     * so the result is bit-identical to the DuckDB oracle's
-    * list_reduce(list_prepend(0.0, list_transform(a,(x,i)->x*b[i])),+). */
-  def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    * list_reduce(list_prepend(0.0, list_transform(a,(x,i)->x*b[i])),+).
+    * Backed by the codegen'd [[FoldDotProduct]] expression (the equivalent
+    * `aggregate(zip_with(...))` composition is interpreted and ~20× slower
+    * on the pairwise-similarity hot path). */
+  def dotD(a: Column, b: Column): Column = VectorExpressions.foldDot(a, b)
 
   /** L2 norm, same fold discipline as [[dotD]]. */
   def normD(a: Column): Column = sqrt(dotD(a, a))

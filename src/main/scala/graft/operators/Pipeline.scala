@@ -167,7 +167,9 @@ object Pipeline {
         size(array_distinct(col("t"))).cast("long").as("n_distinct"),
         (length(col("text")) - length(regexp_replace(col("text"), "[.,]", "")))
           .cast("long").as("n_punct"),
-        aggregate(col("t"), lit(0L), (a, w) => a + length(w)).as("sum_token_len"))
+        // sum of token lengths ≡ count of letter chars (tokens are the
+        // maximal letter runs) — O(n) scan instead of a per-token fold
+        length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("long").as("sum_token_len"))
       .withColumn("avg_token_len",
         col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
       .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens").cast("double"))
@@ -304,16 +306,21 @@ object Pipeline {
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
     val dim = 64
+    // Deterministic pseudo-random hyperplanes, materialized driver-side as
+    // literal arrays: the per-row work is then one codegen'd foldDot per
+    // plane instead of regenerating the plane via interpreted lambdas.
+    def mix(x0: Int): Int = { // xorshift-style integer mix
+      var x = x0 * 0x9e3779b1
+      x ^= x >>> 16; x *= 0x85ebca6b; x ^= x >>> 13; x *= 0xc2b2ae35; x ^= x >>> 16
+      x
+    }
+    def plane(p: Int): Column = array((0 until dim).map { d =>
+      lit((math.floorMod(mix(p * dim + d), 1000).toDouble / 500.0) - 1.0)
+    }: _*)
     def bucketFor(t: Int): Column = {
       val bits = (0 until LshPlanesPerTable).map { j =>
         val p = t * LshPlanesPerTable + j
-        val dot = aggregate(
-          zip_with(col("v"),
-            transform(sequence(lit(0), lit(dim - 1)),
-              d => (pmod(hash(lit(p), d), lit(1000)).cast("double") / 500.0) - 1.0),
-            (x, h) => x * h),
-          lit(0.0), (acc, x) => acc + x)
-        when(dot > 0, lit(1 << j)).otherwise(lit(0))
+        when(Fns.dotD(col("v"), plane(p)) > 0, lit(1 << j)).otherwise(lit(0))
       }
       bits.reduce(_ + _)
     }
@@ -327,10 +334,9 @@ object Pipeline {
               col("nrm").as("pn"), col("t"), col("bucket"))
     val cand = eb.join(broadcast(probes), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id"), col("pv"), col("v"), col("pn"), col("nrm"))
-      .distinct() // union of buckets across tables
       .select(col("probe_id"), col("vec_id"),
         (dotD(col("pv"), col("v")) / (col("pn") * col("nrm"))).as("cos"))
+      .distinct() // union of buckets across tables; cos is functional in the pair
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     cand.withColumn("rank", row_number().over(w).cast("long"))
