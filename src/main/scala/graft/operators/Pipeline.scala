@@ -289,11 +289,17 @@ object Pipeline {
       .orderBy("id_a", "id_b")
   }
 
-  private val LshTables = 4        // independent hash tables (OR-amplification)
-  private val LshPlanesPerTable = 6 // sign bits per table → 64 buckets/table
+  // 8 tables × 5 sign bits: tuned for the fixture's near-orthogonal random
+  // vectors (best true neighbors sit at cos ≈ 0.4 ⇒ per-plane agreement
+  // only ~0.63, so recall needs OR-amplification across tables). On a real
+  // corpus with near-dups at cos ≥ 0.9, fewer tables with more planes give
+  // the same recall far cheaper; planes-per-table should grow ~log(corpus)
+  // to keep bucket occupancy constant at scale.
+  private val LshTables = 8
+  private val LshPlanesPerTable = 5
 
-  /** ANN via multi-table random-hyperplane LSH: 4 independent tables of
-    * 6 sign bits each; a probe's candidates are the union of its 4 buckets,
+  /** ANN via multi-table random-hyperplane LSH: independent tables of
+    * sign-bit buckets; a probe's candidates are the union of its buckets,
     * then exact cosine re-rank keeps the top 10. Hyperplane components are
     * a deterministic hash of (plane, dim), so the index is reproducible
     * with no stored state. Recall < 1 → rows-only check (no SQL oracle);

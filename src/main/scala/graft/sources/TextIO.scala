@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's I/O model (`/root/reference/src/mr/worker.go`):
+  *
+  *  - source: one whole text file per map task, map sees (filename,
+  *    contents) — `worker.go:60-70`, `mrsequential.go:39-49`;
+  *  - sink: line-oriented `"key value\n"` partition files — `worker.go:125-141`.
+  *
+  * Re-expressed on Spark's file sources. Unlike the reference, the sink is
+  * binary-safe on read-back only for keys/values without the separator —
+  * the same documented quirk as `worker.go:112-115` (lines that don't split
+  * into exactly two fields are dropped); parquet is the engine's native
+  * format, this exists for byte-compatible interchange with the reference.
+  */
+object TextIO {
+
+  /** Whole-file scan: DataFrame(name, contents), one row per file — the
+    * reference's map-task input model. Each file is one row, so at scale
+    * parallelism = #files, exactly like the reference's task-per-file
+    * queue (`coordinator.go:263-266`). */
+  def wholeTextFiles(s: SparkSession, globPath: String): DataFrame =
+    s.read.option("wholetext", "true").text(globPath)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("name"),
+        col("value").as("contents"))
+
+  /** `"key value"` text sink, one directory of part files ≙ mr-out-R. */
+  def writeKv(df: DataFrame, outDir: String): Unit =
+    df.select(concat_ws(" ", col("key"), col("value")).as("value"))
+      .write.mode("overwrite").text(outDir)
+
+  /** Read back a [[writeKv]] directory (or reference mr-out files): rows
+    * that don't split into exactly two fields are dropped, mirroring
+    * `worker.go:112-115`. */
+  def readKv(s: SparkSession, dir: String): DataFrame =
+    s.read.text(dir)
+      .select(split(col("value"), " ").as("f"))
+      .filter(size(col("f")) === 2)
+      .select(element_at(col("f"), 1).as("key"), element_at(col("f"), 2).as("value"))
+
+  /** CSV and JSON source/sink wrappers (engine-native formats beyond the
+    * reference's text model). */
+  def readCsv(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").option("inferSchema", "true").csv(path)
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+  def readJson(s: SparkSession, path: String): DataFrame = s.read.json(path)
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+}

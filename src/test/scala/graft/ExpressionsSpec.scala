@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fns, VectorExpressions}
+
+/** Unit tests for the custom Catalyst expressions: they must be
+  * bit-identical to the interpreted higher-order-function compositions
+  * they replaced (which is what the DuckDB oracles mirror). */
+class ExpressionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("FoldDotProduct == aggregate(zip_with(...)) bitwise") {
+    val df = Seq(
+      (Seq(1.0, 2.5, -3.0), Seq(0.5, -1.0, 2.0)),
+      (Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1)),
+      (Seq.empty[Double], Seq.empty[Double])
+    ).toDF("a", "b")
+    val rows = df.select(
+      VectorExpressions.foldDot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y), lit(0.0), (s, v) => s + v).as("slow")
+    ).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+             java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("FoldDotProduct known value and fold order") {
+    val got = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+      .select(VectorExpressions.foldDot(col("a"), col("b"))).as[Double].head()
+    assert(got === 32.0)
+  }
+
+  test("PolyHashExpr matches the character fold and differs across bases") {
+    // regression: two instances with different base/mod in ONE projection
+    // must not share a generated helper method
+    val rows = Seq("the fast key", "abc", "").toDF("s").select(
+      Fns.polyHash(col("s")).as("h1"),
+      Fns.polyHash2(col("s")).as("h2"),
+      aggregate(split(col("s"), ""), lit(0L),
+        (h, c) => (h * lit(31L) + ascii(c)) % lit(1000000007L)).as("ref1"),
+      aggregate(split(col("s"), ""), lit(0L),
+        (h, c) => (h * lit(131L) + ascii(c)) % lit(1000000009L)).as("ref2")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) === r.getLong(2), "base-31 hash mismatch")
+      assert(r.getLong(1) === r.getLong(3), "base-131 hash mismatch")
+    }
+    assert(rows(0).getLong(0) !== rows(0).getLong(1), "hash families must differ")
+  }
+
+  test("polyHash known value: 'ab' -> (97*31 + 98) % p") {
+    val got = Seq("ab").toDF("s").select(Fns.polyHash(col("s"))).as[Long].head()
+    assert(got === (97L * 31 + 98) % 1000000007L)
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    val got = Seq((Seq(0.5, -0.25, 3.0), Seq(0.5, -0.25, 3.0))).toDF("a", "b")
+      .select(Fns.cosineD(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(got - 1.0) < 1e-15)
+  }
+}

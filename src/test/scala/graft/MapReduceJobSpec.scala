@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.mr.{MapReduceJob, RefApps}
+
+/** Property tests for the MapReduceJob plugin contract (SURVEY §5):
+  * the distributed result must equal the sequential reference executor
+  * (port of `/root/reference/src/main/mrsequential.go:38-84`) after output
+  * sort, for randomized inputs (fixed seed) and any partition count. */
+class MapReduceJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Sequential oracle: mapf over all (name, contents), sort by key,
+    * run-length group, reducef per key — mrsequential.go semantics. */
+  private def sequential(files: Seq[(String, String)],
+                         mapf: MapReduceJob.MapF,
+                         reducef: MapReduceJob.ReduceF): Map[String, String] = {
+    val kva = files.flatMap { case (n, c) => mapf(n, c).iterator.toSeq }.sortBy(_._1)
+    kva.groupBy(_._1).map { case (k, vs) => k -> reducef(k, vs.map(_._2)) }
+  }
+
+  private val rnd = new Random(42)
+  private val vocab = Seq("the", "a", "spark", "map", "reduce", "Go", "x7y", "Key")
+
+  private def genFiles(n: Int): Seq[(String, String)] =
+    (0 until n).map { i =>
+      val words = Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size)))
+      (s"file$i", words.mkString(" "))
+    }
+
+  private def runBoth(files: Seq[(String, String)], parts: Int,
+                      mapf: MapReduceJob.MapF, reducef: MapReduceJob.ReduceF): Unit = {
+    val input = files.toDS().repartition(parts)
+    val got = MapReduceJob.run(spark, input, mapf, reducef).collect().toMap
+    assert(got === sequential(files, mapf, reducef))
+  }
+
+  test("wc ≡ sequential executor on randomized inputs") {
+    (1 to 8).foreach { _ => runBoth(genFiles(6), 3, RefApps.wcMap, RefApps.wcReduce) }
+  }
+
+  test("indexer ≡ sequential executor on randomized inputs") {
+    (1 to 8).foreach { _ =>
+      runBoth(genFiles(5), 2, RefApps.indexerMap, RefApps.indexerReduce)
+    }
+  }
+
+  test("partition-count invariance (1/4/10 partitions)") {
+    (1 to 3).foreach { _ =>
+      val files = genFiles(5)
+      val results = Seq(1, 4, 10).map { p =>
+        MapReduceJob.run(spark, files.toDS().repartition(p),
+          RefApps.wcMap, RefApps.wcReduce).collect().sortBy(_._1).toSeq
+      }
+      assert(results.distinct.size === 1)
+    }
+  }
+
+  test("reducef receives the complete value list (not a fold)") {
+    val files = Seq(("f1", "a b a"), ("f2", "a c"))
+    val reducef: MapReduceJob.ReduceF = (_, values) => values.sorted.mkString("|")
+    val got = MapReduceJob.run(spark,
+      files.toDS().repartition(2),
+      (n, c) => c.split(" ").toSeq.map(w => (w, n)), reducef).collect().toMap
+    assert(got("a") === "f1|f1|f2")
+    assert(got("b") === "f1")
+    assert(got("c") === "f2")
+  }
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Media
+
+/** Multimodal plumbing: binary column -> batched stub decode -> metadata. */
+class MediaSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  test("decode stub is deterministic in the payload") {
+    val (w1, h1) = Media.decodeStub("hello world".getBytes)
+    val (w2, h2) = Media.decodeStub("hello world".getBytes)
+    assert((w1, h1) === (w2, h2))
+    assert(w1 === 11 % 640 + 1 && h1 === (11 * 7) % 480 + 1)
+  }
+
+  test("mediaMeta: schema and values derived from blob bytes") {
+    val rows = Media.mediaMeta(spark, sf).collect()
+    assert(rows.length === 500)
+    assert(Media.mediaMeta(spark, sf).columns.toSeq ===
+      Seq("doc_id", "n_bytes", "width", "height", "format"))
+    rows.foreach { r =>
+      val (id, n, w, h, f) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      assert(w === n % 640 + 1)
+      assert(h === (n * 7) % 480 + 1)
+      assert(f === Seq("img", "audio", "video")((id % 3).toInt))
+    }
+  }
+}

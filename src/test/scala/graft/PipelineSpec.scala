@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Pipeline
+
+/** Behavior tests for the LLM-pipeline operators on the sf0.001 fixture. */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  test("dedup_exact: all-distinct corpus -> one group per doc, n_copies=1") {
+    val rows = Pipeline.dedupExact(spark, sf).collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.getLong(2) === 1L))
+  }
+
+  test("dedup_ngram: pairs are ordered, jaccard in (0,1]") {
+    val rows = Pipeline.dedupNgram(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(2)
+      assert(j >= 0.2 && j <= 1.0)
+    }
+  }
+
+  test("simhash: near-identical token bags give near-equal simhash") {
+    import spark.implicits._
+    // two docs sharing all tokens must get identical 32-bit simhash
+    val df = Seq((1L, "alpha beta gamma alpha"), (2L, "beta alpha alpha gamma"),
+                 (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    df.createOrReplaceTempView("simhash_probe")
+    // reuse operator logic by writing probe docs to a temp parquet dir
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simhash").toString
+    df.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipeline.simhash(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === got(2L), "same token multiset -> same simhash")
+    def popcount(x: Long): Int = java.lang.Long.bitCount(x)
+    assert(popcount(got(1L) ^ got(3L)) > 4, "disjoint vocab should differ in many bits")
+  }
+
+  test("similarity_topk: ranks are 1..10 per probe, cos descending") {
+    val rows = Pipeline.similarityTopk(spark, sf).collect()
+    val byProbe = rows.groupBy(_.getLong(0))
+    assert(byProbe.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    byProbe.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to 10L))
+      val cos = sorted.map(_.getDouble(2)).toSeq
+      assert(cos === cos.sorted.reverse, "cos must be non-increasing with rank")
+    }
+  }
+
+  test("ann_lsh top hit agrees with exact top-k most of the time (recall sanity)") {
+    val exact = Pipeline.similarityTopk(spark, sf).collect()
+      .filter(_.getLong(3) <= 5).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Pipeline.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic 0.28 on this fixture: random near-orthogonal vectors
+    // are the worst case for sign-bit LSH (best neighbors at cos≈0.4).
+    // On a near-dup corpus (cos≥0.9) the same config predicts ~0.85.
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall > 0.2, s"suspiciously low ANN recall: $recall")
+  }
+
+  test("lang_id rule: marker argmax with fixed precedence") {
+    val rows = Pipeline.langId(spark, sf).collect()
+    rows.foreach { r =>
+      val (en, de, fr, es) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      val pred = r.getString(2)
+      val expected =
+        if (es > Seq(en, de, fr, 0L).max) "es"
+        else if (fr > Seq(en, de, 0L).max) "fr"
+        else if (de > Seq(en, 0L).max) "de"
+        else if (en > 0) "en"
+        else "und"
+      assert(pred === expected)
+    }
+  }
+
+  test("quality score components bounded and keep implies score>=0.75") {
+    val rows = Pipeline.qualityScore(spark, sf).collect()
+    rows.foreach { r =>
+      val score = r.getDouble(4)
+      assert(score >= 0.0 && score <= 1.0)
+      assert(r.getBoolean(5) === (score >= 0.75))
+    }
+  }
+}
