@@ -153,6 +153,24 @@ object Oracles {
          |  count(*) AS n_docs, sum(n_chars) AS sum_chars
          |FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source""".stripMargin,
 
+    "q_intersect" ->
+      s"""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         |INTERSECT
+         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         |ORDER BY o_custkey""".stripMargin,
+
+    "q_except" ->
+      s"""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         |EXCEPT
+         |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+         |ORDER BY o_custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      s"""SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
+         |  count(*) AS n, ${sumD("l_extendedprice", 2, "sum_price")}
+         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+         |ORDER BY flag, status""".stripMargin,
+
     "q_tumbling_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
          |  count(*) AS n, ${sumD("value", 2, "sum_value")}

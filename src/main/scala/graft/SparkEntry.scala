@@ -55,6 +55,9 @@ object SparkEntry {
     "q_window_rank"       -> q(Relational.windowRank),
     "q_rollup"            -> q(Relational.rollupAgg),
     "q_cube_docs"         -> q(Relational.cubeDocs),
+    "q_grouping_sets"     -> q(Relational.groupingSetsAgg),
+    "q_intersect"         -> q(Relational.intersectCustomers),
+    "q_except"            -> q(Relational.exceptCustomers),
     "q_tumbling_window"   -> q(Relational.tumblingWindow),
     "q_json_extract"      -> q(Relational.jsonExtract),
     "q_sessionize"        -> q(Relational.sessionize),

@@ -98,12 +98,15 @@ object Pipeline {
     val sh = shingles(s, dir)
     val hashed = sh.select(col("doc_id"),
       Fns.polyHash(col("sh")).as("h1"), Fns.polyHash2(col("sh")).as("h2"))
+    // 64 independent min() aggregates: fully codegen'd, partial (map-side)
+    // aggregation, no per-doc array buffering — the shape that scales,
+    // unlike collect_list + interpreted per-element lambdas.
+    val permCols = (0 until MinhashPerms).map(i =>
+      min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"m$i"))
     val sigs = hashed.groupBy("doc_id")
-      .agg(collect_list(struct(col("h1"), col("h2"))).as("hs"))
+      .agg(permCols.head, permCols.tail: _*)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(MinhashPerms - 1)),
-          i => array_min(transform(col("hs"),
-            h => pmod(h.getField("h1") + i * h.getField("h2"), lit(2147483647L))))).as("sig"))
+        array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("sig"))
     val nBands = MinhashPerms / MinhashBandRows
     val bands = sigs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(nBands - 1)),

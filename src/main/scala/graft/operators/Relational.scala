@@ -125,6 +125,35 @@ object Relational {
               col("n_docs"), col("sum_chars"))
       .orderBy("lang", "source")
 
+  /** INTERSECT (distinct semantics): customers active in both 1995 and
+    * 1996. Planned as a left-semi join after dedup — no cross product. */
+  def intersectCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    y1995.intersect(y1996).orderBy("o_custkey")
+  }
+
+  /** EXCEPT (distinct semantics): customers active in 1995 but not 1996. */
+  def exceptCustomers(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    y1995.except(y1996).orderBy("o_custkey")
+  }
+
+  /** Explicit GROUPING SETS ((flag), (status)) — two independent marginal
+    * aggregates in one pass over the fact table. */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumD2(col("l_extendedprice")).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+              col("n"), col("sum_price"))
+      .orderBy("flag", "status")
+
   /** Tumbling event-time window (batch form): hourly counts + exact sums.
     * Keyed by (hour, event_type) → single shuffle; at stream scale this is
     * the same plan Structured Streaming runs incrementally. */
