@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: dump `explain("formatted")` for the scan/join-heavy queries so
+  * plan regressions (lost pushdown, missed broadcast, surprise shuffles)
+  * are visible. Usage: runMain graft.tools.PlanAudit [sfDir] [query ...] */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q_grouped_agg", "q_filter_project", "q_join_agg", "q_join_multi",
+      "q_semi_join", "q_topk_orders", "q_wordcount", "q_dedup_minhash",
+      "q_similarity_topk", "q_tumbling_window")
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      graft.SparkEntry.queries.get(n).foreach { fn =>
+        println(s"\n================= $n =================")
+        fn(spark, sfDir).explain("formatted")
+      }
+    }
+    spark.stop()
+  }
+}
