@@ -134,6 +134,14 @@ object Oracles {
          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          |ORDER BY c_custkey""".stripMargin,
 
+    "q_outer_join" ->
+      s"""SELECT c_custkey, c_name, count(o_custkey) AS n_orders_1995,
+         |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+         |           CAST(0.0 AS DOUBLE)) AS rev_1995
+         |FROM customer LEFT JOIN orders
+         |  ON c_custkey = o_custkey AND year(o_orderdate) = 1995
+         |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
     "q_window_rank" ->
       s"""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
          |  SELECT o_custkey, o_orderkey, o_totalprice,

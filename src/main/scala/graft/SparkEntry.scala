@@ -52,6 +52,7 @@ object SparkEntry {
     "q_join_multi"        -> q(Relational.joinMulti),
     "q_semi_join"         -> q(Relational.semiJoin),
     "q_anti_join"         -> q(Relational.antiJoin),
+    "q_outer_join"        -> q(Relational.outerJoin),
     "q_window_rank"       -> q(Relational.windowRank),
     "q_rollup"            -> q(Relational.rollupAgg),
     "q_cube_docs"         -> q(Relational.cubeDocs),
@@ -74,6 +75,7 @@ object SparkEntry {
     "q_similarity_topk"   -> q(Pipeline.similarityTopk),
     "q_embedding_neardup" -> q(Pipeline.embeddingNeardup),
     "q_ann_lsh"           -> q(Pipeline.annLsh),
+    "q_ann_ivf"           -> q(Pipeline.annIvf),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),
     // structured streaming

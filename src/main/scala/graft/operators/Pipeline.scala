@@ -278,6 +278,53 @@ object Pipeline {
       .orderBy("probe_id", "rank")
   }
 
+  private val IvfCells = 16
+  private val IvfNprobe = 2
+
+  /** ANN via IVF (inverted-file index): a coarse quantizer of 16 centroids
+    * partitions the corpus into cells; a probe scans only its nprobe=2
+    * closest cells, then exact cosine re-ranks the candidates. Centroids
+    * here are the first 16 corpus vectors (a deterministic stand-in for a
+    * k-means codebook — training is an offline batch job at scale; lookup
+    * structure and query path are identical). Probabilistic recall →
+    * rows-only check; exact twin is [[similarityTopk]].
+    *
+    * Scale shape: assignment is a broadcast of 16 centroids over the
+    * corpus (one narrow pass), the cell layout can be persisted/bucketed
+    * once, and each query touches nprobe/cells of the data. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
+    val cents = e.filter(col("vec_id") < IvfCells)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"), col("nrm").as("cn"))
+    def rankCells(df: DataFrame, idCol: String, vecCol: String, nrmCol: String,
+                  keep: Int, out: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .select(df.columns.map(col) :+ col("cent_id") :+
+          (dotD(col(vecCol), col("cv")) / (col(nrmCol) * col("cn"))).as("ccos"): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
+      scored.withColumn("r", row_number().over(w)).filter(col("r") <= keep)
+        .withColumnRenamed("cent_id", out)
+    }
+    val assigned = rankCells(e, "vec_id", "v", "nrm", 1, "cell")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probeCells = rankCells(
+      e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"), col("nrm").as("pn")),
+      "probe_id", "pv", "pn", IvfNprobe, "cell")
+      .select(col("probe_id"), col("pv"), col("pn"), col("cell"))
+    val cand = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        (dotD(col("pv"), col("v")) / (col("pn") * col("nrm"))).as("cos"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("probe_id", "rank")
+  }
+
   /** Embedding near-duplicate pairs: all pairs with cosine ≥ 0.4
     * (fixture vectors are random; real dup corpora would use ≥ 0.95).
     * Brute force at test SF; the LSH variant below is the scale path. */

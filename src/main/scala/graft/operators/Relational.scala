@@ -125,6 +125,21 @@ object Relational {
               col("n_docs"), col("sum_chars"))
       .orderBy("lang", "source")
 
+  /** Left-outer join with an ON-clause restriction: every customer keeps a
+    * row; 1995 order count / revenue are 0-or-null for inactive customers.
+    * Nulls flow through the decimal-exact sum identically in both engines. */
+  def outerJoin(s: SparkSession, dir: String): DataFrame = {
+    val o95 = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey"), col("o_totalprice"))
+    Tables.customer(s, dir)
+      .join(o95, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_custkey")).as("n_orders_1995"),
+           coalesce(sumD2(col("o_totalprice")), lit(0.0)).as("rev_1995"))
+      .orderBy("c_custkey")
+  }
+
   /** INTERSECT (distinct semantics): customers active in both 1995 and
     * 1996. Planned as a left-semi join after dedup — no cross product. */
   def intersectCustomers(s: SparkSession, dir: String): DataFrame = {

@@ -58,6 +58,13 @@ class MapReduceJobSpec extends AnyFunSuite {
     }
   }
 
+  test("reduceAggregator applies reducef over the complete buffered list") {
+    import org.apache.spark.sql.functions.typedlit
+    val agg = MapReduceJob.reduceAggregator("k", RefApps.sortedConcatReduce)
+    val got = Seq("b", "a", "c").toDS().select(agg.toColumn).head()
+    assert(got === "a b c")
+  }
+
   test("reducef receives the complete value list (not a fold)") {
     val files = Seq(("f1", "a b a"), ("f2", "a c"))
     val reducef: MapReduceJob.ReduceF = (_, values) => values.sorted.mkString("|")

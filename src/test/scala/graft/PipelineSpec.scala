@@ -66,6 +66,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.2, s"suspiciously low ANN recall: $recall")
   }
 
+  test("ann_ivf returns ranked candidates with sane recall") {
+    val exact = Pipeline.similarityTopk(spark, sf).collect()
+      .filter(_.getLong(3) <= 5).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Pipeline.annIvf(spark, sf).collect()
+    ivf.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ranks = rs.map(_.getLong(3)).sorted.toSeq
+      assert(ranks === (1L to ranks.length))
+    }
+    val hits = (exact & ivf.map(r => (r.getLong(0), r.getLong(1))).toSet).size
+    assert(hits.toDouble / exact.size > 0.15,
+      s"suspiciously low IVF recall: ${hits.toDouble / exact.size}")
+  }
+
   test("lang_id rule: marker argmax with fixed precedence") {
     val rows = Pipeline.langId(spark, sf).collect()
     rows.foreach { r =>
