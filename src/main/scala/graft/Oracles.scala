@@ -184,6 +184,19 @@ object Oracles {
          |  count(*) AS n, ${sumD("value", 2, "sum_value")}
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    "q_sliding_window" ->
+      s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type, count(*) AS n
+         |FROM (SELECT event_type,
+         |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+         |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+         |  FROM events) t
+         |GROUP BY ws, event_type ORDER BY wstart, event_type""".stripMargin,
+
+    "q_sql_interface" ->
+      s"""SELECT p_brand, count(*) AS n, ${sumD("l_quantity", 2, "sum_qty")}
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
     "q_json_extract" ->
       s"""SELECT event_type, count(*) AS n,
          |  sum(CAST(json_extract(props,'$$.k') AS BIGINT)) AS sum_k,

@@ -60,6 +60,8 @@ object SparkEntry {
     "q_intersect"         -> q(Relational.intersectCustomers),
     "q_except"            -> q(Relational.exceptCustomers),
     "q_tumbling_window"   -> q(Relational.tumblingWindow),
+    "q_sliding_window"    -> q(Relational.slidingWindow),
+    "q_sql_interface"     -> q(Relational.sqlInterface),
     "q_json_extract"      -> q(Relational.jsonExtract),
     "q_sessionize"        -> q(Relational.sessionize),
     // LLM data pipeline

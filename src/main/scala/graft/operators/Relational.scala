@@ -179,6 +179,30 @@ object Relational {
       .agg(count(lit(1)).as("n"), sumD2(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Sliding event-time window (1 h length, 30 min slide): each event lands
+    * in exactly two windows; Spark's `window()` generates them inline —
+    * still one shuffle on (window, type). */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+              col("event_type"), col("n"))
+      .orderBy("wstart", "event_type")
+
+  /** The engine's SQL-text surface: the same decimal-exact aggregation
+    * expressed as a `spark.sql` string over registered temp views —
+    * proving query-language parity, not just the DataFrame DSL. */
+  def sqlInterface(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+    Tables.part(s, dir).createOrReplaceTempView("part_v")
+    s.sql(
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_v JOIN part_v ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
   /** JSON extraction from the events.props payload + grouped aggregation. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)

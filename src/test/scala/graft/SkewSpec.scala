@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Skew
+
+/** Salted join must be a pure physical rewrite: same row multiset as the
+  * plain join, for any salt count. */
+class SkewSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  test("saltedJoin ≡ plain join (orders ⋈ customer)") {
+    val fact = Tables.orders(spark, sf)
+    val dim = Tables.customer(spark, sf)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = fact.join(dim, Seq("o_custkey"))
+      .select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    Seq(1, 4, 16).foreach { k =>
+      val salted = Skew.saltedJoin(fact, dim, "o_custkey", k, col("o_orderkey"))
+        .select("o_orderkey", "c_name").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(salted === plain, s"salts=$k")
+    }
+  }
+
+  test("saltedJoin spreads a hot key over multiple partitions") {
+    import spark.implicits._
+    // one celebrity key: 10k fact rows on key 1, dim has 2 keys
+    val fact = (1 to 10000).map(i => (1L, i.toLong)) :+ ((2L, 0L))
+    val dim = Seq((1L, "hot"), (2L, "cold"))
+    val salted = Skew.saltedJoin(
+      fact.toDF("k", "payload").repartition(8),
+      dim.toDF("k", "name"), "k", 8, col("payload"))
+    assert(salted.count() === 10001L)
+    // the pre-join salted fact side must occupy >1 shuffle partition for key 1
+    val parts = fact.toDF("k", "payload")
+      .withColumn("__salt", pmod(hash(col("payload")), lit(8)))
+      .filter(col("k") === 1).select("__salt").distinct().count()
+    assert(parts > 1)
+  }
+}

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
 import graft.streaming.Streams
@@ -15,6 +16,44 @@ class StreamsSpec extends AnyFunSuite {
     val batch = Relational.tumblingWindow(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
     assert(stream === batch)
+  }
+
+  test("watermark closes windows across micro-batches (append mode)") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import java.sql.Timestamp
+    val dir = Files.createTempDirectory("graft_wm")
+    val src = dir.resolve("in"); Files.createDirectory(src)
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    // batch 1: events in the 10:00 and 11:00 windows; max ts 11:45
+    Seq((ts(10, 0), "a"), (ts(10, 10), "a"), (ts(11, 45), "a"))
+      .toDF("ts", "k").coalesce(1).write.mode("append").parquet(src.toString)
+    val stream = spark.readStream
+      .schema("ts timestamp, k string").parquet(src.toString)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window($"ts", "1 hour"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"window.start", "HH:mm").as("w"), $"n")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_wm_test").start()
+    try {
+      q.processAllAvailable()
+      // after batch 1 (+ the finalizing no-data batch) the watermark is
+      // 11:45 - 30min = 11:15 → the 10:00–11:00 window is closed+emitted,
+      // the 11:00–12:00 window is still open
+      val b1 = spark.table("graft_wm_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(b1 === Map("10:00" -> 2L))
+      // batch 2 advances the watermark to 12:30 → closes 11:00–12:00;
+      // the 13:00 window stays open
+      Seq((ts(13, 0), "a")).toDF("ts", "k")
+        .coalesce(1).write.mode("append").parquet(src.toString)
+      q.processAllAvailable()
+      val b2 = spark.table("graft_wm_test").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      assert(b2 === Map("10:00" -> 2L, "11:00" -> 1L))
+    } finally q.stop()
   }
 
   test("stream_sessions equals batch sessionization") {
