@@ -370,6 +370,23 @@ object Oracles {
          |    ELSE 'video' END AS format
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_multimodal_transform" ->
+      s"""WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+         |    CAST(length(text) % 640 + 1 AS BIGINT) AS w,
+         |    CAST((length(text) * 7) % 480 + 1 AS BIGINT) AS h,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+         |      ELSE 'video' END AS format
+         |  FROM documents)
+         |SELECT doc_id, format,
+         |  CASE WHEN greatest(w, h) <= 224 THEN w
+         |       ELSE greatest(w * 224 // greatest(w, h), 1) END AS out_w,
+         |  CASE WHEN greatest(w, h) <= 224 THEN h
+         |       ELSE greatest(h * 224 // greatest(w, h), 1) END AS out_h,
+         |  CASE WHEN format = 'video' THEN ((n % 30 + 1) + 4) // 5
+         |       ELSE CAST(1 AS BIGINT) END AS n_frames_sampled,
+         |  ${polyHashSql("text", 1)} AS checksum
+         |FROM m ORDER BY doc_id""".stripMargin,
+
     // -------------------------------------------------------- streaming
     "q_stream_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

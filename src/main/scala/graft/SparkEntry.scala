@@ -80,6 +80,7 @@ object SparkEntry {
     "q_ann_ivf"           -> q(Pipeline.annIvf),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),
+    "q_multimodal_transform" -> q(Media.mediaTransform),
     // structured streaming
     "q_stream_window"     -> q(Streams.streamWindow),
     "q_stream_sessions"   -> q(Streams.streamSessions)

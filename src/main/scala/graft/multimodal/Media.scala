@@ -12,6 +12,11 @@ case class MediaBlob(doc_id: Long, media: Array[Byte], kind: String)
 /** Decoded metadata produced by the (stubbed) decoder. */
 case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, format: String)
 
+/** Output of the transform stage: resize-to-fit-224 + frame sampling +
+  * a content checksum (feature-extraction stand-in). */
+case class MediaFeature(doc_id: Long, format: String, out_w: Long, out_h: Long,
+                        n_frames_sampled: Long, checksum: Long)
+
 /** Multimodal column plumbing (north-star extension). The container has no
   * image/audio codecs, so `decodeStub` below is a clearly-marked
   * deterministic FAKE decode; everything around it — binary column
@@ -26,20 +31,25 @@ object Media {
   def decodeStub(blob: Array[Byte]): (Long, Long) =
     (blob.length.toLong % 640 + 1, (blob.length.toLong * 7) % 480 + 1)
 
-  /** Build binary media columns from the documents fixture and run the
-    * batched decode → metadata extraction pipeline. */
-  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+  private def blobs(s: SparkSession, dir: String) = {
     import s.implicits._
-    val blobs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         encode(col("text"), "UTF-8").as("media"),
         when(pmod(col("doc_id"), lit(3)) === 0, "img")
           .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
           .otherwise("video").as("kind"))
       .as[MediaBlob]
+  }
+
+  /** Build binary media columns from the documents fixture and run the
+    * batched decode → metadata extraction pipeline. */
+  def mediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val in = blobs(s, dir)
     // Batched per-partition decode: the grouped(64) mirrors an arrow batch
     // size; a real decoder would amortize codec init across the batch.
-    val meta = blobs.mapPartitions { it =>
+    val meta = in.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { b =>
           val (w, h) = decodeStub(b.media)
@@ -48,5 +58,32 @@ object Media {
       }
     }
     meta.toDF().orderBy("doc_id")
+  }
+
+  /** Transform stage over the decoded media: resize to fit a 224×224 box
+    * (aspect-preserving integer scale — STUB standing in for a real
+    * resampler), sample every 5th frame for video, and fold a content
+    * checksum (byte sum mod 1e9+7) as the feature-extraction stand-in.
+    * All arithmetic is integer so the DuckDB oracle reproduces it. */
+  def mediaTransform(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = blobs(s, dir).mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { b =>
+          val n = b.media.length.toLong
+          val (w, h) = decodeStub(b.media)
+          val maxDim = math.max(w, h)
+          val (ow, oh) =
+            if (maxDim <= 224) (w, h)
+            else (math.max(w * 224 / maxDim, 1L), math.max(h * 224 / maxDim, 1L))
+          val frames = if (b.kind == "video") ((n % 30 + 1) + 4) / 5 else 1L
+          var sum = 0L
+          var i = 0
+          while (i < b.media.length) { sum = (sum + (b.media(i) & 0xff)) % 1000000007L; i += 1 }
+          MediaFeature(b.doc_id, b.kind, ow, oh, frames, sum)
+        }
+      }
+    }
+    out.toDF().orderBy("doc_id")
   }
 }

@@ -15,6 +15,19 @@ class MediaSpec extends AnyFunSuite {
     assert(w1 === 11 % 640 + 1 && h1 === (11 * 7) % 480 + 1)
   }
 
+  test("mediaTransform: resize fits 224 box, video frame sampling, checksum") {
+    val rows = Media.mediaTransform(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (f, ow, oh, frames) =
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ow >= 1 && oh >= 1)
+      assert(math.max(ow, oh) <= 224)
+      if (f == "video") assert(frames >= 1 && frames <= 6)
+      else assert(frames === 1L)
+    }
+  }
+
   test("mediaMeta: schema and values derived from blob bytes") {
     val rows = Media.mediaMeta(spark, sf).collect()
     assert(rows.length === 500)
