@@ -59,7 +59,10 @@ object Pipeline {
     * computed from exact distinct-set sizes. Threshold 0.2 (fixture corpus
     * is random text; real near-dups would sit ≫ 0.8). */
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    // the shingle set feeds three consumers (df cap, pair join, sizes);
+    // persist so one action computes it once instead of three times
     val sh = shingles(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select("sh")
     val shRare = sh.join(broadcast(rare), "sh")
@@ -95,6 +98,9 @@ object Pipeline {
     * At 100 TB the candidate generation is an equi-join on (band, key) —
     * linear shuffle, never an O(n²) cross product. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    // NOTE: deliberately NOT persisted — the shingle subtree is cheap
+    // codegen'd recompute; caching it measured 3× slower (cache fill +
+    // serialization on the critical path).
     val sh = shingles(s, dir)
     val hashed = sh.select(col("doc_id"),
       Fns.polyHash(col("sh")).as("h1"), Fns.polyHash2(col("sh")).as("h2"))
