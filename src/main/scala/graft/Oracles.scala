@@ -184,6 +184,29 @@ object Oracles {
          |  count(*) AS n, ${sumD("value", 2, "sum_value")}
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
 
+    "q_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket,
+         |  count(*) AS n FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_percentiles" ->
+      s"""SELECT l_returnflag,
+         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+         |  round(quantile_cont(l_quantity, 0.99), 4) AS p99
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_corr_exact" ->
+      s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+         |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
+         |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+         |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
+         |FROM lineitem GROUP BY l_returnflag)
+         |SELECT l_returnflag,
+         |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price
+         |FROM m ORDER BY l_returnflag""".stripMargin,
+
     "q_sliding_window" ->
       s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type, count(*) AS n
          |FROM (SELECT event_type,

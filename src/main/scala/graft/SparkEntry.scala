@@ -62,6 +62,10 @@ object SparkEntry {
     "q_tumbling_window"   -> q(Relational.tumblingWindow),
     "q_sliding_window"    -> q(Relational.slidingWindow),
     "q_sql_interface"     -> q(Relational.sqlInterface),
+    "q_histogram"         -> q(Relational.histogram),
+    "q_percentiles"       -> q(Relational.percentiles),
+    "q_approx_distinct"   -> q(Relational.approxDistinct),
+    "q_corr_exact"        -> q(Relational.corrExact),
     "q_json_extract"      -> q(Relational.jsonExtract),
     "q_sessionize"        -> q(Relational.sessionize),
     // LLM data pipeline

@@ -212,6 +212,57 @@ object Relational {
            countDistinct(col("k")).as("distinct_k"))
       .orderBy("event_type")
 
+  /** Histogram: fixed-width binning of order totals — floor arithmetic on
+    * identical doubles, engine-exact. */
+  def histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy((floor(col("o_totalprice") / 50000) * 50000).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+
+  /** Exact percentiles (sort-based `percentile`, not the approximate
+    * sketch) of quantity per return flag; interpolated values rounded to
+    * 4 dp to absorb the one-ulp formula difference between engines. */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+           round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+           round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** HyperLogLog++ approximate distinct (the sketch path for 100 TB
+    * cardinalities — mergeable, fixed memory). Sketch estimates differ
+    * across engines by design → no SQL oracle; accuracy asserted in tests
+    * against the exact count. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
+  /** Pearson correlation computed from decimal-exact moment sums, so the
+    * result is bit-stable under any partitioning — unlike the built-in
+    * streaming `corr`, whose float accumulation is order-dependent. */
+  def corrExact(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = col("l_quantity")
+    val p = col("l_extendedprice")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+           sumD2(q).as("sx"), sumD2(p).as("sy"),
+           sum((q * p).cast(DecimalType(28, 4))).cast("double").as("sxy"),
+           sum((q * q).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+           sum((p * p).cast(DecimalType(28, 4))).cast("double").as("syy"))
+      .select(col("l_returnflag"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Sessionization (batch): a session breaks after a 30-minute silence.
     * Two window functions over one (user_id, ts) shuffle, then a grouped
     * rollup per user. The streaming twin is Streams.statefulSessions. */

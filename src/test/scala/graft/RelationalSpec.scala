@@ -49,6 +49,32 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_count_distinct stays within its 2% relative-error target") {
+    Relational.approxDistinct(spark, sf).collect().foreach { r =>
+      val (approx, exact) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact < 0.1,
+        s"HLL estimate $approx too far from $exact")
+    }
+  }
+
+  test("corr_exact matches a plain-Scala correlation computation") {
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (k, xs) =>
+      val n = xs.length.toDouble
+      val (qs, ps) = (xs.map(_._2), xs.map(_._3))
+      val (mq, mp) = (qs.sum / n, ps.sum / n)
+      val cov = qs.zip(ps).map { case (a, b) => (a - mq) * (b - mp) }.sum
+      val sdq = math.sqrt(qs.map(a => (a - mq) * (a - mq)).sum)
+      val sdp = math.sqrt(ps.map(b => (b - mp) * (b - mp)).sum)
+      k -> cov / (sdq * sdp)
+    }
+    Relational.corrExact(spark, sf).collect().foreach { r =>
+      assert(math.abs(r.getDouble(1) - expected(r.getString(0))) < 1e-6)
+    }
+  }
+
   test("grouped_agg plan pushes the shipdate filter into the parquet scan") {
     val plan = Relational.groupedAgg(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
