@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract hygiene: a typo'd oracle key silently downgrades a
+  * query from hash-verified to rows-only, so the key sets are locked here. */
+class ContractSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("every oracle key names a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans === Set.empty[String])
+  }
+
+  test("exactly the probabilistic operators lack an oracle") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly === Set("q_ann_lsh", "q_ann_ivf", "q_approx_distinct"))
+  }
+
+  test("query names follow the q_ convention") {
+    assert(SparkEntry.queries.keySet.forall(_.startsWith("q_")))
+  }
+
+  test("entry flagship returns rows (driver t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs on sf0.001 and returns a non-empty schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, SparkTestSession.Sf)
+      assert(df.columns.nonEmpty, name)
+    }
+  }
+}
