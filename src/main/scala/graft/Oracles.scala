@@ -357,6 +357,9 @@ object Oracles {
     "q_fingerprint" ->
       s"SELECT doc_id, ${polyHashSql("text")} AS fp FROM documents ORDER BY doc_id",
 
+    "q_sql_custom_fn" ->
+      s"SELECT doc_id, ${polyHashSql("text")} AS fp FROM documents ORDER BY doc_id",
+
     "q_similarity_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),

@@ -203,6 +203,14 @@ object Relational {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
 
+  /** Custom codegen expressions called from SQL text: `poly_hash` is the
+    * registered [[graft.functions.PolyHashExpr]] (Engine.tune), matching
+    * the q_fingerprint oracle exactly. */
+  def sqlCustomFn(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+    s.sql("SELECT doc_id, poly_hash(text) AS fp FROM documents_v ORDER BY doc_id")
+  }
+
   /** JSON extraction from the events.props payload + grouped aggregation. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
