@@ -27,6 +27,17 @@ case class SessOut(user_id: Long, n_sessions: Long, n_events: Long)
   */
 object Streams {
 
+  /** Run a one-shot memory-sink streaming query with a bounded number of
+    * state-store partitions: per-partition store setup dominates these
+    * fixture-sized micro-batches, and 8 partitions is plenty of
+    * parallelism for the keyed state here. Restores the session conf. */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Tumbling 1-hour event-time window, streaming form of
     * [[graft.operators.Relational.tumblingWindow]]. Complete output mode:
     * every trigger re-emits the full window table, so after one pass over
@@ -42,9 +53,11 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
               col("event_type"), col("n"))
     val name = "graft_stream_window"
-    val q = agg.writeStream.outputMode("complete").format("memory")
-      .queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     s.table(name).orderBy("hour", "event_type")
   }
 
@@ -83,9 +96,11 @@ object Streams {
     val out = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
     val name = "graft_stream_sessions"
-    val q = out.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
-    try { q.processAllAvailable() } finally { q.stop() }
+    withStatePartitions(s, 8) {
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
     s.table(name).orderBy("user_id")
   }
 }
