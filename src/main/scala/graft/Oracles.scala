@@ -348,6 +348,21 @@ object Oracles {
          |  s_en, s_de, s_fr, s_es
          |FROM s ORDER BY doc_id""".stripMargin,
 
+    "q_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, word FROM ($Toks) z WHERE word <> ''),
+         |tf AS (SELECT doc_id, word, count(*) AS tf FROM t GROUP BY doc_id, word),
+         |df AS (SELECT word, count(*) AS df FROM
+         |  (SELECT DISTINCT doc_id, word FROM t) d GROUP BY word),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT doc_id, tf.word AS word, tf, df,
+         |  CAST(tf * n AS DOUBLE) / df AS score
+         |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n),
+         |r AS (SELECT doc_id, word, tf, df, score,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT doc_id, word, tf, df, score, rank FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
     "q_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(list_filter(regexp_split_to_array(text,' +'), w -> w <> '')) AS BIGINT) AS n_ws_tokens,

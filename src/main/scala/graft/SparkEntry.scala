@@ -78,6 +78,7 @@ object SparkEntry {
     "q_quality_score"     -> q(Pipeline.qualityScore),
     "q_lang_id"           -> q(Pipeline.langId),
     "q_token_count"       -> q(Pipeline.tokenCount),
+    "q_tfidf"             -> q(Pipeline.tfidf),
     "q_fingerprint"       -> q(Pipeline.fingerprint),
     "q_similarity_topk"   -> q(Pipeline.similarityTopk),
     "q_embedding_neardup" -> q(Pipeline.embeddingNeardup),

@@ -242,6 +242,28 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF-style term weighting (the VLDB'12 MR-tutorial workload): top-3
+    * terms per document by tf·N/df — the multiplicative-inverse form of
+    * idf, rank-equivalent to tf·log(N/df) but exactly reproducible across
+    * engines (log bit-parity across libm implementations is not
+    * guaranteed; integer products and one double division are). */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(s, dir)
+    val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = t.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).count()
+    val scored = tf.join(df, "word")
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "word", "tf", "df", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex token
     * stream (letter runs / digit runs / single punctuation). */
   def tokenCount(s: SparkSession, dir: String): DataFrame =
