@@ -161,6 +161,16 @@ object Oracles {
          |  count(*) AS n_docs, sum(n_chars) AS sum_chars
          |FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source""".stripMargin,
 
+    "q_full_outer" ->
+      s"""WITH a AS (SELECT o_custkey, count(*) AS n_1995 FROM orders
+         |  WHERE year(o_orderdate) = 1995 GROUP BY o_custkey),
+         |b AS (SELECT o_custkey, count(*) AS n_1996 FROM orders
+         |  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey)
+         |SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+         |  coalesce(n_1995, 0) AS n_1995, coalesce(n_1996, 0) AS n_1996
+         |FROM a FULL JOIN b ON a.o_custkey = b.o_custkey
+         |ORDER BY custkey""".stripMargin,
+
     "q_intersect" ->
       s"""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
          |INTERSECT

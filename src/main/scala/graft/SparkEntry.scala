@@ -53,6 +53,7 @@ object SparkEntry {
     "q_semi_join"         -> q(Relational.semiJoin),
     "q_anti_join"         -> q(Relational.antiJoin),
     "q_outer_join"        -> q(Relational.outerJoin),
+    "q_full_outer"        -> q(Relational.fullOuterJoin),
     "q_window_rank"       -> q(Relational.windowRank),
     "q_rollup"            -> q(Relational.rollupAgg),
     "q_cube_docs"         -> q(Relational.cubeDocs),

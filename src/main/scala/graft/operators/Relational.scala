@@ -140,6 +140,23 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Full-outer join between two yearly activity aggregates — rows survive
+    * from either side, missing side coalesced to 0. Full outer is the one
+    * join flavor that cannot broadcast (both sides must co-shuffle). */
+  def fullOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def yearly(y: Int, out: String) =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_custkey").as(s"ck_$y"))
+        .agg(count(lit(1)).as(out))
+    yearly(1995, "n_1995").join(yearly(1996, "n_1996"),
+        col("ck_1995") === col("ck_1996"), "full_outer")
+      .select(coalesce(col("ck_1995"), col("ck_1996")).as("custkey"),
+              coalesce(col("n_1995"), lit(0L)).as("n_1995"),
+              coalesce(col("n_1996"), lit(0L)).as("n_1996"))
+      .orderBy("custkey")
+  }
+
   /** INTERSECT (distinct semantics): customers active in both 1995 and
     * 1996. Planned as a left-semi join after dedup — no cross product. */
   def intersectCustomers(s: SparkSession, dir: String): DataFrame = {
