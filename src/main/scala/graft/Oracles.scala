@@ -379,6 +379,13 @@ object Oracles {
          |  CAST(len(regexp_extract_all(text,'[a-z]+|[0-9]+|[.,]')) AS BIGINT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "q_bigrams" ->
+      s"""WITH d AS ($TokList),
+         |bg AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+         |  i -> t[i] || ' ' || t[i+1])) AS bigram FROM d)
+         |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+         |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
     "q_fingerprint" ->
       s"SELECT doc_id, ${polyHashSql("text")} AS fp FROM documents ORDER BY doc_id",
 

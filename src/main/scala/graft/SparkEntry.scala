@@ -80,6 +80,7 @@ object SparkEntry {
     "q_lang_id"           -> q(Pipeline.langId),
     "q_token_count"       -> q(Pipeline.tokenCount),
     "q_tfidf"             -> q(Pipeline.tfidf),
+    "q_bigrams"           -> q(Pipeline.bigrams),
     "q_fingerprint"       -> q(Pipeline.fingerprint),
     "q_similarity_topk"   -> q(Pipeline.similarityTopk),
     "q_embedding_neardup" -> q(Pipeline.embeddingNeardup),

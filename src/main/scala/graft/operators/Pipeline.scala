@@ -274,6 +274,21 @@ object Pipeline {
           .cast("long").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** Corpus bigram frequency table, top 20 — the n-gram counting pass of a
+    * language-model data pipeline. TakeOrdered top-k after a map-side
+    * combined count; ties broken lexicographically for determinism. */
+  def bigrams(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    d.select(explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+  }
+
   /** Whole-document fingerprint: polynomial rolling hash over every
     * character — the cheap stand-in for a content-defined chunking hash;
     * integer arithmetic, oracle-reproducible. */
