@@ -214,7 +214,8 @@ object Oracles {
          |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
          |FROM lineitem GROUP BY l_returnflag)
          |SELECT l_returnflag,
-         |  (n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)) AS corr_qty_price
+         |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 9)
+         |    AS corr_qty_price
          |FROM m ORDER BY l_returnflag""".stripMargin,
 
     "q_sliding_window" ->

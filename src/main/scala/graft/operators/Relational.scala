@@ -282,9 +282,12 @@ object Relational {
            sum((q * q).cast(DecimalType(28, 4))).cast("double").as("sxx"),
            sum((p * p).cast(DecimalType(28, 4))).cast("double").as("syy"))
       .select(col("l_returnflag"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        // moment sums are decimal-exact; the final combination is rounded
+        // to 9 dp because compiled engines may contract a*b - c into FMA,
+        // shifting the last ulp (observed at sf0.001)
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
           (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_qty_price"))
+           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 
