@@ -32,6 +32,19 @@ object Oracles {
   private def sumD(col: String, scale: Int, alias: String): String =
     s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE) AS $alias"
 
+  /** VALUES rows reproducing [[graft.operators.LshPlanes]]' deterministic
+    * hyperplanes. Every component is an exactly-representable double
+    * ((m−500)/512), so the SQL literal → double conversion is bit-exact
+    * and the sign tests agree with the engine on every vector. */
+  private def lshPlaneRows: String = {
+    import graft.operators.LshPlanes
+    (0 until LshPlanes.NTables * LshPlanes.PlanesPerTable).map { p =>
+      val t = p / LshPlanes.PlanesPerTable
+      val j = p % LshPlanes.PlanesPerTable
+      s"($t, $j, [${LshPlanes.planeValues(p).mkString(", ")}])"
+    }.mkString(",\n")
+  }
+
   val sql: Map[String, String] = Map(
 
     // ------------------------------------------------------ MR app suite
@@ -158,7 +171,7 @@ object Oracles {
 
     "q_cube_docs" ->
       s"""SELECT coalesce(lang,'ALL') AS lang, coalesce(source,'ALL') AS source,
-         |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM documents GROUP BY CUBE(lang, source) ORDER BY lang, source""".stripMargin,
 
     "q_full_outer" ->
@@ -233,7 +246,7 @@ object Oracles {
 
     "q_json_extract" ->
       s"""SELECT event_type, count(*) AS n,
-         |  sum(CAST(json_extract(props,'$$.k') AS BIGINT)) AS sum_k,
+         |  CAST(sum(CAST(json_extract(props,'$$.k') AS BIGINT)) AS BIGINT) AS sum_k,
          |  count(DISTINCT CAST(json_extract(props,'$$.k') AS BIGINT)) AS distinct_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -255,18 +268,21 @@ object Oracles {
       s"""SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
          |FROM documents GROUP BY sha256(text) ORDER BY h""".stripMargin,
 
+    // shingles hashed to int64 exactly like the engine (polyHash) so the
+    // rare hash collisions are reproduced bit-for-bit on both sides
     "q_dedup_ngram" ->
       s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
          |    w -> w <> '') AS t FROM documents),
-         |shs AS (SELECT DISTINCT doc_id, sh FROM (
-         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) z),
-         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM shs GROUP BY sh) f
+         |shs AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, ${polyHashSql("sh")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) y) z),
+         |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM shs GROUP BY h) f
          |  WHERE df <= 100),
-         |shr AS (SELECT s1.doc_id, s1.sh FROM shs s1 JOIN rare USING (sh)),
+         |shr AS (SELECT s1.doc_id, s1.h FROM shs s1 JOIN rare USING (h)),
          |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
          |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT doc_a, doc_b, jaccard FROM (
          |  SELECT doc_a, doc_b,
@@ -310,7 +326,7 @@ object Oracles {
          |    sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS sc
          |  FROM h, (SELECT unnest(range(0,32)) AS b) bb GROUP BY doc_id, b)
          |SELECT doc_id,
-         |  sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+         |  CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_text_stats" ->
@@ -408,16 +424,29 @@ object Oracles {
          |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
          |ORDER BY probe_id, rank""".stripMargin,
 
+    // LSH-blocked near-dup: candidates from shared (table, bucket) of the
+    // deterministic hyperplanes (regenerated verbatim below), then exact
+    // cosine ≥ 0.4 — mirrors Pipeline.embeddingNeardup's scale-safe plan.
     "q_embedding_neardup" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),
          |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e)
-         |SELECT id_a, id_b, cos FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
+         |planes(t, j, pv) AS (VALUES
+         |$lshPlaneRows),
+         |dots AS (SELECT vec_id, t, j,
          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(n.v, (x,i) -> x * pv[i])), (a,b) -> a+b) AS dp
+         |  FROM n, planes),
+         |eb AS (SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM eb a JOIN eb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, cos FROM (
+         |  SELECT id_a, id_b, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |      list_transform(a.v, (x,i) -> x * b.v[i])), (s1,t1) -> s1+t1) / (a.nrm * b.nrm) AS cos
-         |  FROM n a JOIN n b ON a.vec_id < b.vec_id) p
+         |  FROM cand JOIN n a ON cand.id_a = a.vec_id JOIN n b ON cand.id_b = b.vec_id) p
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     // ------------------------------------------------------- multimodal

@@ -45,11 +45,15 @@ object Tables {
   * Runtime-settable confs only (the session is created by the driver). */
 object Engine {
   def tune(spark: SparkSession): SparkSession = {
-    // expose the custom codegen expressions to the SQL surface
-    org.apache.spark.sql.GraftShims.registerFunction(spark, "poly_hash",
-      es => graft.functions.PolyHashExpr(es.head, 31L, 1000000007L))
-    org.apache.spark.sql.GraftShims.registerFunction(spark, "fold_dot",
-      es => graft.functions.FoldDotProduct(es(0), es(1)))
+    // expose the custom codegen expressions to the SQL surface (once per
+    // session — re-registration is a no-op guarded by a session conf flag)
+    if (!spark.conf.getOption("graft.registered").contains("true")) {
+      org.apache.spark.sql.GraftShims.registerFunction(spark, "poly_hash",
+        es => graft.functions.PolyHashExpr(es.head, 31L, 1000000007L))
+      org.apache.spark.sql.GraftShims.registerFunction(spark, "fold_dot",
+        es => graft.functions.FoldDotProduct(es(0), es(1)))
+      spark.conf.set("graft.registered", "true")
+    }
     val c = spark.conf
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -35,10 +35,10 @@ object Pipeline {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("h")
 
-  /** Word 3-gram shingle set per document, distinct. Shingles seen in more
-    * than `maxDf` documents are dropped before pairing (stop-shingle cap) —
-    * this is what keeps the candidate join linear-ish at scale. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  /** Word 3-gram shingle stream per document (with duplicates — callers
+    * pick the cheapest point to distinct: strings for the exact-Jaccard
+    * verify, int64 hashes for the pair join). */
+  private def shinglesRaw(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"), Fns.tokensArr(col("text")).as("t"))
       .select(col("doc_id"), filter(col("t"), w => w =!= lit("")).as("t"))
@@ -49,8 +49,13 @@ object Pipeline {
                                   element_at(col("t"), i + 2),
                                   element_at(col("t"), i + 3))))
           .otherwise(array().cast("array<string>"))).as("sh"))
-      .distinct()
   }
+
+  /** Distinct word 3-gram shingle set per document. Shingles seen in more
+    * than `maxDf` documents are dropped before pairing (stop-shingle cap) —
+    * this is what keeps the candidate join linear-ish at scale. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shinglesRaw(s, dir).distinct()
 
   private val MaxShingleDf = 100
 
@@ -59,16 +64,23 @@ object Pipeline {
     * computed from exact distinct-set sizes. Threshold 0.2 (fixture corpus
     * is random text; real near-dups would sit ≫ 0.8). */
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    // the shingle set feeds three consumers (df cap, pair join, sizes);
-    // persist so one action computes it once instead of three times
-    val sh = shingles(s, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("sh")
-    val shRare = sh.join(broadcast(rare), "sh")
+    // Shingles are hashed to int64 (polyHash) BEFORE the distinct and the
+    // pair self-join: ~10× fewer shuffle bytes than shipping 3-word
+    // strings. The oracle hashes identically, so the (rare, reproduced
+    // bit-for-bit on both sides) hash collisions cannot cause a mismatch.
+    // The distinct's exchange subtree is shared by all four consumers
+    // (df cap, two join sides, sizes) and deduplicated by Spark's
+    // ReusedExchange, so the scan+tokenize+hash work runs once per action
+    // with nothing persisted (no cache residency after the query).
+    val sh = shinglesRaw(s, dir)
+      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+      .distinct()
+    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("h")
+    val shRare = sh.join(broadcast(rare), "h")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = shRare.select(col("sh"), col("doc_id").as("doc_a"))
-      .join(shRare.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+    val pairs = shRare.select(col("h"), col("doc_id").as("doc_a"))
+      .join(shRare.select(col("h"), col("doc_id").as("doc_b")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     pairs
@@ -252,10 +264,12 @@ object Pipeline {
     val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
     val df = t.select("doc_id", "word").distinct()
       .groupBy("word").agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, dir).count()
-    val scored = tf.join(df, "word")
+    // corpus size as a broadcast 1-row subplan, not a driver-side count():
+    // one job per invocation, and at scale no separate full-corpus pass
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "word").crossJoin(broadcast(n))
       .select(col("doc_id"), col("word"), col("tf"), col("df"),
-        ((col("tf") * lit(n)).cast("double") / col("df")).as("score"))
+        ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -368,28 +382,34 @@ object Pipeline {
       .orderBy("probe_id", "rank")
   }
 
-  /** Embedding near-duplicate pairs: all pairs with cosine ≥ 0.4
-    * (fixture vectors are random; real dup corpora would use ≥ 0.95).
-    * Brute force at test SF; the LSH variant below is the scale path. */
+  /** Embedding near-duplicate pairs via hyperplane-LSH blocking + exact
+    * cosine verify: candidates are pairs sharing any (table, bucket) of
+    * [[LshPlanes]], verified with the exact left-to-right-fold cosine and
+    * kept at ≥ 0.4 (fixture vectors are random; real dup corpora would use
+    * ≥ 0.95). Precision is exact; recall is the LSH OR-amplification
+    * probability, and the DuckDB oracle reproduces the identical plane
+    * constants so the blocked output is deterministic and hash-checkable.
+    *
+    * At 100 TB this is an equi-join on (table, bucket) — a linear shuffle,
+    * never the O(n²) cross product of the brute-force formulation. */
   def embeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("id_a") < col("id_b"))
+    val eb = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(LshPlanes.tableBuckets(col("v"))).as("tb"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+              col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val a = eb.select(col("t"), col("bucket"), col("vec_id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = eb.select(col("t"), col("bucket"), col("vec_id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("t", "bucket"))
+      .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
       .filter(col("cos") >= 0.4)
+      .distinct() // a pair can share buckets in several tables; cos is functional in the pair
       .orderBy("id_a", "id_b")
   }
-
-  // 8 tables × 5 sign bits: tuned for the fixture's near-orthogonal random
-  // vectors (best true neighbors sit at cos ≈ 0.4 ⇒ per-plane agreement
-  // only ~0.63, so recall needs OR-amplification across tables). On a real
-  // corpus with near-dups at cos ≥ 0.9, fewer tables with more planes give
-  // the same recall far cheaper; planes-per-table should grow ~log(corpus)
-  // to keep bucket occupancy constant at scale.
-  private val LshTables = 8
-  private val LshPlanesPerTable = 5
 
   /** ANN via multi-table random-hyperplane LSH: independent tables of
     * sign-bit buckets; a probe's candidates are the union of its buckets,
@@ -404,28 +424,8 @@ object Pipeline {
     * and reused across probe batches. */
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
-    val dim = 64
-    // Deterministic pseudo-random hyperplanes, materialized driver-side as
-    // literal arrays: the per-row work is then one codegen'd foldDot per
-    // plane instead of regenerating the plane via interpreted lambdas.
-    def mix(x0: Int): Int = { // xorshift-style integer mix
-      var x = x0 * 0x9e3779b1
-      x ^= x >>> 16; x *= 0x85ebca6b; x ^= x >>> 13; x *= 0xc2b2ae35; x ^= x >>> 16
-      x
-    }
-    def plane(p: Int): Column = array((0 until dim).map { d =>
-      lit((math.floorMod(mix(p * dim + d), 1000).toDouble / 500.0) - 1.0)
-    }: _*)
-    def bucketFor(t: Int): Column = {
-      val bits = (0 until LshPlanesPerTable).map { j =>
-        val p = t * LshPlanesPerTable + j
-        when(Fns.dotD(col("v"), plane(p)) > 0, lit(1 << j)).otherwise(lit(0))
-      }
-      bits.reduce(_ + _)
-    }
     val eb = e.select(col("vec_id"), col("v"), col("nrm"),
-        explode(array((0 until LshTables).map(t =>
-          struct(lit(t).as("t"), bucketFor(t).as("bucket"))): _*)).as("tb"))
+        explode(LshPlanes.tableBuckets(col("v"))).as("tb"))
       .select(col("vec_id"), col("v"), col("nrm"),
               col("tb.t").as("t"), col("tb.bucket").as("bucket"))
     val probes = eb.filter(col("vec_id") < 5)
@@ -442,4 +442,51 @@ object Pipeline {
       .filter(col("rank") <= 10)
       .orderBy("probe_id", "rank")
   }
+}
+
+/** Deterministic random-hyperplane LSH shared by [[Pipeline.annLsh]] and
+  * [[Pipeline.embeddingNeardup]] (and regenerated verbatim by the DuckDB
+  * oracle of the latter — see [[graft.Oracles]]).
+  *
+  * 8 tables × 5 sign bits: tuned for the fixture's near-orthogonal random
+  * vectors (best true neighbors sit at cos ≈ 0.4 ⇒ per-plane agreement
+  * only ~0.63, so recall needs OR-amplification across tables). On a real
+  * corpus with near-dups at cos ≥ 0.9, fewer tables with more planes give
+  * the same recall far cheaper; planes-per-table should grow ~log(corpus)
+  * to keep bucket occupancy constant at scale.
+  *
+  * Plane components are (m − 500)/512 with m = mix(plane·dim + d) mod 1000:
+  * the /512 (power of two) makes every constant an exactly-representable
+  * double, so the oracle's SQL literals convert to the identical bits. */
+private[graft] object LshPlanes {
+  val NTables = 8
+  val PlanesPerTable = 5
+  val Dim = 64
+
+  private def mix(x0: Int): Int = { // xorshift-style integer mix
+    var x = x0 * 0x9e3779b1
+    x ^= x >>> 16; x *= 0x85ebca6b; x ^= x >>> 13; x *= 0xc2b2ae35; x ^= x >>> 16
+    x
+  }
+
+  /** The 64 components of plane `p`, exactly-representable doubles. */
+  def planeValues(p: Int): IndexedSeq[Double] =
+    (0 until Dim).map(d => (math.floorMod(mix(p * Dim + d), 1000) - 500) / 512.0)
+
+  // Planes materialized driver-side as literal arrays: the per-row work is
+  // one codegen'd foldDot per plane instead of interpreted regeneration.
+  private def plane(p: Int): Column = array(planeValues(p).map(lit): _*)
+
+  private def bucketFor(v: Column, t: Int): Column = {
+    val bits = (0 until PlanesPerTable).map { j =>
+      val p = t * PlanesPerTable + j
+      when(Fns.dotD(v, plane(p)) > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** array<struct<t,bucket>> of the vector's bucket in every table. */
+  def tableBuckets(v: Column): Column =
+    array((0 until NTables).map(t =>
+      struct(lit(t).as("t"), bucketFor(v, t).as("bucket"))): _*)
 }

@@ -45,7 +45,17 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
                 n_fail += 1
                 continue
-            # exact cell compare, dtype-insensitive via python objects
+            # dtype compare first — the driver's hash is dtype-sensitive
+            # (DuckDB HUGEINT sums surface as float64 vs Spark int64)
+            dt_bad = [(c, str(exp[c].dtype), str(got[c].dtype))
+                      for c in exp.columns
+                      if str(exp[c].dtype) != str(got[c].dtype)]
+            if dt_bad:
+                c, e, g = dt_bad[0]
+                print(f"FAIL {name}: dtype col {c}: oracle={e} spark={g}")
+                n_fail += 1
+                continue
+            # exact cell compare via python objects
             mismatch = None
             for c in exp.columns:
                 ev, gv = exp[c].tolist(), got[c].tolist()
