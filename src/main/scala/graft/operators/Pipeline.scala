@@ -64,24 +64,30 @@ object Pipeline {
     * computed from exact distinct-set sizes. Threshold 0.2 (fixture corpus
     * is random text; real near-dups would sit ≫ 0.8). */
   def dedupNgram(s: SparkSession, dir: String): DataFrame = {
-    // Shingles are hashed to int64 (polyHash) BEFORE the distinct and the
-    // pair self-join: ~10× fewer shuffle bytes than shipping 3-word
-    // strings. The oracle hashes identically, so the (rare, reproduced
-    // bit-for-bit on both sides) hash collisions cannot cause a mismatch.
-    // The distinct's exchange subtree is shared by all four consumers
-    // (df cap, two join sides, sizes) and deduplicated by Spark's
-    // ReusedExchange, so the scan+tokenize+hash work runs once per action
-    // with nothing persisted (no cache residency after the query).
-    val sh = shinglesRaw(s, dir)
+    // One pass builds (doc_id, h) with the int64 shingle hash computed as a
+    // codegen'd top-level projection (polyHash inside a higher-order-
+    // function lambda would run interpreted — measured 2× slower than the
+    // whole query). One shuffle groups the doc-set per hash (collect_set =
+    // exact DISTINCT semantics, merged map-side); that single aggregate
+    // then feeds BOTH the pair explosion (bounded by the df ≤ 100 stop-
+    // shingle cap, so candidate volume grows linearly with the corpus) AND
+    // the exact per-doc set sizes (re-explode + count), sharing its
+    // exchange. No raw shingle string crosses the wire, nothing persists.
+    // The oracle hashes shingles identically, so the rare hash collisions
+    // are reproduced bit-for-bit on both sides.
+    val ex = shinglesRaw(s, dir)
       .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
-      .distinct()
-    val rare = sh.groupBy("h").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("h")
-    val shRare = sh.join(broadcast(rare), "h")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = shRare.select(col("h"), col("doc_id").as("doc_a"))
-      .join(shRare.select(col("h"), col("doc_id").as("doc_b")), "h")
-      .filter(col("doc_a") < col("doc_b"))
+    val byShingle = ex.groupBy("h")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+    val sizes = byShingle
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = byShingle
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
