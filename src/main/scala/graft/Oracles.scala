@@ -74,6 +74,23 @@ object Oracles {
     "q_distinct_words" ->
       s"SELECT DISTINCT word FROM ($Toks) t WHERE word <> '' ORDER BY word",
 
+    // non-ASCII synthesized deterministically (translate a→ä, e→é) so the
+    // \p{L} Unicode tokenizer is oracle-checked, not trusted
+    "q_unicode_wordcount" ->
+      s"""SELECT word, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_split_to_array(translate(text,'ae','äé'),
+         |    '[^\\p{L}]+')) AS word FROM documents) t
+         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
+    // the whole-file-scan → wordcount → "key value" sink → re-read path
+    // touches only docs 0..49; counts come back through the text sink as
+    // strings and are cast to BIGINT on both sides
+    "q_text_roundtrip" ->
+      s"""SELECT word, count(*) AS cnt FROM (
+         |  SELECT unnest(regexp_split_to_array(text,'[^a-zA-Z]+')) AS word
+         |  FROM documents WHERE doc_id < 50) t
+         |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
+
     "q_sort_docs" ->
       "SELECT doc_id, lang, source, n_chars FROM documents ORDER BY lang, n_chars DESC, doc_id",
 
@@ -262,6 +279,12 @@ object Oracles {
          |  FROM s)
          |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
          |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // salted join ≡ plain join: the oracle is simply the unsalted query
+    "q_skew_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${sumD("o_totalprice", 2, "revenue")}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // ------------------------------------------------------ LLM pipeline
     "q_dedup_exact" ->
@@ -480,6 +503,16 @@ object Oracles {
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
          |  count(*) AS n
          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    // append-mode watermarked windows: exactly the windows whose end is at
+    // or below the final watermark (max event time − 1 h) are emitted
+    "q_stream_window_wm" ->
+      s"""WITH m AS (SELECT max(ts) AS mx FROM events),
+         |g AS (SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+         |  FROM events GROUP BY 1, 2)
+         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n
+         |FROM g, m WHERE h + INTERVAL '1 hour' <= mx - INTERVAL '1 hour'
+         |ORDER BY hour, event_type""".stripMargin,
 
     "q_stream_sessions" ->
       s"""WITH e AS (SELECT user_id, ts, event_id,

@@ -38,12 +38,15 @@ object SparkEntry {
     "q_sorted_concat"     -> q(MrSuite.sortedConcat),
     "q_tokens_per_doc"    -> q(MrSuite.tokensPerDoc),
     "q_distinct_words"    -> q(MrSuite.distinctWords),
+    "q_unicode_wordcount" -> q(MrSuite.unicodeWordCount),
     "q_sort_docs"         -> q(MrSuite.sortDocs),
     "q_union_names"       -> q(MrSuite.unionNames),
     // MapReduce plugin API
     "q_mr_wordcount"      -> q(MrApi.mrWordCount),
     "q_mr_inverted_index" -> q(MrApi.mrInvertedIndex),
     "q_mr_sorted_concat"  -> q(MrApi.mrSortedConcat),
+    // reference I/O model (whole-file scan + "key value" text sink)
+    "q_text_roundtrip"    -> q(graft.sources.TextIO.textRoundtrip),
     // relational generalization
     "q_grouped_agg"       -> q(Relational.groupedAgg),
     "q_filter_project"    -> q(Relational.filterProject),
@@ -70,6 +73,7 @@ object SparkEntry {
     "q_corr_exact"        -> q(Relational.corrExact),
     "q_json_extract"      -> q(Relational.jsonExtract),
     "q_sessionize"        -> q(Relational.sessionize),
+    "q_skew_join"         -> q(operators.Skew.skewJoinDemo),
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),
     "q_dedup_ngram"       -> q(Pipeline.dedupNgram),
@@ -91,6 +95,7 @@ object SparkEntry {
     "q_multimodal_transform" -> q(Media.mediaTransform),
     // structured streaming
     "q_stream_window"     -> q(Streams.streamWindow),
+    "q_stream_window_wm"  -> q(Streams.streamWindowWatermarked),
     "q_stream_sessions"   -> q(Streams.streamSessions)
   )
 

@@ -23,6 +23,15 @@ object Fns {
 
   def tokensArr(text: Column): Column = split(text, TokenPattern)
 
+  /** Unicode tokenizer: exact `unicode.IsLetter` semantics of the reference
+    * (`/root/reference/src/mrapps/wc.go:23`) on any corpus, via the \p{L}
+    * Unicode-letter property class — Java regex and DuckDB RE2 agree on
+    * the category tables. [[TokenPattern]] stays the default for the ASCII
+    * fixture corpus (identical behavior there, slightly cheaper). */
+  val UnicodeTokenPattern = "[^\\p{L}]+"
+
+  def tokensArrUnicode(text: Column): Column = split(text, UnicodeTokenPattern)
+
   /** Polynomial rolling hash, base 31 mod 1e9+7, over the characters of a
     * string. Portable: the oracle reproduces it with
     * list_reduce(list_prepend(0, list_transform(regexp_extract_all(s,'.'),

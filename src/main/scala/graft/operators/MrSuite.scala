@@ -29,6 +29,19 @@ object MrSuite {
   def wordCount(s: SparkSession, dir: String): DataFrame =
     tokenPairs(s, dir).groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word")
 
+  /** Word count under the Unicode tokenizer (exact `unicode.IsLetter`
+    * semantics of wc.go:23 via \p{L}). The fixture corpus is ASCII, so
+    * accented input is synthesized deterministically — translate a→ä, e→é —
+    * identically on both engines, making the non-ASCII path oracle-checked
+    * rather than trusted. */
+  def unicodeWordCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Fns.tokensArrUnicode(
+        translate(col("text"), "ae", "äé"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
   /** indexer.go:20-39 — inverted index: per-document distinct words, then
     * per word: document count + lexicographically sorted CSV of doc ids. */
   def invertedIndex(s: SparkSession, dir: String): DataFrame =

@@ -23,4 +23,20 @@ object Skew {
     val sd = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
     sf.join(sd, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Declared proof query: salted join ≡ plain join. orders (fact, salted
+    * 8 ways by row identity) ⋈ customer (dim, replicated 8×), rolled up by
+    * market segment with a decimal-routed (order-independent) revenue sum,
+    * so the result matches the unsalted oracle plan bit-for-bit. */
+  def skewJoinDemo(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val fact = graft.Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val dim = graft.Tables.customer(s, dir)
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    saltedJoin(fact, dim, "o_custkey", 8, col("o_orderkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           graft.functions.Fns.sumD2(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
 }

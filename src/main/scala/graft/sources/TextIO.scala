@@ -41,6 +41,31 @@ object TextIO {
       .filter(size(col("f")) === 2)
       .select(element_at(col("f"), 1).as("key"), element_at(col("f"), 2).as("value"))
 
+  /** Declared end-to-end exercise of the reference's I/O model: a bounded
+    * document sample (doc_id < 50) is materialized one text FILE per doc
+    * (the map-task input layout of `worker.go:60-70`, via a partitionBy
+    * text write), whole-file-scanned back, word-counted, pushed through
+    * the `"key value"` sink and re-read — surfacing (word, cnt). The file
+    * writes ARE the operator under test (I/O), and the sample bound keeps
+    * the file fan-out constant regardless of corpus scale. */
+  def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_textio").toString
+    val docsDir = s"$tmp/docs"
+    val kvDir = s"$tmp/kv"
+    graft.Tables.documents(s, dir).filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text").as("value"))
+      .write.partitionBy("doc_id").mode("overwrite").text(docsDir)
+    val counts = wholeTextFiles(s, s"$docsDir/doc_id=*/part-*")
+      .select(explode(graft.functions.Fns.tokensArr(col("contents"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word").as("key"), col("cnt").cast("string").as("value"))
+    writeKv(counts, kvDir)
+    readKv(s, kvDir)
+      .select(col("key").as("word"), col("value").cast("bigint").as("cnt"))
+      .orderBy("word")
+  }
+
   /** CSV and JSON source/sink wrappers (engine-native formats beyond the
     * reference's text model). */
   def readCsv(s: SparkSession, path: String): DataFrame =

@@ -61,6 +61,33 @@ object Streams {
     s.table(name).orderBy("hour", "event_type")
   }
 
+  /** Watermarked tumbling window in APPEND mode: the streaming engine
+    * emits a window only once its end is at or below the final watermark
+    * (max event time − 1 h) — the closed-window contract a production
+    * stream appends to its sink, verified here against a batch oracle that
+    * reproduces exactly the closed set. (`processAllAvailable` runs the
+    * finalizing no-data batch that advances the watermark past the last
+    * input, closing every eligible window.) */
+  def streamWindowWatermarked(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, dir).schema
+    val stream = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"), col("n"))
+    val name = "graft_stream_window_wm"
+    withStatePartitions(s, 8) {
+      val q = agg.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    s.table(name).orderBy("hour", "event_type")
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
     * after 30 minutes of silence. State is one tiny struct per user
     * (last-seen time + counters), so state size is O(users), not O(events)

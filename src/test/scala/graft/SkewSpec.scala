@@ -25,6 +25,20 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("declared skewJoinDemo equals the unsalted rollup") {
+    val got = Skew.skewJoinDemo(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+           graft.functions.Fns.sumD2(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+  }
+
   test("saltedJoin spreads a hot key over multiple partitions") {
     import spark.implicits._
     // one celebrity key: 10k fact rows on key 1, dim has 2 keys

@@ -39,6 +39,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(back === Map("a" -> "1", "b" -> "2"))
   }
 
+  test("declared textRoundtrip equals a direct wordcount of docs 0..49") {
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.Sf
+    val got = TextIO.textRoundtrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Tables.documents(spark, sf).filter(col("doc_id") < 50)
+      .select(explode(graft.functions.Fns.tokensArr(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
   test("csv and json round trips") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_fmt")

@@ -18,6 +18,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("declared watermarked window equals the closed-window batch oracle") {
+    val stream = Streams.streamWindowWatermarked(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // batch replica of the emission rule: window end ≤ max(ts) − 1 h
+    val ev = Tables.events(spark, sf)
+    val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("h") + expr("INTERVAL 1 HOUR") <= lit(mx) - expr("INTERVAL 1 HOUR"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+              col("event_type"), col("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
   test("watermark closes windows across micro-batches (append mode)") {
     import spark.implicits._
     import java.nio.file.Files

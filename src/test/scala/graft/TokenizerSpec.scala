@@ -30,6 +30,19 @@ class TokenizerSpec extends AnyFunSuite {
     assert(tok("") === Seq.empty)
     assert(tok("123 456") === Seq.empty)
   }
+  private def tokU(s: String): Seq[String] =
+    Seq(s).toDF("text")
+      .select(filter(Fns.tokensArrUnicode(col("text")), w => w =!= lit("")).as("t"))
+      .as[Seq[String]].head()
+
+  test("unicode tokenizer keeps accented/Greek/CJK letters (wc.go IsLetter)") {
+    assert(tokU("Füße im Êtang 123 ναι") === Seq("Füße", "im", "Êtang", "ναι"))
+    assert(tokU("日本語 text—mixed, ok?") === Seq("日本語", "text", "mixed", "ok"))
+    // on pure ASCII it agrees with the fixture tokenizer
+    val samples = Seq("the fast key 9 order", "a.b,c", "Zz 42 yY")
+    samples.foreach(s => assert(tokU(s) === tok(s), s"input: '$s'"))
+  }
+
   test("matches the plain-Scala tokenizer used by the MR API apps") {
     val samples = Seq("the fast key 9 order", "a.b,c", "", "Zz 42 yY")
     samples.foreach { s =>
