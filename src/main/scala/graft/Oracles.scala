@@ -286,6 +286,27 @@ object Oracles {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    // as-of join: DuckDB's native ASOF validates the union-and-carry-
+    // forward window composition; right side deduped per (key, date)
+    "q_asof_join" ->
+      s"""WITH o2 AS (SELECT o_custkey AS user_id, o_orderdate AS d,
+         |    max(o_orderkey) AS asof_orderkey FROM orders GROUP BY 1, 2),
+         |e AS (SELECT event_id, user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+         |  FROM events)
+         |SELECT e.event_id, e.user_id,
+         |  coalesce(o2.asof_orderkey, -1) AS asof_orderkey,
+         |  coalesce(strftime(o2.d, '%Y-%m-%d'), '') AS asof_orderdate
+         |FROM e ASOF LEFT JOIN o2 ON e.user_id = o2.user_id AND e.d >= o2.d
+         |ORDER BY event_id""".stripMargin,
+
+    // range self-join: DuckDB's IEJoin evaluates the interval predicate
+    // directly; the engine's bucketed equi-join must agree exactly
+    "q_range_join" ->
+      s"""SELECT a.event_type, count(*) AS n_pairs
+         |FROM events a JOIN events b ON a.event_type = b.event_type
+         |  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL '5 minutes'
+         |GROUP BY a.event_type ORDER BY a.event_type""".stripMargin,
+
     // ------------------------------------------------------ LLM pipeline
     "q_dedup_exact" ->
       s"""SELECT sha256(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -74,6 +74,8 @@ object SparkEntry {
     "q_json_extract"      -> q(Relational.jsonExtract),
     "q_sessionize"        -> q(Relational.sessionize),
     "q_skew_join"         -> q(operators.Skew.skewJoinDemo),
+    "q_asof_join"         -> q(operators.Temporal.asofOrders),
+    "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),
     "q_dedup_ngram"       -> q(Pipeline.dedupNgram),

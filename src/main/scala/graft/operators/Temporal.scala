@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Temporal join operators Spark lacks as primitives — as-of join and
+  * interval/range join — composed from equi-join + window machinery so the
+  * physical plan is a single keyed shuffle, never a per-row lateral probe
+  * or an O(n²) BroadcastNestedLoop theta join.
+  */
+object Temporal {
+
+  /** Generic as-of join: for every left row, the single right row with the
+    * greatest `rTime` ≤ `lTime` within the same `key`. Implemented as the
+    * classic union-and-carry-forward plan: tag both sides, sort each key
+    * group by (time, side) with right rows first on ties, and carry the
+    * last non-null right payload forward with one window pass — one
+    * shuffle on `key`, O(n log n) per group, no lateral subquery. The
+    * right side must be unique per (key, rTime) (pre-aggregate if not) so
+    * the match is deterministic.
+    *
+    * `payload` columns are taken from the right side and surfaced on every
+    * left row (null where no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               lTime: String, rTime: String, payload: Seq[String]): DataFrame = {
+    val lCols = left.columns
+    val lTagged = left.select(
+      (col(key) +: col(lTime).as("__t") +: lit(1).as("__side") +:
+        payload.map(p => lit(null).cast(right.schema(p).dataType).as(p))) ++
+        lCols.filterNot(_ == key).map(col): _*)
+    val rTagged = right.select(
+      (col(key) +: col(rTime).as("__t") +: lit(0).as("__side") +:
+        payload.map(col)) ++
+        lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(rTagged.unionByName(lTagged)) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** Declared as-of demo: each event matched to the user's most recent
+    * order (by order date) at or before the event's date. Orders are
+    * pre-aggregated to one row per (custkey, date) — max orderkey — so the
+    * as-of match is deterministic; the DuckDB oracle uses its native
+    * ASOF LEFT JOIN over the same deduplicated right side. */
+  def asofOrders(s: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("__d"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+      .withColumn("asof_orderdate", date_format(col("__d"), "yyyy-MM-dd"))
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("__d"))
+    asofJoin(ev, ords, "user_id", "__d", "__d",
+        Seq("asof_orderkey", "asof_orderdate"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("asof_orderkey"), lit(-1L)).as("asof_orderkey"),
+        coalesce(col("asof_orderdate"), lit("")).as("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** Interval/range self-join on events: pairs of same-type events with
+    * the second falling in (first, first + 5 min]. The scale plan buckets
+    * event time into 5-minute cells and expands the left side to (cell,
+    * cell+1): every qualifying pair then shares an equi-join key (type,
+    * cell) and the exact interval predicate filters the candidates — a
+    * linear shuffle instead of a quadratic theta join. */
+  def rangeJoinEvents(s: SparkSession, dir: String): DataFrame = {
+    val BucketUs = 300000000L // 5 minutes in microseconds
+    val e = Tables.events(s, dir)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    // integer `div`, not double division: a double quotient can round up
+    // across a cell boundary for us within 1 ulp of a multiple of BucketUs
+    val a = e.select(col("event_type"), col("us").as("us_a"))
+      .withColumn("__off", explode(array(lit(0L), lit(1L))))
+      .withColumn("__cell", expr(s"us_a div $BucketUs") + col("__off"))
+    val b = e.select(col("event_type"), col("us").as("us_b"),
+      expr(s"us div $BucketUs").as("__cell"))
+    a.join(b, Seq("event_type", "__cell"))
+      .filter(col("us_b") > col("us_a") && col("us_b") <= col("us_a") + BucketUs)
+      .groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("event_type")
+  }
+}

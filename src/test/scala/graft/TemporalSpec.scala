@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Temporal
+
+/** As-of / range join composition ≡ the naive theta-join formulation. */
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  test("asofOrders equals the per-event greatest-preceding-order lookup") {
+    val got = Temporal.asofOrders(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // brute force: theta join + window max — fine at spec scale
+    val ords = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("d"))
+      .agg(max(col("o_orderkey")).as("ok"))
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("ed"))
+    val brute = ev.join(ords, Seq("user_id"), "left")
+      .filter(col("d").isNull || col("d") <= col("ed"))
+      .groupBy("event_id", "user_id")
+      .agg(max_by(struct(col("d"), col("ok")), col("d")).as("m"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("m.ok"), lit(-1L)).as("ok"),
+        coalesce(date_format(col("m.d"), "yyyy-MM-dd"), lit("")).as("od"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val evAll = ev.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet === evAll.keySet)
+    got.foreach { case (eid, (uid, ok, od)) =>
+      brute.get(eid) match {
+        case Some((buid, bok, bod)) =>
+          assert(uid === buid && ok === bok && od === bod, s"event $eid")
+        case None =>
+          assert(ok === -1L && od === "", s"event $eid (no preceding order)")
+      }
+    }
+  }
+
+  test("rangeJoinEvents equals the theta-join pair count") {
+    val got = Temporal.rangeJoinEvents(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val e = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+    val brute = e.select(col("event_type"), col("us").as("ua"))
+      .join(e.select(col("event_type"), col("us").as("ub")), Seq("event_type"))
+      .filter(col("ub") > col("ua") && col("ub") <= col("ua") + 300000000L)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === brute)
+    assert(got.values.sum > 0)
+  }
+}
