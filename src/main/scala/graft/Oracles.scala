@@ -45,6 +45,27 @@ object Oracles {
     }.mkString(",\n")
   }
 
+  /** q_dedup_ngram, shared verbatim by the q_dedup_clusters oracle. */
+  private val DedupNgramSql: String =
+    s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+       |    w -> w <> '') AS t FROM documents),
+       |shs AS (SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, ${polyHashSql("sh")} AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) y) z),
+       |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM shs GROUP BY h) f
+       |  WHERE df <= 100),
+       |shr AS (SELECT s1.doc_id, s1.h FROM shs s1 JOIN rare USING (h)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT doc_a, doc_b,
+       |    CAST(common AS DOUBLE)/CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
+       |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) j
+       |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // ------------------------------------------------------ MR app suite
@@ -286,6 +307,46 @@ object Oracles {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    // session_window merge rule is next.start < prev.end (STRICT), so a
+    // new session begins at a gap >= 30 min exactly — note >= vs the > of
+    // q_sessionize (that operator defines its own 30-min rule)
+    "q_session_window" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |s AS (SELECT user_id, ts, event_id,
+         |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+         |      THEN 1 ELSE 0 END AS new_sess FROM e),
+         |t AS (SELECT user_id, ts, sum(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM s)
+         |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+         |  strftime(max(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS sess_end,
+         |  count(*) AS n_events
+         |FROM t GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
+
+    "q_pivot" ->
+      s"""SELECT c_mktsegment,
+         |  CAST(count(CASE WHEN year(o_orderdate) = 1996 THEN 1 END) AS BIGINT) AS y1996,
+         |  CAST(count(CASE WHEN year(o_orderdate) = 1997 THEN 1 END) AS BIGINT) AS y1997,
+         |  CAST(count(CASE WHEN year(o_orderdate) = 1998 THEN 1 END) AS BIGINT) AS y1998
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // blocked fuzzy join: per-nation candidates, exact edit distance
+    "q_fuzzy_join" ->
+      s"""SELECT c_nationkey AS nationkey, c_name, s_name,
+         |  CAST(levenshtein(c_name, s_name) AS BIGINT) AS dist
+         |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+         |WHERE levenshtein(c_name, s_name) <= 6
+         |ORDER BY nationkey, c_name, s_name""".stripMargin,
+
+    // deterministic hash sampling (bucket 0-9 of 100)
+    "q_hash_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${polyHashSql("text")} % 100 < 10
+         |ORDER BY doc_id""".stripMargin,
+
     // as-of join: DuckDB's native ASOF validates the union-and-carry-
     // forward window composition; right side deduped per (key, date)
     "q_asof_join" ->
@@ -314,25 +375,22 @@ object Oracles {
 
     // shingles hashed to int64 exactly like the engine (polyHash) so the
     // rare hash collisions are reproduced bit-for-bit on both sides
-    "q_dedup_ngram" ->
-      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
-         |    w -> w <> '') AS t FROM documents),
-         |shs AS (SELECT DISTINCT doc_id, h FROM (
-         |  SELECT doc_id, ${polyHashSql("sh")} AS h FROM (
-         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
-         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) y) z),
-         |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM shs GROUP BY h) f
-         |  WHERE df <= 100),
-         |shr AS (SELECT s1.doc_id, s1.h FROM shs s1 JOIN rare USING (h)),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
-         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT doc_a, doc_b, jaccard FROM (
-         |  SELECT doc_a, doc_b,
-         |    CAST(common AS DOUBLE)/CAST(sa.sz + sb.sz - common AS DOUBLE) AS jaccard
-         |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) j
-         |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin,
+    "q_dedup_ngram" -> DedupNgramSql,
+
+    // connected components over the near-dup pair graph: a recursive CTE
+    // computes the exact transitive min-label; the engine's fixed-round
+    // min propagation must agree (spec also cross-checks via union-find)
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($DedupNgramSql) q),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+         |  UNION SELECT doc_b, doc_a FROM np),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach(v, lbl) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v)
+         |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach
+         |GROUP BY v ORDER BY doc_id""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),

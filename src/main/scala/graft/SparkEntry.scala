@@ -76,9 +76,14 @@ object SparkEntry {
     "q_skew_join"         -> q(operators.Skew.skewJoinDemo),
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
+    "q_session_window"    -> q(Relational.sessionWindows),
+    "q_pivot"             -> q(Relational.pivotSegmentYear),
+    "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),
     "q_dedup_ngram"       -> q(Pipeline.dedupNgram),
+    "q_dedup_clusters"    -> q(Pipeline.dedupClusters),
+    "q_hash_sample"       -> q(Pipeline.hashSample),
     "q_dedup_minhash"     -> q(Pipeline.dedupMinhash),
     "q_simhash"           -> q(Pipeline.simhash),
     "q_text_stats"        -> q(Pipeline.textStats),

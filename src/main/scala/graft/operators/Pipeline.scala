@@ -161,6 +161,40 @@ object Pipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over the near-dup pair graph: every doc in a
+    * pair gets the minimum doc_id of its component as `cluster_id` — the
+    * canonicalization step that turns pairwise near-dup hits into "keep
+    * one per group" decisions. Six rounds of min-label propagation over
+    * the (tiny) candidate graph, fully lazy (no per-iteration driver
+    * action); component diameters here are bounded by the pair blocking,
+    * and the spec cross-checks against an exact union-find. At 100 TB the
+    * same propagation runs as a convergence loop (actions per superstep,
+    * GraphX-Pregel style) — the per-round plan is identical. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v"))
+    for (_ <- 1 to 6) {
+      val viaEdges = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"))
+      labels = labels.select(col("v"), col("lbl")).union(viaEdges)
+        .groupBy("v").agg(min(col("lbl")).as("lbl"))
+    }
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic corpus sampling: keep docs whose content hash lands in
+    * the first 10 of 100 buckets — reproducible across runs and engines
+    * (no RNG), the way a pipeline pins a held-out or A/B slice. */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(pmod(Fns.polyHash(col("text")), lit(100L)) < 10)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
   /** 32-bit SimHash per document from token frequency vectors, using the
     * portable polynomial token hash so the DuckDB oracle can reproduce it
     * bit-for-bit (integer-only arithmetic end to end). */

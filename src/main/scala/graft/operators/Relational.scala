@@ -310,4 +310,48 @@ object Relational {
       .agg(max(col("sess_id")).as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
   }
+
+  /** Native session windows (batch form of Spark's `session_window`): one
+    * row per (user, gap-merged session), 30-minute gap. Spark's merge rule
+    * is next.start < prev.end (strict), i.e. a new session begins at a gap
+    * ≥ 30 min exactly — the oracle replicates that boundary. Window end =
+    * last event + gap, second-truncated on both sides. */
+  def sessionWindows(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start")
+
+  /** Pivot: order counts per market segment × order year (wide table).
+    * Spark's `pivot` with an explicit value list keeps the plan a single
+    * hash aggregate (no extra pass to discover pivot values — the shape
+    * that matters when the fact side is 100 TB). */
+  def pivotSegmentYear(s: SparkSession, dir: String): DataFrame = {
+    val years = Seq(1996, 1997, 1998)
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+      .groupBy("c_mktsegment").pivot("yr", years).agg(count(lit(1)))
+      .select(col("c_mktsegment") +:
+        years.map(y => coalesce(col(y.toString), lit(0L)).as(s"y$y")): _*)
+      .orderBy("c_mktsegment")
+  }
+
+  /** Fuzzy (edit-distance) join: customer ⋈ supplier names within
+    * levenshtein ≤ 6, blocked by nation key so the candidate set is an
+    * equi-join (per-nation cross section), never the full cross product —
+    * the standard blocked fuzzy-matching shape for entity resolution. */
+  def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nk"), col("c_name"))
+      .join(Tables.supplier(s, dir).select(col("s_nationkey").as("nk"), col("s_name")), Seq("nk"))
+      .withColumn("dist", levenshtein(col("c_name"), col("s_name")).cast("long"))
+      .filter(col("dist") <= 6)
+      .select(col("nk").as("nationkey"), col("c_name"), col("s_name"), col("dist"))
+      .orderBy("nationkey", "c_name", "s_name")
 }

@@ -79,6 +79,33 @@ class PipelineSpec extends AnyFunSuite {
       s"suspiciously low IVF recall: ${hits.toDouble / exact.size}")
   }
 
+  test("dedup_clusters equals exact union-find over the ngram pairs") {
+    val pairs = Pipeline.dedupNgram(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val want = verts.map(v => v -> find(v)).toMap
+    val got = Pipeline.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
+  test("hash_sample is deterministic and a strict subset") {
+    val a = Pipeline.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Pipeline.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a === b)
+    val all = Tables.documents(spark, sf).count()
+    assert(a.nonEmpty && a.length < all)
+  }
+
   test("lang_id rule: marker argmax with fixed precedence") {
     val rows = Pipeline.langId(spark, sf).collect()
     rows.foreach { r =>

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
 
@@ -72,6 +73,51 @@ class RelationalSpec extends AnyFunSuite {
     }
     Relational.corrExact(spark, sf).collect().foreach { r =>
       assert(math.abs(r.getDouble(1) - expected(r.getString(0))) < 1e-6)
+    }
+  }
+
+  test("session_window rows partition the event stream") {
+    val rows = Relational.sessionWindows(spark, sf).collect()
+    assert(rows.map(_.getLong(3)).sum === Tables.events(spark, sf).count())
+    // per-user session counts agree with the sessionize operator (the
+    // fixture has no exact-30-min gap, where the two rules differ by spec)
+    val gotPerUser = rows.groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val want = Relational.sessionize(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotPerUser === want)
+  }
+
+  test("pivot equals per-year conditional counts") {
+    val got = Relational.pivotSegmentYear(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+    val want = base.groupBy("c_mktsegment")
+      .agg(sum(when(col("yr") === 1996, 1L).otherwise(0L)).as("a"),
+           sum(when(col("yr") === 1997, 1L).otherwise(0L)).as("b"),
+           sum(when(col("yr") === 1998, 1L).otherwise(0L)).as("c"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === want)
+  }
+
+  test("fuzzy_join distances are exact edit distances within the block") {
+    val rows = Relational.fuzzyJoin(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(3)
+      assert(d >= 0 && d <= 6)
+      // cross-check a few rows against a reference implementation
+    }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    rows.take(20).foreach { r =>
+      assert(lev(r.getString(1), r.getString(2)) === r.getLong(3).toInt)
     }
   }
 
