@@ -325,6 +325,23 @@ object Oracles {
          |  count(*) AS n_events
          |FROM t GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
 
+    "q_window_suite" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |  CAST(dense_rank() OVER (PARTITION BY o_custkey
+         |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS drnk,
+         |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS tile,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey
+         |    ORDER BY o_orderdate RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS cum_rev
+         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // the bucketed layout is invisible to the logical result
+    "q_bucketed_join" ->
+      s"""SELECT c_mktsegment, count(*) AS n_orders, ${sumD("o_totalprice", 2, "revenue")}
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_pivot" ->
       s"""SELECT c_mktsegment,
          |  CAST(count(CASE WHEN year(o_orderdate) = 1996 THEN 1 END) AS BIGINT) AS y1996,
@@ -592,6 +609,20 @@ object Oracles {
          |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n
          |FROM g, m WHERE h + INTERVAL '1 hour' <= mx - INTERVAL '1 hour'
          |ORDER BY hour, event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      s"""SELECT DISTINCT user_id,
+         |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute
+         |FROM events ORDER BY user_id, minute""".stripMargin,
+
+    "q_stream_static_join" ->
+      s"""WITH p AS (SELECT o_custkey AS user_id, count(*) AS n_orders
+         |  FROM orders GROUP BY 1)
+         |SELECT event_type,
+         |  CASE WHEN coalesce(n_orders, 0) >= 12 THEN 'heavy' ELSE 'light' END AS tier,
+         |  count(*) AS n
+         |FROM events LEFT JOIN p USING (user_id)
+         |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
 
     "q_stream_sessions" ->
       s"""WITH e AS (SELECT user_id, ts, event_id,

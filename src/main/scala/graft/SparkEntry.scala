@@ -77,6 +77,8 @@ object SparkEntry {
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_session_window"    -> q(Relational.sessionWindows),
+    "q_window_suite"      -> q(Relational.windowSuite),
+    "q_bucketed_join"     -> q(operators.Bucketed.bucketedJoin),
     "q_pivot"             -> q(Relational.pivotSegmentYear),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
     // LLM data pipeline
@@ -103,7 +105,9 @@ object SparkEntry {
     // structured streaming
     "q_stream_window"     -> q(Streams.streamWindow),
     "q_stream_window_wm"  -> q(Streams.streamWindowWatermarked),
-    "q_stream_sessions"   -> q(Streams.streamSessions)
+    "q_stream_sessions"   -> q(Streams.streamSessions),
+    "q_stream_dedup"      -> q(Streams.streamDedup),
+    "q_stream_static_join" -> q(Streams.streamStaticJoin)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

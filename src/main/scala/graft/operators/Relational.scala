@@ -343,6 +343,30 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Window-function suite beyond row_number/lag: dense_rank and ntile
+    * over a value ordering, plus a RANGE-frame cumulative revenue by order
+    * date. The cumulative sum is routed through DECIMAL(18,2) because a
+    * RANGE frame aggregates a set (tie rows included at once) whose
+    * float summation order is engine-specific — decimal is exact and
+    * order-independent on both sides. */
+  def windowSuite(s: SparkSession, dir: String): DataFrame = {
+    val byPrice = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val byDate = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                    org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      .withColumn("drnk", dense_rank().over(byPrice).cast("long"))
+      .withColumn("tile", ntile(4).over(byPrice).cast("long"))
+      .withColumn("cum_rev",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .over(byDate).cast("double"))
+      .select("o_orderkey", "o_custkey", "drnk", "tile", "cum_rev")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Fuzzy (edit-distance) join: customer ⋈ supplier names within
     * levenshtein ≤ 6, blocked by nation key so the candidate set is an
     * equi-join (per-nation cross section), never the full cross product —

@@ -88,6 +88,57 @@ object Streams {
     s.table(name).orderBy("hour", "event_type")
   }
 
+  /** Streaming exact deduplication: `dropDuplicates` on (user_id, minute)
+    * with the event-time column in the key set, so the 1-hour watermark
+    * purges state for closed minutes — the bounded-state streaming form of
+    * the pipeline's exact dedup. Append mode emits each first-seen key
+    * immediately, so after one pass the sink equals the batch DISTINCT. */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, dir).schema
+    val stream = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val deduped = stream
+      .select(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+      .withWatermark("m", "1 hour")
+      .dropDuplicates("user_id", "m")
+      .select(col("user_id"), date_format(col("m"), "yyyy-MM-dd HH:mm").as("minute"))
+    val name = "graft_stream_dedup"
+    withStatePartitions(s, 8) {
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    s.table(name).orderBy("user_id", "minute")
+  }
+
+  /** Stream-static join: the event stream enriched per micro-batch against
+    * a static order-count profile (broadcast — the static side is read
+    * once per batch, never shuffled), then a running windowless aggregate
+    * in complete mode. The join is planned per micro-batch, so at scale
+    * the static side can be a slowly-refreshed dimension snapshot. */
+  def streamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val profile = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val schema = Tables.eventsRaw(s, dir).schema
+    val stream = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val joined = stream.join(broadcast(profile), Seq("user_id"), "left")
+      .select(col("event_type"),
+        when(coalesce(col("n_orders"), lit(0L)) >= 12, "heavy")
+          .otherwise("light").as("tier"))
+      .groupBy("event_type", "tier").agg(count(lit(1)).as("n"))
+    val name = "graft_stream_static_join"
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("complete").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    s.table(name).orderBy("event_type", "tier")
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
     * after 30 minutes of silence. State is one tiny struct per user
     * (last-seen time + counters), so state size is O(users), not O(events)

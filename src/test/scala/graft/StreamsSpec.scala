@@ -18,6 +18,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("streaming dedup equals batch distinct") {
+    val stream = Streams.streamDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Tables.events(spark, sf)
+      .select(col("user_id"),
+        date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm").as("m"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(stream === batch)
+  }
+
+  test("stream-static join equals the batch join aggregate") {
+    val stream = Streams.streamStaticJoin(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val profile = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey").as("user_id")).agg(count(lit(1)).as("n_orders"))
+    val batch = Tables.events(spark, sf).join(profile, Seq("user_id"), "left")
+      .select(col("event_type"),
+        when(coalesce(col("n_orders"), lit(0L)) >= 12, "heavy")
+          .otherwise("light").as("tier"))
+      .groupBy("event_type", "tier").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(stream === batch)
+  }
+
   test("declared watermarked window equals the closed-window batch oracle") {
     val stream = Streams.streamWindowWatermarked(spark, sf).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
