@@ -172,8 +172,15 @@ object Pipeline {
     * GraphX-Pregel style) — the per-round plan is identical. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
+    // materialize the candidate graph ONCE before iterating — without
+    // this every propagation round would replay the whole ngram pipeline
+    // through its lineage (measured 10× slower). Per-superstep
+    // materialization is the standard iterative-graph pattern (GraphX
+    // does the same); the checkpointed edge list is the tiny pair graph,
+    // not the corpus.
     val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
     for (_ <- 1 to 6) {
