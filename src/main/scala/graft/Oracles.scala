@@ -358,11 +358,55 @@ object Oracles {
          |WHERE levenshtein(c_name, s_name) <= 6
          |ORDER BY nationkey, c_name, s_name""".stripMargin,
 
+    // 50-token chunks at stride 40 (10-token overlap), hash-verified
+    "q_chunking" ->
+      s"""WITH d AS ($TokList),
+         |st AS (SELECT doc_id, t, unnest(range(1, len(t) + 1, 40)) AS cs
+         |  FROM d WHERE len(t) > 0)
+         |SELECT doc_id, CAST(cs AS BIGINT) AS chunk_start,
+         |  CAST(len(t[cs:cs+49]) AS BIGINT) AS n_tokens,
+         |  ${polyHashSql("array_to_string(t[cs:cs+49], ' ')")} AS chunk_hash
+         |FROM st ORDER BY doc_id, chunk_start""".stripMargin,
+
+    "q_redact" ->
+      s"""WITH r AS (SELECT doc_id, regexp_replace(text, '[0-9]', '#', 'g') AS rt
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(rt) - length(regexp_replace(rt, '#', '', 'g')) AS BIGINT) AS n_masked,
+         |  ${polyHashSql("rt")} AS redacted_hash
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_token_positions" ->
+      s"""WITH d AS ($TokList),
+         |p AS (SELECT doc_id, unnest(list_transform(t, (w, i) -> {'w': w, 'i': i})) AS u
+         |  FROM d)
+         |SELECT doc_id, u.w AS word, CAST(min(u.i) AS BIGINT) AS first_pos
+         |FROM p GROUP BY doc_id, u.w ORDER BY doc_id, word""".stripMargin,
+
     // deterministic hash sampling (bucket 0-9 of 100)
     "q_hash_sample" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE ${polyHashSql("text")} % 100 < 10
          |ORDER BY doc_id""".stripMargin,
+
+    // exact ROWS-frame aggregates; moving sum over integer cents because
+    // a float moving sum depends on incremental-frame arithmetic order
+    "q_moving_agg" ->
+      s"""SELECT event_id, user_id,
+         |  count(*) OVER w AS mov_cnt,
+         |  min(value) OVER w AS mov_min,
+         |  max(value) OVER w AS mov_max,
+         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS BIGINT) AS mov_sum_cents
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+         |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
+    "q_argmax" ->
+      s"""SELECT event_type,
+         |  arg_max(event_id, value) AS top_event_id, max(value) AS max_value,
+         |  arg_min(event_id, value) AS bottom_event_id, min(value) AS min_value
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // as-of join: DuckDB's native ASOF validates the union-and-carry-
     // forward window composition; right side deduped per (key, date)

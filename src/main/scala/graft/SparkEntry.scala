@@ -78,6 +78,8 @@ object SparkEntry {
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_session_window"    -> q(Relational.sessionWindows),
     "q_window_suite"      -> q(Relational.windowSuite),
+    "q_moving_agg"        -> q(Relational.movingAgg),
+    "q_argmax"            -> q(Relational.argmaxEvents),
     "q_bucketed_join"     -> q(operators.Bucketed.bucketedJoin),
     "q_pivot"             -> q(Relational.pivotSegmentYear),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
@@ -86,6 +88,9 @@ object SparkEntry {
     "q_dedup_ngram"       -> q(Pipeline.dedupNgram),
     "q_dedup_clusters"    -> q(Pipeline.dedupClusters),
     "q_hash_sample"       -> q(Pipeline.hashSample),
+    "q_chunking"          -> q(Pipeline.chunkDocs),
+    "q_redact"            -> q(Pipeline.redact),
+    "q_token_positions"   -> q(Pipeline.tokenPositions),
     "q_dedup_minhash"     -> q(Pipeline.dedupMinhash),
     "q_simhash"           -> q(Pipeline.simhash),
     "q_text_stats"        -> q(Pipeline.textStats),

@@ -202,6 +202,52 @@ object Pipeline {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** LLM context chunking: each document's token stream cut into windows
+    * of 50 tokens with stride 40 (10-token overlap) — the standard
+    * pre-embedding segmentation. Chunk text is reassembled and hashed
+    * top-level (codegen'd polyHash after the explode, not inside a lambda)
+    * so chunks are verifiable without shipping their text. */
+  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val ChunkLen = 50
+    val Stride = 40
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+      .filter(size(col("t")) > 0)
+    d.select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")), lit(Stride)),
+          st => struct(st.as("chunk_start"),
+            concat_ws(" ", slice(col("t"), st, lit(ChunkLen))).as("chunk_text"),
+            size(slice(col("t"), st, lit(ChunkLen))).as("n_tokens")))).as("c"))
+      .select(col("doc_id"),
+        col("c.chunk_start").cast("long").as("chunk_start"),
+        col("c.n_tokens").cast("long").as("n_tokens"),
+        Fns.polyHash(col("c.chunk_text")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  /** Redaction pass (PII-masking shape): digits masked to '#', with the
+    * masked-character count and a verification hash of the redacted text. */
+  def redact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]", "#").as("r"))
+      .select(col("doc_id"),
+        (length(col("r")) - length(regexp_replace(col("r"), "#", "")))
+          .cast("long").as("n_masked"),
+        Fns.polyHash(col("r")).as("redacted_hash"))
+      .orderBy("doc_id")
+
+  /** First occurrence position of every token per document (1-based over
+    * the empty-filtered token stream) — positional explode + min. */
+  def tokenPositions(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    d.select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "word")))
+      .groupBy("doc_id", "word")
+      .agg(min(col("pos") + 1).cast("long").as("first_pos"))
+      .orderBy("doc_id", "word")
+  }
+
   /** 32-bit SimHash per document from token frequency vectors, using the
     * portable polynomial token hash so the DuckDB oracle can reproduce it
     * bit-for-bit (integer-only arithmetic end to end). */

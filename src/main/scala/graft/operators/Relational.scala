@@ -367,6 +367,39 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Sliding ROWS-frame aggregates per user (last 4 events): count, min,
+    * max, and a moving sum of integer cents. All four are exact and
+    * frame-order-independent — a float moving sum would depend on each
+    * engine's incremental-frame arithmetic, so the sum is taken over
+    * floor(value·100) instead (identical bits → identical floor). */
+  def movingAgg(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("mov_cnt", count(lit(1)).over(w))
+      .withColumn("mov_min", min(col("value")).over(w))
+      .withColumn("mov_max", max(col("value")).over(w))
+      .withColumn("mov_sum_cents",
+        sum(floor(col("value") * 100).cast("long")).over(w))
+      .select(col("event_id"), col("user_id"), col("mov_cnt"),
+        col("mov_min"), col("mov_max"), col("mov_sum_cents"))
+      .orderBy("event_id")
+  }
+
+  /** arg-max/arg-min selection per group: the event carrying each type's
+    * extreme value (values are continuous doubles — unique per group in
+    * the fixture, making the selection deterministic). */
+  def argmaxEvents(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(max_by(col("event_id"), col("value")).as("top_event_id"),
+           max(col("value")).as("max_value"),
+           min_by(col("event_id"), col("value")).as("bottom_event_id"),
+           min(col("value")).as("min_value"))
+      .orderBy("event_type")
+
   /** Fuzzy (edit-distance) join: customer ⋈ supplier names within
     * levenshtein ≤ 6, blocked by nation key so the candidate set is an
     * equi-join (per-nation cross section), never the full cross product —

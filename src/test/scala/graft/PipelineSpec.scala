@@ -106,6 +106,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.length < all)
   }
 
+  test("chunking covers every token with stride-40/len-50 windows") {
+    import org.apache.spark.sql.functions._
+    val chunks = Pipeline.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val tokCounts = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(graft.functions.Fns.tokensArr(col("text")), w => w =!= lit(""))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = tokCounts(doc)
+      val sorted = cs.sortBy(_._2)
+      // starts are 1, 41, 81, ... and the last chunk reaches the last token
+      assert(sorted.map(_._2) === sorted.indices.map(i => 1L + 40L * i))
+      assert(sorted.last._2 + sorted.last._3 - 1 === n)
+      sorted.foreach { case (_, start, len) =>
+        assert(len === math.min(50L, n - start + 1))
+      }
+    }
+  }
+
+  test("redact masks every digit and nothing else") {
+    import org.apache.spark.sql.functions._
+    val got = Pipeline.redact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+  }
+
   test("lang_id rule: marker argmax with fixed precedence") {
     val rows = Pipeline.langId(spark, sf).collect()
     rows.foreach { r =>
