@@ -66,6 +66,19 @@ object Oracles {
        |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) j
        |WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q_dedup_clusters, shared verbatim by the q_dedup_apply oracle. */
+  private val DedupClustersSql: String =
+    s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($DedupNgramSql) q),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+       |  UNION SELECT doc_b, doc_a FROM np),
+       |verts AS (SELECT DISTINCT a AS v FROM edges),
+       |reach(v, lbl) AS (
+       |  SELECT v, v FROM verts
+       |  UNION
+       |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v)
+       |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach
+       |GROUP BY v ORDER BY doc_id""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // ------------------------------------------------------ MR app suite
@@ -383,6 +396,18 @@ object Oracles {
          |SELECT doc_id, u.w AS word, CAST(min(u.i) AS BIGINT) AS first_pos
          |FROM p GROUP BY doc_id, u.w ORDER BY doc_id, word""".stripMargin,
 
+    "q_balanced_sample" ->
+      s"""SELECT doc_id, lang, rnk FROM (
+         |  SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${polyHashSql("text")}, doc_id) AS BIGINT) AS rnk
+         |  FROM documents) t
+         |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
+
+    "q_format_roundtrip" ->
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents WHERE doc_id < 50
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // deterministic hash sampling (bucket 0-9 of 100)
     "q_hash_sample" ->
       s"""SELECT doc_id, n_chars FROM documents
@@ -441,17 +466,15 @@ object Oracles {
     // connected components over the near-dup pair graph: a recursive CTE
     // computes the exact transitive min-label; the engine's fixed-round
     // min propagation must agree (spec also cross-checks via union-find)
-    "q_dedup_clusters" ->
-      s"""WITH RECURSIVE np AS (SELECT doc_a, doc_b FROM ($DedupNgramSql) q),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
-         |  UNION SELECT doc_b, doc_a FROM np),
-         |verts AS (SELECT DISTINCT a AS v FROM edges),
-         |reach(v, lbl) AS (
-         |  SELECT v, v FROM verts
-         |  UNION
-         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v)
-         |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach
-         |GROUP BY v ORDER BY doc_id""".stripMargin,
+    "q_dedup_clusters" -> DedupClustersSql,
+
+    // the corpus filter the clusters exist for: drop every non-canonical
+    // cluster member, count the kept corpus per language
+    "q_dedup_apply" ->
+      s"""SELECT lang, count(*) AS n_kept FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT doc_id FROM ($DedupClustersSql) c WHERE doc_id <> cluster_id)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),

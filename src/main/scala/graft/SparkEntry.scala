@@ -47,6 +47,7 @@ object SparkEntry {
     "q_mr_sorted_concat"  -> q(MrApi.mrSortedConcat),
     // reference I/O model (whole-file scan + "key value" text sink)
     "q_text_roundtrip"    -> q(graft.sources.TextIO.textRoundtrip),
+    "q_format_roundtrip"  -> q(graft.sources.TextIO.formatRoundtrip),
     // relational generalization
     "q_grouped_agg"       -> q(Relational.groupedAgg),
     "q_filter_project"    -> q(Relational.filterProject),
@@ -87,7 +88,9 @@ object SparkEntry {
     "q_dedup_exact"       -> q(Pipeline.dedupExact),
     "q_dedup_ngram"       -> q(Pipeline.dedupNgram),
     "q_dedup_clusters"    -> q(Pipeline.dedupClusters),
+    "q_dedup_apply"       -> q(Pipeline.dedupApply),
     "q_hash_sample"       -> q(Pipeline.hashSample),
+    "q_balanced_sample"   -> q(Pipeline.balancedSample),
     "q_chunking"          -> q(Pipeline.chunkDocs),
     "q_redact"            -> q(Pipeline.redact),
     "q_token_positions"   -> q(Pipeline.tokenPositions),

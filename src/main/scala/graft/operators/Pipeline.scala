@@ -193,6 +193,33 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Apply the dedup decisions: drop every non-canonical cluster member
+    * (keep the minimum doc_id per near-dup component) and report the kept
+    * corpus per language — the step that turns pair detection into an
+    * actual training-set filter. Left-anti join against the (tiny) drop
+    * list; at scale the drop list broadcastable or bucket-joined. */
+  def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val drop = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    Tables.documents(s, dir)
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  /** Balanced per-language subsample: the first 20 docs per language in
+    * deterministic content-hash order — the mixture-balancing step of a
+    * training-data pipeline, reproducible with no RNG. */
+  def balancedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(Fns.polyHash(col("text")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 20)
+      .select(col("doc_id"), col("lang"), col("rnk"))
+      .orderBy("lang", "rnk")
+  }
+
   /** Deterministic corpus sampling: keep docs whose content hash lands in
     * the first 10 of 100 buckets — reproducible across runs and engines
     * (no RNG), the way a pipeline pins a held-out or A/B slice. */

@@ -403,12 +403,16 @@ object Relational {
   /** Fuzzy (edit-distance) join: customer ⋈ supplier names within
     * levenshtein ≤ 6, blocked by nation key so the candidate set is an
     * equi-join (per-nation cross section), never the full cross product —
-    * the standard blocked fuzzy-matching shape for entity resolution. */
+    * the standard blocked fuzzy-matching shape for entity resolution over
+    * dimension-scale tables (per-block work is inherently quadratic in
+    * block size, so the op targets dimensions, not the 100 TB fact side).
+    * The thresholded levenshtein variant early-exits the DP past the
+    * bound (it returns -1 there, exact distance within it). */
   def fuzzyJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir).select(col("c_nationkey").as("nk"), col("c_name"))
       .join(Tables.supplier(s, dir).select(col("s_nationkey").as("nk"), col("s_name")), Seq("nk"))
-      .withColumn("dist", levenshtein(col("c_name"), col("s_name")).cast("long"))
-      .filter(col("dist") <= 6)
+      .withColumn("dist", levenshtein(col("c_name"), col("s_name"), 6).cast("long"))
+      .filter(col("dist") >= 0)
       .select(col("nk").as("nationkey"), col("c_name"), col("s_name"), col("dist"))
       .orderBy("nationkey", "c_name", "s_name")
 }
