@@ -427,6 +427,26 @@ object Oracles {
          |  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
          |ORDER BY event_id""".stripMargin,
 
+    "q_date_functions" ->
+      s"""SELECT o_orderkey,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS d_str,
+         |  CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS days_since,
+         |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+         |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+         |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+         |  CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+         |  CAST(isodow(o_orderdate) - 1 AS BIGINT) AS weekday0
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_string_functions" ->
+      s"""SELECT c_custkey, c_name,
+         |  upper(c_name) AS up, lower(c_name) AS low, reverse(c_name) AS rev,
+         |  lpad(c_name, 25, '*') AS padded, substring(c_name, 10, 5) AS sub,
+         |  CAST(instr(c_name, '#') AS BIGINT) AS pos,
+         |  regexp_replace(c_name, '0+', '0', 'g') AS collapsed,
+         |  CAST(length(c_name) AS BIGINT) AS nlen
+         |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q_argmax" ->
       s"""SELECT event_type,
          |  arg_max(event_id, value) AS top_event_id, max(value) AS max_value,
@@ -690,6 +710,13 @@ object Oracles {
          |  count(*) AS n
          |FROM events LEFT JOIN p USING (user_id)
          |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
+
+    "q_stream_stream_join" ->
+      s"""SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id
+         |FROM events a JOIN events b ON a.user_id = b.user_id
+         |  AND a.event_type = 'view' AND b.event_type = 'purchase'
+         |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
+         |ORDER BY a.user_id, view_id, purchase_id""".stripMargin,
 
     "q_stream_sessions" ->
       s"""WITH e AS (SELECT user_id, ts, event_id,

@@ -81,6 +81,8 @@ object SparkEntry {
     "q_window_suite"      -> q(Relational.windowSuite),
     "q_moving_agg"        -> q(Relational.movingAgg),
     "q_argmax"            -> q(Relational.argmaxEvents),
+    "q_date_functions"    -> q(Relational.dateFunctions),
+    "q_string_functions"  -> q(Relational.stringFunctions),
     "q_bucketed_join"     -> q(operators.Bucketed.bucketedJoin),
     "q_pivot"             -> q(Relational.pivotSegmentYear),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
@@ -115,7 +117,8 @@ object SparkEntry {
     "q_stream_window_wm"  -> q(Streams.streamWindowWatermarked),
     "q_stream_sessions"   -> q(Streams.streamSessions),
     "q_stream_dedup"      -> q(Streams.streamDedup),
-    "q_stream_static_join" -> q(Streams.streamStaticJoin)
+    "q_stream_static_join" -> q(Streams.streamStaticJoin),
+    "q_stream_stream_join" -> q(Streams.streamStreamJoin)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

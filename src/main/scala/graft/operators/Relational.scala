@@ -367,6 +367,38 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Date/time function breadth: formatting, date arithmetic with
+    * month-end clamping, quarter/ISO-week/weekday extraction — the
+    * calendar surface a reference user expects, each value oracle-checked
+    * (weekday normalized to 0=Monday, the one cross-engine numbering that
+    * both sides can express exactly). */
+  def dateFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("d_str", date_format(col("o_orderdate"), "yyyy-MM-dd"))
+      .withColumn("days_since",
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"))
+      .withColumn("plus3m", date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd"))
+      .withColumn("month_end", date_format(last_day(col("o_orderdate")), "yyyy-MM-dd"))
+      .withColumn("qtr", quarter(col("o_orderdate")).cast("long"))
+      .withColumn("iso_week", weekofyear(col("o_orderdate")).cast("long"))
+      .withColumn("weekday0", weekday(col("o_orderdate")).cast("long"))
+      .drop("o_orderdate")
+      .orderBy("o_orderkey")
+
+  /** String function breadth over customer names: case mapping, reverse,
+    * padding, substrings, search position, regex collapse. */
+  def stringFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+      .withColumn("up", upper(col("c_name")))
+      .withColumn("low", lower(col("c_name")))
+      .withColumn("rev", reverse(col("c_name")))
+      .withColumn("padded", lpad(col("c_name"), 25, "*"))
+      .withColumn("sub", substring(col("c_name"), 10, 5))
+      .withColumn("pos", instr(col("c_name"), "#").cast("long"))
+      .withColumn("collapsed", regexp_replace(col("c_name"), "0+", "0"))
+      .withColumn("nlen", length(col("c_name")).cast("long"))
+      .orderBy("c_custkey")
+
   /** Sliding ROWS-frame aggregates per user (last 4 events): count, min,
     * max, and a moving sum of integer cents. All four are exact and
     * frame-order-independent — a float moving sum would depend on each

@@ -139,6 +139,37 @@ object Streams {
     s.table(name).orderBy("event_type", "tier")
   }
 
+  /** Stream-stream inner join with a time-interval condition: views joined
+    * to same-user purchases within 30 minutes. Both sides carry watermarks
+    * so join state is purged once the interval can no longer match — the
+    * bounded-state form; inner-join matches emit as they arrive, so one
+    * pass over the fixture equals the batch interval join. */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, dir).schema
+    def src = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"))
+    val name = "graft_stream_stream_join"
+    withStatePartitions(s, 8) {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+    }
+    s.table(name).orderBy("user_id", "view_id", "purchase_id")
+  }
+
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
     * after 30 minutes of silence. State is one tiny struct per user
     * (last-seen time + counters), so state size is O(users), not O(events)
