@@ -247,6 +247,25 @@ object Oracles {
          |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
          |ORDER BY o_custkey""".stripMargin,
 
+    "q_except_all" ->
+      s"""SELECT o_custkey, count(*) AS surplus_1995 FROM (
+         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         |  EXCEPT ALL
+         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_intersect_all" ->
+      s"""SELECT o_custkey, count(*) AS n_common FROM (
+         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+         |  INTERSECT ALL
+         |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996) t
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q_sql_correlated" ->
+      s"""SELECT c_custkey, c_name FROM customer
+         |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+         |ORDER BY c_custkey""".stripMargin,
+
     "q_grouping_sets" ->
       s"""SELECT coalesce(l_returnflag,'ALL') AS flag, coalesce(l_linestatus,'ALL') AS status,
          |  count(*) AS n, ${sumD("l_extendedprice", 2, "sum_price")}

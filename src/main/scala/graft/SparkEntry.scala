@@ -64,6 +64,9 @@ object SparkEntry {
     "q_grouping_sets"     -> q(Relational.groupingSetsAgg),
     "q_intersect"         -> q(Relational.intersectCustomers),
     "q_except"            -> q(Relational.exceptCustomers),
+    "q_except_all"        -> q(Relational.exceptAllOrders),
+    "q_intersect_all"     -> q(Relational.intersectAllOrders),
+    "q_sql_correlated"    -> q(Relational.sqlCorrelated),
     "q_tumbling_window"   -> q(Relational.tumblingWindow),
     "q_sliding_window"    -> q(Relational.slidingWindow),
     "q_sql_interface"     -> q(Relational.sqlInterface),

@@ -174,6 +174,39 @@ object Relational {
     y1995.except(y1996).orderBy("o_custkey")
   }
 
+  /** EXCEPT ALL / INTERSECT ALL (bag semantics — multiplicities kept):
+    * per-custkey order-count surpluses between two years, summarized so
+    * the multiset difference is visible in the output. */
+  def exceptAllOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    y1995.exceptAll(y1996)
+      .groupBy("o_custkey").agg(count(lit(1)).as("surplus_1995"))
+      .orderBy("o_custkey")
+  }
+
+  def intersectAllOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val y1995 = o.filter(year(col("o_orderdate")) === 1995).select(col("o_custkey"))
+    val y1996 = o.filter(year(col("o_orderdate")) === 1996).select(col("o_custkey"))
+    y1995.intersectAll(y1996)
+      .groupBy("o_custkey").agg(count(lit(1)).as("n_common"))
+      .orderBy("o_custkey")
+  }
+
+  /** Correlated scalar subquery through the SQL interface — Catalyst
+    * decorrelates it into a join, which is exactly what the oracle plans
+    * too; the surface a SQL-first reference user exercises. */
+  def sqlCorrelated(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_v
+        |WHERE (SELECT count(*) FROM orders_v WHERE o_custkey = c_custkey) >= 15
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Explicit GROUPING SETS ((flag), (status)) — two independent marginal
     * aggregates in one pass over the fact table. */
   def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
