@@ -466,6 +466,31 @@ object Oracles {
          |  CAST(length(c_name) AS BIGINT) AS nlen
          |FROM customer ORDER BY c_custkey""".stripMargin,
 
+    // nth_value/lead coalesced to -1: a NULL in a BIGINT column surfaces
+    // as float64-NaN in both engines' dataframes and NaN breaks compares
+    "q_window_navigation" ->
+      s"""SELECT o_orderkey, o_custkey,
+         |  first_value(o_orderkey) OVER w AS first_key,
+         |  last_value(o_orderkey) OVER wf AS last_key,
+         |  coalesce(nth_value(o_orderkey, 2) OVER wf, -1) AS second_key,
+         |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume
+         |FROM orders
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+         |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bitwise_math" ->
+      s"""SELECT event_id, user_id,
+         |  event_id & user_id AS band, event_id | user_id AS bor,
+         |  xor(event_id, user_id) AS bxor,
+         |  event_id << 3 AS shl3, event_id >> 2 AS shr2,
+         |  CAST(bit_count(event_id) AS BIGINT) AS nbits,
+         |  event_id % 7 AS m7
+         |FROM events ORDER BY event_id""".stripMargin,
+
     "q_argmax" ->
       s"""SELECT event_type,
          |  arg_max(event_id, value) AS top_event_id, max(value) AS max_value,

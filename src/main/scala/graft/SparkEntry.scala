@@ -86,6 +86,8 @@ object SparkEntry {
     "q_argmax"            -> q(Relational.argmaxEvents),
     "q_date_functions"    -> q(Relational.dateFunctions),
     "q_string_functions"  -> q(Relational.stringFunctions),
+    "q_window_navigation" -> q(Relational.windowNavigation),
+    "q_bitwise_math"      -> q(Relational.bitwiseMath),
     "q_bucketed_join"     -> q(operators.Bucketed.bucketedJoin),
     "q_pivot"             -> q(Relational.pivotSegmentYear),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),

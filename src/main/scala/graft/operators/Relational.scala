@@ -432,6 +432,45 @@ object Relational {
       .withColumn("nlen", length(col("c_name")).cast("long"))
       .orderBy("c_custkey")
 
+  /** Window navigation functions: first/last/nth value and lead over each
+    * customer's order history, plus percent_rank/cume_dist (exact rational
+    * ratios of counts — identical doubles on both engines). last_value
+    * uses the full-partition frame (the SQL default frame would make it
+    * the current row). */
+  def windowNavigation(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      .withColumn("first_key", first(col("o_orderkey")).over(w))
+      .withColumn("last_key", last(col("o_orderkey")).over(wFull))
+      .withColumn("second_key",
+        coalesce(nth_value(col("o_orderkey"), 2).over(wFull), lit(-1L)))
+      .withColumn("next_key", lead(col("o_orderkey"), 1, -1L).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .select("o_orderkey", "o_custkey", "first_key", "last_key",
+              "second_key", "next_key", "pct_rank", "cume")
+      .orderBy("o_orderkey")
+  }
+
+  /** Bitwise / integer-math surface: and/or/xor, shifts, bit_count,
+    * abs/pmod — all integer-exact, no libm involvement. */
+  def bitwiseMath(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"))
+      .withColumn("band", (col("event_id").bitwiseAND(col("user_id"))))
+      .withColumn("bor", (col("event_id").bitwiseOR(col("user_id"))))
+      .withColumn("bxor", (col("event_id").bitwiseXOR(col("user_id"))))
+      .withColumn("shl3", expr("shiftleft(event_id, 3)"))
+      .withColumn("shr2", expr("shiftright(event_id, 2)"))
+      .withColumn("nbits", bit_count(col("event_id")).cast("long"))
+      .withColumn("m7", pmod(col("event_id"), lit(7L)))
+      .orderBy("event_id")
+
   /** Sliding ROWS-frame aggregates per user (last 4 events): count, min,
     * max, and a moving sum of integer cents. All four are exact and
     * frame-order-independent — a float moving sum would depend on each

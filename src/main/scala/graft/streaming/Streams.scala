@@ -29,7 +29,7 @@ object Streams {
 
   /** Run a one-shot memory-sink streaming query with a bounded number of
     * state-store partitions: per-partition store setup dominates these
-    * fixture-sized micro-batches, and 8 partitions is plenty of
+    * fixture-sized micro-batches, and 4 partitions is plenty of
     * parallelism for the keyed state here. Restores the session conf. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -53,7 +53,7 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
               col("event_type"), col("n"))
     val name = "graft_stream_window"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = agg.writeStream.outputMode("complete").format("memory")
         .queryName(name).start()
       try { q.processAllAvailable() } finally { q.stop() }
@@ -80,7 +80,7 @@ object Streams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
               col("event_type"), col("n"))
     val name = "graft_stream_window_wm"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = agg.writeStream.outputMode("append").format("memory")
         .queryName(name).start()
       try { q.processAllAvailable() } finally { q.stop() }
@@ -104,7 +104,7 @@ object Streams {
       .dropDuplicates("user_id", "m")
       .select(col("user_id"), date_format(col("m"), "yyyy-MM-dd HH:mm").as("minute"))
     val name = "graft_stream_dedup"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = deduped.writeStream.outputMode("append").format("memory")
         .queryName(name).start()
       try { q.processAllAvailable() } finally { q.stop() }
@@ -131,7 +131,7 @@ object Streams {
           .otherwise("light").as("tier"))
       .groupBy("event_type", "tier").agg(count(lit(1)).as("n"))
     val name = "graft_stream_static_join"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = joined.writeStream.outputMode("complete").format("memory")
         .queryName(name).start()
       try { q.processAllAvailable() } finally { q.stop() }
@@ -162,7 +162,7 @@ object Streams {
         col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("view_id"), col("purchase_id"))
     val name = "graft_stream_stream_join"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = joined.writeStream.outputMode("append").format("memory")
         .queryName(name).start()
       try { q.processAllAvailable() } finally { q.stop() }
@@ -205,7 +205,7 @@ object Streams {
     val out = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
     val name = "graft_stream_sessions"
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
       val q = out.writeStream.outputMode("append").format("memory")
         .queryName(name).start()
       try { q.processAllAvailable() } finally { q.stop() }
