@@ -11,7 +11,11 @@ object PlanAudit {
     val names = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q_grouped_agg", "q_filter_project", "q_join_agg", "q_join_multi",
       "q_semi_join", "q_topk_orders", "q_wordcount", "q_dedup_minhash",
-      "q_similarity_topk", "q_tumbling_window")
+      "q_similarity_topk", "q_tumbling_window",
+      // round-2 join/blocking plans: all must be equi-joins (no
+      // BroadcastNestedLoop/CartesianProduct anywhere)
+      "q_asof_join", "q_range_join", "q_embedding_neardup", "q_fuzzy_join",
+      "q_skew_join", "q_bucketed_join", "q_dedup_ngram")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

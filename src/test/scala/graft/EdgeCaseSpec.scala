@@ -1,0 +1,45 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Empty-input robustness: every operator family must plan and run on
+  * zero-row tables (the first thing a user hits pointing the engine at an
+  * empty partition of a 100 TB table). */
+class EdgeCaseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Zero-row copies of every fixture table, preserving schemas. */
+  private lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft_empty")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "documents", "embeddings")
+    tables.foreach { t =>
+      spark.read.parquet(s"${SparkTestSession.Sf}/$t.parquet")
+        .limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    // events needs the raw (nanos-as-long) path to read, so rebuild a
+    // typed empty frame through the normalizer instead
+    Tables.events(spark, SparkTestSession.Sf)
+      .limit(0).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir.toString
+  }
+
+  // a representative query per operator family (streaming + the I/O
+  // roundtrips excluded: the file-source machinery needs real files)
+  private val families = Seq(
+    "q_wordcount", "q_grouped_agg", "q_join_multi", "q_window_rank",
+    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_clusters",
+    "q_embedding_neardup", "q_similarity_topk", "q_tfidf", "q_cube_docs",
+    "q_asof_join", "q_range_join", "q_session_window", "q_pivot",
+    "q_fuzzy_join", "q_moving_agg", "q_argmax", "q_chunking",
+    "q_except_all", "q_window_navigation", "q_sessionize")
+
+  test("operator families run on zero-row inputs") {
+    families.foreach { name =>
+      val n = SparkEntry.queries(name)(spark, emptyDir).count()
+      assert(n === 0L, s"$name returned $n rows on empty input")
+    }
+  }
+}
