@@ -725,6 +725,16 @@ object Oracles {
          |  ${polyHashSql("text", 1)} AS checksum
          |FROM m ORDER BY doc_id""".stripMargin,
 
+    // per-frame fan-out for video blobs; frame fingerprint from the
+    // byte-sum checksum (polyHash base 1) mixed with the frame index
+    "q_multimodal_frames" ->
+      s"""WITH v AS (SELECT doc_id, length(text) AS n, ${polyHashSql("text", 1)} AS s
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (SELECT doc_id, s, unnest(range(0, n % 30 + 1, 5)) AS frame_no FROM v)
+         |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
+         |  (s * (frame_no + 1) + frame_no) % 1000000007 AS frame_fp
+         |FROM f ORDER BY doc_id, frame_no""".stripMargin,
+
     // -------------------------------------------------------- streaming
     "q_stream_window" ->
       s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,

@@ -117,6 +117,7 @@ object SparkEntry {
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),
     "q_multimodal_transform" -> q(Media.mediaTransform),
+    "q_multimodal_frames" -> q(Media.mediaFrames),
     // structured streaming
     "q_stream_window"     -> q(Streams.streamWindow),
     "q_stream_window_wm"  -> q(Streams.streamWindowWatermarked),

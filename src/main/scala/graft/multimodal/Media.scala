@@ -60,6 +60,31 @@ object Media {
     meta.toDF().orderBy("doc_id")
   }
 
+  /** Per-frame expansion for video blobs: sampled frame indices (every
+    * 5th of the stub-decoded frame count) exploded to one row per frame,
+    * each with a deterministic frame fingerprint (stub: content checksum
+    * mixed with the frame index) — the fan-out a video pipeline runs
+    * before per-frame feature extraction, with the same batched
+    * mapPartitions execution shape as the decode. */
+  def mediaFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val frames = blobs(s, dir).filter(_.kind == "video").mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.flatMap { b =>
+          val n = b.media.length.toLong
+          val nFrames = n % 30 + 1
+          var sum = 0L
+          var i = 0
+          while (i < b.media.length) { sum = (sum + (b.media(i) & 0xff)) % 1000000007L; i += 1 }
+          (0L until nFrames by 5L).map { f =>
+            (b.doc_id, f, (sum * (f + 1) + f) % 1000000007L)
+          }
+        }
+      }
+    }.toDF("doc_id", "frame_no", "frame_fp")
+    frames.orderBy("doc_id", "frame_no")
+  }
+
   /** Transform stage over the decoded media: resize to fit a 224×224 box
     * (aspect-preserving integer scale — STUB standing in for a real
     * resampler), sample every 5th frame for video, and fold a content
