@@ -477,7 +477,7 @@ object Pipeline {
     def rankCells(df: DataFrame, idCol: String, vecCol: String, nrmCol: String,
                   keep: Int, out: String): DataFrame = {
       val scored = df.crossJoin(broadcast(cents))
-        .select(df.columns.map(col) :+ col("cent_id") :+
+        .select(df.columns.toIndexedSeq.map(col) :+ col("cent_id") :+
           (dotD(col(vecCol), col("cv")) / (col(nrmCol) * col("cn"))).as("ccos"): _*)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(idCol).orderBy(col("ccos").desc, col("cent_id"))
