@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Fns
+import graft.operators.{Skew, Temporal}
+
+/** Property-style parity checks on seeded random inputs — the fixture
+  * specs prove the fixture, these prove the rule on arbitrary data.
+  * (Plain seeded generation: deterministic, no extra test dependencies.) */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(42)
+  private def asciiStr(max: Int): String = {
+    val n = rnd.nextInt(max + 1)
+    (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+  }
+
+  test("polyHash equals the plain Scala character fold on random ASCII") {
+    val strs = (0 until 200).map(_ => asciiStr(80)) :+ "" :+ "a" * 500
+    val got = strs.toDF("s").select(Fns.polyHash(col("s"))).as[Long].collect()
+    val want = strs.map(_.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L))
+    assert(got.toSeq === want)
+  }
+
+  test("foldDot equals the strict left-to-right Scala fold on random vectors") {
+    val pairs = (0 until 50).map { _ =>
+      val n = rnd.nextInt(40)
+      ((0 until n).map(_ => rnd.nextDouble() * 2000 - 1000),
+       (0 until n).map(_ => rnd.nextDouble() * 2000 - 1000))
+    }
+    val got = pairs.toDF("a", "b").select(Fns.dotD(col("a"), col("b"))).as[Double].collect()
+    val want = pairs.map { case (a, b) =>
+      a.zip(b).foldLeft(0.0)((s, xy) => s + xy._1 * xy._2)
+    }
+    got.zip(want).foreach { case (g, w) =>
+      assert(java.lang.Double.doubleToLongBits(g) ===
+             java.lang.Double.doubleToLongBits(w))
+    }
+  }
+
+  test("saltedJoin row multiset equals plain join on random data and salt counts") {
+    (1 to 5).foreach { trial =>
+      val fs = (0 until 60).map(_ => (rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong))
+      val ds = (0 until 6).map(k => (k.toLong, s"name$k"))
+      val k = 1 + rnd.nextInt(9)
+      val fact = fs.toDF("k", "payload")
+      val dim = ds.toDF("k", "name")
+      val plain = fact.join(dim, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val salted = Skew.saltedJoin(fact, dim, "k", k, col("payload")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(salted === plain, s"trial $trial salts=$k")
+    }
+  }
+
+  test("asofJoin equals the per-row greatest-preceding lookup on random series") {
+    (1 to 5).foreach { trial =>
+      val ls = (0 until 30).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong))
+      val rsRaw = (0 until 12).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong))
+      val rdedup = rsRaw.distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong) }.toDF("k", "lt", "lid")
+      val right = rdedup.toDF("k", "rt", "payload")
+      val got = Temporal.asofJoin(left, right, "k", "lt", "rt", Seq("payload"))
+        .collect().map(r => (r.getLong(r.fieldIndex("lid")),
+          Option(r.get(r.fieldIndex("payload"))).map(_.asInstanceOf[Long]))).toMap
+      val want = ls.zipWithIndex.map { case ((k, t), i) =>
+        val cands = rdedup.filter(r => r._1 == k && r._2 <= t)
+        i.toLong -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+      }.toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+}
