@@ -79,6 +79,21 @@ object Oracles {
        |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach
        |GROUP BY v ORDER BY doc_id""".stripMargin
 
+  /** Quality-score CTEs (d → s → sc), shared by q_quality_score and the
+    * composed q_curation oracle. */
+  private val QualityScoreCtes: String =
+    s"""d AS ($TokList),
+       |s AS (SELECT doc_id,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+       |  CAST(length(text) - length(regexp_replace(text,'[.,]','','g')) AS BIGINT) AS n_punct,
+       |  CAST(length(text) AS BIGINT) AS n_chars FROM d),
+       |sc AS (SELECT doc_id, n_tokens, n_stop, n_punct,
+       |  (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1 ELSE 0 END) * CAST(0.5 AS DOUBLE)
+       |  + CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.01 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+       |  + CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS score
+       |FROM s)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // ------------------------------------------------------ MR app suite
@@ -594,19 +609,28 @@ object Oracles {
          |FROM s ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
-      s"""WITH d AS ($TokList),
-         |s AS (SELECT doc_id,
-         |  CAST(len(t) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_filter(t, w -> w IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
-         |  CAST(length(text) - length(regexp_replace(text,'[.,]','','g')) AS BIGINT) AS n_punct,
-         |  CAST(length(text) AS BIGINT) AS n_chars FROM d),
-         |sc AS (SELECT doc_id, n_tokens, n_stop, n_punct,
-         |  (CASE WHEN n_tokens BETWEEN 20 AND 10000 THEN 1 ELSE 0 END) * CAST(0.5 AS DOUBLE)
-         |  + CASE WHEN CAST(n_stop AS DOUBLE)/n_tokens > 0.01 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
-         |  + CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS score
-         |FROM s)
+      s"""WITH $QualityScoreCtes
          |SELECT doc_id, n_tokens, n_stop, n_punct, score, score >= 0.75 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the composed curation job: quality keepers minus non-canonical
+    // near-dup members, chunked and summarized per language — every piece
+    // reused verbatim from its standalone oracle
+    "q_curation" ->
+      s"""WITH $QualityScoreCtes,
+         |keepq AS (SELECT doc_id FROM sc WHERE score >= 0.75),
+         |dropl AS (SELECT doc_id FROM ($DedupClustersSql) c WHERE doc_id <> cluster_id),
+         |cur AS (SELECT doc_id, lang, text FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM keepq)
+         |    AND doc_id NOT IN (SELECT doc_id FROM dropl)),
+         |ct AS (SELECT doc_id, lang,
+         |    list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'), w -> w <> '') AS t
+         |  FROM cur),
+         |st AS (SELECT doc_id, lang, t, unnest(range(1, len(t) + 1, 40)) AS cs
+         |  FROM ct WHERE len(t) > 0)
+         |SELECT lang, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  count(*) AS n_chunks, CAST(sum(len(t[cs:cs+49])) AS BIGINT) AS n_tokens
+         |FROM st GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_lang_id" ->
       s"""WITH d AS ($TokList),

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_hash_sample"       -> q(Pipeline.hashSample),
     "q_balanced_sample"   -> q(Pipeline.balancedSample),
     "q_chunking"          -> q(Pipeline.chunkDocs),
+    "q_curation"          -> q(Pipeline.curationPipeline),
     "q_redact"            -> q(Pipeline.redact),
     "q_token_positions"   -> q(Pipeline.tokenPositions),
     "q_dedup_minhash"     -> q(Pipeline.dedupMinhash),

@@ -235,22 +235,52 @@ object Pipeline {
     * pre-embedding segmentation. Chunk text is reassembled and hashed
     * top-level (codegen'd polyHash after the explode, not inside a lambda)
     * so chunks are verifiable without shipping their text. */
-  def chunkDocs(s: SparkSession, dir: String): DataFrame = {
-    val ChunkLen = 50
-    val Stride = 40
-    val d = Tables.documents(s, dir)
+  private val ChunkLen = 50
+  private val ChunkStride = 40
+
+  /** (doc_id, chunk_start, n_tokens, chunk_text) rows for a docs frame
+    * with (doc_id, text) — the shared chunker core. */
+  private def chunkRows(docs: DataFrame): DataFrame = {
+    val d = docs
       .select(col("doc_id"), filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
       .filter(size(col("t")) > 0)
     d.select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("t")), lit(Stride)),
+        transform(sequence(lit(1), size(col("t")), lit(ChunkStride)),
           st => struct(st.as("chunk_start"),
             concat_ws(" ", slice(col("t"), st, lit(ChunkLen))).as("chunk_text"),
             size(slice(col("t"), st, lit(ChunkLen))).as("n_tokens")))).as("c"))
       .select(col("doc_id"),
         col("c.chunk_start").cast("long").as("chunk_start"),
         col("c.n_tokens").cast("long").as("n_tokens"),
-        Fns.polyHash(col("c.chunk_text")).as("chunk_hash"))
+        col("c.chunk_text").as("chunk_text"))
+  }
+
+  def chunkDocs(s: SparkSession, dir: String): DataFrame =
+    chunkRows(Tables.documents(s, dir))
+      .select(col("doc_id"), col("chunk_start"), col("n_tokens"),
+        Fns.polyHash(col("chunk_text")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_start")
+
+  /** The end-to-end corpus curation job: quality filter → near-dup drop →
+    * context chunking, summarized per language. This is the pipeline the
+    * individual operators exist for, declared as one composed query so the
+    * whole chain is oracle-checked: left-semi the quality keepers,
+    * left-anti the non-canonical cluster members (both side tables are
+    * tiny relative to the corpus — broadcast), chunk the survivors. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val kept = qualityScore(s, dir).filter(col("keep")).select("doc_id")
+    val drop = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val curated = Tables.documents(s, dir)
+      .join(broadcast(kept), Seq("doc_id"), "left_semi")
+      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+    chunkRows(curated)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+           count(lit(1)).as("n_chunks"),
+           sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("lang")
   }
 
   /** Redaction pass (PII-masking shape): digits masked to '#', with the
