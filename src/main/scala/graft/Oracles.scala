@@ -123,6 +123,17 @@ object Oracles {
     "q_distinct_words" ->
       s"SELECT DISTINCT word FROM ($Toks) t WHERE word <> '' ORDER BY word",
 
+    // the reference's FNV-1a reduce-partition assignment (worker.go:22-26),
+    // 32-bit wrap emulated exactly in int64: (xor(h,c) * prime) % 2^32
+    "q_partition_diag" ->
+      s"""WITH t AS (SELECT word FROM ($Toks) z WHERE word <> ''),
+         |h AS (SELECT word, list_reduce(list_prepend(CAST(2166136261 AS BIGINT),
+         |    list_transform(regexp_extract_all(word,'.'), c -> CAST(ascii(c) AS BIGINT))),
+         |    (h, c) -> (xor(h, c) * 16777619) % 4294967296) AS fh FROM t)
+         |SELECT (fh & 2147483647) % 10 AS partition, count(*) AS n_tokens,
+         |  count(DISTINCT word) AS n_words
+         |FROM h GROUP BY 1 ORDER BY partition""".stripMargin,
+
     // non-ASCII synthesized deterministically (translate a→ä, e→é) so the
     // \p{L} Unicode tokenizer is oracle-checked, not trusted
     "q_unicode_wordcount" ->

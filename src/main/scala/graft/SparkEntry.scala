@@ -39,6 +39,7 @@ object SparkEntry {
     "q_tokens_per_doc"    -> q(MrSuite.tokensPerDoc),
     "q_distinct_words"    -> q(MrSuite.distinctWords),
     "q_unicode_wordcount" -> q(MrSuite.unicodeWordCount),
+    "q_partition_diag"    -> q(MrSuite.partitionDiag),
     "q_sort_docs"         -> q(MrSuite.sortDocs),
     "q_union_names"       -> q(MrSuite.unionNames),
     // MapReduce plugin API

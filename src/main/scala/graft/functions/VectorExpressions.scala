@@ -102,6 +102,52 @@ case class PolyHashExpr(child: Expression, base: Long, mod: Long)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** FNV-1a 32-bit hash of a string's bytes, codegen'd — the reference's
+  * partition function (`/root/reference/src/mr/worker.go:22-26`:
+  * `fnv.New32a` then `Sum32() & 0x7fffffff`). Returned as the uint32
+  * value in a long; the oracle emulates the 32-bit wrap with
+  * `(xor(h, c) * 16777619) % 4294967296` (exact in int64 for the ASCII
+  * corpus, where byte ≡ codepoint). */
+case class Fnv1aExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "fnv1a32"
+
+  override def nullSafeEval(v: Any): Any = {
+    val bs = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    var h = 2166136261L
+    var i = 0
+    while (i < bs.length) {
+      h = ((h ^ (bs(i) & 0xffL)) * 16777619L) & 0xffffffffL
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => {
+      val bs = ctx.freshName("bs")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val fname = ctx.freshName("graftFnv1a")
+      val method = ctx.addNewFunction(fname,
+        s"""
+           |private long $fname(org.apache.spark.unsafe.types.UTF8String s) {
+           |  byte[] $bs = s.getBytes();
+           |  long $h = 2166136261L;
+           |  for (int $i = 0; $i < $bs.length; $i++) {
+           |    $h = (($h ^ ($bs[$i] & 0xffL)) * 16777619L) & 0xffffffffL;
+           |  }
+           |  return $h;
+           |}
+         """.stripMargin)
+      s"$method($c)"
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[FoldDotProduct]]. */
   def foldDot(a: Column, b: Column): Column =
@@ -110,4 +156,8 @@ object VectorExpressions {
   /** Column wrapper for [[PolyHashExpr]]. */
   def polyHash(c: Column, base: Long, mod: Long): Column =
     GraftShims.column(PolyHashExpr(GraftShims.expression(c), base, mod))
+
+  /** Column wrapper for [[Fnv1aExpr]]. */
+  def fnv1a(c: Column): Column =
+    GraftShims.column(Fnv1aExpr(GraftShims.expression(c)))
 }

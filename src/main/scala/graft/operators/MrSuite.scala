@@ -29,6 +29,20 @@ object MrSuite {
   def wordCount(s: SparkSession, dir: String): DataFrame =
     tokenPairs(s, dir).groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word")
 
+  /** The reference's reduce-partition assignment
+    * (`/root/reference/src/mr/worker.go:22-26`: FNV-1a 32, `& 0x7fffffff`,
+    * `% nReduce`): how the word key space spreads over nReduce=10 reduce
+    * partitions — byte-compatible with the reference's layout, so a user
+    * can predict exactly which mr-out-R file a key lands in. */
+  def partitionDiag(s: SparkSession, dir: String): DataFrame =
+    tokenPairs(s, dir)
+      .select(col("word"),
+        pmod(graft.functions.VectorExpressions.fnv1a(col("word"))
+          .bitwiseAND(lit(0x7fffffffL)), lit(10L)).as("partition"))
+      .groupBy("partition")
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("word")).as("n_words"))
+      .orderBy("partition")
+
   /** Word count under the Unicode tokenizer (exact `unicode.IsLetter`
     * semantics of wc.go:23 via \p{L}). The fixture corpus is ASCII, so
     * accented input is synthesized deterministically — translate a→ä, e→é —

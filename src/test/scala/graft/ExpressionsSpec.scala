@@ -56,6 +56,13 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got === (97L * 31 + 98) % 1000000007L)
   }
 
+  test("Fnv1aExpr matches the published FNV-1a 32 test vectors") {
+    // "" -> offset basis; "a" -> 0xe40c292c; "foobar" -> 0xbf9cf968
+    val got = Seq("", "a", "foobar").toDF("s")
+      .select(VectorExpressions.fnv1a(col("s"))).as[Long].collect()
+    assert(got.toSeq === Seq(2166136261L, 0xe40c292cL, 0xbf9cf968L))
+  }
+
   test("cosine of identical vectors is 1.0") {
     val got = Seq((Seq(0.5, -0.25, 3.0), Seq(0.5, -0.25, 3.0))).toDF("a", "b")
       .select(Fns.cosineD(col("a"), col("b"))).as[Double].head()
