@@ -52,6 +52,8 @@ object Engine {
         es => graft.functions.PolyHashExpr(es.head, 31L, 1000000007L))
       org.apache.spark.sql.GraftShims.registerFunction(spark, "fold_dot",
         es => graft.functions.FoldDotProduct(es(0), es(1)))
+      org.apache.spark.sql.GraftShims.registerFunction(spark, "fnv1a32",
+        es => graft.functions.Fnv1aExpr(es.head))
       spark.conf.set("graft.registered", "true")
     }
     val c = spark.conf
