@@ -11,8 +11,10 @@ import graft.functions.Fns._
   * and `embeddings` fixtures.
   *
   * Scale notes: each operator is a constant number of shuffles regardless
-  * of corpus size; pairwise comparisons are always gated by a blocking
-  * step (shared shingle with a document-frequency cap, LSH band bucket,
+  * of corpus size (the one exception is the iterative label propagation in
+  * [[dedupClusters]], whose rounds scale with component diameter, not
+  * corpus size); pairwise comparisons are always gated by a blocking step
+  * (shared shingle with a document-frequency cap, LSH band bucket,
   * hyperplane bucket) so the candidate set grows ~linearly, never the full
   * O(n²) cross product.
   */
