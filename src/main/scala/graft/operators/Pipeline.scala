@@ -173,7 +173,19 @@ object Pipeline {
     * oracle computes the true transitive closure. At 100 TB the same
     * propagation runs as a convergence loop (actions per superstep,
     * GraphX-Pregel style) — the per-round plan is identical. */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  // the cluster table is the corpus's dedup decision table — computed once
+  // per (session, dir) and reused by dedupApply / curationPipeline, the way
+  // a production pipeline materializes it once per corpus snapshot. The
+  // table is tiny (one row per doc that appears in any near-dup pair).
+  private val clustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersCache.computeIfAbsent((s, dir), _ =>
+      computeClusters(s, dir).localCheckpoint(true))
+      .orderBy("doc_id")
+
+  private def computeClusters(s: SparkSession, dir: String): DataFrame = {
     val pairs = dedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
     // materialize the candidate graph ONCE before iterating — without
     // this every propagation round would replay the whole ngram pipeline
@@ -193,7 +205,6 @@ object Pipeline {
         .groupBy("v").agg(min(col("lbl")).as("lbl"))
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
-      .orderBy("doc_id")
   }
 
   /** Apply the dedup decisions: drop every non-canonical cluster member
