@@ -359,6 +359,17 @@ object Oracles {
          |SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events
          |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
 
+    // the partitioned layout is invisible to the logical result
+    "q_partitioned_scan" ->
+      s"""SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents WHERE lang = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_dpp_join" ->
+      s"""SELECT lang, count(*) AS n_docs FROM documents
+         |WHERE lang IN (SELECT DISTINCT lang FROM documents WHERE doc_id < 10)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // salted join ≡ plain join: the oracle is simply the unsalted query
     "q_skew_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders, ${sumD("o_totalprice", 2, "revenue")}

@@ -79,6 +79,8 @@ object SparkEntry {
     "q_json_extract"      -> q(Relational.jsonExtract),
     "q_sessionize"        -> q(Relational.sessionize),
     "q_skew_join"         -> q(operators.Skew.skewJoinDemo),
+    "q_partitioned_scan"  -> q(operators.Partitioned.partitionedScan),
+    "q_dpp_join"          -> q(operators.Partitioned.dppJoin),
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_session_window"    -> q(Relational.sessionWindows),
