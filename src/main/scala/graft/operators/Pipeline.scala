@@ -129,16 +129,17 @@ object Pipeline {
     // unlike collect_list + interpreted per-element lambdas.
     val permCols = (0 until MinhashPerms).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"m$i"))
-    val sigs = hashed.groupBy("doc_id")
-      .agg(permCols.head, permCols.tail: _*)
-      .select(col("doc_id"),
-        array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("sig"))
+    val sigs = hashed.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
     val nBands = MinhashPerms / MinhashBandRows
-    val bands = sigs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(nBands - 1)),
-          b => struct(b.as("b"),
-            array_join(transform(slice(col("sig"), b * MinhashBandRows + 1, lit(MinhashBandRows)),
-              x => x.cast("string")), ",").as("key")))).as("bk"))
+    // band keys assembled straight from the wide m0..m63 aggregate columns
+    // with concat_ws (codegen'd) — the earlier array+transform+slice
+    // composition ran the banding through interpreted HOF lambdas
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("b"),
+        concat_ws(",", (0 until MinhashBandRows).map(r =>
+          col(s"m${b * MinhashBandRows + r}").cast("string")): _*).as("key"))
+    }
+    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
     val cand = bands.select(col("b"), col("key"), col("doc_id").as("doc_a"))
       .join(bands.select(col("b"), col("key"), col("doc_id").as("doc_b")), Seq("b", "key"))

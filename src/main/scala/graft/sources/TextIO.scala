@@ -66,17 +66,19 @@ object TextIO {
       .orderBy("word")
   }
 
-  /** Declared CSV→JSON format roundtrip: a bounded sample flows through
-    * the CSV sink/source (schema inference) then the JSON sink/source,
-    * and the result is aggregated — proving both engine-native interchange
-    * formats preserve values end to end. */
+  /** Declared CSV→JSON→ORC format roundtrip: a bounded sample flows
+    * through the CSV sink/source (schema inference), the JSON sink/source,
+    * then the columnar ORC sink/source, and the result is aggregated —
+    * proving all three engine-native interchange formats preserve values
+    * end to end. */
   def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_rt").toString
     val d = graft.Tables.documents(s, dir).filter(col("doc_id") < 50)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     writeCsv(d, s"$tmp/c")
     writeJson(readCsv(s, s"$tmp/c"), s"$tmp/j")
-    readJson(s, s"$tmp/j")
+    readJson(s, s"$tmp/j").write.mode("overwrite").orc(s"$tmp/o")
+    s.read.orc(s"$tmp/o")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).cast("long").as("sum_chars"))
