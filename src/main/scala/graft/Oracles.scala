@@ -745,6 +745,65 @@ object Oracles {
          |  FROM cand JOIN n a ON cand.id_a = a.vec_id JOIN n b ON cand.id_b = b.vec_id) p
          |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
+    // ANN-LSH promoted to hash-checked: the hyperplanes are deterministic
+    // and regenerated verbatim, so candidates AND ranking are reproducible
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
+         |planes(t, j, pv) AS (VALUES
+         |$lshPlaneRows),
+         |dots AS (SELECT vec_id, t, j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(n.v, (x,i) -> x * pv[i])), (a,b) -> a+b) AS dp
+         |  FROM n, planes),
+         |eb AS (SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id, t),
+         |probes AS (SELECT vec_id AS probe_id, t, bucket FROM eb WHERE vec_id < 5),
+         |cand AS (SELECT DISTINCT p.probe_id, x.vec_id
+         |  FROM probes p JOIN eb x ON x.t = p.t AND x.bucket = p.bucket
+         |  WHERE x.vec_id <> p.probe_id),
+         |sc AS (SELECT c.probe_id, c.vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(a.v, (x,i) -> x * b.v[i])), (s1,t1) -> s1+t1) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c JOIN n a ON c.probe_id = a.vec_id JOIN n b ON c.vec_id = b.vec_id),
+         |r AS (SELECT probe_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin,
+
+    // ANN-IVF promoted to hash-checked: centroids are the first 16 corpus
+    // vectors and both ranking passes are deterministic (ties by id)
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
+         |cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+         |ac AS (SELECT n.vec_id, cents.cent_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(n.v, (x,i) -> x * cv[i])), (a,b) -> a+b) / (n.nrm * cn) AS ccos
+         |  FROM n, cents),
+         |ranked AS (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, cent_id) AS r FROM ac),
+         |assigned AS (SELECT vec_id, cent_id AS cell FROM ranked WHERE r = 1),
+         |pc AS (SELECT vec_id AS probe_id, cent_id AS cell FROM ranked
+         |  WHERE vec_id < 5 AND r <= 2),
+         |cand AS (SELECT DISTINCT pc.probe_id, a.vec_id
+         |  FROM pc JOIN assigned a ON a.cell = pc.cell WHERE a.vec_id <> pc.probe_id),
+         |sc AS (SELECT c.probe_id, c.vec_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(p.v, (x,i) -> x * x2.v[i])), (s1,t1) -> s1+t1) / (p.nrm * x2.nrm) AS cos
+         |  FROM cand c JOIN n p ON c.probe_id = p.vec_id JOIN n x2 ON c.vec_id = x2.vec_id),
+         |r AS (SELECT probe_id, vec_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin,
+
     // ------------------------------------------------------- multimodal
     "q_multimodal_meta" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -18,8 +18,9 @@ import graft.streaming.Streams
   *    q_similarity_topk, q_embedding_neardup, q_ann_lsh, q_multimodal_meta.
   *  - Structured Streaming (§2c): q_stream_window, q_stream_sessions.
   *
-  * q_dedup_minhash and q_ann_lsh are probabilistic-recall operators →
-  * deliberately absent from oracleSql (driver rows-only check).
+  * Only q_approx_distinct (HLL sketch) is absent from oracleSql (driver
+  * rows-only check) — the ANN variants are deterministic (fixed planes /
+  * centroids, ties broken by id) and hash-checked since round 2.
   */
 object SparkEntry {
 

@@ -114,9 +114,11 @@ object Pipeline {
     * re-verified with exact Jaccard over their shingle sets.
     *
     * Precision is exact (verification step); recall is the standard LSH
-    * probability 1-(1-s⁴)¹⁶, hence no SQL oracle (driver rows-only check).
-    * At 100 TB the candidate generation is an equi-join on (band, key) —
-    * linear shuffle, never an O(n²) cross product. */
+    * probability 1-(1-s⁴)¹⁶ — and because the permutations are
+    * deterministic the DuckDB oracle reproduces candidates AND Jaccard
+    * bit-for-bit (hash-checked). At 100 TB the candidate generation is an
+    * equi-join on (band, key) — linear shuffle, never an O(n²) cross
+    * product. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // NOTE: deliberately NOT persisted — the shingle subtree is cheap
     // codegen'd recompute; caching it measured 3× slower (cache fill +
@@ -508,8 +510,9 @@ object Pipeline {
     * closest cells, then exact cosine re-ranks the candidates. Centroids
     * here are the first 16 corpus vectors (a deterministic stand-in for a
     * k-means codebook — training is an offline batch job at scale; lookup
-    * structure and query path are identical). Probabilistic recall →
-    * rows-only check; exact twin is [[similarityTopk]].
+    * structure and query path are identical) — which also makes the whole
+    * assignment+probe+rank path deterministic and hash-checked against
+    * the DuckDB oracle; the exact twin is [[similarityTopk]].
     *
     * Scale shape: assignment is a broadcast of 16 centroids over the
     * corpus (one narrow pass), the cell layout can be persisted/bucketed
@@ -580,8 +583,10 @@ object Pipeline {
     * sign-bit buckets; a probe's candidates are the union of its buckets,
     * then exact cosine re-rank keeps the top 10. Hyperplane components are
     * a deterministic hash of (plane, dim), so the index is reproducible
-    * with no stored state. Recall < 1 → rows-only check (no SQL oracle);
-    * the exact twin is [[similarityTopk]].
+    * with no stored state — and, since round 2, the DuckDB oracle
+    * regenerates the identical planes, making the whole candidate+rank
+    * path hash-checked (recall < 1 vs the exact twin [[similarityTopk]]
+    * is the documented trade, not an excuse to skip verification).
     *
     * At 100 TB: candidate generation is an equi-join on (table, bucket) —
     * a linear shuffle, never the O(n²) cross product; tables/planes tune
