@@ -528,11 +528,19 @@ object Oracles {
          |  event_id % 7 AS m7
          |FROM events ORDER BY event_id""".stripMargin,
 
+    // tie-broken arg-max/arg-min (bare arg_max is nondeterministic when a
+    // value tie lands on a group extreme — sf0.1 has one)
     "q_argmax" ->
-      s"""SELECT event_type,
-         |  arg_max(event_id, value) AS top_event_id, max(value) AS max_value,
-         |  arg_min(event_id, value) AS bottom_event_id, min(value) AS min_value
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      s"""WITH r AS (SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rmax,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value ASC, event_id) AS rmin
+         |  FROM events)
+         |SELECT event_type,
+         |  max(CASE WHEN rmax = 1 THEN event_id END) AS top_event_id,
+         |  max(value) AS max_value,
+         |  max(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event_id,
+         |  min(value) AS min_value
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // as-of join: DuckDB's native ASOF validates the union-and-carry-
     // forward window composition; right side deduped per (key, date)

@@ -492,17 +492,28 @@ object Relational {
       .orderBy("event_id")
   }
 
-  /** arg-max/arg-min selection per group: the event carrying each type's
-    * extreme value (values are continuous doubles — unique per group in
-    * the fixture, making the selection deterministic). */
-  def argmaxEvents(s: SparkSession, dir: String): DataFrame =
+  /** arg-max/arg-min selection per group with an explicit tie-break: the
+    * event carrying each type's extreme value, smallest event_id winning
+    * ties. (A bare max_by/arg_max is nondeterministic under value ties —
+    * the sf0.1 fixture has one at a group extreme — so the selection runs
+    * through a ranked window, the deterministic form of the same
+    * semantics.) */
+  def argmaxEvents(s: SparkSession, dir: String): DataFrame = {
+    val wMax = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
+    val wMin = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("value").asc, col("event_id"))
     Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rmax", row_number().over(wMax))
+      .withColumn("rmin", row_number().over(wMin))
       .groupBy("event_type")
-      .agg(max_by(col("event_id"), col("value")).as("top_event_id"),
+      .agg(max(when(col("rmax") === 1, col("event_id"))).as("top_event_id"),
            max(col("value")).as("max_value"),
-           min_by(col("event_id"), col("value")).as("bottom_event_id"),
+           max(when(col("rmin") === 1, col("event_id"))).as("bottom_event_id"),
            min(col("value")).as("min_value"))
       .orderBy("event_type")
+  }
 
   /** Fuzzy (edit-distance) join: customer ⋈ supplier names within
     * levenshtein ≤ 6, blocked by nation key so the candidate set is an
