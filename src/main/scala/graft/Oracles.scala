@@ -394,6 +394,29 @@ object Oracles {
          |  count(*) AS n_events
          |FROM t GROUP BY user_id, sid ORDER BY user_id, sess_start""".stripMargin,
 
+    // wide→long inverse of q_pivot; the oracle melts via UNION ALL
+    "q_unpivot" ->
+      s"""SELECT l_orderkey, l_linenumber, metric, value FROM (
+         |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q_array_functions" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'), w -> w <> '') AS t
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |  list_contains(t, 'the') AS has_the,
+         |  CAST(list_position(t, 'the') AS BIGINT) AS pos_the,
+         |  coalesce(t[1], '') AS first_tok,
+         |  coalesce(t[-1], '') AS last_tok,
+         |  array_to_string(list_sort(t)[1:3], ',') AS top3_sorted,
+         |  list_has_any(t, ['the', 'a', 'of', 'and']) AS has_stop
+         |FROM d ORDER BY doc_id""".stripMargin,
+
     "q_window_suite" ->
       s"""SELECT o_orderkey, o_custkey,
          |  CAST(dense_rank() OVER (PARTITION BY o_custkey

@@ -94,6 +94,8 @@ object SparkEntry {
     "q_bitwise_math"      -> q(Relational.bitwiseMath),
     "q_bucketed_join"     -> q(operators.Bucketed.bucketedJoin),
     "q_pivot"             -> q(Relational.pivotSegmentYear),
+    "q_unpivot"           -> q(Relational.unpivotLineitem),
+    "q_array_functions"   -> q(Relational.arrayFunctions),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),

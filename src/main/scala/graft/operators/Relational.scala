@@ -471,6 +471,38 @@ object Relational {
       .withColumn("m7", pmod(col("event_id"), lit(7L)))
       .orderBy("event_id")
 
+  /** Wide→long unpivot (the inverse of [[pivotSegmentYear]]): the four
+    * lineitem measures melted to (key, metric, value) rows via the native
+    * `unpivot` operator — one narrow pass, no shuffle until the sort. */
+  def unpivotLineitem(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+              col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** Array-function breadth over the token arrays: distinct size,
+    * membership, first-occurrence position, ends, sorted prefix, and a
+    * stopword overlap test — each with an exact DuckDB list twin. */
+  def arrayFunctions(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), filter(tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    d.select(
+        col("doc_id"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        array_contains(col("t"), "the").as("has_the"),
+        array_position(col("t"), "the").cast("long").as("pos_the"),
+        coalesce(element_at(col("t"), 1), lit("")).as("first_tok"),
+        coalesce(element_at(col("t"), -1), lit("")).as("last_tok"),
+        array_join(slice(sort_array(col("t")), 1, 3), ",").as("top3_sorted"),
+        arrays_overlap(col("t"),
+          array(Seq("the", "a", "of", "and").map(lit): _*)).as("has_stop"))
+      .orderBy("doc_id")
+  }
+
   /** Sliding ROWS-frame aggregates per user (last 4 events): count, min,
     * max, and a moving sum of integer cents. All four are exact and
     * frame-order-independent — a float moving sum would depend on each
