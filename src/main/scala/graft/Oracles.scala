@@ -487,6 +487,14 @@ object Oracles {
          |FROM documents WHERE doc_id < 50
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // stratified mixture sampling: per-mille keep rate by language
+    "q_mixture_sample" ->
+      s"""SELECT lang, count(*) AS n_kept FROM documents
+         |WHERE ${polyHashSql("text")} % 1000 <
+         |  CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 800 WHEN 'fr' THEN 800
+         |    WHEN 'es' THEN 800 WHEN 'zh' THEN 800 ELSE 0 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     // deterministic hash sampling (bucket 0-9 of 100)
     "q_hash_sample" ->
       s"""SELECT doc_id, n_chars FROM documents

@@ -104,6 +104,7 @@ object SparkEntry {
     "q_dedup_apply"       -> q(Pipeline.dedupApply),
     "q_hash_sample"       -> q(Pipeline.hashSample),
     "q_balanced_sample"   -> q(Pipeline.balancedSample),
+    "q_mixture_sample"    -> q(Pipeline.mixtureSample),
     "q_chunking"          -> q(Pipeline.chunkDocs),
     "q_curation"          -> q(Pipeline.curationPipeline),
     "q_redact"            -> q(Pipeline.redact),

@@ -246,6 +246,23 @@ object Pipeline {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Stratified mixture sampling: per-language keep rates applied via
+    * deterministic hash thresholds — the data-mix reweighting step of a
+    * training pipeline (down-sample the over-represented language), fully
+    * reproducible with no RNG. Keep iff hash(text) mod 1000 < 1000·rate. */
+  private val MixtureRates: Seq[(String, Int)] = // per-mille keep rates
+    Seq("en" -> 400, "de" -> 800, "fr" -> 800, "es" -> 800, "zh" -> 800)
+
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val rate = MixtureRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    Tables.documents(s, dir)
+      .filter(pmod(Fns.polyHash(col("text")), lit(1000L)) < rate)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** LLM context chunking: each document's token stream cut into windows
     * of 50 tokens with stride 40 (10-token overlap) — the standard
     * pre-embedding segmentation. Chunk text is reassembled and hashed
