@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.Tables
 
 /** Event record for the stateful session stream. */
@@ -19,23 +19,64 @@ case class SessOut(user_id: Long, n_sessions: Long, n_events: Long)
   * these operators are the 100 TB-pipeline extension: the same event
   * analytics, run incrementally.
   *
-  * Both queries read the events parquet through `readStream`, so the whole
-  * source → transform → sink path is the real streaming engine; a memory
-  * sink + `processAllAvailable()` makes them synchronously checkable by the
-  * driver harness. On a cluster the sink would be a Delta/parquet append
-  * and the trigger a real schedule.
+  * All queries read the events parquet through `readStream` and write to
+  * FILE sinks, so the whole source → transform → sink path is the
+  * production shape: results land as parquet written by executors
+  * (never materialized on the driver), `Trigger.AvailableNow` drains the
+  * source one-shot, and the harness reads the sink directory back. On a
+  * cluster the same code runs on a schedule with a durable checkpoint.
   */
 object Streams {
 
-  /** Run a one-shot memory-sink streaming query with a bounded number of
-    * state-store partitions: per-partition store setup dominates these
-    * fixture-sized micro-batches, and 4 partitions is plenty of
-    * parallelism for the keyed state here. Restores the session conf. */
+  /** Run a one-shot streaming query with a bounded number of state-store
+    * partitions: per-partition store setup dominates these fixture-sized
+    * micro-batches, and 4 partitions is plenty of parallelism for the
+    * keyed state here. Restores the session conf. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
+  }
+
+  /** Fresh (data, checkpoint) dirs for a one-shot file sink. */
+  private def sinkDirs(): (String, String) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-").toFile
+    root.deleteOnExit()
+    (new java.io.File(root, "data").getAbsolutePath,
+     new java.io.File(root, "ckpt").getAbsolutePath)
+  }
+
+  /** Append-mode one-shot run into a parquet FILE sink (executors write
+    * the result files; the driver never holds the rows — the fix for the
+    * O(data)-output dedup stream). `Trigger.AvailableNow` processes every
+    * available batch plus the finalizing no-data batch that advances the
+    * watermark, then terminates. The read-back is the same thing the
+    * driver harness (or a downstream batch job) would do with the sink. */
+  private def appendToParquet(s: SparkSession, out: Dataset[_]): DataFrame = {
+    val (data, ckpt) = sinkDirs()
+    val q = out.writeStream.outputMode("append").format("parquet")
+      .option("path", data).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.schema(out.schema).parquet(data)
+  }
+
+  /** Complete-mode one-shot run: the parquet file sink is append-only by
+    * contract, so complete-mode aggregates go through `foreachBatch`,
+    * which overwrites the (small) aggregate snapshot per trigger — the
+    * standard complete→file pattern. The write is a distributed
+    * `batch.write.parquet`, not a driver collect. */
+  private def completeToParquet(s: SparkSession, agg: DataFrame): DataFrame = {
+    val (data, ckpt) = sinkDirs()
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(data)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    s.read.schema(agg.schema).parquet(data)
   }
 
   /** Tumbling 1-hour event-time window, streaming form of
@@ -52,13 +93,8 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
               col("event_type"), col("n"))
-    val name = "graft_stream_window"
-    withStatePartitions(s, 4) {
-      val q = agg.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    }
-    s.table(name).orderBy("hour", "event_type")
+    withStatePartitions(s, 4) { completeToParquet(s, agg) }
+      .orderBy("hour", "event_type")
   }
 
   /** Watermarked tumbling window in APPEND mode: the streaming engine
@@ -79,13 +115,8 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
               col("event_type"), col("n"))
-    val name = "graft_stream_window_wm"
-    withStatePartitions(s, 4) {
-      val q = agg.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    }
-    s.table(name).orderBy("hour", "event_type")
+    withStatePartitions(s, 4) { appendToParquet(s, agg) }
+      .orderBy("hour", "event_type")
   }
 
   /** Streaming exact deduplication: `dropDuplicates` on (user_id, minute)
@@ -103,13 +134,8 @@ object Streams {
       .withWatermark("m", "1 hour")
       .dropDuplicates("user_id", "m")
       .select(col("user_id"), date_format(col("m"), "yyyy-MM-dd HH:mm").as("minute"))
-    val name = "graft_stream_dedup"
-    withStatePartitions(s, 4) {
-      val q = deduped.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    }
-    s.table(name).orderBy("user_id", "minute")
+    withStatePartitions(s, 4) { appendToParquet(s, deduped) }
+      .orderBy("user_id", "minute")
   }
 
   /** Stream-static join: the event stream enriched per micro-batch against
@@ -130,13 +156,8 @@ object Streams {
         when(coalesce(col("n_orders"), lit(0L)) >= 12, "heavy")
           .otherwise("light").as("tier"))
       .groupBy("event_type", "tier").agg(count(lit(1)).as("n"))
-    val name = "graft_stream_static_join"
-    withStatePartitions(s, 4) {
-      val q = joined.writeStream.outputMode("complete").format("memory")
-        .queryName(name).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    }
-    s.table(name).orderBy("event_type", "tier")
+    withStatePartitions(s, 4) { completeToParquet(s, joined) }
+      .orderBy("event_type", "tier")
   }
 
   /** Stream-stream inner join with a time-interval condition: views joined
@@ -161,13 +182,8 @@ object Streams {
         col("purchase_ts") >= col("view_ts") &&
         col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
       .select(col("user_id"), col("view_id"), col("purchase_id"))
-    val name = "graft_stream_stream_join"
-    withStatePartitions(s, 4) {
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    }
-    s.table(name).orderBy("user_id", "view_id", "purchase_id")
+    withStatePartitions(s, 4) { appendToParquet(s, joined) }
+      .orderBy("user_id", "view_id", "purchase_id")
   }
 
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
@@ -204,12 +220,7 @@ object Streams {
 
     val out = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-    val name = "graft_stream_sessions"
-    withStatePartitions(s, 4) {
-      val q = out.writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
-      try { q.processAllAvailable() } finally { q.stop() }
-    }
-    s.table(name).orderBy("user_id")
+    withStatePartitions(s, 4) { appendToParquet(s, out) }
+      .orderBy("user_id")
   }
 }
