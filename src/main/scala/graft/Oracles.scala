@@ -417,6 +417,24 @@ object Oracles {
          |  list_has_any(t, ['the', 'a', 'of', 'and']) AS has_stop
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    "q_map_functions" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'), w -> w <> '')) AS w
+         |  FROM documents),
+         |wc AS (SELECT doc_id, w, count(*) AS n FROM tok GROUP BY doc_id, w),
+         |m AS (SELECT doc_id, map_from_entries(list(struct_pack(k := w, v := n))) AS mp
+         |  FROM wc GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |  CAST(cardinality(mp) AS BIGINT) AS n_distinct,
+         |  CAST(list_sum(map_values(mp)) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(element_at(mp, 'the')[1], 0) AS BIGINT) AS n_the,
+         |  list_filter(map_entries(mp), e -> e."value" >= 5) AS freq FROM m)
+         |SELECT doc_id, n_distinct, n_tokens, n_the,
+         |  coalesce(u.e."key", '') AS word,
+         |  CAST(coalesce(u.e."value", 0) AS BIGINT) AS n_word
+         |FROM sc, unnest(CASE WHEN len(freq) = 0 THEN [NULL] ELSE freq END) AS u(e)
+         |ORDER BY doc_id, word""".stripMargin,
+
     "q_window_suite" ->
       s"""SELECT o_orderkey, o_custkey,
          |  CAST(dense_rank() OVER (PARTITION BY o_custkey

@@ -96,6 +96,8 @@ object SparkEntry {
     "q_pivot"             -> q(Relational.pivotSegmentYear),
     "q_unpivot"           -> q(Relational.unpivotLineitem),
     "q_array_functions"   -> q(Relational.arrayFunctions),
+    "q_map_functions"     -> q(Relational.mapFunctions),
+    "q_approx_percentile" -> q(Relational.approxPercentiles),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),

@@ -40,8 +40,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // cover exactly the queries whose parquet exists in outDir — on a
+    // subset run into a previously-full outDir this keeps the other
+    // queries' oracle entries (their dumps are still there), so a later
+    // compare checks them instead of silently skipping
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => selected(k) }
+      .filter { case (k, _) => new java.io.File(s"$outDir/$k").exists() }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -169,13 +169,13 @@ object Pipeline {
   /** Connected components over the near-dup pair graph: every doc in a
     * pair gets the minimum doc_id of its component as `cluster_id` — the
     * canonicalization step that turns pairwise near-dup hits into "keep
-    * one per group" decisions. Four rounds of min-label propagation over
-    * the (tiny) candidate graph — components are near-dup groups of ≤ 4
-    * docs (diameter ≤ 3) at every fixture SF, so four rounds carry a
-    * margin; the spec cross-checks against an exact union-find and the
-    * oracle computes the true transitive closure. At 100 TB the same
-    * propagation runs as a convergence loop (actions per superstep,
-    * GraphX-Pregel style) — the per-round plan is identical. */
+    * one per group" decisions. Min-label propagation run TO CONVERGENCE
+    * (GraphX-Pregel style: one superstep + one changed-label count per
+    * round, each over the tiny materialized pair graph), so a component of
+    * any diameter labels correctly — no fixed round count to outgrow on a
+    * corpus with longer near-dup chains. The spec cross-checks against an
+    * exact union-find and a synthetic diameter-6 chain; the oracle
+    * computes the true transitive closure. */
   // the cluster table is the corpus's dedup decision table — computed once
   // per (session, dir) and reused by dedupApply / curationPipeline, the way
   // a production pipeline materializes it once per corpus snapshot. The
@@ -188,24 +188,47 @@ object Pipeline {
       computeClusters(s, dir).localCheckpoint(true))
       .orderBy("doc_id")
 
-  private def computeClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupNgram(s, dir).select(col("doc_a"), col("doc_b"))
-    // materialize the candidate graph ONCE before iterating — without
-    // this every propagation round would replay the whole ngram pipeline
-    // through its lineage (measured 10× slower). Per-superstep
-    // materialization is the standard iterative-graph pattern (GraphX
-    // does the same); the checkpointed edge list is the tiny pair graph,
-    // not the corpus.
-    val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+  private def computeClusters(s: SparkSession, dir: String): DataFrame =
+    minLabelComponents(dedupNgram(s, dir).select(col("doc_a"), col("doc_b")))
+
+  /** Min-label propagation to convergence over an undirected pair graph
+    * (two Long columns: endpoints of each edge). Returns one row per
+    * vertex: (doc_id, cluster_id = min vertex id of its component).
+    *
+    * Each round is one superstep (push labels across edges, keep the min
+    * per vertex) plus one changed-label count — a single action over the
+    * label table, which has one row per vertex appearing in any pair, NOT
+    * per corpus row. The loop stops the first round no label changes;
+    * min-label propagation needs at most `diameter` improving rounds, and
+    * `maxRounds` (default 64 ≈ 2^64-vertex doubling headroom) only guards
+    * against a pathological non-terminating plan, not correctness.
+    *
+    * Both the edge list and each round's labels are localCheckpoint'ed:
+    * without it every round replays the full upstream candidate pipeline
+    * through its lineage (measured 10× slower) and the plan tree doubles
+    * per round. This is the standard iterative-graph pattern (GraphX
+    * materializes per superstep the same way). */
+  def minLabelComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val Array(a, b) = pairs.columns
+    val edges = pairs.union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("v")).distinct()
       .withColumn("lbl", col("v"))
-    for (_ <- 1 to 4) {
+      .localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      round += 1
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
-      labels = labels.select(col("v"), col("lbl")).union(viaEdges)
+      val next = labels.select(col("v"), col("lbl")).union(viaEdges)
         .groupBy("v").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") < col("o.lbl")).count()
+      labels = next
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }

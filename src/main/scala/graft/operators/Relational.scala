@@ -289,6 +289,16 @@ object Relational {
            round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
       .orderBy("l_returnflag")
 
+  /** Exact percentiles at arbitrary quantile points — audit helper for the
+    * sketch band check in RelationalSpec (columns p1..pN in input order). */
+  private[graft] def percentiles0(s: SparkSession, dir: String, qs: Seq[Double]): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr(s"percentile(l_quantity, ${qs.head})").as("p1"),
+           qs.tail.zipWithIndex.map { case (q, i) =>
+             expr(s"percentile(l_quantity, $q)").as(s"p${i + 2}") }: _*)
+      .orderBy("l_returnflag")
+
   /** HyperLogLog++ approximate distinct (the sketch path for 100 TB
     * cardinalities — mergeable, fixed memory). Sketch estimates differ
     * across engines by design → no SQL oracle; accuracy asserted in tests
@@ -502,6 +512,48 @@ object Relational {
           array(Seq("the", "a", "of", "and").map(lit): _*)).as("has_stop"))
       .orderBy("doc_id")
   }
+
+  /** Map-typed column functions (the last §2c array/map/json sub-family):
+    * per-doc word-count maps built with `map_from_entries`, read back
+    * through `map_keys`/`map_values`/`element_at`/`map_filter`, and
+    * exploded back to (word, n) rows. The map mirrors the reference's
+    * per-key grouping structure (`map[string][]string`,
+    * `/root/reference/src/mr/worker.go:96`). Only deterministic scalars
+    * and re-sorted exploded entries are surfaced — map iteration order
+    * itself is engine-specific, so the raw map never leaves the plan. */
+  def mapFunctions(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(filter(tokensArr(col("text")), w => w =!= lit(""))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+    val maps = wc.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("w"), col("n")))).as("m"))
+    maps.select(
+        col("doc_id"),
+        size(map_keys(col("m"))).cast("long").as("n_distinct"),
+        aggregate(map_values(col("m")), lit(0L), (a, x) => a + x).as("n_tokens"),
+        coalesce(element_at(col("m"), "the"), lit(0L)).as("n_the"),
+        explode_outer(map_filter(col("m"), (_, v) => v >= 5)))
+      .select(col("doc_id"), col("n_distinct"), col("n_tokens"), col("n_the"),
+        coalesce(col("key"), lit("")).as("word"),
+        coalesce(col("value"), lit(0L)).as("n_word"))
+      .orderBy("doc_id", "word")
+  }
+
+  /** Mergeable approximate percentiles (Greenwald-Khanna sketch via
+    * `approx_percentile`) beside their exact sort-based twins — at 100 TB
+    * the sketch is the right default (fixed memory, one pass, mergeable
+    * across partitions) and the exact form is the audit path. Sketch
+    * internals differ across engines by design → rows-only driver check
+    * (like the HLL sketch); the error bound vs exact is asserted in
+    * [[graft.RelationalSpec]]. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 1000)").as("ap"))
+      .select(col("l_returnflag"),
+        col("ap")(0).as("ap50"), col("ap")(1).as("ap90"), col("ap")(2).as("ap99"))
+      .orderBy("l_returnflag")
 
   /** Sliding ROWS-frame aggregates per user (last 4 events): count, min,
     * max, and a moving sum of integer cents. All four are exact and

@@ -31,20 +31,44 @@ object Streams {
   /** Run a one-shot streaming query with a bounded number of state-store
     * partitions: per-partition store setup dominates these fixture-sized
     * micro-batches, and 4 partitions is plenty of parallelism for the
-    * keyed state here. Restores the session conf. */
+    * keyed state here. Also pins `noDataMicroBatches.enabled=true` for the
+    * duration: the append-mode queries rely on the finalizing no-data
+    * batch to advance the watermark past the last input (without it they
+    * would silently emit fewer rows, not fail). Restores the session conf. */
   private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    val keys = Seq("spark.sql.shuffle.partitions" -> n.toString,
+                   "spark.sql.streaming.noDataMicroBatches.enabled" -> "true")
+    val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+    keys.foreach { case (k, v) => s.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  // sink temp roots created this JVM, removed recursively at shutdown —
+  // File.deleteOnExit can't delete non-empty dirs, and the returned
+  // DataFrame reads the sink parquet lazily, so removal can't happen any
+  // earlier than JVM exit.
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempRoots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
   }
 
   /** Fresh (data, checkpoint) dirs for a one-shot file sink. */
   private def sinkDirs(): (String, String) = {
-    val root = java.nio.file.Files.createTempDirectory("graft-stream-").toFile
-    root.deleteOnExit()
-    (new java.io.File(root, "data").getAbsolutePath,
-     new java.io.File(root, "ckpt").getAbsolutePath)
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-")
+    tempRoots.add(root)
+    (new java.io.File(root.toFile, "data").getAbsolutePath,
+     new java.io.File(root.toFile, "ckpt").getAbsolutePath)
   }
 
   /** Append-mode one-shot run into a parquet FILE sink (executors write

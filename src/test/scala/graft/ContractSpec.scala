@@ -12,12 +12,13 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans === Set.empty[String])
   }
 
-  test("exactly the sketch operator lacks an oracle") {
+  test("exactly the sketch operators lack an oracle") {
     // the ANN variants are deterministic (fixed planes/centroids, ties
-    // broken by id) and hash-checked since round 2; only the HLL sketch
-    // is genuinely engine-internal
+    // broken by id) and hash-checked since round 2; only the HLL and
+    // quantile sketches are genuinely engine-internal (their accuracy is
+    // asserted against exact twins in RelationalSpec)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly === Set("q_approx_distinct"))
+    assert(rowsOnly === Set("q_approx_distinct", "q_approx_percentile"))
   }
 
   test("query names follow the q_ convention") {

@@ -8,6 +8,12 @@ import graft.mr.{MapReduceJob, RefApps}
   * the distributed result must equal the sequential reference executor
   * (port of `/root/reference/src/main/mrsequential.go:38-84`) after output
   * sort, for randomized inputs (fixed seed) and any partition count. */
+/** Executor-side crash evidence for the failure-injection tests: local
+  * mode shares the JVM, so a static counter sees the throw happen. */
+object CrashProbe {
+  val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
 class MapReduceJobSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -63,6 +69,45 @@ class MapReduceJobSpec extends AnyFunSuite {
     val agg = MapReduceJob.reduceAggregator("k", RefApps.sortedConcatReduce)
     val got = Seq("b", "a", "c").toDS().select(agg.toColumn).head()
     assert(got === "a b c")
+  }
+
+  test("map-task crash on first attempt: retried, result identical (exactly-once output)") {
+    // the reference proves crash recovery by killing workers mid-job and
+    // diffing against the clean output (test-mr.sh:270-317, crash.go,
+    // jobcount.go's no-duplicate probe); the Spark-native equivalent is a
+    // task that throws on its first attempt — the scheduler retries it
+    // (SURVEY §3b: §2a rows 9-10 are platform-delegated) and the shuffle
+    // dedups per stage attempt, so the output must match the clean run
+    val files = genFiles(8)
+    CrashProbe.fired.set(0)
+    val crashingMap: MapReduceJob.MapF = (n, c) => {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc.attemptNumber() == 0 && CrashProbe.fired.compareAndSet(0, 1))
+        throw new RuntimeException("injected map crash (first attempt)")
+      RefApps.wcMap(n, c)
+    }
+    val got = MapReduceJob.run(spark, files.toDS().repartition(4),
+      crashingMap, RefApps.wcReduce).collect().toMap
+    assert(CrashProbe.fired.get() >= 1, "injection never fired — test vacuous")
+    assert(got === sequential(files, RefApps.wcMap, RefApps.wcReduce))
+  }
+
+  test("reduce-task crash on first attempt: retried, result identical") {
+    // same probe on the reduce side (crash.go crashes reducers too):
+    // reducef throws once inside mapGroups, the stage-2 task retries, and
+    // every key's full value list is re-delivered intact
+    val files = genFiles(8)
+    CrashProbe.fired.set(0)
+    val crashingReduce: MapReduceJob.ReduceF = (k, vs) => {
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc.attemptNumber() == 0 && CrashProbe.fired.compareAndSet(0, 1))
+        throw new RuntimeException("injected reduce crash (first attempt)")
+      RefApps.wcReduce(k, vs)
+    }
+    val got = MapReduceJob.run(spark, files.toDS().repartition(4),
+      RefApps.wcMap, crashingReduce).collect().toMap
+    assert(CrashProbe.fired.get() >= 1, "injection never fired — test vacuous")
+    assert(got === sequential(files, RefApps.wcMap, RefApps.wcReduce))
   }
 
   test("reducef receives the complete value list (not a fold)") {

@@ -98,6 +98,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("minLabelComponents converges on a diameter-6 chain plus a far pair") {
+    import spark.implicits._
+    // chain 107-106-...-101 (diameter 6, min label at the FAR end from the
+    // high ids, so a fixed small round count would mislabel) + disjoint pair
+    val chain = (101L to 106L).map(v => (v, v + 1))
+    val pairs = (chain :+ (900L, 901L)).toDF("doc_a", "doc_b")
+    val got = Pipeline.minLabelComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = (101L to 107L).map(_ -> 101L).toMap ++
+      Map(900L -> 900L, 901L -> 900L)
+    assert(got === want)
+  }
+
   test("hash_sample is deterministic and a strict subset") {
     val a = Pipeline.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq
     val b = Pipeline.hashSample(spark, sf).collect().map(_.getLong(0)).toSeq

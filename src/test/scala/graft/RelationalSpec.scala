@@ -121,6 +121,46 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile lands inside a ±1-percentile band of exact") {
+    val exact = Relational.percentiles(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // the sketch guarantees rank error <= 1/accuracy = 0.1%; assert the
+    // much looser band [p(q-1%), p(q+1%)] computed from the exact twin
+    val bands = Relational.percentiles0(spark, sf, Seq(0.49, 0.51, 0.89, 0.91))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val approx = Relational.approxPercentiles(spark, sf).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val (lo50, hi50, lo90, hi90) = bands(r.getString(0))
+      assert(r.getDouble(1) >= lo50 && r.getDouble(1) <= hi50,
+        s"ap50 ${r.getDouble(1)} outside [$lo50,$hi50] for ${r.getString(0)}")
+      assert(r.getDouble(2) >= lo90 && r.getDouble(2) <= hi90,
+        s"ap90 ${r.getDouble(2)} outside [$lo90,$hi90] for ${r.getString(0)}")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  test("map_functions scalars agree with the flat word-count aggregation") {
+    val got = Relational.mapFunctions(spark, sf).collect()
+    // n_tokens must equal the doc's total letter-token count, n_the the
+    // count of 'the', and every exploded word must carry n_word >= 5
+    val flat = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(graft.functions.Fns.tokensArr(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("total"),
+           sum(when(col("w") === "the", 1L).otherwise(0L)).as("the"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.foreach { r =>
+      val (total, the) = flat(r.getLong(0))
+      assert(r.getLong(2) === total)
+      assert(r.getLong(3) === the)
+      if (r.getString(4).nonEmpty) assert(r.getLong(5) >= 5L)
+    }
+  }
+
   test("grouped_agg plan pushes the shipdate filter into the parquet scan") {
     val plan = Relational.groupedAgg(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),

@@ -39,6 +39,29 @@ class SkewSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("salting cuts max task input on a 50%-hot-key frame") {
+    import spark.implicits._
+    // hot-key fixture: key 1 carries 50% of all rows, 100 cold keys the rest
+    val rows = (1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 10000).map(i => (2L + i % 100, i.toLong))
+    val df = rows.toDF("k", "payload")
+    def maxPartRows(parted: org.apache.spark.sql.DataFrame): Long =
+      parted.rdd.mapPartitions(it => Iterator.single(it.size.toLong))
+        .collect().max
+    // shuffle on the bare key: the hot key's 10k rows land in ONE task
+    val unsalted = maxPartRows(df.repartition(8, col("k")))
+    assert(unsalted >= 10000L)
+    // shuffle on (key, salt): the same rows spread over the 8 salt lanes,
+    // so the biggest task shrinks to ~total/8
+    val salted = maxPartRows(df
+      .withColumn("__salt", pmod(hash(col("payload")), lit(8)))
+      .repartition(8, col("k"), col("__salt")))
+    // (k, salt) hash collisions can stack a couple of lanes in one
+    // partition, so assert the halving rather than a perfect total/8 split
+    assert(salted * 2 <= unsalted,
+      s"salted max task input $salted, unsalted $unsalted")
+  }
+
   test("saltedJoin spreads a hot key over multiple partitions") {
     import spark.implicits._
     // one celebrity key: 10k fact rows on key 1, dim has 2 keys

@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 object SparkTestSession {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[threads, maxFailures=2]: lets the failure-injection spec
+      // (MapReduceJobSpec) exercise Spark's task retry — the §2a rows 9-10
+      // fault-tolerance path — instead of failing the job on first throw
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
