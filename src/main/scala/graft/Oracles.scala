@@ -417,6 +417,12 @@ object Oracles {
          |  list_has_any(t, ['the', 'a', 'of', 'and']) AS has_stop
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    "q_approx_topk" ->
+      s"""SELECT w AS word, count(*) AS cnt
+         |FROM (SELECT unnest(list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |  w -> w <> '')) AS w FROM documents)
+         |GROUP BY w ORDER BY cnt DESC, word""".stripMargin,
+
     "q_map_functions" ->
       s"""WITH tok AS (SELECT doc_id,
          |    unnest(list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'), w -> w <> '')) AS w

@@ -98,6 +98,7 @@ object SparkEntry {
     "q_array_functions"   -> q(Relational.arrayFunctions),
     "q_map_functions"     -> q(Relational.mapFunctions),
     "q_approx_percentile" -> q(Relational.approxPercentiles),
+    "q_approx_topk"       -> q(Relational.approxTopK),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),

@@ -555,6 +555,23 @@ object Relational {
         col("ap")(0).as("ap50"), col("ap")(1).as("ap90"), col("ap")(2).as("ap99"))
       .orderBy("l_returnflag")
 
+  /** Heavy hitters via the `approx_top_k` mergeable sketch — the frequent-
+    * items companion to the HLL and quantile sketches: one pass, fixed
+    * memory, partial sketches merged map-side, the right default for
+    * "top-N values of a column" at 100 TB. The sketch reports EXACT counts
+    * whenever the column's distinct count fits its capacity (the guarantee
+    * the underlying frequent-items algorithm gives); the fixture
+    * vocabulary is far below the 10k capacity and k exceeds the distinct
+    * count, so the full, exactly-counted item set comes back and the
+    * DuckDB oracle checks it hash-exact — no boundary-tie hazard. */
+  def approxTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(filter(tokensArr(col("text")), w => w =!= lit(""))).as("w"))
+      .agg(expr("approx_top_k(w, 50, 10000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("word"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+
   /** Sliding ROWS-frame aggregates per user (last 4 events): count, min,
     * max, and a moving sum of integer cents. All four are exact and
     * frame-order-independent — a float moving sum would depend on each

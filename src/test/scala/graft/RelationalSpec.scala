@@ -141,6 +141,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("hll sketches are mergeable: union of per-group sketches ≡ global sketch") {
+    // the property that makes sketches the 100 TB answer: partial
+    // per-partition/per-group sketches combine losslessly (same
+    // precision), so a pre-aggregated rollup answers the global question
+    val df = Tables.lineitem(spark, sf)
+    val merged = df.groupBy("l_returnflag")
+      .agg(expr("hll_sketch_agg(l_partkey)").as("sk"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .head().getLong(0)
+    val global = df
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").as("est"))
+      .head().getLong(0)
+    assert(merged === global)
+  }
+
   test("map_functions scalars agree with the flat word-count aggregation") {
     val got = Relational.mapFunctions(spark, sf).collect()
     // n_tokens must equal the doc's total letter-token count, n_the the
