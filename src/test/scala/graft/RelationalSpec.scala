@@ -182,6 +182,29 @@ class RelationalSpec extends AnyFunSuite {
       s"missing pushdown in plan:\n$plan")
   }
 
+  test("runtime bloom filter prunes the big side of a selective shuffle join") {
+    // at 100 TB a selectively-filtered dimension side injects a bloom
+    // filter into the fact-side scan (default-on in Spark 4, gated by a
+    // 10 GB application-side threshold that the full-scale data would
+    // meet); lower the gate here to assert the mechanism fires
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = Tables.lineitem(spark, sf)
+      val sel = Tables.orders(spark, sf).filter(col("o_totalprice") > 500000)
+      val plan = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy().count().queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter_agg"), s"no runtime bloom filter in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
+
   test("join_agg broadcasts the customer dimension") {
     val plan = Relational.joinAgg(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
