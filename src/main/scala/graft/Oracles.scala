@@ -346,6 +346,14 @@ object Oracles {
          |  count(DISTINCT CAST(json_extract(props,'$$.k') AS BIGINT)) AS distinct_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // the variant chain is encode→parse→typed-extract; its fixed point is
+    // the source columns, so the oracle states the identity directly
+    "q_variant_extract" ->
+      s"""SELECT o_orderkey, o_custkey AS cust, o_totalprice AS total,
+         |  CAST(o_orderdate AS VARCHAR) AS dt,
+         |  o_orderkey % 11 AS tag1, CAST(-1 AS BIGINT) AS missing
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
     "q_sessionize" ->
       s"""WITH e AS (SELECT user_id, ts, event_id,
          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -78,6 +78,7 @@ object SparkEntry {
     "q_approx_distinct"   -> q(Relational.approxDistinct),
     "q_corr_exact"        -> q(Relational.corrExact),
     "q_json_extract"      -> q(Relational.jsonExtract),
+    "q_variant_extract"   -> q(Relational.variantExtract),
     "q_sessionize"        -> q(Relational.sessionize),
     "q_skew_join"         -> q(operators.Skew.skewJoinDemo),
     "q_partitioned_scan"  -> q(operators.Partitioned.partitionedScan),

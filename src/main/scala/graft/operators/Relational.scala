@@ -270,6 +270,32 @@ object Relational {
            countDistinct(col("k")).as("distinct_k"))
       .orderBy("event_type")
 
+  /** Spark 4 VARIANT path for semi-structured data: JSON-encode a nested
+    * payload per order, `parse_json` it into a VARIANT, then extract typed
+    * scalars back out with `variant_get` (nested paths, array index) and
+    * `try_variant_get` (absent path → null, no error). The oracle checks
+    * the whole encode→parse→extract chain as an identity against the
+    * source columns — the schema-on-read contract VARIANT gives an
+    * ingestion pipeline whose payloads vary by producer. At 100 TB the
+    * variant column is a narrow binary column; extraction is codegen'd
+    * per row, no shuffle. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        to_json(struct(
+          col("o_custkey").as("cust"),
+          struct(col("o_totalprice").as("total"),
+                 col("o_orderdate").cast("string").as("dt")).as("meta"),
+          array(col("o_orderkey") % 7, col("o_orderkey") % 11).as("tags"))).as("js"))
+      .select(col("o_orderkey"), expr("parse_json(js)").as("v"))
+      .select(col("o_orderkey"),
+        expr("variant_get(v, '$.cust', 'bigint')").as("cust"),
+        expr("variant_get(v, '$.meta.total', 'double')").as("total"),
+        expr("variant_get(v, '$.meta.dt', 'string')").as("dt"),
+        expr("variant_get(v, '$.tags[1]', 'bigint')").as("tag1"),
+        coalesce(expr("try_variant_get(v, '$.missing', 'bigint')"), lit(-1L)).as("missing"))
+      .orderBy("o_orderkey")
+
   /** Histogram: fixed-width binning of order totals — floor arithmetic on
     * identical doubles, engine-exact. */
   def histogram(s: SparkSession, dir: String): DataFrame =
