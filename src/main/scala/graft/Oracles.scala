@@ -346,6 +346,14 @@ object Oracles {
          |  count(DISTINCT CAST(json_extract(props,'$$.k') AS BIGINT)) AS distinct_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_lateral_topk" ->
+      s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+         |FROM customer c,
+         |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         |         WHERE o_custkey = c.c_custkey
+         |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin,
+
     // the variant chain is encode→parse→typed-extract; its fixed point is
     // the source columns, so the oracle states the identity directly
     "q_variant_extract" ->

@@ -253,6 +253,24 @@ object Relational {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery join — the per-row "top-k related rows"
+    * SQL surface (distinct from the window-function formulation: the inner
+    * query is a full SELECT correlated on the outer row). Catalyst
+    * decorrelates it into a ranked join, so no per-row re-execution
+    * happens at scale; DuckDB runs the identical SQL. Ties broken by
+    * order key on both sides. */
+  def lateralTopk(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer_v c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders_v
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
+  }
+
   /** Custom codegen expressions called from SQL text: `poly_hash` is the
     * registered [[graft.functions.PolyHashExpr]] (Engine.tune), matching
     * the q_fingerprint oracle exactly. */
