@@ -176,6 +176,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("observe() collects pipeline quality metrics on the main pass") {
+    // production shape: data-quality counters (row count, null count,
+    // bounds) piggyback on the query's single pass via the Observation
+    // API — no second scan of a 100 TB input to audit what just ran
+    val obs = new org.apache.spark.sql.Observation("quality")
+    val df = Tables.lineitem(spark, sf)
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        max(col("l_quantity")).as("max_qty"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val groups = df.collect().map(_.getLong(1)).sum
+    val m = obs.get
+    assert(m("rows") === groups)
+    assert(m("null_qty") === 0L)
+    assert(m("max_qty").asInstanceOf[Double] > 0.0)
+  }
+
   test("grouped_agg plan pushes the shipdate filter into the parquet scan") {
     val plan = Relational.groupedAgg(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
