@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The `spark.sql.extensions=graft.GraftExtensions` deployment path: a
+  * session built with the extension resolves the engine's SQL functions
+  * with no imperative registration call. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("GraftExtensions registers SQL functions at session build") {
+    val base = SparkTestSession.spark // ensures the shared context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // the conf route (spark.sql.extensions=graft.GraftExtensions) is a
+      // static conf applied at SparkContext start; on the shared test
+      // context the programmatic builder route loads the same class
+      val s2 = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne base) // a genuinely new session, not the cached one
+      val row = s2.sql(
+        """SELECT poly_hash('abc') AS h,
+          |       fold_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       fnv1a32('abc') AS f""".stripMargin).head()
+      // poly_hash = left fold (h*31 + char) mod 1e9+7 starting at 0
+      val want = "abc".foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+      assert(row.getLong(0) === want)
+      assert(row.getDouble(1) === 1.0 * 3.0 + 2.0 * 4.0)
+      assert(!row.isNullAt(2))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}
