@@ -15,7 +15,10 @@ object PlanAudit {
       // round-2 join/blocking plans: all must be equi-joins (no
       // BroadcastNestedLoop/CartesianProduct anywhere)
       "q_asof_join", "q_range_join", "q_embedding_neardup", "q_fuzzy_join",
-      "q_skew_join", "q_bucketed_join", "q_dedup_ngram")
+      "q_skew_join", "q_bucketed_join", "q_dedup_ngram",
+      // round-4 joins/decorrelations
+      "q_lateral_topk", "q_map_functions", "q_variant_extract",
+      "q_approx_topk")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
