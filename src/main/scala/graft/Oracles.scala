@@ -964,6 +964,10 @@ object Oracles {
          |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
          |      THEN 1 ELSE 0 END AS new_sess FROM e)
          |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
-         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_topk" ->
+      s"""SELECT user_id, count(*) AS n FROM events
+         |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin
   )
 }

@@ -137,7 +137,8 @@ object SparkEntry {
     "q_stream_sessions"   -> q(Streams.streamSessions),
     "q_stream_dedup"      -> q(Streams.streamDedup),
     "q_stream_static_join" -> q(Streams.streamStaticJoin),
-    "q_stream_stream_join" -> q(Streams.streamStreamJoin)
+    "q_stream_stream_join" -> q(Streams.streamStreamJoin),
+    "q_stream_topk"       -> q(Streams.streamTopk)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -92,11 +92,12 @@ object Streams {
     * which overwrites the (small) aggregate snapshot per trigger — the
     * standard complete→file pattern. The write is a distributed
     * `batch.write.parquet`, not a driver collect. */
-  private def completeToParquet(s: SparkSession, agg: DataFrame): DataFrame = {
+  private def completeToParquet(s: SparkSession, agg: DataFrame,
+                                post: DataFrame => DataFrame = identity): DataFrame = {
     val (data, ckpt) = sinkDirs()
     val q = agg.writeStream.outputMode("complete")
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
-        batch.write.mode("overwrite").parquet(data)
+        post(batch.toDF()).write.mode("overwrite").parquet(data)
       }
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
@@ -209,6 +210,25 @@ object Streams {
       .select(col("user_id"), col("view_id"), col("purchase_id"))
     withStatePartitions(s, 2) { appendToParquet(s, joined) }
       .orderBy("user_id", "view_id", "purchase_id")
+  }
+
+  /** Streaming leaderboard: complete-mode running counts per user, with
+    * each trigger's snapshot reduced to the top 10 (ties broken by
+    * user_id) inside `foreachBatch` before it reaches the sink — the
+    * "trending items" pattern, where the sink holds a bounded leaderboard
+    * no matter how large the keyspace grows. The ranking cut is a
+    * TakeOrderedAndProject over the aggregate snapshot, not a total
+    * sort. */
+  def streamTopk(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, dir).schema
+    val stream = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val counts = stream.groupBy("user_id").agg(count(lit(1)).as("n"))
+    withStatePartitions(s, 2) {
+      completeToParquet(s, counts,
+        b => b.orderBy(col("n").desc, col("user_id")).limit(10))
+    }.orderBy(col("n").desc, col("user_id"))
   }
 
   /** Stateful sessionization via flatMapGroupsWithState: a session closes
