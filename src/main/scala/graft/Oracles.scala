@@ -346,6 +346,15 @@ object Oracles {
          |  count(DISTINCT CAST(json_extract(props,'$$.k') AS BIGINT)) AS distinct_k
          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q_upsert" ->
+      s"""WITH snap AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders)
+         |SELECT * FROM snap WHERE o_orderkey % 7 <> 0
+         |UNION ALL
+         |SELECT o_orderkey, o_custkey, o_totalprice * 1.1 FROM snap WHERE o_orderkey % 7 = 0
+         |UNION ALL
+         |SELECT o_orderkey + 10000000, o_custkey, o_totalprice FROM snap WHERE o_orderkey % 13 = 0
+         |ORDER BY o_orderkey""".stripMargin,
+
     "q_lateral_topk" ->
       s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          |FROM customer c,

@@ -70,6 +70,7 @@ object SparkEntry {
     "q_intersect_all"     -> q(Relational.intersectAllOrders),
     "q_sql_correlated"    -> q(Relational.sqlCorrelated),
     "q_lateral_topk"      -> q(Relational.lateralTopk),
+    "q_upsert"            -> q(Relational.upsert),
     "q_tumbling_window"   -> q(Relational.tumblingWindow),
     "q_sliding_window"    -> q(Relational.slidingWindow),
     "q_sql_interface"     -> q(Relational.sqlInterface),

@@ -253,6 +253,26 @@ object Relational {
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
 
+  /** MERGE/upsert semantics on plain parquet: a deterministic change set
+    * (updates for keys ≡ 0 mod 7, price uplifted; inserts re-keyed past
+    * the snapshot range for keys ≡ 0 mod 13) merged into the snapshot as
+    * WHEN MATCHED UPDATE / NOT MATCHED INSERT — expressed as a left-anti
+    * join (drop replaced rows) plus union, the scale shape: one equi-join
+    * shuffle on the key (or a broadcast when the change set is small, as
+    * change sets usually are), no full-table rewrite logic in the plan.
+    * The double arithmetic (× 1.1) is IEEE-identical on both engines. */
+  def upsert(s: SparkSession, dir: String): DataFrame = {
+    val snap = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val updates = snap.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    val inserts = snap.filter(col("o_orderkey") % 13 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    snap.join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+      .union(updates).union(inserts)
+      .orderBy("o_orderkey")
+  }
+
   /** Correlated LATERAL subquery join — the per-row "top-k related rows"
     * SQL surface (distinct from the window-function formulation: the inner
     * query is a full SELECT correlated on the outer row). Catalyst
