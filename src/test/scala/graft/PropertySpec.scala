@@ -56,6 +56,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("minLabelComponents equals union-find on random graphs") {
+    (1 to 4).foreach { trial =>
+      // sparse random graphs over ~25 vertices; floorRounds forced to 1 so
+      // the convergence phase (not the unchecked fast path) does the work
+      val edges = (0 until 20).map(_ =>
+        (rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1))
+        .filter(e => e._1 != e._2)
+      val got = graft.operators.Pipeline
+        .minLabelComponents(edges.toDF("a", "b"), floorRounds = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v)).toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("asofJoin equals the per-row greatest-preceding lookup on random series") {
     (1 to 5).foreach { trial =>
       val ls = (0 until 30).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong))
