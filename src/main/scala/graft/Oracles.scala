@@ -442,6 +442,15 @@ object Oracles {
          |  list_has_any(t, ['the', 'a', 'of', 'and']) AS has_stop
          |FROM d ORDER BY doc_id""".stripMargin,
 
+    // leftmost-match property: the first occurrence of the extracted match
+    // string IS the regex match position (an earlier occurrence would
+    // itself be a leftmost match), so strpos stands in for regexp_instr
+    "q_grep" ->
+      s"""SELECT doc_id, regexp_extract(text, 's[a-z]*a[a-z]+') AS first_match,
+         |  CAST(strpos(text, regexp_extract(text, 's[a-z]*a[a-z]+')) - 1 AS BIGINT) AS pos0
+         |FROM documents WHERE regexp_matches(text, 's[a-z]*a[a-z]+')
+         |ORDER BY doc_id""".stripMargin,
+
     "q_approx_topk" ->
       s"""SELECT w AS word, count(*) AS cnt
          |FROM (SELECT unnest(list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),

@@ -42,6 +42,7 @@ object SparkEntry {
     "q_unicode_wordcount" -> q(MrSuite.unicodeWordCount),
     "q_partition_diag"    -> q(MrSuite.partitionDiag),
     "q_sort_docs"         -> q(MrSuite.sortDocs),
+    "q_grep"              -> q(MrSuite.grepDocs),
     "q_union_names"       -> q(MrSuite.unionNames),
     // MapReduce plugin API
     "q_mr_wordcount"      -> q(MrApi.mrWordCount),

@@ -103,6 +103,23 @@ object MrSuite {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("lang"), col("n_chars").desc, col("doc_id"))
 
+  /** Distributed grep — the canonical MapReduce example workload (map
+    * emits matching records, reduce is identity; Dean & Ghemawat §2.3, see
+    * PAPERS.md): documents whose text matches a pattern, with the first
+    * match and its position surfaced. The filter is predicate-pushdown-
+    * friendly and the scan is embarrassingly parallel — grep's map-only
+    * shape is the degenerate case the reference schedules with zero
+    * reduce work. */
+  def grepDocs(s: SparkSession, dir: String): DataFrame = {
+    val pat = "s[a-z]*a[a-z]+" // s…a…-shaped words (scan, small, spark, stream)
+    Tables.documents(s, dir)
+      .filter(col("text").rlike(pat))
+      .select(col("doc_id"),
+        regexp_extract(col("text"), pat, 0).as("first_match"),
+        (expr(s"regexp_instr(text, '$pat')") - 1).cast("long").as("pos0"))
+      .orderBy("doc_id")
+  }
+
   /** Union of heterogeneous sources into one keyspace — the implicit union
     * of all map outputs (`worker.go:98-123`). */
   def unionNames(s: SparkSession, dir: String): DataFrame =

@@ -36,7 +36,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "q_fuzzy_join", "q_moving_agg", "q_argmax", "q_chunking",
     "q_except_all", "q_window_navigation", "q_sessionize",
     "q_map_functions", "q_approx_topk", "q_approx_percentile",
-    "q_variant_extract", "q_lateral_topk", "q_upsert")
+    "q_variant_extract", "q_lateral_topk", "q_upsert", "q_grep")
 
   test("operator families run on zero-row inputs") {
     families.foreach { name =>
