@@ -72,6 +72,18 @@ object Streams {
      new java.io.File(root.toFile, "ckpt").getAbsolutePath)
   }
 
+  /** Read a sink directory back, tolerating the zero-batch case: if the
+    * source had nothing to process (an empty scheduling window — routine
+    * for a production one-shot run), no batch ever fires and the sink dir
+    * is never created; the result is then an empty frame of the query's
+    * schema, not a path error. */
+  private def readSink(s: SparkSession, data: String,
+                       schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (new java.io.File(data).exists())
+      s.read.schema(schema).parquet(data)
+    else
+      s.createDataFrame(java.util.Collections.emptyList[Row](), schema)
+
   /** Append-mode one-shot run into a parquet FILE sink (executors write
     * the result files; the driver never holds the rows — the fix for the
     * O(data)-output dedup stream). `Trigger.AvailableNow` processes every
@@ -84,7 +96,7 @@ object Streams {
       .option("path", data).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    s.read.schema(out.schema).parquet(data)
+    readSink(s, data, out.schema)
   }
 
   /** Complete-mode one-shot run: the parquet file sink is append-only by
@@ -102,7 +114,7 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    s.read.schema(agg.schema).parquet(data)
+    readSink(s, data, agg.schema)
   }
 
   /** Tumbling 1-hour event-time window, streaming form of

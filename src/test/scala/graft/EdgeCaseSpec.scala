@@ -36,7 +36,10 @@ class EdgeCaseSpec extends AnyFunSuite {
     "q_fuzzy_join", "q_moving_agg", "q_argmax", "q_chunking",
     "q_except_all", "q_window_navigation", "q_sessionize",
     "q_map_functions", "q_approx_topk", "q_approx_percentile",
-    "q_variant_extract", "q_lateral_topk", "q_upsert", "q_grep")
+    "q_variant_extract", "q_lateral_topk", "q_upsert", "q_grep",
+    // streaming on an empty scheduling window: zero batches fire and the
+    // sink read-back must yield an empty frame, not a path error
+    "q_stream_window", "q_stream_topk", "q_stream_dedup")
 
   test("operator families run on zero-row inputs") {
     families.foreach { name =>
