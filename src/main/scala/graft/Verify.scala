@@ -40,12 +40,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // cover exactly the queries whose parquet exists in outDir — on a
-    // subset run into a previously-full outDir this keeps the other
-    // queries' oracle entries (their dumps are still there), so a later
-    // compare checks them instead of silently skipping
+    // full runs write EVERY oracle entry (a query that failed to dump then
+    // fails the compare loudly instead of vanishing); subset runs cover
+    // exactly the queries whose parquet exists in outDir — so a subset run
+    // into a previously-full outDir keeps the other queries' entries and a
+    // later compare still checks them instead of silently skipping
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => new java.io.File(s"$outDir/$k").exists() }
+      .filter { case (k, _) =>
+        only.isEmpty || new java.io.File(s"$outDir/$k").exists() }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
