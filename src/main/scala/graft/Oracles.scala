@@ -170,6 +170,14 @@ object Oracles {
          |  CAST(count(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS value
          |FROM pairs GROUP BY word ORDER BY key""".stripMargin,
 
+    "q_mr_grep" ->
+      s"""WITH pairs AS (SELECT DISTINCT word, CAST(doc_id AS VARCHAR) AS doc
+         |  FROM ($Toks) t
+         |  WHERE word <> '' AND regexp_matches(word, 's[a-z]*a[a-z]+'))
+         |SELECT word AS key,
+         |  CAST(count(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS value
+         |FROM pairs GROUP BY word ORDER BY key""".stripMargin,
+
     "q_mr_sorted_concat" ->
       s"""WITH kv AS (
          |  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents

@@ -21,6 +21,20 @@ object MrApi {
     MapReduceJob.runOnDocs(s, Tables.documents(s, dir), RefApps.indexerMap, RefApps.indexerReduce)
       .orderBy("key")
 
+  /** Distributed grep through the plugin API — the map-only classic
+    * (Dean & Ghemawat §2.3) in its keyed form: map emits (matching token,
+    * doc) pairs, reduce is the indexer's "count + sorted doc list", i.e.
+    * `grep -l` aggregated per matched word. Twin of the declarative
+    * [[MrSuite.grepDocs]]. */
+  def mrGrep(s: SparkSession, dir: String): DataFrame = {
+    val pat = "s[a-z]*a[a-z]+".r
+    val mapf: MapReduceJob.MapF = (name, contents) =>
+      contents.split("[^a-zA-Z]+").iterator.filter(_.nonEmpty)
+        .filter(w => pat.findFirstIn(w).isDefined).distinct.map(w => (w, name))
+    MapReduceJob.runOnDocs(s, Tables.documents(s, dir), mapf, RefApps.indexerReduce)
+      .orderBy("key")
+  }
+
   /** crash.go/nocrash.go payload through the API: map emits the four fixed
     * keys a–d per document; reduce = sorted concat (order-insensitive
     * input, deterministic output — SURVEY §1 determinism contract). */
