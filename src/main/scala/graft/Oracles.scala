@@ -363,6 +363,20 @@ object Oracles {
          |SELECT o_orderkey + 10000000, o_custkey, o_totalprice FROM snap WHERE o_orderkey % 13 = 0
          |ORDER BY o_orderkey""".stripMargin,
 
+    // UNION ALL recursion over an acyclic hierarchy: each engine adds
+    // c_acctbal parent-first along the unique root path, so the double
+    // path sum is bit-exact (identical association order, no reordering)
+    "q_recursive_cte" ->
+      s"""WITH RECURSIVE walk(custkey, depth, path_bal) AS (
+         |  SELECT c_custkey, CAST(0 AS BIGINT), c_acctbal
+         |  FROM customer WHERE c_custkey = 0
+         |  UNION ALL
+         |  SELECT c.c_custkey, w.depth + 1, w.path_bal + c.c_acctbal
+         |  FROM customer c JOIN walk w ON c.c_custkey // 2 = w.custkey
+         |  WHERE c.c_custkey > 0
+         |)
+         |SELECT custkey, depth, path_bal FROM walk ORDER BY custkey""".stripMargin,
+
     "q_lateral_topk" ->
       s"""SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
          |FROM customer c,

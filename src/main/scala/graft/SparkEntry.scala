@@ -72,6 +72,7 @@ object SparkEntry {
     "q_intersect_all"     -> q(Relational.intersectAllOrders),
     "q_sql_correlated"    -> q(Relational.sqlCorrelated),
     "q_lateral_topk"      -> q(Relational.lateralTopk),
+    "q_recursive_cte"     -> q(Relational.recursiveHierarchy),
     "q_upsert"            -> q(Relational.upsert),
     "q_tumbling_window"   -> q(Relational.tumblingWindow),
     "q_sliding_window"    -> q(Relational.slidingWindow),

@@ -291,6 +291,33 @@ object Relational {
         |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4 `UnionLoop`): walk a customer hierarchy where
+    * parent(k) = k div 2 (a binary tree rooted at custkey 0), carrying the
+    * ancestor-path balance sum. Each iteration is one distributed join of
+    * the frontier against the child level — a tree walk visits every row
+    * exactly once, so total work is linear in the table and the number of
+    * supersteps is the tree depth (log₂ n), the shape that survives 100×.
+    * Spark 4.1 supports only UNION ALL recursion, which is exactly right
+    * for an acyclic hierarchy (no dedup shuffle needed per level). The
+    * path sum is a parent-first chain of double additions — identical
+    * association order on both engines, hence bit-exact.
+    * Complements the hand-rolled convergent loop in
+    * [[Pipeline.minLabelComponents]] (which handles cyclic graphs, where
+    * UNION ALL recursion would enumerate paths). */
+  def recursiveHierarchy(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    s.sql(
+      """WITH RECURSIVE walk(custkey, depth, path_bal) AS (
+        |  SELECT c_custkey, CAST(0 AS BIGINT), c_acctbal
+        |  FROM customer_v WHERE c_custkey = 0
+        |  UNION ALL
+        |  SELECT c.c_custkey, w.depth + 1, w.path_bal + c.c_acctbal
+        |  FROM customer_v c JOIN walk w ON c.c_custkey div 2 = w.custkey
+        |  WHERE c.c_custkey > 0
+        |)
+        |SELECT custkey, depth, path_bal FROM walk ORDER BY custkey""".stripMargin)
+  }
+
   /** Custom codegen expressions called from SQL text: `poly_hash` is the
     * registered [[graft.functions.PolyHashExpr]] (Engine.tune), matching
     * the q_fingerprint oracle exactly. */

@@ -227,4 +227,24 @@ class RelationalSpec extends AnyFunSuite {
     val plan = Relational.joinAgg(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("recursive_cte walks the whole tree once, depth/path_bal match closed forms") {
+    val df = Relational.recursiveHierarchy(spark, sf)
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "expected native recursive-CTE execution (UnionLoop)")
+    val rows = df.collect()
+    val n = Tables.customer(spark, sf).count()
+    assert(rows.length.toLong === n) // tree walk: every customer exactly once
+    val bal = Tables.customer(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val byKey = rows.map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val expectedDepth = // parent(k) = k div 2 → depth = floor(log2 k) + 1
+        if (k == 0) 0L else 63L - java.lang.Long.numberOfLeadingZeros(k) + 1L
+      assert(r.getLong(1) === expectedDepth, s"depth of $k")
+      val expectedBal = if (k == 0) bal(0L) else byKey(k / 2).getDouble(2) + bal(k)
+      assert(r.getDouble(2) === expectedBal, s"path_bal of $k") // exact chain
+    }
+  }
 }
