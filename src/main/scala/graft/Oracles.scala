@@ -178,6 +178,19 @@ object Oracles {
          |  CAST(count(*) AS VARCHAR) || ' ' || string_agg(doc, ',' ORDER BY doc) AS value
          |FROM pairs GROUP BY word ORDER BY key""".stripMargin,
 
+    "q_mr_cogroup" ->
+      s"""WITH l AS (SELECT CAST(c_custkey AS VARCHAR) AS key, c_name FROM customer),
+         |r AS (SELECT CAST(o_custkey AS VARCHAR) AS key,
+         |        CAST(year(o_orderdate) AS VARCHAR) AS y FROM orders),
+         |n AS (SELECT key, count(*) AS cnt FROM r GROUP BY key),
+         |ys AS (SELECT key, string_agg(y, ',' ORDER BY y) AS years
+         |       FROM (SELECT DISTINCT key, y FROM r) d GROUP BY key)
+         |SELECT COALESCE(l.key, n.key) AS key,
+         |  COALESCE(c_name,'') || '|' || COALESCE(CAST(cnt AS VARCHAR),'0')
+         |    || '|' || COALESCE(years,'') AS value
+         |FROM l FULL JOIN n ON l.key = n.key LEFT JOIN ys ON COALESCE(l.key, n.key) = ys.key
+         |ORDER BY key""".stripMargin,
+
     "q_mr_sorted_concat" ->
       s"""WITH kv AS (
          |  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents

@@ -52,6 +52,25 @@ object MapReduceJob {
     run(spark, input, mapf, reducef).toDF("key", "value")
   }
 
+  type CoReduceF = (String, Seq[String], Seq[String]) => String
+
+  /** Two-source reduce — the classic MapReduce reduce-side join: both
+    * inputs are mapped to (key, value) pairs, the shuffle co-locates each
+    * key's COMPLETE value lists from BOTH sources, and one reducer sees
+    * them together (Dean & Ghemawat §4.4's "join" usage of reduce; the
+    * reference's single-input contract generalized the way real MR jobs
+    * did it, via a source tag in the value). On Spark this is the typed
+    * `KeyValueGroupedDataset.cogroup` — one shuffle per side on the key,
+    * no value-list buffering beyond the group, groups spilled not held. */
+  def corun(spark: SparkSession,
+            left: Dataset[(String, String)], right: Dataset[(String, String)],
+            coreducef: CoReduceF): Dataset[(String, String)] = {
+    import spark.implicits._
+    left.groupByKey(_._1).cogroup(right.groupByKey(_._1)) { (key, l, r) =>
+      Iterator.single((key, coreducef(key, l.map(_._2).toSeq, r.map(_._2).toSeq)))
+    }
+  }
+
   /** Untyped variant of the reduce contract for `DataFrame.agg` /
     * SQL registration via `functions.udaf`: buffers the full value list,
     * then applies `reducef`. For fold-style reducers (wc) prefer the

@@ -35,6 +35,24 @@ object MrApi {
       .orderBy("key")
   }
 
+  /** Reduce-side join through the plugin API: customers and orders are
+    * each mapped to (custkey, value) pairs, and one co-reducer sees both
+    * complete value lists per key ([[MapReduceJob.corun]]). Output value
+    * is "names|n_orders|year1,year2,..." — names sorted (normally one),
+    * order count, distinct order years sorted; either side may be empty
+    * (full-outer semantics, exactly what cogroup yields). */
+  def mrCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val left = Tables.customer(s, dir)
+      .selectExpr("cast(c_custkey as string)", "c_name").as[(String, String)]
+    val right = Tables.orders(s, dir)
+      .selectExpr("cast(o_custkey as string)", "cast(year(o_orderdate) as string)")
+      .as[(String, String)]
+    val coreduce: MapReduceJob.CoReduceF = (_, names, years) =>
+      s"${names.sorted.mkString(",")}|${years.size}|${years.distinct.sorted.mkString(",")}"
+    MapReduceJob.corun(s, left, right, coreduce).toDF("key", "value").orderBy("key")
+  }
+
   /** crash.go/nocrash.go payload through the API: map emits the four fixed
     * keys a–d per document; reduce = sorted concat (order-insensitive
     * input, deterministic output — SURVEY §1 determinism contract). */

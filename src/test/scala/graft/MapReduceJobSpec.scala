@@ -110,6 +110,18 @@ class MapReduceJobSpec extends AnyFunSuite {
     assert(got === sequential(files, RefApps.wcMap, RefApps.wcReduce))
   }
 
+  test("corun co-reducer sees both complete value lists, incl. one-sided keys") {
+    val left = Seq(("k1", "L1"), ("k1", "L2"), ("k2", "Lx"), ("k4", "only-left"))
+    val right = Seq(("k1", "R1"), ("k2", "R2"), ("k2", "R3"), ("k3", "only-right"))
+    val co: MapReduceJob.CoReduceF = (_, l, r) =>
+      s"${l.sorted.mkString(",")}/${r.sorted.mkString(",")}"
+    val got = MapReduceJob.corun(spark,
+      left.toDS().repartition(3), right.toDS().repartition(2), co).collect().toMap
+    assert(got === Map(
+      "k1" -> "L1,L2/R1", "k2" -> "Lx/R2,R3",
+      "k3" -> "/only-right", "k4" -> "only-left/"))
+  }
+
   test("reducef receives the complete value list (not a fold)") {
     val files = Seq(("f1", "a b a"), ("f2", "a c"))
     val reducef: MapReduceJob.ReduceF = (_, values) => values.sorted.mkString("|")
