@@ -767,6 +767,27 @@ object Oracles {
          |SELECT doc_id, n_tokens, n_stop, n_punct, score, score >= 0.75 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
 
+    "q_gopher_quality" ->
+      s"""WITH d AS ($TokList),
+         |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM d),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+         |  i -> t[i] || ' ' || t[i+1])) AS bg FROM d),
+         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+         |bm AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n FROM bc GROUP BY doc_id),
+         |j AS (SELECT s.doc_id, n_tokens,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS distinct_frac,
+         |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+         |  CASE WHEN n_tokens > 1
+         |    THEN CAST(COALESCE(top_bigram_n, 0) AS DOUBLE)/CAST(n_tokens - 1 AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS top_bigram_frac
+         |FROM s LEFT JOIN bm ON s.doc_id = bm.doc_id)
+         |SELECT doc_id, n_tokens, distinct_frac, top_bigram_n, top_bigram_frac,
+         |  distinct_frac > 0.3 AND top_bigram_frac < 0.2 AS keep
+         |FROM j ORDER BY doc_id""".stripMargin,
+
     // the composed curation job: quality keepers minus non-canonical
     // near-dup members, chunked and summarized per language — every piece
     // reused verbatim from its standalone oracle

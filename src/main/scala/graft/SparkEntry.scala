@@ -123,6 +123,7 @@ object SparkEntry {
     "q_simhash"           -> q(Pipeline.simhash),
     "q_text_stats"        -> q(Pipeline.textStats),
     "q_quality_score"     -> q(Pipeline.qualityScore),
+    "q_gopher_quality"    -> q(Pipeline.gopherQuality),
     "q_lang_id"           -> q(Pipeline.langId),
     "q_token_count"       -> q(Pipeline.tokenCount),
     "q_tfidf"             -> q(Pipeline.tfidf),

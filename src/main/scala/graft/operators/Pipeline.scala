@@ -459,6 +459,43 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Repetition-based quality signals (the Gopher-paper filter family:
+    * excessive repetition marks machine-generated/boilerplate text):
+    * distinct-token fraction and the share of the most frequent word
+    * bigram. Per-doc stats are narrow codegen'd projections; the top-
+    * bigram count is two keyed aggregations (doc,bigram)→doc — linear in
+    * corpus size, the same shape at 100 TB. All divisions are single IEEE
+    * ops on identically-derived operands, so the doubles (and the keep
+    * comparisons on them) are bit-exact vs the oracle. */
+  def gopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    val stats = d.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+    val bigrams = d.select(col("doc_id"),
+      explode(when(size(col("t")) >= 2,
+          transform(sequence(lit(0), size(col("t")) - 2),
+            i => concat_ws(" ", element_at(col("t"), i + 1),
+                                element_at(col("t"), i + 2))))
+        .otherwise(array().cast("array<string>"))).as("bg"))
+    val top = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
+    stats.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0).as("distinct_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        when(col("n_tokens") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+            (col("n_tokens") - 1).cast("double"))
+          .otherwise(0.0).as("top_bigram_frac"))
+      .withColumn("keep",
+        col("distinct_frac") > 0.3 && col("top_bigram_frac") < 0.2)
+      .orderBy("doc_id")
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
     "de" -> Seq("der", "die", "das"),

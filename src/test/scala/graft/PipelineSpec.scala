@@ -174,4 +174,23 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getBoolean(5) === (score >= 0.75))
     }
   }
+
+  test("gopher_quality matches a hand count on one doc, bounds on all") {
+    val rows = Pipeline.gopherQuality(spark, sf).collect()
+    rows.foreach { r =>
+      val (n, df, tbn, tbf) = (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))
+      assert(df >= 0.0 && df <= 1.0); assert(tbf >= 0.0 && tbf <= 1.0)
+      if (n >= 2) assert(tbn >= 1)
+      assert(r.getBoolean(5) === (df > 0.3 && tbf < 0.2))
+    }
+    // hand recount of the smallest doc_id via the same tokenizer contract
+    val doc = Tables.documents(spark, sf).orderBy("doc_id").limit(1)
+      .collect().head
+    val toks = doc.getString(1).split("[^a-zA-Z]+").filter(_.nonEmpty)
+    val bigs = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val r0 = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(r0.getLong(1) === toks.length.toLong)
+    assert(r0.getDouble(2) === toks.distinct.length.toDouble / toks.length)
+    assert(r0.getLong(3) === bigs.groupBy(identity).values.map(_.size).max.toLong)
+  }
 }
