@@ -681,6 +681,21 @@ object Oracles {
 
     // range self-join: DuckDB's IEJoin evaluates the interval predicate
     // directly; the engine's bucketed equi-join must agree exactly
+    "q_scd2" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM events),
+         |c AS (SELECT user_id, ts, event_id, event_type FROM e
+         |  WHERE prev IS NULL OR prev <> event_type),
+         |v AS (SELECT user_id, event_id, event_type, ts,
+         |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+         |  FROM c)
+         |SELECT user_id, event_id, event_type,
+         |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+         |  COALESCE(strftime(vt, '%Y-%m-%d %H:%M:%S'), '9999-12-31 23:59:59') AS valid_to,
+         |  vt IS NULL AS is_current
+         |FROM v ORDER BY user_id, valid_from, event_id""".stripMargin,
+
     "q_range_join" ->
       s"""SELECT a.event_type, count(*) AS n_pairs
          |FROM events a JOIN events b ON a.event_type = b.event_type

@@ -90,6 +90,7 @@ object SparkEntry {
     "q_partitioned_scan"  -> q(operators.Partitioned.partitionedScan),
     "q_dpp_join"          -> q(operators.Partitioned.dppJoin),
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
+    "q_scd2"              -> q(operators.Temporal.scd2),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_session_window"    -> q(Relational.sessionWindows),
     "q_window_suite"      -> q(Relational.windowSuite),

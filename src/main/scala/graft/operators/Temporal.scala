@@ -62,6 +62,30 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Slowly-changing-dimension type-2 derivation (the CDC compaction
+    * step): treat events as a change stream of each user's event_type and
+    * emit one validity interval per actual change — consecutive repeats
+    * collapsed, `valid_to` = next change's timestamp, open versions closed
+    * with the classic 9999-12-31 sentinel and flagged current. Both window
+    * passes share one (user_id)-keyed shuffle and sort; at 100 TB this is
+    * the standard one-shuffle history rebuild (or an incremental merge
+    * against yesterday's snapshot — `q_upsert`'s shape). Ties broken by
+    * event_id on both engines. */
+  def scd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val fmt = "yyyy-MM-dd HH:mm:ss"
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("__prev", lag(col("event_type"), 1).over(w))
+      .filter(col("__prev").isNull || col("__prev") =!= col("event_type"))
+      .withColumn("__vt", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_format(col("ts"), fmt).as("valid_from"),
+        coalesce(date_format(col("__vt"), fmt), lit("9999-12-31 23:59:59")).as("valid_to"),
+        col("__vt").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   /** Interval/range self-join on events: pairs of same-type events with
     * the second falling in (first, first + 5 min]. The scale plan buckets
     * event time into 5-minute cells and expands the left side to (cell,

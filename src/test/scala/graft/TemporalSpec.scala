@@ -51,4 +51,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === brute)
     assert(got.values.sum > 0)
   }
+
+  test("scd2 history: contiguous per user, one current row, no no-op versions") {
+    val rows = Temporal.scd2(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getString(4),
+        r.getBoolean(5)))
+    rows.groupBy(_._1).values.foreach { h =>
+      val hist = h.sortBy(v => (v._3, v._2)) // (valid_from, then event order)
+      assert(hist.count(_._5) === 1, "exactly one open version per user")
+      assert(hist.last._5 && hist.last._4 === "9999-12-31 23:59:59")
+      hist.sliding(2).foreach {
+        case Array((_, t1, _, to1, _), (_, t2, from2, _, _)) =>
+          assert(t1 !== t2, "consecutive versions must differ (CDC compaction)")
+          assert(to1 === from2, "valid_to chains to the next valid_from")
+        case _ =>
+      }
+    }
+  }
 }
