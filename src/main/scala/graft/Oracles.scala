@@ -867,6 +867,22 @@ object Oracles {
          |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
 
+    "q_collocations" ->
+      s"""WITH d AS ($TokList),
+         |toks AS (SELECT unnest(t) AS w FROM d),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w),
+         |bgs AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+         |  i -> t[i] || ' ' || t[i+1])) AS bigram FROM d),
+         |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab FROM bgs GROUP BY bigram),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_bg FROM bgs)
+         |SELECT bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+         |  CAST(c_ab * n_bg AS DOUBLE) / CAST(ua.c * ub.c AS DOUBLE) AS lift
+         |FROM bc CROSS JOIN n
+         |  JOIN uni ua ON split_part(bigram, ' ', 1) = ua.w
+         |  JOIN uni ub ON split_part(bigram, ' ', 2) = ub.w
+         |WHERE c_ab >= 5
+         |ORDER BY lift DESC, bigram LIMIT 50""".stripMargin,
+
     "q_fingerprint" ->
       s"SELECT doc_id, ${polyHashSql("text")} AS fp FROM documents ORDER BY doc_id",
 

@@ -129,6 +129,7 @@ object SparkEntry {
     "q_token_count"       -> q(Pipeline.tokenCount),
     "q_tfidf"             -> q(Pipeline.tfidf),
     "q_bigrams"           -> q(Pipeline.bigrams),
+    "q_collocations"      -> q(Pipeline.collocations),
     "q_fingerprint"       -> q(Pipeline.fingerprint),
     "q_similarity_topk"   -> q(Pipeline.similarityTopk),
     "q_embedding_neardup" -> q(Pipeline.embeddingNeardup),

@@ -574,6 +574,41 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Collocation mining: score each corpus bigram by PMI-equivalent lift
+    * N·c(ab)/(c(a)·c(b)) — the association measure that separates real
+    * collocations from chance co-occurrence. The log in textbook PMI is
+    * monotone, so ranking by lift is rank-identical while staying
+    * bit-portable across engines (libm log is not — same trade as
+    * [[tfidf]]); all operands are exact int64 counts ≪ 2⁵³, so the one
+    * double division is IEEE-identical. Corpus totals ride a broadcast
+    * 1-row subplan; unigram joins are plain equi-joins (vocabulary-sized,
+    * broadcast here, shuffle at web scale). Count floor 5, top 50 by
+    * (lift, bigram) — a total order, so the cutoff is deterministic. */
+  def collocations(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    val uni = d.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bgs = d.select(explode(when(size(col("t")) >= 2,
+        transform(sequence(lit(0), size(col("t")) - 2),
+          i => concat_ws(" ", element_at(col("t"), i + 1),
+                              element_at(col("t"), i + 2))))
+      .otherwise(array().cast("array<string>"))).as("bigram"))
+    val bc = bgs.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val n = bgs.agg(count(lit(1)).as("n_bg"))
+    bc.filter(col("c_ab") >= 5)
+      .crossJoin(broadcast(n))
+      .join(uni.select(col("w").as("__wa"), col("c").as("c_a")),
+        element_at(split(col("bigram"), " "), 1) === col("__wa"))
+      .join(uni.select(col("w").as("__wb"), col("c").as("c_b")),
+        element_at(split(col("bigram"), " "), 2) === col("__wb"))
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        ((col("c_ab") * col("n_bg")).cast("double") /
+         (col("c_a") * col("c_b")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(50)
+  }
+
   /** Whole-document fingerprint: polynomial rolling hash over every
     * character — the cheap stand-in for a content-defined chunking hash;
     * integer arithmetic, oracle-reproducible. */

@@ -175,6 +175,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("collocations top-50 equals a driver-side brute force") {
+    val texts = Tables.documents(spark, sf).collect().map(_.getString(1))
+    val docToks = texts.map(_.split("[^a-zA-Z]+").filter(_.nonEmpty).toSeq)
+    val uni = docToks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bgs = docToks.flatMap(t => t.sliding(2).filter(_.length == 2).map(_.mkString(" ")))
+    val nBg = bgs.length.toLong
+    val expected = bgs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .filter(_._2 >= 5)
+      .map { case (bg, cAb) =>
+        val Array(a, b) = bg.split(" ")
+        (bg, (cAb * nBg).toDouble / (uni(a) * uni(b)).toDouble)
+      }
+      .sortBy { case (bg, lift) => (-lift, bg) }.take(50)
+    val got = Pipeline.collocations(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(4))).toSeq
+    assert(got === expected)
+  }
+
   test("gopher_quality matches a hand count on one doc, bounds on all") {
     val rows = Pipeline.gopherQuality(spark, sf).collect()
     rows.foreach { r =>
