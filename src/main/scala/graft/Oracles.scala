@@ -1061,6 +1061,31 @@ object Oracles {
          |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL '30 minutes'
          |ORDER BY a.user_id, view_id, purchase_id""".stripMargin,
 
+    // closed set of the streaming left-outer interval join: all inner
+    // matches, plus views provably unmatched at the final watermark
+    // (max event time at ms precision − 1 h, the engine's watermark unit)
+    "q_stream_outer_join" ->
+      s"""WITH v AS (SELECT user_id, ts AS view_ts, event_id AS view_id
+         |  FROM events WHERE event_type = 'view'),
+         |p AS (SELECT user_id AS p_user, ts AS purchase_ts, event_id AS purchase_id
+         |  FROM events WHERE event_type = 'purchase'),
+         |wm AS (SELECT date_trunc('millisecond', least(
+         |    (SELECT max(ts) FROM events WHERE event_type = 'view'),
+         |    (SELECT max(ts) FROM events WHERE event_type = 'purchase')))
+         |  - INTERVAL 1 HOUR AS w),
+         |m AS (SELECT v.user_id, v.view_id, p.purchase_id
+         |  FROM v JOIN p ON v.user_id = p.p_user
+         |    AND p.purchase_ts >= v.view_ts
+         |    AND p.purchase_ts <= v.view_ts + INTERVAL '30 minutes'),
+         |um AS (SELECT v.user_id, v.view_id, CAST(-1 AS BIGINT) AS purchase_id
+         |  FROM v CROSS JOIN wm
+         |  WHERE v.view_ts + INTERVAL '30 minutes' < wm.w
+         |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = v.user_id
+         |      AND p.purchase_ts >= v.view_ts
+         |      AND p.purchase_ts <= v.view_ts + INTERVAL '30 minutes'))
+         |SELECT * FROM m UNION ALL SELECT * FROM um
+         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
+
     "q_stream_sessions" ->
       s"""WITH e AS (SELECT user_id, ts, event_id,
          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

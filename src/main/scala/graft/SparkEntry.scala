@@ -146,6 +146,7 @@ object SparkEntry {
     "q_stream_dedup"      -> q(Streams.streamDedup),
     "q_stream_static_join" -> q(Streams.streamStaticJoin),
     "q_stream_stream_join" -> q(Streams.streamStreamJoin),
+    "q_stream_outer_join" -> q(Streams.streamOuterJoin),
     "q_stream_topk"       -> q(Streams.streamTopk)
   )
 

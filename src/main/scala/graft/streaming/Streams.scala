@@ -224,6 +224,40 @@ object Streams {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[streamStreamJoin]],
+    * but views with no qualifying purchase are also emitted (null-padded,
+    * coalesced to -1 for the sink) — once the watermark proves no future
+    * purchase can still match, i.e. view_ts + 30 min falls below the final
+    * global watermark — which is the MIN over both watermark nodes, each
+    * tracking its own side's max event time (ms precision) − 1 h; the
+    * purchase side's later start is what gates eviction here. Unmatched
+    * views
+    * still inside that horizon are retained as state, not emitted — the
+    * bounded-state outer-join contract. The oracle reproduces exactly
+    * this closed set: inner matches ∪ expired unmatched views. */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, dir).schema
+    def src = Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
+      .withWatermark("view_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = views.join(purchases,
+        col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"),
+        "leftOuter")
+      .select(col("user_id"), col("view_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"))
+    withStatePartitions(s, 2) { appendToParquet(s, joined) }
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   /** Streaming leaderboard: complete-mode running counts per user, with
     * each trigger's snapshot reduced to the top 10 (ties broken by
     * user_id) inside `foreachBatch` before it reaches the sink — the

@@ -98,6 +98,18 @@ class StreamsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream outer join = inner matches plus expired unmatched views only") {
+    val outer = Streams.streamOuterJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inner = Streams.streamStreamJoin(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(outer.filter(_._3 != -1L) === inner, "matched rows identical to inner join")
+    val matchedViews = inner.map(_._2)
+    outer.filter(_._3 == -1L).foreach { case (_, vid, _) =>
+      assert(!matchedViews.contains(vid), s"view $vid emitted null despite a match")
+    }
+  }
+
   test("stream_sessions equals batch sessionization") {
     val stream = Streams.streamSessions(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
