@@ -303,16 +303,28 @@ object Relational {
     * association order on both engines, hence bit-exact.
     * Complements the hand-rolled convergent loop in
     * [[Pipeline.minLabelComponents]] (which handles cyclic graphs, where
-    * UNION ALL recursion would enumerate paths). */
+    * UNION ALL recursion would enumerate paths).
+    *
+    * The node table is deduplicated and materialized (localCheckpoint)
+    * before the loop: UnionLoop re-evaluates the step subtree every
+    * iteration, so without it each level re-scans the parquet, and a
+    * malformed hierarchy with duplicate node rows would fan the walk out
+    * multiplicatively per level (each duplicate parent re-matches every
+    * child) instead of failing the tree contract cleanly. Recursion depth
+    * is log₂ n; the engine's `cteRecursionRowLimit` (1M default) guards
+    * runaway recursion — a production run over a larger hierarchy raises
+    * it to the expected node count. */
   def recursiveHierarchy(s: SparkSession, dir: String): DataFrame = {
-    Tables.customer(s, dir).createOrReplaceTempView("customer_v")
+    Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+      .distinct().localCheckpoint(true)
+      .createOrReplaceTempView("customer_nodes")
     s.sql(
       """WITH RECURSIVE walk(custkey, depth, path_bal) AS (
         |  SELECT c_custkey, CAST(0 AS BIGINT), c_acctbal
-        |  FROM customer_v WHERE c_custkey = 0
+        |  FROM customer_nodes WHERE c_custkey = 0
         |  UNION ALL
         |  SELECT c.c_custkey, w.depth + 1, w.path_bal + c.c_acctbal
-        |  FROM customer_v c JOIN walk w ON c.c_custkey div 2 = w.custkey
+        |  FROM customer_nodes c JOIN walk w ON c.c_custkey div 2 = w.custkey
         |  WHERE c.c_custkey > 0
         |)
         |SELECT custkey, depth, path_bal FROM walk ORDER BY custkey""".stripMargin)

@@ -18,7 +18,10 @@ object PlanAudit {
       "q_skew_join", "q_bucketed_join", "q_dedup_ngram",
       // round-4 joins/decorrelations
       "q_lateral_topk", "q_map_functions", "q_variant_extract",
-      "q_approx_topk")
+      "q_approx_topk",
+      // round-4 second wave
+      "q_recursive_cte", "q_mr_cogroup", "q_gopher_quality", "q_scd2",
+      "q_collocations")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
