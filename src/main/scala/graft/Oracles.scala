@@ -681,6 +681,27 @@ object Oracles {
 
     // range self-join: DuckDB's IEJoin evaluates the interval predicate
     // directly; the engine's bucketed equi-join must agree exactly
+    "q_funnel" ->
+      s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e
+         |  JOIN v ON e.user_id = v.user_id
+         |  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+         |    AND e.ts <= v.t_view + INTERVAL 1 DAY GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+         |  JOIN c ON e.user_id = c.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+         |    AND e.ts <= c.t_click + INTERVAL 1 DAY GROUP BY e.user_id),
+         |u AS (SELECT DISTINCT user_id FROM events),
+         |st AS (SELECT u.user_id,
+         |  CAST(CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+         |     + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+         |     + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS stage
+         |  FROM u LEFT JOIN v ON u.user_id = v.user_id
+         |    LEFT JOIN c ON u.user_id = c.user_id
+         |    LEFT JOIN p ON u.user_id = p.user_id)
+         |SELECT stage, count(*) AS n_users FROM st GROUP BY stage ORDER BY stage""".stripMargin,
+
     "q_scd2" ->
       s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
          |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_dpp_join"          -> q(operators.Partitioned.dppJoin),
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
     "q_scd2"              -> q(operators.Temporal.scd2),
+    "q_funnel"            -> q(operators.Temporal.funnel),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_session_window"    -> q(Relational.sessionWindows),
     "q_window_suite"      -> q(Relational.windowSuite),

@@ -62,6 +62,40 @@ object Temporal {
       .orderBy("event_id")
   }
 
+  /** Ordered event-sequence funnel (view → click → purchase): per user,
+    * the earliest view, then the earliest click AT OR AFTER that view,
+    * then the earliest purchase at or after that click — the classic
+    * conversion-funnel rule where each stage must follow the previous
+    * one in event time, within a 1-day conversion window per stage. Three
+    * keyed aggregations chained by left joins on user_id (each a
+    * one-shuffle conditional min — no per-user sequence scan, no window
+    * over the full event log), then a tiny stage histogram. Ties at equal
+    * timestamps count as progression (>=), which both engines evaluate
+    * identically on exact microseconds. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    def stageMin(typ: String, prev: DataFrame, prevCol: String, out: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev, Seq("user_id"))
+        .filter(col("ts") >= col(prevCol) &&
+                col("ts") <= col(prevCol) + expr("INTERVAL 1 DAY"))
+        .groupBy("user_id").agg(min(col("ts")).as(out))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val c = stageMin("click", v, "t_view", "t_click")
+    val p = stageMin("purchase", c, "t_click", "t_purchase")
+    val users = ev.select("user_id").distinct()
+    users.join(v, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (when(col("t_view").isNotNull, 1).otherwise(0) +
+         when(col("t_click").isNotNull, 1).otherwise(0) +
+         when(col("t_purchase").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
   /** Slowly-changing-dimension type-2 derivation (the CDC compaction
     * step): treat events as a change stream of each user's event_type and
     * emit one validity interval per actual change — consecutive repeats

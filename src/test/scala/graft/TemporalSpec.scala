@@ -52,6 +52,28 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.values.sum > 0)
   }
 
+  test("funnel stage histogram equals a driver-side per-user replay") {
+    val evs = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val day = 86400L * 1000000L
+    val expected = evs.groupBy(_._1).values.map { es =>
+      def minAfter(typ: String, from: Long): Option[Long] = {
+        val c = es.filter(e => e._2 == typ && e._3 >= from && e._3 <= from + day)
+        if (c.isEmpty) None else Some(c.map(_._3).min)
+      }
+      val v = es.filter(_._2 == "view") match {
+        case Array() => None; case vs => Some(vs.map(_._3).min)
+      }
+      val c = v.flatMap(minAfter("click", _))
+      val p = c.flatMap(minAfter("purchase", _))
+      Seq(v, c, p).count(_.isDefined).toLong
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Temporal.funnel(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
   test("scd2 history: contiguous per user, one current row, no no-op versions") {
     val rows = Temporal.scd2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getString(4),
