@@ -681,6 +681,24 @@ object Oracles {
 
     // range self-join: DuckDB's IEJoin evaluates the interval predicate
     // directly; the engine's bucketed equi-join must agree exactly
+    "q_triangle_count" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |deg AS (SELECT v, count(*) AS d FROM
+         |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) dv GROUP BY v),
+         |w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+         |t AS (SELECT count(*) AS n FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+         |counts AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |  (SELECT CAST(n AS BIGINT) FROM t) AS n_triangles)
+         |SELECT n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0
+         |    THEN CAST(3 * n_triangles AS DOUBLE)/CAST(n_wedges AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS closure
+         |FROM counts""".stripMargin,
+
     "q_funnel" ->
       s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
          |  WHERE event_type = 'view' GROUP BY user_id),
