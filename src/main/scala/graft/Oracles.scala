@@ -821,6 +821,22 @@ object Oracles {
          |SELECT doc_id, n_tokens, n_stop, n_punct, score, score >= 0.75 AS keep
          |FROM sc ORDER BY doc_id""".stripMargin,
 
+    "q_char_diversity" ->
+      s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+         |  FROM documents),
+         |per AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+         |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(n * n) AS BIGINT) AS sum_sq FROM per GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.n_chars, 0) AS n_chars,
+         |  COALESCE(agg.n_distinct, 0) AS n_distinct,
+         |  COALESCE(agg.sum_sq, 0) AS sum_sq,
+         |  CASE WHEN agg.n_chars > 0
+         |    THEN 1 - CAST(agg.sum_sq AS DOUBLE)/CAST(agg.n_chars * agg.n_chars AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS gini
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_gopher_quality" ->
       s"""WITH d AS ($TokList),
          |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

@@ -127,6 +127,7 @@ object SparkEntry {
     "q_text_stats"        -> q(Pipeline.textStats),
     "q_quality_score"     -> q(Pipeline.qualityScore),
     "q_gopher_quality"    -> q(Pipeline.gopherQuality),
+    "q_char_diversity"    -> q(Pipeline.charDiversity),
     "q_lang_id"           -> q(Pipeline.langId),
     "q_token_count"       -> q(Pipeline.tokenCount),
     "q_tfidf"             -> q(Pipeline.tfidf),

@@ -496,6 +496,35 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Character-distribution diversity per document, scored with Gini
+    * impurity 1 − Σ(cᵢ/n)² — the log-free stand-in for character entropy
+    * (libm log isn't bit-portable; Σcᵢ² is an exact int64, so the single
+    * division and subtraction are IEEE-identical on both engines). Low
+    * diversity flags degenerate text (padding runs, binary-ish blobs) the
+    * way an entropy filter would in a training-data pipeline. Two keyed
+    * aggregations, linear at any scale. */
+  def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val agg = per.groupBy("doc_id").agg(
+      sum(col("c")).cast("long").as("n_chars"),
+      count(lit(1)).as("n_distinct"),
+      sum(col("c") * col("c")).cast("long").as("sum_sq"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("sum_sq"), lit(0L)).as("sum_sq"),
+        when(col("n_chars") > 0,
+          lit(1.0) - col("sum_sq").cast("double") /
+            (col("n_chars") * col("n_chars")).cast("double"))
+          .otherwise(0.0).as("gini"))
+      .orderBy("doc_id")
+  }
+
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of"),
     "de" -> Seq("der", "die", "das"),

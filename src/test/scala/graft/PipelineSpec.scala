@@ -193,6 +193,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("char_diversity gini matches a hand count and stays in [0,1)") {
+    val rows = Pipeline.charDiversity(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+      if (r.getLong(1) > 0) // Σc² ≥ n (all counts ≥ 1), so gini ≤ 1-1/n
+        assert(r.getDouble(4) <= 1.0 - 1.0 / r.getLong(1))
+    }
+    val doc = Tables.documents(spark, sf).orderBy("doc_id").limit(1).collect().head
+    val counts = doc.getString(1).filterNot(_ == '\n')
+      .groupBy(identity).values.map(_.size.toLong)
+    val r0 = rows.find(_.getLong(0) == doc.getLong(0)).get
+    assert(r0.getLong(1) === counts.sum)
+    assert(r0.getLong(2) === counts.size.toLong)
+    assert(r0.getLong(3) === counts.map(c => c * c).sum)
+  }
+
   test("gopher_quality matches a hand count on one doc, bounds on all") {
     val rows = Pipeline.gopherQuality(spark, sf).collect()
     rows.foreach { r =>
