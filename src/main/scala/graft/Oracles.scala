@@ -681,6 +681,18 @@ object Oracles {
 
     // range self-join: DuckDB's IEJoin evaluates the interval predicate
     // directly; the engine's bucketed equi-join must agree exactly
+    "q_skyline" ->
+      s"""WITH o AS (SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS dt,
+         |  CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS d
+         |  FROM orders),
+         |dm AS (SELECT d, max(o_totalprice) AS pmax FROM o GROUP BY d),
+         |sw AS (SELECT d, pmax, max(pmax) OVER (ORDER BY d
+         |  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mb FROM dm),
+         |keep AS (SELECT d, pmax FROM sw WHERE mb IS NULL OR mb < pmax)
+         |SELECT o.o_orderkey, strftime(o.dt, '%Y-%m-%d') AS o_date, o.o_totalprice
+         |FROM o JOIN keep ON o.d = keep.d AND o.o_totalprice = keep.pmax
+         |ORDER BY o.o_orderkey""".stripMargin,
+
     "q_triangle_count" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b

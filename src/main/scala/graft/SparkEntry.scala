@@ -57,6 +57,7 @@ object SparkEntry {
     "q_grouped_agg"       -> q(Relational.groupedAgg),
     "q_filter_project"    -> q(Relational.filterProject),
     "q_topk_orders"       -> q(Relational.topkOrders),
+    "q_skyline"           -> q(Relational.skyline),
     "q_join_agg"          -> q(Relational.joinAgg),
     "q_join_multi"        -> q(Relational.joinMulti),
     "q_semi_join"         -> q(Relational.semiJoin),

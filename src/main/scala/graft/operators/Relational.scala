@@ -330,6 +330,38 @@ object Relational {
         |SELECT custkey, depth, path_bal FROM walk ORDER BY custkey""".stripMargin)
   }
 
+  /** Skyline / Pareto frontier of orders: maximize price, minimize order
+    * date — an order survives iff no other order has (earlier-or-equal
+    * date, higher-or-equal price, at least one strict). The scale plan is
+    * the standard two-phase skyline: (1) per-date reduction — any same-day
+    * row below the day's max price is strictly dominated, so one keyed
+    * aggregation shrinks the input to one candidate price per day;
+    * (2) a running-max sweep over the per-day maxima, whose cardinality is
+    * the DATE DOMAIN (bounded, a few thousand rows at any corpus size), so
+    * its unpartitioned window is safe — the quadratic NOT-EXISTS
+    * formulation never appears, and the fact table is touched only by the
+    * per-day aggregate and a broadcast semi-join back. Price ties on a
+    * surviving day all survive (no strict dominator), matching the
+    * dominance definition exactly. */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice"),
+        to_date(col("o_orderdate")).as("dt"))
+      .withColumn("d", datediff(col("dt"), lit("1990-01-01")).cast("long"))
+    val dayMax = o.groupBy("d").agg(max(col("o_totalprice")).as("pmax"))
+    val W = org.apache.spark.sql.expressions.Window
+    val sweep = W.orderBy("d").rangeBetween(W.unboundedPreceding, -1)
+    val keep = dayMax
+      .withColumn("mb", max(col("pmax")).over(sweep))
+      .filter(col("mb").isNull || col("mb") < col("pmax"))
+      .select("d", "pmax")
+    o.join(broadcast(keep), Seq("d"))
+      .filter(col("o_totalprice") === col("pmax"))
+      .select(col("o_orderkey"), date_format(col("dt"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
   /** Custom codegen expressions called from SQL text: `poly_hash` is the
     * registered [[graft.functions.PolyHashExpr]] (Engine.tune), matching
     * the q_fingerprint oracle exactly. */

@@ -228,6 +228,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("skyline equals the brute-force non-dominated set") {
+    val pts = Tables.orders(spark, sf)
+      .selectExpr("o_orderkey", "o_totalprice",
+        "cast(datediff(to_date(o_orderdate), '1990-01-01') as long) as d")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val expected = pts.filter { case (_, p1, d1) =>
+      !pts.exists { case (_, p2, d2) =>
+        p2 >= p1 && d2 <= d1 && (p2 > p1 || d2 < d1)
+      }
+    }.map(_._1).toSet
+    val got = Relational.skyline(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("recursive_cte walks the whole tree once, depth/path_bal match closed forms") {
     val df = Relational.recursiveHierarchy(spark, sf)
     assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
