@@ -711,6 +711,19 @@ object Oracles {
          |    ELSE CAST(0.0 AS DOUBLE) END AS closure
          |FROM counts""".stripMargin,
 
+    "q_retention" ->
+      s"""WITH ev AS (SELECT DISTINCT user_id,
+         |  CAST(datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+         |  FROM events),
+         |fw AS (SELECT user_id, min(d) AS cohort FROM ev GROUP BY user_id),
+         |cells AS (SELECT cohort, ev.d - cohort AS "offset", count(*) AS n_active
+         |  FROM ev JOIN fw ON ev.user_id = fw.user_id GROUP BY 1, 2),
+         |sz AS (SELECT cohort, count(*) AS n_cohort FROM fw GROUP BY cohort)
+         |SELECT cells.cohort, "offset", n_active, n_cohort,
+         |  CAST(n_active AS DOUBLE)/CAST(n_cohort AS DOUBLE) AS retained_frac
+         |FROM cells JOIN sz ON cells.cohort = sz.cohort
+         |ORDER BY cells.cohort, "offset"""".stripMargin,
+
     "q_funnel" ->
       s"""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
          |  WHERE event_type = 'view' GROUP BY user_id),

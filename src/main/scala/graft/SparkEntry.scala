@@ -93,6 +93,7 @@ object SparkEntry {
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
     "q_scd2"              -> q(operators.Temporal.scd2),
     "q_funnel"            -> q(operators.Temporal.funnel),
+    "q_retention"         -> q(operators.Temporal.retention),
     "q_triangle_count"    -> q(operators.Graph.triangleCount),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_session_window"    -> q(Relational.sessionWindows),

@@ -120,6 +120,31 @@ object Temporal {
       .orderBy("user_id", "valid_from", "event_id")
   }
 
+  /** Cohort retention: users are grouped into cohorts by the day they
+    * first appear (integer days since a fixed epoch — pure int64 math, no
+    * calendar/timezone edge), and each (cohort, offset) cell counts the
+    * distinct users active k days later, plus the retained fraction (one
+    * IEEE division of exact counts). Two keyed aggregations — first-seen
+    * min per user, then distinct users per (cohort, day) — and a
+    * broadcast join of cohort sizes: the linear product-analytics shape
+    * at any scale (the grain would be weekly on a years-long corpus). */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), '1990-01-01')").cast("long").as("d"))
+    val firstDay = ev.groupBy("user_id").agg(min(col("d")).as("cohort"))
+    val active = ev.distinct()
+    val cells = active.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort"), (col("d") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firstDay.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    cells.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("offset"), col("n_active"), col("n_cohort"),
+        (col("n_active").cast("double") / col("n_cohort").cast("double"))
+          .as("retained_frac"))
+      .orderBy("cohort", "offset")
+  }
+
   /** Interval/range self-join on events: pairs of same-type events with
     * the second falling in (first, first + 5 min]. The scale plan buckets
     * event time into 5-minute cells and expands the left side to (cell,

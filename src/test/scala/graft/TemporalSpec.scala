@@ -74,6 +74,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("retention cells equal a driver-side cohort replay") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "cast(datediff(to_date(ts), '1990-01-01') as long) as d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val cohort = evs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = evs.groupBy { case (u, d) => (cohort(u), d - cohort(u)) }
+      .view.mapValues(_.size.toLong).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Temporal.retention(spark, sf).collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val (c, o) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) === cells((c, o)))
+      assert(r.getLong(3) === sizes(c))
+      assert(r.getDouble(4) === cells((c, o)).toDouble / sizes(c))
+    }
+    // offset 0 retains the full cohort by construction
+    got.filter(_.getLong(1) == 0L).foreach(r => assert(r.getDouble(4) === 1.0))
+  }
+
   test("scd2 history: contiguous per user, one current row, no no-op versions") {
     val rows = Temporal.scd2(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(2), r.getString(3), r.getString(4),
