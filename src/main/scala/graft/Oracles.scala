@@ -681,6 +681,19 @@ object Oracles {
 
     // range self-join: DuckDB's IEJoin evaluates the interval predicate
     // directly; the engine's bucketed equi-join must agree exactly
+    "q_anomaly" ->
+      s"""WITH st AS (SELECT event_type, count(*) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         |  CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS ss
+         |  FROM events GROUP BY event_type),
+         |z AS (SELECT e.event_type, e.event_id, e.value,
+         |  round((e.value - s1/n) / sqrt(ss/n - (s1/n)*(s1/n)), 9) AS z
+         |  FROM events e JOIN st USING (event_type)),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |  ORDER BY abs(z) DESC, event_id) AS rank FROM z)
+         |SELECT event_type, event_id, value, z, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+
     "q_skyline" ->
       s"""WITH o AS (SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS dt,
          |  CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS d

@@ -84,6 +84,7 @@ object SparkEntry {
     "q_percentiles"       -> q(Relational.percentiles),
     "q_approx_distinct"   -> q(Relational.approxDistinct),
     "q_corr_exact"        -> q(Relational.corrExact),
+    "q_anomaly"           -> q(Relational.anomaly),
     "q_json_extract"      -> q(Relational.jsonExtract),
     "q_variant_extract"   -> q(Relational.variantExtract),
     "q_sessionize"        -> q(Relational.sessionize),

@@ -469,6 +469,31 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Z-score anomaly detection: the top-5 most deviant event values per
+    * event type, scored against the type's mean/stddev. Moment sums are
+    * decimal-routed (exact, order-independent — the [[corrExact]]
+    * discipline); sqrt is IEEE-correctly-rounded so the only cross-engine
+    * hazard is FMA contraction in the combined formula, absorbed by
+    * rounding z to 9 dp BEFORE ranking (ties then break by event_id, so
+    * the cut is deterministic). One grouped aggregate + a broadcast of the
+    * 5-row stats table + a per-type WindowGroupLimit — no global sort. */
+  def anomaly(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = col("value")
+    val st = Tables.events(s, dir).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sumD2(v).as("s1"),
+           sum((v * v).cast(DecimalType(28, 4))).cast("double").as("ss"))
+    val mean = col("s1") / col("n")
+    val z = round((v - mean) / sqrt(col("ss") / col("n") - mean * mean), 9)
+    val byType = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(abs(col("z")).desc, col("event_id"))
+    Tables.events(s, dir).join(broadcast(st), Seq("event_type"))
+      .select(col("event_type"), col("event_id"), v, z.as("z"))
+      .withColumn("rank", row_number().over(byType).cast("long"))
+      .filter(col("rank") <= 5)
+      .orderBy("event_type", "rank")
+  }
+
   /** Sessionization (batch): a session breaks after a 30-minute silence.
     * Two window functions over one (user_id, ts) shuffle, then a grouped
     * rollup per user. The streaming twin is Streams.statefulSessions. */

@@ -228,6 +228,29 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("anomaly ranks by |z| and z matches a driver-side recompute") {
+    val rows = Relational.anomaly(spark, sf).collect()
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    rows.groupBy(_.getString(0)).foreach { case (typ, rs) =>
+      assert(rs.length === 5)
+      val zs = rs.sortBy(_.getLong(4)).map(r => math.abs(r.getDouble(3)))
+      assert(zs === zs.sorted.reverse, s"|z| non-increasing for $typ")
+      // spot-check the top-1 z against an exact driver-side formula
+      val vs = byType(typ).map(_._2)
+      val n = vs.length.toDouble
+      val s1 = vs.map(BigDecimal(_).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val ss = vs.map(v => BigDecimal(v * v).setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val mean = s1 / n
+      val sd = math.sqrt(ss / n - mean * mean)
+      val top = rs.minBy(_.getLong(4))
+      val zTop = BigDecimal((top.getDouble(2) - mean) / sd)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(top.getDouble(3) - zTop) < 1e-9)
+    }
+  }
+
   test("skyline equals the brute-force non-dominated set") {
     val pts = Tables.orders(spark, sf)
       .selectExpr("o_orderkey", "o_totalprice",
