@@ -724,6 +724,15 @@ object Oracles {
          |    ELSE CAST(0.0 AS DOUBLE) END AS closure
          |FROM counts""".stripMargin,
 
+    "q_gaps_islands" ->
+      s"""WITH d AS (SELECT DISTINCT user_id,
+         |  CAST(datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS BIGINT) AS d
+         |  FROM events),
+         |i AS (SELECT user_id, d,
+         |  d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl FROM d)
+         |SELECT user_id, min(d) AS start_d, max(d) AS end_d, count(*) AS len
+         |FROM i GROUP BY user_id, isl ORDER BY user_id, start_d""".stripMargin,
+
     "q_retention" ->
       s"""WITH ev AS (SELECT DISTINCT user_id,
          |  CAST(datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS BIGINT) AS d

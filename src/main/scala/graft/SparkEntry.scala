@@ -95,6 +95,7 @@ object SparkEntry {
     "q_scd2"              -> q(operators.Temporal.scd2),
     "q_funnel"            -> q(operators.Temporal.funnel),
     "q_retention"         -> q(operators.Temporal.retention),
+    "q_gaps_islands"      -> q(operators.Temporal.gapsIslands),
     "q_triangle_count"    -> q(operators.Graph.triangleCount),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_session_window"    -> q(Relational.sessionWindows),

@@ -145,6 +145,27 @@ object Temporal {
       .orderBy("cohort", "offset")
   }
 
+  /** Gaps-and-islands: each user's maximal runs of consecutive active
+    * days, found with the classic row-number difference trick — within a
+    * user, consecutive days share the constant (day − row_number), so one
+    * window pass assigns island ids and one grouped aggregate collapses
+    * them to (start, end, length). A single (user)-keyed shuffle serves
+    * both the window sort and the island aggregate; nothing here is
+    * corpus-size-dependent beyond the linear scan. */
+  def gapsIslands(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("d")
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        expr("datediff(to_date(ts), '1990-01-01')").cast("long").as("d"))
+      .distinct()
+      .withColumn("isl", col("d") - row_number().over(w))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("d")).as("start_d"), max(col("d")).as("end_d"),
+           count(lit(1)).as("len"))
+      .select(col("user_id"), col("start_d"), col("end_d"), col("len"))
+      .orderBy("user_id", "start_d")
+  }
+
   /** Interval/range self-join on events: pairs of same-type events with
     * the second falling in (first, first + 5 min]. The scale plan buckets
     * event time into 5-minute cells and expands the left side to (cell,

@@ -74,6 +74,24 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("gaps_islands: islands partition each user's active days, maximal runs") {
+    val rows = Temporal.gapsIslands(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val days = Tables.events(spark, sf)
+      .selectExpr("user_id", "cast(datediff(to_date(ts), '1990-01-01') as long) as d")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.groupBy(_._1).foreach { case (u, isls) =>
+      val ds = days(u)
+      isls.foreach { case (_, st, en, len) =>
+        assert(len === en - st + 1, "island is contiguous")
+        (st to en).foreach(d => assert(ds.contains(d), s"day $d active"))
+        assert(!ds.contains(st - 1) && !ds.contains(en + 1), "island is maximal")
+      }
+      assert(isls.map(_._4).sum === ds.size.toLong, "islands cover all days")
+    }
+  }
+
   test("retention cells equal a driver-side cohort replay") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "cast(datediff(to_date(ts), '1990-01-01') as long) as d")
