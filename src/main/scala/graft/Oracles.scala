@@ -724,6 +724,15 @@ object Oracles {
          |    ELSE CAST(0.0 AS DOUBLE) END AS closure
          |FROM counts""".stripMargin,
 
+    "q_schema_evolution" ->
+      s"""WITH m AS (
+         |  SELECT o_orderkey, o_totalprice, NULL AS st FROM orders WHERE o_orderkey % 3 = 0
+         |  UNION ALL
+         |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 3 = 1)
+         |SELECT COALESCE(st, 'unknown') AS status, count(*) AS n,
+         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_gaps_islands" ->
       s"""WITH d AS (SELECT DISTINCT user_id,
          |  CAST(datediff('day', DATE '1990-01-01', CAST(ts AS DATE)) AS BIGINT) AS d

@@ -53,6 +53,7 @@ object SparkEntry {
     // reference I/O model (whole-file scan + "key value" text sink)
     "q_text_roundtrip"    -> q(graft.sources.TextIO.textRoundtrip),
     "q_format_roundtrip"  -> q(graft.sources.TextIO.formatRoundtrip),
+    "q_schema_evolution"  -> q(graft.sources.TextIO.schemaEvolution),
     // relational generalization
     "q_grouped_agg"       -> q(Relational.groupedAgg),
     "q_filter_project"    -> q(Relational.filterProject),

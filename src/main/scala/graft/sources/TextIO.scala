@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object TextIO {
 
+  // temp roots created this JVM, removed recursively at shutdown (the
+  // returned DataFrames read the files lazily, so earlier deletion isn't
+  // possible — same discipline as the streaming sink dirs)
+  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tempRoots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+  }
+
+  private def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempRoots.add(p)
+    p.toString
+  }
+
   /** Whole-file scan: DataFrame(name, contents), one row per file — the
     * reference's map-task input model. Each file is one row, so at scale
     * parallelism = #files, exactly like the reference's task-per-file
@@ -49,7 +71,7 @@ object TextIO {
     * writes ARE the operator under test (I/O), and the sample bound keeps
     * the file fan-out constant regardless of corpus scale. */
   def textRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_textio").toString
+    val tmp = tempDir("graft_textio")
     val docsDir = s"$tmp/docs"
     val kvDir = s"$tmp/kv"
     graft.Tables.documents(s, dir).filter(col("doc_id") < 50)
@@ -72,7 +94,7 @@ object TextIO {
     * proving all three engine-native interchange formats preserve values
     * end to end. */
   def formatRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_fmt_rt").toString
+    val tmp = tempDir("graft_fmt_rt")
     val d = graft.Tables.documents(s, dir).filter(col("doc_id") < 50)
       .select(col("doc_id"), col("lang"), col("n_chars"))
     writeCsv(d, s"$tmp/c")
@@ -83,6 +105,32 @@ object TextIO {
       .agg(count(lit(1)).as("n_docs"),
            sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy("lang")
+  }
+
+  /** Declared parquet schema-evolution read: two snapshot generations of
+    * the orders table — v1 with the original (orderkey, totalprice)
+    * schema, v2 after the table gained a status column — are written as
+    * separate parquet directories and read back together with
+    * `mergeSchema`, the engine's schema-evolution contract: v1 rows
+    * surface the new column as NULL, which the aggregate folds into an
+    * "unknown" bucket. The snapshots derive deterministically from orders
+    * (keys ≡ 0 and ≡ 1 mod 3), so the oracle reproduces the merged result
+    * straight from the base table. Footer merging is distributed at scale
+    * (one task per file footer), and the sum is decimal-routed. */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_evo")
+    val o = graft.Tables.orders(s, dir)
+    o.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    o.filter(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy(coalesce(col("o_orderstatus"), lit("unknown")).as("status"))
+      .agg(count(lit(1)).as("n"),
+           graft.functions.Fns.sumD2(col("o_totalprice")).as("sum_price"))
+      .orderBy("status")
   }
 
   /** CSV and JSON source/sink wrappers (engine-native formats beyond the

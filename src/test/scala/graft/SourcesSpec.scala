@@ -61,4 +61,16 @@ class SourcesSpec extends AnyFunSuite {
     TextIO.writeJson(df, s"$dir/j")
     assert(TextIO.readJson(spark, s"$dir/j").collect().length === 2)
   }
+
+  test("schema evolution: v1 rows fold into the unknown bucket exactly") {
+    val rows = TextIO.schemaEvolution(spark, SparkTestSession.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val o = Tables.orders(spark, SparkTestSession.Sf).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val v1 = o.count(_._1 % 3 == 0).toLong
+    assert(rows("unknown") === v1)
+    val v2 = o.filter(_._1 % 3 == 1).groupBy(_._2).view.mapValues(_.size.toLong)
+    v2.foreach { case (st, n) => assert(rows(st) === n) }
+    assert(rows.values.sum === v1 + v2.values.sum)
+  }
 }
