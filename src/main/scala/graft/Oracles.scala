@@ -893,6 +893,29 @@ object Oracles {
          |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
+    // shingle CTE mirrors DedupNgramSql's shs exactly (same hash, same
+    // distinct point) so the int64 shingle identities — collisions and
+    // all — reproduce bit-for-bit
+    "q_decontamination" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |shs AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, ${polyHashSql("sh")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) y) z),
+         |sp AS (SELECT doc_id, ${polyHashSql("text")} % 10 AS b FROM documents),
+         |test AS (SELECT doc_id FROM sp WHERE b = 0),
+         |trainsh AS (SELECT DISTINCT h FROM shs JOIN sp USING (doc_id) WHERE b <> 0),
+         |testsh AS (SELECT shs.doc_id, h FROM shs JOIN test USING (doc_id)),
+         |cnt AS (SELECT doc_id, count(*) AS n_shingles FROM testsh GROUP BY doc_id),
+         |shr AS (SELECT doc_id, count(*) AS n_shared
+         |  FROM testsh JOIN trainsh USING (h) GROUP BY doc_id)
+         |SELECT cnt.doc_id, n_shingles, COALESCE(n_shared, 0) AS n_shared,
+         |  CAST(COALESCE(n_shared, 0) AS DOUBLE)/CAST(n_shingles AS DOUBLE) AS overlap_frac,
+         |  CAST(COALESCE(n_shared, 0) AS DOUBLE)/CAST(n_shingles AS DOUBLE) >= 0.6 AS contaminated
+         |FROM cnt LEFT JOIN shr ON cnt.doc_id = shr.doc_id
+         |ORDER BY cnt.doc_id""".stripMargin,
+
     "q_gopher_quality" ->
       s"""WITH d AS ($TokList),
          |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,

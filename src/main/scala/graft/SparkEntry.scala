@@ -120,6 +120,7 @@ object SparkEntry {
     "q_dedup_ngram"       -> q(Pipeline.dedupNgram),
     "q_dedup_clusters"    -> q(Pipeline.dedupClusters),
     "q_dedup_apply"       -> q(Pipeline.dedupApply),
+    "q_decontamination"   -> q(Pipeline.decontamination),
     "q_hash_sample"       -> q(Pipeline.hashSample),
     "q_balanced_sample"   -> q(Pipeline.balancedSample),
     "q_mixture_sample"    -> q(Pipeline.mixtureSample),

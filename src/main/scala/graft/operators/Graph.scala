@@ -26,9 +26,12 @@ object Graph {
     * measured 1.5× SLOWER here — its two extra degree joins buy nothing on
     * this uniform-degree graph — but it is the standard remedy when hub
     * vertices skew per-pivot fan-out, and slots into `oriented` below
-    * without changing the (orientation-invariant) output. The edge list is
-    * materialized once (localCheckpoint) and shared by all stages; the
-    * closure fraction is one IEEE division of exact int64 counts. */
+    * without changing the (orientation-invariant) output. (A per-edge
+    * adjacency-array `array_intersect` variant was measured too: 1.9×
+    * slower at sf0.1 — the per-row set intersection's interpreted constant
+    * outweighs the shuffle it saves at this adjacency density.) The edge
+    * list is materialized once (localCheckpoint) and shared by all stages;
+    * the closure fraction is one IEEE division of exact int64 counts. */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
     val baskets = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"))

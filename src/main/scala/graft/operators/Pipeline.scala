@@ -603,6 +603,42 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Benchmark decontamination: split the corpus into train/test by
+    * content hash (deterministic, reproducible — the same discipline as
+    * the sampling ops), then flag every test document sharing a word
+    * 3-gram shingle with ANY train document, reporting the overlap size.
+    * This is the eval-leakage check a training pipeline runs before
+    * publishing a split; production uses longer shingles (8–13 tokens) to
+    * ignore common phrases, but the machinery — hash split, int64 shingle
+    * hashes (no raw text on the wire), distinct-shingle equi-join, per-doc
+    * overlap counts — is identical at any n. Candidate volume is bounded
+    * by the shingle join exactly as in [[dedupNgram]]; the oracle hashes
+    * shingles identically, so collisions reproduce bit-for-bit. */
+  def decontamination(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingles(s, dir)
+      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+    val split = Tables.documents(s, dir)
+      .select(col("doc_id"), pmod(Fns.polyHash(col("text")), lit(10L)).as("b"))
+    val test = split.filter(col("b") === 0).select("doc_id")
+    val trainSh = hashed
+      .join(split.filter(col("b") =!= 0).select("doc_id"), Seq("doc_id"))
+      .select("h").distinct()
+    val testSh = hashed.join(test, Seq("doc_id"))
+    val counts = testSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val shared = testSh.join(trainSh, Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    counts.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      // flag on the shared-shingle FRACTION (one exact division): with
+      // short shingles any doc shares a few n-grams by chance, so the
+      // leak signal is bulk overlap, not mere presence
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / col("n_shingles").cast("double"))
+      .withColumn("contaminated", col("overlap_frac") >= 0.6)
+      .orderBy("doc_id")
+  }
+
   /** Collocation mining: score each corpus bigram by PMI-equivalent lift
     * N·c(ab)/(c(a)·c(b)) — the association measure that separates real
     * collocations from chance co-occurrence. The log in textbook PMI is

@@ -175,6 +175,34 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: split is disjoint-total, overlap matches brute force") {
+    val rows = Pipeline.decontamination(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hash(t: String): Long =
+      t.getBytes("UTF-8").foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    // per-doc distinct STRING shingles (the engine distincts before
+    // hashing); overlap membership is by int64 hash, collisions and all
+    def shingleSet(t: String): Set[String] = {
+      val w = t.split("[^a-zA-Z]+").filter(_.nonEmpty)
+      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }
+    val test = docs.filter(d => hash(d._2) % 10 == 0)
+    val trainSh = docs.filterNot(d => hash(d._2) % 10 == 0)
+      .flatMap(d => shingleSet(d._2)).map(hash).toSet
+    val expect = test.map { case (id, t) =>
+      val sh = shingleSet(t)
+      id -> (sh.size.toLong, sh.count(s => trainSh.contains(hash(s))).toLong)
+    }.toMap
+    assert(rows.map(_.getLong(0)).toSet === expect.keySet)
+    rows.foreach { r =>
+      val (n, sharedN) = expect(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === sharedN)
+      assert(r.getBoolean(4) === (sharedN.toDouble / n >= 0.6))
+    }
+  }
+
   test("collocations top-50 equals a driver-side brute force") {
     val texts = Tables.documents(spark, sf).collect().map(_.getString(1))
     val docToks = texts.map(_.split("[^a-zA-Z]+").filter(_.nonEmpty).toSeq)
