@@ -22,7 +22,8 @@ object PlanAudit {
       // round-4 second wave
       "q_recursive_cte", "q_mr_cogroup", "q_gopher_quality", "q_scd2",
       "q_collocations", "q_funnel", "q_triangle_count", "q_char_diversity",
-      "q_skyline", "q_retention", "q_anomaly")
+      "q_skyline", "q_retention", "q_anomaly", "q_gaps_islands",
+      "q_schema_evolution", "q_decontamination")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
