@@ -681,6 +681,16 @@ object Oracles {
 
     // range self-join: DuckDB's IEJoin evaluates the interval predicate
     // directly; the engine's bucketed equi-join must agree exactly
+    "q_range_frame_time" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
+         |SELECT event_id, user_id,
+         |  count(*) OVER w AS n_1h,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+         |FROM e
+         |WINDOW w AS (PARTITION BY user_id ORDER BY us
+         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+         |ORDER BY event_id""".stripMargin,
+
     "q_anomaly" ->
       s"""WITH st AS (SELECT event_type, count(*) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,

@@ -102,6 +102,7 @@ object SparkEntry {
     "q_session_window"    -> q(Relational.sessionWindows),
     "q_window_suite"      -> q(Relational.windowSuite),
     "q_moving_agg"        -> q(Relational.movingAgg),
+    "q_range_frame_time"  -> q(Relational.rangeFrameTime),
     "q_argmax"            -> q(Relational.argmaxEvents),
     "q_date_functions"    -> q(Relational.dateFunctions),
     "q_string_functions"  -> q(Relational.stringFunctions),

@@ -469,6 +469,30 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Time-based RANGE window frame: for every event, the count and sum of
+    * the same user's events in the trailing hour BY EVENT TIME (not row
+    * count — the frame a rate limiter or rolling-spend monitor needs).
+    * The frame bound is expressed on int64 epoch-microseconds, which is
+    * both engines' exact common currency for event time; the windowed sum
+    * is decimal-routed (a RANGE frame accumulates in arbitrary order, so
+    * a double sum would be association-sensitive). One (user)-keyed
+    * shuffle + sort serves both frames. */
+  def rangeFrameTime(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val HourUs = 3600000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("us")
+      .rangeBetween(-HourUs, 0)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+      .orderBy("event_id")
+  }
+
   /** Z-score anomaly detection: the top-5 most deviant event values per
     * event type, scored against the type's mean/stddev. Moment sums are
     * decimal-routed (exact, order-independent — the [[corrExact]]

@@ -228,6 +228,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("range_frame_time trailing-hour counts match a driver-side replay") {
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) as us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byUser = evs.groupBy(_._1)
+    val got = Relational.rangeFrameTime(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    evs.foreach { case (u, eid, us) =>
+      val n = byUser(u).count(e => e._3 >= us - 3600000000L && e._3 <= us)
+      assert(got(eid) === n.toLong, s"event $eid")
+    }
+  }
+
   test("anomaly ranks by |z| and z matches a driver-side recompute") {
     val rows = Relational.anomaly(spark, sf).collect()
     val byType = Tables.events(spark, sf)
