@@ -906,6 +906,18 @@ object Oracles {
     // shingle CTE mirrors DedupNgramSql's shs exactly (same hash, same
     // distinct point) so the int64 shingle identities — collisions and
     // all — reproduce bit-for-bit
+    "q_embedding_quantize" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |m AS (SELECT vec_id, v, list_min(v) AS minv, list_max(v) AS maxv FROM e),
+         |sc AS (SELECT vec_id, v, minv, maxv, (maxv - minv)/255.0 AS scale FROM m)
+         |SELECT vec_id, minv, maxv, scale,
+         |  CASE WHEN scale = 0 THEN CAST(0.0 AS DOUBLE) ELSE
+         |    list_max(list_transform(v, x -> abs(x - (minv +
+         |      greatest(least(floor((x - minv)/scale + 0.5), 255.0), 0.0) * scale))))
+         |  END AS max_abs_err
+         |FROM sc ORDER BY vec_id""".stripMargin,
+
     "q_decontamination" ->
       s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
          |    w -> w <> '') AS t FROM documents),

@@ -145,6 +145,7 @@ object SparkEntry {
     "q_embedding_neardup" -> q(Pipeline.embeddingNeardup),
     "q_ann_lsh"           -> q(Pipeline.annLsh),
     "q_ann_ivf"           -> q(Pipeline.annIvf),
+    "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),
     "q_multimodal_transform" -> q(Media.mediaTransform),

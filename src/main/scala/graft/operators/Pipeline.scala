@@ -684,6 +684,31 @@ object Pipeline {
 
   // ------------------------------------------------------------ similarity
 
+  /** Int8 scalar quantization of the embedding column — the compression
+    * step a vector store applies before indexing at 100 TB (4× smaller
+    * than f32, distance computations on int8). Per vector: min/max range,
+    * scale = range/255, q = clamp(floor((x−min)/scale + 0.5)), and the
+    * max absolute reconstruction error |x − (min + q·scale)|. Every step
+    * is elementwise-exact cross-engine: floor/abs/min/max are IEEE-exact,
+    * the same division/multiply chain runs on both sides, and the only
+    * aggregations are order-free (array min/max) — no sum, no libm. Narrow
+    * projection, zero shuffle. */
+  def embeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("minv", array_min(col("v")))
+      .withColumn("maxv", array_max(col("v")))
+      .withColumn("scale", (col("maxv") - col("minv")) / lit(255.0))
+      .withColumn("max_abs_err",
+        when(col("scale") === 0, 0.0).otherwise(array_max(
+          transform(col("v"), x => abs(x - (col("minv") +
+            greatest(least(floor((x - col("minv")) / col("scale") + 0.5),
+              lit(255.0)), lit(0.0)) * col("scale")))))))
+      .select("vec_id", "minv", "maxv", "scale", "max_abs_err")
+      .orderBy("vec_id")
+  }
+
   private def embDouble(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

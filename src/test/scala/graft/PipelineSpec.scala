@@ -175,6 +175,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_quantize: error bounded by scale/2, exact on one vector") {
+    val rows = Pipeline.embeddingQuantize(spark, sf).collect()
+    rows.foreach { r =>
+      val (scale, err) = (r.getDouble(3), r.getDouble(4))
+      assert(err >= 0.0 && err <= scale / 2 + 1e-12,
+        s"vec ${r.getLong(0)}: rounding error must be ≤ half a step")
+    }
+    val v = Tables.embeddings(spark, sf).orderBy("vec_id").limit(1)
+      .collect().head.getSeq[Float](1).map(_.toDouble)
+    val (mn, mx) = (v.min, v.max)
+    val scale = (mx - mn) / 255.0
+    val expErr = v.map { x =>
+      val q = math.max(math.min(math.floor((x - mn) / scale + 0.5), 255.0), 0.0)
+      math.abs(x - (mn + q * scale))
+    }.max
+    val r0 = rows.minBy(_.getLong(0))
+    assert(r0.getDouble(1) === mn); assert(r0.getDouble(2) === mx)
+    assert(r0.getDouble(4) === expErr)
+  }
+
   test("decontamination: split is disjoint-total, overlap matches brute force") {
     val rows = Pipeline.decontamination(spark, sf).collect()
     val docs = Tables.documents(spark, sf).collect()
