@@ -726,7 +726,7 @@ object Oracles {
          |t AS (SELECT count(*) AS n FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
          |counts AS (SELECT
          |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
-         |  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |  (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
          |  (SELECT CAST(n AS BIGINT) FROM t) AS n_triangles)
          |SELECT n_edges, n_wedges, n_triangles,
          |  CASE WHEN n_wedges > 0

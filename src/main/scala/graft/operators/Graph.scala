@@ -48,7 +48,10 @@ object Graph {
       .union(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // d·(d−1) is always even, so the integer halving is exact
-    val nW = deg.agg(sum(expr("d * (d - 1) div 2")).cast("long").as("n_wedges"))
+    // coalesce: sum over an empty degree table is NULL, and a NULL count
+    // would poison the census row (and the NaN-sensitive driver compare)
+    val nW = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
+      .cast("long").as("n_wedges"))
     // id-order IS the orientation: out-neighbors of u are the b's of
     // edges (u, b), so pairing them yields each a<b<c path exactly once
     val oriented = edges.select(col("a").as("u"), col("b").as("w"))

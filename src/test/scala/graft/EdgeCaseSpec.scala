@@ -37,14 +37,27 @@ class EdgeCaseSpec extends AnyFunSuite {
     "q_except_all", "q_window_navigation", "q_sessionize",
     "q_map_functions", "q_approx_topk", "q_approx_percentile",
     "q_variant_extract", "q_lateral_topk", "q_upsert", "q_grep",
+    // round-4 second/third wave
+    "q_recursive_cte", "q_mr_cogroup", "q_gopher_quality", "q_scd2",
+    "q_collocations", "q_funnel", "q_char_diversity", "q_skyline",
+    "q_retention", "q_anomaly", "q_gaps_islands", "q_schema_evolution",
+    "q_decontamination", "q_range_frame_time", "q_embedding_quantize",
     // streaming on an empty scheduling window: zero batches fire and the
     // sink read-back must yield an empty frame, not a path error
-    "q_stream_window", "q_stream_topk", "q_stream_dedup")
+    "q_stream_window", "q_stream_topk", "q_stream_dedup",
+    "q_stream_outer_join")
 
   test("operator families run on zero-row inputs") {
     families.foreach { name =>
       val n = SparkEntry.queries(name)(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }
+  }
+
+  test("triangle census of an empty graph is the all-zero row") {
+    val r = SparkEntry.queries("q_triangle_count")(spark, emptyDir).collect()
+    assert(r.length === 1)
+    assert(r.head.getLong(0) === 0L && r.head.getLong(1) === 0L &&
+           r.head.getLong(2) === 0L && r.head.getDouble(3) === 0.0)
   }
 }
