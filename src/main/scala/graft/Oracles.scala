@@ -1242,6 +1242,15 @@ object Oracles {
          |SELECT * FROM m UNION ALL SELECT * FROM um
          |ORDER BY user_id, view_id, purchase_id""".stripMargin,
 
+    "q_stream_current" ->
+      s"""WITH r AS (SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+         |  FROM events),
+         |c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+         |SELECT c.user_id, n_events, r.event_type AS last_type
+         |FROM c JOIN r ON c.user_id = r.user_id AND r.rn = 1
+         |ORDER BY c.user_id""".stripMargin,
+
     "q_stream_sessions" ->
       s"""WITH e AS (SELECT user_id, ts, event_id,
          |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -158,7 +158,8 @@ object SparkEntry {
     "q_stream_static_join" -> q(Streams.streamStaticJoin),
     "q_stream_stream_join" -> q(Streams.streamStreamJoin),
     "q_stream_outer_join" -> q(Streams.streamOuterJoin),
-    "q_stream_topk"       -> q(Streams.streamTopk)
+    "q_stream_topk"       -> q(Streams.streamTopk),
+    "q_stream_current"    -> q(Streams.streamCurrentState)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -8,6 +8,15 @@ import graft.Tables
 /** Event record for the stateful session stream. */
 case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long)
 
+/** Event record with its type, for the transformWithState processor. */
+case class EvT(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+               event_type: String)
+
+/** Per-user current profile maintained by [[Streams.streamCurrentState]]:
+  * cumulative event count and the latest event_type by (ts, event_id). */
+case class CurProfile(user_id: Long, n_events: Long, last_ts_us: Long,
+                      last_event_id: Long, last_type: String)
+
 /** Running per-user session state carried across micro-batches. */
 case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
 
@@ -275,6 +284,70 @@ object Streams {
       completeToParquet(s, counts,
         b => b.orderBy(col("n").desc, col("user_id")).limit(10))
     }.orderBy(col("n").desc, col("user_id"))
+  }
+
+  /** Streaming CDC current-state via Spark 4's `transformWithState` — the
+    * new arbitrary-stateful API (typed `ValueState` handles, RocksDB state
+    * store required): each user's profile (cumulative event count + latest
+    * event_type by event time) is updated per micro-batch and the updated
+    * snapshot emitted — the streaming twin of a batch arg-max, and the
+    * operator a CDC pipeline uses to maintain a serving table. State is
+    * one tiny struct per user, O(users) not O(events). Within a batch rows
+    * fold in (ts, event_id) order, so a one-pass run equals the batch
+    * oracle deterministically. */
+  def streamCurrentState(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Encs}
+
+    class CurrentProcessor extends StatefulProcessor[Long, EvT, CurProfile] {
+      @transient private var st: ValueState[CurProfile] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[CurProfile]("cur",
+          Encs.product[CurProfile], TTLConfig.NONE)
+      private def micros(t: java.sql.Timestamp): Long =
+        t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+      override def handleInputRows(user: Long, rows: Iterator[EvT],
+                                   timerValues: TimerValues): Iterator[CurProfile] = {
+        val evs = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+        if (evs.isEmpty) Iterator.empty
+        else {
+          var cur = if (st.exists()) st.get()
+                    else CurProfile(user, 0L, Long.MinValue, Long.MinValue, "")
+          evs.foreach { e =>
+            val t = micros(e.ts)
+            val newer = t > cur.last_ts_us ||
+              (t == cur.last_ts_us && e.event_id > cur.last_event_id)
+            cur = CurProfile(user, cur.n_events + 1,
+              if (newer) t else cur.last_ts_us,
+              if (newer) e.event_id else cur.last_event_id,
+              if (newer) e.event_type else cur.last_type)
+          }
+          st.update(cur)
+          Iterator.single(cur)
+        }
+      }
+    }
+
+    val schema = Tables.eventsRaw(s, dir).schema
+    val stream = Tables.normalizeEvents(
+        s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[EvT]
+    val out = stream.groupByKey(_.user_id)
+      .transformWithState(new CurrentProcessor, TimeMode.None(), OutputMode.Append())
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withStatePartitions(s, 2) { appendToParquet(s, out.toDF()) }
+        .select(col("user_id"), col("n_events"), col("last_type"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
   }
 
   /** Stateful sessionization via flatMapGroupsWithState: a session closes

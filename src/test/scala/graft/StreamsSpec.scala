@@ -110,6 +110,20 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState current profile equals batch last-event argmax") {
+    val stream = Streams.streamCurrentState(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val batch = Tables.events(spark, sf)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+           max(when(col("rn") === 1, col("event_type"))).as("lt"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2)))).toMap
+    assert(stream === batch)
+  }
+
   test("stream_sessions equals batch sessionization") {
     val stream = Streams.streamSessions(spark, sf).collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
