@@ -906,6 +906,14 @@ object Oracles {
     // shingle CTE mirrors DedupNgramSql's shs exactly (same hash, same
     // distinct point) so the int64 shingle identities — collisions and
     // all — reproduce bit-for-bit
+    "q_importance_sample" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE)/1500.0) AS weight
+         |FROM documents
+         |WHERE CAST(${polyHashSql("text")} % 1000000 AS DOUBLE)
+         |  < 1000000.0 * least(CAST(1.0 AS DOUBLE), CAST(n_chars AS DOUBLE)/1500.0)
+         |ORDER BY doc_id""".stripMargin,
+
     "q_embedding_quantize" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings),

@@ -684,6 +684,23 @@ object Pipeline {
 
   // ------------------------------------------------------------ similarity
 
+  /** Importance sampling with a continuous per-document weight — the
+    * data-mixing step that keeps each document with probability
+    * proportional to a quality proxy (here length, capped at 1): keep iff
+    * hash(text) mod 10⁶ < 10⁶·weight. Deterministic (no RNG — same
+    * discipline as the discrete-rate [[mixtureSample]]), reproducible
+    * across runs and engines, and embarrassingly parallel: one narrow
+    * filter, no shuffle. */
+  def importanceSample(s: SparkSession, dir: String): DataFrame = {
+    val weight = least(lit(1.0), col("n_chars").cast("double") / lit(1500.0))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"), weight.as("weight"),
+        pmod(Fns.polyHash(col("text")), lit(1000000L)).as("__h"))
+      .filter(col("__h").cast("double") < lit(1000000.0) * col("weight"))
+      .select("doc_id", "lang", "n_chars", "weight")
+      .orderBy("doc_id")
+  }
+
   /** Int8 scalar quantization of the embedding column — the compression
     * step a vector store applies before indexing at 100 TB (4× smaller
     * than f32, distance computations on int8). Per vector: min/max range,

@@ -175,6 +175,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("importance_sample is deterministic and respects the weight rule") {
+    val a = Pipeline.importanceSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    val b = Pipeline.importanceSample(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(a === b, "two runs identical (no RNG)")
+    val kept = a.toSet
+    Tables.documents(spark, sf).collect().foreach { r =>
+      val (id, text, n) = (r.getLong(0), r.getString(1), r.getLong(4))
+      val h = text.getBytes("UTF-8").foldLeft(0L)((x, c) => (x * 31 + c) % 1000000007L)
+      val w = math.min(1.0, n.toDouble / 1500.0)
+      assert(kept.contains(id) === ((h % 1000000L).toDouble < 1000000.0 * w), s"doc $id")
+    }
+  }
+
   test("embedding_quantize: error bounded by scale/2, exact on one vector") {
     val rows = Pipeline.embeddingQuantize(spark, sf).collect()
     rows.foreach { r =>
