@@ -23,7 +23,8 @@ object PlanAudit {
       "q_recursive_cte", "q_mr_cogroup", "q_gopher_quality", "q_scd2",
       "q_collocations", "q_funnel", "q_triangle_count", "q_char_diversity",
       "q_skyline", "q_retention", "q_anomaly", "q_gaps_islands",
-      "q_schema_evolution", "q_decontamination")
+      "q_schema_evolution", "q_decontamination", "q_range_frame_time",
+      "q_embedding_quantize", "q_importance_sample")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -81,6 +81,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("corun equals the two-map sequential cogroup on random KVs, any partitioning") {
+    (1 to 4).foreach { trial =>
+      val l = (0 until 40).map(_ => (s"k${rnd.nextInt(8)}", asciiStr(6)))
+      val r = (0 until 25).map(_ => (s"k${rnd.nextInt(10)}", asciiStr(6)))
+      val co: graft.mr.MapReduceJob.CoReduceF = (_, ls, rs) =>
+        s"${ls.sorted.mkString("|")}~${rs.sorted.mkString("|")}"
+      val parts = 1 + rnd.nextInt(5)
+      val got = graft.mr.MapReduceJob.corun(spark,
+        l.toDS().repartition(parts), r.toDS().repartition(parts), co)
+        .collect().toMap
+      val lm = l.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val rm = r.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val want = (lm.keySet ++ rm.keySet).map { k =>
+        k -> s"${lm.getOrElse(k, Nil).sorted.mkString("|")}~${rm.getOrElse(k, Nil).sorted.mkString("|")}"
+      }.toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("triangle census core equals brute force on random basket graphs") {
+    (1 to 3).foreach { trial =>
+      // random baskets → same derivation the operator uses
+      val baskets = (0 until 25).map(_ =>
+        (0 until 2 + rnd.nextInt(4)).map(_ => rnd.nextInt(12).toLong).distinct.sorted)
+      val edges = baskets.flatMap(ps =>
+        for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))).toSet
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val nTri = adj.valuesIterator.map { ns =>
+        val sq = ns.toSeq.sorted
+        (for (i <- sq.indices; j <- i + 1 until sq.length
+              if edges.contains((sq(i), sq(j)))) yield 1).size.toLong
+      }.sum
+      // run the operator's join shape on the synthetic edge list
+      val e = edges.toSeq.toDF("a", "b")
+      val o = e.select(col("a").as("u"), col("b").as("w"))
+      val cand = o.select(col("u"), col("w").as("x"))
+        .join(o.select(col("u"), col("w").as("y")), Seq("u"))
+        .filter(col("x") < col("y"))
+      val got = cand.join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y")).count()
+      assert(got === nTri, s"trial $trial")
+    }
+  }
+
   test("asofJoin equals the per-row greatest-preceding lookup on random series") {
     (1 to 5).foreach { trial =>
       val ls = (0 until 30).map(_ => (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong))
