@@ -79,6 +79,28 @@ object Oracles {
        |SELECT v AS doc_id, min(lbl) AS cluster_id FROM reach
        |GROUP BY v ORDER BY doc_id""".stripMargin
 
+  /** q_dedup_containment — same shingle/pair CTEs as DedupNgramSql, scored
+    * by the overlap coefficient common/min(|A|,|B|) instead of Jaccard. */
+  private val DedupContainmentSql: String =
+    s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+       |    w -> w <> '') AS t FROM documents),
+       |shs AS (SELECT DISTINCT doc_id, h FROM (
+       |  SELECT doc_id, ${polyHashSql("sh")} AS h FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) y) z),
+       |rare AS (SELECT h FROM (SELECT h, count(*) AS df FROM shs GROUP BY h) f
+       |  WHERE df <= 100),
+       |shr AS (SELECT s1.doc_id, s1.h FROM shs s1 JOIN rare USING (h)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM shr a JOIN shr b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, common, overlap FROM (
+       |  SELECT doc_a, doc_b, CAST(common AS BIGINT) AS common,
+       |    CAST(common AS DOUBLE)/CAST(least(sa.sz, sb.sz) AS DOUBLE) AS overlap
+       |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) j
+       |WHERE overlap >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
+
   /** Quality-score CTEs (d → s → sc), shared by q_quality_score and the
     * composed q_curation oracle. */
   private val QualityScoreCtes: String =
@@ -815,6 +837,8 @@ object Oracles {
     // shingles hashed to int64 exactly like the engine (polyHash) so the
     // rare hash collisions are reproduced bit-for-bit on both sides
     "q_dedup_ngram" -> DedupNgramSql,
+
+    "q_dedup_containment" -> DedupContainmentSql,
 
     // connected components over the near-dup pair graph: a recursive CTE
     // computes the exact transitive min-label; the engine's fixed-round

@@ -119,6 +119,7 @@ object SparkEntry {
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),
     "q_dedup_ngram"       -> q(Pipeline.dedupNgram),
+    "q_dedup_containment" -> q(Pipeline.dedupContainment),
     "q_dedup_clusters"    -> q(Pipeline.dedupClusters),
     "q_dedup_apply"       -> q(Pipeline.dedupApply),
     "q_decontamination"   -> q(Pipeline.decontamination),

@@ -115,6 +115,38 @@ object Pipeline {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment near-dup (quotation detection): pairs scored by the
+    * OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|) instead of Jaccard — the
+    * metric that catches a short document embedded verbatim in a longer
+    * one, where Jaccard stays low because the union is dominated by the
+    * long side. Same single grouped doc-set aggregate and df-capped pair
+    * explosion as [[dedupNgram]] (one shuffle, linear candidates), one
+    * exact division, threshold 0.6. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val ex = shinglesRaw(s, dir)
+      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+    val byShingle = ex.groupBy("h")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+    val sizes = byShingle
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = byShingle
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .select(explode(flatten(transform(col("ds"), (a, i) =>
+          transform(slice(col("ds"), i + 2, size(col("ds"))),
+            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        (col("common").cast("double") /
+          least(col("sz_a"), col("sz_b")).cast("double")).as("overlap"))
+      .filter(col("overlap") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private val MinhashPerms = 64
   private val MinhashBandRows = 4 // 16 bands × 4 rows
 

@@ -175,6 +175,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("containment overlap >= jaccard on shared pairs, both in (0,1]") {
+    val cont = Pipeline.dedupContainment(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    val jac = Pipeline.dedupNgram(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    cont.values.foreach(o => assert(o > 0.0 && o <= 1.0))
+    // overlap coefficient dominates jaccard: |A∩B|/min ≥ |A∩B|/|A∪B|
+    cont.keySet.intersect(jac.keySet).foreach { k =>
+      assert(cont(k) >= jac(k) - 1e-12, s"pair $k")
+    }
+  }
+
   test("importance_sample is deterministic and respects the weight rule") {
     val a = Pipeline.importanceSample(spark, sf).collect().map(_.getLong(0)).toSeq
     val b = Pipeline.importanceSample(spark, sf).collect().map(_.getLong(0)).toSeq
