@@ -703,6 +703,30 @@ object Oracles {
 
     // range self-join: DuckDB's IEJoin evaluates the interval predicate
     // directly; the engine's bucketed equi-join must agree exactly
+    // the CASE guards state which rows the engine's try_* forms rescue:
+    // key%5=0 → null division, non-numeric status → null cast, and any
+    // positive key overflows int64 max → null add
+    "q_try_functions" ->
+      s"""SELECT o_orderkey,
+         |  COALESCE(CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         |    ELSE o_totalprice / (o_orderkey % 5) END, CAST(-1.0 AS DOUBLE)) AS safe_div,
+         |  COALESCE(TRY_CAST(o_orderstatus AS BIGINT), CAST(-1 AS BIGINT)) AS safe_cast,
+         |  COALESCE(CASE WHEN o_orderkey > 0 THEN NULL
+         |    ELSE o_orderkey + 9223372036854775807 END, CAST(-1 AS BIGINT)) AS safe_add
+         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_zorder" -> {
+      def spread(e: String): String =
+        (0 until 16).map(i => s"(((($e) >> $i) & 1) << ${2 * i})").mkString(" + ")
+      s"""WITH o AS (SELECT o_orderkey,
+         |  CAST(o_custkey % 65536 AS BIGINT) AS cx,
+         |  CAST(datediff('day', DATE '1990-01-01', o_orderdate) % 65536 AS BIGINT) AS dy
+         |  FROM orders)
+         |SELECT o_orderkey, cx, dy,
+         |  CAST(${spread("cx")} + (${spread("dy")}) * 2 AS BIGINT) AS zkey
+         |FROM o ORDER BY zkey, o_orderkey LIMIT 100""".stripMargin
+    },
+
     "q_range_frame_time" ->
       s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
          |SELECT event_id, user_id,

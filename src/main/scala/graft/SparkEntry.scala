@@ -103,6 +103,8 @@ object SparkEntry {
     "q_window_suite"      -> q(Relational.windowSuite),
     "q_moving_agg"        -> q(Relational.movingAgg),
     "q_range_frame_time"  -> q(Relational.rangeFrameTime),
+    "q_zorder"            -> q(Relational.zorderKey),
+    "q_try_functions"     -> q(Relational.tryFunctions),
     "q_argmax"            -> q(Relational.argmaxEvents),
     "q_date_functions"    -> q(Relational.dateFunctions),
     "q_string_functions"  -> q(Relational.stringFunctions),

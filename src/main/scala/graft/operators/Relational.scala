@@ -469,6 +469,48 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** ANSI-safe `try_*` arithmetic on dirty data: division by zero, a cast
+    * that fails on non-numeric input, and int64 overflow all yield NULL
+    * instead of failing the job — the semantics a 100 TB batch needs
+    * (one malformed row must not kill a 10-hour run). NULLs are folded to
+    * sentinels for the (NaN-sensitive) compare; the oracle reproduces the
+    * same outcomes with explicit CASE guards, which also documents exactly
+    * which rows the try_* forms rescue. */
+  def tryFunctions(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        coalesce(expr("try_divide(o_totalprice, o_orderkey % 5)"), lit(-1.0))
+          .as("safe_div"),
+        coalesce(expr("try_cast(o_orderstatus AS BIGINT)"), lit(-1L))
+          .as("safe_cast"),
+        coalesce(expr("try_add(o_orderkey, 9223372036854775807L)"), lit(-1L))
+          .as("safe_add"))
+      .orderBy("o_orderkey")
+
+  /** Z-order (Morton) clustering key over (custkey, order-day): the
+    * bit-interleaved key that makes a single sort cluster BOTH dimensions,
+    * so min/max file statistics prune on either predicate — the
+    * multi-dimensional layout technique behind data-skipping table
+    * formats. Pure 16-bit integer bit arithmetic (shifts/masks/or), exact
+    * on both engines; at scale the engine would `orderBy(zkey)` before the
+    * partitioned write, here the key itself plus the top rows of that
+    * clustered order are surfaced and hash-checked. */
+  def zorderKey(s: SparkSession, dir: String): DataFrame = {
+    // spread every other bit: x16 -> 32-bit with zeros interleaved
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i))
+        .reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536L)).as("cx"),
+        pmod(expr("datediff(to_date(o_orderdate), '1990-01-01')").cast("long"),
+          lit(65536L)).as("dy"))
+      .select(col("o_orderkey"), col("cx"), col("dy"),
+        (spread(col("cx")) + spread(col("dy")) * 2).as("zkey"))
+      .orderBy(col("zkey"), col("o_orderkey"))
+      .limit(100)
+  }
+
   /** Time-based RANGE window frame: for every event, the count and sum of
     * the same user's events in the trailing hour BY EVENT TIME (not row
     * count — the frame a rate limiter or rolling-spend monitor needs).

@@ -228,6 +228,27 @@ class RelationalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("try_* functions rescue exactly the dirty rows") {
+    Relational.tryFunctions(spark, sf).collect().foreach { r =>
+      val k = r.getLong(0)
+      assert((r.getDouble(1) == -1.0) === (k % 5 == 0), s"safe_div key $k")
+      assert(r.getLong(2) === -1L, "status never casts to a number")
+      assert((r.getLong(3) == -1L) === (k > 0), s"safe_add key $k")
+    }
+  }
+
+  test("zorder key interleaves bits exactly (deinterleave round-trips)") {
+    val rows = Relational.zorderKey(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cx, dy, z) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      def morton(x: Long, y: Long): Long =
+        (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) |
+                             (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+      assert(z === morton(cx, dy), s"order ${r.getLong(0)}")
+    }
+  }
+
   test("range_frame_time trailing-hour counts match a driver-side replay") {
     val evs = Tables.events(spark, sf)
       .selectExpr("user_id", "event_id", "unix_micros(ts) as us")
