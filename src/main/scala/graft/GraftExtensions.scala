@@ -27,6 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
      builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // semantics-preserving rewrite: thresholded levenshtein predicates
+    // gain a cheap length-gap guard (see the rule's doc for the proof)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
     ext.injectFunction(fn("poly_hash",
       es => graft.functions.PolyHashExpr(es.head, 31L, 1000000007L)))
     ext.injectFunction(fn("poly_hash2",

@@ -54,6 +54,13 @@ object Engine {
         es => graft.functions.FoldDotProduct(es(0), es(1)))
       org.apache.spark.sql.GraftShims.registerFunction(spark, "fnv1a32",
         es => graft.functions.Fnv1aExpr(es.head))
+      // programmatic twin of GraftExtensions' injectOptimizerRule: the
+      // extraOptimizations hook accepts rules after session build
+      if (!spark.experimental.extraOptimizations
+            .contains(graft.plans.LevenshteinLengthGuard)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.LevenshteinLengthGuard
+      }
       spark.conf.set("graft.registered", "true")
     }
     val c = spark.conf

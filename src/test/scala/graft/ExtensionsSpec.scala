@@ -34,4 +34,28 @@ class ExtensionsSpec extends AnyFunSuite {
       SparkSession.setActiveSession(base)
     }
   }
+
+  test("levenshtein length-gap guard fires, preserves results, stays idempotent") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    val df = graft.Tables.customer(graft.Engine.tune(spark), SparkTestSession.Sf)
+      .filter(levenshtein(col("c_name"), lit("Customer#000000042")) <= 2)
+      .select("c_custkey")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("abs("), s"guard not injected:\n$opt")
+    assert(opt.sliding("abs(".length).count(_ == "abs(") === 1,
+      "guard added exactly once (idempotent under fixpoint batches)")
+    // semantics unchanged: equals a driver-side recompute of the filter
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = graft.Tables.customer(spark, SparkTestSession.Sf).collect()
+      .filter(r => lev(r.getString(1), "Customer#000000042") <= 2)
+      .map(_.getLong(0)).toSet
+    assert(df.collect().map(_.getLong(0)).toSet === want)
+  }
 }
