@@ -126,15 +126,27 @@ object Streams {
     readSink(s, data, agg.schema)
   }
 
+  /** The events table as a stream, tolerant of both fixture layouts: a
+    * single `events.parquet` FILE beside the other tables (driver
+    * fixtures — the file source needs a directory, so the parent is
+    * scanned with a name glob) or an `events.parquet/` DIRECTORY of part
+    * files (any real deployment, and the 10× scale probe). */
+  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.eventsRaw(s, dir).schema
+    val f = new java.io.File(dir, "events.parquet")
+    val src =
+      if (f.isDirectory) s.readStream.schema(schema).parquet(f.getAbsolutePath)
+      else s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+    Tables.normalizeEvents(src)
+  }
+
   /** Tumbling 1-hour event-time window, streaming form of
     * [[graft.operators.Relational.tumblingWindow]]. Complete output mode:
     * every trigger re-emits the full window table, so after one pass over
     * the fixture the result equals the batch group-by (oracle-checkable). */
   def streamWindow(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRaw(s, dir).schema
-    val stream = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val stream = eventStream(s, dir)
     val agg = stream
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -152,10 +164,7 @@ object Streams {
     * finalizing no-data batch that advances the watermark past the last
     * input, closing every eligible window.) */
   def streamWindowWatermarked(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRaw(s, dir).schema
-    val stream = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val stream = eventStream(s, dir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -172,10 +181,7 @@ object Streams {
     * the pipeline's exact dedup. Append mode emits each first-seen key
     * immediately, so after one pass the sink equals the batch DISTINCT. */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRaw(s, dir).schema
-    val stream = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val stream = eventStream(s, dir)
     val deduped = stream
       .select(col("user_id"), date_trunc("minute", col("ts")).as("m"))
       .withWatermark("m", "1 hour")
@@ -194,10 +200,7 @@ object Streams {
     val profile = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("user_id"))
       .agg(count(lit(1)).as("n_orders"))
-    val schema = Tables.eventsRaw(s, dir).schema
-    val stream = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val stream = eventStream(s, dir)
     val joined = stream.join(broadcast(profile), Seq("user_id"), "left")
       .select(col("event_type"),
         when(coalesce(col("n_orders"), lit(0L)) >= 12, "heavy")
@@ -213,10 +216,7 @@ object Streams {
     * bounded-state form; inner-join matches emit as they arrive, so one
     * pass over the fixture equals the batch interval join. */
   def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRaw(s, dir).schema
-    def src = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    def src = eventStream(s, dir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
       .withWatermark("view_ts", "1 hour")
@@ -245,10 +245,7 @@ object Streams {
     * bounded-state outer-join contract. The oracle reproduces exactly
     * this closed set: inner matches ∪ expired unmatched views. */
   def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRaw(s, dir).schema
-    def src = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    def src = eventStream(s, dir)
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts").as("view_ts"), col("event_id").as("view_id"))
       .withWatermark("view_ts", "1 hour")
@@ -275,10 +272,7 @@ object Streams {
     * TakeOrderedAndProject over the aggregate snapshot, not a total
     * sort. */
   def streamTopk(s: SparkSession, dir: String): DataFrame = {
-    val schema = Tables.eventsRaw(s, dir).schema
-    val stream = Tables.normalizeEvents(
-      s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val stream = eventStream(s, dir)
     val counts = stream.groupBy("user_id").agg(count(lit(1)).as("n"))
     withStatePartitions(s, 2) {
       completeToParquet(s, counts,
@@ -329,10 +323,7 @@ object Streams {
       }
     }
 
-    val schema = Tables.eventsRaw(s, dir).schema
-    val stream = Tables.normalizeEvents(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val stream = eventStream(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .as[EvT]
     val out = stream.groupByKey(_.user_id)
@@ -358,10 +349,7 @@ object Streams {
     * result equal to the batch sessionization oracle. */
   def streamSessions(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val schema = Tables.eventsRaw(s, dir).schema
-    val stream = Tables.normalizeEvents(
-        s.readStream.schema(schema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir))
+    val stream = eventStream(s, dir)
       .select(col("user_id"), col("ts"), col("event_id")).as[Ev]
 
     def micros(t: java.sql.Timestamp): Long =
