@@ -38,5 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => graft.functions.FoldDotProduct(es(0), es(1))))
     ext.injectFunction(fn("fnv1a32",
       es => graft.functions.Fnv1aExpr(es.head)))
+    ext.injectFunction(fn("explode_ngrams",
+      es => graft.functions.NgramGenerator(es(0), es(1))))
   }
 }

@@ -1098,6 +1098,14 @@ object Oracles {
     "q_fingerprint" ->
       s"SELECT doc_id, ${polyHashSql("text")} AS fp FROM documents ORDER BY doc_id",
 
+    "q_sql_udtf" ->
+      s"""WITH d AS ($TokList),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+         |  i -> t[i] || ' ' || t[i+1])) AS ngram FROM d)
+         |SELECT doc_id, count(*) AS n_ngrams,
+         |  count(DISTINCT ngram) AS n_distinct
+         |FROM bg GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q_sql_custom_fn" ->
       s"SELECT doc_id, ${polyHashSql("text")} AS fp FROM documents ORDER BY doc_id",
 

@@ -81,6 +81,7 @@ object SparkEntry {
     "q_sliding_window"    -> q(Relational.slidingWindow),
     "q_sql_interface"     -> q(Relational.sqlInterface),
     "q_sql_custom_fn"     -> q(Relational.sqlCustomFn),
+    "q_sql_udtf"          -> q(Relational.sqlUdtf),
     "q_histogram"         -> q(Relational.histogram),
     "q_percentiles"       -> q(Relational.percentiles),
     "q_approx_distinct"   -> q(Relational.approxDistinct),

@@ -54,6 +54,8 @@ object Engine {
         es => graft.functions.FoldDotProduct(es(0), es(1)))
       org.apache.spark.sql.GraftShims.registerFunction(spark, "fnv1a32",
         es => graft.functions.Fnv1aExpr(es.head))
+      org.apache.spark.sql.GraftShims.registerFunction(spark, "explode_ngrams",
+        es => graft.functions.NgramGenerator(es(0), es(1)))
       // programmatic twin of GraftExtensions' injectOptimizerRule: the
       // extraOptimizations hook accepts rules after session build
       if (!spark.experimental.extraOptimizations

@@ -362,6 +362,20 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Custom table-generating function from SQL text: the registered
+    * [[graft.functions.NgramGenerator]] exploded through `LATERAL VIEW` —
+    * the UDTF surface (the reference's `Map(file, contents) → []KV`
+    * contract is exactly a table function). Per-doc totals keep the
+    * output compact while checking every generated row. */
+  def sqlUdtf(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_v")
+    s.sql(
+      """SELECT doc_id, count(*) AS n_ngrams,
+        |       count(DISTINCT ngram) AS n_distinct
+        |FROM documents_v LATERAL VIEW explode_ngrams(text, 2) t AS ngram
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
   /** Custom codegen expressions called from SQL text: `poly_hash` is the
     * registered [[graft.functions.PolyHashExpr]] (Engine.tune), matching
     * the q_fingerprint oracle exactly. */

@@ -68,4 +68,17 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(Fns.cosineD(col("a"), col("b"))).as[Double].head()
     assert(math.abs(got - 1.0) < 1e-15)
   }
+
+  test("explode_ngrams generator: exact stream, short/null inputs empty") {
+    graft.Engine.tune(spark)
+    Seq((1L, "the quick brown fox"), (2L, "ab"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "txt").createOrReplaceTempView("gen_t")
+    val rows = spark.sql(
+      """SELECT id, ng FROM gen_t LATERAL VIEW explode_ngrams(txt, 3) t AS ng
+        |ORDER BY id, ng""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.toSeq === Seq(
+      (1L, "quick brown fox"), (1L, "the quick brown")))
+    // n larger than the token count and null text both generate nothing ✓
+  }
 }
