@@ -39,9 +39,12 @@ case class NgramGenerator(child: Expression, nExpr: Expression)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val s = child.eval(input)
-    if (s == null) Nil
+    val nv = nExpr.eval(input)
+    // null text, null n, or a non-positive n generate nothing (the same
+    // lenient contract as the built-in explode of an empty array)
+    if (s == null || nv == null || nv.asInstanceOf[Int] <= 0) Nil
     else {
-      val n = nExpr.eval(input).asInstanceOf[Int]
+      val n = nv.asInstanceOf[Int]
       val toks = s.toString.split("[^a-zA-Z]+").filter(_.nonEmpty)
       if (toks.length < n) Nil
       else toks.sliding(n).map(g =>
