@@ -936,7 +936,7 @@ object Oracles {
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "q_char_diversity" ->
-      s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      s"""WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[^\\n]')) AS c
          |  FROM documents),
          |per AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
          |agg AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_chars,

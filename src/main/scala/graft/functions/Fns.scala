@@ -23,6 +23,16 @@ object Fns {
 
   def tokensArr(text: Column): Column = split(text, TokenPattern)
 
+  /** Word-bigram array of a pre-tokenized (empties already filtered)
+    * array column — one shared expression so every bigram consumer
+    * (corpus table, quality signals, collocations) stays token-for-token
+    * identical with its oracle. */
+  def bigramsArr(t: Column): Column =
+    when(size(t) >= 2,
+        transform(sequence(lit(0), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+
   /** Unicode tokenizer: exact `unicode.IsLetter` semantics of the reference
     * (`/root/reference/src/mrapps/wc.go:23`) on any corpus, via the \p{L}
     * Unicode-letter property class — Java regex and DuckDB RE2 agree on

@@ -61,68 +61,31 @@ object Pipeline {
 
   private val MaxShingleDf = 100
 
-  /** Near-dup detection via exact n-gram Jaccard with shared-shingle
-    * blocking: docs pair only if they share a (non-stop) shingle; Jaccard
-    * computed from exact distinct-set sizes. Threshold 0.2 (fixture corpus
-    * is random text; real near-dups would sit ≫ 0.8).
+  /** Shared candidate-pair statistics (doc_a, doc_b, common, sz_a, sz_b),
+    * materialized ONCE per (session, corpus) and read by every pairwise
+    * scorer — Jaccard, containment, the cluster table, the corpus filter
+    * and the composed curation chain — exactly as a production pipeline
+    * materializes its pair table once per corpus snapshot.
     *
-    * The (tiny) pair table is materialized once per (session, corpus) and
-    * shared by every consumer — the cluster table, the corpus filter, and
-    * the composed curation chain all read the same near-dup decision list,
-    * exactly as a production pipeline materializes it once per corpus
-    * snapshot rather than re-scanning the corpus per step. */
-  def dedupNgram(s: SparkSession, dir: String): DataFrame =
-    ngramCache.computeIfAbsent((s, dir), _ =>
-      computeNgram(s, dir).localCheckpoint(true))
-      .orderBy("doc_a", "doc_b")
+    * One pass builds (doc_id, h) with the int64 shingle hash computed as a
+    * codegen'd top-level projection (polyHash inside a higher-order-
+    * function lambda would run interpreted — measured 2× slower than the
+    * whole query). One shuffle groups the doc-set per hash (collect_set =
+    * exact DISTINCT semantics, merged map-side); that single aggregate
+    * then feeds BOTH the pair explosion (bounded by the df ≤ 100 stop-
+    * shingle cap, so candidate volume grows linearly with the corpus) AND
+    * the exact per-doc set sizes (re-explode + count), sharing its
+    * exchange. No raw shingle string crosses the wire. The oracle hashes
+    * shingles identically, so the rare hash collisions are reproduced
+    * bit-for-bit on both sides. */
+  private def pairStats(s: SparkSession, dir: String): DataFrame =
+    pairCache.computeIfAbsent((s, dir), _ =>
+      computePairStats(s, dir).localCheckpoint(true))
 
-  private val ngramCache =
+  private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def computeNgram(s: SparkSession, dir: String): DataFrame = {
-    // One pass builds (doc_id, h) with the int64 shingle hash computed as a
-    // codegen'd top-level projection (polyHash inside a higher-order-
-    // function lambda would run interpreted — measured 2× slower than the
-    // whole query). One shuffle groups the doc-set per hash (collect_set =
-    // exact DISTINCT semantics, merged map-side); that single aggregate
-    // then feeds BOTH the pair explosion (bounded by the df ≤ 100 stop-
-    // shingle cap, so candidate volume grows linearly with the corpus) AND
-    // the exact per-doc set sizes (re-explode + count), sharing its
-    // exchange. No raw shingle string crosses the wire, nothing persists.
-    // The oracle hashes shingles identically, so the rare hash collisions
-    // are reproduced bit-for-bit on both sides.
-    val ex = shinglesRaw(s, dir)
-      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
-    val byShingle = ex.groupBy("h")
-      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-    val sizes = byShingle
-      .select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = byShingle
-      .filter(size(col("ds")).between(2, MaxShingleDf))
-      .select(explode(flatten(transform(col("ds"), (a, i) =>
-          transform(slice(col("ds"), i + 2, size(col("ds"))),
-            b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (col("common").cast("double") /
-          (col("sz_a") + col("sz_b") - col("common")).cast("double")).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
-      .orderBy("doc_a", "doc_b")
-  }
-
-  /** Containment near-dup (quotation detection): pairs scored by the
-    * OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|) instead of Jaccard — the
-    * metric that catches a short document embedded verbatim in a longer
-    * one, where Jaccard stays low because the union is dominated by the
-    * long side. Same single grouped doc-set aggregate and df-capped pair
-    * explosion as [[dedupNgram]] (one shuffle, linear candidates), one
-    * exact division, threshold 0.6. */
-  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+  private def computePairStats(s: SparkSession, dir: String): DataFrame = {
     val ex = shinglesRaw(s, dir)
       .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
     val byShingle = ex.groupBy("h")
@@ -140,12 +103,35 @@ object Pipeline {
     pairs
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select("doc_a", "doc_b", "common", "sz_a", "sz_b")
+  }
+
+  /** Near-dup detection via exact n-gram Jaccard with shared-shingle
+    * blocking: docs pair only if they share a (non-stop) shingle; Jaccard
+    * computed from exact distinct-set sizes over the shared [[pairStats]]
+    * table. Threshold 0.2 (fixture corpus is random text; real near-dups
+    * would sit ≫ 0.8). */
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("common")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+
+  /** Containment near-dup (quotation detection): pairs scored by the
+    * OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|) instead of Jaccard — the
+    * metric that catches a short document embedded verbatim in a longer
+    * one, where Jaccard stays low because the union is dominated by the
+    * long side. One narrow projection over the shared [[pairStats]]
+    * table, one exact division, threshold 0.6. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    pairStats(s, dir)
       .select(col("doc_a"), col("doc_b"), col("common"),
         (col("common").cast("double") /
           least(col("sz_a"), col("sz_b")).cast("double")).as("overlap"))
       .filter(col("overlap") >= 0.6)
       .orderBy("doc_a", "doc_b")
-  }
 
   private val MinhashPerms = 64
   private val MinhashBandRows = 4 // 16 bands × 4 rows
@@ -506,11 +492,7 @@ object Pipeline {
       size(col("t")).cast("long").as("n_tokens"),
       size(array_distinct(col("t"))).cast("long").as("n_distinct"))
     val bigrams = d.select(col("doc_id"),
-      explode(when(size(col("t")) >= 2,
-          transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat_ws(" ", element_at(col("t"), i + 1),
-                                element_at(col("t"), i + 2))))
-        .otherwise(array().cast("array<string>"))).as("bg"))
+      explode(Fns.bigramsArr(col("t"))).as("bg"))
     val top = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
     stats.join(top, Seq("doc_id"), "left")
@@ -536,9 +518,12 @@ object Pipeline {
     * way an entropy filter would in a training-data pipeline. Two keyed
     * aggregations, linear at any scale. */
   def charDiversity(s: SparkSession, dir: String): DataFrame = {
+    // explicit [^\n] instead of '.': Java regex '.' also excludes \r and
+    // the Unicode line separators while RE2's excludes only \n — the
+    // negated class means both engines drop exactly the same character
     val per = Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+        explode(regexp_extract_all(col("text"), lit("[^\\n]"), lit(0))).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
     val agg = per.groupBy("doc_id").agg(
       sum(col("c")).cast("long").as("n_chars"),
@@ -626,10 +611,7 @@ object Pipeline {
   def bigrams(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
-    d.select(explode(when(size(col("t")) >= 2,
-          transform(sequence(lit(0), size(col("t")) - 2),
-            i => concat_ws(" ", element_at(col("t"), i + 1), element_at(col("t"), i + 2))))
-        .otherwise(array().cast("array<string>"))).as("bigram"))
+    d.select(explode(Fns.bigramsArr(col("t"))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("bigram"))
       .limit(20)
@@ -647,8 +629,12 @@ object Pipeline {
     * by the shingle join exactly as in [[dedupNgram]]; the oracle hashes
     * shingles identically, so collisions reproduce bit-for-bit. */
   def decontamination(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shingles(s, dir)
+    // distinct AFTER hashing, matching the oracle's `SELECT DISTINCT
+    // doc_id, h` exactly — distincting the strings first would count an
+    // intra-document hash collision twice here and once there
+    val hashed = shinglesRaw(s, dir)
       .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+      .distinct()
     val split = Tables.documents(s, dir)
       .select(col("doc_id"), pmod(Fns.polyHash(col("text")), lit(10L)).as("b"))
     val test = split.filter(col("b") === 0).select("doc_id")
@@ -686,11 +672,7 @@ object Pipeline {
       .select(filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
     val uni = d.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-    val bgs = d.select(explode(when(size(col("t")) >= 2,
-        transform(sequence(lit(0), size(col("t")) - 2),
-          i => concat_ws(" ", element_at(col("t"), i + 1),
-                              element_at(col("t"), i + 2))))
-      .otherwise(array().cast("array<string>"))).as("bigram"))
+    val bgs = d.select(explode(Fns.bigramsArr(col("t"))).as("bigram"))
     val bc = bgs.groupBy("bigram").agg(count(lit(1)).as("c_ab"))
     val n = bgs.agg(count(lit(1)).as("n_bg"))
     bc.filter(col("c_ab") >= 5)

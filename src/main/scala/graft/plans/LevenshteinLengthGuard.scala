@@ -27,13 +27,20 @@ import org.apache.spark.sql.types.IntegerType
   */
 object LevenshteinLengthGuard extends Rule[LogicalPlan] with PredicateHelper {
 
+  // Only the UN-thresholded two-argument form may be guarded: the
+  // three-argument levenshtein(a, b, t) returns -1 (not the distance)
+  // when the distance exceeds t, so `levenshtein(a, b, t) <= k` is TRUE
+  // for arbitrarily distant strings and a length guard would wrongly
+  // drop them.
   private def guardFor(c: Expression): Option[Expression] = c match {
-    case LessThanOrEqual(Levenshtein(a, b, _), k @ Literal(_, IntegerType)) =>
+    case LessThanOrEqual(Levenshtein(a, b, None), k @ Literal(_, IntegerType)) =>
       Some(LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k))
-    case LessThan(Levenshtein(a, b, _), k @ Literal(_, IntegerType)) =>
+    case LessThan(Levenshtein(a, b, None), k @ Literal(_, IntegerType)) =>
       Some(LessThan(Abs(Subtract(Length(a), Length(b))), k))
-    case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, _)) =>
+    case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, None)) =>
       Some(LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k))
+    case GreaterThan(k @ Literal(_, IntegerType), Levenshtein(a, b, None)) =>
+      Some(LessThan(Abs(Subtract(Length(a), Length(b))), k))
     case _ => None
   }
 

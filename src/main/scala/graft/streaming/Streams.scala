@@ -332,8 +332,16 @@ object Streams {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
+      // one snapshot lands per (user, batch); keep the LATEST per user —
+      // n_events is strictly increasing across a user's snapshots, so the
+      // struct max is the final profile even if the AvailableNow drain
+      // split into several micro-batches (maxFilesPerTrigger, resumed
+      // checkpoints). With a single batch this is a no-op.
       withStatePartitions(s, 2) { appendToParquet(s, out.toDF()) }
-        .select(col("user_id"), col("n_events"), col("last_type"))
+        .groupBy("user_id")
+        .agg(max(struct(col("n_events"), col("last_type"))).as("s"))
+        .select(col("user_id"), col("s.n_events").as("n_events"),
+          col("s.last_type").as("last_type"))
         .orderBy("user_id")
     } finally prev match {
       case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)

@@ -58,4 +58,18 @@ class ExtensionsSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSet
     assert(df.collect().map(_.getLong(0)).toSet === want)
   }
+
+  test("length guard does NOT fire on the thresholded (-1-sentinel) levenshtein") {
+    import org.apache.spark.sql.functions._
+    val spark = SparkTestSession.spark
+    graft.Engine.tune(spark)
+    // levenshtein(a, b, t) returns -1 when distance > t, so `<= k`
+    // accepts arbitrarily distant rows — guarding it would drop them
+    val df = graft.Tables.customer(spark, SparkTestSession.Sf)
+      .filter(levenshtein(col("c_name"), lit("zz"), 2) <= 2)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("abs("),
+      "guard must not be injected for the thresholded form")
+    // every name is far from "zz": the -1 sentinel keeps ALL rows
+    assert(df.count() === graft.Tables.customer(spark, SparkTestSession.Sf).count())
+  }
 }

@@ -226,18 +226,18 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     def hash(t: String): Long =
       t.getBytes("UTF-8").foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
-    // per-doc distinct STRING shingles (the engine distincts before
-    // hashing); overlap membership is by int64 hash, collisions and all
-    def shingleSet(t: String): Set[String] = {
+    // per-doc distinct HASHED shingles — the engine (and oracle) distinct
+    // at the hash level, so collisions collapse on both sides identically
+    def shingleSet(t: String): Set[Long] = {
       val w = t.split("[^a-zA-Z]+").filter(_.nonEmpty)
-      w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      w.sliding(3).filter(_.length == 3).map(g => hash(g.mkString(" "))).toSet
     }
     val test = docs.filter(d => hash(d._2) % 10 == 0)
     val trainSh = docs.filterNot(d => hash(d._2) % 10 == 0)
-      .flatMap(d => shingleSet(d._2)).map(hash).toSet
+      .flatMap(d => shingleSet(d._2)).toSet
     val expect = test.map { case (id, t) =>
       val sh = shingleSet(t)
-      id -> (sh.size.toLong, sh.count(s => trainSh.contains(hash(s))).toLong)
+      id -> (sh.size.toLong, sh.count(trainSh.contains).toLong)
     }.toMap
     assert(rows.map(_.getLong(0)).toSet === expect.keySet)
     rows.foreach { r =>
