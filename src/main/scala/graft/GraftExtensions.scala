@@ -4,6 +4,19 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
+/** The single registry of the engine's SQL-callable custom expressions —
+  * consumed by BOTH registration paths ([[GraftExtensions]] for conf-built
+  * sessions, [[Engine.tune]] for programmatic ones) so the two surfaces
+  * can never drift apart. */
+object GraftFunctions {
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "poly_hash"      -> (es => graft.functions.PolyHashExpr(es.head, 31L, 1000000007L)),
+    "poly_hash2"     -> (es => graft.functions.PolyHashExpr(es.head, 131L, 1000000009L)),
+    "fold_dot"       -> (es => graft.functions.FoldDotProduct(es(0), es(1))),
+    "fnv1a32"        -> (es => graft.functions.Fnv1aExpr(es.head)),
+    "explode_ngrams" -> (es => graft.functions.NgramGenerator(es(0), es(1))))
+}
+
 /** Session-extension entry point: the deployment path for plugging the
   * engine's codegen'd functions into ANY Spark session —
   *
@@ -11,34 +24,23 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   * }}}
   *
-  * registers `poly_hash` / `poly_hash2` / `fold_dot` / `fnv1a32` as
-  * SQL-callable functions at session build, with no call into
-  * `Engine.tune` required (which keeps doing the same registration
-  * imperatively for programmatic sessions). This is the standard
-  * `SparkSessionExtensions.injectFunction` mechanism, the same hook a
-  * custom Rule/Strategy would use if an operator ever outgrew what the
+  * registers every [[GraftFunctions]] builder as a SQL-callable function
+  * at session build, with no call into `Engine.tune` required (which does
+  * the same registration imperatively for programmatic sessions), and
+  * injects the [[graft.plans.LevenshteinLengthGuard]] optimizer rule.
+  * This is the standard `SparkSessionExtensions` mechanism, the same hook
+  * a custom Strategy would use if an operator ever outgrew what the
   * built-in planner expresses.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def fn(name: String, builder: Seq[Expression] => Expression) =
-    (new FunctionIdentifier(name),
-     new ExpressionInfo("graft", name),
-     builder)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // semantics-preserving rewrite: thresholded levenshtein predicates
     // gain a cheap length-gap guard (see the rule's doc for the proof)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinLengthGuard)
-    ext.injectFunction(fn("poly_hash",
-      es => graft.functions.PolyHashExpr(es.head, 31L, 1000000007L)))
-    ext.injectFunction(fn("poly_hash2",
-      es => graft.functions.PolyHashExpr(es.head, 131L, 1000000009L)))
-    ext.injectFunction(fn("fold_dot",
-      es => graft.functions.FoldDotProduct(es(0), es(1))))
-    ext.injectFunction(fn("fnv1a32",
-      es => graft.functions.Fnv1aExpr(es.head)))
-    ext.injectFunction(fn("explode_ngrams",
-      es => graft.functions.NgramGenerator(es(0), es(1))))
+    GraftFunctions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((new FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
   }
 }

@@ -48,14 +48,9 @@ object Engine {
     // expose the custom codegen expressions to the SQL surface (once per
     // session — re-registration is a no-op guarded by a session conf flag)
     if (!spark.conf.getOption("graft.registered").contains("true")) {
-      org.apache.spark.sql.GraftShims.registerFunction(spark, "poly_hash",
-        es => graft.functions.PolyHashExpr(es.head, 31L, 1000000007L))
-      org.apache.spark.sql.GraftShims.registerFunction(spark, "fold_dot",
-        es => graft.functions.FoldDotProduct(es(0), es(1)))
-      org.apache.spark.sql.GraftShims.registerFunction(spark, "fnv1a32",
-        es => graft.functions.Fnv1aExpr(es.head))
-      org.apache.spark.sql.GraftShims.registerFunction(spark, "explode_ngrams",
-        es => graft.functions.NgramGenerator(es(0), es(1)))
+      GraftFunctions.builders.foreach { case (name, builder) =>
+        org.apache.spark.sql.GraftShims.registerFunction(spark, name, builder)
+      }
       // programmatic twin of GraftExtensions' injectOptimizerRule: the
       // extraOptimizations hook accepts rules after session build
       if (!spark.experimental.extraOptimizations

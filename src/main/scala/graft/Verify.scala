@@ -41,13 +41,16 @@ object Verify {
       case c => c.toString
     } + "\""
     // full runs write EVERY oracle entry (a query that failed to dump then
-    // fails the compare loudly instead of vanishing); subset runs cover
-    // exactly the queries whose parquet exists in outDir — so a subset run
-    // into a previously-full outDir keeps the other queries' entries and a
+    // fails the compare loudly instead of vanishing); subset runs ALWAYS
+    // keep their selected queries' entries (so a selected query that fails
+    // before creating its dir still fails the compare loudly) plus any
+    // query whose parquet already exists in outDir — so a subset run into
+    // a previously-full outDir keeps the other queries' entries and a
     // later compare still checks them instead of silently skipping
     val json = SparkEntry.oracleSql
       .filter { case (k, _) =>
-        only.isEmpty || new java.io.File(s"$outDir/$k").exists() }
+        only.isEmpty || only.contains(k) ||
+          new java.io.File(s"$outDir/$k").exists() }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

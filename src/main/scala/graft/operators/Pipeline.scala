@@ -275,6 +275,12 @@ object Pipeline {
       changed = next.filter(col("lbl") < col("old")).count()
       labels = next.select(col("v"), col("lbl"))
     }
+    // the cap guards a runaway plan, NOT correctness: exiting while labels
+    // were still improving would silently return non-minimal cluster ids
+    // (and dedupApply would under-drop), so that exit must be loud
+    require(changed == 0,
+      s"label propagation hit the $maxRounds-round cap before convergence " +
+      s"($changed labels still improving) — raise maxRounds for this graph")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

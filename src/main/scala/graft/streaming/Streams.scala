@@ -123,7 +123,12 @@ object Streams {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
-    readSink(s, data, agg.schema)
+    // the sink holds POST-transformed rows; derive the read-back schema by
+    // running post over an empty frame so a schema-changing post (extra
+    // column, projection) cannot silently misread the files
+    val outSchema = post(s.createDataFrame(
+      java.util.Collections.emptyList[Row](), agg.schema)).schema
+    readSink(s, data, outSchema)
   }
 
   /** The events table as a stream, tolerant of both fixture layouts: a

@@ -122,8 +122,6 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("approx_percentile lands inside a ±1-percentile band of exact") {
-    val exact = Relational.percentiles(spark, sf).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     // the sketch guarantees rank error <= 1/accuracy = 0.1%; assert the
     // much looser band [p(q-1%), p(q+1%)] computed from the exact twin
     val bands = Relational.percentiles0(spark, sf, Seq(0.49, 0.51, 0.89, 0.91))
@@ -138,7 +136,6 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= lo90 && r.getDouble(2) <= hi90,
         s"ap90 ${r.getDouble(2)} outside [$lo90,$hi90] for ${r.getString(0)}")
     }
-    assert(exact.nonEmpty)
   }
 
   test("hll sketches are mergeable: union of per-group sketches ≡ global sketch") {
