@@ -18,9 +18,11 @@ import graft.streaming.Streams
   *    q_similarity_topk, q_embedding_neardup, q_ann_lsh, q_multimodal_meta.
   *  - Structured Streaming (§2c): q_stream_window, q_stream_sessions.
   *
-  * Only q_approx_distinct (HLL sketch) is absent from oracleSql (driver
-  * rows-only check) — the ANN variants are deterministic (fixed planes /
-  * centroids, ties broken by id) and hash-checked since round 2.
+  * Only the two sketches — q_approx_distinct (HLL) and
+  * q_approx_percentile (quantile) — are absent from oracleSql (driver
+  * rows-only check; accuracy asserted against exact twins in tests).
+  * The ANN variants are deterministic (fixed planes / centroids, ties
+  * broken by id) and hash-checked since round 2.
   */
 object SparkEntry {
 

@@ -21,12 +21,21 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (selected(name))
+      if (selected(name)) {
+        // drop any stale dump first: if the query fails before writing, a
+        // previous run's parquet must not satisfy the compare for it
+        val dumpDir = new java.io.File(s"$outDir/$name")
+        if (dumpDir.exists()) {
+          import scala.jdk.CollectionConverters._
+          Files.walk(dumpDir.toPath).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(p => Files.deleteIfExists(p))
+        }
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -23,7 +23,7 @@ object Bucketed {
     // investment reused across queries, not a per-query side effect
     val marker = "graft.bucketed.dir"
     if (!s.conf.getOption(marker).contains(dir)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val tmp = graft.util.TempDirs.create("graft_bucketed").toString
       s.sql("DROP TABLE IF EXISTS graft_orders_b")
       s.sql("DROP TABLE IF EXISTS graft_customer_b")
       Tables.orders(s, dir)

@@ -18,7 +18,7 @@ object Partitioned {
     val marker = "graft.partitioned.dir"
     val pathKey = "graft.partitioned.path"
     if (!s.conf.getOption(marker).contains(dir)) {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString
+      val tmp = graft.util.TempDirs.create("graft_part").toString
       Tables.documents(s, dir)
         .write.partitionBy("lang").mode("overwrite").parquet(s"$tmp/docs")
       s.conf.set(pathKey, s"$tmp/docs")

@@ -82,6 +82,11 @@ object Pipeline {
     pairCache.computeIfAbsent((s, dir), _ =>
       computePairStats(s, dir).localCheckpoint(true))
 
+  // Lifecycle note (applies to every (session, dir) memo cache here): an
+  // entry lives as long as its session — fixture corpora are immutable
+  // snapshots, and the driver/test/bench entry points each use one session
+  // for one run, so there is no eviction path; a long-lived multi-corpus
+  // service would add unpersist-on-evict here.
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 

@@ -17,27 +17,8 @@ import org.apache.spark.sql.functions._
   */
 object TextIO {
 
-  // temp roots created this JVM, removed recursively at shutdown (the
-  // returned DataFrames read the files lazily, so earlier deletion isn't
-  // possible — same discipline as the streaming sink dirs)
-  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tempRoots.forEach { root =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-      }))
-  }
-
-  private def tempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    tempRoots.add(p)
-    p.toString
-  }
+  private def tempDir(prefix: String): String =
+    graft.util.TempDirs.create(prefix).toString
 
   /** Whole-file scan: DataFrame(name, contents), one row per file — the
     * reference's map-task input model. Each file is one row, so at scale

@@ -56,27 +56,10 @@ object Streams {
     }
   }
 
-  // sink temp roots created this JVM, removed recursively at shutdown —
-  // File.deleteOnExit can't delete non-empty dirs, and the returned
-  // DataFrame reads the sink parquet lazily, so removal can't happen any
-  // earlier than JVM exit.
-  private val tempRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
-  locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      tempRoots.forEach { root =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-      }))
-  }
-
-  /** Fresh (data, checkpoint) dirs for a one-shot file sink. */
+  /** Fresh (data, checkpoint) dirs for a one-shot file sink — registered
+    * with [[graft.util.TempDirs]] for recursive removal at JVM shutdown. */
   private def sinkDirs(): (String, String) = {
-    val root = java.nio.file.Files.createTempDirectory("graft-stream-")
-    tempRoots.add(root)
+    val root = graft.util.TempDirs.create("graft-stream-")
     (new java.io.File(root.toFile, "data").getAbsolutePath,
      new java.io.File(root.toFile, "ckpt").getAbsolutePath)
   }
@@ -385,7 +368,15 @@ object Streams {
 
     val out = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    // one cumulative snapshot lands per (user, batch); keep the LATEST per
+    // user (n_events strictly increases across a user's snapshots) so the
+    // result is identical even if the AvailableNow drain splits into
+    // several micro-batches — same discipline as streamCurrentState
     withStatePartitions(s, 2) { appendToParquet(s, out) }
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("s"))
+      .select(col("user_id"), col("s.n_sessions").as("n_sessions"),
+        col("s.n_events").as("n_events"))
       .orderBy("user_id")
   }
 }
