@@ -706,6 +706,19 @@ object Oracles {
     // the CASE guards state which rows the engine's try_* forms rescue:
     // key%5=0 → null division, non-numeric status → null cast, and any
     // positive key overflows int64 max → null add
+    // same explicit rank formula as the engine (not quantile_disc, whose
+    // rank convention differs): element at row_number == ceil(q*n)
+    "q_percentiles_disc" ->
+      s"""WITH r AS (SELECT l_returnflag, l_quantity,
+         |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+         |  count(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem)
+         |SELECT l_returnflag,
+         |  max(CASE WHEN rn = ceil(0.5 * n) THEN l_quantity END) AS p50_disc,
+         |  max(CASE WHEN rn = ceil(0.9 * n) THEN l_quantity END) AS p90_disc,
+         |  max(CASE WHEN rn = ceil(0.99 * n) THEN l_quantity END) AS p99_disc
+         |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "q_try_functions" ->
       s"""SELECT o_orderkey,
          |  COALESCE(CASE WHEN o_orderkey % 5 = 0 THEN NULL

@@ -86,6 +86,7 @@ object SparkEntry {
     "q_sql_udtf"          -> q(Relational.sqlUdtf),
     "q_histogram"         -> q(Relational.histogram),
     "q_percentiles"       -> q(Relational.percentiles),
+    "q_percentiles_disc"  -> q(Relational.percentilesDisc),
     "q_approx_distinct"   -> q(Relational.approxDistinct),
     "q_corr_exact"        -> q(Relational.corrExact),
     "q_anomaly"           -> q(Relational.anomaly),

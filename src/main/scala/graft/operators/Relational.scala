@@ -438,6 +438,28 @@ object Relational {
            round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
       .orderBy("l_returnflag")
 
+  /** DISCRETE (order-statistic) percentiles: the element at rank ⌈q·n⌉ per
+    * group — always an actual data value, so unlike the interpolated twin
+    * ([[percentiles]], rounded to absorb cross-engine interpolation ulps)
+    * these hash-check UNROUNDED. Both engines use the same explicit
+    * row_number formula rather than their (differing) native quantile
+    * functions. One keyed window over one shuffle; at scale the same
+    * result comes from approx sketches ([[approxPercentiles]]) — this is
+    * the exact small-group form. */
+  def percentilesDisc(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byFlag = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    val ranked = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("rn", row_number().over(byFlag))
+      .withColumn("n", count(lit(1)).over(W.partitionBy("l_returnflag")))
+    def pick(q: Double, out: String) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("l_quantity"))).as(out)
+    ranked.groupBy("l_returnflag")
+      .agg(pick(0.5, "p50_disc"), pick(0.9, "p90_disc"), pick(0.99, "p99_disc"))
+      .orderBy("l_returnflag")
+  }
+
   /** Exact percentiles at arbitrary quantile points — audit helper for the
     * sketch band check in RelationalSpec (columns p1..pN in input order). */
   private[graft] def percentiles0(s: SparkSession, dir: String, qs: Seq[Double]): DataFrame =

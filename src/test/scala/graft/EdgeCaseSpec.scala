@@ -43,7 +43,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "q_retention", "q_anomaly", "q_gaps_islands", "q_schema_evolution",
     "q_decontamination", "q_range_frame_time", "q_embedding_quantize",
     "q_dedup_containment", "q_zorder", "q_try_functions",
-    "q_importance_sample", "q_sql_udtf",
+    "q_importance_sample", "q_sql_udtf", "q_percentiles_disc",
     // streaming on an empty scheduling window: zero batches fire and the
     // sink read-back must yield an empty frame, not a path error
     "q_stream_window", "q_stream_topk", "q_stream_dedup",

@@ -121,6 +121,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("discrete percentiles are order statistics from the actual data") {
+    val vals = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted).toMap
+    Relational.percentilesDisc(spark, sf).collect().foreach { r =>
+      val sorted = vals(r.getString(0))
+      def at(q: Double) = sorted(math.ceil(q * sorted.length).toInt - 1)
+      assert(r.getDouble(1) === at(0.5))
+      assert(r.getDouble(2) === at(0.9))
+      assert(r.getDouble(3) === at(0.99))
+    }
+  }
+
   test("approx_percentile lands inside a ±1-percentile band of exact") {
     // the sketch guarantees rank error <= 1/accuracy = 0.1%; assert the
     // much looser band [p(q-1%), p(q+1%)] computed from the exact twin
