@@ -10,6 +10,38 @@ import graft.Tables
   */
 object Graph {
 
+  /** Per-order sorted distinct part baskets — the shared market-basket
+    * projection behind the co-purchase and triangle queries. Pair fan-out
+    * from these arrays happens map-side, bounded by basket size, so the
+    * pair count grows linearly with orders (never a corpus self-join). */
+  private def baskets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+
+  /** Ordered (a < b) part pairs, one row per order containing both. */
+  private def basketPairs(s: SparkSession, dir: String): DataFrame =
+    baskets(s, dir)
+      .select(explode(flatten(transform(col("ps"), (a, i) =>
+          transform(slice(col("ps"), i + 2, size(col("ps"))),
+            b => struct(a.as("a"), b.as("b")))))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+
+  /** Market-basket co-purchase mining: the top part pairs by the number
+    * of distinct orders containing both (pair support — the count step of
+    * A-priori / frequent-itemset mining). Pairs are generated map-side
+    * from per-order sorted baskets, so support counting is one groupBy
+    * over linear-in-orders pair rows — the classic formulation's
+    * lineitem-with-lineitem self-join never happens. Ties broken by
+    * (part_a, part_b) for a deterministic top-20. */
+  def coPurchase(s: SparkSession, dir: String): DataFrame =
+    basketPairs(s, dir)
+      .groupBy(col("a").as("part_a"), col("b").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(20)
+
   /** Triangle census of the part co-occurrence graph: parts are linked
     * when some order contains both (the market-basket projection), and the
     * census reports edges, wedges (unordered length-2 paths, Σ C(deg,2)),
@@ -33,15 +65,7 @@ object Graph {
     * list is materialized once (localCheckpoint) and shared by all stages;
     * the closure fraction is one IEEE division of exact int64 counts. */
   def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val baskets = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy("l_orderkey")
-      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-    val edges = baskets
-      .select(explode(flatten(transform(col("ps"), (a, i) =>
-          transform(slice(col("ps"), i + 2, size(col("ps"))),
-            b => struct(a.as("a"), b.as("b")))))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+    val edges = basketPairs(s, dir)
       .distinct()
       .localCheckpoint(true)
     val deg = edges.select(col("a").as("v"))

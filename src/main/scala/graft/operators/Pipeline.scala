@@ -373,6 +373,32 @@ object Pipeline {
         Fns.polyHash(col("chunk_text")).as("chunk_hash"))
       .orderBy("doc_id", "chunk_start")
 
+  /** Sub-document (chunk-level) exact dedup: documents that are not
+    * near-duplicates as a whole can still share long verbatim spans
+    * (boilerplate, quotes, templates); training pipelines dedup at the
+    * chunk grain to catch them. Chunks are the [[chunkRows]] windows,
+    * compared by codegen'd hash — a chunk is duplicated when its hash
+    * occurs in more than one document. Per document: total chunks,
+    * duplicated chunks, and the duplicated fraction.
+    *
+    * Scale shape: one groupBy on the int64 chunk hash (raw chunk text
+    * never shuffles — the hash projection happens before the exchange),
+    * then one join back on the same hash; both linear in chunk count. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val ch = chunkRows(Tables.documents(s, dir))
+      .select(col("doc_id"), Fns.polyHash(col("chunk_text")).as("h"))
+    val docsPerChunk = ch.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    ch.join(docsPerChunk, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        (col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+          .as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end corpus curation job: quality filter → near-dup drop →
     * context chunking, summarized per language. This is the pipeline the
     * individual operators exist for, declared as one composed query so the

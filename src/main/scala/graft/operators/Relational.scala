@@ -893,4 +893,38 @@ object Relational {
       .filter(col("dist") >= 0)
       .select(col("nk").as("nationkey"), col("c_name"), col("s_name"), col("dist"))
       .orderBy("nationkey", "c_name", "s_name")
+
+  /** Data-profiling census (the ANALYZE / data-quality pass a pipeline
+    * runs before training): per column, non-null count, distinct count,
+    * and min/max rendered portably (integral numerics through BIGINT,
+    * timestamps formatted). All columns profile in ONE scan — the
+    * per-column aggregates live in a single agg (Spark plans the multiple
+    * count(distinct)s via one Expand), then pivot to rows with a 4-element
+    * explode. At 100 TB this is exactly one pass over the fact table;
+    * the naive per-column union would be four. */
+  def profile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def stats(c: String, render: Column => Column) = Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      render(min(col(c))).as(s"min_$c"),
+      render(max(col(c))).as(s"max_$c"))
+    val asLong = (c: Column) => c.cast("long").cast("string")
+    val asStr = (c: Column) => c.cast("string")
+    val asTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    val specs = Seq[(String, Column => Column)](
+      "l_partkey" -> asLong, "l_quantity" -> asLong,
+      "l_returnflag" -> asStr, "l_shipdate" -> asTs)
+    val aggs = specs.flatMap { case (c, r) => stats(c, r) }
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(specs.map { case (c, _) =>
+        struct(lit(c).as("col_name"),
+          col(s"cnt_$c").as("n_nonnull"),
+          col(s"nd_$c").as("n_distinct"),
+          col(s"min_$c").as("min_val"),
+          col(s"max_$c").as("max_val"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy("col_name")
+  }
 }
