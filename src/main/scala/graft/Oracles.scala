@@ -512,7 +512,7 @@ object Oracles {
       s"""SELECT w AS word, count(*) AS cnt
          |FROM (SELECT unnest(list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
          |  w -> w <> '')) AS w FROM documents)
-         |GROUP BY w ORDER BY cnt DESC, word""".stripMargin,
+         |GROUP BY w ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
 
     "q_map_functions" ->
       s"""WITH tok AS (SELECT doc_id,
@@ -707,16 +707,20 @@ object Oracles {
     // key%5=0 → null division, non-numeric status → null cast, and any
     // positive key overflows int64 max → null add
     // same explicit rank formula as the engine (not quantile_disc, whose
-    // rank convention differs): element at row_number == ceil(q*n)
+    // rank convention differs): element at row_number == ceil(q*n).
+    // q is CAST AS DOUBLE so both engines do the same IEEE multiply —
+    // DuckDB's bare 0.9 is DECIMAL-exact while Spark's lit(0.9) is the
+    // double slightly above 9/10, which rounds differently when q*n
+    // lands on an integer
     "q_percentiles_disc" ->
       s"""WITH r AS (SELECT l_returnflag, l_quantity,
          |  row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
          |  count(*) OVER (PARTITION BY l_returnflag) AS n
          |  FROM lineitem)
          |SELECT l_returnflag,
-         |  max(CASE WHEN rn = ceil(0.5 * n) THEN l_quantity END) AS p50_disc,
-         |  max(CASE WHEN rn = ceil(0.9 * n) THEN l_quantity END) AS p90_disc,
-         |  max(CASE WHEN rn = ceil(0.99 * n) THEN l_quantity END) AS p99_disc
+         |  max(CASE WHEN rn = ceil(CAST(0.5 AS DOUBLE) * n) THEN l_quantity END) AS p50_disc,
+         |  max(CASE WHEN rn = ceil(CAST(0.9 AS DOUBLE) * n) THEN l_quantity END) AS p90_disc,
+         |  max(CASE WHEN rn = ceil(CAST(0.99 AS DOUBLE) * n) THEN l_quantity END) AS p99_disc
          |FROM r GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_try_functions" ->

@@ -217,6 +217,8 @@ object Pipeline {
   // per (session, dir) and reused by dedupApply / curationPipeline, the way
   // a production pipeline materializes it once per corpus snapshot. The
   // table is tiny (one row per doc that appears in any near-dup pair).
+  // Lifecycle: see the note at pairCache — one session per run, no
+  // eviction needed; a long-lived service would unpersist-on-evict.
   private val clustersCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -787,6 +789,8 @@ object Pipeline {
   // index-build-once / probe-many shape a production vector store uses.
   // Size is vectors × tables rows (tiny next to the corpus); at 100 TB the
   // same table persists as a bucketed parquet layout instead.
+  // Lifecycle: see the note at pairCache — one session per run, no
+  // eviction needed; a long-lived service would unpersist-on-evict.
   private val lshIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
