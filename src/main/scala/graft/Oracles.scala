@@ -45,6 +45,42 @@ object Oracles {
     }.mkString(",\n")
   }
 
+  /** Unrolled Lloyd-iteration CTE prefix reproducing
+    * [[graft.operators.Clustering]] in exact integer arithmetic: q holds
+    * the int64-quantized vectors, k0 the seed centroids (vec_id < K),
+    * then per iteration t: a_t/b_t assign each vector to its argmin-
+    * distance centroid (ties by cid), s_t sums each dimension per
+    * cluster, and k_t rebuilds centroids via the same truncate-toward-
+    * zero division as the engine ((sx − sx % n)/n — both engines' % takes
+    * the dividend's sign). Ends with the final assignment b{Iters+1}
+    * against k{Iters}. Shared by the q_kmeans and q_semdedup oracles. */
+  private def kmeansCtes: String = {
+    val k = graft.operators.Clustering.K
+    val d1 = 65 // embedding dim + 1 (1-based, exclusive range end)
+    def assignCte(t: Int): String =
+      s"a$t AS (SELECT v.vec_id, v.qv, c.cid,\n" +
+      s"    CAST(list_sum(list_transform(range(1, $d1),\n" +
+      s"      i -> (v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i]))) AS BIGINT) AS dist\n" +
+      s"  FROM q v, k${t - 1} c),\n" +
+      s"b$t AS (SELECT vec_id, qv, cid, dist,\n" +
+      s"    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS r FROM a$t)"
+    val steps = (1 to KmIters).map { t =>
+      assignCte(t) + ",\n" +
+      s"s$t AS (SELECT cid, i, CAST(sum(qv[i]) AS BIGINT) AS sx,\n" +
+      s"    CAST(count(*) AS BIGINT) AS n\n" +
+      s"  FROM b$t, range(1, $d1) g$t(i) WHERE r = 1 GROUP BY cid, i),\n" +
+      s"k$t AS (SELECT cid, list(CAST((sx - sx % n) / n AS BIGINT) ORDER BY i) AS cv\n" +
+      s"  FROM s$t GROUP BY cid)"
+    }.mkString(",\n")
+    "WITH q AS (SELECT vec_id, list_transform(embedding,\n" +
+    "    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv\n" +
+    "  FROM embeddings),\n" +
+    s"k0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < $k),\n" +
+    steps + ",\n" +
+    assignCte(KmIters + 1)
+  }
+  private def KmIters: Int = graft.operators.Clustering.Iters
+
   /** q_dedup_ngram, shared verbatim by the q_dedup_clusters oracle. */
   private val DedupNgramSql: String =
     s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
@@ -256,6 +292,17 @@ object Oracles {
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey, ${sumD("l_extendedprice*(1-l_discount)", 6, "revenue")},
+         |  o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < DATE '1998-07-01' AND l_shipdate > DATE '1998-07-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
 
     "q_semi_join" ->
       s"""SELECT c_custkey, c_name FROM customer
@@ -1224,6 +1271,64 @@ object Oracles {
          |  FROM sc)
          |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
          |ORDER BY probe_id, rank""".stripMargin,
+
+    // every vector probes the LSH index; same plane regeneration as ann_lsh
+    "q_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
+         |planes(t, j, pv) AS (VALUES
+         |$lshPlaneRows),
+         |dots AS (SELECT vec_id, t, j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(n.v, (x,i) -> x * pv[i])), (a,b) -> a+b) AS dp
+         |  FROM n, planes),
+         |eb AS (SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT p.vec_id AS src, x.vec_id AS nb
+         |  FROM eb p JOIN eb x ON x.t = p.t AND x.bucket = p.bucket
+         |  WHERE x.vec_id <> p.vec_id),
+         |sc AS (SELECT c.src, c.nb,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(a.v, (x,i) -> x * b.v[i])), (s1,t1) -> s1+t1) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c JOIN n a ON c.src = a.vec_id JOIN n b ON c.nb = b.vec_id),
+         |r AS (SELECT src, nb, cos,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT src, nb, cos, rank FROM r WHERE rank <= 3
+         |ORDER BY src, rank""".stripMargin,
+
+    // integer-exact Lloyd k-means: see kmeansCtes for the unrolled rounds
+    "q_kmeans" ->
+      s"""$kmeansCtes,
+         |g AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |    CAST(sum(dist) AS BIGINT) AS wss
+         |  FROM b${KmIters + 1} WHERE r = 1 GROUP BY cid)
+         |SELECT g.cid, g.n_vecs, g.wss, c.cv[1] AS c0, c.cv[2] AS c1,
+         |  CAST(list_sum(list_transform(c.cv, x -> abs(x))) AS BIGINT) AS c_l1
+         |FROM g JOIN k$KmIters c ON g.cid = c.cid ORDER BY g.cid""".stripMargin,
+
+    // SemDeDup: within-cluster lower-id witness with cosine >= tau drops
+    // the higher id; cosine is the same left-to-right fold as the engine
+    "q_semdedup" ->
+      s"""$kmeansCtes,
+         |asg AS (SELECT vec_id, cid FROM b${KmIters + 1} WHERE r = 1),
+         |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |nn AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM ed),
+         |m AS (SELECT a.vec_id, a.cid, nn.v, nn.nrm
+         |  FROM asg a JOIN nn ON a.vec_id = nn.vec_id),
+         |p AS (SELECT y.vec_id AS vec_id, y.cid AS cid, x.vec_id AS kept_by,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(x.v, (e,i) -> e * y.v[i])), (s1,t1) -> s1+t1) / (x.nrm * y.nrm) AS cos
+         |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |f AS (SELECT vec_id, cid, kept_by, cos,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS rr
+         |  FROM p WHERE cos >= CAST(0.3 AS DOUBLE))
+         |SELECT vec_id, cid, kept_by, cos FROM f WHERE rr = 1 ORDER BY vec_id""".stripMargin,
 
     // ------------------------------------------------------- multimodal
     "q_multimodal_meta" ->

@@ -63,6 +63,7 @@ object SparkEntry {
     "q_skyline"           -> q(Relational.skyline),
     "q_join_agg"          -> q(Relational.joinAgg),
     "q_join_multi"        -> q(Relational.joinMulti),
+    "q_tpch_q3"           -> q(Relational.tpchQ3),
     "q_semi_join"         -> q(Relational.semiJoin),
     "q_anti_join"         -> q(Relational.antiJoin),
     "q_outer_join"        -> q(Relational.outerJoin),
@@ -153,6 +154,9 @@ object SparkEntry {
     "q_embedding_neardup" -> q(Pipeline.embeddingNeardup),
     "q_ann_lsh"           -> q(Pipeline.annLsh),
     "q_ann_ivf"           -> q(Pipeline.annIvf),
+    "q_knn_graph"         -> q(Pipeline.knnGraph),
+    "q_kmeans"            -> q(operators.Clustering.kmeans),
+    "q_semdedup"          -> q(operators.Clustering.semDedup),
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),

