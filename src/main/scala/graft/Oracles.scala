@@ -844,6 +844,121 @@ object Oracles {
          |    ELSE CAST(0.0 AS DOUBLE) END AS closure
          |FROM counts""".stripMargin,
 
+    // integer micro-unit PageRank, 3 unrolled power iterations — the same
+    // recurrence as Graph.pageRank, replayed exactly (r div d contributions,
+    // 150000 + (85·Σ) div 100 damping); all divisions are BIGINT `//`
+    "q_pagerank" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey*2 AS u, l_suppkey*2+1 AS v
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
+         |r0 AS (SELECT u, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |r1 AS (SELECT e.v AS u,
+         |  CAST(150000 + (85 * CAST(sum(r.r // g.d) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN r0 r ON e.u = r.u JOIN deg g ON e.u = g.u GROUP BY e.v),
+         |r2 AS (SELECT e.v AS u,
+         |  CAST(150000 + (85 * CAST(sum(r.r // g.d) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN r1 r ON e.u = r.u JOIN deg g ON e.u = g.u GROUP BY e.v),
+         |r3 AS (SELECT e.v AS u,
+         |  CAST(150000 + (85 * CAST(sum(r.r // g.d) AS BIGINT)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN r2 r ON e.u = r.u JOIN deg g ON e.u = g.u GROUP BY e.v)
+         |SELECT u AS node,
+         |  CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         |  r AS rank_micro
+         |FROM r3 ORDER BY rank_micro DESC, node LIMIT 20""".stripMargin,
+
+    "q_transition_matrix" ->
+      s"""WITH t AS (SELECT user_id, event_type,
+         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |    AS prev_type FROM events),
+         |g AS (SELECT prev_type, event_type AS next_type,
+         |  CAST(count(*) AS BIGINT) AS n FROM t WHERE prev_type IS NOT NULL
+         |  GROUP BY 1, 2)
+         |SELECT prev_type, next_type, n,
+         |  CAST((n * 1000000) // CAST(sum(n) OVER (PARTITION BY prev_type)
+         |    AS BIGINT) AS BIGINT) AS share_ppm
+         |FROM g ORDER BY prev_type, next_type""".stripMargin,
+
+    // last-touch attribution via DuckDB's native ASOF LEFT JOIN (>= is
+    // inclusive on both sides, matching the engine's right-rows-first tie
+    // order in the union-and-carry-forward plan)
+    "q_attribution" ->
+      s"""WITH c AS (SELECT user_id, ts, max(event_id) AS click_id,
+         |  CAST(hour(ts) AS BIGINT) AS click_hour
+         |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+         |p AS (SELECT event_id, user_id, ts,
+         |  CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |j AS (SELECT p.cents, c.click_hour FROM p ASOF LEFT JOIN c
+         |  ON p.user_id = c.user_id AND p.ts >= c.ts)
+         |SELECT coalesce(click_hour, -1) AS click_hour,
+         |  CAST(count(*) AS BIGINT) AS n_purchases,
+         |  CAST(sum(cents) AS BIGINT) AS revenue_cents
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same XML envelopes rebuilt from the base table, parsed by regexp —
+    // money rides as integer cents so the string render is engine-portable
+    "q_xml_extract" ->
+      s"""WITH x AS (SELECT '<o><k>' || o_orderkey || '</k><s>' || o_orderstatus
+         |    || '</s><c>' || CAST(CAST(floor(o_totalprice*100) AS BIGINT) AS VARCHAR)
+         |    || '</c></o>' AS xml, o_orderkey FROM orders),
+         |parsed AS (SELECT
+         |  CAST(regexp_extract(xml, '<k>([0-9]+)</k>', 1) AS BIGINT) AS k,
+         |  regexp_extract(xml, '<s>([^<]*)</s>', 1) AS st,
+         |  CAST(regexp_extract(xml, '<c>(-?[0-9]+)</c>', 1) AS BIGINT) AS c,
+         |  o_orderkey FROM x)
+         |SELECT st AS status, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(c) AS BIGINT) AS cents
+         |FROM parsed WHERE k = o_orderkey GROUP BY st ORDER BY st""".stripMargin,
+
+    // GPT-style pack-then-slice: one flat window prefix sum (fine at
+    // DuckDB scale; the engine computes it as a two-phase block sum)
+    "q_pack_sequences" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+         |    w -> w <> '')) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, n,
+         |  CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |  FROM d WHERE n > 0),
+         |x AS (SELECT doc_id, n, cb,
+         |  unnest(range(cb // 256, (cb + n - 1) // 256 + 1)) AS seq FROM c)
+         |SELECT seq AS seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(least(cb + n, (seq + 1) * 256) - greatest(cb, seq * 256))
+         |    AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM x GROUP BY seq ORDER BY seq""".stripMargin,
+
+    // fixed-point BM25 (k1=1.2, b=0.75 cleared to integers, log-free
+    // monotone idf) — the idf product routes through HUGEINT, mirroring
+    // the engine's decimal(38,0), then truncates back to BIGINT
+    "q_bm25" ->
+      s"""WITH d AS ($TokList),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM d),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |  CAST(sum(dl) AS BIGINT) AS ss FROM dl),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS w FROM d)
+         |  WHERE w IN ('spark', 'table', 'hash') GROUP BY doc_id, w),
+         |dft AS (SELECT w, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY w),
+         |sc AS (SELECT tf.doc_id,
+         |  CAST(CAST((1000000 * (2*st.nn - 2*dft.dfc + 1)) // (2*dft.dfc + 1)
+         |      AS HUGEINT) * (22 * st.ss * tf.tf)
+         |    // (10 * st.ss * tf.tf + 3 * st.ss + 9 * dl.dl * st.nn)
+         |    AS BIGINT) AS ts
+         |  FROM tf JOIN dl USING (doc_id) JOIN dft ON tf.w = dft.w CROSS JOIN st)
+         |SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score FROM sc
+         |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q_shard_export" ->
+      s"""SELECT ${polyHashSql("text")} % 16 AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CAST(len(list_filter(regexp_split_to_array(text, ' +'),
+         |    w -> w <> '')) AS BIGINT)) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_schema_evolution" ->
       s"""WITH m AS (
          |  SELECT o_orderkey, o_totalprice, NULL AS st FROM orders WHERE o_orderkey % 3 = 0

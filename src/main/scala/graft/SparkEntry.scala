@@ -103,7 +103,11 @@ object SparkEntry {
     "q_retention"         -> q(operators.Temporal.retention),
     "q_gaps_islands"      -> q(operators.Temporal.gapsIslands),
     "q_triangle_count"    -> q(operators.Graph.triangleCount),
+    "q_pagerank"          -> q(operators.Graph.pageRank),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
+    "q_transition_matrix" -> q(operators.Temporal.transitionMatrix),
+    "q_attribution"       -> q(operators.Temporal.attribution),
+    "q_xml_extract"       -> q(Relational.xmlExtract),
     "q_session_window"    -> q(Relational.sessionWindows),
     "q_window_suite"      -> q(Relational.windowSuite),
     "q_moving_agg"        -> q(Relational.movingAgg),
@@ -157,6 +161,9 @@ object SparkEntry {
     "q_knn_graph"         -> q(Pipeline.knnGraph),
     "q_kmeans"            -> q(operators.Clustering.kmeans),
     "q_semdedup"          -> q(operators.Clustering.semDedup),
+    "q_pack_sequences"    -> q(Pipeline.packSequences),
+    "q_bm25"              -> q(Pipeline.bm25),
+    "q_shard_export"      -> q(Pipeline.shardExport),
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),

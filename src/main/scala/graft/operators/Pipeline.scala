@@ -956,6 +956,115 @@ object Pipeline {
       .filter(col("rank") <= 3)
       .orderBy("src", "rank")
   }
+
+  /** GPT-style sequence packing: concatenate the corpus token stream in
+    * doc_id order and cut it every `SeqLen` tokens — the standard
+    * pack-then-slice step that turns variable-length documents into
+    * fixed-length training sequences with zero padding. Output is the
+    * per-sequence manifest (docs spanned, tokens, doc_id range).
+    *
+    * The global running token offset is computed as a two-phase prefix
+    * sum — per-block partials (block = doc_id div `PackBlock`), a running
+    * offset over the small block table, then a within-block window — so
+    * no stage ever needs the single-partition global window that a naive
+    * `Window.orderBy(doc_id)` cumsum would plan. At cluster scale
+    * `PackBlock` grows with the corpus (one block row per ~10⁶ docs keeps
+    * the block table driver-broadcastable); the oracle computes the same
+    * prefix sum with one flat window, which is fine at DuckDB's scale. */
+  private val SeqLen = 256L
+  private val PackBlock = 64L
+
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " +"), t => t =!= lit("")))
+          .cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("blk", expr(s"doc_id div $PackBlock"))
+    val blockTotals = d.groupBy("blk").agg(sum("n").as("bt"))
+    val wBlk = w.orderBy("blk")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val offsets = blockTotals
+      .withColumn("off", coalesce(sum("bt").over(wBlk), lit(0L)))
+      .drop("bt")
+    val wIn = w.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(w.unboundedPreceding, -1)
+    val cum = d.join(broadcast(offsets), "blk")
+      .withColumn("cb", col("off") + coalesce(sum("n").over(wIn), lit(0L)))
+    cum
+      .select(col("doc_id"), col("n"), col("cb"),
+        explode(sequence(expr(s"cb div $SeqLen"),
+          expr(s"(cb + n - 1) div $SeqLen"))).as("seq"))
+      .groupBy(col("seq").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("cb") + col("n"), (col("seq") + 1) * SeqLen) -
+            greatest(col("cb"), col("seq") * SeqLen)).as("n_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("seq_id")
+  }
+
+  /** Fixed-point BM25 retrieval scoring (k₁ = 1.2, b = 0.75) for a fixed
+    * conjunctive term set, top 15 docs. All arithmetic is integer-exact:
+    * with S = Σ doc lengths and N = corpus size, the per-term score
+    *
+    *   idf·tf_norm = [(10⁶·(2N−2df+1)) div (2df+1)] · (22·S·tf)
+    *                 div (10·S·tf + 3·S + 9·dl·N)
+    *
+    * is the BM25 formula with the 0.5-idf-smoothing and k₁/b fractions
+    * cleared to integers (×2 and ×10·S respectively) and the log dropped
+    * for its rational argument — the same monotone log-free routing as
+    * the PMI collocations, so ranking is deterministic and bit-identical
+    * in both engines (libm log is NOT correctly rounded; a double-log
+    * BM25 can hash-diverge cross-engine). The idf product runs through
+    * decimal(38,0)/HUGEINT so it cannot overflow int64 at corpus scale.
+    *
+    * Scale shape: tf is one (doc, term)-keyed aggregation of the filtered
+    * token stream, df and the corpus totals are broadcast one-row/3-row
+    * subplans, and the final ranking is TakeOrdered — no corpus-sized
+    * sort, no driver materialization. */
+  private val Bm25Terms = Seq("spark", "table", "hash")
+
+  def bm25(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokensArr(col("text")), t => t =!= lit("")).as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), sum("dl").as("ss"))
+    val tf = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .filter(col("w").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("dfc"))
+    tf.join(dl, "doc_id")
+      .join(broadcast(df), "w")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        expr("""CAST((1000000 * (2*nn - 2*dfc + 1)) div (2*dfc + 1)
+                AS DECIMAL(38,0)) * (22 * ss * tf)
+                div (10 * ss * tf + 3 * ss + 9 * dl * nn)""").as("ts"))
+      .groupBy("doc_id").agg(sum("ts").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(15)
+  }
+
+  /** Deterministic shard-export manifest: route every document to one of
+    * 16 output shards by content hash (the reproducible, RNG-free
+    * assignment a 100 TB corpus export uses so any shard can be re-built
+    * independently) and report per-shard docs / tokens / chars / id
+    * range — the manifest a downstream trainer validates against. One
+    * narrow scan plus one 16-group aggregation; at cluster scale the
+    * same hash becomes the `repartition` key of the actual write. */
+  def shardExport(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(polyHash(col("text")), lit(16L)).as("shard"),
+        size(filter(split(col("text"), " +"), t => t =!= lit("")))
+          .cast("long").as("n_tok"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
 }
 
 /** Deterministic random-hyperplane LSH shared by [[Pipeline.annLsh]] and

@@ -956,4 +956,31 @@ object Relational {
       .select(col("p.*"))
       .orderBy("col_name")
   }
+
+  /** XML ingestion surface (Spark 4 native `from_xml`): orders rendered
+    * as XML envelopes, parsed back through a typed schema, validated
+    * (parsed key must equal the source key) and aggregated per status.
+    * Money rides as integer cents inside the XML so the string render is
+    * engine-independent (double→string formatting is not); the DuckDB
+    * oracle parses the identical envelopes with regexp extraction. The
+    * parse is a narrow codegen'd projection — schema inference is never
+    * invoked (explicit StructType), which is the 100 TB-safe mode: an
+    * inference pass would be a second full scan. */
+  def xmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val xml = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        concat(lit("<o><k>"), col("o_orderkey").cast("string"),
+          lit("</k><s>"), col("o_orderstatus"),
+          lit("</s><c>"),
+          expr("CAST(floor(o_totalprice * 100) AS BIGINT)").cast("string"),
+          lit("</c></o>")).as("x"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, s STRING, c BIGINT")
+    xml.select(col("o_orderkey"),
+        from_xml(col("x"), schema).as("p"))
+      .filter(col("p.k") === col("o_orderkey")) // parse validation: keeps all
+      .groupBy(col("p.s").as("status"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("p.c")).as("cents"))
+      .orderBy("status")
+  }
 }

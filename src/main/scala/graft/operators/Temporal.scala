@@ -188,4 +188,49 @@ object Temporal {
       .groupBy("event_type").agg(count(lit(1)).as("n_pairs"))
       .orderBy("event_type")
   }
+
+  /** First-order Markov transition matrix of the event stream: per user,
+    * order events by (ts, event_id) and count (previous type → next type)
+    * transitions; `share_ppm` is the row-conditional probability in exact
+    * integer parts-per-million ((n·10⁶) div row total — no float
+    * division, so the matrix hashes identically in both engines). One
+    * (user)-keyed shuffle feeds the lag window; the transition counts and
+    * the per-prev totals are tiny (|types|² rows). */
+  def transitionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    t.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum("n").over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(n * 1000000) div tot").as("share_ppm"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Last-touch attribution: every purchase is credited to the same
+    * user's most recent click at or before it — the as-of join again
+    * ([[asofJoin]]: one keyed shuffle, no lateral probe) — then revenue
+    * (exact integer cents) is rolled up by the hour-of-day of the
+    * credited click, with hour −1 collecting unattributed purchases.
+    * Clicks are pre-deduplicated to one row per (user, ts) (max
+    * event_id) so the match is deterministic; the oracle uses DuckDB's
+    * native ASOF LEFT JOIN. */
+  def attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("__t"))
+      .agg(max("event_id").as("click_id"))
+      .select(col("user_id"), col("__t").as("ts"),
+        hour(col("__t")).cast("long").as("click_hour"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("cents"))
+    asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_hour"))
+      .groupBy(coalesce(col("click_hour"), lit(-1L)).as("click_hour"))
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
+      .orderBy("click_hour")
+  }
 }

@@ -26,7 +26,9 @@ object PlanAudit {
       "q_schema_evolution", "q_decontamination", "q_range_frame_time",
       "q_embedding_quantize", "q_importance_sample", "q_sql_udtf",
       // round-5 joins/iterative plans
-      "q_tpch_q3", "q_knn_graph", "q_kmeans", "q_semdedup")
+      "q_tpch_q3", "q_knn_graph", "q_kmeans", "q_semdedup",
+      "q_pagerank", "q_pack_sequences", "q_bm25", "q_attribution",
+      "q_transition_matrix")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
