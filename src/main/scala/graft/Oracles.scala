@@ -950,6 +950,61 @@ object Oracles {
          |SELECT doc_id, CAST(sum(ts) AS BIGINT) AS score FROM sc
          |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
+    // k-means topic labels: the shared unrolled-Lloyd CTE prefix gives the
+    // final assignment; lift numerators route through HUGEINT (engine:
+    // decimal(38,0))
+    "q_cluster_labels" ->
+      s"""$kmeansCtes,
+         |asg AS (SELECT vec_id AS doc_id, cid FROM b${KmIters + 1} WHERE r = 1),
+         |toks AS (SELECT a.cid, unnest(list_filter(
+         |    regexp_split_to_array(d.text, '[^a-zA-Z]+'), w -> w <> '')) AS word
+         |  FROM documents d JOIN asg a USING (doc_id)),
+         |cw AS (SELECT cid, word, CAST(count(*) AS BIGINT) AS n_cw
+         |  FROM toks GROUP BY cid, word),
+         |c AS (SELECT cid, CAST(sum(n_cw) AS BIGINT) AS n_c FROM cw GROUP BY cid),
+         |wt AS (SELECT word, CAST(sum(n_cw) AS BIGINT) AS n_w FROM cw GROUP BY word),
+         |n AS (SELECT CAST(sum(n_cw) AS BIGINT) AS n_total FROM cw),
+         |sc AS (SELECT cw.cid, cw.word, cw.n_cw,
+         |  CAST((CAST(cw.n_cw AS HUGEINT) * n.n_total * 1000000)
+         |    // (c.n_c * wt.n_w) AS BIGINT) AS lift_ppm
+         |  FROM cw JOIN c USING (cid) JOIN wt USING (word) CROSS JOIN n
+         |  WHERE cw.n_cw >= 5),
+         |r AS (SELECT cid, word, n_cw, lift_ppm, CAST(row_number() OVER (
+         |    PARTITION BY cid ORDER BY lift_ppm DESC, n_cw DESC, word)
+         |  AS BIGINT) AS rank FROM sc)
+         |SELECT cid, rank, word, n_cw, lift_ppm FROM r WHERE rank <= 3
+         |ORDER BY cid, rank""".stripMargin,
+
+    // α=0.5 temperature mixing: floor(sqrt) is exact in both engines
+    // (IEEE sqrt is correctly rounded), shares are integer div
+    "q_temperature_mix" ->
+      s"""WITH l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_docs,
+         |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS weight FROM l),
+         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w_tot FROM w)
+         |SELECT lang, n_docs, weight,
+         |  CAST((weight * 1000000) // w_tot AS BIGINT) AS share_ppm,
+         |  CAST((weight * 100000) // w_tot AS BIGINT) AS target_docs
+         |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    // span-level verbatim dedup: 20-token windows, stride 1; a doc is
+    // flagged when a lower-id doc owns one of its span hashes
+    "q_substring_dedup" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(
+         |    regexp_split_to_array(text, '[^a-zA-Z]+'), w -> w <> '') AS t
+         |  FROM documents),
+         |sp AS (SELECT DISTINCT doc_id, ${polyHashSql("span")} AS h FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 18),
+         |    i -> array_to_string(t[i:i+19], ' '))) AS span
+         |  FROM d WHERE len(t) >= 20) y),
+         |own AS (SELECT h, min(doc_id) AS owner, count(*) AS nd
+         |  FROM sp GROUP BY h)
+         |SELECT sp.doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         |  min(owner) AS first_witness
+         |FROM sp JOIN own USING (h) WHERE own.nd > 1 AND sp.doc_id > own.owner
+         |GROUP BY sp.doc_id ORDER BY sp.doc_id""".stripMargin,
+
     "q_shard_export" ->
       s"""SELECT ${polyHashSql("text")} % 16 AS shard,
          |  CAST(count(*) AS BIGINT) AS n_docs,

@@ -164,6 +164,9 @@ object SparkEntry {
     "q_pack_sequences"    -> q(Pipeline.packSequences),
     "q_bm25"              -> q(Pipeline.bm25),
     "q_shard_export"      -> q(Pipeline.shardExport),
+    "q_cluster_labels"    -> q(operators.Clustering.clusterLabels),
+    "q_temperature_mix"   -> q(Pipeline.temperatureMix),
+    "q_substring_dedup"   -> q(Pipeline.substringDedup),
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),

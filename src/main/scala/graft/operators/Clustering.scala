@@ -134,4 +134,46 @@ object Clustering {
         col("w.kept_by").as("kept_by"), col("w.cos").as("cos"))
       .orderBy("vec_id")
   }
+
+  /** Topic labeling: the 3 most distinctive terms per k-means cluster,
+    * scored by integer-exact lift — share of the term inside the cluster
+    * vs its corpus share, in parts-per-million:
+    * lift_ppm = (n_cw · n_total · 10⁶) div (n_c · n_w), with a min-support
+    * cut (n_cw ≥ 5) so hapax terms can't top the board. This is the
+    * cluster → human-readable-label step of a corpus-exploration pipeline
+    * (embedding ids double as doc ids in the fixtures).
+    *
+    * Scale shape: one (cid, word)-keyed count over the token stream, the
+    * per-cluster / per-word / corpus totals are two more keyed
+    * aggregations of that same table plus a broadcast 1-row subplan, and
+    * the final per-cluster top-3 is a WindowGroupLimit over k·|vocab|
+    * rows — nothing touches corpus² and the doc texts never ride a
+    * shuffle wider than tokenization. */
+  def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val (_, asg) = model(s, dir)
+    val toks = Tables.documents(s, dir)
+      .join(asg.select(col("vec_id").as("doc_id"), col("cid")), Seq("doc_id"))
+      .select(col("cid"),
+        explode(filter(Fns.tokensArr(col("text")), t => t =!= lit("")))
+          .as("word"))
+    val cw = toks.groupBy("cid", "word").agg(count(lit(1)).as("n_cw"))
+    val c = cw.groupBy("cid").agg(sum("n_cw").as("n_c"))
+    val wTot = cw.groupBy("word").agg(sum("n_cw").as("n_w"))
+    val n = cw.agg(sum("n_cw").as("n_total"))
+    val scored = cw.filter(col("n_cw") >= 5)
+      .join(broadcast(c), "cid")
+      .join(wTot, "word")
+      .crossJoin(broadcast(n))
+      .select(col("cid"), col("word"), col("n_cw"),
+        // the numerator routes through decimal(38,0) (oracle: HUGEINT) —
+        // n_cw·n_total·10⁶ can pass int64 at corpus scale
+        expr("(CAST(n_cw AS DECIMAL(38,0)) * n_total * 1000000) div (n_c * n_w)")
+          .as("lift_ppm"))
+    val w = Window.partitionBy("cid")
+      .orderBy(col("lift_ppm").desc, col("n_cw").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("cid"), col("rank"), col("word"), col("n_cw"), col("lift_ppm"))
+      .orderBy("cid", "rank")
+  }
 }

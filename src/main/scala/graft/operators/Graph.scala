@@ -123,6 +123,10 @@ object Graph {
     val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint(true)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    // fixed unroll, ONE action: no per-iteration checkpoint needed — the
+    // whole recurrence is a single DAG, so r1/r2 are each computed once
+    // and the edge-list exchange is reused across iterations (unlike a
+    // convergence loop, which must checkpoint between actions)
     var ranks = deg.select(col("u"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = ranks.join(deg, "u").join(edges, "u")
@@ -130,7 +134,6 @@ object Graph {
       ranks = contrib.groupBy(col("v").as("u"))
         .agg(sum(col("c")).as("s"))
         .select(col("u"), expr("150000 + (85 * s) div 100").as("r"))
-        .localCheckpoint(true)
     }
     ranks.orderBy(col("r").desc, col("u")).limit(20)
       .select(col("u").as("node"),

@@ -1065,6 +1065,64 @@ object Pipeline {
         sum("n_chars").as("sum_chars"),
         min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
       .orderBy("shard")
+
+  /** Temperature-based data mixing (α = 0.5): per-language sampling
+    * weights ∝ √n — the T5/multilingual-LM recipe that up-weights
+    * low-resource slices relative to proportional sampling. Weights are
+    * floor(√n) (IEEE sqrt is correctly rounded, floor makes it an exact
+    * integer in both engines) and shares/targets are integer div against
+    * the broadcast weight total, so the whole mixing table is
+    * bit-reproducible. Per-language doc targets assume a 100 000-doc
+    * budget. One groupBy(lang) over a narrow scan plus a broadcast 1-row
+    * total — nothing here grows with the corpus beyond the first count. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val byLang = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("weight", floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val tot = byLang.agg(sum("weight").as("w_tot"))
+    byLang.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("weight"),
+        expr("(weight * 1000000) div w_tot").as("share_ppm"),
+        expr("(weight * 100000) div w_tot").as("target_docs"))
+      .orderBy("lang")
+  }
+
+  /** Verbatim-substring dedup (the span-level complement of the whole-doc
+    * near-dup family, after Lee et al. 2022's "Deduplicating Training
+    * Data Makes Language Models Better"): every 20-token window of every
+    * document is hashed (stride 1), and a document is flagged when it
+    * shares a span hash with a lower-id document — quotation / boilerplate
+    * reuse that whole-doc Jaccard misses. Output: flagged doc, how many of
+    * its distinct spans are duplicated, and the earliest witness doc.
+    *
+    * Scale shape: span rows grow linearly in corpus tokens; ownership is
+    * ONE groupBy(span hash) and the flagging join is span→owner (linear,
+    * one row per span) — there is NO pair explosion anywhere, unlike
+    * shingle-Jaccard, because the question is "seen before?", not "how
+    * similar?". The hash is computed in a top-level projection after the
+    * explode so it stays codegen'd (HOF lambdas run interpreted). */
+  private val SpanTokens = 20
+
+  def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokensArr(col("text")), t => t =!= lit("")).as("t"))
+      .filter(size(col("t")) >= SpanTokens)
+    val spans = d
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("t")) - SpanTokens),
+          i => concat_ws(" ", slice(col("t"), i + 1, lit(SpanTokens))))).as("sp"))
+      .select(col("doc_id"), polyHash(col("sp")).as("h"))
+      .distinct()
+    val owners = spans.groupBy("h")
+      .agg(min("doc_id").as("owner"), count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+    spans.join(owners, "h")
+      .filter(col("doc_id") > col("owner"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"), min("owner").as("first_witness"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Deterministic random-hyperplane LSH shared by [[Pipeline.annLsh]] and

@@ -133,6 +133,54 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster_labels: 3 ranked terms per cluster, lift is exact and supported") {
+    val out = operators.Clustering.clusterLabels(spark, sf).collect()
+    val byCid = out.groupBy(_.getLong(0))
+    byCid.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.sameElements(1L to rows.length))
+      assert(rows.length <= 3)
+      assert(rows.forall(_.getLong(3) >= 5L), "min-support cut must hold")
+      // ranks follow (lift desc, n_cw desc, word)
+      val sorted = rows.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) > b.getLong(4) ||
+            (a.getLong(4) == b.getLong(4) && a.getLong(3) >= b.getLong(3)))
+        case _ => ()
+      }
+    }
+  }
+
+  test("temperature_mix: sqrt weights up-weight small languages vs proportional") {
+    val out = Pipeline.temperatureMix(spark, sf).collect()
+    val nTotal = out.map(_.getLong(1)).sum
+    out.foreach { r =>
+      val (n, share) = (r.getLong(1), r.getLong(3))
+      val propPpm = n * 1000000L / nTotal
+      if (n * out.length < nTotal) // under-represented language
+        assert(share > propPpm, s"${r.getString(0)}: sqrt must up-weight")
+      else if (n * out.length > nTotal) // over-represented
+        assert(share < propPpm, s"${r.getString(0)}: sqrt must down-weight")
+    }
+    // targets never exceed the budget and shares never exceed 1e6
+    assert(out.map(_.getLong(4)).sum <= 100000L)
+    assert(out.map(_.getLong(3)).sum <= 1000000L)
+  }
+
+  test("substring_dedup: flags are one-directional and witnesses precede") {
+    val out = Pipeline.substringDedup(spark, sf).collect()
+    assert(out.nonEmpty, "fixture has planted near-dups with verbatim spans")
+    out.foreach { r =>
+      assert(r.getLong(2) < r.getLong(0),
+        "witness doc must precede the flagged doc")
+      assert(r.getLong(1) >= 1L)
+    }
+    // the minimum doc_id over the whole corpus can never be flagged
+    val minDoc = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(min("doc_id")).collect()(0).getLong(0)
+    assert(!out.map(_.getLong(0)).contains(minDoc))
+  }
+
   test("shard_export: shards partition the corpus exactly") {
     val out = Pipeline.shardExport(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
