@@ -975,6 +975,38 @@ object Oracles {
          |SELECT cid, rank, word, n_cw, lift_ppm FROM r WHERE rank <= 3
          |ORDER BY cid, rank""".stripMargin,
 
+    // data-profiling census — the oracle profiles column-by-column (the
+    // engine does it in ONE scan; at DuckDB scale the union is fine);
+    // l_quantity is integral-valued DOUBLE, rendered through BIGINT
+    "q_profile" ->
+      s"""SELECT * FROM (
+         |  SELECT 'l_partkey' AS col_name,
+         |    CAST(count(l_partkey) AS BIGINT) AS n_nonnull,
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct,
+         |    CAST(CAST(min(l_partkey) AS BIGINT) AS VARCHAR) AS min_val,
+         |    CAST(CAST(max(l_partkey) AS BIGINT) AS VARCHAR) AS max_val
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_quantity',
+         |    CAST(count(l_quantity) AS BIGINT),
+         |    CAST(count(DISTINCT l_quantity) AS BIGINT),
+         |    CAST(CAST(min(l_quantity) AS BIGINT) AS VARCHAR),
+         |    CAST(CAST(max(l_quantity) AS BIGINT) AS VARCHAR)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_returnflag',
+         |    CAST(count(l_returnflag) AS BIGINT),
+         |    CAST(count(DISTINCT l_returnflag) AS BIGINT),
+         |    min(l_returnflag), max(l_returnflag)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'l_shipdate',
+         |    CAST(count(l_shipdate) AS BIGINT),
+         |    CAST(count(DISTINCT l_shipdate) AS BIGINT),
+         |    strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S'),
+         |    strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S')
+         |  FROM lineitem) p ORDER BY col_name""".stripMargin,
+
     // α=0.5 temperature mixing: floor(sqrt) is exact in both engines
     // (IEEE sqrt is correctly rounded), shares are integer div
     "q_temperature_mix" ->
@@ -987,6 +1019,22 @@ object Oracles {
          |  CAST((weight * 1000000) // w_tot AS BIGINT) AS share_ppm,
          |  CAST((weight * 100000) // w_tot AS BIGINT) AS target_docs
          |FROM w CROSS JOIN t ORDER BY lang""".stripMargin,
+
+    // OOV-bigram fluency filter: top-200 bigram vocabulary (ties broken
+    // lexicographically on both sides), exact integer ppm OOV fraction
+    "q_oov_filter" ->
+      s"""WITH d AS ($TokList),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t), 1)),
+         |  i -> t[i] || ' ' || t[i+1])) AS bigram FROM d),
+         |top AS (SELECT bigram FROM (
+         |  SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+         |  ORDER BY cnt DESC, bigram LIMIT 200) v),
+         |sc AS (SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+         |  CAST(sum(CASE WHEN t.bigram IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |  FROM bg LEFT JOIN top t ON bg.bigram = t.bigram GROUP BY bg.doc_id)
+         |SELECT doc_id, n_bg, n_oov,
+         |  CAST((n_oov * 1000000) // n_bg AS BIGINT) AS oov_ppm
+         |FROM sc ORDER BY oov_ppm DESC, doc_id LIMIT 25""".stripMargin,
 
     // span-level verbatim dedup: 20-token windows, stride 1; a doc is
     // flagged when a lower-id doc owns one of its span hashes

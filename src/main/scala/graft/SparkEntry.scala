@@ -108,6 +108,7 @@ object SparkEntry {
     "q_transition_matrix" -> q(operators.Temporal.transitionMatrix),
     "q_attribution"       -> q(operators.Temporal.attribution),
     "q_xml_extract"       -> q(Relational.xmlExtract),
+    "q_profile"           -> q(Relational.profile),
     "q_session_window"    -> q(Relational.sessionWindows),
     "q_window_suite"      -> q(Relational.windowSuite),
     "q_moving_agg"        -> q(Relational.movingAgg),
@@ -167,6 +168,7 @@ object SparkEntry {
     "q_cluster_labels"    -> q(operators.Clustering.clusterLabels),
     "q_temperature_mix"   -> q(Pipeline.temperatureMix),
     "q_substring_dedup"   -> q(Pipeline.substringDedup),
+    "q_oov_filter"        -> q(Pipeline.oovFilter),
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),

@@ -1101,6 +1101,36 @@ object Pipeline {
     * shingle-Jaccard, because the question is "seen before?", not "how
     * similar?". The hash is computed in a top-level projection after the
     * explode so it stays codegen'd (HOF lambdas run interpreted). */
+  /** OOV-bigram fluency filter — the log-free stand-in for an n-gram-LM
+    * perplexity cut (the KenLM pass of a web-corpus pipeline): score each
+    * document by the fraction of its word bigrams that fall outside the
+    * corpus top-200 bigram vocabulary, in exact integer ppm, and surface
+    * the 25 most out-of-model documents. A perplexity score proper is a
+    * sum of logs (not cross-engine bit-stable); the OOV fraction ranks
+    * fluency the same way on a fixed vocabulary and hashes exactly.
+    *
+    * Scale shape: the vocabulary is a TakeOrdered top-k (per-partition
+    * heaps) broadcast to a left join against the bigram stream; one
+    * (doc)-keyed aggregation scores the corpus. Ties at the vocabulary
+    * boundary break lexicographically in both engines. */
+  def oovFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        filter(tokensArr(col("text")), t => t =!= lit("")).as("t"))
+    val bg = d.select(col("doc_id"), explode(bigramsArr(col("t"))).as("bigram"))
+    val top = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram")).limit(200)
+      .select(col("bigram"), lit(1).as("seen"))
+    bg.join(broadcast(top), Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bg"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_bg"), col("n_oov"),
+        expr("(n_oov * 1000000) div n_bg").as("oov_ppm"))
+      .orderBy(col("oov_ppm").desc, col("doc_id"))
+      .limit(25)
+  }
+
   private val SpanTokens = 20
 
   def substringDedup(s: SparkSession, dir: String): DataFrame = {

@@ -181,6 +181,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!out.map(_.getLong(0)).contains(minDoc))
   }
 
+  test("profile: census matches direct per-column aggregates in one scan") {
+    val out = Relational.profile(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq ===
+      Seq("l_partkey", "l_quantity", "l_returnflag", "l_shipdate"))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val want = li.agg(
+      count(col("l_partkey")), countDistinct(col("l_partkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).collect()(0)
+    val pk = out(0)
+    assert(pk.getLong(1) === want.getLong(0))
+    assert(pk.getLong(2) === want.getLong(1))
+    assert(pk.getString(3) === want.getLong(2).toString)
+    assert(pk.getString(4) === want.getLong(3).toString)
+  }
+
+  test("oov_filter: scores are exact fractions and ranking is deterministic") {
+    val out = Pipeline.oovFilter(spark, sf).collect()
+    assert(out.length === 25)
+    out.foreach { r =>
+      val (nBg, nOov, ppm) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOov <= nBg)
+      assert(ppm === nOov * 1000000L / nBg)
+    }
+    val keys = out.map(r => (-r.getLong(3), r.getLong(0)))
+    assert(keys.sameElements(keys.sorted), "(oov desc, doc_id) order")
+  }
+
   test("shard_export: shards partition the corpus exactly") {
     val out = Pipeline.shardExport(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
