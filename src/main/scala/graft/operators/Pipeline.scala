@@ -1117,14 +1117,21 @@ object Pipeline {
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),
         filter(tokensArr(col("text")), t => t =!= lit("")).as("t"))
-    val bg = d.select(col("doc_id"), explode(bigramsArr(col("t"))).as("bigram"))
-    val top = bg.groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    // tokenize ONCE: the (doc, bigram) multiset feeds both the global
+    // vocabulary (second-level aggregation) and the per-doc scoring.
+    // Both branches sit in one action, so the (doc_id, bigram) shuffle
+    // is planned once and reused (ReuseExchange) — one corpus pass at
+    // 100 TB instead of two, with no materialized intermediate
+    val base = d
+      .select(col("doc_id"), explode(bigramsArr(col("t"))).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("k"))
+    val top = base.groupBy("bigram").agg(sum("k").as("cnt"))
       .orderBy(col("cnt").desc, col("bigram")).limit(200)
       .select(col("bigram"), lit(1).as("seen"))
-    bg.join(broadcast(top), Seq("bigram"), "left")
+    base.join(broadcast(top), Seq("bigram"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bg"),
-        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .agg(sum("k").as("n_bg"),
+        sum(when(col("seen").isNull, col("k")).otherwise(lit(0L))).as("n_oov"))
       .select(col("doc_id"), col("n_bg"), col("n_oov"),
         expr("(n_oov * 1000000) div n_bg").as("oov_ppm"))
       .orderBy(col("oov_ppm").desc, col("doc_id"))
