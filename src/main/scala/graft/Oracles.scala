@@ -1518,6 +1518,36 @@ object Oracles {
          |SELECT src, nb, cos, rank FROM r WHERE rank <= 3
          |ORDER BY src, rank""".stripMargin,
 
+    // hard-negative mining: the knn_graph LSH candidate generation plus a
+    // label-mismatch filter before scoring; top-2 negatives per anchor
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, label, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
+         |planes(t, j, pv) AS (VALUES
+         |$lshPlaneRows),
+         |dots AS (SELECT vec_id, t, j,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(n.v, (x,i) -> x * pv[i])), (a,b) -> a+b) AS dp
+         |  FROM n, planes),
+         |eb AS (SELECT vec_id, t,
+         |    CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+         |  FROM dots GROUP BY vec_id, t),
+         |cand AS (SELECT DISTINCT p.vec_id AS src, x.vec_id AS nb
+         |  FROM eb p JOIN eb x ON x.t = p.t AND x.bucket = p.bucket
+         |  WHERE x.vec_id <> p.vec_id),
+         |sc AS (SELECT c.src, a.label AS src_label, c.nb, b.label AS nb_label,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(a.v, (x,i) -> x * b.v[i])), (s1,t1) -> s1+t1) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c JOIN n a ON c.src = a.vec_id JOIN n b ON c.nb = b.vec_id
+         |  WHERE a.label <> b.label),
+         |r AS (SELECT src, src_label, nb, nb_label, cos,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY cos DESC, nb) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT src, src_label, nb, nb_label, cos, rank FROM r WHERE rank <= 2
+         |ORDER BY src, rank""".stripMargin,
+
     // integer-exact Lloyd k-means: see kmeansCtes for the unrolled rounds
     "q_kmeans" ->
       s"""$kmeansCtes,

@@ -169,6 +169,7 @@ object SparkEntry {
     "q_temperature_mix"   -> q(Pipeline.temperatureMix),
     "q_substring_dedup"   -> q(Pipeline.substringDedup),
     "q_oov_filter"        -> q(Pipeline.oovFilter),
+    "q_hard_negatives"    -> q(Pipeline.hardNegatives),
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),

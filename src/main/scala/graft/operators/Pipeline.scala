@@ -957,6 +957,43 @@ object Pipeline {
       .orderBy("src", "rank")
   }
 
+  /** Hard-negative mining for contrastive training: for every anchor
+    * vector, the 2 most-similar candidates carrying a DIFFERENT label —
+    * the "looks alike, isn't" pairs a metric-learning run wants in its
+    * batches. Candidates come from the shared multi-table LSH index
+    * (same blocking as [[knnGraph]] — never an all-pairs join); labels
+    * ride the id-only pair exchange and the label-mismatch filter runs
+    * BEFORE vectors join back, so only genuine negative candidates pay
+    * the dot-product cost. Cosines are the strict left-to-right folds
+    * the oracle replays bit-for-bit; ties break by neighbor id. */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val idx = lshIndex(s, dir)
+    val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val pairs = idx.select(col("vec_id").as("src"), col("t"), col("bucket"))
+      .join(idx.select(col("vec_id").as("nb"), col("t"), col("bucket")),
+        Seq("t", "bucket"))
+      .filter(col("src") =!= col("nb"))
+      .select("src", "nb").distinct()
+    val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
+    val scored = pairs
+      .join(lbl.select(col("vec_id").as("src"), col("label").as("src_label")),
+        Seq("src"))
+      .join(lbl.select(col("vec_id").as("nb"), col("label").as("nb_label")),
+        Seq("nb"))
+      .filter(col("src_label") =!= col("nb_label"))
+      .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
+        col("nrm").as("sn")), Seq("src"))
+      .join(e.select(col("vec_id").as("nb"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nb"))
+      .select(col("src"), col("src_label"), col("nb"), col("nb_label"),
+        (dotD(col("sv"), col("nv")) / (col("sn") * col("nn"))).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cos").desc, col("nb"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .orderBy("src", "rank")
+  }
+
   /** GPT-style sequence packing: concatenate the corpus token stream in
     * doc_id order and cut it every `SeqLen` tokens — the standard
     * pack-then-slice step that turns variable-length documents into

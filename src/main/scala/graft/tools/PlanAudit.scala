@@ -28,7 +28,8 @@ object PlanAudit {
       // round-5 joins/iterative plans
       "q_tpch_q3", "q_knn_graph", "q_kmeans", "q_semdedup",
       "q_pagerank", "q_pack_sequences", "q_bm25", "q_attribution",
-      "q_transition_matrix", "q_cluster_labels", "q_substring_dedup")
+      "q_transition_matrix", "q_cluster_labels", "q_substring_dedup",
+      "q_hard_negatives", "q_oov_filter")
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

@@ -208,6 +208,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "(oov desc, doc_id) order")
   }
 
+  test("hard_negatives: every mined pair crosses labels and ranks by cosine") {
+    val out = Pipeline.hardNegatives(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) !== r.getInt(3), "negative must carry a different label")
+      assert(r.getLong(0) !== r.getLong(2))
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.length <= 2)
+      val sorted = rows.sortBy(_.getLong(5))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4),
+          "rank 1 must be at least as close as rank 2")
+        case _ => ()
+      }
+    }
+  }
+
   test("shard_export: shards partition the corpus exactly") {
     val out = Pipeline.shardExport(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
