@@ -1548,6 +1548,23 @@ object Oracles {
          |SELECT src, src_label, nb, nb_label, cos, rank FROM r WHERE rank <= 2
          |ORDER BY src, rank""".stripMargin,
 
+    // class-prototype centroids: the same int64 quantization and
+    // truncate-toward-zero mean as the k-means oracle, grouped by label
+    "q_label_centroids" ->
+      s"""WITH q AS (SELECT label, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |s AS (SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS sx,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM q, range(1, 65) g(i) GROUP BY label, i),
+         |c AS (SELECT label, i, n, CAST((sx - sx % n) / n AS BIGINT) AS c
+         |  FROM s)
+         |SELECT label, max(n) AS n_vecs,
+         |  CAST(min(CASE WHEN i = 1 THEN c END) AS BIGINT) AS c0,
+         |  CAST(min(CASE WHEN i = 2 THEN c END) AS BIGINT) AS c1,
+         |  CAST(sum(abs(c)) AS BIGINT) AS c_l1
+         |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
     // integer-exact Lloyd k-means: see kmeansCtes for the unrolled rounds
     "q_kmeans" ->
       s"""$kmeansCtes,

@@ -7,16 +7,25 @@ import graft.streaming.Streams
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Query inventory (SURVEY §2):
-  *  - MR app suite (§2b): q_wordcount, q_inverted_index, q_sorted_concat,
-  *    q_tokens_per_doc, q_distinct_words, q_sort_docs, q_union_names.
-  *  - Plugin-contract API (§2c UDF/UDAF/UDTF row): q_mr_* run the same
-  *    workloads through graft.mr.MapReduceJob (groupByKey + mapGroups).
-  *  - Relational generalization (§2c): q_grouped_agg … q_sessionize.
-  *  - LLM-pipeline north star: q_dedup_*, q_simhash, q_text_stats,
-  *    q_quality_score, q_lang_id, q_token_count, q_fingerprint,
-  *    q_similarity_topk, q_embedding_neardup, q_ann_lsh, q_multimodal_meta.
-  *  - Structured Streaming (§2c): q_stream_window, q_stream_sessions.
+  * Query inventory (SURVEY §2 + §8; every name is both the query key and
+  * the DuckDB-oracle key):
+  *  - MR app suite (§2b) + plugin-contract API (q_mr_* via
+  *    graft.mr.MapReduceJob) + reference I/O (text roundtrip, formats).
+  *  - Relational generalization (§2c): joins ×12, windows, grouping
+  *    sets/cube/rollup, set ops, pivot/unpivot, percentiles, TPC-H
+  *    shapes, profile census, XML/JSON/VARIANT extraction.
+  *  - LLM-pipeline north star: dedup family (exact / n-gram / MinHash /
+  *    SimHash / embedding / substring spans / SemDeDup / containment),
+  *    similarity (brute-force, LSH, IVF, k-NN graph, hard negatives),
+  *    clustering (int64 k-means, label centroids, topic labels), text
+  *    analysis (stats, quality, lang-id, tokens, TF-IDF, bigrams,
+  *    collocations, OOV fluency), training prep (packing, temperature
+  *    mix, shards, samples, chunking, redaction, decontamination),
+  *    multimodal binary columns.
+  *  - Graph + event analytics: PageRank, triangle census, co-purchase,
+  *    funnel, retention, attribution, transitions, sessionization.
+  *  - Structured Streaming ×9 flavors (windows, watermark, dedup,
+  *    joins ×3, sessions, top-k, transformWithState CDC).
   *
   * Only the two sketches — q_approx_distinct (HLL) and
   * q_approx_percentile (quantile) — are absent from oracleSql (driver
@@ -170,6 +179,7 @@ object SparkEntry {
     "q_substring_dedup"   -> q(Pipeline.substringDedup),
     "q_oov_filter"        -> q(Pipeline.oovFilter),
     "q_hard_negatives"    -> q(Pipeline.hardNegatives),
+    "q_label_centroids"   -> q(operators.Clustering.labelCentroids),
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),

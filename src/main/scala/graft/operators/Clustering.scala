@@ -135,6 +135,29 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  /** Class-prototype centroids: the exact per-dimension mean embedding of
+    * every label — the nearest-class-mean / few-shot-prototype table a
+    * classifier bootstraps from, and the supervised twin of the k-means
+    * codebook. Same int64 quantization and truncate-toward-zero mean as
+    * the Lloyd loop, so every component is bit-reproducible; surfaced as
+    * (label, member count, first two components, centroid L1 norm). One
+    * (label, dim) shuffle — vectors never collect anywhere. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(s, dir).select(col("label"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
+    q.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", truncDiv(col("sx"), col("n")))
+      .groupBy("label")
+      .agg(max(col("n")).as("n_vecs"),
+        min(when(col("i") === 0, col("c"))).as("c0"),
+        min(when(col("i") === 1, col("c"))).as("c1"),
+        sum(abs(col("c"))).as("c_l1"))
+      .orderBy("label")
+  }
+
   /** Topic labeling: the 3 most distinctive terms per k-means cluster,
     * scored by integer-exact lift — share of the term inside the cluster
     * vs its corpus share, in parts-per-million:

@@ -208,6 +208,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "(oov desc, doc_id) order")
   }
 
+  test("label_centroids: exact truncated means match a driver-side recompute") {
+    val out = operators.Clustering.labelCentroids(spark, sf).collect()
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label"), col("embedding")).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).map(x =>
+        math.floor(x.toDouble * 1e6).toLong))
+    assert(out.map(_.getInt(0)).sum === vecs.map(_._1).distinct.sum)
+    out.foreach { r =>
+      val members = vecs.filter(_._1 == r.getInt(0)).map(_._2)
+      assert(r.getLong(1) === members.length.toLong)
+      def mean(dim: Int): Long = {
+        val sx = members.map(_(dim)).sum; val n = members.length
+        (sx - sx % n) / n
+      }
+      assert(r.getLong(2) === mean(0))
+      assert(r.getLong(3) === mean(1))
+    }
+  }
+
   test("hard_negatives: every mined pair crosses labels and ranks by cosine") {
     val out = Pipeline.hardNegatives(spark, sf).collect()
     assert(out.nonEmpty)
