@@ -963,6 +963,9 @@ object Relational {
     * Money rides as integer cents inside the XML so the string render is
     * engine-independent (double→string formatting is not); the DuckDB
     * oracle parses the identical envelopes with regexp extraction. The
+    * render does not escape markup characters — o_orderstatus is a known
+    * XML-safe single-letter code; arbitrary text payloads would need
+    * escaping (or `to_xml`) before this pattern applies. The
     * parse is a narrow codegen'd projection — schema inference is never
     * invoked (explicit StructType), which is the 100 TB-safe mode: an
     * inference pass would be a second full scan. */
