@@ -152,6 +152,53 @@ object Oracles {
        |  + CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS score
        |FROM s)""".stripMargin
 
+  /** Exact brute-force cosine top-10 (shared verbatim by the
+    * q_similarity_topk entry and, as a CTE, the q_ann_recall eval). */
+  private lazy val similarityTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
+       |sc AS (SELECT p.vec_id AS probe_id, x.vec_id AS vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(p.v, (a,i) -> a * x.v[i])), (s1,t1) -> s1+t1) / (p.nrm * x.nrm) AS cos
+       |  FROM n p JOIN n x ON x.vec_id <> p.vec_id WHERE p.vec_id < 5),
+       |r AS (SELECT probe_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
+       |ORDER BY probe_id, rank""".stripMargin
+
+  /** Multi-table LSH ANN top-10 with regenerated hyperplanes (shared by
+    * the q_ann_lsh entry and, as a CTE, the q_ann_recall eval). */
+  private lazy val annLshSql: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
+       |planes(t, j, pv) AS (VALUES
+       |$lshPlaneRows),
+       |dots AS (SELECT vec_id, t, j,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(n.v, (x,i) -> x * pv[i])), (a,b) -> a+b) AS dp
+       |  FROM n, planes),
+       |eb AS (SELECT vec_id, t,
+       |    CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM dots GROUP BY vec_id, t),
+       |probes AS (SELECT vec_id AS probe_id, t, bucket FROM eb WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT p.probe_id, x.vec_id
+       |  FROM probes p JOIN eb x ON x.t = p.t AND x.bucket = p.bucket
+       |  WHERE x.vec_id <> p.probe_id),
+       |sc AS (SELECT c.probe_id, c.vec_id,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(a.v, (x,i) -> x * b.v[i])), (s1,t1) -> s1+t1) / (a.nrm * b.nrm) AS cos
+       |  FROM cand c JOIN n a ON c.probe_id = a.vec_id JOIN n b ON c.vec_id = b.vec_id),
+       |r AS (SELECT probe_id, vec_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
+       |ORDER BY probe_id, rank""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     // ------------------------------------------------------ MR app suite
@@ -397,6 +444,19 @@ object Oracles {
       s"""SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket,
          |  count(*) AS n FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
 
+    // equi-depth histogram: the rank and the bucket formula
+    // 1 + (rank-1)*8 div n are replicated exactly; the flat window here
+    // is fine at DuckDB scale (the engine uses the two-phase prefix sum)
+    "q_equidepth_hist" ->
+      s"""WITH r AS (SELECT l_extendedprice AS p,
+         |    CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rank,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM lineitem)
+         |SELECT CAST(1 + (rank - 1) * 8 // n AS BIGINT) AS bucket,
+         |  count(*) AS n_rows, min(p) AS lo, max(p) AS hi,
+         |  ${sumD("p", 2, "sum_price")}
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q_percentiles" ->
       s"""SELECT l_returnflag,
          |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
@@ -629,6 +689,19 @@ object Oracles {
          |  CAST(length(rt) - length(regexp_replace(rt, '#', '', 'g')) AS BIGINT) AS n_masked,
          |  ${polyHashSql("rt")} AS redacted_hash
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    // synthesized contact lines (identical bytes in both engines), PII
+    // classes detected and masked by the same patterns the engine uses
+    "q_pii_scan" ->
+      s"""WITH t AS (SELECT c_custkey,
+         |    c_name || ' phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+         |      || ' email ' || lower(replace(c_name, '#', '.')) || '@example.com' AS text
+         |  FROM customer)
+         |SELECT c_custkey,
+         |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '[a-z0-9.]+@[a-z.]+')) AS BIGINT) AS n_emails,
+         |  ${polyHashSql("regexp_replace(regexp_replace(text, '555-[0-9]{4}', '555-XXXX', 'g'), '[a-z0-9.]+@', '***@', 'g')")} AS masked_hash
+         |FROM t ORDER BY c_custkey""".stripMargin,
 
     "q_token_positions" ->
       s"""WITH d AS ($TokList),
@@ -1361,6 +1434,27 @@ object Oracles {
          |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
 
+    // bigram next-token table: integer conditional probabilities, the
+    // sum-over-bigrams head totals (NOT unigram counts — the last token
+    // of each doc heads no bigram), top-3 per head with ≥ 50 mass
+    "q_next_token" ->
+      s"""WITH d AS ($TokList),
+         |bgs AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+         |  i -> t[i] || ' ' || t[i+1])) AS bigram FROM d),
+         |bc AS (SELECT split_part(bigram, ' ', 1) AS head,
+         |    split_part(bigram, ' ', 2) AS next_word,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM bgs GROUP BY 1, 2),
+         |h AS (SELECT head, CAST(sum(cnt) AS BIGINT) AS head_total
+         |  FROM bc GROUP BY head),
+         |j AS (SELECT bc.head, bc.next_word, bc.cnt, h.head_total,
+         |    CAST(row_number() OVER (PARTITION BY bc.head
+         |      ORDER BY bc.cnt DESC, bc.next_word) AS BIGINT) AS rank
+         |  FROM bc JOIN h USING (head) WHERE h.head_total >= 50)
+         |SELECT head, next_word, cnt, head_total,
+         |  CAST(cnt * 1000000 // head_total AS BIGINT) AS p_ppm, rank
+         |FROM j WHERE rank <= 3 ORDER BY head, rank""".stripMargin,
+
     "q_collocations" ->
       s"""WITH d AS ($TokList),
          |toks AS (SELECT unnest(t) AS w FROM d),
@@ -1391,20 +1485,7 @@ object Oracles {
     "q_sql_custom_fn" ->
       s"SELECT doc_id, ${polyHashSql("text")} AS fp FROM documents ORDER BY doc_id",
 
-    "q_similarity_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
-         |sc AS (SELECT p.vec_id AS probe_id, x.vec_id AS vec_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(p.v, (a,i) -> a * x.v[i])), (s1,t1) -> s1+t1) / (p.nrm * x.nrm) AS cos
-         |  FROM n p JOIN n x ON x.vec_id <> p.vec_id WHERE p.vec_id < 5),
-         |r AS (SELECT probe_id, vec_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-         |  FROM sc)
-         |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
-         |ORDER BY probe_id, rank""".stripMargin,
+    "q_similarity_topk" -> similarityTopkSql,
 
     // LSH-blocked near-dup: candidates from shared (table, bucket) of the
     // deterministic hyperplanes (regenerated verbatim below), then exact
@@ -1433,33 +1514,20 @@ object Oracles {
 
     // ANN-LSH promoted to hash-checked: the hyperplanes are deterministic
     // and regenerated verbatim, so candidates AND ranking are reproducible
-    "q_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |n AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM e),
-         |planes(t, j, pv) AS (VALUES
-         |$lshPlaneRows),
-         |dots AS (SELECT vec_id, t, j,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(n.v, (x,i) -> x * pv[i])), (a,b) -> a+b) AS dp
-         |  FROM n, planes),
-         |eb AS (SELECT vec_id, t,
-         |    CAST(sum(CASE WHEN dp > 0 THEN (1 << j) ELSE 0 END) AS INTEGER) AS bucket
-         |  FROM dots GROUP BY vec_id, t),
-         |probes AS (SELECT vec_id AS probe_id, t, bucket FROM eb WHERE vec_id < 5),
-         |cand AS (SELECT DISTINCT p.probe_id, x.vec_id
-         |  FROM probes p JOIN eb x ON x.t = p.t AND x.bucket = p.bucket
-         |  WHERE x.vec_id <> p.probe_id),
-         |sc AS (SELECT c.probe_id, c.vec_id,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(a.v, (x,i) -> x * b.v[i])), (s1,t1) -> s1+t1) / (a.nrm * b.nrm) AS cos
-         |  FROM cand c JOIN n a ON c.probe_id = a.vec_id JOIN n b ON c.vec_id = b.vec_id),
-         |r AS (SELECT probe_id, vec_id, cos,
-         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-         |  FROM sc)
-         |SELECT probe_id, vec_id, cos, rank FROM r WHERE rank <= 10
-         |ORDER BY probe_id, rank""".stripMargin,
+    "q_ann_lsh" -> annLshSql,
+
+    // recall@10 of the LSH ANN vs the exact baseline: both component
+    // queries are the hash-checked oracles above, composed as CTEs; the
+    // eval metric is an exact integer ppm so the whole row hash-checks
+    "q_ann_recall" ->
+      s"""WITH exact AS ($similarityTopkSql),
+         |ann AS ($annLshSql)
+         |SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(a.vec_id) AS BIGINT) AS n_hit,
+         |  CAST(count(a.vec_id) * 1000000 // count(*) AS BIGINT) AS recall_ppm
+         |FROM exact e LEFT JOIN ann a
+         |  ON e.probe_id = a.probe_id AND e.vec_id = a.vec_id
+         |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin,
 
     // ANN-IVF promoted to hash-checked: centroids are the first 16 corpus
     // vectors and both ranking passes are deterministic (ties by id)
@@ -1564,6 +1632,35 @@ object Oracles {
          |  CAST(min(CASE WHEN i = 2 THEN c END) AS BIGINT) AS c1,
          |  CAST(sum(abs(c)) AS BIGINT) AS c_l1
          |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    // nearest-prototype confusion matrix: the same quantization and
+    // truncated-mean centroids as q_label_centroids, argmin distance with
+    // ties by label, then the exact integer cross-tab
+    "q_eval_confusion" ->
+      s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |s AS (SELECT true_label AS plabel, i, CAST(sum(qv[i]) AS BIGINT) AS sx,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM q, range(1, 65) g(i) GROUP BY 1, 2),
+         |c AS (SELECT plabel, i, CAST((sx - sx % n) / n AS BIGINT) AS c FROM s),
+         |cl AS (SELECT plabel, list(c ORDER BY i) AS cv FROM c GROUP BY plabel),
+         |d AS (SELECT q.vec_id, q.true_label, cl.plabel,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (qv[i]-cv[i])*(qv[i]-cv[i]))) AS BIGINT) AS dist
+         |  FROM q, cl),
+         |p AS (SELECT vec_id, true_label, plabel AS pred_label,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, plabel) AS r
+         |  FROM d),
+         |pr AS (SELECT true_label, pred_label FROM p WHERE r = 1),
+         |rt AS (SELECT true_label, CAST(count(*) AS BIGINT) AS n_true
+         |  FROM pr GROUP BY true_label)
+         |SELECT pr.true_label, pr.pred_label, CAST(count(*) AS BIGINT) AS n,
+         |  rt.n_true, CAST(count(*) * 1000000 // rt.n_true AS BIGINT) AS share_ppm
+         |FROM pr JOIN rt USING (true_label)
+         |GROUP BY pr.true_label, pr.pred_label, rt.n_true
+         |ORDER BY true_label, pred_label""".stripMargin,
 
     // integer-exact Lloyd k-means: see kmeansCtes for the unrolled rounds
     "q_kmeans" ->

@@ -24,6 +24,9 @@ import graft.streaming.Streams
   *    multimodal binary columns.
   *  - Graph + event analytics: PageRank, triangle census, co-purchase,
   *    funnel, retention, attribution, transitions, sessionization.
+  *  - Evaluation layer: ANN recall vs exact baseline, nearest-prototype
+  *    confusion matrix, equi-depth histogram, next-token LM table,
+  *    PII scan/mask.
   *  - Structured Streaming ×9 flavors (windows, watermark, dedup,
   *    joins ×3, sessions, top-k, transformWithState CDC).
   *
@@ -136,6 +139,7 @@ object SparkEntry {
     "q_map_functions"     -> q(Relational.mapFunctions),
     "q_approx_percentile" -> q(Relational.approxPercentiles),
     "q_approx_topk"       -> q(Relational.approxTopK),
+    "q_equidepth_hist"    -> q(Relational.equidepthHistogram),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),
@@ -181,6 +185,10 @@ object SparkEntry {
     "q_hard_negatives"    -> q(Pipeline.hardNegatives),
     "q_label_centroids"   -> q(operators.Clustering.labelCentroids),
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
+    "q_next_token"        -> q(Pipeline.nextToken),
+    "q_pii_scan"          -> q(Pipeline.piiScan),
+    "q_ann_recall"        -> q(operators.Evaluation.annRecall),
+    "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),
     "q_multimodal_transform" -> q(Media.mediaTransform),

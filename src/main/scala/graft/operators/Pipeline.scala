@@ -656,6 +656,67 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Bigram next-token prediction table: for every head word with ≥ 50
+    * bigram continuations, the top-3 most likely next tokens with exact
+    * integer conditional probabilities (ppm of the head's continuation
+    * mass). This is the count-based n-gram language model a data pipeline
+    * builds for perplexity-style fluency filtering and autocomplete-style
+    * QA of a corpus — the model-building complement of [[oovFilter]]'s
+    * model-applying cut, and log-free like it (ranking by raw count ≡
+    * ranking by conditional probability at fixed head).
+    *
+    * Scale shape: one (bigram)-keyed count (map-side combined), the head
+    * totals are a second aggregation of that same table (not a rescan),
+    * and the final top-3 is a WindowGroupLimit over the vocab²-bounded
+    * bigram table — the corpus text never rides a shuffle wider than
+    * tokenization. */
+  def nextToken(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .select(filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+      .select(explode(Fns.bigramsArr(col("t"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+      .select(substring_index(col("bigram"), " ", 1).as("head"),
+        element_at(split(col("bigram"), " "), 2).as("next_word"), col("cnt"))
+    val heads = bg.groupBy("head").agg(sum("cnt").as("head_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("head").orderBy(col("cnt").desc, col("next_word"))
+    bg.join(heads.filter(col("head_total") >= 50), Seq("head"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("head"), col("next_word"), col("cnt"), col("head_total"),
+        expr("cnt * 1000000L div head_total").as("p_ppm"), col("rank"))
+      .orderBy("head", "rank")
+  }
+
+  /** Structured-PII detection and masking over synthesized contact
+    * strings: each customer row is rendered into a support-ticket-style
+    * line (name + phone + email, all derived deterministically from the
+    * key so both engines construct identical bytes), then the PII classes
+    * are detected by pattern, masked (phone digits blanked, email keeps
+    * only the domain), and verified by hash. The class-aware
+    * complement of [[redact]]'s blanket digit masking — a real pipeline
+    * runs exactly this shape over crawled text before training. Narrow
+    * per-row projection, zero shuffle, embarrassingly parallel. */
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val line = concat(
+      col("c_name"), lit(" phone 555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" email "), lower(regexp_replace(col("c_name"), "#", ".")),
+      lit("@example.com"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), line.as("text"))
+      .select(col("c_custkey"),
+        size(regexp_extract_all(col("text"), lit("555-[0-9]{4}"), lit(0)))
+          .cast("long").as("n_phones"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z0-9.]+@[a-z.]+"), lit(0))).cast("long").as("n_emails"),
+        Fns.polyHash(
+          regexp_replace(
+            regexp_replace(col("text"), "555-[0-9]{4}", "555-XXXX"),
+            "[a-z0-9.]+@", "***@")).as("masked_hash"))
+      .orderBy("c_custkey")
+  }
+
   /** Benchmark decontamination: split the corpus into train/test by
     * content hash (deterministic, reproducible — the same discipline as
     * the sampling ops), then flag every test document sharing a word

@@ -456,6 +456,45 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Exact equi-DEPTH histogram (8 buckets of equal row count ±1) of
+    * lineitem extended price — the companion of the equi-WIDTH
+    * [[histogram]], and the shape a query optimizer's column statistics
+    * and a data-balance audit actually want (equal mass, not equal span).
+    *
+    * The global rank each row needs is a two-phase block prefix sum —
+    * per-block counts (block = floor(price/5000), a bounded price-domain
+    * partition), a running offset over the ≤ 22-row block table, then a
+    * within-block window — the same discipline as the sequence packer:
+    * no single-partition global window at any stage. Bucket assignment is
+    * the explicit formula 1 + (rank−1)·8 div n (both engines), ties
+    * broken by the (orderkey, linenumber) primary key so boundary rows
+    * land deterministically; bounds/sums are then one keyed aggregation,
+    * decimal-routed. */
+  def equidepthHistogram(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("p"))
+      .withColumn("blk", floor(col("p") / 5000).cast("long"))
+    val blockTotals = li.groupBy("blk").agg(count(lit(1)).as("bt"))
+    val wBlk = w.orderBy("blk").rowsBetween(w.unboundedPreceding, -1)
+    val offsets = blockTotals
+      .withColumn("off", coalesce(sum("bt").over(wBlk), lit(0L)))
+      .drop("bt")
+    val total = li.agg(count(lit(1)).as("n"))
+    val wIn = w.partitionBy("blk")
+      .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = li.join(broadcast(offsets), "blk")
+      .withColumn("rank", col("off") + row_number().over(wIn))
+      .crossJoin(broadcast(total))
+    ranked
+      .groupBy(expr("1L + (rank - 1) * 8 div n").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("p")).as("lo"), max(col("p")).as("hi"),
+        sumD2(col("p")).as("sum_price"))
+      .orderBy("bucket")
+  }
+
   /** Exact percentiles (sort-based `percentile`, not the approximate
     * sketch) of quantity per return flag; interpolated values rounded to
     * 4 dp to absorb the one-ulp formula difference between engines. */

@@ -44,6 +44,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     "q_decontamination", "q_range_frame_time", "q_embedding_quantize",
     "q_dedup_containment", "q_zorder", "q_try_functions",
     "q_importance_sample", "q_sql_udtf", "q_percentiles_disc",
+    // round-5 eval + analysis wave
+    "q_equidepth_hist", "q_next_token", "q_pii_scan",
+    "q_ann_recall", "q_eval_confusion",
     // streaming on an empty scheduling window: zero batches fire and the
     // sink read-back must yield an empty frame, not a path error
     "q_stream_window", "q_stream_topk", "q_stream_dedup",

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Evaluation, Pipeline, Relational}
+
+/** Semantic checks for the round-5 eval/analysis operators, independent
+  * of the DuckDB hash gate: internal consistency of the metrics and
+  * driver-side recomputation of the key invariants. */
+class EvaluationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  test("ann_recall matches a driver-side intersection of the two top-k tables") {
+    val exact = Pipeline.similarityTopk(spark, sf)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Pipeline.annLsh(spark, sf)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Evaluation.annRecall(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (probe, nExact, nHit, ppm) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val expExact = exact.count(_._1 == probe)
+      val expHit = exact.count(p => p._1 == probe && ann.contains(p))
+      assert(nExact === expExact.toLong)
+      assert(nHit === expHit.toLong)
+      assert(ppm === nHit * 1000000L / nExact)
+      assert(nHit <= nExact && ppm <= 1000000L)
+    }
+  }
+
+  test("eval_confusion cells partition the corpus and share_ppm is exact") {
+    val rows = Evaluation.evalConfusion(spark, sf).collect()
+    val corpus = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === corpus)
+    // per-true-label cells sum to the row total carried on each cell
+    rows.groupBy(_.getLong(0)).foreach { case (_, cells) =>
+      val nTrue = cells.head.getLong(3)
+      assert(cells.map(_.getLong(2)).sum === nTrue)
+      cells.foreach(c => assert(c.getLong(4) === c.getLong(2) * 1000000L / nTrue))
+    }
+  }
+
+  test("equi-depth buckets have near-equal mass and ordered boundaries") {
+    val b = Relational.equidepthHistogram(spark, sf).collect()
+    assert(b.length === 8)
+    val sizes = b.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1,
+      s"bucket sizes not equi-depth: ${sizes.mkString(",")}")
+    assert(sizes.sum === Tables.lineitem(spark, sf).count())
+    b.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getDouble(3) <= hi.getDouble(2),
+        "bucket upper bound exceeds next bucket's lower bound")
+    }
+  }
+
+  test("next_token rows are ranked by count and probabilities are exact") {
+    val rows = Pipeline.nextToken(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(2) * 1000000L / r.getLong(3))
+      assert(r.getLong(5) >= 1L && r.getLong(5) <= 3L)
+    }
+    rows.groupBy(_.getString(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getLong(5)).map(_.getLong(2))
+      assert(byRank.sameElements(byRank.sorted(Ordering[Long].reverse)),
+        "counts must be non-increasing in rank")
+    }
+  }
+
+  test("pii_scan finds exactly one phone and one email per contact line") {
+    val rows = Pipeline.piiScan(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === 1L, "phone not detected")
+      assert(r.getLong(2) === 1L, "email not detected")
+    }
+  }
+}

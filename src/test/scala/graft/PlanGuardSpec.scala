@@ -24,7 +24,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_bm25"            -> 1, // 1-row (N, S) stats
     "q_cluster_labels"  -> 1, // 1-row corpus token total
     "q_temperature_mix" -> 1, // 1-row weight total
-    "q_triangle_count"  -> 2  // 1-row wedge + triangle counts
+    "q_triangle_count"  -> 2, // 1-row wedge + triangle counts
+    "q_equidepth_hist"  -> 1, // 1-row row-count total
+    "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
+    "q_eval_confusion"  -> 2  // 10-row centroid table (cells + row totals)
   )
 
   test("no cartesian products; nested-loop joins only on constant-size builds") {
