@@ -206,6 +206,13 @@ object Oracles {
       s"""SELECT word, count(*) AS cnt FROM ($Toks) t
          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
 
+    // the V2 connector roundtrip: wordcount → "key value" sink →
+    // graftkv source with a pushed prefix filter; the oracle recomputes
+    // the filtered counts from the base table
+    "q_kv_source" ->
+      s"""SELECT word AS key, count(*) AS cnt FROM ($Toks) t
+         |WHERE word LIKE 's%' GROUP BY word ORDER BY key""".stripMargin,
+
     "q_inverted_index" ->
       s"""WITH pairs AS (SELECT DISTINCT word, CAST(doc_id AS VARCHAR) AS doc
          |  FROM ($Toks) t WHERE word <> '')

@@ -68,6 +68,7 @@ object SparkEntry {
     "q_text_roundtrip"    -> q(graft.sources.TextIO.textRoundtrip),
     "q_format_roundtrip"  -> q(graft.sources.TextIO.formatRoundtrip),
     "q_schema_evolution"  -> q(graft.sources.TextIO.schemaEvolution),
+    "q_kv_source"         -> q(graft.sources.TextIO.kvSource),
     // relational generalization
     "q_grouped_agg"       -> q(Relational.groupedAgg),
     "q_filter_project"    -> q(Relational.filterProject),

@@ -69,6 +69,40 @@ object TextIO {
       .orderBy("word")
   }
 
+  // KV layout built once per (session, corpus) and shared across the
+  // q_kv_source invocations of a run — same memoization discipline as the
+  // bucketed/partitioned layouts (the layout IS part of the operator; the
+  // bench warm list charges it to setup, not steady state).
+  private val kvLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Declared exercise of the [[graft.sources.kv.KvDataSource]] V2
+    * connector: the corpus wordcount is materialized through the
+    * `"key value"` sink, then read back via `format("graftkv")` with a
+    * prefix predicate — which the connector receives as a pushed
+    * `StringStartsWith` and evaluates inside the partition readers before
+    * any row is built (asserted in `KvSourceSpec`; Spark re-evaluates it
+    * post-scan as the conservative correctness backstop). The oracle
+    * recomputes the filtered wordcount straight from the documents
+    * table, closing the loop over the sink format, the connector parse,
+    * and the pushdown. */
+  def kvSource(s: SparkSession, dir: String): DataFrame = {
+    val kvDir = kvLayoutCache.computeIfAbsent((s, dir), _ => {
+      val tmp = tempDir("graft_kvsrc")
+      val counts = graft.Tables.documents(s, dir)
+        .select(explode(graft.functions.Fns.tokensArr(col("text"))).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("word").as("key"), col("cnt").cast("string").as("value"))
+      writeKv(counts, tmp)
+      tmp
+    })
+    s.read.format("graftkv").load(kvDir)
+      .filter(col("key").startsWith("s"))
+      .select(col("key"), col("value").cast("bigint").as("cnt"))
+      .orderBy("key")
+  }
+
   /** Declared CSV→JSON→ORC format roundtrip: a bounded sample flows
     * through the CSV sink/source (schema inference), the JSON sink/source,
     * then the columnar ORC sink/source, and the result is aggregated —

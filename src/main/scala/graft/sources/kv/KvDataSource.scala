@@ -1,0 +1,189 @@
+package graft.sources.kv
+
+import java.util
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector for the reference's `"key value"` text format
+  * (`/root/reference/src/mr/worker.go:125-141` sink, `:112-115` read-back):
+  * line-oriented partition files where each row is `key<space>value` and
+  * lines that don't split into exactly two fields are dropped.
+  *
+  * Unlike the DataFrame-composition reader ([[graft.sources.TextIO.readKv]],
+  * kept for parity tests), this is the engine-integration surface: a real
+  * `TableProvider` registered as `graftkv`, with
+  *
+  *  - '''column pruning''' (`SupportsPushDownRequiredColumns`): a
+  *    key-only projection never materializes value strings (visible as
+  *    the scan's `ReadSchema`), and
+  *  - '''filter pushdown''' (`SupportsPushDownFilters`): comparison and
+  *    prefix predicates on `key` are evaluated inside the partition
+  *    reader against the raw line, before any row object is built.
+  *    Pushed filters are ALSO returned as post-scan filters (the
+  *    conservative V2 contract), so Spark's own evaluation remains a
+  *    correctness backstop and the pushdown is purely an I/O saving.
+  *
+  * One input partition per file — the reference's mr-out-R layout makes
+  * files the natural split unit, exactly like its task-per-file map queue
+  * (`coordinator.go:263-266`). At 100 TB the same connector would add
+  * byte-range splits with first/last-line handoff (the standard
+  * line-format treatment); file granularity keeps the demo honest since
+  * the reference never splits a partition file either.
+  */
+class KvDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graftkv"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvDataSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new KvTable(properties.get("path"))
+}
+
+object KvDataSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("key", StringType, nullable = false),
+    StructField("value", StringType, nullable = false)))
+}
+
+private[kv] class KvTable(path: String) extends Table with SupportsRead {
+  require(path != null && path.nonEmpty, "graftkv requires a path")
+  override def name(): String = s"graftkv:$path"
+  override def schema(): StructType = KvDataSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(path)
+}
+
+private[kv] class KvScanBuilder(path: String) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  private var required: StructType = KvDataSource.Schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(KvFilters.supported)
+    filters // all filters re-evaluated post-scan: pushdown is an I/O saving
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new KvScan(path, required, pushed)
+}
+
+/** Key-filter evaluation shared by the planner (supported?) and the
+  * partition readers (evaluate on the raw key, pre-row-build). String
+  * order is UTF8String binary order — identical to the engine's own
+  * string comparisons. */
+private[kv] object KvFilters {
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo("key", _: String)            => true
+    case GreaterThan("key", _: String)        => true
+    case GreaterThanOrEqual("key", _: String) => true
+    case LessThan("key", _: String)           => true
+    case LessThanOrEqual("key", _: String)    => true
+    case StringStartsWith("key", _)           => true
+    case _                                    => false
+  }
+
+  def accept(key: UTF8String, filters: Array[Filter]): Boolean =
+    filters.forall {
+      case EqualTo("key", v: String)            => key == UTF8String.fromString(v)
+      case GreaterThan("key", v: String)        => key.compareTo(UTF8String.fromString(v)) > 0
+      case GreaterThanOrEqual("key", v: String) => key.compareTo(UTF8String.fromString(v)) >= 0
+      case LessThan("key", v: String)           => key.compareTo(UTF8String.fromString(v)) < 0
+      case LessThanOrEqual("key", v: String)    => key.compareTo(UTF8String.fromString(v)) <= 0
+      case StringStartsWith("key", v)           => key.startsWith(UTF8String.fromString(v))
+      case _                                    => true
+    }
+}
+
+private[kv] class KvScan(path: String, required: StructType,
+                         pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graftkv path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+    s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val stats =
+      if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
+      else Seq(fs.getFileStatus(p))
+    stats.filter(s => s.isFile && s.getLen > 0)
+      .filterNot(_.getPath.getName.startsWith("_")) // commit markers
+      .map(_.getPath.toString).sorted
+      .map(f => KvInputPartition(f): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(required, pushed)
+}
+
+private[kv] case class KvInputPartition(file: String) extends InputPartition
+
+private[kv] class KvReaderFactory(required: StructType, pushed: Array[Filter])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].file,
+      required, pushed)
+}
+
+/** Streams one partition file line by line: malformed lines (not exactly
+  * two space-separated fields — `worker.go:112-115`) are dropped, pushed
+  * key predicates are applied before row construction, and only the
+  * pruned columns are materialized. */
+private[kv] class KvPartitionReader(file: String, required: StructType,
+                                    pushed: Array[Filter])
+    extends PartitionReader[InternalRow] {
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val hPath = new HPath(file)
+  private val in = FileSystem.get(hPath.toUri, conf).open(hPath)
+  private val reader = new java.io.BufferedReader(
+    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    var line = reader.readLine()
+    while (line != null) {
+      val sep = line.indexOf(' ')
+      // exactly two fields (empty fields allowed) — byte-identical to
+      // TextIO.readKv's split-size-2 rule and worker.go:112-115
+      if (sep >= 0 && line.indexOf(' ', sep + 1) < 0) {
+        val key = UTF8String.fromString(line.substring(0, sep))
+        if (KvFilters.accept(key, pushed)) {
+          val vals = required.fieldNames.map {
+            case "key"   => key
+            case "value" => UTF8String.fromString(line.substring(sep + 1))
+          }
+          row = InternalRow.fromSeq(vals.toIndexedSeq)
+          return true
+        }
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}

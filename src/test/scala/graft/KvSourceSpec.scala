@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.TextIO
+
+/** The DataSource V2 `graftkv` connector: parity with the
+  * DataFrame-composition reader, the reference's malformed-line drop,
+  * and the two engine-integration claims — column pruning and key-filter
+  * pushdown — asserted on the physical plan, not trusted. */
+class KvSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  private lazy val kvDir: String = {
+    val tmp = Files.createTempDirectory("graft_kvspec").toString
+    val counts = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Fns.tokensArr(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(col("word").as("key"), col("cnt").cast("string").as("value"))
+    TextIO.writeKv(counts, tmp)
+    tmp
+  }
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("graftkv reads back exactly what the composition reader sees") {
+    val v2 = spark.read.format("graftkv").load(kvDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val v1 = TextIO.readKv(spark, kvDir)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(v2.nonEmpty && (v2 sameElements v1))
+  }
+
+  test("malformed lines are dropped, mirroring worker.go:112-115") {
+    val dir = Files.createTempDirectory("graft_kvbad")
+    Files.write(Paths.get(dir.toString, "part-00000"),
+      "good 1\n\nonly_key\na b c\n good2\nok 2\ntrailing \n".getBytes)
+    val rows = spark.read.format("graftkv").load(dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    // zero- and three-field lines dropped; degenerate two-field lines
+    // (empty key/value) kept — exactly the composition reader's rule
+    val v1 = TextIO.readKv(spark, dir.toString)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(rows.toSeq === Seq(("", "good2"), ("good", "1"),
+      ("ok", "2"), ("trailing", "")))
+    assert(rows sameElements v1)
+  }
+
+  test("a key-only projection prunes the value column at the scan") {
+    val scan = scanOf(spark.read.format("graftkv").load(kvDir).select("key"))
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("key"))
+  }
+
+  test("prefix and range predicates on key are pushed to the scan") {
+    val df = spark.read.format("graftkv").load(kvDir)
+      .filter(col("key").startsWith("s") && col("key") < "t")
+    val desc = scanOf(df).scan.description()
+    assert(desc.contains("StringStartsWith"), s"not pushed: $desc")
+    assert(desc.contains("LessThan"), s"not pushed: $desc")
+    // and the pushed scan still returns exactly the Spark-evaluated set
+    val expected = TextIO.readKv(spark, kvDir)
+      .filter(col("key").startsWith("s") && col("key") < "t")
+      .collect().map(_.getString(0)).sorted
+    assert(df.collect().map(_.getString(0)).sorted sameElements expected)
+  }
+
+  test("q_kv_source matches the wordcount recomputed from the corpus") {
+    val got = TextIO.kvSource(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = Tables.documents(spark, sf)
+      .select(explode(graft.functions.Fns.tokensArr(col("text"))).as("word"))
+      .filter(col("word") =!= "" && col("word").startsWith("s"))
+      .groupBy("word").agg(count(lit(1)).as("cnt")).orderBy("word")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.nonEmpty && (got sameElements exp))
+  }
+}
