@@ -152,6 +152,51 @@ object Oracles {
        |  + CASE WHEN CAST(n_punct AS DOUBLE)/n_chars < 0.2 THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS score
        |FROM s)""".stripMargin
 
+  /** Unrolled BPE-training rounds reproducing
+    * [[graft.operators.Pipeline.bpeTrain]]: v0 is the char-split
+    * vocabulary; per round t, p_t counts adjacent symbol pairs weighted
+    * by word frequency, m_t adopts the top pair (ties by (a, b) — for
+    * space-free symbols identical to the engine's joined-pair-string
+    * tie-break), and e/f/g/h/q/d/v_t apply it with the same relational
+    * greedy rule: consecutive matched positions form runs (i − rn
+    * constant), even offsets within a run are taken, a taken position
+    * emits a||b and drops its successor. */
+  private def bpeCtes(rounds: Int): String = {
+    def roundCtes(t: Int): String = {
+      val prev = s"v${t - 1}"
+      s"""p$t AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM (SELECT n, unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |      i -> {'a': toks[i], 'b': toks[i+1]})) AS pr FROM $prev) sp$t
+         |  GROUP BY 1, 2),
+         |m$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1),
+         |e$t AS (SELECT word, n, u.i AS i, u.tok AS tok, u.nxt AS nxt
+         |  FROM (SELECT word, n, unnest(list_transform(toks,
+         |      (x, ii) -> {'i': ii, 'tok': x, 'nxt': toks[ii+1]})) AS u
+         |    FROM $prev) se$t),
+         |f$t AS (SELECT e.*, m.a, m.b,
+         |    (tok = m.a AND nxt IS NOT NULL AND nxt = m.b) AS mt
+         |  FROM e$t e, m$t m),
+         |g$t AS (SELECT *, sum(CASE WHEN mt THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY word ORDER BY i) AS rn FROM f$t),
+         |h$t AS (SELECT *, CASE WHEN mt THEN i - rn END AS grp FROM g$t),
+         |q$t AS (SELECT *, mt AND ((rn - min(CASE WHEN mt THEN rn END)
+         |    OVER (PARTITION BY word, grp)) % 2 = 0) AS taken FROM h$t),
+         |d$t AS (SELECT *, coalesce(lag(taken, 1, false)
+         |    OVER (PARTITION BY word ORDER BY i), false) AS dropped FROM q$t),
+         |v$t AS (SELECT word, n,
+         |    list(CASE WHEN taken THEN a || b ELSE tok END ORDER BY i) AS toks
+         |  FROM d$t WHERE NOT dropped GROUP BY word, n)""".stripMargin
+    }
+    val finalSel = (1 to rounds).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS \"round\", a, b, a || b AS merged, cnt FROM m$t")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+       |  FROM ($Toks) tk WHERE word <> '' GROUP BY word),
+       |v0 AS (SELECT word, n, regexp_extract_all(word, '.') AS toks FROM wc),
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}$finalSel
+       |ORDER BY "round"""".stripMargin
+  }
+
   /** Exact brute-force cosine top-10 (shared verbatim by the
     * q_similarity_topk entry and, as a CTE, the q_ann_recall eval). */
   private lazy val similarityTopkSql: String =
@@ -1440,6 +1485,10 @@ object Oracles {
          |  i -> t[i] || ' ' || t[i+1])) AS bigram FROM d)
          |SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
          |ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
+
+    // BPE tokenizer training: 5 unrolled greedy merge rounds over the
+    // char-split vocabulary (see bpeCtes for the shared relational rule)
+    "q_bpe_train" -> bpeCtes(5),
 
     // bigram next-token table: integer conditional probabilities, the
     // sum-over-bigrams head totals (NOT unigram counts — the last token

@@ -187,6 +187,7 @@ object SparkEntry {
     "q_label_centroids"   -> q(operators.Clustering.labelCentroids),
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     "q_next_token"        -> q(Pipeline.nextToken),
+    "q_bpe_train"         -> q(Pipeline.bpeTrain),
     "q_pii_scan"          -> q(Pipeline.piiScan),
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),

@@ -656,6 +656,85 @@ object Pipeline {
       .limit(20)
   }
 
+  /** Distributed BPE tokenizer training — learn the first
+    * [[BpeRounds]] merge rules over the corpus vocabulary, the
+    * tokenizer-fitting job an LLM data platform runs before tokenizing
+    * a corpus. Each round: count adjacent symbol pairs (weighted by word
+    * frequency), adopt the most frequent pair as a merge rule (ties by
+    * pair lexicographically), and apply it to every word with EXACT
+    * greedy left-to-right semantics. Output is the learned merge table
+    * (round, a, b, merged, cnt).
+    *
+    * Greedy non-overlapping application is expressed relationally so
+    * both engines replay it bit-for-bit (no reliance on any engine's
+    * string-replace scan semantics): mark positions where (tᵢ, tᵢ₊₁)
+    * equals the rule, group CONSECUTIVE matched positions into runs
+    * (the row-number difference trick), and take every even-offset match
+    * within its run — exactly the positions greedy scanning merges
+    * (e.g. `a a a a` with rule (a,a) → matches at 0,1,2 → take 0 and 2
+    * → `aa aa`). Matched-and-taken positions emit the merged symbol and
+    * drop their successor; the word is reassembled in position order.
+    *
+    * Scale shape: the corpus is touched ONCE (the initial wordcount);
+    * every round then runs on the (word, n) vocabulary table — pair
+    * counting is one map-side-combined aggregate, the adopted rule is a
+    * broadcast 1-row TakeOrdered, and the merge application is windows
+    * over one (word)-keyed sort. Vocab and rule are
+    * `localCheckpoint`ed each round so the unrolled loop's lineage stays
+    * linear (the 1-row rule feeds both the output and the next round —
+    * without the checkpoint each reuse would recompute the whole
+    * chain). */
+  private val BpeRounds = 5
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    // vocabulary: distinct words with corpus frequency, split into chars
+    var vocab = Tables.documents(s, dir)
+      .select(explode(filter(Fns.tokensArr(col("text")), w => w =!= lit("")))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("toks", split(regexp_replace(col("word"), "(.)", "$1 "), " "))
+      .withColumn("toks", slice(col("toks"), lit(1), size(col("toks")) - 1))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[DataFrame]
+    for (rnd <- 1 to BpeRounds) {
+      val top = vocab
+        .select(col("n"), explode(Fns.bigramsArr(col("toks"))).as("pair"))
+        .groupBy("pair").agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(substring_index(col("pair"), " ", 1).as("a"),
+          element_at(split(col("pair"), " "), 2).as("b"), col("cnt"))
+        .localCheckpoint(true)
+      merges += top.select(lit(rnd.toLong).as("round"), col("a"), col("b"),
+        concat(col("a"), col("b")).as("merged"), col("cnt"))
+      val w = W.partitionBy("word").orderBy("i")
+      val ex = vocab.select(col("word"), col("n"),
+          posexplode(col("toks")).as(Seq("i", "t")))
+        .crossJoin(broadcast(top.select(col("a"), col("b"))))
+        .withColumn("nxt", lead("t", 1).over(w))
+        .withColumn("m", col("t") === col("a") && col("nxt") === col("b"))
+        // run grouping: rn counts matches so far; within a run of
+        // consecutive matched positions, i - rn is constant
+        .withColumn("rn", sum(when(col("m"), 1L).otherwise(0L)).over(
+          w.rowsBetween(W.unboundedPreceding, 0)))
+        .withColumn("grp", when(col("m"), col("i") - col("rn")))
+        .withColumn("taken", col("m") &&
+          (col("rn") - min(when(col("m"), col("rn")))
+            .over(W.partitionBy("word", "grp"))) % 2 === 0)
+        .withColumn("dropped",
+          coalesce(lag("taken", 1, false).over(w), lit(false)))
+      vocab = ex.filter(!col("dropped"))
+        .select(col("word"), col("n"), col("i"),
+          when(col("taken"), concat(col("a"), col("b"))).otherwise(col("t"))
+            .as("t"))
+        .groupBy("word", "n")
+        .agg(array_sort(collect_list(struct(col("i"), col("t"))))
+          .getField("t").as("toks"))
+        .localCheckpoint(true)
+    }
+    merges.result().reduce(_.union(_)).orderBy("round")
+  }
+
   /** Bigram next-token prediction table: for every head word with ≥ 50
     * bigram continuations, the top-3 most likely next tokens with exact
     * integer conditional probabilities (ppm of the head's continuation

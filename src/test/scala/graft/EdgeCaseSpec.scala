@@ -46,7 +46,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     "q_importance_sample", "q_sql_udtf", "q_percentiles_disc",
     // round-5 eval + analysis wave
     "q_equidepth_hist", "q_next_token", "q_pii_scan",
-    "q_ann_recall", "q_eval_confusion", "q_kv_source",
+    "q_ann_recall", "q_eval_confusion", "q_kv_source", "q_bpe_train",
     // streaming on an empty scheduling window: zero batches fire and the
     // sink read-back must yield an empty frame, not a path error
     "q_stream_window", "q_stream_topk", "q_stream_dedup",
