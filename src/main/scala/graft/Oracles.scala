@@ -162,6 +162,30 @@ object Oracles {
     * constant), even offsets within a run are taken, a taken position
     * emits a||b and drops its successor. */
   private def bpeCtes(rounds: Int): String = {
+    val finalSel = (1 to rounds).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS \"round\", a, b, a || b AS merged, cnt FROM m$t")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"""${bpePrefix(rounds)}$finalSel
+       |ORDER BY "round"""".stripMargin
+  }
+
+  /** Apply-side companion of [[bpeCtes]]: per-round weighted token
+    * totals and the exact ppm compression vs round 0 (characters). */
+  private def bpeApplyCtes(rounds: Int): String = {
+    val tot = (0 to rounds).map(t =>
+      s"SELECT $t AS r, CAST(coalesce(sum(n * len(toks)), 0) AS BIGINT) AS total_tokens FROM v$t")
+      .mkString("\nUNION ALL\n")
+    s"""${bpePrefix(rounds)},
+       |tot AS ($tot),
+       |t0 AS (SELECT total_tokens AS base FROM tot WHERE r = 0)
+       |SELECT CAST(r AS BIGINT) AS "round", total_tokens,
+       |  CASE WHEN base > 0
+       |    THEN CAST(total_tokens * 1000000 // base AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS ratio_ppm
+       |FROM tot, t0 ORDER BY "round"""".stripMargin
+  }
+
+  private def bpePrefix(rounds: Int): String = {
     def roundCtes(t: Int): String = {
       val prev = s"v${t - 1}"
       s"""p$t AS (SELECT pr.a AS a, pr.b AS b, CAST(sum(n) AS BIGINT) AS cnt
@@ -187,14 +211,10 @@ object Oracles {
          |    list(CASE WHEN taken THEN a || b ELSE tok END ORDER BY i) AS toks
          |  FROM d$t WHERE NOT dropped GROUP BY word, n)""".stripMargin
     }
-    val finalSel = (1 to rounds).map(t =>
-      s"SELECT CAST($t AS BIGINT) AS \"round\", a, b, a || b AS merged, cnt FROM m$t")
-      .mkString("\n", "\nUNION ALL\n", "")
     s"""WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
        |  FROM ($Toks) tk WHERE word <> '' GROUP BY word),
        |v0 AS (SELECT word, n, regexp_extract_all(word, '.') AS toks FROM wc),
-       |${(1 to rounds).map(roundCtes).mkString(",\n")}$finalSel
-       |ORDER BY "round"""".stripMargin
+       |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
   /** Exact brute-force cosine top-10 (shared verbatim by the
@@ -495,6 +515,14 @@ object Oracles {
     "q_histogram" ->
       s"""SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bucket,
          |  count(*) AS n FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // incremental MV maintenance: the oracle IS the full recompute — the
+    // merged partials must equal it bit-for-bit (decimal-routed sums)
+    "q_incremental_agg" ->
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  ${sumD("o_totalprice", 2, "revenue")}
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     // equi-depth histogram: the rank and the bucket formula
     // 1 + (rank-1)*8 div n are replicated exactly; the flat window here
@@ -1489,6 +1517,9 @@ object Oracles {
     // BPE tokenizer training: 5 unrolled greedy merge rounds over the
     // char-split vocabulary (see bpeCtes for the shared relational rule)
     "q_bpe_train" -> bpeCtes(5),
+
+    // per-round compression of the learned merges, vs round-0 characters
+    "q_bpe_apply" -> bpeApplyCtes(5),
 
     // bigram next-token table: integer conditional probabilities, the
     // sum-over-bigrams head totals (NOT unigram counts — the last token

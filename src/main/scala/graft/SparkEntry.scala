@@ -188,6 +188,8 @@ object SparkEntry {
     "q_embedding_quantize" -> q(Pipeline.embeddingQuantize),
     "q_next_token"        -> q(Pipeline.nextToken),
     "q_bpe_train"         -> q(Pipeline.bpeTrain),
+    "q_bpe_apply"         -> q(Pipeline.bpeApply),
+    "q_incremental_agg"   -> q(Relational.incrementalAgg),
     "q_pii_scan"          -> q(Pipeline.piiScan),
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),

@@ -686,7 +686,38 @@ object Pipeline {
     * chain). */
   private val BpeRounds = 5
 
-  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+  // trained model memoized per (session, corpus): the loop is eager
+  // (per-round localCheckpoints), so q_bpe_train and q_bpe_apply share
+  // one training run. Lifecycle: see the note at pairCache.
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    bpeModel(s, dir)._1.orderBy("round")
+
+  /** Apply side of the BPE trainer: per-round corpus compression — the
+    * weighted total token count after each learned merge (round 0 =
+    * characters) and the exact ppm ratio vs round 0. This is the number a
+    * tokenization pipeline actually watches while growing the merge
+    * table: how much shorter the corpus gets per rule adopted. Rides the
+    * memoized training run; the totals are one aggregate per round over
+    * the checkpointed vocabulary tables. */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val totals = bpeModel(s, dir)._2
+    val base = totals.filter(col("round") === 0)
+      .select(col("total_tokens").as("base"))
+    totals.crossJoin(broadcast(base))
+      .select(col("round"), col("total_tokens"),
+        when(col("base") > 0,
+          expr("total_tokens * 1000000L div base")).otherwise(0L)
+          .as("ratio_ppm"))
+      .orderBy("round")
+  }
+
+  private def bpeModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    bpeCache.computeIfAbsent((s, dir), _ => trainBpe(s, dir))
+
+  private def trainBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     // vocabulary: distinct words with corpus frequency, split into chars
     var vocab = Tables.documents(s, dir)
@@ -697,6 +728,12 @@ object Pipeline {
       .withColumn("toks", slice(col("toks"), lit(1), size(col("toks")) - 1))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[DataFrame]
+    val totals = Seq.newBuilder[DataFrame]
+    def roundTotal(r: Int, v: DataFrame): DataFrame =
+      v.agg(coalesce(sum(col("n") * size(col("toks"))), lit(0L))
+          .cast("long").as("total_tokens"))
+        .select(lit(r.toLong).as("round"), col("total_tokens"))
+    totals += roundTotal(0, vocab)
     for (rnd <- 1 to BpeRounds) {
       val top = vocab
         .select(col("n"), explode(Fns.bigramsArr(col("toks"))).as("pair"))
@@ -731,8 +768,10 @@ object Pipeline {
         .agg(array_sort(collect_list(struct(col("i"), col("t"))))
           .getField("t").as("toks"))
         .localCheckpoint(true)
+      totals += roundTotal(rnd, vocab)
     }
-    merges.result().reduce(_.union(_)).orderBy("round")
+    (merges.result().reduce(_.union(_)).localCheckpoint(true),
+     totals.result().reduce(_.union(_)).localCheckpoint(true))
   }
 
   /** Bigram next-token prediction table: for every head word with ≥ 50

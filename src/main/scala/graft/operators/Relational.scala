@@ -456,6 +456,34 @@ object Relational {
       .agg(count(lit(1)).as("n"))
       .orderBy("bucket")
 
+  /** Incremental aggregate maintenance — the materialized-view merge a
+    * 100 TB warehouse runs instead of recomputing: the stored per-group
+    * aggregate of the base data is combined with the aggregate of a
+    * late-arriving change batch by summing partials, never rescanning
+    * the base rows. Base and batch derive deterministically from orders
+    * (orderkey mod 7), and the oracle IS the full-table recompute — the
+    * semantic claim (merged partials ≡ full aggregate) checked
+    * hash-exact, which only holds because the partial sums stay in
+    * decimal until the final cast (decimal addition is associative;
+    * double addition is not).
+    *
+    * Scale shape: merge cost is O(groups + batch), independent of base
+    * size; both partial aggregates combine map-side, and at production
+    * scale the base partial is a stored table, not a subplan. */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def part(df: DataFrame): DataFrame =
+      df.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    part(o.filter(col("o_orderkey") % 7 =!= 3))
+      .union(part(o.filter(col("o_orderkey") % 7 === 3)))
+      .groupBy("o_orderpriority")
+      .agg(sum("n").cast("long").as("n_orders"),
+        sum("rev").cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Exact equi-DEPTH histogram (8 buckets of equal row count ±1) of
     * lineitem extended price — the companion of the equi-WIDTH
     * [[histogram]], and the shape a query optimizer's column statistics

@@ -67,4 +67,38 @@ class BpeSpec extends AnyFunSuite {
     assert(expected.exists(m => m._2 == m._3),
       "fixture failed to exercise the overlapping-run case")
   }
+
+  test("apply-side compression matches the sequential reference") {
+    val texts = Seq(
+      "aaaa aaaa aaaa aaaa aaab banana banana",
+      "banana bandana aaaa abab abab cccc",
+      "na na na banana aaab cccc dd dd dd dd")
+    val wc = texts.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    // replay the reference merges, tracking weighted totals per round
+    var vocab: Map[String, (Vector[String], Long)] =
+      wc.map { case (w, n) => w -> (w.map(_.toString).toVector, n) }
+    def total: Long = vocab.values.map { case (t, n) => t.length * n }.sum
+    val expTotals = Seq.newBuilder[Long]
+    expTotals += total
+    refBpe(wc, 5).foreach { case (_, a, b, _, _) =>
+      def apply(toks: Vector[String]): Vector[String] = {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        out.result()
+      }
+      vocab = vocab.map { case (w, (t, n)) => w -> (apply(t), n) }
+      expTotals += total
+    }
+    val exp = expTotals.result()
+    val got = Pipeline.bpeApply(spark, corpusDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._2) === exp)
+    got.foreach { case (_, t, ppm) => assert(ppm === t * 1000000L / exp.head) }
+  }
 }

@@ -27,7 +27,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_triangle_count"  -> 2, // 1-row wedge + triangle counts
     "q_equidepth_hist"  -> 1, // 1-row row-count total
     "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
-    "q_eval_confusion"  -> 2  // 10-row centroid table (cells + row totals)
+    "q_eval_confusion"  -> 2, // 10-row centroid table (cells + row totals)
+    "q_bpe_apply"       -> 1  // 1-row round-0 token total
   )
 
   test("no cartesian products; nested-loop joins only on constant-size builds") {
