@@ -770,8 +770,11 @@ object Pipeline {
         .localCheckpoint(true)
       totals += roundTotal(rnd, vocab)
     }
-    (merges.result().reduce(_.union(_)).localCheckpoint(true),
-     totals.result().reduce(_.union(_)).localCheckpoint(true))
+    // both outputs derive only from per-round checkpointed tables (tops
+    // and vocabs), so they stay lazy: no extra jobs during training, and
+    // any re-evaluation is a handful of 1-row aggregates over RDD scans
+    (merges.result().reduce(_.union(_)),
+     totals.result().reduce(_.union(_)))
   }
 
   /** Bigram next-token prediction table: for every head word with ≥ 50
