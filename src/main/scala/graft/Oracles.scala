@@ -271,6 +271,17 @@ object Oracles {
       s"""SELECT word, count(*) AS cnt FROM ($Toks) t
          |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin,
 
+    // dirty-CSV permissive ingest: the corrupt rows are known by
+    // construction (key ≡ 5 mod 11), so the oracle recomputes the
+    // good/corrupt census and the surviving decimal sum from the base
+    "q_csv_dirty" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN c_custkey % 11 <> 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+         |  CAST(sum(CASE WHEN c_custkey % 11 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+         |  CAST(sum(CASE WHEN c_custkey % 11 <> 5
+         |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_balance
+         |FROM customer""".stripMargin,
+
     // the V2 connector roundtrip: wordcount → "key value" sink →
     // graftkv source with a pushed prefix filter; the oracle recomputes
     // the filtered counts from the base table
@@ -978,6 +989,16 @@ object Oracles {
          |SELECT o.o_orderkey, strftime(o.dt, '%Y-%m-%d') AS o_date, o.o_totalprice
          |FROM o JOIN keep ON o.d = keep.d AND o.o_totalprice = keep.pmax
          |ORDER BY o.o_orderkey""".stripMargin,
+
+    // degree distribution of the same basket-projection graph
+    "q_degree_hist" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM
+         |  (SELECT a AS v FROM e UNION ALL SELECT b FROM e) dv GROUP BY v)
+         |SELECT d, CAST(count(*) AS BIGINT) AS n_parts
+         |FROM deg GROUP BY d ORDER BY d""".stripMargin,
 
     "q_triangle_count" ->
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

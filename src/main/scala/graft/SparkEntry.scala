@@ -69,6 +69,7 @@ object SparkEntry {
     "q_format_roundtrip"  -> q(graft.sources.TextIO.formatRoundtrip),
     "q_schema_evolution"  -> q(graft.sources.TextIO.schemaEvolution),
     "q_kv_source"         -> q(graft.sources.TextIO.kvSource),
+    "q_csv_dirty"         -> q(graft.sources.TextIO.csvDirty),
     // relational generalization
     "q_grouped_agg"       -> q(Relational.groupedAgg),
     "q_filter_project"    -> q(Relational.filterProject),
@@ -117,6 +118,7 @@ object SparkEntry {
     "q_gaps_islands"      -> q(operators.Temporal.gapsIslands),
     "q_triangle_count"    -> q(operators.Graph.triangleCount),
     "q_pagerank"          -> q(operators.Graph.pageRank),
+    "q_degree_hist"       -> q(operators.Graph.degreeHist),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_transition_matrix" -> q(operators.Temporal.transitionMatrix),
     "q_attribution"       -> q(operators.Temporal.attribution),

@@ -96,6 +96,21 @@ object Graph {
           .otherwise(0.0).as("closure"))
   }
 
+  /** Degree distribution of the part co-occurrence graph — the first
+    * diagnostic a graph pipeline prints (skew detection: a heavy-tailed
+    * histogram is the signal to switch the triangle census to its
+    * degree-oriented variant, [[triangleCount]]'s documented remedy).
+    * One groupBy over the edge endpoints then one over the degree
+    * values; output is bounded by the number of distinct degrees. */
+  def degreeHist(s: SparkSession, dir: String): DataFrame = {
+    // both union branches read the same distinct-edge exchange (reused)
+    val e = basketPairs(s, dir).distinct()
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_parts"))
+      .orderBy("d")
+  }
+
   /** Integer-exact PageRank over the customer–supplier purchase graph
     * (undirected bipartite: an edge links a customer to every supplier
     * that fulfilled one of their orders; node ids namespaced as

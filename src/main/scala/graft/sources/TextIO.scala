@@ -122,6 +122,38 @@ object TextIO {
       .orderBy("lang")
   }
 
+  /** Declared dirty-CSV ingestion under PERMISSIVE mode — the
+    * source-side complement of the `try_*` expression family: one
+    * malformed row must not kill a 10-hour ingest, it must land in the
+    * corrupt-record column with the parsed columns nulled. The dirty
+    * file derives deterministically from customer (every key ≡ 5 mod 11
+    * gets a non-numeric balance field), so the oracle recomputes the
+    * good/corrupt split and the decimal-exact sum of the surviving
+    * balances straight from the base table. The malformed-row census —
+    * total / parsed / rescued-to-corrupt-column counts — is exactly the
+    * data-quality report an ingest job emits before promoting a batch.
+    * Narrow scan, one aggregate; the CSV write is the bounded layout
+    * investment. */
+  def csvDirty(s: SparkSession, dir: String): DataFrame = {
+    val tmp = tempDir("graft_csvdirty")
+    val c = graft.Tables.customer(s, dir)
+    c.select(concat_ws(",",
+        col("c_custkey"),
+        col("c_name"),
+        when(col("c_custkey") % 11 === 5, lit("oops"))
+          .otherwise(col("c_acctbal").cast("string"))).as("value"))
+      .write.mode("overwrite").text(s"$tmp/csv")
+    val schema = "c_custkey LONG, c_name STRING, c_acctbal DOUBLE, _corrupt STRING"
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(s"$tmp/csv")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("c_acctbal")).as("n_parsed"),
+        count(col("_corrupt")).as("n_corrupt"),
+        graft.functions.Fns.sumD2(col("c_acctbal")).as("sum_balance"))
+  }
+
   /** Declared parquet schema-evolution read: two snapshot generations of
     * the orders table — v1 with the original (orderkey, totalprice)
     * schema, v2 after the table gained a status column — are written as

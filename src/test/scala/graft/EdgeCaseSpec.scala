@@ -47,7 +47,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     // round-5 eval + analysis wave
     "q_equidepth_hist", "q_next_token", "q_pii_scan",
     "q_ann_recall", "q_eval_confusion", "q_kv_source", "q_bpe_train",
-    "q_incremental_agg",
+    "q_incremental_agg", "q_degree_hist",
     // streaming on an empty scheduling window: zero batches fire and the
     // sink read-back must yield an empty frame, not a path error
     "q_stream_window", "q_stream_topk", "q_stream_dedup",
