@@ -217,6 +217,20 @@ object Oracles {
        |${(1 to rounds).map(roundCtes).mkString(",\n")}""".stripMargin
   }
 
+  /** Per-(label, dimension) truncated-mean centroid cells (q/s/c CTEs)
+    * reproducing [[graft.operators.Clustering.labelCentroidCells]] —
+    * shared by the q_label_centroids summary and the q_eval_confusion
+    * classifier, mirroring the shared Scala helper. */
+  private lazy val labelCentroidCellCtes: String =
+    s"""q AS (SELECT vec_id, label, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |s AS (SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS sx,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM q, range(1, 65) g(i) GROUP BY label, i),
+       |c AS (SELECT label, i, n, CAST((sx - sx % n) / n AS BIGINT) AS c
+       |  FROM s)""".stripMargin
+
   /** Exact brute-force cosine top-10 (shared verbatim by the
     * q_similarity_topk entry and, as a CTE, the q_ann_recall eval). */
   private lazy val similarityTopkSql: String =
@@ -1727,14 +1741,7 @@ object Oracles {
     // class-prototype centroids: the same int64 quantization and
     // truncate-toward-zero mean as the k-means oracle, grouped by label
     "q_label_centroids" ->
-      s"""WITH q AS (SELECT label, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |s AS (SELECT label, i, CAST(sum(qv[i]) AS BIGINT) AS sx,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM q, range(1, 65) g(i) GROUP BY label, i),
-         |c AS (SELECT label, i, n, CAST((sx - sx % n) / n AS BIGINT) AS c
-         |  FROM s)
+      s"""WITH $labelCentroidCellCtes
          |SELECT label, max(n) AS n_vecs,
          |  CAST(min(CASE WHEN i = 1 THEN c END) AS BIGINT) AS c0,
          |  CAST(min(CASE WHEN i = 2 THEN c END) AS BIGINT) AS c1,
@@ -1745,19 +1752,14 @@ object Oracles {
     // truncated-mean centroids as q_label_centroids, argmin distance with
     // ties by label, then the exact integer cross-tab
     "q_eval_confusion" ->
-      s"""WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label,
-         |    list_transform(embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-         |  FROM embeddings),
-         |s AS (SELECT true_label AS plabel, i, CAST(sum(qv[i]) AS BIGINT) AS sx,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM q, range(1, 65) g(i) GROUP BY 1, 2),
-         |c AS (SELECT plabel, i, CAST((sx - sx % n) / n AS BIGINT) AS c FROM s),
-         |cl AS (SELECT plabel, list(c ORDER BY i) AS cv FROM c GROUP BY plabel),
-         |d AS (SELECT q.vec_id, q.true_label, cl.plabel,
+      s"""WITH $labelCentroidCellCtes,
+         |cl AS (SELECT CAST(label AS BIGINT) AS plabel, list(c ORDER BY i) AS cv
+         |  FROM c GROUP BY label),
+         |qt AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label, qv FROM q),
+         |d AS (SELECT qt.vec_id, qt.true_label, cl.plabel,
          |    CAST(list_sum(list_transform(range(1, 65),
          |      i -> (qv[i]-cv[i])*(qv[i]-cv[i]))) AS BIGINT) AS dist
-         |  FROM q, cl),
+         |  FROM qt, cl),
          |p AS (SELECT vec_id, true_label, plabel AS pred_label,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, plabel) AS r
          |  FROM d),

@@ -142,14 +142,26 @@ object Clustering {
     * the Lloyd loop, so every component is bit-reproducible; surfaced as
     * (label, member count, first two components, centroid L1 norm). One
     * (label, dim) shuffle — vectors never collect anywhere. */
-  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(s, dir).select(col("label"),
+  /** int64-quantized labeled vectors (vec_id, label, qv) — the single
+    * quantization definition shared by the centroid summary below and
+    * [[Evaluation.evalConfusion]]'s classifier (a drifted copy would
+    * silently break the "same prototypes" invariant the eval documents). */
+  private[operators] def labeledQVecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
       transform(col("embedding"),
         x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
-    q.select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
+
+  /** Per-(label, dimension) exact truncated-mean centroid cells
+    * (label, i, c, n) — one (label, dim) shuffle, shared likewise. */
+  private[operators] def labelCentroidCells(s: SparkSession, dir: String): DataFrame =
+    labeledQVecs(s, dir)
+      .select(col("label"), posexplode(col("qv")).as(Seq("i", "x")))
       .groupBy("label", "i")
       .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
       .withColumn("c", truncDiv(col("sx"), col("n")))
+
+  def labelCentroids(s: SparkSession, dir: String): DataFrame = {
+    labelCentroidCells(s, dir)
       .groupBy("label")
       .agg(max(col("n")).as("n_vecs"),
         min(when(col("i") === 0, col("c"))).as("c0"),

@@ -3,7 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables
 import graft.functions.Fns
 
 /** Pipeline-quality evaluation operators: the measurements a production
@@ -65,17 +64,13 @@ object Evaluation {
     * a narrow map-side pass (corpus × k integer folds), and the output
     * is at most k² cells. Diagonal cells are the per-class hits. */
   def evalConfusion(s: SparkSession, dir: String): DataFrame = {
-    val q = Tables.embeddings(s, dir)
+    val q = Clustering.labeledQVecs(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("true_label"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * lit(1e6)).cast("long")).as("qv"))
-    // per-label prototype centroids: exact truncated per-dimension means
-    // (identical arithmetic to Clustering.labelCentroids / the oracle)
-    val cents = q.select(col("true_label").as("plabel"),
-        posexplode(col("qv")).as(Seq("i", "x")))
-      .groupBy("plabel", "i")
-      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .withColumn("c", expr("(sx - sx % n) div n"))
+        col("qv"))
+    // per-label prototype centroids: the SAME cells (quantization +
+    // truncated mean) as Clustering.labelCentroids, assembled to vectors
+    val cents = Clustering.labelCentroidCells(s, dir)
+      .select(col("label").cast("long").as("plabel"), col("i"), col("c"))
       .groupBy("plabel")
       .agg(array_sort(collect_list(struct(col("i"), col("c"))))
         .getField("c").as("cv"))

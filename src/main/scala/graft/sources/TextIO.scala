@@ -89,10 +89,9 @@ object TextIO {
   def kvSource(s: SparkSession, dir: String): DataFrame = {
     val kvDir = kvLayoutCache.computeIfAbsent((s, dir), _ => {
       val tmp = tempDir("graft_kvsrc")
-      val counts = graft.Tables.documents(s, dir)
-        .select(explode(graft.functions.Fns.tokensArr(col("text"))).as("word"))
-        .filter(col("word") =!= "")
-        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      // the canonical wordcount (single tokenizer definition — a drifted
+      // copy here would silently break the q_kv_source hash check)
+      val counts = graft.operators.MrSuite.wordCount(s, dir)
         .select(col("word").as("key"), col("cnt").cast("string").as("value"))
       writeKv(counts, tmp)
       tmp
@@ -134,15 +133,23 @@ object TextIO {
     * data-quality report an ingest job emits before promoting a batch.
     * Narrow scan, one aggregate; the CSV write is the bounded layout
     * investment. */
+  // dirty-CSV layout memoized like the kv layout above — plan-only
+  // sweeps and warm bench runs must not pay (or leak) a fresh write
+  private val csvLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
   def csvDirty(s: SparkSession, dir: String): DataFrame = {
-    val tmp = tempDir("graft_csvdirty")
-    val c = graft.Tables.customer(s, dir)
-    c.select(concat_ws(",",
-        col("c_custkey"),
-        col("c_name"),
-        when(col("c_custkey") % 11 === 5, lit("oops"))
-          .otherwise(col("c_acctbal").cast("string"))).as("value"))
-      .write.mode("overwrite").text(s"$tmp/csv")
+    val tmp = csvLayoutCache.computeIfAbsent((s, dir), _ => {
+      val t = tempDir("graft_csvdirty")
+      graft.Tables.customer(s, dir)
+        .select(concat_ws(",",
+          col("c_custkey"),
+          col("c_name"),
+          when(col("c_custkey") % 11 === 5, lit("oops"))
+            .otherwise(col("c_acctbal").cast("string"))).as("value"))
+        .write.mode("overwrite").text(s"$t/csv")
+      t
+    })
     val schema = "c_custkey LONG, c_name STRING, c_acctbal DOUBLE, _corrupt STRING"
     s.read.schema(schema)
       .option("mode", "PERMISSIVE")

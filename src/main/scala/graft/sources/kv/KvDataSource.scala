@@ -129,23 +129,39 @@ private[kv] class KvScan(path: String, required: StructType,
       if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq
       else Seq(fs.getFileStatus(p))
     stats.filter(s => s.isFile && s.getLen > 0)
-      .filterNot(_.getPath.getName.startsWith("_")) // commit markers
+      // commit markers and hidden files, per the file-source convention
+      .filterNot { s =>
+        val n = s.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
+      }
       .map(_.getPath.toString).sorted
       .map(f => KvInputPartition(f): InputPartition)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(required, pushed)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ship the session's Hadoop conf to the (potentially remote) readers
+    // as plain key-value pairs — a reader-side `new Configuration()`
+    // would drop session filesystem settings (credentials, default FS)
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val props = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    new KvReaderFactory(required, pushed, props)
+  }
 }
 
 private[kv] case class KvInputPartition(file: String) extends InputPartition
 
-private[kv] class KvReaderFactory(required: StructType, pushed: Array[Filter])
+private[kv] class KvReaderFactory(required: StructType, pushed: Array[Filter],
+                                  hadoopProps: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new KvPartitionReader(partition.asInstanceOf[KvInputPartition].file,
-      required, pushed)
+      required, pushed, hadoopProps)
 }
 
 /** Streams one partition file line by line: malformed lines (not exactly
@@ -153,9 +169,14 @@ private[kv] class KvReaderFactory(required: StructType, pushed: Array[Filter])
   * key predicates are applied before row construction, and only the
   * pruned columns are materialized. */
 private[kv] class KvPartitionReader(file: String, required: StructType,
-                                    pushed: Array[Filter])
+                                    pushed: Array[Filter],
+                                    hadoopProps: Array[(String, String)])
     extends PartitionReader[InternalRow] {
-  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private val hPath = new HPath(file)
   private val in = FileSystem.get(hPath.toUri, conf).open(hPath)
   private val reader = new java.io.BufferedReader(

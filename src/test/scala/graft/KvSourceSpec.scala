@@ -16,10 +16,7 @@ class KvSourceSpec extends AnyFunSuite {
 
   private lazy val kvDir: String = {
     val tmp = Files.createTempDirectory("graft_kvspec").toString
-    val counts = Tables.documents(spark, sf)
-      .select(explode(graft.functions.Fns.tokensArr(col("text"))).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val counts = graft.operators.MrSuite.wordCount(spark, sf)
       .select(col("word").as("key"), col("cnt").cast("string").as("value"))
     TextIO.writeKv(counts, tmp)
     tmp
@@ -73,6 +70,9 @@ class KvSourceSpec extends AnyFunSuite {
   test("q_kv_source matches the wordcount recomputed from the corpus") {
     val got = TextIO.kvSource(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    // deliberately an independent spelling of the tokenize-count-filter
+    // (not MrSuite.wordCount, which the layout builder itself uses) so a
+    // sink/connector roundtrip bug can't cancel out of both sides
     val exp = Tables.documents(spark, sf)
       .select(explode(graft.functions.Fns.tokensArr(col("text"))).as("word"))
       .filter(col("word") =!= "" && col("word").startsWith("s"))
