@@ -90,10 +90,12 @@ object TextIO {
     val kvDir = kvLayoutCache.computeIfAbsent((s, dir), _ => {
       val tmp = tempDir("graft_kvsrc")
       // the canonical wordcount (single tokenizer definition — a drifted
-      // copy here would silently break the q_kv_source hash check)
-      val counts = graft.operators.MrSuite.wordCount(s, dir)
+      // copy here would silently break the q_kv_source hash check),
+      // written through the connector's OWN V2 sink so the declared query
+      // exercises both directions of the format
+      graft.operators.MrSuite.wordCount(s, dir)
         .select(col("word").as("key"), col("cnt").cast("string").as("value"))
-      writeKv(counts, tmp)
+        .write.format("graftkv").mode("overwrite").save(tmp)
       tmp
     })
     s.read.format("graftkv").load(kvDir)

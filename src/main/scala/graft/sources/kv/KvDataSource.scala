@@ -5,9 +5,10 @@ import java.util
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -38,6 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * byte-range splits with first/last-line handoff (the standard
   * line-format treatment); file granularity keeps the demo honest since
   * the reference never splits a partition file either.
+  *
+  * The write side ([[KvWrite]]) makes the connector a full source+sink:
+  * per-task staged `"key value"` files renamed into place on task
+  * commit, with `mode("overwrite")` arriving as a truncate.
   */
 class KvDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graftkv"
@@ -51,19 +56,25 @@ class KvDataSource extends TableProvider with DataSourceRegister {
 }
 
 object KvDataSource {
+  // nullable so any (string, string) frame can write through the sink;
+  // the reader itself never produces nulls (malformed lines are dropped)
   val Schema: StructType = StructType(Seq(
-    StructField("key", StringType, nullable = false),
-    StructField("value", StringType, nullable = false)))
+    StructField("key", StringType, nullable = true),
+    StructField("value", StringType, nullable = true)))
 }
 
-private[kv] class KvTable(path: String) extends Table with SupportsRead {
+private[kv] class KvTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty, "graftkv requires a path")
   override def name(): String = s"graftkv:$path"
   override def schema(): StructType = KvDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(path, info.schema())
 }
 
 private[kv] class KvScanBuilder(path: String) extends ScanBuilder
@@ -155,6 +166,101 @@ private[kv] class KvScan(path: String, required: StructType,
 }
 
 private[kv] case class KvInputPartition(file: String) extends InputPartition
+
+// ----------------------------------------------------------------- write
+
+private[kv] class KvWriteBuilder(path: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new KvWrite(path, schema, doTruncate)
+}
+
+/** Batch write of `"key value"` lines. Task-commit discipline: every
+  * task writes a HIDDEN `.part-…-<taskId>.tmp` file (which the read side
+  * skips by convention) and renames it into place only in its
+  * `DataWriter.commit` — so a speculated or retried task can never leave
+  * a half-written partition file visible, the same reason Spark's own
+  * file sinks stage task output. The reference writes its mr-out-R files
+  * with a bare per-task create (`worker.go:126`) and relies on the
+  * coordinator's exactly-once accounting instead; under Spark's
+  * scheduler (retries + speculation, SURVEY §3b) staging is the correct
+  * re-expression of that guarantee. `mode("overwrite")` arrives as a
+  * truncate: existing visible data files are removed driver-side before
+  * tasks launch. */
+private[kv] class KvWrite(path: String, schema: StructType, doTruncate: Boolean)
+    extends Write with BatchWrite {
+  require(schema.fieldNames.toSeq == Seq("key", "value"),
+    s"graftkv writes (key, value) rows, got ${schema.catalogString}")
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    fs.mkdirs(p)
+    if (doTruncate) {
+      fs.listStatus(p).filter(_.isFile)
+        .filterNot { s =>
+          val n = s.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    val props = {
+      val it = conf.iterator()
+      val b = Array.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
+      b.result()
+    }
+    new KvWriterFactory(path, props)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[kv] case class KvCommit(file: String) extends WriterCommitMessage
+
+private[kv] class KvWriterFactory(path: String,
+                                  hadoopProps: Array[(String, String)])
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, partitionId, taskId, hadoopProps)
+}
+
+private[kv] class KvDataWriter(path: String, partitionId: Int, taskId: Long,
+                               hadoopProps: Array[(String, String)])
+    extends DataWriter[InternalRow] {
+  private val conf = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    hadoopProps.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val tmp = new HPath(path, f".part-$partitionId%05d-$taskId.tmp")
+  private val dest = new HPath(path, f"part-$partitionId%05d-$taskId")
+  private val fs = FileSystem.get(tmp.toUri, conf)
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+
+  override def write(row: InternalRow): Unit = {
+    out.write(row.getUTF8String(0).toString)
+    out.write(' ')
+    out.write(row.getUTF8String(1).toString)
+    out.write('\n')
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(s"graftkv: rename $tmp -> $dest failed")
+    KvCommit(dest.toString)
+  }
+
+  override def abort(): Unit = { out.close(); fs.delete(tmp, false); () }
+  override def close(): Unit = ()
+}
 
 private[kv] class KvReaderFactory(required: StructType, pushed: Array[Filter],
                                   hadoopProps: Array[(String, String)])

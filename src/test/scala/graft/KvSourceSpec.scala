@@ -67,6 +67,36 @@ class KvSourceSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).sorted sameElements expected)
   }
 
+  test("the V2 sink stages and renames: roundtrip parity, no temp residue") {
+    val dir = Files.createTempDirectory("graft_kvw").toString
+    import spark.implicits._
+    val data = Seq(("alpha", "1"), ("beta", "2"), ("gamma", "3"))
+    data.toDF("key", "value")
+      .write.format("graftkv").mode("append").save(dir)
+    val back = spark.read.format("graftkv").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(back.toSeq === data.sorted)
+    // and the composition reader agrees on the produced layout
+    val v1 = TextIO.readKv(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(back sameElements v1)
+    val leftover = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".tmp"))
+    assert(leftover.isEmpty, s"staged files not renamed: ${leftover.mkString}")
+  }
+
+  test("overwrite mode truncates the previous layout") {
+    val dir = Files.createTempDirectory("graft_kvow").toString
+    import spark.implicits._
+    Seq(("old", "1")).toDF("key", "value")
+      .write.format("graftkv").mode("append").save(dir)
+    Seq(("new", "2")).toDF("key", "value")
+      .write.format("graftkv").mode("overwrite").save(dir)
+    val back = spark.read.format("graftkv").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(back.toSeq === Seq(("new", "2")))
+  }
+
   test("q_kv_source matches the wordcount recomputed from the corpus") {
     val got = TextIO.kvSource(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1)))
