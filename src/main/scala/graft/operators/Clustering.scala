@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoints.StableOps
 import graft.functions.Fns
 
 /** Embedding-space clustering: integer-exact Lloyd k-means (the codebook
@@ -83,13 +84,13 @@ object Clustering {
     * and return (final centroids, final assignment). */
   private def model(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     modelCache.computeIfAbsent((s, dir), _ => {
-      val vecs = qVecs(s, dir).localCheckpoint(true)
+      val vecs = qVecs(s, dir).stable
       var cents = vecs.filter(col("vec_id") < K)
         .select(col("vec_id").as("cid"), col("qv").as("cv"))
-        .localCheckpoint(true)
+        .stable
       for (_ <- 1 to Iters)
-        cents = recenter(assign(vecs, cents)).localCheckpoint(true)
-      (cents, assign(vecs, cents).localCheckpoint(true))
+        cents = recenter(assign(vecs, cents)).stable
+      (cents, assign(vecs, cents).stable)
     })
 
   /** k-means training summary: per final cluster, member count, exact

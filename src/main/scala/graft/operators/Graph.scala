@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoints
 
 /** Graph analytics over derived co-occurrence graphs. Complements the
   * connected-components loop in [[Pipeline.minLabelComponents]] with the
@@ -42,50 +43,84 @@ object Graph {
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(20)
 
-  /** Triangle census of the part co-occurrence graph: parts are linked
-    * when some order contains both (the market-basket projection), and the
-    * census reports edges, wedges (unordered length-2 paths, Σ C(deg,2)),
-    * triangles, and the global clustering coefficient 3·T/W.
-    *
-    * Scale shape: the pair explosion is per-order and bounded by basket
-    * size (the same bounded-blocking idea as the dedup shingle cap), so
-    * edges grow linearly with orders. Triangles come from the ordered-edge
-    * join (a<b<c, each triangle generated exactly once — never 6× as in
-    * the naive triple join); the wedge count comes straight off the degree
-    * table (Σ d·(d−1)/2 — no join at all), so the expensive length-2-path
-    * join is evaluated once, only to close triangles. A degree-based
-    * orientation (direct each edge at its lower-degree endpoint) was
-    * measured 1.5× SLOWER here — its two extra degree joins buy nothing on
-    * this uniform-degree graph — but it is the standard remedy when hub
-    * vertices skew per-pivot fan-out, and slots into `oriented` below
-    * without changing the (orientation-invariant) output. (A per-edge
-    * adjacency-array `array_intersect` variant was measured too: 1.9×
-    * slower at sf0.1 — the per-row set intersection's interpreted constant
-    * outweighs the shuffle it saves at this adjacency density.) The edge
-    * list is materialized once (localCheckpoint) and shared by all stages;
-    * the closure fraction is one IEEE division of exact int64 counts. */
-  def triangleCount(s: SparkSession, dir: String): DataFrame = {
-    val edges = basketPairs(s, dir)
-      .distinct()
-      .localCheckpoint(true)
-    val deg = edges.select(col("a").as("v"))
+  /** The distinct basket-edge table (a < b), the per-corpus shared
+    * investment behind [[triangleCount]] and [[degreeHist]] — the same
+    * memo discipline as the near-dup pair table in [[Pipeline]]. Built and
+    * materialized once per (session, corpus); see the lifecycle note at
+    * `Pipeline.scala` (entries live as long as their session). */
+  private def distinctEdges(s: SparkSession, dir: String): DataFrame =
+    edgeCache.computeIfAbsent((s, dir), _ =>
+      Checkpoints.stable(basketPairs(s, dir).distinct()))
+
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Vertex degrees of an undirected (a < b) edge list. */
+  private[graft] def degreesOf(edges: DataFrame): DataFrame =
+    edges.select(col("a").as("v"))
       .union(edges.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+
+  /** Memoized degree table over [[distinctEdges]] — shared by the census
+    * (orientation + wedge count) and the histogram; vertex-sized, so the
+    * materialization is cheap insurance against recomputing the edge
+    * endpoint exchange three times inside [[triangleCount]]. */
+  private def degrees(s: SparkSession, dir: String): DataFrame =
+    degCache.computeIfAbsent((s, dir), _ =>
+      Checkpoints.stable(degreesOf(distinctEdges(s, dir))))
+
+  private val degCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Degree-ordered orientation: each undirected edge {a,b} is directed
+    * toward its HIGHER endpoint in the total order (degree, id), so a
+    * vertex's out-neighbors all have rank ≥ its own. This bounds
+    * out-degree by O(√m) on ANY graph (a vertex with out-degree k has k
+    * neighbors of degree ≥ its own degree ≥ k, which needs ≥ k²/2 edges) —
+    * the Ortmann–Brandes / Schank–Wagner discipline that keeps per-pivot
+    * wedge fan-out bounded even when a hub touches 10⁵ baskets. Rows carry
+    * (u, w, kw) where kw = (degree, id) of the head, so downstream can
+    * order two out-neighbors without re-joining degrees. */
+  private[graft] def orientByDegree(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val keyed = edges
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val ka = struct(col("da").as("kd"), col("a").as("kv"))
+    val kb = struct(col("db").as("kd"), col("b").as("kv"))
+    keyed.select(
+      when(ka < kb,
+        struct(col("a").as("u"), col("b").as("w"), kb.as("kw")))
+        .otherwise(struct(col("b").as("u"), col("a").as("w"), ka.as("kw")))
+        .as("o"))
+      .select(col("o.u").as("u"), col("o.w").as("w"), col("o.kw").as("kw"))
+  }
+
+  /** Wedge candidates from an oriented edge list: unordered out-neighbor
+    * pairs (x, y) of each pivot u, emitted with x before y in the
+    * (degree, id) order so each candidate appears exactly once. Volume is
+    * Σ C(out-deg, 2) ≤ O(m^1.5) under [[orientByDegree]] — per-hub fan-out
+    * stays bounded no matter how skewed the degree distribution. */
+  private[graft] def wedgeCandidates(oriented: DataFrame): DataFrame =
+    oriented.select(col("u"), col("w").as("x"), col("kw").as("kx"))
+      .join(oriented.select(col("u"), col("w").as("y"), col("kw").as("ky")),
+        Seq("u"))
+      .filter(col("kx") < col("ky"))
+      .select(col("u"), col("x"), col("y"))
+
+  /** Census core over an explicit edge list + degree table (exposed for
+    * the hub-graph spec, which feeds an adversarial synthetic graph). */
+  private[graft] def censusOf(edges: DataFrame, deg: DataFrame): DataFrame = {
     // d·(d−1) is always even, so the integer halving is exact
     // coalesce: sum over an empty degree table is NULL, and a NULL count
     // would poison the census row (and the NaN-sensitive driver compare)
     val nW = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
       .cast("long").as("n_wedges"))
-    // id-order IS the orientation: out-neighbors of u are the b's of
-    // edges (u, b), so pairing them yields each a<b<c path exactly once
-    val oriented = edges.select(col("a").as("u"), col("b").as("w"))
-    val cand = oriented.select(col("u"), col("w").as("x"))
-      .join(oriented.select(col("u"), col("w").as("y")), Seq("u"))
-      .filter(col("x") < col("y"))
-    // edges hold a < b, and the candidate pair is emitted with x < y,
-    // so closing the wedge is a direct equi-join
-    val tri = cand.join(edges.select(col("a").as("x"), col("b").as("y")),
-      Seq("x", "y"))
+    val oriented = orientByDegree(edges, deg)
+    // a candidate (x, y) has x before y in the (degree, id) order, so the
+    // closing edge {x,y} — if present — is oriented x→y: one equi-join
+    val tri = wedgeCandidates(oriented)
+      .join(oriented.select(col("u").as("x"), col("w").as("y")),
+        Seq("x", "y"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
     val nT = tri.agg(count(lit(1)).as("n_triangles"))
     nE.crossJoin(broadcast(nW)).crossJoin(broadcast(nT))
@@ -96,20 +131,38 @@ object Graph {
           .otherwise(0.0).as("closure"))
   }
 
+  /** Triangle census of the part co-occurrence graph: parts are linked
+    * when some order contains both (the market-basket projection), and the
+    * census reports edges, wedges (unordered length-2 paths, Σ C(deg,2)),
+    * triangles, and the global clustering coefficient 3·T/W.
+    *
+    * Scale shape: the pair explosion is per-order and bounded by basket
+    * size (the same bounded-blocking idea as the dedup shingle cap), so
+    * edges grow linearly with orders. Triangles come from the
+    * DEGREE-ORIENTED wedge join ([[orientByDegree]]): each edge points at
+    * its higher-(degree, id) endpoint, bounding every pivot's out-degree
+    * by O(√m), so a hub part appearing in 10⁵ baskets contributes O(m)
+    * wedge candidates instead of C(10⁵, 2) ≈ 5×10⁹ — the plan survives
+    * adversarially skewed corpora, not just the uniform fixture (the
+    * earlier id-order orientation was ~1.5× faster HERE but unbounded
+    * per-hub; scale wins). Each triangle is generated exactly once (pivot
+    * = its (degree, id)-minimum vertex). The wedge COUNT comes straight
+    * off the shared degree table (Σ d·(d−1)/2 — no join at all); the edge
+    * list and degree table are per-corpus memoized investments shared with
+    * [[degreeHist]]; the closure fraction is one IEEE division of exact
+    * int64 counts. */
+  def triangleCount(s: SparkSession, dir: String): DataFrame =
+    censusOf(distinctEdges(s, dir), degrees(s, dir))
+
   /** Degree distribution of the part co-occurrence graph — the first
-    * diagnostic a graph pipeline prints (skew detection: a heavy-tailed
-    * histogram is the signal to switch the triangle census to its
-    * degree-oriented variant, [[triangleCount]]'s documented remedy).
-    * One groupBy over the edge endpoints then one over the degree
-    * values; output is bounded by the number of distinct degrees. */
-  def degreeHist(s: SparkSession, dir: String): DataFrame = {
-    // both union branches read the same distinct-edge exchange (reused)
-    val e = basketPairs(s, dir).distinct()
-    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d"))
+    * diagnostic a graph pipeline prints (skew detection on the same
+    * degree table the census orients by). Reads the memoized per-corpus
+    * [[degrees]] table, so warm cost is one tiny groupBy over vertices;
+    * output is bounded by the number of distinct degrees. */
+  def degreeHist(s: SparkSession, dir: String): DataFrame =
+    degrees(s, dir)
       .groupBy("d").agg(count(lit(1)).as("n_parts"))
       .orderBy("d")
-  }
 
   /** Integer-exact PageRank over the customer–supplier purchase graph
     * (undirected bipartite: an edge links a customer to every supplier
@@ -135,8 +188,8 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+    val edges = Checkpoints.stable(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     // fixed unroll, ONE action: no per-iteration checkpoint needed — the
     // whole recurrence is a single DAG, so r1/r2 are each computed once

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoints.StableOps
 import graft.functions.Fns
 import graft.functions.Fns._
 
@@ -80,7 +81,7 @@ object Pipeline {
     * bit-for-bit on both sides. */
   private def pairStats(s: SparkSession, dir: String): DataFrame =
     pairCache.computeIfAbsent((s, dir), _ =>
-      computePairStats(s, dir).localCheckpoint(true))
+      computePairStats(s, dir).stable)
 
   // Lifecycle note (applies to every (session, dir) memo cache here): an
   // entry lives as long as its session — fixture corpora are immutable
@@ -224,7 +225,7 @@ object Pipeline {
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clustersCache.computeIfAbsent((s, dir), _ =>
-      computeClusters(s, dir).localCheckpoint(true))
+      computeClusters(s, dir).stable)
       .orderBy("doc_id")
 
   private def computeClusters(s: SparkSession, dir: String): DataFrame =
@@ -253,7 +254,7 @@ object Pipeline {
     val Array(a, b) = pairs.columns
     val edges = pairs.union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
-      .localCheckpoint(true)
+      .stable
     def superstep(labels: DataFrame): DataFrame = {
       val viaEdges = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"))
@@ -265,7 +266,7 @@ object Pipeline {
     // whole cost at typical near-dup diameters (≤ 3 on every fixture SF)
     var labels = (1 to floorRounds).foldLeft(
       edges.select(col("src").as("v")).distinct().withColumn("lbl", col("v"))
-    )((l, _) => superstep(l)).localCheckpoint(true)
+    )((l, _) => superstep(l)).stable
     // convergence phase: each round carries the previous label alongside
     // (min(old) over the self-row only), so detecting "any label improved"
     // is a join-free filter+count on the just-materialized table
@@ -278,7 +279,7 @@ object Pipeline {
         .select(col("dst").as("v"), col("lbl"), lit(null).cast("long").as("old"))
       val next = self.union(via).groupBy("v")
         .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
-        .localCheckpoint(true)
+        .stable
       changed = next.filter(col("lbl") < col("old")).count()
       labels = next.select(col("v"), col("lbl"))
     }
@@ -726,7 +727,7 @@ object Pipeline {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("toks", split(regexp_replace(col("word"), "(.)", "$1 "), " "))
       .withColumn("toks", slice(col("toks"), lit(1), size(col("toks")) - 1))
-      .localCheckpoint(true)
+      .stable
     val merges = Seq.newBuilder[DataFrame]
     val totals = Seq.newBuilder[DataFrame]
     def roundTotal(r: Int, v: DataFrame): DataFrame =
@@ -741,7 +742,7 @@ object Pipeline {
         .orderBy(col("cnt").desc, col("pair")).limit(1)
         .select(substring_index(col("pair"), " ", 1).as("a"),
           element_at(split(col("pair"), " "), 2).as("b"), col("cnt"))
-        .localCheckpoint(true)
+        .stable
       merges += top.select(lit(rnd.toLong).as("round"), col("a"), col("b"),
         concat(col("a"), col("b")).as("merged"), col("cnt"))
       val w = W.partitionBy("word").orderBy("i")
@@ -767,7 +768,7 @@ object Pipeline {
         .groupBy("word", "n")
         .agg(array_sort(collect_list(struct(col("i"), col("t"))))
           .getField("t").as("toks"))
-        .localCheckpoint(true)
+        .stable
       totals += roundTotal(rnd, vocab)
     }
     // both outputs derive only from per-round checkpointed tables (tops
@@ -983,7 +984,7 @@ object Pipeline {
           explode(LshPlanes.tableBuckets(col("v"))).as("tb"))
         .select(col("vec_id"), col("v"), col("nrm"),
                 col("tb.t").as("t"), col("tb.bucket").as("bucket"))
-        .localCheckpoint(true))
+        .stable)
 
   /** Brute-force cosine top-k: probes (vec_id < 5) broadcast against the
     * full corpus, per-probe top-10 via window rank. The exact baseline the

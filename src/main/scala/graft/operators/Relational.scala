@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoints.StableOps
 import graft.functions.Fns._
 
 /** Relational generalization of the MapReduce surface (SURVEY §7 M2) over
@@ -345,7 +346,7 @@ object Relational {
     * it to the expected node count. */
   def recursiveHierarchy(s: SparkSession, dir: String): DataFrame = {
     Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
-      .distinct().localCheckpoint(true)
+      .distinct().stable
       .createOrReplaceTempView("customer_nodes")
     s.sql(
       """WITH RECURSIVE walk(custkey, depth, path_bal) AS (

@@ -1,0 +1,48 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Single chokepoint for every "materialize this shared investment once"
+  * site in the engine (graph edge lists, near-dup pair tables, k-means
+  * centroids, BPE vocab rounds, …).
+  *
+  * Local mode / iterative hot loops use `localCheckpoint(eager = true)`:
+  * blocks live on executors, lineage is cut, no filesystem round-trip.
+  * That trade is WRONG on a multi-executor cluster for long-lived shared
+  * tables — losing one executor makes every downstream stage that read its
+  * blocks unrecoverable (no lineage left to recompute from). For cluster
+  * deployments set
+  *
+  *   spark.graft.checkpoint.reliable = true
+  *   spark.graft.checkpoint.dir      = hdfs://…/checkpoints   (or any DFS)
+  *
+  * and the same call sites write reliable checkpoints instead: re-readable
+  * after executor loss, at the cost of a DFS write. The default stays
+  * local so `local[…]` test/bench runs keep the fast path.
+  */
+object Checkpoints {
+
+  /** Materialize `df` eagerly and return a plan that re-reads the
+    * materialized blocks (lineage cut). Mode per the session confs above. */
+  def stable(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf
+      .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)
+    if (reliable) {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = spark.conf.getOption("spark.graft.checkpoint.dir")
+          .getOrElse(throw new IllegalStateException(
+            "spark.graft.checkpoint.reliable=true requires " +
+              "spark.graft.checkpoint.dir (a DFS path) to be set"))
+        sc.setCheckpointDir(dir)
+      }
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
+  }
+
+  /** `df.stable` postfix form of [[stable]] for call-site readability. */
+  implicit class StableOps(private val df: DataFrame) extends AnyVal {
+    def stable: DataFrame = Checkpoints.stable(df)
+  }
+}

@@ -30,4 +30,28 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getLong(2) === nTri)
     assert(r.getDouble(3) === (if (nWedges > 0) 3.0 * nTri / nWedges else 0.0))
   }
+
+  // Adversarial skew: a 10⁴-leaf hub (the shape a hot part in 10⁵ baskets
+  // produces at 100 TB). The old id-order orientation pivots on the hub
+  // and emits C(10⁴, 2) ≈ 5×10⁷ wedge candidates from that single key; the
+  // degree-ordered orientation directs every edge AT the hub, so per-pivot
+  // fan-out stays O(1) here and O(√m) in general. The same discipline as
+  // the reference's adversarial crash test (test-mr.sh:270-317): pick the
+  // plan that survives hostile input, not just the uniform fixture.
+  test("degree orientation bounds wedge candidates on a hub graph") {
+    import spark.implicits._
+    val n = 10000L
+    // hub 0 — all leaves, plus a leaf chain i—(i+1) so the graph has
+    // wedges and triangles (each {i, i+1, hub} closes one)
+    val edges = ((1L to n).map(i => (0L, i)) ++
+      (1L until n).map(i => (i, i + 1))).toDF("a", "b")
+    val deg = Graph.degreesOf(edges)
+    val cand = Graph.wedgeCandidates(Graph.orientByDegree(edges, deg))
+    val candCount = cand.count()
+    // id-order would emit ≈ 5×10⁷; degree order keeps it ≲ m
+    assert(candCount <= 3 * n, s"wedge candidates not skew-bounded: $candCount")
+    val r = Graph.censusOf(edges, deg).collect().head
+    assert(r.getLong(0) === 2 * n - 1)   // n hub edges + (n−1) chain edges
+    assert(r.getLong(2) === n - 1)       // one triangle per chain edge
+  }
 }
