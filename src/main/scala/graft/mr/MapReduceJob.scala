@@ -52,6 +52,72 @@ object MapReduceJob {
     run(spark, input, mapf, reducef).toDF("key", "value")
   }
 
+  /** Runtime plugin loading — the JVM analog of the reference's
+    * `plugin.Open(file); Lookup("Map"); Lookup("Reduce")`
+    * (`/root/reference/src/main/mrworker.go:25-43`,
+    * `mrsequential.go:93-110`): the job's functions arrive by NAME at run
+    * time, not as compile-time lambdas. `className` names a Scala `object`
+    * (the `.so` stand-in — any jar on the classpath) exposing members
+    * `mapf: MapF` and `reducef: ReduceF`; they are resolved reflectively,
+    * exactly as `Lookup` resolves exported symbols. Fails fast with the
+    * same three error shapes as the reference (cannot load plugin /
+    * cannot find Map / cannot find Reduce). */
+  def load(className: String): (MapF, ReduceF) = {
+    val cls =
+      try Class.forName(if (className.endsWith("$")) className else className + "$")
+      catch { case e: ClassNotFoundException =>
+        throw new IllegalArgumentException(s"cannot load plugin $className", e) }
+    val module = cls.getField("MODULE$").get(null)
+    def lookup[T](member: String): T =
+      cls.getMethods.find(m => m.getName == member && m.getParameterCount == 0)
+        .getOrElse(throw new IllegalArgumentException(
+          s"cannot find $member in $className"))
+        .invoke(module).asInstanceOf[T]
+    (lookup[MapF]("mapf"), lookup[ReduceF]("reducef"))
+  }
+
+  /** [[run]] with the (mapf, reducef) pair loaded by name — the full
+    * `mrworker <plugin>` contract: `runLoaded(spark, in, "pkg.WcPlugin")`
+    * ≙ `go run mrworker.go wc.so`. */
+  def runLoaded(spark: SparkSession, input: Dataset[(String, String)],
+                className: String): Dataset[(String, String)] = {
+    val (mapf, reducef) = load(className)
+    run(spark, input, mapf, reducef)
+  }
+
+  /** [[run]] with per-task interval recording — the engine-side probe
+    * behind the parallelism-overlap spec (≙ the reference's
+    * `mtiming.go:19-62` / `rtiming.go`, driven by `test-mr.sh:133-185`,
+    * which assert that map tasks and reduce tasks actually run
+    * concurrently rather than serially). Each map TASK appends one
+    * ("map", taskAttemptId, start, end) event spanning its partition;
+    * each reduce GROUP appends a ("reduce", taskAttemptId, start, end)
+    * event, so a reduce task's span is the hull of its group events.
+    * The map wrapper buffers one partition — probe-only; [[run]] stays
+    * the streaming path. */
+  def runProbed(spark: SparkSession, input: Dataset[(String, String)],
+                mapf: MapF, reducef: ReduceF,
+                events: org.apache.spark.util.CollectionAccumulator[(String, Long, Long, Long)])
+      : Dataset[(String, String)] = {
+    import spark.implicits._
+    input
+      .mapPartitions { it =>
+        val t0 = System.nanoTime()
+        val out = it.flatMap { case (k, v) => mapf(k, v) }.toVector
+        events.add(("map", org.apache.spark.TaskContext.get().taskAttemptId(),
+          t0, System.nanoTime()))
+        out.iterator
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val t0 = System.nanoTime()
+        val r = (key, reducef(key, it.map(_._2).toSeq))
+        events.add(("reduce", org.apache.spark.TaskContext.get().taskAttemptId(),
+          t0, System.nanoTime()))
+        r
+      }
+  }
+
   type CoReduceF = (String, Seq[String], Seq[String]) => String
 
   /** Two-source reduce — the classic MapReduce reduce-side join: both
@@ -108,4 +174,12 @@ object RefApps {
 
   /** crash.go:34-55 payload — reduce sorts the full value list, joins on " ". */
   val sortedConcatReduce: MapReduceJob.ReduceF = (_, values) => values.sorted.mkString(" ")
+}
+
+/** Wordcount as a loadable plugin — the `wc.so` stand-in resolved by name
+  * through [[MapReduceJob.load]] (`"graft.mr.WordCountPlugin"`), proving
+  * the by-name contract end-to-end, not just the lambda API. */
+object WordCountPlugin {
+  val mapf: MapReduceJob.MapF = RefApps.wcMap
+  val reducef: MapReduceJob.ReduceF = RefApps.wcReduce
 }

@@ -122,6 +122,70 @@ class MapReduceJobSpec extends AnyFunSuite {
       "k3" -> "/only-right", "k4" -> "only-left/"))
   }
 
+  test("by-name plugin loading ≡ compile-time lambdas (mrworker.go contract)") {
+    // mrworker.go:25-43 / mrsequential.go:93-110: the (Map, Reduce) pair
+    // arrives as a NAME resolved at run time, not as code the driver was
+    // compiled against — same wordcount, loaded via "graft.mr.WordCountPlugin"
+    val files = genFiles(6)
+    val viaPlugin = MapReduceJob.runLoaded(spark, files.toDS().repartition(3),
+      "graft.mr.WordCountPlugin").collect().toMap
+    assert(viaPlugin === sequential(files, RefApps.wcMap, RefApps.wcReduce))
+    // the reference's three failure shapes: bad plugin file / missing symbol
+    val e1 = intercept[IllegalArgumentException](MapReduceJob.load("no.such.Plugin"))
+    assert(e1.getMessage.contains("cannot load plugin"))
+    val e2 = intercept[IllegalArgumentException](MapReduceJob.load("graft.mr.RefApps"))
+    assert(e2.getMessage.contains("cannot find mapf"))
+  }
+
+  test("map tasks overlap and reduce tasks overlap (mtiming/rtiming analog)") {
+    // ≙ test-mr.sh:133-185 with mtiming.go/rtiming.go: the reference's
+    // timing plugins assert the workers actually run in PARALLEL, not
+    // serially. Here each task records its (start, end) span through an
+    // accumulator; with 4 local cores, 8 slow map partitions and 4 slow
+    // reduce partitions must produce ≥2 concurrently-running tasks in
+    // each phase.
+    val events = spark.sparkContext
+      .collectionAccumulator[(String, Long, Long, Long)]("mrTaskSpans")
+    val slowMap: MapReduceJob.MapF = (n, c) => {
+      Thread.sleep(150); RefApps.wcMap(n, c)
+    }
+    val slowReduce: MapReduceJob.ReduceF = (k, vs) => {
+      Thread.sleep(30); RefApps.wcReduce(k, vs)
+    }
+    // 24 files over 8 partitions; a 64-word vocabulary (two-letter words —
+    // wc.go's splitter keeps letters only) so the keyed shuffle populates
+    // all 4 reduce partitions, not just one
+    val wideVocab = for (a <- 'a' to 'h'; b <- 'a' to 'h') yield s"$a$b"
+    val files = (0 until 24).map { i =>
+      (s"file$i", Seq.fill(20)(wideVocab(rnd.nextInt(wideVocab.size))).mkString(" "))
+    }
+    // the reference runs with a FIXED nReduce (mrcoordinator.go); AQE's
+    // small-shuffle coalescing would legitimately fold this toy shuffle
+    // into one partition, which is exactly what the probe must not measure
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val oldCoalesce = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    val got =
+      try MapReduceJob.runProbed(spark, files.toDS().repartition(8),
+        slowMap, slowReduce, events).collect().toMap
+      finally spark.conf.set(coalesceKey, oldCoalesce)
+    assert(got === sequential(files, RefApps.wcMap, RefApps.wcReduce))
+    import scala.jdk.CollectionConverters._
+    // per-task span = hull of that task's events (reduce records per group)
+    def spans(phase: String): Seq[(Long, Long)] =
+      events.value.asScala.toSeq.filter(_._1 == phase)
+        .groupBy(_._2).values.map(es => (es.map(_._3).min, es.map(_._4).max)).toSeq
+    def maxConcurrent(ss: Seq[(Long, Long)]): Int =
+      ss.map { case (s0, e0) =>
+        ss.count { case (s1, e1) => s1 < e0 && s0 < e1 }
+      }.max
+    val (m, r) = (spans("map"), spans("reduce"))
+    assert(m.size >= 2 && maxConcurrent(m) >= 2,
+      s"map tasks did not overlap: $m")
+    assert(r.size >= 2 && maxConcurrent(r) >= 2,
+      s"reduce tasks did not overlap: $r")
+  }
+
   test("reducef receives the complete value list (not a fold)") {
     val files = Seq(("f1", "a b a"), ("f2", "a c"))
     val reducef: MapReduceJob.ReduceF = (_, values) => values.sorted.mkString("|")
