@@ -74,7 +74,7 @@ private[kv] class KvTable(path: String) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new KvWriteBuilder(path, info.schema())
+    new KvWriteBuilder(path, info.schema(), info.queryId())
 }
 
 private[kv] class KvScanBuilder(path: String) extends ScanBuilder
@@ -169,68 +169,124 @@ private[kv] case class KvInputPartition(file: String) extends InputPartition
 
 // ----------------------------------------------------------------- write
 
-private[kv] class KvWriteBuilder(path: String, schema: StructType)
+private[kv] class KvWriteBuilder(path: String, schema: StructType,
+                                 queryId: String)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
-  override def build(): Write = new KvWrite(path, schema, doTruncate)
+  override def build(): Write = new KvWrite(path, schema, queryId, doTruncate)
 }
 
-/** Batch write of `"key value"` lines. Task-commit discipline: every
-  * task writes a HIDDEN `.part-…-<taskId>.tmp` file (which the read side
-  * skips by convention) and renames it into place only in its
-  * `DataWriter.commit` — so a speculated or retried task can never leave
-  * a half-written partition file visible, the same reason Spark's own
-  * file sinks stage task output. The reference writes its mr-out-R files
-  * with a bare per-task create (`worker.go:126`) and relies on the
-  * coordinator's exactly-once accounting instead; under Spark's
-  * scheduler (retries + speculation, SURVEY §3b) staging is the correct
-  * re-expression of that guarantee. `mode("overwrite")` arrives as a
-  * truncate: existing visible data files are removed driver-side before
-  * tasks launch. */
-private[kv] class KvWrite(path: String, schema: StructType, doTruncate: Boolean)
+/** Batch write of `"key value"` lines with a two-level commit protocol:
+  *
+  *  - '''task level''': every task writes a HIDDEN
+  *    `.staged-<writeId>-part-…-<taskId>` file (the read side skips
+  *    hidden files by convention) and reports it in its commit message —
+  *    a speculated, retried, or crashed task can never leave a
+  *    half-written partition file visible.
+  *  - '''job level''' (`BatchWrite.commit`): only after EVERY task has
+  *    committed are the staged files renamed to their visible
+  *    `part-…` names. `mode("overwrite")` arrives as a truncate and the
+  *    old visible files are deleted HERE, not before the tasks run — a
+  *    job that fails partway leaves the previous layout fully intact and
+  *    nothing new visible. `abort` (and the post-publish sweep in
+  *    `commit`) deletes this job's leftover staging; truncate also sweeps
+  *    stale `.staged-*` files orphaned by prior crashed jobs, since they
+  *    are connector-owned.
+  *
+  * The reference writes its mr-out-R files with a bare per-task create
+  * (`worker.go:126`) and relies on the coordinator's exactly-once
+  * accounting instead; under Spark's scheduler (retries + speculation,
+  * SURVEY §3b) staged task output + driver-side publish is the correct
+  * re-expression of that guarantee — the same shape as Spark's own
+  * `FileCommitProtocol`.
+  *
+  * Format guardrails: the `"key value"` line format cannot represent
+  * nulls, embedded spaces, or newlines (the reader's exactly-two-fields
+  * rule, `worker.go:112-115`, would silently drop or mis-split such
+  * rows), so the writer rejects them with a clear error instead of
+  * corrupting the layout. */
+private[kv] class KvWrite(path: String, schema: StructType, queryId: String,
+                          doTruncate: Boolean)
     extends Write with BatchWrite {
   require(schema.fieldNames.toSeq == Seq("key", "value"),
     s"graftkv writes (key, value) rows, got ${schema.catalogString}")
 
+  // queryId is Spark's per-write UUID — filename-safe, unique per job
+  private val writeId = queryId
+
   override def toBatch: BatchWrite = this
+
+  private def dirFs(): (FileSystem, HPath) = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new HPath(path)
+    (FileSystem.get(p.toUri, conf), p)
+  }
+
+  private def isVisibleData(name: String): Boolean =
+    !(name.startsWith("_") || name.startsWith("."))
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new HPath(path)
-    val fs = FileSystem.get(p.toUri, conf)
-    fs.mkdirs(p)
-    if (doTruncate) {
-      fs.listStatus(p).filter(_.isFile)
-        .filterNot { s =>
-          val n = s.getPath.getName
-          n.startsWith("_") || n.startsWith(".")
-        }
-        .foreach(s => fs.delete(s.getPath, false))
-    }
+    FileSystem.get(p.toUri, conf).mkdirs(p)
     val props = {
       val it = conf.iterator()
       val b = Array.newBuilder[(String, String)]
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
-    new KvWriterFactory(path, props)
+    new KvWriterFactory(path, writeId, props)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, p) = dirFs()
+    if (doTruncate) {
+      // every task has committed its staging — NOW the old layout can go;
+      // stale .staged-* from prior crashed jobs are connector-owned trash
+      fs.listStatus(p).filter(_.isFile)
+        .filter { s =>
+          val n = s.getPath.getName
+          isVisibleData(n) ||
+            (n.startsWith(".staged-") && !n.startsWith(s".staged-$writeId-"))
+        }
+        .foreach(s => fs.delete(s.getPath, false))
+    }
+    messages.foreach { case KvCommit(staged, dest) =>
+      val from = new HPath(staged)
+      val to = new HPath(p, dest)
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"graftkv: publish $from -> $to failed")
+    }
+    sweepStaging(fs, p)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val (fs, p) = dirFs()
+    if (fs.exists(p)) sweepStaging(fs, p)
+  }
+
+  /** Remove any remaining `.staged-<thisWriteId>-*` files (crashed or
+    * speculated attempts whose task-level abort never ran). */
+  private def sweepStaging(fs: FileSystem, p: HPath): Unit =
+    fs.listStatus(p)
+      .filter(s => s.isFile &&
+        s.getPath.getName.startsWith(s".staged-$writeId-"))
+      .foreach(s => fs.delete(s.getPath, false))
 }
 
-private[kv] case class KvCommit(file: String) extends WriterCommitMessage
+private[kv] case class KvCommit(staged: String, dest: String)
+    extends WriterCommitMessage
 
-private[kv] class KvWriterFactory(path: String,
+private[kv] class KvWriterFactory(path: String, writeId: String,
                                   hadoopProps: Array[(String, String)])
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, partitionId, taskId, hadoopProps)
+    new KvDataWriter(path, writeId, partitionId, taskId, hadoopProps)
 }
 
-private[kv] class KvDataWriter(path: String, partitionId: Int, taskId: Long,
+private[kv] class KvDataWriter(path: String, writeId: String,
+                               partitionId: Int, taskId: Long,
                                hadoopProps: Array[(String, String)])
     extends DataWriter[InternalRow] {
   private val conf = {
@@ -238,27 +294,38 @@ private[kv] class KvDataWriter(path: String, partitionId: Int, taskId: Long,
     hadoopProps.foreach { case (k, v) => c.set(k, v) }
     c
   }
-  private val tmp = new HPath(path, f".part-$partitionId%05d-$taskId.tmp")
-  private val dest = new HPath(path, f"part-$partitionId%05d-$taskId")
-  private val fs = FileSystem.get(tmp.toUri, conf)
+  private val destName = f"part-$partitionId%05d-$taskId"
+  private val staged = new HPath(path, s".staged-$writeId-$destName")
+  private val fs = FileSystem.get(staged.toUri, conf)
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-    fs.create(tmp, true), java.nio.charset.StandardCharsets.UTF_8))
+    fs.create(staged, true), java.nio.charset.StandardCharsets.UTF_8))
+
+  private def checkField(which: String, v: String): String = {
+    if (v.indexOf(' ') >= 0 || v.indexOf('\n') >= 0 || v.indexOf('\r') >= 0)
+      throw new IllegalArgumentException(
+        s"graftkv: $which contains a space or newline, which the " +
+          "\"key value\" line format cannot represent " +
+          s"(reader drops/mis-splits such lines): ${v.take(80)}")
+    v
+  }
 
   override def write(row: InternalRow): Unit = {
-    out.write(row.getUTF8String(0).toString)
+    if (row.isNullAt(0) || row.isNullAt(1))
+      throw new IllegalArgumentException(
+        "graftkv: null key or value — the \"key value\" line format has " +
+          "no null representation; filter nulls before writing")
+    out.write(checkField("key", row.getUTF8String(0).toString))
     out.write(' ')
-    out.write(row.getUTF8String(1).toString)
+    out.write(checkField("value", row.getUTF8String(1).toString))
     out.write('\n')
   }
 
   override def commit(): WriterCommitMessage = {
     out.close()
-    if (!fs.rename(tmp, dest))
-      throw new java.io.IOException(s"graftkv: rename $tmp -> $dest failed")
-    KvCommit(dest.toString)
+    KvCommit(staged.toString, destName)
   }
 
-  override def abort(): Unit = { out.close(); fs.delete(tmp, false); () }
+  override def abort(): Unit = { out.close(); fs.delete(staged, false); () }
   override def close(): Unit = ()
 }
 

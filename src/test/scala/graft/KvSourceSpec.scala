@@ -81,20 +81,62 @@ class KvSourceSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).sorted
     assert(back sameElements v1)
     val leftover = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".tmp"))
-    assert(leftover.isEmpty, s"staged files not renamed: ${leftover.mkString}")
+      .filter(f => f.getName.endsWith(".tmp") || f.getName.startsWith(".staged-"))
+    assert(leftover.isEmpty, s"staged files not published: ${leftover.mkString}")
   }
 
-  test("overwrite mode truncates the previous layout") {
+  test("overwrite mode truncates the previous layout and sweeps stale staging") {
     val dir = Files.createTempDirectory("graft_kvow").toString
     import spark.implicits._
     Seq(("old", "1")).toDF("key", "value")
       .write.format("graftkv").mode("append").save(dir)
+    // a staging file orphaned by a crashed prior job (its abort never ran)
+    Files.write(Paths.get(dir, ".staged-deadjob-part-00000-7"), "zz 9\n".getBytes)
     Seq(("new", "2")).toDF("key", "value")
       .write.format("graftkv").mode("overwrite").save(dir)
     val back = spark.read.format("graftkv").load(dir)
       .collect().map(r => (r.getString(0), r.getString(1)))
     assert(back.toSeq === Seq(("new", "2")))
+    val stale = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(".staged-"))
+    assert(stale.isEmpty, s"stale staging survived overwrite: ${stale.mkString}")
+  }
+
+  test("a failed overwrite leaves the previous layout fully intact") {
+    // truncate is deferred to job commit: a job that dies mid-write (here:
+    // a null key, rejected by the writer) must leave the old data visible
+    // and no staging residue behind
+    val dir = Files.createTempDirectory("graft_kvfail").toString
+    import spark.implicits._
+    Seq(("keep", "1"), ("safe", "2")).toDF("key", "value")
+      .write.format("graftkv").mode("append").save(dir)
+    val bad = Seq(("ok", "3"), (null, "boom")).toDF("key", "value")
+    val e = intercept[Exception] {
+      bad.write.format("graftkv").mode("overwrite").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage).exists(_.contains("null key"))))
+    val back = spark.read.format("graftkv").load(dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(back.toSeq === Seq(("keep", "1"), ("safe", "2")))
+    val residue = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(".staged-"))
+    assert(residue.isEmpty, s"staging residue after abort: ${residue.mkString}")
+  }
+
+  test("keys or values with embedded separators are rejected, not corrupted") {
+    val dir = Files.createTempDirectory("graft_kvsep").toString
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(("two words", "v")).toDF("key", "value")
+        .write.format("graftkv").mode("append").save(dir)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("cannot represent"))))
   }
 
   test("q_kv_source matches the wordcount recomputed from the corpus") {
