@@ -393,6 +393,19 @@ object Oracles {
          |FROM l FULL JOIN n ON l.key = n.key LEFT JOIN ys ON COALESCE(l.key, n.key) = ys.key
          |ORDER BY key""".stripMargin,
 
+    // connector→plugin-API loop: wordcount and doc-frequency kv layouts
+    // (both via the graftkv V2 sink/source) co-reduced per word; both
+    // sides rebuilt from the base table here
+    "q_mr_kv_cogroup" ->
+      s"""WITH wc AS (SELECT word AS key, CAST(count(*) AS VARCHAR) AS cnt
+         |  FROM ($Toks) t WHERE word <> '' GROUP BY word),
+         |df AS (SELECT word AS key, CAST(count(*) AS VARCHAR) AS df
+         |  FROM (SELECT DISTINCT word, doc_id FROM ($Toks) t WHERE word <> '') d
+         |  GROUP BY word)
+         |SELECT COALESCE(wc.key, df.key) AS key,
+         |  COALESCE(cnt,'') || '|' || COALESCE(df,'') AS value
+         |FROM wc FULL JOIN df ON wc.key = df.key ORDER BY key""".stripMargin,
+
     "q_mr_sorted_concat" ->
       s"""WITH kv AS (
          |  SELECT 'a' AS key, CAST(doc_id AS VARCHAR) AS value FROM documents

@@ -64,6 +64,7 @@ object SparkEntry {
     "q_mr_sorted_concat"  -> q(MrApi.mrSortedConcat),
     "q_mr_grep"           -> q(MrApi.mrGrep),
     "q_mr_cogroup"        -> q(MrApi.mrCogroup),
+    "q_mr_kv_cogroup"     -> q(MrApi.mrKvCogroup),
     // reference I/O model (whole-file scan + "key value" text sink)
     "q_text_roundtrip"    -> q(graft.sources.TextIO.textRoundtrip),
     "q_format_roundtrip"  -> q(graft.sources.TextIO.formatRoundtrip),

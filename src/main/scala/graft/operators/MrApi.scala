@@ -53,6 +53,27 @@ object MrApi {
     MapReduceJob.corun(s, left, right, coreduce).toDF("key", "value").orderBy("key")
   }
 
+  /** Multi-source reduce fed BY the V2 connector — the loop between the
+    * two signature deliverables closed: the wordcount and per-word
+    * document-frequency `"key value"` layouts (both written through the
+    * `graftkv` V2 sink) are read back via `format("graftkv")` and
+    * co-reduced through the plugin API, exactly how a reference user
+    * would chain one MR job's mr-out-R files into the next job's input
+    * (`worker.go:125-141` output ↔ `:60-70` input). Output value is
+    * "counts|dfs" (each side's sorted full value list — here one value
+    * per key per side, but the co-reducer contract is the general one). */
+  def mrKvCogroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sources.TextIO
+    val left = s.read.format("graftkv").load(TextIO.kvWordcountLayout(s, dir))
+      .as[(String, String)]
+    val right = s.read.format("graftkv").load(TextIO.kvDocFreqLayout(s, dir))
+      .as[(String, String)]
+    val co: MapReduceJob.CoReduceF = (_, cnts, dfs) =>
+      s"${cnts.sorted.mkString(",")}|${dfs.sorted.mkString(",")}"
+    MapReduceJob.corun(s, left, right, co).toDF("key", "value").orderBy("key")
+  }
+
   /** crash.go/nocrash.go payload through the API: map emits the four fixed
     * keys a–d per document; reduce = sorted concat (order-insensitive
     * input, deterministic output — SURVEY §1 determinism contract). */

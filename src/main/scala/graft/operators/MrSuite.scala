@@ -18,7 +18,7 @@ import graft.functions.Fns
 object MrSuite {
 
   /** Exploded (doc_id, word) pairs — the map phase of wc.go:21-34. */
-  private def tokenPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def tokenPairs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), explode(Fns.tokensArr(col("text"))).as("word"))
       .filter(col("word") =!= "")

@@ -86,8 +86,10 @@ object TextIO {
     * recomputes the filtered wordcount straight from the documents
     * table, closing the loop over the sink format, the connector parse,
     * and the pushdown. */
-  def kvSource(s: SparkSession, dir: String): DataFrame = {
-    val kvDir = kvLayoutCache.computeIfAbsent((s, dir), _ => {
+  /** The per-corpus wordcount `"key value"` layout, written through the
+    * connector's OWN V2 sink (memoized — the layout IS the investment). */
+  def kvWordcountLayout(s: SparkSession, dir: String): String =
+    kvLayoutCache.computeIfAbsent((s, dir), _ => {
       val tmp = tempDir("graft_kvsrc")
       // the canonical wordcount (single tokenizer definition — a drifted
       // copy here would silently break the q_kv_source hash check),
@@ -98,11 +100,29 @@ object TextIO {
         .write.format("graftkv").mode("overwrite").save(tmp)
       tmp
     })
-    s.read.format("graftkv").load(kvDir)
+
+  // second kv layout (per-word document frequency) for the multi-source
+  // connector→plugin-API query; same memo discipline as the wordcount one
+  private val kvDfLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Per-word document-frequency `"key value"` layout via the V2 sink. */
+  def kvDocFreqLayout(s: SparkSession, dir: String): String =
+    kvDfLayoutCache.computeIfAbsent((s, dir), _ => {
+      val tmp = tempDir("graft_kvdf")
+      graft.operators.MrSuite.tokenPairs(s, dir)
+        .select(col("word"), col("doc_id")).distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+        .select(col("word").as("key"), col("df").cast("string").as("value"))
+        .write.format("graftkv").mode("overwrite").save(tmp)
+      tmp
+    })
+
+  def kvSource(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graftkv").load(kvWordcountLayout(s, dir))
       .filter(col("key").startsWith("s"))
       .select(col("key"), col("value").cast("bigint").as("cnt"))
       .orderBy("key")
-  }
 
   /** Declared CSV→JSON→ORC format roundtrip: a bounded sample flows
     * through the CSV sink/source (schema inference), the JSON sink/source,

@@ -27,7 +27,10 @@ class MapReduceJobSpec extends AnyFunSuite {
     kva.groupBy(_._1).map { case (k, vs) => k -> reducef(k, vs.map(_._2)) }
   }
 
-  private val rnd = new Random(42)
+  // seed overridable per soak trial (graft.tools.Soak ≙ test-mr-many.sh:
+  // N re-runs with distinct seeds to flush nondeterministic flakes)
+  private val rnd = new Random(
+    sys.props.get("graft.soak.seed").map(_.toLong).getOrElse(42L))
   private val vocab = Seq("the", "a", "spark", "map", "reduce", "Go", "x7y", "Key")
 
   private def genFiles(n: Int): Seq[(String, String)] =
