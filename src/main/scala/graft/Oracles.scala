@@ -1934,6 +1934,12 @@ object Oracles {
 
     "q_stream_topk" ->
       s"""SELECT user_id, count(*) AS n FROM events
-         |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin
+         |GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    // stream → graftkv V2 sink → graftkv V2 source: after the one-shot
+    // drain the kv snapshot equals the batch per-type count
+    "q_stream_kv_sink" ->
+      s"""SELECT event_type AS key, count(*) AS n FROM events
+         |GROUP BY event_type ORDER BY key""".stripMargin
   )
 }

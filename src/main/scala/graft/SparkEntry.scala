@@ -209,7 +209,8 @@ object SparkEntry {
     "q_stream_stream_join" -> q(Streams.streamStreamJoin),
     "q_stream_outer_join" -> q(Streams.streamOuterJoin),
     "q_stream_topk"       -> q(Streams.streamTopk),
-    "q_stream_current"    -> q(Streams.streamCurrentState)
+    "q_stream_current"    -> q(Streams.streamCurrentState),
+    "q_stream_kv_sink"    -> q(Streams.streamKvSink)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -268,6 +268,38 @@ object Streams {
     }.orderBy(col("n").desc, col("user_id"))
   }
 
+  /** Streaming aggregate into the `graftkv` V2 sink — the engine's own
+    * connector as a STREAMING sink target: complete-mode per-type counts
+    * go through `foreachBatch`, each trigger overwriting the `"key value"`
+    * snapshot through the connector's job-level commit protocol. That
+    * protocol is what makes the pattern production-safe: truncate is
+    * deferred to job commit, so a batch that dies mid-write leaves the
+    * previous snapshot fully readable — the complete-mode contract a kv
+    * serving layer needs. Read-back is via `format("graftkv")`, closing
+    * stream → V2 sink → V2 source in one declared query. */
+  def streamKvSink(s: SparkSession, dir: String): DataFrame = {
+    val (data, ckpt) = sinkDirs()
+    val agg = eventStream(s, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .select(col("event_type").as("key"), col("n").cast("string").as("value"))
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        batch.write.format("graftkv").mode("overwrite").save(data)
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    // zero-batch tolerance, same contract as readSink: no batch → no dir
+    if (new java.io.File(data).exists())
+      s.read.format("graftkv").load(data)
+        .select(col("key"), col("value").cast("bigint").as("n"))
+        .orderBy("key")
+    else {
+      import s.implicits._
+      s.emptyDataset[(String, Long)].toDF("key", "n")
+    }
+  }
+
   /** Streaming CDC current-state via Spark 4's `transformWithState` — the
     * new arbitrary-stateful API (typed `ValueState` handles, RocksDB state
     * store required): each user's profile (cumulative event count + latest

@@ -51,7 +51,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     // streaming on an empty scheduling window: zero batches fire and the
     // sink read-back must yield an empty frame, not a path error
     "q_stream_window", "q_stream_topk", "q_stream_dedup",
-    "q_stream_outer_join", "q_stream_current")
+    "q_stream_outer_join", "q_stream_current",
+    // round-6 wave: connector-fed cogroup + stream→kv-sink loop
+    "q_mr_kv_cogroup", "q_stream_kv_sink")
 
   test("operator families run on zero-row inputs") {
     families.foreach { name =>
