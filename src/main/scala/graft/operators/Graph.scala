@@ -115,6 +115,10 @@ object Graph {
     // would poison the census row (and the NaN-sensitive driver compare)
     val nW = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
       .cast("long").as("n_wedges"))
+    // oriented feeds three plan subtrees (both wedge sides + the closing
+    // join) but is NOT materialized: the subtrees are identical, so Spark
+    // reuses one exchange already — an explicit checkpoint here was
+    // measured ~10% SLOWER (block write on the critical path)
     val oriented = orientByDegree(edges, deg)
     // a candidate (x, y) has x before y in the (degree, id) order, so the
     // closing edge {x,y} — if present — is oriented x→y: one equi-join

@@ -101,6 +101,7 @@ class PropertySpec extends AnyFunSuite {
   }
 
   test("triangle census core equals brute force on random basket graphs") {
+    import graft.operators.Graph
     (1 to 3).foreach { trial =>
       // random baskets → same derivation the operator uses
       val baskets = (0 until 25).map(_ =>
@@ -113,14 +114,43 @@ class PropertySpec extends AnyFunSuite {
         (for (i <- sq.indices; j <- i + 1 until sq.length
               if edges.contains((sq(i), sq(j)))) yield 1).size.toLong
       }.sum
-      // run the operator's join shape on the synthetic edge list
+      // the SHIPPED census core (degree-ordered orientation), not a replica
       val e = edges.toSeq.toDF("a", "b")
-      val o = e.select(col("a").as("u"), col("b").as("w"))
-      val cand = o.select(col("u"), col("w").as("x"))
-        .join(o.select(col("u"), col("w").as("y")), Seq("u"))
-        .filter(col("x") < col("y"))
-      val got = cand.join(e.select(col("a").as("x"), col("b").as("y")), Seq("x", "y")).count()
-      assert(got === nTri, s"trial $trial")
+      val r = Graph.censusOf(e, Graph.degreesOf(e)).collect().head
+      assert(r.getLong(0) === edges.size.toLong, s"trial $trial edges")
+      assert(r.getLong(2) === nTri, s"trial $trial triangles")
+    }
+  }
+
+  test("degree orientation bounds max out-degree by O(sqrt m) on random graphs") {
+    import graft.operators.Graph
+    (1 to 3).foreach { trial =>
+      val edges = (0 until 150).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val e = edges.toDF("a", "b")
+      val outDeg = Graph.orientByDegree(e, Graph.degreesOf(e))
+        .groupBy("u").count().agg(max("count")).head().getLong(0)
+      val m = edges.size.toDouble
+      // Schank–Wagner bound: a vertex with out-degree k has k neighbors of
+      // degree ≥ k, requiring ≥ k²/2 edges → k ≤ √(2m)
+      assert(outDeg <= math.sqrt(2 * m) + 1,
+        s"trial $trial: out-degree $outDeg exceeds sqrt(2·$m)")
+    }
+  }
+
+  test("kv connector roundtrips random separator-free KVs exactly") {
+    (1 to 3).foreach { trial =>
+      val data = (0 until 60).map { i =>
+        (s"k${rnd.nextInt(20)}_$i", rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString)
+      }
+      val dir = graft.util.TempDirs.create("graft_kvprop").toString
+      data.toDF("key", "value").repartition(3)
+        .write.format("graftkv").mode("overwrite").save(dir)
+      val back = spark.read.format("graftkv").load(dir)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      assert(back.sorted.toSeq === data.sorted, s"trial $trial")
     }
   }
 
