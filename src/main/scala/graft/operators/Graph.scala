@@ -192,16 +192,21 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
       .distinct()
-    val edges = Checkpoints.stable(
-      e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
+    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    // the out-degree is STATIC across iterations, so it is attached to the
+    // edge list once — each iteration then needs a single ranks⋈edges
+    // join instead of ranks⋈deg⋈edges (one fewer join per superstep; the
+    // materialized edgesD is what iterations re-read)
+    val edgesD = Checkpoints.stable(edges.join(deg, "u"))
     // fixed unroll, ONE action: no per-iteration checkpoint needed — the
     // whole recurrence is a single DAG, so r1/r2 are each computed once
     // and the edge-list exchange is reused across iterations (unlike a
     // convergence loop, which must checkpoint between actions)
-    var ranks = deg.select(col("u"), lit(1000000L).as("r"))
+    var ranks = edgesD.groupBy("u").agg(first(col("d")).as("d"))
+      .select(col("u"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
-      val contrib = ranks.join(deg, "u").join(edges, "u")
+      val contrib = ranks.join(edgesD, "u")
         .select(col("v"), expr("r div d").as("c"))
       ranks = contrib.groupBy(col("v").as("u"))
         .agg(sum(col("c")).as("s"))
