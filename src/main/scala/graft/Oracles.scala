@@ -790,6 +790,16 @@ object Oracles {
          |WHERE levenshtein(c_name, s_name) <= 6
          |ORDER BY nationkey, c_name, s_name""".stripMargin,
 
+    // the bloom filter is semantics-preserving row pruning, so the oracle
+    // is the plain join — what the runtime filter must not change
+    "q_bloom_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |  ${sumD("l_quantity", 2, "sum_qty")},
+         |  ${sumD("l_extendedprice * (1 - l_discount)", 6, "revenue")}
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > 450000
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     // 50-token chunks at stride 40 (10-token overlap), hash-verified
     "q_chunking" ->
       s"""WITH d AS ($TokList),
@@ -810,6 +820,38 @@ object Oracles {
 
     // synthesized contact lines (identical bytes in both engines), PII
     // classes detected and masked by the same patterns the engine uses
+    "q_vocab_prune" ->
+      s"""WITH lw AS (SELECT lang, word AS w, count(*) AS c FROM
+         |    (SELECT lang, unnest(regexp_split_to_array(text,'[^a-zA-Z]+')) AS word
+         |     FROM documents) t
+         |  WHERE word <> '' GROUP BY lang, word),
+         |keep AS (SELECT w FROM (SELECT w, sum(c) AS cnt FROM lw GROUP BY w) v
+         |  WHERE cnt >= 5),
+         |vs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM keep)
+         |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN k.w IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_unk,
+         |  CAST(sum(CASE WHEN k.w IS NULL THEN c ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(c) AS DOUBLE) AS unk_frac,
+         |  vocab_size
+         |FROM lw LEFT JOIN keep k ON lw.w = k.w CROSS JOIN vs
+         |GROUP BY lang, vocab_size ORDER BY lang""".stripMargin,
+
+    "q_novelty" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |shs AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, ${polyHashSql("sh")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) y) z),
+         |own AS (SELECT h, min(doc_id) AS first_doc FROM shs GROUP BY h)
+         |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  CAST(sum(CASE WHEN o.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM shs s JOIN own o ON s.h = o.h
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
     "q_pii_scan" ->
       s"""WITH t AS (SELECT c_custkey,
          |    c_name || ' phone 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')

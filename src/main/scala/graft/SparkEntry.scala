@@ -145,6 +145,7 @@ object SparkEntry {
     "q_approx_topk"       -> q(Relational.approxTopK),
     "q_equidepth_hist"    -> q(Relational.equidepthHistogram),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
+    "q_bloom_join"        -> q(Relational.bloomJoin),
     // LLM data pipeline
     "q_dedup_exact"       -> q(Pipeline.dedupExact),
     "q_dedup_ngram"       -> q(Pipeline.dedupNgram),
@@ -194,6 +195,8 @@ object SparkEntry {
     "q_bpe_apply"         -> q(Pipeline.bpeApply),
     "q_incremental_agg"   -> q(Relational.incrementalAgg),
     "q_pii_scan"          -> q(Pipeline.piiScan),
+    "q_vocab_prune"       -> q(Pipeline.vocabPrune),
+    "q_novelty"           -> q(Pipeline.novelty),
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
     // multimodal

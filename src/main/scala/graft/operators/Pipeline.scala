@@ -611,6 +611,66 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  private val MinVocabCount = 5L
+
+  /** Min-count vocabulary pruning + per-language UNK census — the
+    * tokenizer-prep step that decides which words the model vocabulary
+    * keeps (corpus frequency ≥ [[MinVocabCount]]) and how much of each
+    * language's token stream collapses to `<unk>`.
+    *
+    * Scale shape: the corpus-sized token stream collapses to (lang, word)
+    * counts FIRST (map-side combinable, vocabulary×languages-sized), so
+    * vocabulary membership is decided by a join between two
+    * vocabulary-sized tables — the token stream itself is touched exactly
+    * once and never joined; the global vocab size rides along as a
+    * broadcast 1-row aggregate. The (lang, word) exchange feeds both the
+    * vocab derivation and the membership probe, so Spark reuses it. */
+  def vocabPrune(s: SparkSession, dir: String): DataFrame = {
+    val langWord = Tables.documents(s, dir)
+      .select(col("lang"), explode(Fns.tokensArr(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+    val keep = langWord.groupBy("w").agg(sum(col("c")).as("cnt"))
+      .filter(col("cnt") >= MinVocabCount)
+    val vsize = keep.agg(count(lit(1)).as("vocab_size"))
+    langWord
+      .join(keep.select(col("w"), lit(true).as("in_vocab")), Seq("w"), "left")
+      .groupBy("lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("c")).otherwise(0L)).as("n_unk"))
+      .crossJoin(broadcast(vsize))
+      // exact int64 → double conversions + one IEEE division: oracle-exact
+      .select(col("lang"), col("n_tokens"), col("n_unk"),
+        (col("n_unk").cast("double") / col("n_tokens").cast("double")).as("unk_frac"),
+        col("vocab_size"))
+      .orderBy("lang")
+  }
+
+  /** Per-document novelty: the fraction of a doc's distinct shingles whose
+    * FIRST corpus appearance (minimum doc_id) is this document — the
+    * incremental-value / memorization-risk score a crawl pipeline computes
+    * per snapshot before deciding what a new crawl actually adds.
+    *
+    * Scale shape: ONE corpus-sized exchange — shingle hashes group by h
+    * with a map-side-combined `collect_set` (the [[pairStats]] exchange
+    * shape), the first owner is the head of the sorted set, and the
+    * per-doc census explodes back out map-side into a doc-keyed
+    * aggregation. No corpus-sized join anywhere. */
+  def novelty(s: SparkSession, dir: String): DataFrame = {
+    val byShingle = shinglesRaw(s, dir)
+      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+      .groupBy("h").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+    byShingle
+      .select(element_at(col("ds"), 1).as("first_doc"),
+        explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_shingles").cast("double")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** TF-IDF-style term weighting (the VLDB'12 MR-tutorial workload): top-3
     * terms per document by tf·N/df — the multiplicative-inverse form of
     * idf, rank-equivalent to tf·log(N/df) but exactly reproducible across

@@ -1054,4 +1054,40 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), sum(col("p.c")).as("cents"))
       .orderBy("status")
   }
+
+  /** Big-big join pre-filtered by a RUNTIME BLOOM FILTER (row-level runtime
+    * filtering): the selective predicate on orders becomes a
+    * `bloom_filter_agg` scalar subquery whose `might_contain` probe is
+    * injected onto the lineitem scan, so non-joining fact rows are dropped
+    * BEFORE the shuffle — at 100 TB the difference between exchanging the
+    * whole fact table and exchanging only the ~10% that can join (the
+    * row-level analog of q_dpp_join's partition-level pruning). Broadcast
+    * is disabled in an ISOLATED session (`newSession`: same SparkContext
+    * and cache, private SQL conf) to pin the shuffle-join shape the
+    * feature targets — at real scale the filtered orders side exceeds any
+    * broadcast threshold on its own, and no other query's plan is touched.
+    * `RelationalSpec` asserts the might_contain probe lands in the plan. */
+  def bloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val iso = graft.Engine.tune(s.newSession())
+    iso.conf.set("spark.sql.shuffle.partitions", "32")
+    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    // local fixtures sit far under the 10 GB cluster default; the feature
+    // itself is size-gated, so the demo pins the gate open
+    iso.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val o = Tables.orders(iso, dir)
+      .filter(col("o_totalprice") > 450000.0)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = Tables.lineitem(iso, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sumD2(col("l_quantity")).as("sum_qty"),
+        sumD6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -24,6 +24,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab_prune: unk_frac bounded, per-lang counts reconcile with the token stream") {
+    val rows = Pipeline.vocabPrune(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nTok, nUnk, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nUnk >= 0L && nUnk <= nTok)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(frac === nUnk.toDouble / nTok.toDouble)
+    }
+    // vocab_size is a single global value and total tokens match the corpus
+    assert(rows.map(_.getLong(4)).toSet.size === 1)
+    val totalTokens = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), "[^a-zA-Z]+")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(rows.map(_.getLong(1)).sum === totalTokens)
+  }
+
+  test("novelty: earliest doc fully novel, totals equal distinct shingles") {
+    val rows = Pipeline.novelty(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, novel, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel >= 0L && novel <= n)
+      assert(frac === novel.toDouble / n.toDouble)
+    }
+    // the minimum doc_id owns every one of its shingles by definition
+    val first = rows.minBy(_.getLong(0))
+    assert(first.getLong(2) === first.getLong(1))
+    // every distinct shingle hash is novel in exactly one document, so the
+    // novel counts partition the global distinct-shingle-hash universe
+    val globalDistinct = Tables.documents(spark, sf)
+      .select(filter(split(col("text"), "[^a-zA-Z]+"), w => w =!= lit("")).as("t"))
+      .select(explode(when(size(col("t")) >= 3,
+          org.apache.spark.sql.functions.transform(
+            sequence(lit(0), size(col("t")) - 3),
+            i => concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
+        .otherwise(array().cast("array<string>"))).as("sh"))
+      .select(graft.functions.Fns.polyHash(col("sh")).as("h"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum === globalDistinct)
+  }
+
   test("simhash: near-identical token bags give near-equal simhash") {
     import spark.implicits._
     // two docs sharing all tokens must get identical 32-bit simhash

@@ -28,7 +28,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_equidepth_hist"  -> 1, // 1-row row-count total
     "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
     "q_eval_confusion"  -> 2, // 10-row centroid table (cells + row totals)
-    "q_bpe_apply"       -> 1  // 1-row round-0 token total
+    "q_bpe_apply"       -> 1, // 1-row round-0 token total
+    "q_vocab_prune"     -> 1  // 1-row vocab-size aggregate
   )
 
   test("no cartesian products; nested-loop joins only on constant-size builds") {

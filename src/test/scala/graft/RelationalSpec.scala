@@ -330,4 +330,21 @@ class RelationalSpec extends AnyFunSuite {
       assert(r.getDouble(2) === expectedBal, s"path_bal of $k") // exact chain
     }
   }
+
+  test("bloom_join: runtime bloom filter injected, pruning is semantics-preserving") {
+    val df = Relational.bloomJoin(spark, sf)
+    val plan = df.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("might_contain"),
+      s"expected an injected runtime bloom filter probe in:\n$plan")
+    // the isolated session must not leak conf into the shared one
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf).filter(col("o_totalprice") > 450000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got === plain)
+  }
 }
