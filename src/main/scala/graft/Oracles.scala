@@ -820,6 +820,30 @@ object Oracles {
 
     // synthesized contact lines (identical bytes in both engines), PII
     // classes detected and masked by the same patterns the engine uses
+    // the engine generates basket pairs map-side from per-order arrays;
+    // the oracle's equivalent formulation is the distinct-projection
+    // self-join (same pair multiset by construction)
+    "q_copurchase" ->
+      s"""WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |  CAST(count(*) AS BIGINT) AS support
+         |FROM dp a JOIN dp b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |GROUP BY 1, 2 ORDER BY support DESC, part_a, part_b
+         |LIMIT 20""".stripMargin,
+
+    "q_skipgrams" ->
+      s"""WITH d AS ($TokList),
+         |p AS (SELECT split_part(pr, ' ', 1) AS w, split_part(pr, ' ', 2) AS c
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+         |      i -> t[i] || ' ' || t[i+1])) AS pr FROM d
+         |    UNION ALL
+         |    SELECT unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+2])) AS pr FROM d) u)
+         |SELECT w, c, CAST(count(*) AS BIGINT) AS n_pairs FROM p
+         |GROUP BY w, c ORDER BY n_pairs DESC, w, c LIMIT 30""".stripMargin,
+
     "q_vocab_prune" ->
       s"""WITH lw AS (SELECT lang, word AS w, count(*) AS c FROM
          |    (SELECT lang, unnest(regexp_split_to_array(text,'[^a-zA-Z]+')) AS word

@@ -118,6 +118,7 @@ object SparkEntry {
     "q_retention"         -> q(operators.Temporal.retention),
     "q_gaps_islands"      -> q(operators.Temporal.gapsIslands),
     "q_triangle_count"    -> q(operators.Graph.triangleCount),
+    "q_copurchase"        -> q(operators.Graph.coPurchase),
     "q_pagerank"          -> q(operators.Graph.pageRank),
     "q_degree_hist"       -> q(operators.Graph.degreeHist),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
@@ -197,6 +198,7 @@ object SparkEntry {
     "q_pii_scan"          -> q(Pipeline.piiScan),
     "q_vocab_prune"       -> q(Pipeline.vocabPrune),
     "q_novelty"           -> q(Pipeline.novelty),
+    "q_skipgrams"         -> q(Pipeline.skipgrams),
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
     // multimodal

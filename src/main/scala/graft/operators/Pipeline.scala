@@ -671,6 +671,32 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Skip-gram (center, context) pair counts at window ≤ 2 — the
+    * word2vec/SGNS training-pair generation step, counted over ordered
+    * pairs with the context FOLLOWING the center (each unordered
+    * co-occurrence is counted exactly once). Top-30 by count with a full
+    * deterministic tiebreak.
+    *
+    * Scale shape: pairs are generated MAP-SIDE from each doc's token
+    * array (two bounded `transform`s over positions — never a positional
+    * self-join of the corpus against itself), so pair volume is exactly
+    * 2n−3 per doc and the only exchange is the final (w, c) count. */
+  def skipgrams(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    def offs(k: Int) =
+      when(size(col("t")) > k,
+        transform(sequence(lit(1), size(col("t")) - k),
+          i => struct(element_at(col("t"), i).as("w"),
+            element_at(col("t"), i + k).as("c"))))
+        .otherwise(array().cast("array<struct<w:string,c:string>>"))
+    d.select(explode(concat(offs(1), offs(2))).as("p"))
+      .groupBy(col("p.w").as("w"), col("p.c").as("c"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("w"), col("c"))
+      .limit(30)
+  }
+
   /** TF-IDF-style term weighting (the VLDB'12 MR-tutorial workload): top-3
     * terms per document by tf·N/df — the multiplicative-inverse form of
     * idf, rank-equivalent to tf·log(N/df) but exactly reproducible across

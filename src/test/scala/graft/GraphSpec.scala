@@ -9,6 +9,20 @@ class GraphSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.Sf
 
+  test("co-purchase top-20 equals a driver-side brute force") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val support = li.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), n) => (a, b, n) }
+    val expected = support.sortBy { case (a, b, n) => (-n, a, b) }.take(20)
+    val got = Graph.coPurchase(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
   test("triangle census equals a driver-side brute force") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
       .collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -67,6 +67,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === globalDistinct)
   }
 
+  test("skipgrams: window-2 pairs on a tiny corpus are exact") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skipgram").toString
+    Seq((1L, "a b c"), (2L, "x x x")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Pipeline.skipgrams(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // "a b c" -> (a,b),(b,c) at offset 1 and (a,c) at offset 2;
+    // "x x x" -> (x,x) three times; order: count desc, then (w, c)
+    assert(got === Seq(("x", "x", 3L), ("a", "b", 1L), ("a", "c", 1L),
+      ("b", "c", 1L)))
+  }
+
   test("simhash: near-identical token bags give near-equal simhash") {
     import spark.implicits._
     // two docs sharing all tokens must get identical 32-bit simhash
