@@ -14,7 +14,9 @@ object GraftFunctions {
     "poly_hash2"     -> (es => graft.functions.PolyHashExpr(es.head, 131L, 1000000009L)),
     "fold_dot"       -> (es => graft.functions.FoldDotProduct(es(0), es(1))),
     "fnv1a32"        -> (es => graft.functions.Fnv1aExpr(es.head)),
-    "explode_ngrams" -> (es => graft.functions.NgramGenerator(es(0), es(1))))
+    "explode_ngrams" -> (es => graft.functions.NgramGenerator(es(0), es(1))),
+    "sorted_intersect_count" ->
+      (es => graft.functions.SortedIntersectCount(es(0), es(1))))
 }
 
 /** Session-extension entry point: the deployment path for plugging the

@@ -201,6 +201,65 @@ case class Fnv1aExpr(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Intersection size of two ASCENDING-sorted array<bigint> columns via a
+  * two-pointer merge — the closing step of the edge-iterator triangle
+  * census: one intersection per oriented edge instead of materializing
+  * (and exchanging) every wedge candidate. Codegen'd to a branch-light
+  * loop; the built-in `array_intersect` allocates a hash set per row,
+  * which on millions of edge rows is pure garbage-collector pressure.
+  *
+  * Precondition (caller-enforced, as with [[FoldDotProduct]]'s trusted
+  * vectors): both arrays sorted ascending with distinct non-null
+  * elements — exactly what `sort_array(collect_set(...))` produces. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var (i, j) = (0, 0)
+    var c = 0L
+    while (i < nx && j < ny) {
+      val (xv, yv) = (x.getLong(i), y.getLong(j))
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val c = ctx.freshName("c")
+      s"""
+         |int $nx = $a.numElements();
+         |int $ny = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object VectorExpressions {
   /** Column wrapper for [[FoldDotProduct]]. */
   def foldDot(a: Column, b: Column): Column =
@@ -217,4 +276,8 @@ object VectorExpressions {
   /** Column wrapper for [[Fnv1aExpr]]. */
   def fnv1a(c: Column): Column =
     GraftShims.column(Fnv1aExpr(GraftShims.expression(c)))
+
+  /** Column wrapper for [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftShims.column(SortedIntersectCount(GraftShims.expression(a), GraftShims.expression(b)))
 }

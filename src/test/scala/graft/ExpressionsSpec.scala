@@ -63,6 +63,25 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(2166136261L, 0xe40c292cL, 0xbf9cf968L))
   }
 
+  test("SortedIntersectCount == size(array_intersect) on random sorted sets") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      rnd.shuffle((0L to 50L).toList).take(rnd.nextInt(20)).sorted,
+      rnd.shuffle((0L to 50L).toList).take(rnd.nextInt(20)).sorted))
+    val df = rows.toDF("a", "b")
+    df.select(
+        VectorExpressions.sortedIntersectCount(col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("slow"))
+      .collect()
+      .foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // empty and null inputs
+    val edge = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    assert(edge.select(VectorExpressions.sortedIntersectCount(col("a"), col("b")))
+      .collect().head.getLong(0) === 0L)
+    assert(edge.select(VectorExpressions.sortedIntersectCount(lit(null).cast("array<bigint>"), col("b")))
+      .collect().head.isNullAt(0))
+  }
+
   test("cosine of identical vectors is 1.0") {
     val got = Seq((Seq(0.5, -0.25, 3.0), Seq(0.5, -0.25, 3.0))).toDF("a", "b")
       .select(Fns.cosineD(col("a"), col("b"))).as[Double].head()
