@@ -16,7 +16,8 @@ object GraftFunctions {
     "fnv1a32"        -> (es => graft.functions.Fnv1aExpr(es.head)),
     "explode_ngrams" -> (es => graft.functions.NgramGenerator(es(0), es(1))),
     "sorted_intersect_count" ->
-      (es => graft.functions.SortedIntersectCount(es(0), es(1))))
+      (es => graft.functions.SortedIntersectCount(es(0), es(1))),
+    "cdc_boundaries" -> (es => graft.functions.CdcBoundariesExpr(es.head)))
 }
 
 /** Session-extension entry point: the deployment path for plugging the

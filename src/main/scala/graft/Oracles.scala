@@ -844,6 +844,26 @@ object Oracles {
          |SELECT w, c, CAST(count(*) AS BIGINT) AS n_pairs FROM p
          |GROUP BY w, c ORDER BY n_pairs DESC, w, c LIMIT 30""".stripMargin,
 
+    // window hashes recomputed per position (O(n·w) — the oracle trades
+    // the engine's incremental rolling update for obviousness)
+    "q_cdc_chunks" ->
+      s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
+         |  WHERE len(text) > 0),
+         |b AS (SELECT doc_id, text, n,
+         |    list_filter(range(16, n + 1), i -> i < n AND
+         |      (${polyHashSql("substr(text, CAST(i - 15 AS INT), 16)")}) % 32 = 0) AS bs
+         |  FROM d),
+         |c AS (SELECT doc_id, text,
+         |    list_prepend(CAST(1 AS BIGINT), list_transform(bs, x -> x + 1)) AS ss,
+         |    list_append(bs, CAST(n AS BIGINT)) AS es FROM b),
+         |e AS (SELECT doc_id, text, ss, es,
+         |    unnest(range(1, len(ss) + 1)) AS k FROM c)
+         |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+         |  CAST(ss[k] AS BIGINT) AS chunk_start,
+         |  CAST(es[k] - ss[k] + 1 AS BIGINT) AS chunk_len,
+         |  ${polyHashSql("substr(text, CAST(ss[k] AS INT), CAST(es[k] - ss[k] + 1 AS INT))")} AS chunk_hash
+         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "q_vocab_prune" ->
       s"""WITH lw AS (SELECT lang, word AS w, count(*) AS c FROM
          |    (SELECT lang, unnest(regexp_split_to_array(text,'[^a-zA-Z]+')) AS word

@@ -199,6 +199,7 @@ object SparkEntry {
     "q_vocab_prune"       -> q(Pipeline.vocabPrune),
     "q_novelty"           -> q(Pipeline.novelty),
     "q_skipgrams"         -> q(Pipeline.skipgrams),
+    "q_cdc_chunks"        -> q(Pipeline.cdcChunks),
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
     // multimodal

@@ -84,4 +84,9 @@ object Fns {
   /** Same with 6 fractional digits for products like price*(1-discount). */
   def sumD6(c: Column): Column =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+
+  /** Content-defined chunk boundary positions of a string column — the
+    * codegen'd O(n) rolling-hash scan [[CdcBoundariesExpr]] (window 16,
+    * boundary when window hash ≡ 0 mod 32). */
+  def cdcBoundaries(c: Column): Column = VectorExpressions.cdcBoundaries(c)
 }

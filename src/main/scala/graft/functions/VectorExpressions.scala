@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Strict left-to-right dot product over two array<double> columns as a
   * native Catalyst expression with whole-stage codegen.
@@ -260,6 +260,65 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Content-defined chunk boundaries (the rsync/LBFS rolling-hash trick):
+  * emits every 1-based position i (Window ≤ i ≤ len) where the polynomial
+  * hash of the trailing [[CdcBoundariesExpr.Window]]-byte window is
+  * ≡ 0 (mod [[CdcBoundariesExpr.Mask]]). One O(n) incremental Rabin–Karp
+  * pass per row; byte-based like [[PolyHashExpr]] (≡ per-character on the
+  * ASCII fixture corpus, which is what the DuckDB oracle recomputes
+  * window-by-window). Codegen stays inside whole-stage codegen via a
+  * static call — the per-row dispatch is amortized over the O(n) scan,
+  * unlike a custom expression trapped inside an interpreted HOF lambda. */
+case class CdcBoundariesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override def nullSafeEval(v: Any): Any =
+    CdcBoundariesExpr.boundaries(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcBoundariesExpr.boundaries($c.getBytes());")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CdcBoundariesExpr {
+  final val Window = 16
+  final val Mask = 32
+  private final val P = 1000000007L
+  private final val B = 31L
+  /** B^(Window−1) mod P — the drop-term multiplier of the rolling update. */
+  private final val Pw: Long = {
+    var x = 1L; var k = 0
+    while (k < Window - 1) { x = x * B % P; k += 1 }
+    x
+  }
+
+  /** All qualifying window-end positions. The window hash is the same
+    * fold as [[PolyHashExpr]] over the window bytes (h = h·B + byte mod
+    * P), maintained incrementally: h' = (h − drop·B^(w−1))·B + next. */
+  def boundaries(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    if (n >= Window) {
+      var h = 0L
+      var i = 0
+      while (i < Window) { h = (h * B + (bytes(i) & 0xff)) % P; i += 1 }
+      if (h % Mask == 0) out += Window
+      while (i < n) {
+        val t = (h - (bytes(i - Window) & 0xff) * Pw % P + P) % P
+        h = (t * B + (bytes(i) & 0xff)) % P
+        i += 1
+        if (h % Mask == 0) out += i
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 object VectorExpressions {
   /** Column wrapper for [[FoldDotProduct]]. */
   def foldDot(a: Column, b: Column): Column =
@@ -280,4 +339,8 @@ object VectorExpressions {
   /** Column wrapper for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftShims.column(SortedIntersectCount(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column wrapper for [[CdcBoundariesExpr]]. */
+  def cdcBoundaries(c: Column): Column =
+    GraftShims.column(CdcBoundariesExpr(GraftShims.expression(c)))
 }

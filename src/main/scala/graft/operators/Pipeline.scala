@@ -671,6 +671,41 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Content-defined chunking (the rsync/LBFS rolling-hash technique):
+    * chunk boundaries close wherever the 16-byte rolling window hash is
+    * ≡ 0 mod 32 ([[graft.functions.CdcBoundariesExpr]]), so boundaries —
+    * and therefore chunk CONTENT fingerprints — realign within one window
+    * of an edit. An insertion shifts [[chunkDocs]]'s fixed-stride grid for
+    * the whole remainder of the document but leaves all except O(1) CDC
+    * chunks intact (asserted in `PipelineSpec`) — the chunking you want
+    * when near-identical crawls must dedup at the chunk level. Expected
+    * chunk ≈ 32 chars.
+    *
+    * Scale shape: narrow per-doc pipeline — one codegen'd O(n) boundary
+    * scan, map-side posexplode of the chunk spans, per-chunk fingerprint
+    * as a TOP-LEVEL projection (the interpreted-HOF-lambda trap does not
+    * apply); zero shuffles before the output sort. */
+  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        // a boundary at the last byte would open an empty chunk: drop it
+        filter(Fns.cdcBoundaries(col("text")),
+          b => b < length(col("text"))).as("bs"))
+    d.select(col("doc_id"), col("text"),
+        posexplode(zip_with(
+          concat(array(lit(1)), transform(col("bs"), b => b + 1)),
+          concat(col("bs"), array(length(col("text")))),
+          (a, b) => struct(a.as("st"), b.as("en")))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col.st").cast("long").as("chunk_start"),
+        (col("col.en") - col("col.st") + 1).cast("long").as("chunk_len"),
+        Fns.polyHash(expr("substring(text, col.st, col.en - col.st + 1)"))
+          .as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Skip-gram (center, context) pair counts at window ≤ 2 — the
     * word2vec/SGNS training-pair generation step, counted over ordered
     * pairs with the context FOLLOWING the center (each unordered

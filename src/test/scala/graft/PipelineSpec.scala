@@ -67,6 +67,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === globalDistinct)
   }
 
+  test("cdc_chunks: chunks partition each doc; an insertion disturbs O(1) chunks") {
+    import spark.implicits._
+    // partition property on the real fixture: contiguous starts, lengths
+    // sum to the document length
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Pipeline.cdcChunks(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet === docs.keySet)
+    rows.groupBy(_.getLong(0)).foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      var next = 1L
+      sorted.foreach { r => assert(r.getLong(2) === next); next += r.getLong(3) }
+      assert(next - 1 === docs(id).length.toLong, s"doc $id lengths")
+    }
+    // CDC locality: the same text with one char inserted mid-doc shares
+    // all but O(1) chunk fingerprints (boundaries realign within one
+    // window) — the property fixed-stride chunking does NOT have
+    val base = docs(docs.keys.min)
+    val edited = base.substring(0, base.length / 2) + "Z" +
+      base.substring(base.length / 2)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val hs = Pipeline.cdcChunks(spark, tmp).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.groupBy(_.getLong(4)).view.mapValues(_.length).toMap }
+    val (h1, h2) = (hs(1L), hs(2L))
+    val shared = h1.keySet.intersect(h2.keySet)
+      .toSeq.map(k => math.min(h1(k), h2(k))).sum
+    val total = math.max(h1.values.sum, h2.values.sum)
+    assert(total > 3, "fixture doc should split into several chunks")
+    assert(shared >= total - 3,
+      s"insertion disturbed ${total - shared} of $total chunks")
+  }
+
   test("skipgrams: window-2 pairs on a tiny corpus are exact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_skipgram").toString
