@@ -81,6 +81,28 @@ object Oracles {
   }
   private def KmIters: Int = graft.operators.Clustering.Iters
 
+  /** CDC chunk rows (no ordering) — shared by the q_cdc_chunks and
+    * q_cdc_dedup oracles. Window hashes are recomputed per position
+    * (O(n·w)); the engine's incremental rolling update produces the same
+    * values. Nested-WITH form so it can sit inside a CTE. */
+  private val CdcChunkRowsSql: String =
+    s"""WITH d0 AS (SELECT doc_id, text, len(text) AS n FROM documents
+       |  WHERE len(text) > 0),
+       |b0 AS (SELECT doc_id, text, n,
+       |    list_filter(range(16, n + 1), i -> i < n AND
+       |      (${polyHashSql("substr(text, CAST(i - 15 AS INT), 16)")}) % 32 = 0) AS bs
+       |  FROM d0),
+       |c0 AS (SELECT doc_id, text,
+       |    list_prepend(CAST(1 AS BIGINT), list_transform(bs, x -> x + 1)) AS ss,
+       |    list_append(bs, CAST(n AS BIGINT)) AS es FROM b0),
+       |e0 AS (SELECT doc_id, text, ss, es,
+       |    unnest(range(1, len(ss) + 1)) AS k FROM c0)
+       |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
+       |  CAST(ss[k] AS BIGINT) AS chunk_start,
+       |  CAST(es[k] - ss[k] + 1 AS BIGINT) AS chunk_len,
+       |  ${polyHashSql("substr(text, CAST(ss[k] AS INT), CAST(es[k] - ss[k] + 1 AS INT))")} AS chunk_hash
+       |FROM e0""".stripMargin
+
   /** q_dedup_ngram, shared verbatim by the q_dedup_clusters oracle. */
   private val DedupNgramSql: String =
     s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
@@ -847,22 +869,19 @@ object Oracles {
     // window hashes recomputed per position (O(n·w) — the oracle trades
     // the engine's incremental rolling update for obviousness)
     "q_cdc_chunks" ->
-      s"""WITH d AS (SELECT doc_id, text, len(text) AS n FROM documents
-         |  WHERE len(text) > 0),
-         |b AS (SELECT doc_id, text, n,
-         |    list_filter(range(16, n + 1), i -> i < n AND
-         |      (${polyHashSql("substr(text, CAST(i - 15 AS INT), 16)")}) % 32 = 0) AS bs
-         |  FROM d),
-         |c AS (SELECT doc_id, text,
-         |    list_prepend(CAST(1 AS BIGINT), list_transform(bs, x -> x + 1)) AS ss,
-         |    list_append(bs, CAST(n AS BIGINT)) AS es FROM b),
-         |e AS (SELECT doc_id, text, ss, es,
-         |    unnest(range(1, len(ss) + 1)) AS k FROM c)
-         |SELECT doc_id, CAST(k - 1 AS BIGINT) AS chunk_idx,
-         |  CAST(ss[k] AS BIGINT) AS chunk_start,
-         |  CAST(es[k] - ss[k] + 1 AS BIGINT) AS chunk_len,
-         |  ${polyHashSql("substr(text, CAST(ss[k] AS INT), CAST(es[k] - ss[k] + 1 AS INT))")} AS chunk_hash
-         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+      s"$CdcChunkRowsSql\nORDER BY doc_id, chunk_idx",
+
+    "q_cdc_dedup" ->
+      s"""WITH ch AS ($CdcChunkRowsSql),
+         |r AS (SELECT doc_id, chunk_len, row_number() OVER (
+         |    PARTITION BY chunk_hash ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS dup_bytes,
+         |  CAST(sum(chunk_len) AS BIGINT) AS total_bytes,
+         |  CAST(sum(CASE WHEN rn > 1 THEN chunk_len ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(chunk_len) AS DOUBLE) AS dup_frac
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_vocab_prune" ->
       s"""WITH lw AS (SELECT lang, word AS w, count(*) AS c FROM

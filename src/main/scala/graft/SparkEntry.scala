@@ -200,6 +200,7 @@ object SparkEntry {
     "q_novelty"           -> q(Pipeline.novelty),
     "q_skipgrams"         -> q(Pipeline.skipgrams),
     "q_cdc_chunks"        -> q(Pipeline.cdcChunks),
+    "q_cdc_dedup"         -> q(Pipeline.cdcDedup),
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
     // multimodal

@@ -685,7 +685,11 @@ object Pipeline {
     * scan, map-side posexplode of the chunk spans, per-chunk fingerprint
     * as a TOP-LEVEL projection (the interpreted-HOF-lambda trap does not
     * apply); zero shuffles before the output sort. */
-  def cdcChunks(s: SparkSession, dir: String): DataFrame = {
+  def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    cdcChunkTable(s, dir).orderBy("doc_id", "chunk_idx")
+
+  /** Unsorted CDC chunk table shared by [[cdcChunks]] and [[cdcDedup]]. */
+  private def cdcChunkTable(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
@@ -703,7 +707,36 @@ object Pipeline {
         (col("col.en") - col("col.st") + 1).cast("long").as("chunk_len"),
         Fns.polyHash(expr("substring(text, col.st, col.en - col.st + 1)"))
           .as("chunk_hash"))
-      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Chunk-level deduplication over the CDC chunk table — the payoff of
+    * content-defined boundaries: byte ranges shared verbatim between
+    * near-identical crawls land in IDENTICALLY-fingerprinted chunks, so
+    * "how much of each document is already stored elsewhere?" is a
+    * first-occurrence census per chunk hash. The canonical copy of a
+    * chunk is its (doc_id, chunk_idx)-minimum occurrence; every other
+    * occurrence counts toward its document's duplicated bytes.
+    *
+    * Scale shape: one exchange keyed by chunk_hash with a sort-based
+    * `row_number` (spills gracefully — no per-hash occurrence list is
+    * ever buffered, unlike a collect_list formulation that a hot
+    * boilerplate chunk would blow up), then a map-side-combined per-doc
+    * aggregation. */
+  def cdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    cdcChunkTable(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("rn") > 1, col("chunk_len")).otherwise(0L)).as("dup_bytes"),
+        sum(col("chunk_len")).as("total_bytes"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        col("dup_bytes"), col("total_bytes"),
+        (col("dup_bytes").cast("double") / col("total_bytes").cast("double"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
   }
 
   /** Skip-gram (center, context) pair counts at window ≤ 2 — the

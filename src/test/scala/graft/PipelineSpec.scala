@@ -105,6 +105,25 @@ class PipelineSpec extends AnyFunSuite {
       s"insertion disturbed ${total - shared} of $total chunks")
   }
 
+  test("cdc_dedup: duplicate counts partition chunks into canonical-first classes") {
+    val chunks = Pipeline.cdcChunks(spark, sf).collect()
+    val dedup = Pipeline.cdcDedup(spark, sf).collect()
+    // every chunk hash has exactly one canonical (rn=1) occurrence, so
+    // total duplicates == total chunks − distinct hashes
+    val distinctHashes = chunks.map(_.getLong(4)).toSet.size.toLong
+    assert(dedup.map(_.getLong(2)).sum === chunks.length - distinctHashes)
+    assert(dedup.map(_.getLong(1)).sum === chunks.length.toLong)
+    dedup.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(4)) // dup_bytes <= total_bytes
+      val f = r.getDouble(5)
+      assert(f >= 0.0 && f <= 1.0)
+    }
+    // byte conservation: per-doc total_bytes equals the document length
+    val lens = Tables.documents(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1).length.toLong).toMap
+    dedup.foreach(r => assert(r.getLong(4) === lens(r.getLong(0))))
+  }
+
   test("skipgrams: window-2 pairs on a tiny corpus are exact") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_skipgram").toString
