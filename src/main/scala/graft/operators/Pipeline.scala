@@ -651,18 +651,25 @@ object Pipeline {
     * incremental-value / memorization-risk score a crawl pipeline computes
     * per snapshot before deciding what a new crawl actually adds.
     *
-    * Scale shape: ONE corpus-sized exchange — shingle hashes group by h
-    * with a map-side-combined `collect_set` (the [[pairStats]] exchange
-    * shape), the first owner is the head of the sorted set, and the
-    * per-doc census explodes back out map-side into a doc-keyed
-    * aggregation. No corpus-sized join anywhere. */
+    * Scale shape: every per-shingle structure is SORT-based, never a
+    * buffered list — the same discipline as [[cdcDedup]]. The (h, doc_id)
+    * stream collapses to distinct pairs with a map-side-combined keyed
+    * aggregation (duplicate shingles within a doc die before the wire),
+    * then the first owner is `min(doc_id) over (partition by h)` — a
+    * sort-based window that spills, so a boilerplate shingle present in
+    * every document of a 100 TB corpus costs sort time, not a
+    * doc-count-sized array in one aggregation buffer. The per-doc census
+    * is then an ordinary map-side-combined doc-keyed aggregation. No
+    * corpus-sized join anywhere, and no per-key occurrence list —
+    * unlike the dedup family's [[pairStats]], novelty must census ALL
+    * shingles (no stop-shingle df cap applies), so the unbounded-set
+    * formulation it replaces was the one OOM hazard in this file. */
   def novelty(s: SparkSession, dir: String): DataFrame = {
-    val byShingle = shinglesRaw(s, dir)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    shinglesRaw(s, dir)
       .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
-      .groupBy("h").agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-    byShingle
-      .select(element_at(col("ds"), 1).as("first_doc"),
-        explode(col("ds")).as("doc_id"))
+      .groupBy("h", "doc_id").agg(count(lit(1)).as("dup"))
+      .withColumn("first_doc", min(col("doc_id")).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))

@@ -67,6 +67,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum === globalDistinct)
   }
 
+  test("novelty: no per-shingle occurrence list — sort-based plan, hot shingle safe") {
+    // plan shape: the per-shingle first-owner must come from a sort-based
+    // window (spills), never a buffered collect_set/collect_list — a
+    // boilerplate shingle present in every doc of a 100 TB corpus would
+    // put a doc-count-sized array into ONE aggregation buffer otherwise
+    val plan = Pipeline.novelty(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set"), "novelty must not buffer per-key sets")
+    assert(!plan.contains("collect_list"), "novelty must not buffer per-key lists")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "novelty must stay in codegen hash/sort aggregation, not object buffers")
+    assert(plan.contains("Window"), "first-owner should be a window min over h")
+    // adversarial input: one shingle present in EVERY document (the
+    // "all rights reserved" case). Correct totals, one owner, no OOM path.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hot").toString
+    import spark.implicits._
+    val n = 400
+    // tokenizer splits on non-letters, so the unique suffix must be alphabetic
+    def tag(i: Int) = i.toString.map(c => ('a' + (c - '0')).toChar)
+    (0 until n).map { i =>
+      (i.toLong, s"all rights reserved xq${tag(i)} yq${tag(i)} zq${tag(i)}")
+    }.toDF("doc_id", "text").repartition(8)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Pipeline.novelty(spark, tmp).collect().sortBy(_.getLong(0))
+    assert(rows.length === n)
+    // every doc: 4 distinct shingles (the shared one + 3 unique suffix ones);
+    // doc 0 owns all 4, every other doc owns exactly its 3 unique ones
+    rows.foreach { r =>
+      assert(r.getLong(1) === 4L, s"doc ${r.getLong(0)} distinct shingles")
+      assert(r.getLong(2) === (if (r.getLong(0) == 0L) 4L else 3L))
+    }
+  }
+
   test("cdc_chunks: chunks partition each doc; an insertion disturbs O(1) chunks") {
     import spark.implicits._
     // partition property on the real fixture: contiguous starts, lengths
