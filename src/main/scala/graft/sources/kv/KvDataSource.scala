@@ -33,12 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    conservative V2 contract), so Spark's own evaluation remains a
   *    correctness backstop and the pushdown is purely an I/O saving.
   *
-  * One input partition per file — the reference's mr-out-R layout makes
-  * files the natural split unit, exactly like its task-per-file map queue
-  * (`coordinator.go:263-266`). At 100 TB the same connector would add
-  * byte-range splits with first/last-line handoff (the standard
-  * line-format treatment); file granularity keeps the demo honest since
-  * the reference never splits a partition file either.
+  * Input partitions are BYTE-RANGE splits of each file (capped at the
+  * session's `spark.sql.files.maxPartitionBytes`, overridable with the
+  * `splitSize` read option), realigned to line boundaries by the
+  * standard text-split contract: a reader whose range starts mid-file
+  * discards everything up to and including the first newline at or after
+  * its start (the previous range finishes that line), and every reader
+  * runs past its end to complete the last line it started. The reference
+  * instead queues one whole file per task (`coordinator.go:263-266`) —
+  * which makes one 10 GB mr-out file one task on one core forever; byte
+  * ranges are the scale-correct re-expression, and a `splitSize` ≥ the
+  * largest file reproduces the reference's file-per-task behavior
+  * exactly.
   *
   * The write side ([[KvWrite]]) makes the connector a full source+sink:
   * per-task staged `"key value"` files renamed into place on task
@@ -72,12 +78,13 @@ private[kv] class KvTable(path: String) extends Table
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path)
+    new KvScanBuilder(path, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(path, info.schema(), info.queryId())
 }
 
-private[kv] class KvScanBuilder(path: String) extends ScanBuilder
+private[kv] class KvScanBuilder(path: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = KvDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
@@ -92,7 +99,13 @@ private[kv] class KvScanBuilder(path: String) extends ScanBuilder
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new KvScan(path, required, pushed)
+  override def build(): Scan = {
+    // 0 or negative disables splitting (one partition per file)
+    val splitSize = options.getLong("splitsize",
+      SparkSession.active.sessionState.conf.filesMaxPartitionBytes)
+    new KvScan(path, required, pushed,
+      if (splitSize > 0) splitSize else Long.MaxValue)
+  }
 }
 
 /** Key-filter evaluation shared by the planner (supported?) and the
@@ -123,7 +136,8 @@ private[kv] object KvFilters {
 }
 
 private[kv] class KvScan(path: String, required: StructType,
-                         pushed: Array[Filter]) extends Scan with Batch {
+                         pushed: Array[Filter], splitSize: Long)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
 
   override def description(): String =
@@ -145,8 +159,13 @@ private[kv] class KvScan(path: String, required: StructType,
         val n = s.getPath.getName
         n.startsWith("_") || n.startsWith(".")
       }
-      .map(_.getPath.toString).sorted
-      .map(f => KvInputPartition(f): InputPartition)
+      .sortBy(_.getPath.toString)
+      .flatMap { s =>
+        val len = s.getLen
+        val f = s.getPath.toString
+        (0L until len by splitSize).map(off =>
+          KvInputPartition(f, off, math.min(splitSize, len - off)): InputPartition)
+      }
       .toArray
   }
 
@@ -165,7 +184,8 @@ private[kv] class KvScan(path: String, required: StructType,
   }
 }
 
-private[kv] case class KvInputPartition(file: String) extends InputPartition
+private[kv] case class KvInputPartition(file: String, start: Long,
+                                        length: Long) extends InputPartition
 
 // ----------------------------------------------------------------- write
 
@@ -332,16 +352,27 @@ private[kv] class KvDataWriter(path: String, writeId: String,
 private[kv] class KvReaderFactory(required: StructType, pushed: Array[Filter],
                                   hadoopProps: Array[(String, String)])
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(partition.asInstanceOf[KvInputPartition].file,
-      required, pushed, hadoopProps)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvInputPartition]
+    new KvPartitionReader(p.file, p.start, p.length, required, pushed, hadoopProps)
+  }
 }
 
-/** Streams one partition file line by line: malformed lines (not exactly
-  * two space-separated fields — `worker.go:112-115`) are dropped, pushed
-  * key predicates are applied before row construction, and only the
-  * pruned columns are materialized. */
-private[kv] class KvPartitionReader(file: String, required: StructType,
+/** Streams one byte-range split line by line: malformed lines (not
+  * exactly two space-separated fields — `worker.go:112-115`) are dropped,
+  * pushed key predicates are applied before row construction, and only
+  * the pruned columns are materialized.
+  *
+  * Line ownership follows the standard text-split contract: a line is
+  * owned by the range containing the byte BEFORE its first byte (so a
+  * reader starting mid-file seeks to `start` and discards through the
+  * first newline — its predecessor read past its own end to finish that
+  * line), and a line starting exactly at `start + length` still belongs
+  * to THIS range. Every line lands in exactly one reader with no
+  * coordination, which is what lets one 10 GB file fan out across a
+  * cluster instead of pinning one core. */
+private[kv] class KvPartitionReader(file: String, start: Long, length: Long,
+                                    required: StructType,
                                     pushed: Array[Filter],
                                     hadoopProps: Array[(String, String)])
     extends PartitionReader[InternalRow] {
@@ -351,14 +382,25 @@ private[kv] class KvPartitionReader(file: String, required: StructType,
     c
   }
   private val hPath = new HPath(file)
+  private val end = start + length
   private val in = FileSystem.get(hPath.toUri, conf).open(hPath)
-  private val reader = new java.io.BufferedReader(
-    new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+  private val lines = {
+    if (start > 0) in.seek(start)
+    new org.apache.hadoop.util.LineReader(in)
+  }
+  private val text = new org.apache.hadoop.io.Text()
+  // byte position of the next unread line's first byte
+  private var pos = start
+  if (start > 0) pos += lines.readLine(text)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    var line = reader.readLine()
-    while (line != null) {
+    while (pos <= end) {
+      val n = lines.readLine(text)
+      if (n == 0) return false // EOF
+      pos += n
+      // Text is raw UTF-8 bytes sans terminator; decode once per line
+      val line = text.toString
       val sep = line.indexOf(' ')
       // exactly two fields (empty fields allowed) — byte-identical to
       // TextIO.readKv's split-size-2 rule and worker.go:112-115
@@ -373,11 +415,10 @@ private[kv] class KvPartitionReader(file: String, required: StructType,
           return true
         }
       }
-      line = reader.readLine()
     }
     false
   }
 
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = lines.close()
 }

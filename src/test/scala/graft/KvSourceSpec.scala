@@ -139,6 +139,58 @@ class KvSourceSpec extends AnyFunSuite {
       Option(c.getMessage).exists(_.contains("cannot represent"))))
   }
 
+  test("byte-range splits: one big file fans out, results byte-identical") {
+    // one multi-MB file — the reference's task-per-file queue would pin
+    // this to a single core; byte-range splits are the scale fix
+    val dir = Files.createTempDirectory("graft_kvsplit").toString
+    val sb = new StringBuilder
+    var i = 0
+    while (sb.length < 4 * 1024 * 1024) {
+      // varied line lengths so split boundaries land mid-line, at line
+      // starts, and inside keys alike
+      sb.append(s"k$i ").append("v" * (i % 97)).append('\n')
+      i += 1
+    }
+    Files.write(Paths.get(dir, "part-00000"), sb.toString.getBytes)
+    val whole = spark.read.format("graftkv").option("splitSize", "0").load(dir)
+    assert(whole.rdd.getNumPartitions === 1)
+    val expected = whole.collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(expected.length === i)
+    for (split <- Seq(64L * 1024, 1L * 1024 * 1024)) {
+      val df = spark.read.format("graftkv")
+        .option("splitSize", split.toString).load(dir)
+      assert(df.rdd.getNumPartitions >= 2, s"splitSize=$split did not split")
+      val got = df.collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(got.length === expected.length,
+        s"splitSize=$split lost/duplicated lines: ${got.length} vs ${expected.length}")
+      assert(got sameElements expected, s"splitSize=$split changed content")
+    }
+    // torture the boundary realignment: a split smaller than most lines,
+    // so ranges start mid-line, exactly at line starts, and see no line
+    // start at all — every line must land in exactly one reader
+    val tinyDir = Files.createTempDirectory("graft_kvtiny").toString
+    val tinyLines = (0 until 80).map(j => s"t$j ${"w" * (j % 23)}")
+    Files.write(Paths.get(tinyDir, "part-00000"),
+      (tinyLines.mkString("\n") + "\n").getBytes)
+    for (split <- Seq(7L, 37L, 64L)) {
+      val got = spark.read.format("graftkv")
+        .option("splitSize", split.toString).load(tinyDir)
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(got.map(t => s"${t._1} ${t._2}").sorted.toSeq === tinyLines.sorted,
+        s"splitSize=$split broke line ownership")
+    }
+    // pruning + pushdown survive splitting
+    val pruned = spark.read.format("graftkv").option("splitSize", "65536")
+      .load(dir).filter(col("key").startsWith("k1")).select("key")
+    val scan = scanOf(pruned)
+    assert(scan.scan.readSchema().fieldNames.toSeq === Seq("key"))
+    assert(scan.scan.description().contains("StringStartsWith"))
+    val prunedGot = pruned.collect().map(_.getString(0)).sorted
+    val prunedExp = expected.map(_._1).filter(_.startsWith("k1")).sorted
+    assert(prunedGot sameElements prunedExp)
+  }
+
   test("q_kv_source matches the wordcount recomputed from the corpus") {
     val got = TextIO.kvSource(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1)))
