@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.GraftShims.AbsDataType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Strict left-to-right dot product over two array<double> columns as a
   * native Catalyst expression with whole-stage codegen.
@@ -210,10 +211,17 @@ case class Fnv1aExpr(child: Expression)
   *
   * Precondition (caller-enforced, as with [[FoldDotProduct]]'s trusted
   * vectors): both arrays sorted ascending with distinct non-null
-  * elements — exactly what `sort_array(collect_set(...))` produces. */
+  * elements — exactly what `sort_array(collect_set(...))` produces. The
+  * expression is registered on the SQL surface, so the array<bigint>
+  * shape is declared via [[ExpectsInputTypes]] — a mistyped SQL call
+  * fails at analysis time instead of corrupting inside codegen; the
+  * sortedness precondition itself stays a caller contract (a runtime
+  * sortedness probe would cost the pass the expression exists to avoid). */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[AbsDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_count"
 
@@ -261,26 +269,35 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 }
 
 /** Content-defined chunk boundaries (the rsync/LBFS rolling-hash trick):
-  * emits every 1-based position i (Window ≤ i ≤ len) where the polynomial
-  * hash of the trailing [[CdcBoundariesExpr.Window]]-byte window is
-  * ≡ 0 (mod [[CdcBoundariesExpr.Mask]]). One O(n) incremental Rabin–Karp
-  * pass per row; byte-based like [[PolyHashExpr]] (≡ per-character on the
-  * ASCII fixture corpus, which is what the DuckDB oracle recomputes
-  * window-by-window). Codegen stays inside whole-stage codegen via a
-  * static call — the per-row dispatch is amortized over the O(n) scan,
-  * unlike a custom expression trapped inside an interpreted HOF lambda. */
-case class CdcBoundariesExpr(child: Expression) extends UnaryExpression {
+  * emits every 1-based CODEPOINT position i (Window ≤ i ≤ len) where the
+  * polynomial hash of the trailing [[CdcBoundariesExpr.Window]]-codepoint
+  * window is ≡ 0 (mod [[CdcBoundariesExpr.Mask]]). One O(n) incremental
+  * Rabin–Karp pass per row.
+  *
+  * Positions are codepoint offsets — the same unit as `substring` /
+  * `length`, which is what the chunk table slices with — and the window
+  * hash folds codepoint VALUES, matching the DuckDB oracle's
+  * per-codepoint recompute exactly, so boundary placement is correct on
+  * any Unicode text, not just ASCII. (The chunk CONTENT fingerprint the
+  * table then takes is [[PolyHashExpr]], whose byte-vs-codepoint ASCII
+  * contract is a statement about hash values only, never positions.)
+  * Codegen stays inside whole-stage codegen via a static call — the
+  * per-row dispatch is amortized over the O(n) scan, unlike a custom
+  * expression trapped inside an interpreted HOF lambda. */
+case class CdcBoundariesExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
 
+  override def inputTypes: Seq[AbsDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "cdc_boundaries"
 
   override def nullSafeEval(v: Any): Any =
     CdcBoundariesExpr.boundaries(
-      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.CdcBoundariesExpr.boundaries($c.getBytes());")
+      s"${ev.value} = graft.functions.CdcBoundariesExpr.boundaries($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -297,23 +314,28 @@ object CdcBoundariesExpr {
     x
   }
 
-  /** All qualifying window-end positions. The window hash is the same
-    * fold as [[PolyHashExpr]] over the window bytes (h = h·B + byte mod
-    * P), maintained incrementally: h' = (h − drop·B^(w−1))·B + next. */
-  def boundaries(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val n = bytes.length
+  /** All qualifying window-end positions, in codepoints. The window hash
+    * is the fold h = h·B + codepoint mod P, maintained incrementally:
+    * h' = (h − drop·B^(w−1))·B + next, with the last Window codepoints
+    * kept in a ring buffer for the drop term. For ASCII input every
+    * codepoint equals its byte, so this is value-identical to the
+    * byte-rolling formulation it replaces. */
+  def boundaries(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
     val out = new scala.collection.mutable.ArrayBuffer[Int]()
-    if (n >= Window) {
-      var h = 0L
-      var i = 0
-      while (i < Window) { h = (h * B + (bytes(i) & 0xff)) % P; i += 1 }
-      if (h % Mask == 0) out += Window
-      while (i < n) {
-        val t = (h - (bytes(i - Window) & 0xff) * Pw % P + P) % P
-        h = (t * B + (bytes(i) & 0xff)) % P
-        i += 1
-        if (h % Mask == 0) out += i
-      }
+    val ring = new Array[Long](Window)
+    var h = 0L
+    var cpSeen = 0 // codepoints consumed so far
+    var i = 0      // UTF-16 char index into str
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      if (cpSeen >= Window)
+        h = (h - ring(cpSeen % Window) * Pw % P + P) % P
+      h = (h * B + cp) % P
+      ring(cpSeen % Window) = cp.toLong
+      cpSeen += 1
+      if (cpSeen >= Window && h % Mask == 0) out += cpSeen
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }

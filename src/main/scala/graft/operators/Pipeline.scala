@@ -679,7 +679,7 @@ object Pipeline {
   }
 
   /** Content-defined chunking (the rsync/LBFS rolling-hash technique):
-    * chunk boundaries close wherever the 16-byte rolling window hash is
+    * chunk boundaries close wherever the 16-codepoint rolling window hash is
     * ≡ 0 mod 32 ([[graft.functions.CdcBoundariesExpr]]), so boundaries —
     * and therefore chunk CONTENT fingerprints — realign within one window
     * of an edit. An insertion shifts [[chunkDocs]]'s fixed-stride grid for

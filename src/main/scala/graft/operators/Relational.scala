@@ -1066,17 +1066,28 @@ object Relational {
     * and cache, private SQL conf) to pin the shuffle-join shape the
     * feature targets — at real scale the filtered orders side exceeds any
     * broadcast threshold on its own, and no other query's plan is touched.
-    * `RelationalSpec` asserts the might_contain probe lands in the plan. */
+    * `RelationalSpec` asserts the might_contain probe lands in the plan.
+    * The isolated session is memoized per parent session (the
+    * [[graft.operators.Graph.edgeCache]] ConcurrentHashMap discipline) —
+    * a fresh `newSession` per call would accumulate one SessionState
+    * (conf + listeners) per invocation for the SparkContext's lifetime
+    * under the bench/soak harnesses. */
+  private val bloomSessionCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
   def bloomJoin(s: SparkSession, dir: String): DataFrame = {
-    val iso = graft.Engine.tune(s.newSession())
-    iso.conf.set("spark.sql.shuffle.partitions", "32")
-    iso.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    iso.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    iso.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    // local fixtures sit far under the 10 GB cluster default; the feature
-    // itself is size-gated, so the demo pins the gate open
-    iso.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    val iso = bloomSessionCache.computeIfAbsent(s, parent => {
+      val i = graft.Engine.tune(parent.newSession())
+      i.conf.set("spark.sql.shuffle.partitions", "32")
+      i.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      i.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      i.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // local fixtures sit far under the 10 GB cluster default; the
+      // feature itself is size-gated, so the demo pins the gate open
+      i.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      i
+    })
     val o = Tables.orders(iso, dir)
       .filter(col("o_totalprice") > 450000.0)
       .select(col("o_orderkey"), col("o_orderpriority"))

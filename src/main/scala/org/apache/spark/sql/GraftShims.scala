@@ -9,6 +9,10 @@ object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** `AbstractDataType` is `private[sql]` on Spark 4; expressions outside
+    * the spark package need this alias to declare `inputTypes`. */
+  type AbsDataType = org.apache.spark.sql.types.AbstractDataType
+
   /** Register a custom expression as a SQL-callable temp function
     * (sessionState is private[sql]). */
   def registerFunction(spark: SparkSession, name: String,

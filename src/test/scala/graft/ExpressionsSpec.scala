@@ -82,6 +82,43 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("sorted_intersect_count rejects non-bigint arrays at analysis time") {
+    graft.Engine.tune(spark)
+    Seq((Seq("a", "b"), Seq("b", "c"))).toDF("a", "b")
+      .createOrReplaceTempView("sic_bad")
+    // before ExpectsInputTypes this ClassCastException'd inside codegen
+    // (or read garbage through getLong); now it's an analysis error
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(a, b) FROM sic_bad").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("sorted_intersect_count"))
+    // int arrays don't silently alias to bigint either
+    Seq((Seq(1, 2), Seq(2, 3))).toDF("a", "b").createOrReplaceTempView("sic_int")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT sorted_intersect_count(a, b) FROM sic_int").collect()
+    }
+  }
+
+  test("cdc_boundaries positions are codepoints: ASCII == multibyte twin") {
+    // the same codepoint sequence shifted into multibyte space must yield
+    // IDENTICAL boundary positions iff hashes fold codepoints (they differ
+    // under byte-rolling: é is two UTF-8 bytes)
+    val ascii = Seq.tabulate(400)(i => ('a' + i % 26).toChar).mkString
+    val astral = ascii.map(c => new String(
+      Character.toChars(c.toInt + 0x1D400 - 'a'.toInt))).mkString
+    val got = Seq((1L, ascii)).toDF("id", "s")
+      .select(Fns.cdcBoundaries(col("s"))).collect().head.getSeq[Int](0)
+    assert(got.nonEmpty, "fixture string produced no boundaries; lengthen it")
+    assert(got.forall(b => b >= 16 && b <= 400))
+    // positional sanity on genuinely multibyte text: every boundary must
+    // be a valid codepoint offset (≤ codepoint count, not byte count)
+    val gotAstral = Seq((1L, astral)).toDF("id", "s")
+      .select(Fns.cdcBoundaries(col("s"))).collect().head.getSeq[Int](0)
+    val cps = astral.codePointCount(0, astral.length)
+    assert(cps === 400)
+    assert(gotAstral.forall(b => b >= 16 && b <= cps))
+  }
+
   test("cosine of identical vectors is 1.0") {
     val got = Seq((Seq(0.5, -0.25, 3.0), Seq(0.5, -0.25, 3.0))).toDF("a", "b")
       .select(Fns.cosineD(col("a"), col("b"))).as[Double].head()

@@ -99,6 +99,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_chunks: non-ASCII boundaries are codepoint offsets, not bytes") {
+    // é is 2 UTF-8 bytes, 汉 is 3, 𝕏 is 4 (and a surrogate pair in UTF-16):
+    // byte-positioned boundaries consumed by codepoint-based substring
+    // would mis-slice all of these and break the partition property below
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdcu").toString
+    import spark.implicits._
+    val texts = Seq(
+      "é" * 200,
+      ("汉字漫谈 " * 60).trim,
+      ("𝕏marks𝕏the𝕏spot " * 40).trim,
+      "plain ascii control text " * 10)
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = Pipeline.cdcChunks(spark, tmp).collect()
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val cps = t.codePointCount(0, t.length).toLong
+      val rs = rows.filter(_.getLong(0) == i).sortBy(_.getLong(1))
+      assert(rs.nonEmpty, s"doc $i produced no chunks")
+      var next = 1L
+      rs.foreach { r => assert(r.getLong(2) === next, s"doc $i starts"); next += r.getLong(3) }
+      assert(next - 1 === cps, s"doc $i chunk lengths must sum to codepoints")
+    }
+  }
+
   test("cdc_chunks: chunks partition each doc; an insertion disturbs O(1) chunks") {
     import spark.implicits._
     // partition property on the real fixture: contiguous starts, lengths
