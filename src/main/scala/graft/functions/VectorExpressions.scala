@@ -268,6 +268,99 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Codepoint histogram of a string as `array<bigint>` with
+  * [[CharHistExpr.Buckets]] buckets (codepoint mod bucket-count) — the
+  * map-side precompute for [[BagDistance]] pre-verification in fuzzy
+  * joins: each side's rows carry their histogram ONCE, so the cheap
+  * per-pair lower bound never re-scans the strings. Bucket collisions
+  * only merge categories, which can only LOWER the bag distance, so the
+  * ≤-threshold prefilter stays lossless at any bucket count. */
+case class CharHistExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbsDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_hist"
+
+  override def nullSafeEval(v: Any): Any =
+    CharHistExpr.hist(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharHistExpr.hist($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object CharHistExpr {
+  final val Buckets = 128
+
+  def hist(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val h = new Array[Long](Buckets)
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      h(cp % Buckets) += 1L
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(h)
+  }
+}
+
+/** Bag (multiset) distance between two histogram arrays:
+  * max(Σ max(aᵢ−bᵢ,0), Σ max(bᵢ−aᵢ,0)) — a LOWER BOUND on edit distance
+  * (each edit operation moves at most one unit of one-sided histogram
+  * mass), so `bag_distance(ha, hb) <= k` keeps every pair with
+  * levenshtein ≤ k while pruning the rest at O(buckets) per pair instead
+  * of the O(len·k) banded DP. The standard cheap pre-verifier in blocked
+  * entity resolution — on dimension names the discriminating characters
+  * make this nearly as selective as the DP itself. */
+case class BagDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbsDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bag_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var pa = 0L
+    var pb = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      if (d > 0) pa += d else pb -= d
+      i += 1
+    }
+    math.max(pa, pb)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val pa = ctx.freshName("pa")
+      val pb = ctx.freshName("pb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $pa = 0L; long $pb = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  if ($d > 0) { $pa += $d; } else { $pb -= $d; }
+         |}
+         |${ev.value} = java.lang.Math.max($pa, $pb);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Content-defined chunk boundaries (the rsync/LBFS rolling-hash trick):
   * emits every 1-based CODEPOINT position i (Window ≤ i ≤ len) where the
   * polynomial hash of the trailing [[CdcBoundariesExpr.Window]]-codepoint
@@ -365,4 +458,12 @@ object VectorExpressions {
   /** Column wrapper for [[CdcBoundariesExpr]]. */
   def cdcBoundaries(c: Column): Column =
     GraftShims.column(CdcBoundariesExpr(GraftShims.expression(c)))
+
+  /** Column wrapper for [[CharHistExpr]]. */
+  def charHist(c: Column): Column =
+    GraftShims.column(CharHistExpr(GraftShims.expression(c)))
+
+  /** Column wrapper for [[BagDistance]]. */
+  def bagDistance(a: Column, b: Column): Column =
+    GraftShims.column(BagDistance(GraftShims.expression(a), GraftShims.expression(b)))
 }

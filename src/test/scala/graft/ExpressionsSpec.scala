@@ -119,6 +119,38 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(gotAstral.forall(b => b >= 16 && b <= cps))
   }
 
+  test("bag_distance is a lossless lower bound on levenshtein") {
+    val rnd = new scala.util.Random(11)
+    def name() = "Entity#" + Seq.fill(9)(rnd.nextInt(10)).mkString
+    def mutate(s: String): String = {
+      val ops = rnd.nextInt(9)
+      (0 until ops).foldLeft(s) { (t, _) =>
+        val i = rnd.nextInt(t.length)
+        rnd.nextInt(3) match {
+          case 0 => t.updated(i, ('a' + rnd.nextInt(26)).toChar).mkString // sub
+          case 1 => t.take(i) + ('0' + rnd.nextInt(10)).toChar + t.drop(i) // ins
+          case _ => t.take(i) + t.drop(i + 1)                              // del
+        }
+      }
+    }
+    val pairs = Seq.fill(300)((name(), if (rnd.nextBoolean()) name() else null))
+      .map { case (a, b) => (a, if (b == null) mutate(a) else b) }
+    val rows = pairs.toDF("a", "b")
+      .select(
+        graft.functions.VectorExpressions.bagDistance(
+          graft.functions.VectorExpressions.charHist(col("a")),
+          graft.functions.VectorExpressions.charHist(col("b"))).as("bag"),
+        levenshtein(col("a"), col("b")).cast("long").as("lev"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) <= r.getLong(1),
+        s"bag ${r.getLong(0)} must lower-bound lev ${r.getLong(1)}")
+    }
+    // so a bag<=k screen can never drop a lev<=k pair — the fuzzy-join
+    // prefilter is exact, not approximate
+    assert(rows.forall(r => r.getLong(1) > 6 || r.getLong(0) <= 6))
+  }
+
   test("cosine of identical vectors is 1.0") {
     val got = Seq((Seq(0.5, -0.25, 3.0), Seq(0.5, -0.25, 3.0))).toDF("a", "b")
       .select(Fns.cosineD(col("a"), col("b"))).as[Double].head()
