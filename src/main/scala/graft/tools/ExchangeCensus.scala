@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+
+/** Prints each query's FINAL-adaptive-plan exchange counts as Scala map
+  * rows — the generator for `PlanGuardSpec`'s recorded shuffle budgets.
+  * Counting walks the physical tree (through AQE query stages) rather
+  * than grepping plan strings, so renames in plan rendering can't
+  * silently change the census. */
+object ExchangeCensus {
+
+  /** (shuffle exchanges, broadcast exchanges) excluding reuse. */
+  def exchangeCounts(plan: SparkPlan): (Int, Int) = {
+    var shuffle = 0
+    var bcast = 0
+    def walk(p: SparkPlan): Unit = p match {
+      case _: ReusedExchangeExec    => // reused: counted at its origin
+      case a: AdaptiveSparkPlanExec =>
+        walk(a.executedPlan); a.subqueries.foreach(walk)
+      case q: QueryStageExec        =>
+        walk(q.plan); q.subqueries.foreach(walk)
+      case s: ShuffleExchangeLike   =>
+        shuffle += 1; s.children.foreach(walk); s.subqueries.foreach(walk)
+      case b: BroadcastExchangeLike =>
+        bcast += 1; b.children.foreach(walk); b.subqueries.foreach(walk)
+      case other =>
+        other.children.foreach(walk); other.subqueries.foreach(walk)
+    }
+    walk(plan)
+    (shuffle, bcast)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Engine.tune(SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = if (args.nonEmpty) args.head else "/root/testdata/sf0.001"
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sf)
+        df.collect() // drive AQE to the final plan
+        val (s, b) = exchangeCounts(df.queryExecution.executedPlan)
+        println(f"""    "$name%s" -> $s%d, // +$b%d broadcast""")
+      } catch {
+        case e: Exception => println(s"    // $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
