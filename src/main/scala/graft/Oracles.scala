@@ -2045,6 +2045,21 @@ object Oracles {
     // drain the kv snapshot equals the batch per-type count
     "q_stream_kv_sink" ->
       s"""SELECT event_type AS key, count(*) AS n FROM events
-         |GROUP BY event_type ORDER BY key""".stripMargin
+         |GROUP BY event_type ORDER BY key""".stripMargin,
+
+    // incremental first-occurrence census: min-owner + count commute
+    // across any micro-batch order, so the drained stream equals this
+    // batch census exactly
+    "q_stream_cdc_dedup" ->
+      s"""WITH ch AS ($CdcChunkRowsSql),
+         |r AS (SELECT chunk_hash, doc_id, chunk_idx, chunk_len,
+         |    row_number() OVER (PARTITION BY chunk_hash
+         |      ORDER BY doc_id, chunk_idx) AS rn,
+         |    count(*) OVER (PARTITION BY chunk_hash) AS n_occ
+         |  FROM ch)
+         |SELECT chunk_hash, doc_id AS owner_doc, chunk_idx AS owner_idx,
+         |  chunk_len, CAST(n_occ AS BIGINT) AS n_occ,
+         |  CAST((n_occ - 1) * chunk_len AS BIGINT) AS dup_bytes
+         |FROM r WHERE rn = 1 ORDER BY chunk_hash""".stripMargin
   )
 }

@@ -217,7 +217,8 @@ object SparkEntry {
     "q_stream_outer_join" -> q(Streams.streamOuterJoin),
     "q_stream_topk"       -> q(Streams.streamTopk),
     "q_stream_current"    -> q(Streams.streamCurrentState),
-    "q_stream_kv_sink"    -> q(Streams.streamKvSink)
+    "q_stream_kv_sink"    -> q(Streams.streamKvSink),
+    "q_stream_cdc_dedup"  -> q(Streams.streamCdcDedup)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -696,8 +696,15 @@ object Pipeline {
     cdcChunkTable(s, dir).orderBy("doc_id", "chunk_idx")
 
   /** Unsorted CDC chunk table shared by [[cdcChunks]] and [[cdcDedup]]. */
-  private def cdcChunkTable(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+  private def cdcChunkTable(s: SparkSession, dir: String): DataFrame =
+    cdcChunksOf(Tables.documents(s, dir))
+
+  /** The CDC chunk pipeline over any documents-shaped frame (doc_id,
+    * text) — batch and streaming share this single definition of chunk
+    * semantics, so the streaming census can never drift from the batch
+    * oracle. Narrow (per-row) end to end: safe under a streaming source. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame = {
+    val d = docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),
         // a boundary at the last byte would open an empty chunk: drop it

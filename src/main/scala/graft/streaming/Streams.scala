@@ -300,6 +300,79 @@ object Streams {
     }
   }
 
+  /** The documents table as a stream, tolerant of the same two fixture
+    * layouts as [[eventStream]]: a single `documents.parquet` file beside
+    * the other tables, or a directory of part files. `maxFilesPerTrigger=1`
+    * forces multi-batch processing where layout allows, so incremental
+    * state genuinely carries across micro-batches. */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val schema = Tables.documents(s, dir).schema
+    val f = new java.io.File(dir, "documents.parquet")
+    if (f.isDirectory)
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(f.getAbsolutePath)
+    else
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  /** Streaming CDC chunk dedup — the incremental first-occurrence census
+    * that closes the loop between the content-defined-chunking family
+    * ([[graft.operators.Pipeline.cdcDedup]]) and the `graftkv` V2 sink:
+    * documents arrive as a stream, are chunked MAP-SIDE by the same
+    * codegen'd rolling-hash boundary scan the batch path uses (one shared
+    * definition, [[graft.operators.Pipeline.cdcChunksOf]]), and a
+    * stateful per-chunk-hash aggregation maintains the census — canonical
+    * owner (the (doc_id, chunk_idx)-minimum occurrence), occurrence
+    * count, chunk length. Each trigger snapshots the census through the
+    * kv connector's job-level commit protocol, so a batch that dies
+    * mid-write leaves the previous snapshot fully readable.
+    *
+    * The census is ORDER-INSENSITIVE by construction — `min(owner)` and
+    * `count` commute across any batch arrival order — so the streaming
+    * result equals the batch oracle regardless of how the source splits
+    * into micro-batches. State is one small fixed-width row per distinct
+    * chunk hash (never an occurrence list), the same bounded-state
+    * discipline as the batch census's sort-based `row_number`. */
+  def streamCdcDedup(s: SparkSession, dir: String): DataFrame = {
+    val (data, ckpt) = sinkDirs()
+    val census = graft.operators.Pipeline.cdcChunksOf(documentsStream(s, dir))
+      .groupBy("chunk_hash")
+      .agg(min(struct(col("doc_id"), col("chunk_idx"), col("chunk_len")))
+             .as("o"),
+           count(lit(1)).as("n_occ"))
+    val snapshot = census.select(
+      col("chunk_hash").cast("string").as("key"),
+      concat_ws(":", col("o.doc_id"), col("o.chunk_idx"), col("o.chunk_len"),
+                col("n_occ")).as("value"))
+    withStatePartitions(s, 2) {
+      val q = snapshot.writeStream.outputMode("complete")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.write.format("graftkv").mode("overwrite").save(data)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // zero-batch tolerance, same contract as readSink: no batch → no dir
+    if (new java.io.File(data).exists()) {
+      val parts = split(col("value"), ":")
+      s.read.format("graftkv").load(data)
+        .select(col("key").cast("bigint").as("chunk_hash"),
+          parts.getItem(0).cast("bigint").as("owner_doc"),
+          parts.getItem(1).cast("bigint").as("owner_idx"),
+          parts.getItem(2).cast("bigint").as("chunk_len"),
+          parts.getItem(3).cast("bigint").as("n_occ"))
+        .withColumn("dup_bytes", (col("n_occ") - 1) * col("chunk_len"))
+        .orderBy("chunk_hash")
+    } else {
+      import s.implicits._
+      s.emptyDataset[(Long, Long, Long, Long, Long, Long)]
+        .toDF("chunk_hash", "owner_doc", "owner_idx", "chunk_len", "n_occ",
+          "dup_bytes")
+    }
+  }
+
   /** Streaming CDC current-state via Spark 4's `transformWithState` — the
     * new arbitrary-stateful API (typed `ValueState` handles, RocksDB state
     * store required): each user's profile (cumulative event count + latest

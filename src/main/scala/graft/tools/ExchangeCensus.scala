@@ -41,7 +41,11 @@ object ExchangeCensus {
       .config("spark.ui.enabled", "false").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
     val sf = if (args.nonEmpty) args.head else "/root/testdata/sf0.001"
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // optional extra args: census only the named queries (dev subset runs)
+    val only = args.drop(1).toSet
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sf)
         df.collect() // drive AQE to the final plan

@@ -181,6 +181,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_sql_custom_fn" -> 1,
     "q_sql_interface" -> 2,
     "q_sql_udtf" -> 3,
+    "q_stream_cdc_dedup" -> 1,
     "q_stream_current" -> 2,
     "q_stream_dedup" -> 1,
     "q_stream_kv_sink" -> 1,

@@ -131,4 +131,33 @@ class StreamsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(stream === batch)
   }
+
+  test("stream CDC census equals batch census and is batch-order-insensitive") {
+    def censusOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val stream = censusOf(Streams.streamCdcDedup(spark, sf))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("chunk_hash").orderBy("doc_id", "chunk_idx")
+    val batch = censusOf(graft.operators.Pipeline.cdcChunks(spark, sf)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_occ", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk_hash")))
+      .filter(col("rn") === 1)
+      .select(col("chunk_hash"), col("doc_id").as("owner_doc"),
+        col("chunk_idx").as("owner_idx"), col("chunk_len"), col("n_occ"),
+        ((col("n_occ") - 1) * col("chunk_len")).as("dup_bytes")))
+    assert(stream === batch)
+
+    // multi-file layout → maxFilesPerTrigger=1 forces ≥2 micro-batches;
+    // the min-owner/count census must commute across the batch split
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    try {
+      Tables.documents(spark, sf).repartition(3)
+        .write.parquet(new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath)
+      assert(censusOf(Streams.streamCdcDedup(spark, tmp.toString)) === batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }
