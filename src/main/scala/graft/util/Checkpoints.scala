@@ -22,6 +22,13 @@ import org.apache.spark.sql.DataFrame
   */
 object Checkpoints {
 
+  /** The last dir THIS chokepoint applied via `setCheckpointDir`, so a
+    * changed `spark.graft.checkpoint.dir` conf is honored for the rest of
+    * the SparkContext's life instead of silently ignored (the context
+    * API itself has no "read back the conf" notion of staleness — it
+    * returns a resolved URI, not what the caller passed). */
+  private val appliedDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Materialize `df` eagerly and return a plan that re-reads the
     * materialized blocks (lineage cut). Mode per the session confs above. */
   def stable(df: DataFrame): DataFrame = {
@@ -30,12 +37,20 @@ object Checkpoints {
       .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)
     if (reliable) {
       val sc = spark.sparkContext
-      if (sc.getCheckpointDir.isEmpty) {
-        val dir = spark.conf.getOption("spark.graft.checkpoint.dir")
-          .getOrElse(throw new IllegalStateException(
+      spark.conf.getOption("spark.graft.checkpoint.dir") match {
+        case Some(dir) =>
+          // apply on first use AND whenever the conf changed since we
+          // last applied it; a dir set externally on the context (conf
+          // never set) is left alone
+          if (sc.getCheckpointDir.isEmpty || appliedDir.get() != dir) {
+            sc.setCheckpointDir(dir)
+            appliedDir.set(dir)
+          }
+        case None if sc.getCheckpointDir.isEmpty =>
+          throw new IllegalStateException(
             "spark.graft.checkpoint.reliable=true requires " +
-              "spark.graft.checkpoint.dir (a DFS path) to be set"))
-        sc.setCheckpointDir(dir)
+              "spark.graft.checkpoint.dir (a DFS path) to be set")
+        case None => // context already has a dir the user set directly
       }
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
