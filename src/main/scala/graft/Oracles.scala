@@ -1603,6 +1603,57 @@ object Oracles {
          |  distinct_frac > 0.3 AND top_bigram_frac < 0.2 AS keep
          |FROM j ORDER BY doc_id""".stripMargin,
 
+    // groups by the 5-gram TEXT where the engine groups by xxhash64(gram)
+    // — identical groups absent a 64-bit collision within one document;
+    // range(1, len(t)-3) is empty for len(t) < 5, so short docs emit no
+    // grams and fall to the LEFT JOIN's zero
+    "q_repetition_filter" ->
+      s"""WITH d AS ($TokList),
+         |b AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS BIGINT)
+         |    AS sum_token_len FROM d),
+         |g AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 3),
+         |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |     || ' ' || t[i+4])) AS g FROM d),
+         |c AS (SELECT doc_id, g, count(*) AS c,
+         |  CAST(max(length(g)) - 4 AS BIGINT) AS glen
+         |  FROM g GROUP BY doc_id, g),
+         |dup AS (SELECT doc_id, CAST(sum(c * glen) AS BIGINT) AS dup_chars
+         |  FROM c WHERE c > 1 GROUP BY doc_id)
+         |SELECT b.doc_id, n_tokens, sum_token_len,
+         |  COALESCE(dup_chars, 0) AS dup_5gram_chars,
+         |  CASE WHEN sum_token_len > 0
+         |    THEN CAST(COALESCE(dup_chars, 0) AS DOUBLE)/CAST(sum_token_len AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS dup_frac,
+         |  CASE WHEN sum_token_len > 0
+         |    THEN CAST(COALESCE(dup_chars, 0) AS DOUBLE)/CAST(sum_token_len AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END < 0.3 AS keep
+         |FROM b LEFT JOIN dup ON b.doc_id = dup.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
+    // same multiplicative hash (Knuth 2654435761 mod 2^32) on both sides;
+    // doc_id tiebreak makes the per-source ranking total
+    "q_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    "q_token_compression" ->
+      """WITH d AS (SELECT lang, n_chars,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[.,]')) AS BIGINT) AS n_bpe
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_bpe) AS BIGINT) AS sum_tokens,
+        |  CASE WHEN CAST(sum(n_bpe) AS BIGINT) > 0
+        |    THEN CAST(CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+        |       / CAST(CAST(sum(n_bpe) AS BIGINT) AS DOUBLE)
+        |    ELSE CAST(0.0 AS DOUBLE) END AS chars_per_token
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+
     // the composed curation job: quality keepers minus non-canonical
     // near-dup members, chunked and summarized per language — every piece
     // reused verbatim from its standalone oracle

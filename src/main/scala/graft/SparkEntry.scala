@@ -167,6 +167,9 @@ object SparkEntry {
     "q_text_stats"        -> q(Pipeline.textStats),
     "q_quality_score"     -> q(Pipeline.qualityScore),
     "q_gopher_quality"    -> q(Pipeline.gopherQuality),
+    "q_repetition_filter" -> q(Pipeline.repetitionFilter),
+    "q_domain_cap"        -> q((s, d) => Pipeline.domainCap(s, d)),
+    "q_token_compression" -> q(Pipeline.tokenCompression),
     "q_char_diversity"    -> q(Pipeline.charDiversity),
     "q_lang_id"           -> q(Pipeline.langId),
     "q_token_count"       -> q(Pipeline.tokenCount),

@@ -550,6 +550,106 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-5-gram character fraction (the other half of the Gopher
+    * repetition family next to [[gopherQuality]]'s top-bigram share): the
+    * share of a document's letter characters that sit inside word 5-grams
+    * occurring more than once IN THAT DOCUMENT, counting every occurrence.
+    * High values mark looping/boilerplate generations that token-level
+    * stats miss.
+    *
+    * Scale shape: 5-grams are generated map-side from the token array and
+    * immediately collapsed to (doc_id, xxhash64(gram), gram_chars) — the
+    * shuffle carries three int64s per gram, never the gram text — then two
+    * keyed aggregations ((doc,hash)→count, doc→dup char sum), both
+    * map-side combined. Per-doc gram count is linear in document length,
+    * so the whole plan is linear in corpus size with no per-key buffering
+    * — the same shape at 100 TB. The final division is a single IEEE op
+    * on int64-derived operands (bit-exact vs the oracle, which groups by
+    * the gram text itself — identical groups absent a 64-bit hash
+    * collision within one document). */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    // sum of token lengths ≡ count of letter chars (tokens are the
+    // maximal letter runs) — one O(n) scan, same trick as textStats
+    val base = d.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+        .cast("long").as("sum_token_len"))
+    val grams = d.select(col("doc_id"),
+      explode(when(size(col("t")) >= 5,
+          transform(sequence(lit(0), size(col("t")) - 5),
+            i => concat_ws(" ", element_at(col("t"), i + 1),
+                                element_at(col("t"), i + 2),
+                                element_at(col("t"), i + 3),
+                                element_at(col("t"), i + 4),
+                                element_at(col("t"), i + 5))))
+        .otherwise(array().cast("array<string>"))).as("g"))
+    val counts = grams
+      .select(col("doc_id"), xxhash64(col("g")).as("h"),
+        (length(col("g")) - 4).cast("long").as("glen"))
+      .groupBy("doc_id", "h")
+      .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
+    val dup = counts.filter(col("c") > 1)
+      .groupBy("doc_id").agg(sum(col("c") * col("glen")).as("dup_chars"))
+    base.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("sum_token_len"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_5gram_chars"))
+      .withColumn("dup_frac",
+        when(col("sum_token_len") > 0,
+          col("dup_5gram_chars").cast("double") /
+            col("sum_token_len").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("keep", col("dup_frac") < 0.3)
+      .orderBy("doc_id")
+  }
+
+  /** Per-source document quota ("domain cap"): keep at most `cap`
+    * documents per source, chosen by a deterministic multiplicative hash
+    * of doc_id (Knuth 2654435761 mod 2³²) so the sample is stable across
+    * runs and engines — the domain-balancing step of web-corpus prep,
+    * where a handful of giant domains would otherwise dominate the mix.
+    *
+    * Scale shape: one exchange keyed by source; the row_number + rank
+    * filter pair is rewritten by Spark to a WindowGroupLimit, so each
+    * partition retains only its top-`cap` rows BEFORE the sort
+    * materializes — a mega-domain costs a bounded per-partition heap,
+    * not a domain-sized sort. */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("hk"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("hk"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Tokenizer-efficiency census: characters per BPE-ish token by
+    * language — the compression-ratio metric used to compare tokenizer
+    * vocabularies across languages (a lang whose ratio sags pays more
+    * sequence length for the same text). One map-side-combined keyed
+    * aggregation over language-collapsed counts; the corpus is scanned
+    * once and only (lang, sums) rows are exchanged. The ratio is a single
+    * IEEE division of two exact int64 sums. */
+  def tokenCompression(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[.,]"), lit(0)))
+          .cast("long").as("n_bpe"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_bpe")).as("sum_tokens"))
+      .withColumn("chars_per_token",
+        when(col("sum_tokens") > 0,
+          col("sum_chars").cast("double") / col("sum_tokens").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("lang")
+
   /** Character-distribution diversity per document, scored with Gini
     * impurity 1 − Σ(cᵢ/n)² — the log-free stand-in for character entropy
     * (libm log isn't bit-portable; Σcᵢ² is an exact int64, so the single

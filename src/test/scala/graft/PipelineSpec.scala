@@ -472,4 +472,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(r0.getDouble(2) === toks.distinct.length.toDouble / toks.length)
     assert(r0.getLong(3) === bigs.groupBy(identity).values.map(_.size).max.toLong)
   }
+
+  test("repetition_filter matches a driver-side brute force on every doc") {
+    val rows = Pipeline.repetitionFilter(spark, sf).collect()
+    assert(rows.length === 500)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = docs(r.getLong(0)).split("[^a-zA-Z]+").filter(_.nonEmpty)
+      val sumLen = toks.map(_.length).sum.toLong
+      val grams = toks.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+      val dupChars = grams.groupBy(identity).values
+        .filter(_.size > 1)
+        .map(g => g.size.toLong * (g.head.length - 4)).sum
+      assert(r.getLong(1) === toks.length.toLong)
+      assert(r.getLong(2) === sumLen)
+      assert(r.getLong(3) === dupChars)
+      val frac = if (sumLen > 0) dupChars.toDouble / sumLen.toDouble else 0.0
+      assert(r.getDouble(4) === frac)
+      assert(r.getBoolean(5) === (frac < 0.3))
+    }
+  }
+
+  test("domain_cap: <=15 per source, deterministic, plan pre-limits before the exchange") {
+    val rows = Pipeline.domainCap(spark, sf).collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    bySrc.values.foreach { g =>
+      assert(g.length <= 15)
+      // ranks are 1..n with no gaps
+      assert(g.map(_.getLong(2)).sorted.toSeq === (1L to g.length).toSeq)
+    }
+    // the hash order is reproducible: a second run picks the same docs
+    val again = Pipeline.domainCap(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ===
+      again.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq)
+    // rank-limit pushdown: a WindowGroupLimit runs below the source
+    // exchange, so a mega-domain costs a bounded per-partition heap
+    val plan = Pipeline.domainCap(spark, sf).queryExecution.sparkPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(plan).length >= 2,
+      s"expected partial+final WindowGroupLimit, got:\n$plan")
+  }
+
+  test("token_compression reconciles with corpus-wide sums") {
+    val rows = Pipeline.tokenCompression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val d = Tables.documents(spark, sf).select(
+      sum(col("n_chars")).as("c"),
+      sum(size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[.,]"), lit(0))).cast("long")).as("t"),
+      count(lit(1)).as("n")).collect().head
+    assert(rows.map(_.getLong(1)).sum === d.getLong(2))
+    assert(rows.map(_.getLong(2)).sum === d.getLong(0))
+    assert(rows.map(_.getLong(3)).sum === d.getLong(1))
+    rows.foreach { r =>
+      assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+  }
 }

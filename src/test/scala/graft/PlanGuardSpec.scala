@@ -95,6 +95,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dedup_ngram" -> 1,
     "q_degree_hist" -> 2,
     "q_distinct_words" -> 2,
+    "q_domain_cap" -> 2,
     "q_dpp_join" -> 3,
     "q_embedding_neardup" -> 2,
     "q_embedding_quantize" -> 1,
@@ -160,6 +161,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_range_join" -> 2,
     "q_recursive_cte" -> 1,
     "q_redact" -> 1,
+    "q_repetition_filter" -> 2,
     "q_retention" -> 6,
     "q_rollup" -> 2,
     "q_scd2" -> 2,
@@ -198,6 +200,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_text_roundtrip" -> 1,
     "q_text_stats" -> 1,
     "q_tfidf" -> 6,
+    "q_token_compression" -> 2,
     "q_token_count" -> 1,
     "q_token_positions" -> 2,
     "q_tokens_per_doc" -> 2,
