@@ -2111,6 +2111,16 @@ object Oracles {
          |SELECT chunk_hash, doc_id AS owner_doc, chunk_idx AS owner_idx,
          |  chunk_len, CAST(n_occ AS BIGINT) AS n_occ,
          |  CAST((n_occ - 1) * chunk_len AS BIGINT) AS dup_bytes
-         |FROM r WHERE rn = 1 ORDER BY chunk_hash""".stripMargin
+         |FROM r WHERE rn = 1 ORDER BY chunk_hash""".stripMargin,
+
+    // min-K by hash is a commutative semilattice, so the drained stream's
+    // kept set equals the batch quota exactly — same SQL as q_domain_cap
+    "q_stream_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source
+        |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 15 ORDER BY source, rk""".stripMargin
   )
 }

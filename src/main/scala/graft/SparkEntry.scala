@@ -221,7 +221,8 @@ object SparkEntry {
     "q_stream_topk"       -> q(Streams.streamTopk),
     "q_stream_current"    -> q(Streams.streamCurrentState),
     "q_stream_kv_sink"    -> q(Streams.streamKvSink),
-    "q_stream_cdc_dedup"  -> q(Streams.streamCdcDedup)
+    "q_stream_cdc_dedup"  -> q(Streams.streamCdcDedup),
+    "q_stream_domain_cap" -> q((s, d) => Streams.streamDomainCap(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

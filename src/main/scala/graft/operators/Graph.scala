@@ -195,19 +195,24 @@ object Graph {
     * iterations don't replay the orders⋈lineitem upstream; every node
     * has degree ≥ 1 by construction, so there is no dangling-mass term. */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
-    val e0 = Tables.orders(s, dir)
-      .select(col("o_orderkey"), col("o_custkey"))
-      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-      .distinct()
-    val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-    // the out-degree is STATIC across iterations, so it is attached to the
-    // edge list once — each iteration then needs a single ranks⋈edges
-    // join instead of ranks⋈deg⋈edges (one fewer join per superstep; the
-    // materialized edgesD is what iterations re-read)
-    val edgesD = Checkpoints.stable(edges.join(deg, "u"))
+    // the degree-annotated edge list is a per-corpus investment like
+    // [[distinctEdges]]: derived (orders⋈lineitem, distinct, symmetrize,
+    // degree-attach) and materialized ONCE per (session, corpus), then
+    // every pageRank call — and every iteration within a call — re-reads
+    // the materialized blocks. Out-degree is STATIC across iterations, so
+    // attaching it here means each superstep is a single ranks⋈edges
+    // join instead of ranks⋈deg⋈edges.
+    val edgesD = prEdgeCache.computeIfAbsent((s, dir), _ => {
+      val e0 = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+      Checkpoints.stable(edges.join(deg, "u"))
+    })
     // fixed unroll, ONE action: no per-iteration checkpoint needed — the
     // whole recurrence is a single DAG, so r1/r2 are each computed once
     // and the edge-list exchange is reused across iterations (unlike a
@@ -227,4 +232,7 @@ object Graph {
           .as("kind"),
         col("r").as("rank_micro"))
   }
+
+  private val prEdgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 }

@@ -373,6 +373,47 @@ object Streams {
     }
   }
 
+  /** Streaming per-source document quota — the incremental twin of
+    * [[graft.operators.Pipeline.domainCap]]: as documents stream in, each
+    * source keeps the `cap` docs with the SMALLEST deterministic hash
+    * (Knuth multiplicative, same constant as the batch path), maintained
+    * by the bounded [[graft.functions.BoundedTopK]] aggregator. Min-K is
+    * a commutative/associative semilattice, so the kept set is
+    * independent of micro-batch arrival order BY CONSTRUCTION and equals
+    * the batch quota exactly; and because the hash is uniform, the kept
+    * set is a uniform K-subset per source — this is the streaming-safe
+    * form of per-domain reservoir sampling. State per source is ≤ `cap`
+    * fixed-width pairs (never an occurrence list); each trigger
+    * snapshots the full quota table to the sink, final snapshot wins. */
+  def streamDomainCap(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val (data, ckpt) = sinkDirs()
+    val topk = udaf(new graft.functions.BoundedTopK(cap))
+    val kept = documentsStream(s, dir)
+      .select(col("source"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("hk"),
+        col("doc_id"))
+      .groupBy("source")
+      .agg(topk(col("hk"), col("doc_id")).as("kept"))
+    withStatePartitions(s, 2) {
+      val q = kept.writeStream.outputMode("complete")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.select(col("source"),
+              posexplode(col("kept.items")).as(Seq("pos", "e")))
+            .select(col("source"), col("e.doc_id").as("doc_id"),
+              (col("pos") + 1).cast("long").as("rk"))
+            .write.mode("overwrite").parquet(data)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    import org.apache.spark.sql.types._
+    readSink(s, data, StructType(Seq(
+        StructField("source", StringType), StructField("doc_id", LongType),
+        StructField("rk", LongType))))
+      .orderBy("source", "rk")
+  }
+
   /** Streaming CDC current-state via Spark 4's `transformWithState` — the
     * new arbitrary-stateful API (typed `ValueState` handles, RocksDB state
     * store required): each user's profile (cumulative event count + latest

@@ -169,4 +169,28 @@ class ExpressionsSpec extends AnyFunSuite {
       (1L, "quick brown fox"), (1L, "the quick brown")))
     // n larger than the token count and null text both generate nothing ✓
   }
+
+  test("BoundedTopK: buffer never exceeds K, merge order never matters") {
+    import graft.functions.{BoundedTopK, HkDoc, TopKBuf}
+    val agg = new BoundedTopK(5)
+    val rnd = new scala.util.Random(7)
+    val items = Seq.fill(200)(HkDoc(rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
+    val expect = items.distinct.sortBy(e => (e.hk, e.doc_id)).take(5)
+    // sequential fold, buffer stays bounded at every step
+    val folded = items.foldLeft(agg.zero) { (b, v) =>
+      val n = agg.reduce(b, v); assert(n.items.length <= 5); n
+    }
+    assert(folded.items === expect)
+    // any partitioning + any merge order gives the same result
+    Seq(1, 3, 7, 50).foreach { parts =>
+      val bufs = items.grouped(parts).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).foldLeft(agg.zero)(agg.merge)
+      assert(merged.items === expect, s"parts=$parts")
+    }
+    // duplicates collapse (collect_set semantics)
+    val dup = HkDoc(1L, 1L)
+    val b2 = agg.reduce(agg.reduce(agg.zero, dup), dup)
+    assert(b2 === TopKBuf(Vector(dup)))
+  }
 }

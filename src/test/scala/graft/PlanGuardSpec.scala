@@ -186,6 +186,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_cdc_dedup" -> 1,
     "q_stream_current" -> 2,
     "q_stream_dedup" -> 1,
+    "q_stream_domain_cap" -> 1,
     "q_stream_kv_sink" -> 1,
     "q_stream_outer_join" -> 1,
     "q_stream_sessions" -> 2,

@@ -160,4 +160,22 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
+
+  test("stream domain cap equals the batch quota and is batch-order-insensitive") {
+    def keptOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = keptOf(graft.operators.Pipeline.domainCap(spark, sf))
+    assert(keptOf(Streams.streamDomainCap(spark, sf)) === batch)
+
+    // multi-file layout → maxFilesPerTrigger=1 forces ≥2 micro-batches;
+    // the min-K-by-hash quota must commute across the batch split
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cap_stream")
+    try {
+      Tables.documents(spark, sf).repartition(3)
+        .write.parquet(new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath)
+      assert(keptOf(Streams.streamDomainCap(spark, tmp.toString)) === batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }
