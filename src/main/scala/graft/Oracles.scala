@@ -1641,6 +1641,19 @@ object Oracles {
         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
 
+    // sequential Poisson priority u/w: both operands exactly-representable
+    // doubles, so the IEEE division (and the kept set) is bit-identical;
+    // DuckDB's BIGINT / INT division is float division like Spark's
+    // double-cast form
+    "q_pps_sample" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / n_chars,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
     "q_token_compression" ->
       """WITH d AS (SELECT lang, n_chars,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[.,]')) AS BIGINT) AS n_bpe
@@ -2121,6 +2134,19 @@ object Oracles {
         |    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
         |  FROM documents)
         |SELECT source, doc_id, CAST(rk AS BIGINT) AS rk
-        |FROM r WHERE rk <= 15 ORDER BY source, rk""".stripMargin
+        |FROM r WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    // the drained stream's kept set equals the batch PPS sample exactly
+    // (min-K over the u/w priority is a commutative semilattice) — same
+    // ranking SQL as q_pps_sample, minus the n_chars column the streaming
+    // state doesn't carry
+    "q_stream_pps_sample" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / n_chars,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
   )
 }

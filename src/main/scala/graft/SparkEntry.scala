@@ -169,6 +169,7 @@ object SparkEntry {
     "q_gopher_quality"    -> q(Pipeline.gopherQuality),
     "q_repetition_filter" -> q(Pipeline.repetitionFilter),
     "q_domain_cap"        -> q((s, d) => Pipeline.domainCap(s, d)),
+    "q_pps_sample"        -> q((s, d) => Pipeline.ppsSample(s, d)),
     "q_token_compression" -> q(Pipeline.tokenCompression),
     "q_char_diversity"    -> q(Pipeline.charDiversity),
     "q_lang_id"           -> q(Pipeline.langId),
@@ -222,7 +223,8 @@ object SparkEntry {
     "q_stream_current"    -> q(Streams.streamCurrentState),
     "q_stream_kv_sink"    -> q(Streams.streamKvSink),
     "q_stream_cdc_dedup"  -> q(Streams.streamCdcDedup),
-    "q_stream_domain_cap" -> q((s, d) => Streams.streamDomainCap(s, d))
+    "q_stream_domain_cap" -> q((s, d) => Streams.streamDomainCap(s, d)),
+    "q_stream_pps_sample" -> q((s, d) => Streams.streamPpsSample(s, d))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -169,7 +169,14 @@ object Pipeline {
     // unlike collect_list + interpreted per-element lambdas.
     val permCols = (0 until MinhashPerms).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"m$i"))
-    val sigs = hashed.groupBy("doc_id").agg(permCols.head, permCols.tail: _*)
+    // the per-doc shingle count (denominator of the Jaccard verification)
+    // rides the SAME aggregation as the 64 minima — one corpus shuffle
+    // serves signatures and sizes. The count is carried THROUGH the band
+    // explode and the candidate join below, so the pair table emerges
+    // holding both sizes and no standalone sizes aggregation (a second
+    // corpus scan + doc-keyed exchange) exists anywhere in the plan.
+    val sigs = hashed.groupBy("doc_id")
+      .agg(permCols.head, (permCols.tail :+ count(lit(1)).as("sz")): _*)
     val nBands = MinhashPerms / MinhashBandRows
     // band keys assembled straight from the wide m0..m63 aggregate columns
     // with concat_ws (codegen'd) — the earlier array+transform+slice
@@ -179,25 +186,24 @@ object Pipeline {
         concat_ws(",", (0 until MinhashBandRows).map(r =>
           col(s"m${b * MinhashBandRows + r}").cast("string")): _*).as("key"))
     }
-    val bands = sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
-    val cand = bands.select(col("b"), col("key"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("b"), col("key"), col("doc_id").as("doc_b")), Seq("b", "key"))
+    val bands = sigs.select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sz"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val cand = bands.select(col("b"), col("key"),
+        col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(bands.select(col("b"), col("key"),
+        col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("b", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+      .select("doc_a", "doc_b", "sz_a", "sz_b").distinct()
     // exact-Jaccard verification restricted to candidate docs only
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
     val shc = sh.join(broadcast(candDocs), "doc_id")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val common = shc.select(col("sh"), col("doc_id").as("doc_a"))
       .join(shc.select(col("sh"), col("doc_id").as("doc_b")), "sh")
       .filter(col("doc_a") < col("doc_b"))
-      .join(broadcast(cand), Seq("doc_a", "doc_b"), "left_semi")
+      .join(broadcast(cand.select("doc_a", "doc_b")), Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     cand.join(common, Seq("doc_a", "doc_b"), "left")
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         (coalesce(col("common"), lit(0L)).cast("double") /
           (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L))).cast("double")).as("jaccard"))
@@ -626,6 +632,38 @@ object Pipeline {
       .filter(col("rk") <= cap)
       .select(col("source"), col("doc_id"), col("rk"))
       .orderBy(col("source"), col("rk"))
+  }
+
+  /** Sequential Poisson (priority) sampling — Ohlsson 1998's
+    * probability-proportional-to-size scheme, the weighted complement of
+    * the uniform [[domainCap]] quota: per language keep the `k` docs with
+    * the smallest priority u/w, where u is the deterministic Knuth
+    * multiplicative hash of the doc id and w = n_chars. Longer documents
+    * draw proportionally smaller priorities, so inclusion probability
+    * tracks size — the standard way a curation pipeline biases a fixed
+    * per-language budget toward content-rich documents while staying
+    * reproducible with no RNG. Both division operands are
+    * exactly-representable doubles (u < 2³², w an int), so the single
+    * IEEE division — and therefore the kept set — is bit-identical
+    * across engines.
+    *
+    * Scale shape: one exchange keyed by lang; the row_number + rank
+    * filter pair rewrites to a WindowGroupLimit, so each partition keeps
+    * a bounded top-`k` heap rather than sorting a language's worth of
+    * corpus. The streaming twin ([[graft.streaming.Streams
+    * .streamPpsSample]]) maintains the same kept set incrementally with
+    * a bounded per-group aggregator. */
+  def ppsSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("pr"), col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+          .cast("double") / col("n_chars").cast("double")).as("pr"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("rk"))
+      .orderBy("lang", "rk")
   }
 
   /** Tokenizer-efficiency census: characters per BPE-ish token by

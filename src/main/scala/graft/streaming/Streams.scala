@@ -390,10 +390,11 @@ object Streams {
     val topk = udaf(new graft.functions.BoundedTopK(cap))
     val kept = documentsStream(s, dir)
       .select(col("source"),
-        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)).as("hk"),
+        pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+          .cast("double").as("pr"), // < 2^32, exactly representable
         col("doc_id"))
       .groupBy("source")
-      .agg(topk(col("hk"), col("doc_id")).as("kept"))
+      .agg(topk(col("pr"), col("doc_id")).as("kept"))
     withStatePartitions(s, 2) {
       val q = kept.writeStream.outputMode("complete")
         .foreachBatch { (batch: Dataset[Row], _: Long) =>
@@ -412,6 +413,50 @@ object Streams {
         StructField("source", StringType), StructField("doc_id", LongType),
         StructField("rk", LongType))))
       .orderBy("source", "rk")
+  }
+
+  /** Streaming sequential-Poisson (probability-proportional-to-size)
+    * sample — the incremental twin of [[graft.operators.Pipeline
+    * .ppsSample]]: as documents stream in, each language keeps the `k`
+    * docs with the SMALLEST priority u/w (u = the deterministic Knuth
+    * hash, w = n_chars), maintained by the bounded
+    * [[graft.functions.BoundedTopK]] aggregator. Min-K over a
+    * commutative priority is a semilattice, so the kept PPS sample is
+    * independent of micro-batch arrival order BY CONSTRUCTION and equals
+    * the batch sample exactly — the streaming-safe form of weighted
+    * reservoir sampling (u/w priorities after Ohlsson's sequential
+    * Poisson scheme; both operands are exactly-representable doubles, so
+    * the single IEEE division is bit-identical across engines). State
+    * per language is ≤ `k` fixed-width pairs; each trigger snapshots the
+    * sample table to the sink, final snapshot wins. */
+  def streamPpsSample(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val (data, ckpt) = sinkDirs()
+    val topk = udaf(new graft.functions.BoundedTopK(k))
+    val kept = documentsStream(s, dir)
+      .select(col("lang"),
+        (pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+          .cast("double") / col("n_chars").cast("double")).as("pr"),
+        col("doc_id"))
+      .groupBy("lang")
+      .agg(topk(col("pr"), col("doc_id")).as("kept"))
+    withStatePartitions(s, 2) {
+      val q = kept.writeStream.outputMode("complete")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          batch.select(col("lang"),
+              posexplode(col("kept.items")).as(Seq("pos", "e")))
+            .select(col("lang"), col("e.doc_id").as("doc_id"),
+              (col("pos") + 1).cast("long").as("rk"))
+            .write.mode("overwrite").parquet(data)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    import org.apache.spark.sql.types._
+    readSink(s, data, StructType(Seq(
+        StructField("lang", StringType), StructField("doc_id", LongType),
+        StructField("rk", LongType))))
+      .orderBy("lang", "rk")
   }
 
   /** Streaming CDC current-state via Spark 4's `transformWithState` — the

@@ -171,11 +171,12 @@ class ExpressionsSpec extends AnyFunSuite {
   }
 
   test("BoundedTopK: buffer never exceeds K, merge order never matters") {
-    import graft.functions.{BoundedTopK, HkDoc, TopKBuf}
+    import graft.functions.{BoundedTopK, Prioritized, TopKBuf}
     val agg = new BoundedTopK(5)
     val rnd = new scala.util.Random(7)
-    val items = Seq.fill(200)(HkDoc(rnd.nextInt(40).toLong, rnd.nextInt(1000).toLong))
-    val expect = items.distinct.sortBy(e => (e.hk, e.doc_id)).take(5)
+    val items = Seq.fill(200)(
+      Prioritized(rnd.nextInt(40).toDouble, rnd.nextInt(1000).toLong))
+    val expect = items.distinct.sortBy(e => (e.pr, e.doc_id)).take(5)
     // sequential fold, buffer stays bounded at every step
     val folded = items.foldLeft(agg.zero) { (b, v) =>
       val n = agg.reduce(b, v); assert(n.items.length <= 5); n
@@ -189,7 +190,7 @@ class ExpressionsSpec extends AnyFunSuite {
       assert(merged.items === expect, s"parts=$parts")
     }
     // duplicates collapse (collect_set semantics)
-    val dup = HkDoc(1L, 1L)
+    val dup = Prioritized(1.0, 1L)
     val b2 = agg.reduce(agg.reduce(agg.zero, dup), dup)
     assert(b2 === TopKBuf(Vector(dup)))
   }

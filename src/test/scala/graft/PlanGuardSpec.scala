@@ -91,11 +91,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dedup_clusters" -> 1,
     "q_dedup_containment" -> 1,
     "q_dedup_exact" -> 2,
-    "q_dedup_minhash" -> 9,
+    "q_dedup_minhash" -> 8,
     "q_dedup_ngram" -> 1,
     "q_degree_hist" -> 2,
     "q_distinct_words" -> 2,
     "q_domain_cap" -> 2,
+    "q_pps_sample" -> 2,
     "q_dpp_join" -> 3,
     "q_embedding_neardup" -> 2,
     "q_embedding_quantize" -> 1,
@@ -187,6 +188,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_current" -> 2,
     "q_stream_dedup" -> 1,
     "q_stream_domain_cap" -> 1,
+    "q_stream_pps_sample" -> 1,
     "q_stream_kv_sink" -> 1,
     "q_stream_outer_join" -> 1,
     "q_stream_sessions" -> 2,

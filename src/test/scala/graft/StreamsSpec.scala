@@ -161,6 +161,25 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream PPS sample equals the batch sample and is batch-order-insensitive") {
+    def keptOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Pipeline.ppsSample(spark, sf)
+      .select("lang", "doc_id", "rk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(keptOf(Streams.streamPpsSample(spark, sf)) === batch)
+
+    // the weighted min-K must also commute across a forced batch split
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pps_stream")
+    try {
+      Tables.documents(spark, sf).repartition(3)
+        .write.parquet(new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath)
+      assert(keptOf(Streams.streamPpsSample(spark, tmp.toString)) === batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("stream domain cap equals the batch quota and is batch-order-insensitive") {
     def keptOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
