@@ -1493,6 +1493,29 @@ object Oracles {
          |JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
          |ORDER BY c.doc_a, c.doc_b""".stripMargin,
 
+    // same band construction as q_dedup_minhash, split into an index side
+    // (doc_id % 4 <> 3) and a probe side (doc_id % 4 = 3)
+    "q_dedup_incremental" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |shs AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) z),
+         |hashed AS (SELECT doc_id, ${polyHashSql("sh")} AS h1,
+         |  ${polyHashSql("sh", 131, 1000000009L)} AS h2 FROM shs),
+         |perms AS (SELECT doc_id, i, min((h1 + i*h2) % 2147483647) AS mv
+         |  FROM hashed, (SELECT unnest(range(0,64)) AS i) ii GROUP BY doc_id, i),
+         |bands AS (SELECT doc_id, i // 4 AS b,
+         |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS key
+         |  FROM perms GROUP BY doc_id, i // 4),
+         |probe AS (SELECT doc_id, b, key FROM bands WHERE doc_id % 4 = 3),
+         |idx AS (SELECT doc_id AS index_doc, b, key FROM bands WHERE doc_id % 4 <> 3)
+         |SELECT p.doc_id,
+         |  CAST(count(DISTINCT i.index_doc) AS BIGINT) AS n_index_matches,
+         |  min(i.index_doc) AS first_match
+         |FROM probe p JOIN idx i ON p.b = i.b AND p.key = i.key
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
     "q_simhash" ->
       s"""WITH tok AS (SELECT doc_id, word, count(*) AS cnt FROM ($Toks) t
          |  WHERE word <> '' GROUP BY doc_id, word),
@@ -1653,6 +1676,58 @@ object Oracles {
         |  FROM documents)
         |SELECT lang, doc_id, n_chars, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
+    // order-statistic gates (values AT a rank), so tie order inside equal
+    // n_chars is irrelevant and the census hash-checks unrounded
+    "q_adaptive_filter" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |r AS (SELECT lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n FROM d),
+        |g AS (SELECT lang,
+        |  max(CASE WHEN rn = ceil(CAST(0.05 AS DOUBLE) * n) THEN n_chars END) AS lo,
+        |  max(CASE WHEN rn = ceil(CAST(0.95 AS DOUBLE) * n) THEN n_chars END) AS hi
+        |  FROM r GROUP BY lang)
+        |SELECT d.lang, max(g.lo) AS lo, max(g.hi) AS hi,
+        |  CAST(sum(CASE WHEN d.n_chars < g.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |  CAST(sum(CASE WHEN d.n_chars > g.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_long,
+        |  CAST(sum(CASE WHEN d.n_chars BETWEEN g.lo AND g.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept
+        |FROM d JOIN g ON d.lang = g.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    // local slopes are per-row ratios of logs of exact ints (no cross-row
+    // float accumulation); round 4dp absorbs cross-engine ln() ulps
+    "q_zipf" ->
+      s"""WITH wc AS (SELECT word, count(*) AS cnt FROM ($Toks) t
+         |  WHERE word <> '' GROUP BY word),
+         |r AS (SELECT word, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, word) AS BIGINT) AS rank
+         |  FROM wc QUALIFY rank <= 30)
+         |SELECT rank, word, cnt,
+         |  coalesce(round((ln(CAST(cnt AS DOUBLE)) - ln(CAST(lag(cnt) OVER w AS DOUBLE))) /
+         |        (ln(CAST(rank AS DOUBLE)) - ln(CAST(lag(rank) OVER w AS DOUBLE))), 4), 0.0)
+         |    AS local_slope
+         |FROM r WINDOW w AS (ORDER BY rank) ORDER BY rank""".stripMargin,
+
+    // the only float sum is vocabulary-sized (Σ c·ln c); corpus-sized data
+    // moves through exact int counts, and 4dp rounding absorbs ln() ulps
+    "q_word_entropy" ->
+      """WITH wc AS (SELECT lang, word, count(*) AS cnt FROM
+        |  (SELECT lang, unnest(regexp_split_to_array(text,'[^a-zA-Z]+')) AS word
+        |   FROM documents) t
+        |  WHERE word <> '' GROUP BY lang, word),
+        |a AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS vocab_size,
+        |  sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE))) AS clogc
+        |  FROM wc GROUP BY lang)
+        |SELECT lang, n_tokens, vocab_size,
+        |  round(ln(CAST(n_tokens AS DOUBLE)) - clogc / CAST(n_tokens AS DOUBLE), 4)
+        |    AS entropy,
+        |  CASE WHEN vocab_size > 1 THEN
+        |    round((ln(CAST(n_tokens AS DOUBLE)) - clogc / CAST(n_tokens AS DOUBLE)) /
+        |      ln(CAST(vocab_size AS DOUBLE)), 4) ELSE 0.0 END AS entropy_norm
+        |FROM a ORDER BY lang""".stripMargin,
 
     "q_token_compression" ->
       """WITH d AS (SELECT lang, n_chars,

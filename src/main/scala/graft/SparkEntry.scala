@@ -163,6 +163,7 @@ object SparkEntry {
     "q_redact"            -> q(Pipeline.redact),
     "q_token_positions"   -> q(Pipeline.tokenPositions),
     "q_dedup_minhash"     -> q(Pipeline.dedupMinhash),
+    "q_dedup_incremental" -> q(Pipeline.dedupIncremental),
     "q_simhash"           -> q(Pipeline.simhash),
     "q_text_stats"        -> q(Pipeline.textStats),
     "q_quality_score"     -> q(Pipeline.qualityScore),
@@ -170,6 +171,9 @@ object SparkEntry {
     "q_repetition_filter" -> q(Pipeline.repetitionFilter),
     "q_domain_cap"        -> q((s, d) => Pipeline.domainCap(s, d)),
     "q_pps_sample"        -> q((s, d) => Pipeline.ppsSample(s, d)),
+    "q_adaptive_filter"   -> q(Pipeline.adaptiveFilter),
+    "q_zipf"              -> q((s, d) => Pipeline.zipf(s, d)),
+    "q_word_entropy"      -> q(Pipeline.wordEntropy),
     "q_token_compression" -> q(Pipeline.tokenCompression),
     "q_char_diversity"    -> q(Pipeline.charDiversity),
     "q_lang_id"           -> q(Pipeline.langId),

@@ -157,37 +157,43 @@ object Pipeline {
     * bit-for-bit (hash-checked). At 100 TB the candidate generation is an
     * equi-join on (band, key) — linear shuffle, never an O(n²) cross
     * product. */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    // NOTE: deliberately NOT persisted — the shingle subtree is cheap
-    // codegen'd recompute; caching it measured 3× slower (cache fill +
-    // serialization on the critical path).
-    val sh = shingles(s, dir)
-    val hashed = sh.select(col("doc_id"),
+  /** The LSH band table (doc_id, sz, b, key): each doc's 64 permutation
+    * minima cut into 16 bands of 4, one row per band, plus the doc's
+    * distinct-shingle count. One corpus-keyed aggregation computes all 64
+    * minima AND the size in a single pass (fully codegen'd, map-side
+    * partial, no per-doc array buffering — the shape that scales, unlike
+    * collect_list + interpreted per-element lambdas); band keys are
+    * assembled straight from the wide m0..m63 aggregate columns with
+    * concat_ws (codegen'd). Shared by [[dedupMinhash]] (self-join) and
+    * [[dedupIncremental]] (index-vs-snapshot join). Deliberately NOT
+    * persisted — the shingle subtree is cheap codegen'd recompute; caching
+    * it measured 3× slower (cache fill + serialization on the critical
+    * path). */
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val hashed = shingles(s, dir).select(col("doc_id"),
       Fns.polyHash(col("sh")).as("h1"), Fns.polyHash2(col("sh")).as("h2"))
-    // 64 independent min() aggregates: fully codegen'd, partial (map-side)
-    // aggregation, no per-doc array buffering — the shape that scales,
-    // unlike collect_list + interpreted per-element lambdas.
     val permCols = (0 until MinhashPerms).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"m$i"))
     // the per-doc shingle count (denominator of the Jaccard verification)
     // rides the SAME aggregation as the 64 minima — one corpus shuffle
-    // serves signatures and sizes. The count is carried THROUGH the band
-    // explode and the candidate join below, so the pair table emerges
-    // holding both sizes and no standalone sizes aggregation (a second
-    // corpus scan + doc-keyed exchange) exists anywhere in the plan.
+    // serves signatures and sizes, and no standalone sizes aggregation (a
+    // second corpus scan + doc-keyed exchange) exists anywhere in a
+    // consumer's plan.
     val sigs = hashed.groupBy("doc_id")
       .agg(permCols.head, (permCols.tail :+ count(lit(1)).as("sz")): _*)
     val nBands = MinhashPerms / MinhashBandRows
-    // band keys assembled straight from the wide m0..m63 aggregate columns
-    // with concat_ws (codegen'd) — the earlier array+transform+slice
-    // composition ran the banding through interpreted HOF lambdas
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("b"),
         concat_ws(",", (0 until MinhashBandRows).map(r =>
           col(s"m${b * MinhashBandRows + r}").cast("string")): _*).as("key"))
     }
-    val bands = sigs.select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("doc_id"), col("sz"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc_id"), col("sz"), col("bk.b").as("b"), col("bk.key").as("key"))
+  }
+
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val bands = minhashBands(s, dir)
     val cand = bands.select(col("b"), col("key"),
         col("doc_id").as("doc_a"), col("sz").as("sz_a"))
       .join(bands.select(col("b"), col("key"),
@@ -208,6 +214,38 @@ object Pipeline {
         (coalesce(col("common"), lit(0L)).cast("double") /
           (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L))).cast("double")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** INCREMENTAL near-dup detection — the production form of minhash
+    * dedup: a crawl pipeline doesn't re-pair the whole corpus per
+    * snapshot, it keeps the LSH band table of the already-accepted corpus
+    * as a persistent INDEX and probes only the new snapshot's bands
+    * against it. Modeled here by a deterministic snapshot split (docs
+    * with doc_id ≡ 3 mod 4 are "new", the rest are the index): each new
+    * doc reports how many distinct index docs it collides with in any
+    * band and its earliest such index match — the accept/reject signal an
+    * incremental ingest emits per new document.
+    *
+    * Scale shape: both sides derive from [[minhashBands]] with the
+    * snapshot predicate pushed below the signature aggregation (filter on
+    * the grouping key), so the index side hashes index docs and the probe
+    * side hashes ONLY the new slice — at 100 TB the index band table is
+    * read back from storage rather than recomputed, and the per-increment
+    * cost is proportional to the increment, not the corpus. The collision
+    * join is the same linear (b, key) equi-join as [[dedupMinhash]];
+    * per-new-doc aggregation is keyed by doc_id, never an occurrence
+    * list. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(s, dir)
+    val index = bands.filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
+      .select(col("b"), col("key"), col("doc_id").as("index_doc"))
+    val probe = bands.filter(pmod(col("doc_id"), lit(4L)) === 3L)
+      .select(col("b"), col("key"), col("doc_id"))
+    probe.join(index, Seq("b", "key"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("index_doc")).as("n_index_matches"),
+        min(col("index_doc")).as("first_match"))
+      .orderBy("doc_id")
   }
 
   /** Connected components over the near-dup pair graph: every doc in a
@@ -666,6 +704,40 @@ object Pipeline {
       .orderBy("lang", "rk")
   }
 
+  /** Per-language ADAPTIVE length gates: instead of one global min/max
+    * length cutoff (which over-trims verbose languages and under-trims
+    * terse ones), each language's gates are its own order-statistic
+    * percentiles — the element at rank ⌈0.05·n⌉ / ⌈0.95·n⌉ of its length
+    * distribution (always an actual data value, so the census
+    * hash-checks unrounded; same explicit row_number formula on both
+    * engines as [[graft.operators.Relational.percentilesDisc]]). Output:
+    * each language's gates and how many docs fall short/long/within.
+    *
+    * Scale shape: one lang-keyed sort-based window (spills; at 100 TB
+    * the same gates come from an approx_percentile sketch — this is the
+    * exact form), then the classify pass re-scans the corpus map-side
+    * against the BROADCAST gate table (|langs| rows) into one lang-keyed
+    * count aggregation. No doc-keyed exchange anywhere. */
+  def adaptiveFilter(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    // tie order within equal n_chars doesn't affect the value AT a rank
+    val ranked = d
+      .withColumn("rn", row_number().over(W.partitionBy("lang").orderBy("n_chars")))
+      .withColumn("n", count(lit(1)).over(W.partitionBy("lang")))
+    val gates = ranked.groupBy("lang").agg(
+      max(when(col("rn") === ceil(lit(0.05) * col("n")), col("n_chars"))).as("lo"),
+      max(when(col("rn") === ceil(lit(0.95) * col("n")), col("n_chars"))).as("hi"))
+    d.join(broadcast(gates), "lang")
+      .groupBy("lang")
+      .agg(max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        sum(when(col("n_chars") < col("lo"), 1L).otherwise(0L)).as("n_short"),
+        sum(when(col("n_chars") > col("hi"), 1L).otherwise(0L)).as("n_long"),
+        sum(when(col("n_chars").between(col("lo"), col("hi")), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   /** Tokenizer-efficiency census: characters per BPE-ish token by
     * language — the compression-ratio metric used to compare tokenizer
     * vocabularies across languages (a lang whose ratio sags pays more
@@ -718,6 +790,70 @@ object Pipeline {
             (col("n_chars") * col("n_chars")).cast("double"))
           .otherwise(0.0).as("gini"))
       .orderBy("doc_id")
+  }
+
+  /** Zipf rank–frequency census of the corpus vocabulary: the top-`topN`
+    * words by global frequency with the LOCAL log–log slope between
+    * consecutive ranks, Δln(freq)/Δln(rank) — the fit a corpus-health
+    * check runs to see whether the token distribution follows the ~ −1
+    * power law natural text obeys (a crawl whose slope collapses is
+    * boilerplate- or spam-dominated). Slopes are per-row ratios of
+    * exact-int logarithms (no cross-row float accumulation), rounded to
+    * 4 dp to absorb cross-engine ln() ulps — the [[graft.operators
+    * .Relational.percentiles]] precedent.
+    *
+    * Scale shape: one word-keyed count aggregation (map-side combined),
+    * then rank + lag over the VOCABULARY-sized count table — the
+    * partitionless row_number + `rank <= topN` filter rewrites to a
+    * WindowGroupLimit, so each partition forwards only its top `topN`
+    * candidates to the final sort rather than sorting the vocabulary in
+    * one task. */
+  def zipf(s: SparkSession, dir: String, topN: Int = 30): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val byFreq = W.orderBy(col("cnt").desc, col("word"))
+    val ranked = toks(s, dir).groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .filter(col("rank") <= topN)
+    ranked
+      .withColumn("prev_cnt", lag(col("cnt"), 1).over(byFreq))
+      .withColumn("prev_rank", lag(col("rank"), 1).over(byFreq))
+      .select(col("rank"), col("word"), col("cnt"),
+        // rank 1 has no predecessor: 0.0, not null (the driver's compare
+        // can't equate the NaN a null float becomes on both engines)
+        coalesce(
+          round((log(col("cnt").cast("double")) - log(col("prev_cnt").cast("double"))) /
+            (log(col("rank").cast("double")) - log(col("prev_rank").cast("double"))), 4),
+          lit(0.0)).as("local_slope"))
+      .orderBy("rank")
+  }
+
+  /** Per-language Shannon entropy of the word distribution (nats) — the
+    * diversity diagnostic a mixing pipeline reads next to
+    * [[temperatureMix]]: a language whose entropy sags relative to its
+    * vocabulary ceiling ln(V) is dominated by few tokens (template/spam
+    * text) regardless of its raw size. H = ln(N) − Σc·ln(c)/N over the
+    * VOCABULARY-sized (lang, word) count table, so the only float sum is
+    * vocabulary-sized (per-term 1-ulp ln() noise ~1e-10 absolute against
+    * the 4 dp rounding); corpus-sized data moves through exact int
+    * counts only. Two keyed aggregations, both map-side combined. */
+  def wordEntropy(s: SparkSession, dir: String): DataFrame = {
+    val wc = Tables.documents(s, dir)
+      .select(col("lang"), explode(Fns.tokensArr(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    wc.groupBy("lang").agg(
+        sum(col("cnt")).cast("long").as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(col("cnt").cast("double") * log(col("cnt").cast("double"))).as("clogc"))
+      .select(col("lang"), col("n_tokens"), col("vocab_size"),
+        round(log(col("n_tokens").cast("double")) -
+          col("clogc") / col("n_tokens").cast("double"), 4).as("entropy"),
+        when(col("vocab_size") > 1,
+          round((log(col("n_tokens").cast("double")) -
+            col("clogc") / col("n_tokens").cast("double")) /
+            log(col("vocab_size").cast("double")), 4))
+          .otherwise(lit(0.0)).as("entropy_norm"))
+      .orderBy("lang")
   }
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -528,4 +528,76 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(3).toDouble)
     }
   }
+
+  test("dedup_incremental agrees with the full pair table restricted to the split") {
+    // every (probe, index) near-dup candidate in the FULL minhash pair
+    // table must be reflected in the incremental census, and vice versa
+    val pairs = Pipeline.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val crossSplit = pairs.flatMap { case (a, b) =>
+      if (a % 4 == 3 && b % 4 != 3) Some(a -> b)
+      else if (b % 4 == 3 && a % 4 != 3) Some(b -> a)
+      else None
+    }
+    val expected = crossSplit.groupBy(_._1).map { case (doc, ps) =>
+      (doc, ps.map(_._2).distinct.length.toLong, ps.map(_._2).min)
+    }.toSet
+    val got = Pipeline.dedupIncremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    got.foreach { case (doc, _, first) =>
+      assert(doc % 4 === 3L); assert(first % 4 !== 3L)
+    }
+  }
+
+  test("adaptive_filter: gates are order statistics, counts partition each language") {
+    val docs = Tables.documents(spark, sf)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val rows = Pipeline.adaptiveFilter(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === docs.keySet)
+    rows.foreach { r =>
+      val (lang, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val lens = docs(lang)
+      assert(lo === lens(math.ceil(0.05 * lens.length).toInt - 1))
+      assert(hi === lens(math.ceil(0.95 * lens.length).toInt - 1))
+      assert(lo <= hi)
+      // short/long/kept partition the language exactly
+      assert(r.getLong(3) + r.getLong(4) + r.getLong(5) === lens.length.toLong)
+      assert(r.getLong(5) === lens.count(c => c >= lo && c <= hi).toLong)
+    }
+  }
+
+  test("zipf: ranks contiguous, counts non-increasing, slopes negative past rank 1") {
+    val rows = Pipeline.zipf(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length))
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    assert(rows.head.getDouble(3) === 0.0)
+    // a tie in consecutive counts gives slope 0; otherwise strictly negative
+    rows.tail.foreach(r => assert(r.getDouble(3) <= 0.0))
+  }
+
+  test("word_entropy: bounded by ln(vocab), reconciles with a local recompute") {
+    val rows = Pipeline.wordEntropy(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val local = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(col("text"), "[^a-zA-Z]+")).as("w"))
+      .filter(col("w") =!= "").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val (lang, n, v, h, hn) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))
+      val words = local(lang)
+      assert(n === words.length.toLong)
+      assert(v === words.distinct.length.toLong)
+      val counts = words.groupBy(identity).values.map(_.length.toDouble)
+      val expect = math.log(n.toDouble) - counts.map(c => c * math.log(c)).sum / n
+      assert(math.abs(h - expect) < 1e-3)
+      assert(h >= 0.0 && h <= math.log(v.toDouble) + 1e-9)
+      assert(math.abs(hn - h / math.log(v.toDouble)) < 1e-3)
+    }
+  }
 }

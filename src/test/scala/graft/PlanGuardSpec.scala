@@ -57,6 +57,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_ann_ivf" -> 4,
     "q_ann_lsh" -> 3,
     "q_ann_recall" -> 4,
+    "q_adaptive_filter" -> 3,
     "q_anomaly" -> 3,
     "q_anti_join" -> 0,
     "q_approx_distinct" -> 3,
@@ -91,6 +92,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dedup_clusters" -> 1,
     "q_dedup_containment" -> 1,
     "q_dedup_exact" -> 2,
+    "q_dedup_incremental" -> 3,
     "q_dedup_minhash" -> 8,
     "q_dedup_ngram" -> 1,
     "q_degree_hist" -> 2,
@@ -222,8 +224,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_window_navigation" -> 2,
     "q_window_rank" -> 2,
     "q_window_suite" -> 2,
+    "q_word_entropy" -> 3,
     "q_wordcount" -> 2,
     "q_xml_extract" -> 2,
+    "q_zipf" -> 1,
     "q_zorder" -> 0)
 
   test("recorded shuffle-exchange budgets hold in the final adaptive plan") {
