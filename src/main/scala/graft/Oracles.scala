@@ -81,6 +81,42 @@ object Oracles {
   }
   private def KmIters: Int = graft.operators.Clustering.Iters
 
+  /** Unrolled product-quantization Lloyd prefix — [[kmeansCtes]] with a
+    * subspace key m threaded through every CTE: psub holds each vector's
+    * [[graft.operators.Clustering.PqM]] int64 subvectors, pk0 the per-
+    * subspace seeds (vec_id < K), then per iteration the same assign /
+    * sum / truncated-mean recenter as the engine, all keyed by (m, cid).
+    * Ends with the final assignment pb{Iters+1} against pk{Iters}. */
+  private def pqCtes: String = {
+    val k = graft.operators.Clustering.K
+    val m = graft.operators.Clustering.PqM
+    val sd = graft.operators.Clustering.PqSubD
+    val d1 = sd + 1 // subspace dim + 1 (1-based, exclusive range end)
+    def assignCte(t: Int): String =
+      s"pa$t AS (SELECT v.vec_id, v.m, v.qsub, c.cid,\n" +
+      s"    CAST(list_sum(list_transform(range(1, $d1),\n" +
+      s"      i -> (v.qsub[i]-c.cv[i])*(v.qsub[i]-c.cv[i]))) AS BIGINT) AS dist\n" +
+      s"  FROM psub v JOIN pk${t - 1} c ON v.m = c.m),\n" +
+      s"pb$t AS (SELECT vec_id, m, qsub, cid, dist,\n" +
+      s"    row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, cid) AS r FROM pa$t)"
+    val steps = (1 to KmIters).map { t =>
+      assignCte(t) + ",\n" +
+      s"ps$t AS (SELECT m, cid, i, CAST(sum(qsub[i]) AS BIGINT) AS sx,\n" +
+      s"    CAST(count(*) AS BIGINT) AS n\n" +
+      s"  FROM pb$t, range(1, $d1) pg$t(i) WHERE r = 1 GROUP BY m, cid, i),\n" +
+      s"pk$t AS (SELECT m, cid, list(CAST((sx - sx % n) / n AS BIGINT) ORDER BY i) AS cv\n" +
+      s"  FROM ps$t GROUP BY m, cid)"
+    }.mkString(",\n")
+    "WITH q AS (SELECT vec_id, list_transform(embedding,\n" +
+    "    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv\n" +
+    "  FROM embeddings),\n" +
+    s"psub AS (SELECT vec_id, m, list_slice(qv, m*$sd+1, (m+1)*$sd) AS qsub\n" +
+    s"  FROM q, (SELECT unnest(range(0, $m)) AS m) mm),\n" +
+    s"pk0 AS (SELECT m, vec_id AS cid, qsub AS cv FROM psub WHERE vec_id < $k),\n" +
+    steps + ",\n" +
+    assignCte(KmIters + 1)
+  }
+
   /** CDC chunk rows (no ordering) — shared by the q_cdc_chunks and
     * q_cdc_dedup oracles. Window hashes are recomputed per position
     * (O(n·w)); the engine's incremental rolling update produces the same
@@ -2038,6 +2074,19 @@ object Oracles {
          |SELECT g.cid, g.n_vecs, g.wss, c.cv[1] AS c0, c.cv[2] AS c1,
          |  CAST(list_sum(list_transform(c.cv, x -> abs(x))) AS BIGINT) AS c_l1
          |FROM g JOIN k$KmIters c ON g.cid = c.cid ORDER BY g.cid""".stripMargin,
+
+    // product quantization: codes and integer reconstruction error from
+    // the unrolled per-subspace Lloyd loop
+    "q_embedding_pq" ->
+      s"""$pqCtes
+         |SELECT vec_id,
+         |  max(CASE WHEN m = 0 THEN cid END) AS code0,
+         |  max(CASE WHEN m = 1 THEN cid END) AS code1,
+         |  max(CASE WHEN m = 2 THEN cid END) AS code2,
+         |  max(CASE WHEN m = 3 THEN cid END) AS code3,
+         |  CAST(sum(dist) AS BIGINT) AS sq_err
+         |FROM pb${KmIters + 1} WHERE r = 1
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     // SemDeDup: within-cluster lower-id witness with cosine >= tau drops
     // the higher id; cosine is the same left-to-right fold as the engine

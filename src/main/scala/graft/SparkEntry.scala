@@ -189,6 +189,7 @@ object SparkEntry {
     "q_knn_graph"         -> q(Pipeline.knnGraph),
     "q_kmeans"            -> q(operators.Clustering.kmeans),
     "q_semdedup"          -> q(operators.Clustering.semDedup),
+    "q_embedding_pq"      -> q(operators.Clustering.embeddingPq),
     "q_pack_sequences"    -> q(Pipeline.packSequences),
     "q_bm25"              -> q(Pipeline.bm25),
     "q_shard_export"      -> q(Pipeline.shardExport),

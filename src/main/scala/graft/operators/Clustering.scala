@@ -212,4 +212,65 @@ object Clustering {
       .select(col("cid"), col("rank"), col("word"), col("n_cw"), col("lift_ppm"))
       .orderBy("cid", "rank")
   }
+
+  /** Product quantization (Jégou et al. 2011) — [[PqM]] subspaces of
+    * [[PqSubD]] dims, each with its own [[K]]-entry codebook. */
+  val PqM = 4
+  val PqSubD = 16 // 64-dim embeddings / PqM
+
+  /** Per-vector (subspace, subvector) rows — the training set for all
+    * [[PqM]] codebooks at once. */
+  private def subVecs(s: SparkSession, dir: String): DataFrame =
+    qVecs(s, dir).select(col("vec_id"),
+      explode(array((0 until PqM).map(m => struct(lit(m).as("m"),
+        slice(col("qv"), m * PqSubD + 1, PqSubD).as("qsub"))): _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.qsub").as("qsub"))
+
+  private def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id", "m").orderBy(col("dist"), col("cid"))
+    sub.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", Fns.sqDistL(col("qsub"), col("cv")))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("vec_id"), col("m"), col("qsub"), col("cid"), col("dist"))
+  }
+
+  private def pqRecenter(asg: DataFrame): DataFrame =
+    asg.select(col("m"), col("cid"), posexplode(col("qsub")).as(Seq("i", "x")))
+      .groupBy("m", "cid", "i")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", truncDiv(col("sx"), col("n")))
+      .groupBy("m", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        e => e.getField("c")).as("cv"))
+
+  /** Product-quantization encoder: every vector compressed to [[PqM]]
+    * codebook ids — 64 dims × 8 bytes down to 4 single-byte codes, the
+    * memory-compression step that lets a billion-vector ANN index live in
+    * RAM (IVF partitions the space, [[Pipeline.annIvf]]; PQ compresses
+    * the residents). All [[PqM]] codebooks train SIMULTANEOUSLY in one
+    * Lloyd loop keyed by (subspace, cid): per iteration, one broadcast of
+    * the M·K codebook rows over the corpus (map-side assignment via the
+    * codegen'd integer fold) and one (m, cid, dim) shuffle whose output
+    * is M·K·subD rows — adding subspaces widens no exchange. Same int64
+    * quantization and truncate-toward-zero means as [[kmeans]], so every
+    * code and the per-vector integer reconstruction error are
+    * bit-reproducible (the oracle unrolls the same iterations over
+    * BIGINT lists). Output: each vector's code per subspace and its total
+    * squared quantization error. */
+  def embeddingPq(s: SparkSession, dir: String): DataFrame = {
+    val sub = subVecs(s, dir).stable
+    var cents = sub.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").as("cid"), col("qsub").as("cv"))
+      .stable
+    for (_ <- 1 to Iters)
+      cents = pqRecenter(pqAssign(sub, cents)).stable
+    pqAssign(sub, cents)
+      .groupBy("vec_id")
+      .agg(max(when(col("m") === 0, col("cid"))).as("code0"),
+        max(when(col("m") === 1, col("cid"))).as("code1"),
+        max(when(col("m") === 2, col("cid"))).as("code2"),
+        max(when(col("m") === 3, col("cid"))).as("code3"),
+        sum(col("dist")).as("sq_err"))
+      .orderBy("vec_id")
+  }
 }

@@ -62,6 +62,53 @@ class ClusteringSpec extends AnyFunSuite {
     assert(ids.distinct.length === ids.length)
   }
 
+  test("embedding_pq: codes equal an independent local Lloyd replication") {
+    val rows = Clustering.embeddingPq(spark, sf).collect()
+      .map(r => (r.getLong(0), Seq(r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)), r.getLong(5))).sortBy(_._1)
+    // independent driver-side replication of the per-subspace trainer
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1e6).toLong).toArray))
+      .sortBy(_._1)
+    val k = Clustering.K
+    def sq(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => (BigInt(x) - BigInt(y)) * (BigInt(x) - BigInt(y)) }.sum
+    val expectCodes = scala.collection.mutable.Map[Long, Array[Long]]()
+    val expectErr = scala.collection.mutable.Map[Long, BigInt]().withDefaultValue(BigInt(0))
+    for (m <- 0 until Clustering.PqM) {
+      val sub = vecs.map { case (id, qv) =>
+        (id, qv.slice(m * Clustering.PqSubD, (m + 1) * Clustering.PqSubD)) }
+      var cents: Seq[(Long, Array[Long])] = sub.take(k).map { case (id, v) => (id, v) }
+      def assign(): Array[(Long, Long, BigInt, Array[Long])] =
+        sub.map { case (id, v) =>
+          val (cid, d) = cents.map { case (c, cv) => (c, sq(v, cv)) }
+            .minBy { case (c, d) => (d, c) }
+          (id, cid, d, v)
+        }
+      for (_ <- 1 to Clustering.Iters) {
+        cents = assign().groupBy(_._2).toSeq.map { case (cid, members) =>
+          val n = BigInt(members.length)
+          cid -> (0 until Clustering.PqSubD).map { i =>
+            val sx = members.map(e => BigInt(e._4(i))).sum
+            ((sx - (sx % n)) / n).toLong // both % truncate with dividend sign
+          }.toArray
+        }.sortBy(_._1)
+      }
+      assign().foreach { case (id, cid, d, _) =>
+        expectCodes.getOrElseUpdate(id, Array.fill(Clustering.PqM)(0L))(m) = cid
+        expectErr(id) = expectErr(id) + d
+      }
+    }
+    assert(rows.length === vecs.length)
+    rows.foreach { case (id, codes, err) =>
+      assert(codes === expectCodes(id).toSeq, s"codes for vec $id")
+      assert(BigInt(err) === expectErr(id), s"sq_err for vec $id")
+      codes.foreach(c => assert(c >= 0L && c < k.toLong))
+    }
+  }
+
   test("knn_graph: at most k=3 ranked neighbors per source, no self-edges") {
     val rows = operators.Pipeline.knnGraph(spark, sf).collect()
     val bySrc = rows.groupBy(_.getLong(0))

@@ -101,6 +101,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_pps_sample" -> 2,
     "q_dpp_join" -> 3,
     "q_embedding_neardup" -> 2,
+    "q_embedding_pq" -> 3,
     "q_embedding_quantize" -> 1,
     "q_equidepth_hist" -> 6,
     "q_eval_confusion" -> 6,
