@@ -2088,6 +2088,26 @@ object Oracles {
          |FROM pb${KmIters + 1} WHERE r = 1
          |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
+    // ADC: per-probe LUT of exact-subvector-to-codebook distances, then
+    // approximate distance = sum of M lookups over the codes
+    "q_ann_adc" ->
+      s"""$pqCtes,
+         |codes AS (SELECT vec_id, m, cid FROM pb${KmIters + 1} WHERE r = 1),
+         |lut AS (SELECT p.vec_id AS probe_id, p.m, c.cid,
+         |    CAST(list_sum(list_transform(range(1, ${graft.operators.Clustering.PqSubD + 1}),
+         |      i -> (p.qsub[i]-c.cv[i])*(p.qsub[i]-c.cv[i]))) AS BIGINT) AS pd
+         |  FROM psub p JOIN pk$KmIters c ON p.m = c.m WHERE p.vec_id < 5),
+         |ad AS (SELECT l.probe_id, cd.vec_id, CAST(sum(l.pd) AS BIGINT) AS adist
+         |  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.cid = l.cid
+         |  WHERE cd.vec_id <> l.probe_id
+         |  GROUP BY l.probe_id, cd.vec_id),
+         |rr AS (SELECT probe_id, vec_id, adist,
+         |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY adist, vec_id)
+         |      AS BIGINT) AS rank
+         |  FROM ad)
+         |SELECT probe_id, vec_id, adist, rank FROM rr WHERE rank <= 10
+         |ORDER BY probe_id, rank""".stripMargin,
+
     // SemDeDup: within-cluster lower-id witness with cosine >= tau drops
     // the higher id; cosine is the same left-to-right fold as the engine
     "q_semdedup" ->

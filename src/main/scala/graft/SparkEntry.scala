@@ -190,6 +190,7 @@ object SparkEntry {
     "q_kmeans"            -> q(operators.Clustering.kmeans),
     "q_semdedup"          -> q(operators.Clustering.semDedup),
     "q_embedding_pq"      -> q(operators.Clustering.embeddingPq),
+    "q_ann_adc"           -> q((s, d) => operators.Clustering.annAdc(s, d)),
     "q_pack_sequences"    -> q(Pipeline.packSequences),
     "q_bm25"              -> q(Pipeline.bm25),
     "q_shard_export"      -> q(Pipeline.shardExport),

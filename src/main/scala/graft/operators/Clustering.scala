@@ -243,6 +243,24 @@ object Clustering {
       .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
         e => e.getField("c")).as("cv"))
 
+  // trained (codebooks, final assignment) memoized per (session, corpus)
+  // like modelCache — shared by the encoder summary and the ADC search.
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+
+  /** Train the [[PqM]] codebooks and return (codebooks (m, cid, cv),
+    * final per-subvector assignment (vec_id, m, qsub, cid, dist)). */
+  private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqCache.computeIfAbsent((s, dir), _ => {
+      val sub = subVecs(s, dir).stable
+      var cents = sub.filter(col("vec_id") < K)
+        .select(col("m"), col("vec_id").as("cid"), col("qsub").as("cv"))
+        .stable
+      for (_ <- 1 to Iters)
+        cents = pqRecenter(pqAssign(sub, cents)).stable
+      (cents, pqAssign(sub, cents).stable)
+    })
+
   /** Product-quantization encoder: every vector compressed to [[PqM]]
     * codebook ids — 64 dims × 8 bytes down to 4 single-byte codes, the
     * memory-compression step that lets a billion-vector ANN index live in
@@ -257,14 +275,8 @@ object Clustering {
     * bit-reproducible (the oracle unrolls the same iterations over
     * BIGINT lists). Output: each vector's code per subspace and its total
     * squared quantization error. */
-  def embeddingPq(s: SparkSession, dir: String): DataFrame = {
-    val sub = subVecs(s, dir).stable
-    var cents = sub.filter(col("vec_id") < K)
-      .select(col("m"), col("vec_id").as("cid"), col("qsub").as("cv"))
-      .stable
-    for (_ <- 1 to Iters)
-      cents = pqRecenter(pqAssign(sub, cents)).stable
-    pqAssign(sub, cents)
+  def embeddingPq(s: SparkSession, dir: String): DataFrame =
+    pqModel(s, dir)._2
       .groupBy("vec_id")
       .agg(max(when(col("m") === 0, col("cid"))).as("code0"),
         max(when(col("m") === 1, col("cid"))).as("code1"),
@@ -272,5 +284,37 @@ object Clustering {
         max(when(col("m") === 3, col("cid"))).as("code3"),
         sum(col("dist")).as("sq_err"))
       .orderBy("vec_id")
+
+  /** ANN search by ASYMMETRIC DISTANCE COMPUTATION over the PQ codes —
+    * how a compressed billion-vector index actually answers queries: the
+    * query stays exact while the corpus is its codes, so each probe
+    * precomputes a lookup table of squared distances from its exact
+    * subvectors to every codebook entry (M·K = 32 ints per probe), and a
+    * vector's approximate distance is just the sum of M table lookups —
+    * no corpus vector is ever decompressed. Integer-exact end to end
+    * (probe LUT and sums are the same int64 arithmetic as the trainer),
+    * so the full ranking hash-checks against the oracle.
+    *
+    * Scale shape: the LUT build touches only probes × codebooks; the
+    * scan is one broadcast of the (probes·M·K)-row LUT over the CODES
+    * table (M small ints per corpus vector — the point of PQ) into a
+    * (probe, vec) keyed sum, then a per-probe WindowGroupLimit top-10.
+    * The exact twin is [[Pipeline.similarityTopk]]; the quality contract
+    * (codes vs exact ranking) is asserted in the spec rather than here. */
+  def annAdc(s: SparkSession, dir: String): DataFrame = {
+    val (cents, asg) = pqModel(s, dir)
+    val probes = subVecs(s, dir).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("m"), col("qsub"))
+    val lut = probes.join(broadcast(cents), Seq("m"))
+      .select(col("probe_id"), col("m"), col("cid"),
+        Fns.sqDistL(col("qsub"), col("cv")).as("pd"))
+    val approx = asg.select(col("vec_id"), col("m"), col("cid"))
+      .join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id").agg(sum(col("pd")).as("adist"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adist"), col("vec_id"))
+    approx.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("probe_id", "rank")
   }
 }

