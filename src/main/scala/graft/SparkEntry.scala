@@ -15,20 +15,23 @@ import graft.streaming.Streams
   *    sets/cube/rollup, set ops, pivot/unpivot, percentiles, TPC-H
   *    shapes, profile census, XML/JSON/VARIANT extraction.
   *  - LLM-pipeline north star: dedup family (exact / n-gram / MinHash /
-  *    SimHash / embedding / substring spans / SemDeDup / containment),
-  *    similarity (brute-force, LSH, IVF, k-NN graph, hard negatives),
-  *    clustering (int64 k-means, label centroids, topic labels), text
-  *    analysis (stats, quality, lang-id, tokens, TF-IDF, bigrams,
-  *    collocations, OOV fluency), training prep (packing, temperature
-  *    mix, shards, samples, chunking, redaction, decontamination),
+  *    incremental index / SimHash / embedding / substring spans /
+  *    SemDeDup / containment / CDC chunks), similarity (brute-force,
+  *    LSH, IVF, PQ+ADC, k-NN graph, hard negatives), clustering (int64
+  *    k-means, product quantization, label centroids, topic labels),
+  *    text analysis (stats, quality, lang-id, tokens, TF-IDF, bigrams,
+  *    collocations, OOV fluency, Zipf, word entropy), training prep
+  *    (packing, temperature mix, shards, samples ×6 incl. PPS and
+  *    adaptive percentile gates, chunking, redaction, decontamination),
   *    multimodal binary columns.
   *  - Graph + event analytics: PageRank, triangle census, co-purchase,
   *    funnel, retention, attribution, transitions, sessionization.
   *  - Evaluation layer: ANN recall vs exact baseline, nearest-prototype
   *    confusion matrix, equi-depth histogram, next-token LM table,
   *    PII scan/mask.
-  *  - Structured Streaming ×9 flavors (windows, watermark, dedup,
-  *    joins ×3, sessions, top-k, transformWithState CDC).
+  *  - Structured Streaming ×13 flavors (windows, watermark, dedup,
+  *    joins ×3, sessions, top-k, transformWithState CDC, CDC chunk
+  *    census, kv sink, per-source quota, PPS sample).
   *
   * Only the two sketches — q_approx_distinct (HLL) and
   * q_approx_percentile (quantile) — are absent from oracleSql (driver
