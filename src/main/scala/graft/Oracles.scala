@@ -195,6 +195,31 @@ object Oracles {
        |  FROM pairs JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) j
        |WHERE overlap >= 0.6 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared minhash CTE chain (shingle sets → two polynomial hashes → 64
+    * permutation minima → LSH bands → candidate pairs → sizes → common
+    * counts): the full body of q_dedup_minhash up to its final SELECT,
+    * extended by q_minhash_error with the signature-agreement estimator. */
+  private val MinhashCtes: String =
+    s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+       |    w -> w <> '') AS t FROM documents),
+       |shs AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) z),
+       |hashed AS (SELECT doc_id, ${polyHashSql("sh")} AS h1,
+       |  ${polyHashSql("sh", 131, 1000000009L)} AS h2 FROM shs),
+       |perms AS (SELECT doc_id, i, min((h1 + i*h2) % 2147483647) AS mv
+       |  FROM hashed, (SELECT unnest(range(0,64)) AS i) ii GROUP BY doc_id, i),
+       |bands AS (SELECT doc_id, i // 4 AS b,
+       |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS key
+       |  FROM perms GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   /** Quality-score CTEs (d → s → sc), shared by q_quality_score and the
     * composed q_curation oracle. */
   private val QualityScoreCtes: String =
@@ -1502,32 +1527,35 @@ object Oracles {
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_dedup_minhash" ->
-      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
-         |    w -> w <> '') AS t FROM documents),
-         |shs AS (SELECT DISTINCT doc_id, sh FROM (
-         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
-         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) z),
-         |hashed AS (SELECT doc_id, ${polyHashSql("sh")} AS h1,
-         |  ${polyHashSql("sh", 131, 1000000009L)} AS h2 FROM shs),
-         |perms AS (SELECT doc_id, i, min((h1 + i*h2) % 2147483647) AS mv
-         |  FROM hashed, (SELECT unnest(range(0,64)) AS i) ii GROUP BY doc_id, i),
-         |bands AS (SELECT doc_id, i // 4 AS b,
-         |    string_agg(CAST(mv AS VARCHAR), ',' ORDER BY i) AS key
-         |  FROM perms GROUP BY doc_id, i // 4),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(*) AS sz FROM shs GROUP BY doc_id),
-         |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-         |  FROM shs a JOIN shs b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT c.doc_a, c.doc_b,
-         |  CAST(coalesce(cm.common, 0) AS DOUBLE) /
-         |    CAST(sa.sz + sb.sz - coalesce(cm.common, 0) AS DOUBLE) AS jaccard
-         |FROM cand c
-         |LEFT JOIN common cm ON c.doc_a = cm.doc_a AND c.doc_b = cm.doc_b
-         |JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
-         |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+      (MinhashCtes + "\n" +
+        s"""SELECT c.doc_a, c.doc_b,
+           |  CAST(coalesce(cm.common, 0) AS DOUBLE) /
+           |    CAST(sa.sz + sb.sz - coalesce(cm.common, 0) AS DOUBLE) AS jaccard
+           |FROM cand c
+           |LEFT JOIN common cm ON c.doc_a = cm.doc_a AND c.doc_b = cm.doc_b
+           |JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id
+           |ORDER BY c.doc_a, c.doc_b""".stripMargin),
+
+    // the minhash CTE chain extended with the signature-agreement
+    // estimator: n_agree of 64 permutation minima vs the exact Jaccard
+    "q_minhash_error" ->
+      (MinhashCtes + ",\n" +
+        s"""jc AS (SELECT c.doc_a, c.doc_b,
+           |  CAST(coalesce(cm.common, 0) AS DOUBLE) /
+           |    CAST(sa.sz + sb.sz - coalesce(cm.common, 0) AS DOUBLE) AS jaccard
+           |  FROM cand c
+           |  LEFT JOIN common cm ON c.doc_a = cm.doc_a AND c.doc_b = cm.doc_b
+           |  JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id),
+           |m AS (SELECT j.doc_a, j.doc_b,
+           |  CAST(count(*) FILTER (pa.mv = pb.mv) AS BIGINT) AS n_agree
+           |  FROM jc j JOIN perms pa ON pa.doc_id = j.doc_a
+           |  JOIN perms pb ON pb.doc_id = j.doc_b AND pb.i = pa.i
+           |  GROUP BY j.doc_a, j.doc_b)
+           |SELECT j.doc_a, j.doc_b, n_agree,
+           |  CAST(n_agree AS DOUBLE) / 64.0 AS jaccard_est, j.jaccard,
+           |  abs(CAST(n_agree AS DOUBLE) / 64.0 - j.jaccard) AS abs_err
+           |FROM jc j JOIN m ON j.doc_a = m.doc_a AND j.doc_b = m.doc_b
+           |ORDER BY j.doc_a, j.doc_b""".stripMargin),
 
     // same band construction as q_dedup_minhash, split into an index side
     // (doc_id % 4 <> 3) and a probe side (doc_id % 4 = 3)
@@ -1551,6 +1579,47 @@ object Oracles {
          |  min(i.index_doc) AS first_match
          |FROM probe p JOIN idx i ON p.b = i.b AND p.key = i.key
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // split by near-dup cluster representative so cluster members always
+    // co-assign; buckets 80/10/10 by the Knuth multiplicative hash
+    "q_leakage_split" ->
+      s"""WITH cl AS (SELECT * FROM ($DedupClustersSql) c),
+         |a AS (SELECT d.doc_id, d.lang, coalesce(cl.cluster_id, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id, lang, rep_id,
+         |  CASE WHEN (rep_id * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN (rep_id * 2654435761) % 100 < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q_syndication" ->
+      s"""WITH np AS (SELECT doc_a, doc_b FROM ($DedupNgramSql) g),
+         |s AS (SELECT doc_id, source FROM documents)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  source_a <> source_b AS cross_source
+         |FROM (SELECT least(sa.source, sb.source) AS source_a,
+         |        greatest(sa.source, sb.source) AS source_b
+         |      FROM np JOIN s sa ON np.doc_a = sa.doc_id
+         |      JOIN s sb ON np.doc_b = sb.doc_id) z
+         |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
+
+    // self-trained bigram MLE; score = mean(ln cu - ln cb) per doc,
+    // rounded to 4 decimals (order-sensitive float sum, house discipline)
+    "q_doc_perplexity" ->
+      """WITH d AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+        |    w -> w <> '') AS t FROM documents),
+        |bg AS (SELECT doc_id, lang, t[i] AS w1, t[i+1] AS w2 FROM
+        |  (SELECT doc_id, lang, t, unnest(range(1, len(t))) AS i FROM d WHERE len(t) >= 2) z),
+        |lm AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cu FROM lm GROUP BY w1),
+        |sc AS (SELECT l.w1, l.w2,
+        |  ln(CAST(cu AS DOUBLE)) - ln(CAST(cb AS DOUBLE)) AS nll
+        |  FROM lm l JOIN ctx USING (w1)),
+        |p AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  sum(nll) AS sum_nll
+        |  FROM bg JOIN sc USING (w1, w2) GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, n_bigrams, round(sum_nll / n_bigrams, 4) AS avg_nll
+        |FROM p ORDER BY avg_nll DESC, doc_id LIMIT 25""".stripMargin,
 
     "q_simhash" ->
       s"""WITH tok AS (SELECT doc_id, word, count(*) AS cnt FROM ($Toks) t

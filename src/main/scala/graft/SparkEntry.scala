@@ -167,6 +167,10 @@ object SparkEntry {
     "q_token_positions"   -> q(Pipeline.tokenPositions),
     "q_dedup_minhash"     -> q(Pipeline.dedupMinhash),
     "q_dedup_incremental" -> q(Pipeline.dedupIncremental),
+    "q_minhash_error"     -> q(Pipeline.minhashError),
+    "q_leakage_split"     -> q(Pipeline.leakageSplit),
+    "q_syndication"       -> q(Pipeline.syndication),
+    "q_doc_perplexity"    -> q((s, d) => Pipeline.docPerplexity(s, d)),
     "q_simhash"           -> q(Pipeline.simhash),
     "q_text_stats"        -> q(Pipeline.textStats),
     "q_quality_score"     -> q(Pipeline.qualityScore),

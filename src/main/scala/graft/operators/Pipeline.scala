@@ -169,7 +169,11 @@ object Pipeline {
     * persisted — the shingle subtree is cheap codegen'd recompute; caching
     * it measured 3× slower (cache fill + serialization on the critical
     * path). */
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  /** Wide signature table (doc_id, m0..m63, sz): the 64 permutation
+    * minima plus the distinct-shingle count from ONE corpus-keyed
+    * aggregation. Shared by [[minhashBands]] (which cuts it into LSH band
+    * keys) and [[minhashError]] (which compares raw signatures). */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(s, dir).select(col("doc_id"),
       Fns.polyHash(col("sh")).as("h1"), Fns.polyHash2(col("sh")).as("h2"))
     val permCols = (0 until MinhashPerms).map(i =>
@@ -179,8 +183,12 @@ object Pipeline {
     // serves signatures and sizes, and no standalone sizes aggregation (a
     // second corpus scan + doc-keyed exchange) exists anywhere in a
     // consumer's plan.
-    val sigs = hashed.groupBy("doc_id")
+    hashed.groupBy("doc_id")
       .agg(permCols.head, (permCols.tail :+ count(lit(1)).as("sz")): _*)
+  }
+
+  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSigs(s, dir)
     val nBands = MinhashPerms / MinhashBandRows
     val bandCols = (0 until nBands).map { b =>
       struct(lit(b).as("b"),
@@ -246,6 +254,41 @@ object Pipeline {
       .agg(countDistinct(col("index_doc")).as("n_index_matches"),
         min(col("index_doc")).as("first_match"))
       .orderBy("doc_id")
+  }
+
+  /** Estimator-quality evaluation for the minhash sketch: for every LSH
+    * candidate pair, the signature-agreement estimate of Jaccard (the
+    * fraction of the 64 permutation minima the two docs share — the
+    * unbiased MinHash estimator) side by side with the exact Jaccard from
+    * the shingle sets, plus the absolute error. This is the eval-layer
+    * twin of [[dedupMinhash]]: a pipeline tuning its band/row geometry
+    * reads exactly this table to decide whether 64 permutations are
+    * enough at its similarity threshold (the reference's wc/indexer tests
+    * check outputs against a sequential oracle the same way,
+    * `/root/reference/src/main/test-mr.sh:60-90`).
+    *
+    * Scale shape: the pair table is LSH-candidate-sized (linear, see
+    * [[dedupMinhash]]); each side joins its 64-int signature array — a
+    * fixed-width payload — by doc_id, and the agreement count is a
+    * codegen'd `zip_with`+`aggregate` over the two arrays, no
+    * re-hashing of shingles. All arithmetic is exact (int agreement
+    * count / 64 and one IEEE subtraction), so the full table
+    * hash-matches the oracle with no rounding. */
+  def minhashError(s: SparkSession, dir: String): DataFrame = {
+    val jc = dedupMinhash(s, dir)
+    val sigArr = minhashSigs(s, dir).select(col("doc_id"),
+      array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("sig"))
+    jc.join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("n_agree"),
+        col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree").cast("double") / lit(64.0)).as("jaccard_est"),
+        col("jaccard"),
+        abs(col("n_agree").cast("double") / lit(64.0) - col("jaccard")).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Connected components over the near-dup pair graph: every doc in a
@@ -348,6 +391,54 @@ object Pipeline {
       .join(broadcast(drop), Seq("doc_id"), "left_anti")
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
+  }
+
+  /** Leakage-safe train/val/test split: every document is assigned a
+    * split by a deterministic hash of its near-dup cluster REPRESENTATIVE
+    * (its component's min doc_id from [[dedupClusters]]; docs in no
+    * near-dup pair represent themselves), so two near-duplicate documents
+    * can never land on opposite sides of the train/eval boundary — the
+    * split-time complement of [[decontamination]], which can only catch
+    * leakage after the fact. Buckets: hash mod 100 → 80/10/10.
+    *
+    * Scale shape: the cluster table (one row per doc in any near-dup
+    * pair — a small fraction of the corpus) left-joins the doc table by
+    * id; the split decision is a scalar hash of the representative. One
+    * linear join, no new corpus-keyed aggregation. The co-assignment
+    * property is asserted in PipelineSpec over every cluster. */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      .join(dedupClusters(s, dir), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("cluster_id"), col("doc_id")).as("rep_id"))
+      .withColumn("bucket", pmod(col("rep_id") * lit(2654435761L), lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .select("doc_id", "lang", "rep_id", "split")
+      .orderBy("doc_id")
+
+  /** Syndication census: the near-dup pair table ([[dedupNgram]]) keyed
+    * by the SOURCES of the two endpoints — how much near-duplicate
+    * content is republished across sources versus duplicated within one
+    * (the signal that separates wire-service syndication from
+    * template/boilerplate reuse when deciding which domains to
+    * de-prioritize in a crawl). Source pairs are order-normalized with
+    * least/greatest so each unordered pair counts once.
+    *
+    * Scale shape: two id-keyed joins decorate the (linear) pair table
+    * with sources, then one census aggregation keyed by source pair —
+    * bounded by |sources|², never corpus-sized. */
+  def syndication(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    dedupNgram(s, dir).select("doc_a", "doc_b")
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+      .orderBy("source_a", "source_b")
   }
 
   /** Balanced per-language subsample: the first 20 docs per language in
@@ -854,6 +945,49 @@ object Pipeline {
             log(col("vocab_size").cast("double")), 4))
           .otherwise(lit(0.0)).as("entropy_norm"))
       .orderBy("lang")
+  }
+
+  /** Bigram-LM document scoring — the perplexity quality filter (CCNet
+    * style): train a maximum-likelihood word-bigram model on the corpus
+    * itself, score every document by its mean negative log-likelihood
+    * under that model, and surface the `topN` most surprising documents —
+    * the machine-generated/garbled/off-distribution candidates a curation
+    * pipeline reviews or drops. P(w₂|w₁) = c(w₁w₂)/c(w₁·), with the
+    * context count derived from the bigram table itself so the model is
+    * self-consistent and every scored bigram is in-vocabulary (no
+    * smoothing needed when scoring the training corpus).
+    *
+    * Scale shape: one bigram-keyed aggregation builds the LM (bounded by
+    * OBSERVED bigram types, not corpus size); the context marginal is a
+    * vocabulary-keyed re-aggregation OF THE LM TABLE (the corpus is never
+    * re-read); scoring re-joins the bigram stream to the scored LM on the
+    * bigram key — a linear equi-join AQE can broadcast when the LM fits —
+    * and collapses doc-keyed. The final top-N is a TakeOrdered, never a
+    * global sort. The per-doc float sum is order-sensitive across ~100
+    * terms, so the mean NLL is rounded to 4 decimals (house float-parity
+    * discipline, same as [[wordEntropy]]). */
+  def docPerplexity(s: SparkSession, dir: String, topN: Int = 25): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    val bg = d.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => struct(element_at(col("t"), i + 1).as("w1"),
+                      element_at(col("t"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ctx = lm.groupBy("w1").agg(sum(col("cb")).cast("long").as("cu"))
+    val scored = lm.join(ctx, "w1")
+      .select(col("w1"), col("w2"),
+        (log(col("cu").cast("double")) - log(col("cb").cast("double"))).as("nll"))
+    bg.join(scored, Seq("w1", "w2"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("sum_nll"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        round(col("sum_nll") / col("n_bigrams"), 4).as("avg_nll"))
+      .orderBy(col("avg_nll").desc, col("doc_id")).limit(topN)
   }
 
   private val LangMarkers: Seq[(String, Seq[String])] = Seq(

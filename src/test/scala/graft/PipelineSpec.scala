@@ -579,6 +579,69 @@ class PipelineSpec extends AnyFunSuite {
     rows.tail.foreach(r => assert(r.getDouble(3) <= 0.0))
   }
 
+  test("leakage_split: cluster members co-assign; buckets partition 80/10/10 by hash") {
+    val rows = Pipeline.leakageSplit(spark, sf).collect()
+    assert(rows.length === 500)
+    // every near-dup cluster lands on exactly one side of the split
+    val byRep = rows.groupBy(_.getLong(2))
+    byRep.values.foreach(g => assert(g.map(_.getString(3)).toSet.size === 1))
+    // the split is the recorded multiplicative hash of the representative
+    rows.foreach { r =>
+      val b = java.lang.Math.floorMod(r.getLong(2) * 2654435761L, 100L)
+      val expect = if (b < 80) "train" else if (b < 90) "val" else "test"
+      assert(r.getString(3) === expect)
+    }
+    // clustered docs inherit their component minimum as representative
+    val clusters = Pipeline.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(2) === clusters.getOrElse(r.getLong(0), r.getLong(0)))
+    }
+  }
+
+  test("minhash_error: estimator agrees with signature arithmetic, pairs = minhash pairs") {
+    val exact = Pipeline.dedupMinhash(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Pipeline.minhashError(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet === exact.keySet)
+    rows.foreach { r =>
+      val (nAgree, est, jac, err) =
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(nAgree >= 0L && nAgree <= 64L)
+      assert(est === nAgree.toDouble / 64.0)
+      assert(jac === exact((r.getLong(0), r.getLong(1))))
+      assert(err === math.abs(est - jac))
+      assert(err <= 1.0)
+    }
+    // the 64-permutation sketch should track exact Jaccard closely on
+    // LSH candidates (the whole point of the eval): mean |err| under 0.2
+    assert(rows.map(_.getDouble(5)).sum / rows.length < 0.2)
+  }
+
+  test("syndication: pair counts conserve the near-dup pair table") {
+    val pairs = Pipeline.dedupNgram(spark, sf).collect().length
+    val rows = Pipeline.syndication(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum === pairs.toLong)
+    rows.foreach { r =>
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(sa <= sb)
+      assert(r.getBoolean(3) === (sa != sb))
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("doc_perplexity: self-trained LM gives non-negative NLL, sorted top-N") {
+    val rows = Pipeline.docPerplexity(spark, sf).collect()
+    assert(rows.length === 25)
+    // P(w2|w1) = cb/cu with cu >= cb, so every bigram NLL >= 0
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1L)
+      assert(r.getDouble(3) >= 0.0)
+    }
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("word_entropy: bounded by ln(vocab), reconciles with a local recompute") {
     val rows = Pipeline.wordEntropy(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -98,6 +98,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dedup_ngram" -> 1,
     "q_degree_hist" -> 2,
     "q_distinct_words" -> 2,
+    "q_doc_perplexity" -> 4,
     "q_domain_cap" -> 2,
     "q_pps_sample" -> 2,
     "q_dpp_join" -> 3,
@@ -135,8 +136,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_kv_source" -> 1,
     "q_label_centroids" -> 3,
     "q_lang_id" -> 1,
+    "q_leakage_split" -> 3,
     "q_lateral_topk" -> 2,
     "q_map_functions" -> 3,
+    "q_minhash_error" -> 9,
     "q_mixture_sample" -> 2,
     "q_moving_agg" -> 2,
     "q_mr_cogroup" -> 3,
@@ -177,6 +180,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_sessionize" -> 2,
     "q_shard_export" -> 2,
     "q_simhash" -> 4,
+    "q_syndication" -> 2,
     "q_similarity_topk" -> 2,
     "q_skew_join" -> 2,
     "q_skipgrams" -> 1,
