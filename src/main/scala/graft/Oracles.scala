@@ -81,6 +81,23 @@ object Oracles {
   }
   private def KmIters: Int = graft.operators.Clustering.Iters
 
+  /** [[kmeansCtes]] extended to the within-cluster scored pair table `p`
+    * (lower-id kept_by, higher-id vec_id, left-to-right-fold cosine) —
+    * the shared body of q_semdedup and q_semdedup_sweep. */
+  private def semDedupPairCtes: String =
+    s"""$kmeansCtes,
+       |asg AS (SELECT vec_id, cid FROM b${KmIters + 1} WHERE r = 1),
+       |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM ed),
+       |m AS (SELECT a.vec_id, a.cid, nn.v, nn.nrm
+       |  FROM asg a JOIN nn ON a.vec_id = nn.vec_id),
+       |p AS (SELECT y.vec_id AS vec_id, y.cid AS cid, x.vec_id AS kept_by,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(x.v, (e,i) -> e * y.v[i])), (s1,t1) -> s1+t1) / (x.nrm * y.nrm) AS cos
+       |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id)""".stripMargin
+
   /** Unrolled product-quantization Lloyd prefix — [[kmeansCtes]] with a
     * subspace key m threaded through every CTE: psub holds each vector's
     * [[graft.operators.Clustering.PqM]] int64 subvectors, pk0 the per-
@@ -1603,6 +1620,56 @@ object Oracles {
          |      JOIN s sb ON np.doc_b = sb.doc_id) z
          |GROUP BY source_a, source_b ORDER BY source_a, source_b""".stripMargin,
 
+    // sequential stages: exact dedup keeps min doc_id per content hash,
+    // near-dup removal then counts only those canonical survivors
+    "q_dedup_funnel" ->
+      s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         |    CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_exact FROM documents),
+         |k AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+         |dl AS (SELECT doc_id FROM ($DedupClustersSql) c WHERE doc_id <> cluster_id),
+         |r AS (SELECT CAST(count(*) AS BIGINT) AS n_nd
+         |  FROM k JOIN dl USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS name, n_raw AS n_docs,
+         |    CAST(0 AS BIGINT) AS n_removed FROM t
+         |  UNION ALL SELECT CAST(1 AS BIGINT), 'exact', n_exact, n_raw - n_exact FROM t
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'neardup', n_exact - n_nd, n_nd
+         |    FROM t, r) z
+         |ORDER BY stage""".stripMargin,
+
+    // content-hash CDC between the two deterministic snapshot slices
+    "q_snapshot_diff" ->
+      s"""WITH o AS (SELECT doc_id, lang, sha256(text) AS h FROM documents
+         |    WHERE doc_id % 4 <> 3),
+         |n AS (SELECT doc_id, lang, sha256(text) AS h FROM documents
+         |    WHERE doc_id % 4 <> 0),
+         |j AS (SELECT coalesce(n.lang, o.lang) AS lang,
+         |    CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+         |         WHEN o.h = n.h THEN 'unchanged' ELSE 'changed' END AS status
+         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT lang, status, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM j GROUP BY lang, status ORDER BY lang, status""".stripMargin,
+
+    // grams keyed by the same portable polyHash as the engine, so the
+    // rare collisions are reproduced bit-for-bit and counts stay exact
+    "q_ngram_diversity" ->
+      s"""WITH d AS ($TokList),
+         |g AS (
+         |  SELECT lang, CAST(1 AS BIGINT) AS n, unnest(t) AS g FROM d
+         |  UNION ALL
+         |  SELECT lang, CAST(2 AS BIGINT), unnest(list_transform(
+         |    range(1, greatest(len(t), 1)), i -> t[i] || ' ' || t[i+1])) FROM d
+         |  UNION ALL
+         |  SELECT lang, CAST(3 AS BIGINT), unnest(list_transform(
+         |    range(1, greatest(len(t)-1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) FROM d),
+         |h AS (SELECT lang, n, ${polyHashSql("g")} AS h FROM g),
+         |c AS (SELECT lang, n, h, count(*) AS c FROM h GROUP BY lang, n, h)
+         |SELECT lang, n, CAST(sum(c) AS BIGINT) AS n_total,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS diversity
+         |FROM c GROUP BY lang, n ORDER BY lang, n""".stripMargin,
+
     // self-trained bigram MLE; score = mean(ln cu - ln cb) per doc,
     // rounded to 4 decimals (order-sensitive float sum, house discipline)
     "q_doc_perplexity" ->
@@ -2180,22 +2247,22 @@ object Oracles {
     // SemDeDup: within-cluster lower-id witness with cosine >= tau drops
     // the higher id; cosine is the same left-to-right fold as the engine
     "q_semdedup" ->
-      s"""$kmeansCtes,
-         |asg AS (SELECT vec_id, cid FROM b${KmIters + 1} WHERE r = 1),
-         |ed AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM embeddings),
-         |nn AS (SELECT vec_id, v, sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list_transform(v, x -> x*x)), (a,b) -> a+b)) AS nrm FROM ed),
-         |m AS (SELECT a.vec_id, a.cid, nn.v, nn.nrm
-         |  FROM asg a JOIN nn ON a.vec_id = nn.vec_id),
-         |p AS (SELECT y.vec_id AS vec_id, y.cid AS cid, x.vec_id AS kept_by,
-         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |      list_transform(x.v, (e,i) -> e * y.v[i])), (s1,t1) -> s1+t1) / (x.nrm * y.nrm) AS cos
-         |  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id),
-         |f AS (SELECT vec_id, cid, kept_by, cos,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS rr
-         |  FROM p WHERE cos >= CAST(0.3 AS DOUBLE))
-         |SELECT vec_id, cid, kept_by, cos FROM f WHERE rr = 1 ORDER BY vec_id""".stripMargin,
+      (semDedupPairCtes + ",\n" +
+        s"""f AS (SELECT vec_id, cid, kept_by, cos,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY kept_by) AS rr
+           |  FROM p WHERE cos >= CAST(0.3 AS DOUBLE))
+           |SELECT vec_id, cid, kept_by, cos FROM f WHERE rr = 1 ORDER BY vec_id""".stripMargin),
+
+    // threshold sweep over the same scored pair table; tau literals are
+    // IEEE-identical on both engines so the >= comparisons are exact
+    "q_semdedup_sweep" ->
+      (semDedupPairCtes + "\n" +
+        s"""SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT vec_id) AS BIGINT) AS n_dropped
+           |FROM p JOIN (SELECT unnest([${graft.operators.Clustering.SweepTaus
+                  .map(t => s"CAST($t AS DOUBLE)").mkString(", ")}]) AS tau) t
+           |  ON p.cos >= t.tau
+           |GROUP BY tau ORDER BY tau""".stripMargin),
 
     // ------------------------------------------------------- multimodal
     "q_multimodal_meta" ->

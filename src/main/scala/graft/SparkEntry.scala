@@ -171,6 +171,9 @@ object SparkEntry {
     "q_leakage_split"     -> q(Pipeline.leakageSplit),
     "q_syndication"       -> q(Pipeline.syndication),
     "q_doc_perplexity"    -> q((s, d) => Pipeline.docPerplexity(s, d)),
+    "q_dedup_funnel"      -> q(Pipeline.dedupFunnel),
+    "q_snapshot_diff"     -> q(Pipeline.snapshotDiff),
+    "q_ngram_diversity"   -> q(Pipeline.ngramDiversity),
     "q_simhash"           -> q(Pipeline.simhash),
     "q_text_stats"        -> q(Pipeline.textStats),
     "q_quality_score"     -> q(Pipeline.qualityScore),
@@ -196,6 +199,7 @@ object SparkEntry {
     "q_knn_graph"         -> q(Pipeline.knnGraph),
     "q_kmeans"            -> q(operators.Clustering.kmeans),
     "q_semdedup"          -> q(operators.Clustering.semDedup),
+    "q_semdedup_sweep"    -> q(operators.Clustering.semDedupSweep),
     "q_embedding_pq"      -> q(operators.Clustering.embeddingPq),
     "q_ann_adc"           -> q((s, d) => operators.Clustering.annAdc(s, d)),
     "q_pack_sequences"    -> q(Pipeline.packSequences),

@@ -37,6 +37,11 @@ object Clustering {
     * corpus runs the same plan at ≥ 0.95. */
   val Tau = 0.3
 
+  /** Candidate thresholds for [[semDedupSweep]] — brackets [[Tau]] from
+    * both sides so the sweep shows the drop-count cliff around the
+    * operating point. */
+  val SweepTaus: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.6, 0.8)
+
   /** int64-quantized embedding vectors: qvᵢ = floor(xᵢ·10⁶). */
   private def qVecs(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -116,7 +121,20 @@ object Clustering {
     * clustering IS the blocking structure (that is the SemDeDup insight),
     * so candidate volume never approaches corpus². Cosines are the same
     * left-to-right [[Fns.dotD]] folds the oracle mirrors bit-for-bit. */
-  def semDedup(s: SparkSession, dir: String): DataFrame = {
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    clusterScoredPairs(s, dir)
+      .filter(col("cos") >= Tau)
+      .groupBy("vec_id", "cid")
+      .agg(min(struct(col("kept_by"), col("cos"))).as("w"))
+      .select(col("vec_id"), col("cid"),
+        col("w.kept_by").as("kept_by"), col("w.cos").as("cos"))
+      .orderBy("vec_id")
+
+  /** All within-cluster (lower-id `kept_by`, higher-id `vec_id`) pairs
+    * scored by cosine — the shared candidate table [[semDedup]] filters
+    * at [[Tau]] and [[semDedupSweep]] sweeps. Volume is bounded by
+    * cluster size (the clustering is the blocking structure). */
+  private def clusterScoredPairs(s: SparkSession, dir: String): DataFrame = {
     val (_, asg) = model(s, dir)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
@@ -128,13 +146,30 @@ object Clustering {
       col("v").as("yv"), col("nrm").as("yn"))
     x.join(y, Seq("cid")).filter(col("kept_by") < col("vec_id"))
       .withColumn("cos", Fns.dotD(col("xv"), col("yv")) / (col("xn") * col("yn")))
-      .filter(col("cos") >= Tau)
-      .groupBy("vec_id", "cid")
-      .agg(min(struct(col("kept_by"), col("cos"))).as("w"))
-      .select(col("vec_id"), col("cid"),
-        col("w.kept_by").as("kept_by"), col("w.cos").as("cos"))
-      .orderBy("vec_id")
   }
+
+  /** Threshold-sweep twin of [[semDedup]]: for each candidate τ, how many
+    * within-cluster pairs clear it and how many distinct vectors would be
+    * dropped — the tuning table that turns "pick τ" from a guess into a
+    * read (the same estimator-quality role [[Pipeline.minhashError]]
+    * plays for the minhash band geometry). Thresholds with no qualifying
+    * pair produce no row (both engines drop empty groups identically).
+    *
+    * Scale shape: the scored pair table is computed ONCE (bounded by
+    * cluster size) and fanned out ×|τ| by exploding a literal array —
+    * the sweep adds no join, no new corpus- or pair-keyed exchange
+    * beyond the one census aggregation keyed by τ. Cosines and the τ
+    * literals are IEEE-identical on both engines, so the ≥ comparisons
+    * are exact. */
+  def semDedupSweep(s: SparkSession, dir: String): DataFrame =
+    clusterScoredPairs(s, dir)
+      .select(col("vec_id"), col("cos"),
+        explode(array(SweepTaus.map(lit): _*)).as("tau"))
+      .filter(col("cos") >= col("tau"))
+      .groupBy("tau")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("vec_id")).as("n_dropped"))
+      .orderBy("tau")
 
   /** Class-prototype centroids: the exact per-dimension mean embedding of
     * every label — the nearest-class-mean / few-shot-prototype table a

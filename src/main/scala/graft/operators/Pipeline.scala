@@ -393,6 +393,109 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Dedup-funnel audit: the stage-by-stage survivor census of the dedup
+    * pipeline — raw corpus → exact (content-hash) dedup → near-dup
+    * cluster collapse — the dashboard table a curation team reads to see
+    * where documents go and whether a stage suddenly starts eating the
+    * corpus (a regression signal the per-stage queries can't show
+    * individually). Stages apply sequentially: near-dup removal counts
+    * only exact-dedup survivors (the canonical doc per content hash), so
+    * `n_docs` is monotone non-increasing down the table by construction.
+    *
+    * Scale shape: one corpus scan feeds a global count+distinct; the
+    * stage-2 census joins the (hash-group canonical) keep table against
+    * the tiny near-dup drop list — broadcast-sized, same discipline as
+    * [[dedupApply]]. The three report rows come from exploding a literal
+    * array over the single combined stats row — the only crossJoin is
+    * two 1-row aggregates. */
+  def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val totals = docs.agg(count(lit(1)).as("n_raw"),
+      countDistinct(sha2(col("text"), 256)).as("n_exact"))
+    val keeps = docs.groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val drop = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+    val ndRemoved = keeps.join(broadcast(drop), Seq("doc_id"))
+      .agg(count(lit(1)).as("n_nd"))
+    totals.crossJoin(broadcast(ndRemoved))
+      .select(explode(array(
+        struct(lit(0L).as("stage"), lit("raw").as("name"),
+          col("n_raw").as("n_docs"), lit(0L).as("n_removed")),
+        struct(lit(1L).as("stage"), lit("exact").as("name"),
+          col("n_exact").as("n_docs"),
+          (col("n_raw") - col("n_exact")).as("n_removed")),
+        struct(lit(2L).as("stage"), lit("neardup").as("name"),
+          (col("n_exact") - col("n_nd")).as("n_docs"),
+          col("n_nd").as("n_removed")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.name").as("name"),
+        col("r.n_docs").as("n_docs"), col("r.n_removed").as("n_removed"))
+      .orderBy("stage")
+  }
+
+  /** Snapshot diff census: content-hash CDC between two corpus snapshots
+    * (modeled as deterministic doc_id slices: old = id ≢ 3, new = id ≢ 0
+    * mod 4 — the same snapshot convention as [[dedupIncremental]]) —
+    * per-language counts of added / removed / unchanged / changed
+    * documents, the first table a pipeline consults before re-running
+    * dedup on a new crawl (if `added` is tiny, the incremental path
+    * suffices; if `changed` spikes, a source started rewriting content).
+    *
+    * Scale shape: one corpus scan hashed map-side, two slices
+    * full-outer-joined on doc_id (one id-keyed exchange), collapsing
+    * immediately to a |langs|×4 census — document text never moves,
+    * only (id, lang, 32-byte hash). */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), sha2(col("text"), 256).as("h"))
+    val old = docs.filter(col("doc_id") % 4 =!= 3)
+      .select(col("doc_id"), col("lang").as("lang_old"), col("h").as("h_old"))
+    val neu = docs.filter(col("doc_id") % 4 =!= 0)
+      .select(col("doc_id"), col("lang").as("lang_new"), col("h").as("h_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang_new"), col("lang_old")).as("lang"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") === col("h_new"), "unchanged")
+          .otherwise("changed").as("status"))
+      .groupBy("lang", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "status")
+  }
+
+  /** Distinct-n diversity census: per (language, n) for n ∈ {1,2,3}, the
+    * total and distinct word n-gram counts and their ratio — the
+    * standard text-diversity metric (low distinct-2/distinct-3 flags
+    * templated or machine-generated text; the corpus-level complement of
+    * [[repetitionFilter]]'s within-document dup share).
+    *
+    * Scale shape: the token stream is scanned once per n (cheap codegen
+    * re-tokenize, same trade as the shingle consumers); grams collapse
+    * to the portable int64 polyHash immediately after explode (the
+    * shuffle carries (lang, n, int64), never gram text — hash collisions
+    * are bit-reproduced by the oracle so counts stay exact on both
+    * engines), then two map-side-combined keyed aggs: gram-keyed counts,
+    * re-aggregated to the |langs|×3 census. */
+  def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    def grams(n: Int): DataFrame = {
+      val g = if (n == 1) col("t") else
+        when(size(col("t")) >= n,
+          transform(sequence(lit(0), size(col("t")) - n),
+            i => concat_ws(" ", (0 until n).map(k => element_at(col("t"), i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+      d.select(col("lang"), lit(n.toLong).as("n"), explode(g).as("g"))
+    }
+    grams(1).union(grams(2)).union(grams(3))
+      .select(col("lang"), col("n"), Fns.polyHash(col("g")).as("h"))
+      .groupBy("lang", "n", "h").agg(count(lit(1)).as("c"))
+      .groupBy("lang", "n")
+      .agg(sum(col("c")).cast("long").as("n_total"), count(lit(1)).as("n_distinct"))
+      .withColumn("diversity",
+        col("n_distinct").cast("double") / col("n_total").cast("double"))
+      .orderBy("lang", "n")
+  }
+
   /** Leakage-safe train/val/test split: every document is assigned a
     * split by a deterministic hash of its near-dup cluster REPRESENTATIVE
     * (its component's min doc_id from [[dedupClusters]]; docs in no

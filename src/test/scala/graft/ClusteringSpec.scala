@@ -150,6 +150,27 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("semdedup_sweep: counts monotone non-increasing in tau, consistent with semDedup at Tau") {
+    val rows = operators.Clustering.semDedupSweep(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val taus = rows.map(_.getDouble(0))
+    assert(taus.toSeq === taus.sorted.toSeq)
+    assert(taus.toSet.subsetOf(operators.Clustering.SweepTaus.toSet))
+    // raising the threshold can only shrink both censuses
+    val pairs = rows.map(_.getLong(1))
+    val dropped = rows.map(_.getLong(2))
+    assert(pairs.zip(pairs.drop(1)).forall { case (a, b) => a >= b })
+    assert(dropped.zip(dropped.drop(1)).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+    // the sweep row at the operating threshold equals semDedup's drop count
+    val atTau = rows.find(_.getDouble(0) == operators.Clustering.Tau)
+    val semDrop = operators.Clustering.semDedup(spark, sf).collect().length
+    atTau match {
+      case Some(r) => assert(r.getLong(2) === semDrop.toLong)
+      case None    => assert(semDrop === 0)
+    }
+  }
+
   test("tpch_q3: top-10 by exact revenue, descending, segment-filtered") {
     val rows = operators.Relational.tpchQ3(spark, sf).collect()
     assert(rows.length === 10)

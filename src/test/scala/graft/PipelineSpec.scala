@@ -630,6 +630,60 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_funnel: stages sequential, n_docs monotone, counts reconcile") {
+    val rows = Pipeline.dedupFunnel(spark, sf).collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "raw"), (1L, "exact"), (2L, "neardup")))
+    // each stage's survivors = previous stage's survivors - its removals
+    rows.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur.getLong(2) === prev.getLong(2) - cur.getLong(3))
+    }
+    assert(rows(0).getLong(2) === 500L)
+    assert(rows(0).getLong(3) === 0L)
+    // fixture corpus is all-distinct text, so exact dedup removes nothing
+    assert(rows(1).getLong(3) === 0L)
+    // near-dup removals = non-canonical cluster members among survivors
+    val ndDrop = Pipeline.dedupClusters(spark, sf).collect()
+      .count(r => r.getLong(0) !== r.getLong(1))
+    assert(rows(2).getLong(3) === ndDrop.toLong)
+  }
+
+  test("snapshot_diff: statuses partition both slices, no 'changed' in fixture") {
+    val rows = Pipeline.snapshotDiff(spark, sf).collect()
+    val byStatus = rows.groupBy(_.getString(1)).view
+      .mapValues(_.map(_.getLong(2)).sum).toMap
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    // old slice = id % 4 != 3, new slice = id % 4 != 0
+    assert(byStatus.getOrElse("added", 0L) === ids.count(_ % 4 == 3).toLong)
+    assert(byStatus.getOrElse("removed", 0L) === ids.count(_ % 4 == 0).toLong)
+    assert(byStatus.getOrElse("unchanged", 0L) ===
+      ids.count(i => i % 4 != 3 && i % 4 != 0).toLong)
+    // same doc_id always carries identical text in the fixture
+    assert(!byStatus.contains("changed"))
+  }
+
+  test("ngram_diversity: distinct <= total, diversity rises with n, totals reconcile") {
+    val rows = Pipeline.ngramDiversity(spark, sf).collect()
+    val langs = rows.map(_.getString(0)).distinct
+    assert(rows.length === langs.length * 3)
+    rows.foreach { r =>
+      val (total, distinct, div) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(distinct >= 1L && distinct <= total)
+      assert(div === distinct.toDouble / total.toDouble)
+    }
+    // per (lang): total n-grams shrink by one doc-count as n grows;
+    // distinct-n diversity is non-decreasing in n for natural text
+    langs.foreach { l =>
+      val byN = rows.filter(_.getString(0) == l).sortBy(_.getLong(1))
+      assert(byN.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+      assert(byN(0).getLong(2) >= byN(1).getLong(2))
+      assert(byN(1).getLong(2) >= byN(2).getLong(2))
+      assert(byN(0).getDouble(4) <= byN(1).getDouble(4))
+      assert(byN(1).getDouble(4) <= byN(2).getDouble(4))
+    }
+  }
+
   test("doc_perplexity: self-trained LM gives non-negative NLL, sorted top-N") {
     val rows = Pipeline.docPerplexity(spark, sf).collect()
     assert(rows.length === 25)

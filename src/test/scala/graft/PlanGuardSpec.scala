@@ -29,7 +29,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
     "q_eval_confusion"  -> 2, // 10-row centroid table (cells + row totals)
     "q_bpe_apply"       -> 1, // 1-row round-0 token total
-    "q_vocab_prune"     -> 1  // 1-row vocab-size aggregate
+    "q_vocab_prune"     -> 1, // 1-row vocab-size aggregate
+    "q_dedup_funnel"    -> 1  // two 1-row stats aggregates crossJoined
   )
 
   test("no cartesian products; nested-loop joins only on constant-size builds") {
@@ -93,6 +94,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dedup_clusters" -> 1,
     "q_dedup_containment" -> 1,
     "q_dedup_exact" -> 2,
+    "q_dedup_funnel" -> 4,
     "q_dedup_incremental" -> 3,
     "q_dedup_minhash" -> 8,
     "q_dedup_ngram" -> 1,
@@ -152,6 +154,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_multimodal_meta" -> 1,
     "q_multimodal_transform" -> 1,
     "q_next_token" -> 4,
+    "q_ngram_diversity" -> 3,
     "q_novelty" -> 4,
     "q_oov_filter" -> 3,
     "q_outer_join" -> 2,
@@ -175,6 +178,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_scd2" -> 2,
     "q_schema_evolution" -> 2,
     "q_semdedup" -> 3,
+    "q_semdedup_sweep" -> 5,
     "q_semi_join" -> 1,
     "q_session_window" -> 2,
     "q_sessionize" -> 2,
@@ -184,6 +188,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_similarity_topk" -> 2,
     "q_skew_join" -> 2,
     "q_skipgrams" -> 1,
+    "q_snapshot_diff" -> 4,
     "q_skyline" -> 3,
     "q_sliding_window" -> 2,
     "q_sort_docs" -> 1,
