@@ -496,6 +496,49 @@ object Pipeline {
       .orderBy("lang", "n")
   }
 
+  /** Vocabulary coverage curve: per language, the vocabulary rank (words
+    * ordered by frequency, ties broken lexically) needed to cover 90%
+    * and 99% of the token stream — THE table read when sizing a
+    * tokenizer vocabulary or an UNK budget ([[vocabPrune]] answers "what
+    * does a GIVEN min-count cut?"; this answers "how big must the vocab
+    * be for a TARGET coverage?").
+    *
+    * Scale shape: the corpus collapses to (lang, word) counts first (one
+    * map-side-combined keyed agg; everything after is vocabulary-sized).
+    * Rank and running coverage come from ONE sort-based window (same
+    * partition+order → a single exchange+sort that spills); the
+    * threshold test cross-multiplies int64s (cum·den ≥ num·total), so
+    * coverage is integer-exact — no float accumulates across the vocab.
+    * The per-(lang, threshold) answer is min(rank), and because the
+    * running sum is monotone in rank, min(cum) is the covered count at
+    * that same rank — no argmin needed. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("c").desc, col("word"))
+    val wc = Tables.documents(s, dir)
+      .select(col("lang"), explode(Fns.tokensArr(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+    val ranked = wc
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("c")).over(w).cast("long"))
+    val tot = wc.groupBy("lang")
+      .agg(sum(col("c")).cast("long").as("n_total"),
+        count(lit(1)).as("vocab_size"))
+    ranked.join(tot, Seq("lang"))
+      .select(col("lang"), col("rank"), col("cum"), col("n_total"),
+        col("vocab_size"),
+        explode(array(
+          struct(lit(0.9).as("threshold"), lit(9L).as("num"), lit(10L).as("den")),
+          struct(lit(0.99).as("threshold"), lit(99L).as("num"), lit(100L).as("den"))))
+          .as("th"))
+      .filter(col("cum") * col("th.den") >= col("th.num") * col("n_total"))
+      .groupBy(col("lang"), col("th.threshold").as("threshold"))
+      .agg(min(col("rank")).as("vocab_rank"), min(col("cum")).as("n_covered"),
+        max(col("n_total")).as("n_total"), max(col("vocab_size")).as("vocab_size"))
+      .orderBy("lang", "threshold")
+  }
+
   /** Leakage-safe train/val/test split: every document is assigned a
     * split by a deterministic hash of its near-dup cluster REPRESENTATIVE
     * (its component's min doc_id from [[dedupClusters]]; docs in no

@@ -952,6 +952,43 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Time-series resample with gap fill: each event type's sparse event
+    * stream becomes a dense DAILY series over that type's own observed
+    * span — missing days appear with a zero count, a `filled` marker,
+    * and the last observed daily cent-sum carried forward (LOCF), the
+    * standard shape a downstream forecaster or anomaly detector expects
+    * (`q_anomaly`'s z-scores silently skip gap days without this).
+    *
+    * Scale shape: one (type, day)-keyed aggregation collapses the stream
+    * (map-side combined — days per type are bounded by the calendar, so
+    * the grid explode is calendar-sized, never event-sized); the dense
+    * grid left-joins the daily table on (type, day) and the LOCF window
+    * sorts calendar-sized partitions. Cents are exact ints
+    * (floor(value·100), identical bits on both engines, same discipline
+    * as [[movingAgg]]); days surface as formatted strings. */
+  def resample(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val daily = Tables.events(s, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sc"))
+    val grid = daily.groupBy("event_type")
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("locf_cents",
+        last(col("sc"), ignoreNulls = true).over(w))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("sc"), lit(0L)).as("sum_cents"),
+        col("n").isNull.as("filled"), col("locf_cents"))
+      .orderBy("event_type", "day")
+  }
+
   /** arg-max/arg-min selection per group with an explicit tie-break: the
     * event carrying each type's extreme value, smallest event_id winning
     * ties. (A bare max_by/arg_max is nondeterministic under value ties —
