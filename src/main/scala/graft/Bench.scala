@@ -39,22 +39,38 @@ object Bench {
     // lands in at most one pass, so the min is the plan's cost — builder
     // and driver runs of identical code then agree instead of drifting
     // 3-5x on whichever queries the host interrupted
+    // A failing query must surface loudly: its entry is recorded as -1 (an
+    // impossible duration that visibly poisons any consumer summing the
+    // numbers), it is named in an "errors" list, and the process exits
+    // non-zero — a bench artifact can never look FASTER because a query
+    // broke (that happened in round 7 when a fixture regression turned six
+    // event-time queries into ~0.06s analysis-error fast-fails).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          errors(name) = e.toString.linesIterator.next().take(200); false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val first = pass()
     val second = pass()
-    val results = first.map { case (k, v) => k -> math.min(v, second(k)) }
+    val results = first.map { case (k, v) =>
+      k -> (if (v < 0 || second(k) < 0) -1.0 else math.min(v, second(k)))
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val errJson = errors.map { case (k, m) =>
+      s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     // print first AND persist: the driver's log capture truncates long sbt
     // tails, so the artifact self-contains the totals either way
     println(json)
     java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), json + "\n")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -2201,6 +2201,118 @@ object Oracles {
          |GROUP BY pr.true_label, pr.pred_label, rt.n_true
          |ORDER BY true_label, pred_label""".stripMargin,
 
+    // DSIR importance log-weights: hashed-unigram bucket models (target =
+    // lang 'en', raw = whole corpus), add-one smoothing over 256 buckets;
+    // per-bucket terms rounded through DECIMAL(18,9) so the per-doc sum is
+    // order-independent and bit-identical on both engines
+    "q_dsir" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |    unnest(list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |tok AS (SELECT doc_id, lang, ${polyHashSql("w")} % 256 AS bucket FROM w),
+         |db AS (SELECT doc_id, lang, bucket, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY doc_id, lang, bucket),
+         |raw AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS r FROM db GROUP BY bucket),
+         |tgt AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS t
+         |  FROM db WHERE lang = 'en' GROUP BY bucket),
+         |tot AS (SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS rtot,
+         |               (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS ttot),
+         |term AS (SELECT db.doc_id, db.lang, db.c,
+         |    CAST(CAST(db.c AS DOUBLE) *
+         |      (ln(CAST(coalesce(tgt.t, 0) AS DOUBLE) + 1.0)
+         |       - ln(CAST(raw.r AS DOUBLE) + 1.0)) AS DECIMAL(18,9)) AS term
+         |  FROM db JOIN raw USING (bucket) LEFT JOIN tgt USING (bucket)),
+         |p AS (SELECT doc_id, lang, sum(term) AS sum_term,
+         |    CAST(sum(c) AS BIGINT) AS n_tokens
+         |  FROM term GROUP BY doc_id, lang)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(sum_term + CAST(CAST(n_tokens AS DOUBLE) *
+         |    (ln(CAST(rtot AS DOUBLE) + 256) - ln(CAST(ttot AS DOUBLE) + 256))
+         |    AS DECIMAL(18,9)) AS DOUBLE) AS dsir_logw
+         |FROM p, tot ORDER BY doc_id""".stripMargin,
+
+    // reciprocal-rank fusion of the quality score and the distinct-token
+    // fraction: each signal's top-100 list ranked independently, fused
+    // with 1/(60+rank); fused scores are sums of two exactly-representable
+    // reciprocals
+    "q_rank_fusion" ->
+      s"""WITH ${QualityScoreCtes},
+         |q AS (SELECT doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_quality
+         |  FROM sc ORDER BY score DESC, doc_id LIMIT 100),
+         |g AS (SELECT doc_id, CASE WHEN len(t) > 0
+         |    THEN CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS distinct_frac FROM d),
+         |dv AS (SELECT doc_id, distinct_frac,
+         |    CAST(row_number() OVER (ORDER BY distinct_frac DESC, doc_id) AS BIGINT) AS r_diversity
+         |  FROM g ORDER BY distinct_frac DESC, doc_id LIMIT 100)
+         |SELECT coalesce(q.doc_id, dv.doc_id) AS doc_id,
+         |  CAST(coalesce(r_quality, 0) AS BIGINT) AS r_quality,
+         |  CAST(coalesce(r_diversity, 0) AS BIGINT) AS r_diversity,
+         |  coalesce(1.0 / CAST(60 + r_quality AS DOUBLE), CAST(0.0 AS DOUBLE))
+         |  + coalesce(1.0 / CAST(60 + r_diversity AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rrf_score
+         |FROM q FULL OUTER JOIN dv ON q.doc_id = dv.doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT 25""".stripMargin,
+
+    // merged per-source MinHash signatures (element-wise min over the
+    // source's docs — min over all (doc, i) minima of the source) and the
+    // pairwise signature-agreement Jaccard estimate between sources
+    "q_source_similarity" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |shs AS (SELECT DISTINCT doc_id, sh FROM (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) z),
+         |hashed AS (SELECT doc_id, ${polyHashSql("sh")} AS h1,
+         |  ${polyHashSql("sh", 131, 1000000009L)} AS h2 FROM shs),
+         |perms AS (SELECT doc_id, i, min((h1 + i*h2) % 2147483647) AS mv
+         |  FROM hashed, (SELECT unnest(range(0,64)) AS i) ii GROUP BY doc_id, i),
+         |merged AS (SELECT dc.source, p.i, min(p.mv) AS mv
+         |  FROM perms p JOIN documents dc USING (doc_id) GROUP BY dc.source, p.i)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+         |  CAST(sum(CASE WHEN a.mv = b.mv THEN 1 ELSE 0 END) AS DOUBLE) / 64.0 AS jaccard_est
+         |FROM merged a JOIN merged b ON a.i = b.i AND a.source < b.source
+         |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
+
+    // language-ID confusion matrix: same marker rule as q_lang_id, grouped
+    // into (labeled, pred) cells with each cell's share of its labeled row
+    "q_langid_eval" ->
+      s"""WITH d AS ($TokList),
+         |s AS (SELECT doc_id, lang AS labeled_lang,
+         |  CAST(len(list_filter(t, w -> w IN ('the','a','of'))) AS BIGINT) AS s_en,
+         |  CAST(len(list_filter(t, w -> w IN ('der','die','das'))) AS BIGINT) AS s_de,
+         |  CAST(len(list_filter(t, w -> w IN ('le','la','les'))) AS BIGINT) AS s_fr,
+         |  CAST(len(list_filter(t, w -> w IN ('el','los','las'))) AS BIGINT) AS s_es
+         |FROM d),
+         |li AS (SELECT doc_id, labeled_lang,
+         |  CASE WHEN s_es > greatest(s_en, s_de, s_fr, CAST(0 AS BIGINT)) THEN 'es'
+         |       WHEN s_fr > greatest(s_en, s_de, CAST(0 AS BIGINT)) THEN 'fr'
+         |       WHEN s_de > greatest(s_en, CAST(0 AS BIGINT)) THEN 'de'
+         |       WHEN s_en > CAST(0 AS BIGINT) THEN 'en'
+         |       ELSE 'und' END AS pred_lang FROM s),
+         |cm AS (SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM li GROUP BY labeled_lang, pred_lang)
+         |SELECT labeled_lang, pred_lang, n_docs,
+         |  CAST(n_docs AS DOUBLE) /
+         |    CAST(sum(n_docs) OVER (PARTITION BY labeled_lang) AS DOUBLE) AS frac_of_labeled
+         |FROM cm ORDER BY labeled_lang, pred_lang""".stripMargin,
+
+    // quality-filter threshold sweep: survivors and surviving tokens per
+    // candidate threshold; the thr = 0 row is the corpus total (score >= 0
+    // always), so the fraction needs no second corpus pass
+    "q_quality_sweep" ->
+      s"""WITH ${QualityScoreCtes},
+         |th AS (SELECT unnest([CAST(0.0 AS DOUBLE), CAST(0.25 AS DOUBLE),
+         |    CAST(0.5 AS DOUBLE), CAST(0.75 AS DOUBLE), CAST(1.0 AS DOUBLE)]) AS threshold),
+         |ag AS (SELECT threshold,
+         |    CAST(sum(CASE WHEN score >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN score >= threshold THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+         |  FROM sc, th GROUP BY threshold)
+         |SELECT threshold, n_docs, n_tokens_kept,
+         |  CAST(n_docs AS DOUBLE) / CAST(max(n_docs) OVER () AS DOUBLE) AS frac_docs
+         |FROM ag ORDER BY threshold""".stripMargin,
+
     // integer-exact Lloyd k-means: see kmeansCtes for the unrolled rounds
     "q_kmeans" ->
       s"""$kmeansCtes,

@@ -224,6 +224,12 @@ object SparkEntry {
     "q_cdc_dedup"         -> q(Pipeline.cdcDedup),
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
+    // data selection & evaluation (round 8)
+    "q_dsir"              -> q(operators.Selection.dsirWeights),
+    "q_rank_fusion"       -> q(operators.Selection.rankFusion),
+    "q_source_similarity" -> q(operators.Selection.sourceSimilarity),
+    "q_langid_eval"       -> q(operators.Selection.langidEval),
+    "q_quality_sweep"     -> q(operators.Selection.qualitySweep),
     // multimodal
     "q_multimodal_meta"   -> q(Media.mediaMeta),
     "q_multimodal_transform" -> q(Media.mediaTransform),

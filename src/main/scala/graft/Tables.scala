@@ -30,11 +30,21 @@ object Tables {
     load(s, dir, "events")
   }
 
-  def normalizeEvents(raw: DataFrame): DataFrame =
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+  /** Normalize whatever timestamp encoding the fixture was written with to
+    * session-local TIMESTAMP (LTZ). Three encodings have been observed across
+    * driver regenerations: parquet TIMESTAMP(NANOS) read as INT64 via
+    * nanosAsLong; µs NTZ (isAdjustedToUTC=false → TimestampNTZType); and µs
+    * LTZ. All sessions are pinned to UTC on both engines, so the NTZ→LTZ cast
+    * is instant-preserving and oracle hashes are unchanged. */
+  def normalizeEvents(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
 
   def events(s: SparkSession, dir: String): DataFrame = normalizeEvents(eventsRaw(s, dir))
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")

@@ -139,7 +139,7 @@ object Pipeline {
       .filter(col("overlap") >= 0.6)
       .orderBy("doc_a", "doc_b")
 
-  private val MinhashPerms = 64
+  private[operators] val MinhashPerms = 64
   private val MinhashBandRows = 4 // 16 bands × 4 rows
 
   /** MinHash + LSH near-duplicate candidates, verified by exact Jaccard.
@@ -173,7 +173,7 @@ object Pipeline {
     * minima plus the distinct-shingle count from ONE corpus-keyed
     * aggregation. Shared by [[minhashBands]] (which cuts it into LSH band
     * keys) and [[minhashError]] (which compares raw signatures). */
-  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+  private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(s, dir).select(col("doc_id"),
       Fns.polyHash(col("sh")).as("h1"), Fns.polyHash2(col("sh")).as("h2"))
     val permCols = (0 until MinhashPerms).map(i =>
@@ -208,14 +208,19 @@ object Pipeline {
         col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("b", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sz_a", "sz_b").distinct()
-    // exact-Jaccard verification restricted to candidate docs only
+    // exact-Jaccard verification restricted to candidate docs only.
+    // No broadcast hints here: the candidate set is corpus-linear, so a
+    // forced broadcast would ship a multi-GB table to the driver and every
+    // executor at 100×. AQE still picks a broadcast join at runtime when
+    // the measured candidate table is small; otherwise these stay safe
+    // shuffled (semi-)joins.
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b"))).distinct()
-    val shc = sh.join(broadcast(candDocs), "doc_id")
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
     val common = shc.select(col("sh"), col("doc_id").as("doc_a"))
       .join(shc.select(col("sh"), col("doc_id").as("doc_b")), "sh")
       .filter(col("doc_a") < col("doc_b"))
-      .join(broadcast(cand.select("doc_a", "doc_b")), Seq("doc_a", "doc_b"), "left_semi")
+      .join(cand.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_semi")
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     cand.join(common, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),

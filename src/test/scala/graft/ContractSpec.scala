@@ -29,9 +29,13 @@ class ContractSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query runs on sf0.001 and returns a non-empty schema") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val df = fn(spark, SparkTestSession.Sf)
+  // one registered test per query: a single broken query fails as its own
+  // named test instead of aborting the whole sweep at the first analysis
+  // error (round 7's fixture regression turned 6 broken queries into one
+  // opaque suite failure here)
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name analyzes on sf0.001 with a non-empty schema") {
+      val df = SparkEntry.queries(name)(spark, SparkTestSession.Sf)
       assert(df.columns.nonEmpty, name)
     }
   }

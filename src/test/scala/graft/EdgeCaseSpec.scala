@@ -53,10 +53,15 @@ class EdgeCaseSpec extends AnyFunSuite {
     "q_stream_window", "q_stream_topk", "q_stream_dedup",
     "q_stream_outer_join", "q_stream_current",
     // round-6 wave: connector-fed cogroup + stream→kv-sink loop
-    "q_mr_kv_cogroup", "q_stream_kv_sink")
+    "q_mr_kv_cogroup", "q_stream_kv_sink",
+    // round-8 wave: data selection & evaluation
+    "q_dsir", "q_rank_fusion", "q_source_similarity", "q_langid_eval",
+    "q_quality_sweep")
 
-  test("operator families run on zero-row inputs") {
-    families.foreach { name =>
+  // per-family registered tests: one broken family fails by name instead
+  // of aborting the whole empty-input sweep
+  families.foreach { name =>
+    test(s"$name runs on zero-row inputs") {
       val n = SparkEntry.queries(name)(spark, emptyDir).count()
       assert(n === 0L, s"$name returned $n rows on empty input")
     }

@@ -30,12 +30,15 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_eval_confusion"  -> 2, // 10-row centroid table (cells + row totals)
     "q_bpe_apply"       -> 1, // 1-row round-0 token total
     "q_vocab_prune"     -> 1, // 1-row vocab-size aggregate
-    "q_dedup_funnel"    -> 1  // two 1-row stats aggregates crossJoined
+    "q_dedup_funnel"    -> 1, // two 1-row stats aggregates crossJoined
+    "q_dsir"            -> 1  // 1-row (rtot, ttot) model-totals broadcast
   )
 
-  test("no cartesian products; nested-loop joins only on constant-size builds") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val plan = fn(spark, sf).queryExecution.sparkPlan.toString
+  // one registered test per query (not one sweep): a single analysis error
+  // names its query instead of aborting the entire guard at the first throw
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name: no cartesian product, bounded nested-loop joins") {
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.sparkPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product")
       val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
@@ -96,7 +99,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dedup_exact" -> 2,
     "q_dedup_funnel" -> 4,
     "q_dedup_incremental" -> 3,
-    "q_dedup_minhash" -> 8,
+    // +1 in round 8: the forced broadcast() hints on the candidate-pair
+    // table were dropped (they forced a corpus-linear table to the driver
+    // at 100×); AQE now plans one extra shuffled semi-join at tiny SF,
+    // which is the safe shape at scale
+    "q_dedup_minhash" -> 9,
     "q_dedup_ngram" -> 1,
     "q_degree_hist" -> 2,
     "q_distinct_words" -> 2,
@@ -104,6 +111,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_domain_cap" -> 2,
     "q_pps_sample" -> 2,
     "q_dpp_join" -> 3,
+    "q_dsir" -> 7,
     "q_embedding_neardup" -> 2,
     "q_embedding_pq" -> 3,
     "q_embedding_quantize" -> 1,
@@ -141,7 +149,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_leakage_split" -> 3,
     "q_lateral_topk" -> 2,
     "q_map_functions" -> 3,
-    "q_minhash_error" -> 9,
+    "q_minhash_error" -> 10, // +1 round 8, inherits q_dedup_minhash's change
     "q_mixture_sample" -> 2,
     "q_moving_agg" -> 2,
     "q_mr_cogroup" -> 3,
@@ -168,6 +176,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_pivot" -> 3,
     "q_profile" -> 2,
     "q_quality_score" -> 1,
+    "q_langid_eval" -> 3,
+    "q_quality_sweep" -> 3,
+    "q_rank_fusion" -> 0,
+    "q_source_similarity" -> 3,
     "q_range_frame_time" -> 2,
     "q_range_join" -> 2,
     "q_recursive_cte" -> 1,
@@ -241,12 +253,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_zipf" -> 1,
     "q_zorder" -> 0)
 
-  test("recorded shuffle-exchange budgets hold in the final adaptive plan") {
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name: shuffle-exchange budget holds in the final adaptive plan") {
       val budget = shuffleBudget.getOrElse(name,
         fail(s"$name has no recorded shuffle budget — run " +
           "`runMain graft.tools.ExchangeCensus` and add its row here"))
-      val df = fn(spark, sf)
+      val df = SparkEntry.queries(name)(spark, sf)
       df.collect() // drive AQE to the final plan
       val (shuffles, _) =
         graft.tools.ExchangeCensus.exchangeCounts(df.queryExecution.executedPlan)
