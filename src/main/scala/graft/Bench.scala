@@ -27,9 +27,13 @@ object Bench {
     // tables the same way (shared by q_triangle_count and q_degree_hist)
     // q_dedup_clusters joins the warm list for its convergent-loop sibling:
     // its sequential supersteps amplify host noise worst of any query
+    // q_dedup_incremental warms the memoized per-corpus MinHash SIGNATURE
+    // table (one row per doc, built once per corpus like the pair table,
+    // shared by the minhash dedup/error/incremental/source-similarity four)
     Seq("q_wordcount", "q_stream_window",
         "q_bucketed_join", "q_partitioned_scan", "q_text_roundtrip",
-        "q_dedup_ngram", "q_degree_hist", "q_dedup_clusters").foreach { w =>
+        "q_dedup_ngram", "q_degree_hist", "q_dedup_clusters",
+        "q_dedup_incremental").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }

@@ -172,8 +172,22 @@ object Pipeline {
   /** Wide signature table (doc_id, m0..m63, sz): the 64 permutation
     * minima plus the distinct-shingle count from ONE corpus-keyed
     * aggregation. Shared by [[minhashBands]] (which cuts it into LSH band
-    * keys) and [[minhashError]] (which compares raw signatures). */
-  private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    * keys), [[minhashError]] (raw signature comparison), and
+    * [[Selection.sourceSimilarity]] (per-source min-merge) — four
+    * declared queries ride this subtree, so it is materialized once per
+    * (session, corpus) like the near-dup pair table: one row per doc,
+    * fixed width, exactly the signature table a production pipeline
+    * persists next to its corpus snapshot. (Earlier rounds measured
+    * `.cache()` of the DOWNSTREAM band fan-out as a 3× loss for a single
+    * query; the memo here is the narrow upstream aggregate, amortized
+    * across four consumers.) Lifecycle: see the note at pairCache. */
+  private val sigsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    sigsCache.computeIfAbsent((s, dir), _ => computeMinhashSigs(s, dir).stable)
+
+  private def computeMinhashSigs(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(s, dir).select(col("doc_id"),
       Fns.polyHash(col("sh")).as("h1"), Fns.polyHash2(col("sh")).as("h2"))
     val permCols = (0 until MinhashPerms).map(i =>
