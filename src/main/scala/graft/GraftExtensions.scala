@@ -19,7 +19,8 @@ object GraftFunctions {
       (es => graft.functions.SortedIntersectCount(es(0), es(1))),
     "cdc_boundaries" -> (es => graft.functions.CdcBoundariesExpr(es.head)),
     "char_hist"      -> (es => graft.functions.CharHistExpr(es.head)),
-    "bag_distance"   -> (es => graft.functions.BagDistance(es(0), es(1))))
+    "bag_distance"   -> (es => graft.functions.BagDistance(es(0), es(1))),
+    "minhash_sig"    -> (es => graft.functions.MinhashSigExpr(es.head)))
 }
 
 /** Session-extension entry point: the deployment path for plugging the

@@ -2201,6 +2201,70 @@ object Oracles {
          |GROUP BY pr.true_label, pr.pred_label, rt.n_true
          |ORDER BY true_label, pred_label""".stripMargin,
 
+    // precision/recall sweep of the LSH candidate set against the blocked
+    // exact-Jaccard pair table: the minhash CTE chain supplies the
+    // candidates (+ exact Jaccard), a renamed copy of the ngram-dedup
+    // chain supplies the truth pairs, and each side fans out over the
+    // 4-row threshold list
+    "q_lsh_pr_sweep" ->
+      (MinhashCtes + ",\n" +
+        s"""candj AS (SELECT c.doc_a, c.doc_b,
+           |    CAST(coalesce(cm.common, 0) AS DOUBLE) /
+           |      CAST(sa.sz + sb.sz - coalesce(cm.common, 0) AS DOUBLE) AS j_exact
+           |  FROM cand c
+           |  LEFT JOIN common cm ON c.doc_a = cm.doc_a AND c.doc_b = cm.doc_b
+           |  JOIN sizes sa ON c.doc_a = sa.doc_id JOIN sizes sb ON c.doc_b = sb.doc_id),
+           |nshs AS (SELECT DISTINCT doc_id, ${polyHashSql("sh")} AS h FROM shs),
+           |nrare AS (SELECT h FROM (SELECT h, count(*) AS df FROM nshs GROUP BY h) f
+           |  WHERE df <= 100),
+           |nshr AS (SELECT s1.doc_id, s1.h FROM nshs s1 JOIN nrare USING (h)),
+           |nsizes AS (SELECT doc_id, count(*) AS sz FROM nshs GROUP BY doc_id),
+           |npairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+           |  FROM nshr a JOIN nshr b ON a.h = b.h AND a.doc_id < b.doc_id
+           |  GROUP BY a.doc_id, b.doc_id),
+           |truth AS (SELECT doc_a, doc_b, j_ngram FROM (
+           |  SELECT doc_a, doc_b,
+           |    CAST(common AS DOUBLE)/CAST(sa.sz + sb.sz - common AS DOUBLE) AS j_ngram
+           |  FROM npairs JOIN nsizes sa ON doc_a = sa.doc_id
+           |  JOIN nsizes sb ON doc_b = sb.doc_id) j WHERE j_ngram >= 0.2),
+           |th AS (SELECT unnest([CAST(0.2 AS DOUBLE), CAST(0.25 AS DOUBLE),
+           |  CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE)]) AS threshold),
+           |t1 AS (SELECT threshold,
+           |    CAST(sum(CASE WHEN j_ngram >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_truth
+           |  FROM truth, th GROUP BY threshold),
+           |t2 AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_cand,
+           |    CAST(sum(CASE WHEN j_exact >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_above
+           |  FROM candj, th GROUP BY threshold),
+           |m AS (SELECT c.doc_a, c.doc_b, t.j_ngram
+           |  FROM candj c JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b),
+           |t3 AS (SELECT threshold,
+           |    CAST(sum(CASE WHEN j_ngram >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_truth
+           |  FROM m, th GROUP BY threshold)
+           |SELECT t1.threshold, n_truth, n_cand,
+           |  CAST(coalesce(n_cand_truth, 0) AS BIGINT) AS n_cand_truth, n_cand_above,
+           |  CASE WHEN n_truth > 0
+           |    THEN CAST(coalesce(n_cand_truth, 0) AS DOUBLE) / CAST(n_truth AS DOUBLE)
+           |    ELSE CAST(0.0 AS DOUBLE) END AS recall,
+           |  CASE WHEN n_cand > 0
+           |    THEN CAST(n_cand_above AS DOUBLE) / CAST(n_cand AS DOUBLE)
+           |    ELSE CAST(0.0 AS DOUBLE) END AS precision
+           |FROM t1 JOIN t2 ON t1.threshold = t2.threshold
+           |LEFT JOIN t3 ON t1.threshold = t3.threshold
+           |ORDER BY t1.threshold""".stripMargin),
+
+    // streaming LSH ingest probe: per new-snapshot doc (doc_id ≡ 3 mod 4),
+    // its band-collision census against the accepted-corpus index — same
+    // band construction as q_dedup_minhash, counting collision ROWS (the
+    // batch q_dedup_incremental counts DISTINCT index docs)
+    "q_stream_lsh_ingest" ->
+      (MinhashCtes + ",\n" +
+        s"""idx AS (SELECT b, key, doc_id AS index_doc FROM bands WHERE doc_id % 4 <> 3),
+           |probe AS (SELECT doc_id, b, key FROM bands WHERE doc_id % 4 = 3)
+           |SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_band_hits,
+           |  min(i.index_doc) AS first_match
+           |FROM probe p JOIN idx i ON p.b = i.b AND p.key = i.key
+           |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
+
     // DSIR importance log-weights: hashed-unigram bucket models (target =
     // lang 'en', raw = whole corpus), add-one smoothing over 256 buckets;
     // per-bucket terms rounded through DECIMAL(18,9) so the per-doc sum is

@@ -226,6 +226,7 @@ object SparkEntry {
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
     // data selection & evaluation (round 8)
     "q_dsir"              -> q(operators.Selection.dsirWeights),
+    "q_lsh_pr_sweep"      -> q(operators.Selection.lshPrSweep),
     "q_rank_fusion"       -> q(operators.Selection.rankFusion),
     "q_source_similarity" -> q(operators.Selection.sourceSimilarity),
     "q_langid_eval"       -> q(operators.Selection.langidEval),
@@ -247,7 +248,8 @@ object SparkEntry {
     "q_stream_kv_sink"    -> q(Streams.streamKvSink),
     "q_stream_cdc_dedup"  -> q(Streams.streamCdcDedup),
     "q_stream_domain_cap" -> q((s, d) => Streams.streamDomainCap(s, d)),
-    "q_stream_pps_sample" -> q((s, d) => Streams.streamPpsSample(s, d))
+    "q_stream_pps_sample" -> q((s, d) => Streams.streamPpsSample(s, d)),
+    "q_stream_lsh_ingest" -> q(Streams.streamLshIngest)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

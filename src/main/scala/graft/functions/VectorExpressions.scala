@@ -434,6 +434,79 @@ object CdcBoundariesExpr {
   }
 }
 
+/** Full 64-permutation MinHash signature of a shingle array in ONE
+  * compiled pass — per shingle both polynomial hashes (base 31 mod 1e9+7,
+  * base 131 mod 1e9+9) and all 64 permutation minima
+  * (h1 + i·h2 mod 2³¹−1) update in a single loop.
+  *
+  * Semantically identical to the higher-order-function composition
+  * `transform(0..63, i -> array_min(zip_with(transform(shs, poly_hash),
+  * transform(shs, poly_hash2), (a,b) -> pmod(a + i*b, 2³¹−1))))` — but
+  * that composition runs INTERPRETED (HigherOrderFunction is
+  * CodegenFallback, and custom expressions inside its lambdas interpret
+  * per element). This is the map-side signature kernel of the streaming
+  * LSH ingest path, where each row must carry its own signature because
+  * no aggregation may precede the stream-static probe join. Duplicate
+  * shingles are harmless (minima are multiplicity-blind), so the result
+  * equals the batch aggregation over the DISTINCT shingle set. Empty
+  * array → null (a shingle-less doc has no signature). */
+case class MinhashSigExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbsDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any =
+    MinhashSigExpr.sig(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.MinhashSigExpr.sig($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MinhashSigExpr {
+  final val Perms = 64
+  private final val M = 2147483647L
+
+  /** The signature array, or null for an empty shingle set. */
+  def sig(arr: ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](Perms)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var k = 0
+    while (k < n) {
+      val bs = arr.getUTF8String(k).getBytes
+      var h1 = 0L
+      var h2 = 0L
+      var i = 0
+      while (i < bs.length) {
+        val b = bs(i) & 0xff
+        h1 = (h1 * 31L + b) % 1000000007L
+        h2 = (h2 * 131L + b) % 1000000009L
+        i += 1
+      }
+      // h1 + 63·h2 < 6.4e10 — no overflow, operands non-negative, so the
+      // JVM % equals the batch path's pmod
+      var p = 0
+      while (p < Perms) {
+        val v = (h1 + p * h2) % M
+        if (v < mins(p)) mins(p) = v
+        p += 1
+      }
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
 object VectorExpressions {
   /** Column wrapper for [[FoldDotProduct]]. */
   def foldDot(a: Column, b: Column): Column =
@@ -466,4 +539,8 @@ object VectorExpressions {
   /** Column wrapper for [[BagDistance]]. */
   def bagDistance(a: Column, b: Column): Column =
     GraftShims.column(BagDistance(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column wrapper for [[MinhashSigExpr]]. */
+  def minhashSig(c: Column): Column =
+    GraftShims.column(MinhashSigExpr(GraftShims.expression(c)))
 }

@@ -201,7 +201,7 @@ object Pipeline {
       .agg(permCols.head, (permCols.tail :+ count(lit(1)).as("sz")): _*)
   }
 
-  private def minhashBands(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def minhashBands(s: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSigs(s, dir)
     val nBands = MinhashPerms / MinhashBandRows
     val bandCols = (0 until nBands).map { b =>

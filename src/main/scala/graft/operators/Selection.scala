@@ -179,6 +179,55 @@ object Selection {
       .orderBy("labeled_lang", "pred_lang")
   }
 
+  private val PrThresholds = Seq(0.2, 0.25, 0.3, 0.4)
+
+  /** Precision/recall sweep of the MinHash-LSH candidate set against the
+    * exact blocked-Jaccard pair table — the eval that decides whether the
+    * 16×4 band geometry is right for a target similarity threshold
+    * before a 100 TB dedup pass commits to it. For each threshold t:
+    * how many true near-dup pairs exist (`n_truth`, exact shingle Jaccard
+    * from the [[Pipeline.dedupNgram]] pair table, ≥ t), how many LSH
+    * candidates the bands produced (`n_cand`, constant), how many truth
+    * pairs the candidates cover (`n_cand_truth` → recall), and how many
+    * candidates clear the threshold on exact Jaccard (`n_cand_above` →
+    * precision).
+    *
+    * Scale shape: both inputs are the memoized once-per-corpus tables
+    * (the near-dup pair table and the LSH candidate table) — the corpus
+    * is not re-read; each table fans out |thresholds| = 4 rows map-side
+    * and collapses immediately, and the final join is on the 4-row
+    * threshold key. */
+  def lshPrSweep(s: SparkSession, dir: String): DataFrame = {
+    val thr = explode(array(PrThresholds.map(lit): _*)).as("threshold")
+    val truth = Pipeline.dedupNgram(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_ngram"))
+    val cand = Pipeline.dedupMinhash(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_exact"))
+    val t1 = truth.select(thr, col("j_ngram"))
+      .groupBy("threshold")
+      .agg(sum(when(col("j_ngram") >= col("threshold"), 1L).otherwise(0L)).as("n_truth"))
+    val t2 = cand.select(thr, col("j_exact"))
+      .groupBy("threshold")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("j_exact") >= col("threshold"), 1L).otherwise(0L)).as("n_cand_above"))
+    val t3 = cand.join(truth, Seq("doc_a", "doc_b"))
+      .select(thr, col("j_ngram"))
+      .groupBy("threshold")
+      .agg(sum(when(col("j_ngram") >= col("threshold"), 1L).otherwise(0L)).as("n_cand_truth"))
+    t1.join(t2, "threshold").join(t3, Seq("threshold"), "left")
+      .select(col("threshold"), col("n_truth"), col("n_cand"),
+        coalesce(col("n_cand_truth"), lit(0L)).as("n_cand_truth"),
+        col("n_cand_above"),
+        when(col("n_truth") > 0,
+          coalesce(col("n_cand_truth"), lit(0L)).cast("double") /
+            col("n_truth").cast("double"))
+          .otherwise(0.0).as("recall"),
+        when(col("n_cand") > 0,
+          col("n_cand_above").cast("double") / col("n_cand").cast("double"))
+          .otherwise(0.0).as("precision"))
+      .orderBy("threshold")
+  }
+
   private val SweepThresholds = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
 
   /** Quality-filter threshold sweep: for each candidate keep-threshold,

@@ -570,4 +570,61 @@ object Streams {
         col("s.n_events").as("n_events"))
       .orderBy("user_id")
   }
+
+  /** Streaming LSH index probe — the ingest half of incremental near-dup
+    * detection ([[graft.operators.Pipeline.dedupIncremental]]'s streaming
+    * twin): newly-crawled documents (the doc_id ≡ 3 mod 4 snapshot
+    * slice) stream in, each row computes its own 64-permutation MinHash
+    * signature MAP-SIDE (array expressions over the row's shingle set —
+    * no aggregation, so the signature exists before any stateful
+    * operator), cuts it into the same 16×4 bands as the batch index, and
+    * probes the static accepted-corpus band table; the per-document
+    * collision census (band hits + earliest colliding index doc) is the
+    * accept/review signal the ingest emits.
+    *
+    * Scale shape: the stream side is per-row narrow projections; the
+    * static side is the memoized signature table's band fan-out (built
+    * once per corpus, re-read per micro-batch); the join is the same
+    * linear (band, key) equi-join as the batch path, and state is one
+    * fixed-width row per in-flight probe document. Per-row signatures are
+    * marginally more CPU than the batch path's one signature aggregation
+    * — the price of needing no shuffle before the probe join; at 100 TB
+    * the probe slice is a crawl increment, not the corpus. */
+  def streamLshIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Fns, VectorExpressions}
+    val docs = documentsStream(s, dir)
+      .filter(pmod(col("doc_id"), lit(4L)) === 3L)
+      .select(col("doc_id"),
+        filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3,
+            transform(sequence(lit(0), size(col("t")) - 3),
+              i => concat_ws(" ", element_at(col("t"), i + 1),
+                                  element_at(col("t"), i + 2),
+                                  element_at(col("t"), i + 3))))
+          .otherwise(array().cast("array<string>")).as("shs"))
+      // one compiled pass per row: both shingle hashes and all 64
+      // permutation minima ([[MinhashSigExpr]]; the equivalent
+      // higher-order-function composition runs interpreted per element —
+      // measured 6.1s → see bench); empty shingle set → null → dropped,
+      // same as the batch path's absent signature
+      .select(col("doc_id"), VectorExpressions.minhashSig(col("shs")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bands = docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)), b =>
+          struct(b.as("b"),
+            concat_ws(",", (0 until 4).map(r =>
+              element_at(col("sig"), b * 4 + r + 1).cast("string")): _*)
+              .as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+    val index = graft.operators.Pipeline.minhashBands(s, dir)
+      .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
+      .select(col("b"), col("key"), col("doc_id").as("index_doc"))
+    val probed = bands.join(index, Seq("b", "key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_band_hits"),
+        min(col("index_doc")).as("first_match"))
+    withStatePartitions(s, 2) { completeToParquet(s, probed) }
+      .orderBy("doc_id")
+  }
 }

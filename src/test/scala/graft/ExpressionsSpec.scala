@@ -151,6 +151,32 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getLong(1) > 6 || r.getLong(0) <= 6))
   }
 
+  test("MinhashSigExpr == the interpreted HOF composition, empty -> null") {
+    val df = Seq(
+      Seq("a b c", "b c d", "c d e"),
+      Seq("x y z"),
+      Seq("a b c", "a b c"), // duplicates: minima are multiplicity-blind
+      Seq.empty[String]
+    ).toDF("shs")
+    val slow = transform(sequence(lit(0), lit(63)), i =>
+      array_min(zip_with(
+        transform(col("shs"), sh => Fns.polyHash(sh)),
+        transform(col("shs"), sh => Fns.polyHash2(sh)),
+        (a, b) => pmod(a + i.cast("long") * b, lit(2147483647L)))))
+    val rows = df.select(
+      VectorExpressions.minhashSig(col("shs")).as("fast"),
+      when(size(col("shs")) > 0, slow).as("slow")).collect()
+    rows.foreach { r => assert(r.get(0) === r.get(1)) }
+    assert(rows.last.isNullAt(0))
+    // the dup row equals its deduped twin
+    assert(rows(2).getSeq[Long](0) ===
+      df.limit(3).select(VectorExpressions.minhashSig(array(lit("a b c")))).collect()(2).getSeq[Long](0))
+    // SQL-registered name works
+    Engine.tune(spark)
+    assert(spark.sql("SELECT minhash_sig(array('a b c'))[0] IS NOT NULL")
+      .collect()(0).getBoolean(0))
+  }
+
   test("cosine of identical vectors is 1.0") {
     val got = Seq((Seq(0.5, -0.25, 3.0), Seq(0.5, -0.25, 3.0))).toDF("a", "b")
       .select(Fns.cosineD(col("a"), col("b"))).as[Double].head()

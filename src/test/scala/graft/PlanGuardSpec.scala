@@ -177,6 +177,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_profile" -> 2,
     "q_quality_score" -> 1,
     "q_langid_eval" -> 3,
+    "q_lsh_pr_sweep" -> 12,
     "q_quality_sweep" -> 3,
     "q_rank_fusion" -> 0,
     "q_source_similarity" -> 3,
@@ -214,6 +215,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_dedup" -> 1,
     "q_stream_domain_cap" -> 1,
     "q_stream_pps_sample" -> 1,
+    "q_stream_lsh_ingest" -> 1,
     "q_stream_kv_sink" -> 1,
     "q_stream_outer_join" -> 1,
     "q_stream_sessions" -> 2,

@@ -71,6 +71,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(sim.values.forall(_ <= 64L))
   }
 
+  test("lsh_pr_sweep: counts are consistent and metrics are exact fractions") {
+    val rows = Selection.lshPrSweep(spark, sf).collect()
+    assert(rows.length === 4)
+    val nCand = rows.head.getLong(2)
+    rows.foreach { r =>
+      val (thr, nTruth, nc, nCandTruth, nCandAbove, recall, precision) =
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+         r.getLong(4), r.getDouble(5), r.getDouble(6))
+      assert(nc === nCand) // candidate set is threshold-independent
+      assert(nCandTruth <= nTruth && nCandTruth <= nc)
+      assert(nCandAbove <= nc)
+      assert(recall === (if (nTruth > 0) nCandTruth.toDouble / nTruth else 0.0))
+      assert(precision === (if (nc > 0) nCandAbove.toDouble / nc else 0.0))
+      assert(thr >= 0.2 && thr <= 0.4)
+    }
+    // truth pairs can only shrink as the threshold rises
+    val byThr = rows.sortBy(_.getDouble(0))
+    byThr.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1))
+      assert(a.getLong(4) >= b.getLong(4))
+    }
+  }
+
   test("langid_eval: confusion cells conserve the corpus and row shares sum to 1") {
     val rows = Selection.langidEval(spark, sf).collect()
     val corpus = Tables.documents(spark, sf).count()

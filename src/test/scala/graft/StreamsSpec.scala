@@ -197,4 +197,23 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
+
+  test("stream LSH ingest equals the batch band-collision census") {
+    import org.apache.spark.sql.functions._
+    // batch twin computed directly from the shared band table: probe
+    // slice bands joined to index bands, collision rows + earliest match
+    val bands = graft.operators.Pipeline.minhashBands(spark, sf)
+    val idx = bands.filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
+      .select(col("b"), col("key"), col("doc_id").as("index_doc"))
+    val probe = bands.filter(pmod(col("doc_id"), lit(4L)) === 3L)
+      .select(col("doc_id"), col("b"), col("key"))
+    val batch = probe.join(idx, Seq("b", "key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min(col("index_doc")).as("fm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = Streams.streamLshIngest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === batch)
+    assert(got.nonEmpty) // the fixture has near-dup collisions to probe
+  }
 }
