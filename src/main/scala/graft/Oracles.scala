@@ -2449,6 +2449,22 @@ object Oracles {
          |    ELSE 'video' END AS format
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // exact media dedup by payload digest: media = UTF-8 bytes of text
+    // (ASCII fixture → sha256(text) hashes the same bytes), modality from
+    // doc_id % 3 as in the other multimodal oracles
+    "q_multimodal_dedup" ->
+      s"""WITH m AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+         |      ELSE 'video' END AS kind,
+         |    sha256(text) AS h, CAST(length(text) AS BIGINT) AS len
+         |  FROM documents),
+         |g AS (SELECT kind, h, min(doc_id) AS keep_id,
+         |    CAST(count(*) AS BIGINT) AS n_copies, min(len) AS n_bytes
+         |  FROM m GROUP BY kind, h)
+         |SELECT kind, h, keep_id, n_copies, n_bytes,
+         |  CAST((n_copies - 1) * n_bytes AS BIGINT) AS dup_bytes
+         |FROM g ORDER BY kind, h""".stripMargin,
+
     "q_multimodal_transform" ->
       s"""WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
          |    CAST(length(text) % 640 + 1 AS BIGINT) AS w,

@@ -235,6 +235,7 @@ object SparkEntry {
     "q_multimodal_meta"   -> q(Media.mediaMeta),
     "q_multimodal_transform" -> q(Media.mediaTransform),
     "q_multimodal_frames" -> q(Media.mediaFrames),
+    "q_multimodal_dedup"  -> q(Media.mediaDedup),
     // structured streaming
     "q_stream_window"     -> q(Streams.streamWindow),
     "q_stream_window_wm"  -> q(Streams.streamWindowWatermarked),

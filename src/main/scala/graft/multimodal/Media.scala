@@ -111,4 +111,23 @@ object Media {
     }
     out.toDF().orderBy("doc_id")
   }
+
+  /** Exact content-hash dedup over the binary media column, per modality —
+    * the multimodal twin of [[graft.operators.Pipeline.dedupExact]]: a
+    * crawl's media store dedups by payload digest BEFORE any decode (the
+    * hash is over raw bytes, so it needs no codec and catches re-hosted
+    * copies byte-for-byte). One hash-aggregate keyed by (kind, sha256) —
+    * the digest is computed map-side and the shuffle carries 32-byte
+    * digests, never payloads; `dup_bytes` is the storage the dedup
+    * reclaims. */
+  def mediaDedup(s: SparkSession, dir: String): DataFrame =
+    blobs(s, dir).toDF()
+      .select(col("doc_id"), col("kind"), sha2(col("media"), 256).as("h"),
+        length(col("media")).cast("long").as("len"))
+      .groupBy("kind", "h")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        min(col("len")).as("n_bytes"))
+      .select(col("kind"), col("h"), col("keep_id"), col("n_copies"), col("n_bytes"),
+        ((col("n_copies") - 1) * col("n_bytes")).as("dup_bytes"))
+      .orderBy("kind", "h")
 }

@@ -56,7 +56,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     "q_mr_kv_cogroup", "q_stream_kv_sink",
     // round-8 wave: data selection & evaluation
     "q_dsir", "q_rank_fusion", "q_source_similarity", "q_langid_eval",
-    "q_quality_sweep", "q_lsh_pr_sweep", "q_stream_lsh_ingest")
+    "q_quality_sweep", "q_lsh_pr_sweep", "q_stream_lsh_ingest",
+    "q_multimodal_dedup")
 
   // per-family registered tests: one broken family fails by name instead
   // of aborting the whole empty-input sweep

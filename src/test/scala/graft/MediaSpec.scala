@@ -8,6 +8,27 @@ class MediaSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.Sf
 
+  test("mediaDedup: digests reconcile with a driver-side recompute") {
+    val rows = graft.multimodal.Media.mediaDedup(spark, SparkTestSession.Sf).collect()
+    val docs = Tables.documents(spark, SparkTestSession.Sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // groups partition the corpus
+    assert(rows.map(_.getLong(3)).sum === docs.length.toLong)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val expect = docs.groupBy { case (id, t) =>
+      val kind = (id % 3) match { case 0 => "img"; case 1 => "audio"; case _ => "video" }
+      (kind, md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+    rows.foreach { r =>
+      val g = expect((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) === g.map(_._1).min)      // keep_id
+      assert(r.getLong(3) === g.length.toLong)      // n_copies
+      assert(r.getLong(4) === g.head._2.getBytes("UTF-8").length.toLong)
+      assert(r.getLong(5) === (g.length - 1).toLong * r.getLong(4))
+    }
+  }
+
   test("decode stub is deterministic in the payload") {
     val (w1, h1) = Media.decodeStub("hello world".getBytes)
     val (w2, h2) = Media.decodeStub("hello world".getBytes)

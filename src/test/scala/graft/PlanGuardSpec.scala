@@ -158,6 +158,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_mr_kv_cogroup" -> 3,
     "q_mr_sorted_concat" -> 2,
     "q_mr_wordcount" -> 2,
+    "q_multimodal_dedup" -> 2,
     "q_multimodal_frames" -> 1,
     "q_multimodal_meta" -> 1,
     "q_multimodal_transform" -> 1,
