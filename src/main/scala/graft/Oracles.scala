@@ -2201,6 +2201,31 @@ object Oracles {
          |GROUP BY pr.true_label, pr.pred_label, rt.n_true
          |ORDER BY true_label, pred_label""".stripMargin,
 
+    // per-source dataset card: volume, language spread + deterministic
+    // dominant language, within-source exact-dup count, mean quality
+    // (scores are multiples of 0.25, so the double sum is exact)
+    "q_dataset_card" ->
+      s"""WITH ${QualityScoreCtes},
+         |dd AS (SELECT d2.source, d2.lang, sc.n_tokens,
+         |    CAST(length(d2.text) AS BIGINT) AS n_chars,
+         |    sha256(d2.text) AS h, sc.score
+         |  FROM sc JOIN documents d2 ON sc.doc_id = d2.doc_id),
+         |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_dup_docs,
+         |    sum(score) / count(*) AS mean_quality
+         |  FROM dd GROUP BY source),
+         |tl AS (SELECT source, lang AS top_lang FROM (
+         |  SELECT source, lang, row_number() OVER (PARTITION BY source
+         |      ORDER BY count(*) DESC, lang) AS rn
+         |  FROM dd GROUP BY source, lang) z WHERE rn = 1)
+         |SELECT base.source, n_docs, n_langs, top_lang, n_tokens, n_chars,
+         |  n_dup_docs, mean_quality
+         |FROM base JOIN tl ON base.source = tl.source
+         |ORDER BY base.source""".stripMargin,
+
     // precision/recall sweep of the LSH candidate set against the blocked
     // exact-Jaccard pair table: the minhash CTE chain supplies the
     // candidates (+ exact Jaccard), a renamed copy of the ngram-dedup

@@ -227,6 +227,7 @@ object SparkEntry {
     // data selection & evaluation (round 8)
     "q_dsir"              -> q(operators.Selection.dsirWeights),
     "q_lsh_pr_sweep"      -> q(operators.Selection.lshPrSweep),
+    "q_dataset_card"      -> q(operators.Selection.datasetCard),
     "q_rank_fusion"       -> q(operators.Selection.rankFusion),
     "q_source_similarity" -> q(operators.Selection.sourceSimilarity),
     "q_langid_eval"       -> q(operators.Selection.langidEval),

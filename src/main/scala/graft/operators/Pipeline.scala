@@ -789,7 +789,7 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
-  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[operators] val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Heuristic quality score in [0,1] from length / stopword / punctuation
     * signals, with a keep/drop verdict — the standard pre-training corpus

@@ -179,6 +179,53 @@ object Selection {
       .orderBy("labeled_lang", "pred_lang")
   }
 
+  /** Per-source dataset card — the datasheet a curation pipeline publishes
+    * for every ingested source: volume (docs, tokens, chars), language
+    * spread (distinct languages + deterministic dominant language),
+    * within-source exact-duplicate count (docs minus distinct content
+    * digests), and mean heuristic quality. One corpus pass computes the
+    * per-doc signals; everything after is source-keyed aggregation.
+    *
+    * Scale shape: the base aggregation is map-side combinable per source;
+    * the dominant language comes from a (source, lang)-keyed aggregate
+    * (sources × languages rows) ranked by a window WITHIN each source's
+    * handful of rows — never a corpus-wide sort. Mean quality is exact:
+    * scores are multiples of 0.25, so their double sum is
+    * order-independent and the single division matches the oracle
+    * bitwise. */
+  def datasetCard(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"),
+        filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+      .select(col("source"), col("lang"),
+        size(col("t")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        sha2(col("text"), 256).as("h"),
+        (when(size(col("t")).between(20, 10000), 1).otherwise(0) * lit(0.5) +
+         when(size(filter(col("t"), w => w.isin(Pipeline.Stopwords.map(lit): _*)))
+            .cast("double") / size(col("t")) > 0.01, 0.25).otherwise(0.0) +
+         when((length(col("text")) - length(regexp_replace(col("text"), "[.,]", "")))
+            .cast("double") / length(col("text")) < 0.2, 0.25).otherwise(0.0))
+          .as("score"))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_tokens")).cast("long").as("n_tokens"),
+      sum(col("n_chars")).cast("long").as("n_chars"),
+      (count(lit(1)) - countDistinct(col("h"))).as("n_dup_docs"),
+      (sum(col("score")) / count(lit(1))).as("mean_quality"))
+    val topLang = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source").orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+        col("n_tokens"), col("n_chars"), col("n_dup_docs"), col("mean_quality"))
+      .orderBy("source")
+  }
+
   private val PrThresholds = Seq(0.2, 0.25, 0.3, 0.4)
 
   /** Precision/recall sweep of the MinHash-LSH candidate set against the

@@ -57,7 +57,7 @@ class EdgeCaseSpec extends AnyFunSuite {
     // round-8 wave: data selection & evaluation
     "q_dsir", "q_rank_fusion", "q_source_similarity", "q_langid_eval",
     "q_quality_sweep", "q_lsh_pr_sweep", "q_stream_lsh_ingest",
-    "q_multimodal_dedup")
+    "q_multimodal_dedup", "q_dataset_card")
 
   // per-family registered tests: one broken family fails by name instead
   // of aborting the whole empty-input sweep

@@ -91,6 +91,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_csv_dirty" -> 1,
     "q_cube_docs" -> 2,
     "q_curation" -> 3,
+    "q_dataset_card" -> 5,
     "q_date_functions" -> 1,
     "q_decontamination" -> 7,
     "q_dedup_apply" -> 2,

@@ -111,6 +111,29 @@ class SelectionSpec extends AnyFunSuite {
     assert(preds.subsetOf(Set("en", "de", "fr", "es", "und")))
   }
 
+  test("dataset_card: one row per source, volumes conserve, top_lang is the mode") {
+    val rows = Selection.datasetCard(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select("source", "lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_.getString(0)).toSet === docs.map(_._1).toSet)
+    assert(rows.map(_.getLong(1)).sum === docs.length.toLong)
+    val bySrc = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val g = bySrc(src)
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getLong(2) === g.map(_._2).distinct.length.toLong)
+      // deterministic mode: max count, ties by lang ascending
+      val mode = g.groupBy(_._2).toSeq
+        .sortBy { case (lang, ds) => (-ds.length, lang) }.head._1
+      assert(r.getString(3) === mode)
+      assert(r.getLong(5) === g.map(_._3).sum) // n_chars conserves
+      assert(r.getLong(6) >= 0 && r.getLong(6) < r.getLong(1)) // dups
+      assert(r.getDouble(7) >= 0.0 && r.getDouble(7) <= 1.0)
+    }
+  }
+
   test("quality_sweep: survival is monotone and the zero threshold is the corpus") {
     val rows = Selection.qualitySweep(spark, sf).collect()
     assert(rows.length === 5)
