@@ -331,6 +331,21 @@ object Oracles {
        |c AS (SELECT label, i, n, CAST((sx - sx % n) / n AS BIGINT) AS c
        |  FROM s)""".stripMargin
 
+  /** Prototype-distance CTE chain (cl/qt/d) reproducing
+    * [[graft.operators.Evaluation.protoDistances]] — the labeled
+    * vectors × per-label centroids exact integer squared distances,
+    * shared by the q_eval_confusion, q_kappa, q_calibration, and
+    * q_silhouette oracles (mirroring the shared Scala helper). */
+  private lazy val protoDistCtes: String =
+    s"""$labelCentroidCellCtes,
+       |cl AS (SELECT CAST(label AS BIGINT) AS plabel, list(c ORDER BY i) AS cv
+       |  FROM c GROUP BY label),
+       |qt AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label, qv FROM q),
+       |d AS (SELECT qt.vec_id, qt.true_label, cl.plabel,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (qv[i]-cv[i])*(qv[i]-cv[i]))) AS BIGINT) AS dist
+       |  FROM qt, cl)""".stripMargin
+
   /** Exact brute-force cosine top-10 (shared verbatim by the
     * q_similarity_topk entry and, as a CTE, the q_ann_recall eval). */
   private lazy val similarityTopkSql: String =
@@ -2181,14 +2196,7 @@ object Oracles {
     // truncated-mean centroids as q_label_centroids, argmin distance with
     // ties by label, then the exact integer cross-tab
     "q_eval_confusion" ->
-      s"""WITH $labelCentroidCellCtes,
-         |cl AS (SELECT CAST(label AS BIGINT) AS plabel, list(c ORDER BY i) AS cv
-         |  FROM c GROUP BY label),
-         |qt AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label, qv FROM q),
-         |d AS (SELECT qt.vec_id, qt.true_label, cl.plabel,
-         |    CAST(list_sum(list_transform(range(1, 65),
-         |      i -> (qv[i]-cv[i])*(qv[i]-cv[i]))) AS BIGINT) AS dist
-         |  FROM qt, cl),
+      s"""WITH $protoDistCtes,
          |p AS (SELECT vec_id, true_label, plabel AS pred_label,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, plabel) AS r
          |  FROM d),
@@ -2200,6 +2208,122 @@ object Oracles {
          |FROM pr JOIN rt USING (true_label)
          |GROUP BY pr.true_label, pr.pred_label, rt.n_true
          |ORDER BY true_label, pred_label""".stripMargin,
+
+    // Cohen's kappa over the same nearest-prototype predictions: exact
+    // integer ppm arithmetic, κ = (N·diag − Σ row·col) / (N² − Σ row·col)
+    "q_kappa" ->
+      s"""WITH $protoDistCtes,
+         |p AS (SELECT vec_id, true_label, plabel,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, plabel) AS r
+         |  FROM d),
+         |pr AS (SELECT true_label, plabel AS pred_label FROM p WHERE r = 1),
+         |cells AS (SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n
+         |  FROM pr GROUP BY true_label, pred_label),
+         |rt AS (SELECT true_label AS lbl, CAST(sum(n) AS BIGINT) AS rn
+         |  FROM cells GROUP BY 1),
+         |ct AS (SELECT pred_label AS lbl, CAST(sum(n) AS BIGINT) AS cn
+         |  FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         |    CAST(sum(CASE WHEN true_label = pred_label THEN n ELSE 0 END) AS BIGINT) AS n_agree
+         |  FROM cells),
+         |rc AS (SELECT CAST(coalesce(sum(rn * cn), 0) AS BIGINT) AS sum_rc
+         |  FROM rt JOIN ct USING (lbl))
+         |SELECT n_total, n_agree,
+         |  CAST(n_agree * 1000000 // n_total AS BIGINT) AS po_ppm,
+         |  CAST(sum_rc * 1000000 // (n_total * n_total) AS BIGINT) AS pe_ppm,
+         |  CAST((n_total * n_agree - sum_rc) * 1000000 //
+         |    (n_total * n_total - sum_rc) AS BIGINT) AS kappa_ppm
+         |FROM tot, rc""".stripMargin,
+
+    // centroid silhouette per label: a = own-prototype distance, b = min
+    // other-prototype distance, s = (b−a)/max(a,b) as a floored ppm of an
+    // IEEE-exact division of < 2^53 integers
+    "q_silhouette" ->
+      s"""WITH $protoDistCtes,
+         |ab AS (SELECT vec_id, true_label,
+         |    min(CASE WHEN plabel = true_label THEN dist END) AS a,
+         |    min(CASE WHEN plabel <> true_label THEN dist END) AS b
+         |  FROM d GROUP BY vec_id, true_label),
+         |sil AS (SELECT true_label, CASE WHEN greatest(a, b) = 0 THEN 0
+         |    ELSE CAST(floor(CAST(b - a AS DOUBLE) * 1000000.0 /
+         |      CAST(greatest(a, b) AS DOUBLE)) AS BIGINT) END AS s_ppm
+         |  FROM ab)
+         |SELECT true_label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(floor(CAST(sum(s_ppm) AS DOUBLE) / count(*)) AS BIGINT) AS mean_sil_ppm,
+         |  CAST(min(s_ppm) AS BIGINT) AS min_sil_ppm,
+         |  CAST(max(s_ppm) AS BIGINT) AS max_sil_ppm
+         |FROM sil GROUP BY true_label ORDER BY true_label""".stripMargin,
+
+    // reliability diagram of the prototype classifier: top-2 distance
+    // margin pseudo-confidence, ten equal-width bins over the observed
+    // range, integer-exact per-bin accuracy / mean confidence / gap
+    "q_calibration" ->
+      s"""WITH $protoDistCtes,
+         |p AS (SELECT vec_id, true_label, plabel, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, plabel) AS r
+         |  FROM d),
+         |per AS (SELECT vec_id, true_label,
+         |    min(CASE WHEN r = 1 THEN plabel END) AS pred_label,
+         |    min(CASE WHEN r = 1 THEN dist END) AS d1,
+         |    min(CASE WHEN r = 2 THEN dist END) AS d2
+         |  FROM p WHERE r <= 2 GROUP BY vec_id, true_label),
+         |sc AS (SELECT CASE WHEN d1 + d2 = 0 THEN 500000
+         |      ELSE CAST(floor(CAST(d2 AS DOUBLE) * 1000000.0 /
+         |        CAST(d1 + d2 AS DOUBLE)) AS BIGINT) END AS conf_ppm,
+         |    CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS hit
+         |  FROM per),
+         |bounds AS (SELECT min(conf_ppm) AS cmin, max(conf_ppm) AS cmax FROM sc),
+         |sb AS (SELECT CAST((conf_ppm - cmin) * 10 // (cmax - cmin + 1) AS BIGINT) AS bin,
+         |    conf_ppm, hit FROM sc, bounds)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(hit) AS BIGINT) AS n_hit,
+         |  CAST(sum(hit) * 1000000 // count(*) AS BIGINT) AS acc_ppm,
+         |  CAST(sum(conf_ppm) // count(*) AS BIGINT) AS avg_conf_ppm,
+         |  CAST(abs(sum(hit) * 1000000 // count(*) -
+         |    sum(conf_ppm) // count(*)) AS BIGINT) AS gap_ppm
+         |FROM sb GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // early-vs-late total-variation drift per event type over a 10-bin
+    // equal-width value histogram (libm-free: exact ppm shares)
+    "q_drift_tvd" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+         |b AS (SELECT min(tus) AS tmin, max(tus) AS tmax,
+         |    min(value) AS vmin, max(value) AS vmax FROM ev),
+         |t AS (SELECT event_type,
+         |    CASE WHEN tus * 2 <= tmin + tmax THEN 'early' ELSE 'late' END AS half,
+         |    CASE WHEN vmax = vmin THEN 0
+         |      ELSE least(9, CAST(floor((value - vmin) * 10.0 /
+         |        (vmax - vmin)) AS BIGINT)) END AS bin
+         |  FROM ev, b),
+         |cells AS (SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT) AS ce,
+         |    CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT) AS cl
+         |  FROM t GROUP BY event_type, bin),
+         |tt AS (SELECT event_type, CAST(sum(ce) AS BIGINT) AS n_early,
+         |    CAST(sum(cl) AS BIGINT) AS n_late FROM cells GROUP BY event_type)
+         |SELECT cells.event_type, max(n_early) AS n_early, max(n_late) AS n_late,
+         |  CAST(sum(abs(ce * 1000000 // n_early - cl * 1000000 // n_late)) // 2
+         |    AS BIGINT) AS tvd_ppm
+         |FROM cells JOIN tt USING (event_type)
+         |GROUP BY cells.event_type ORDER BY event_type""".stripMargin,
+
+    // watermark late-data census: arrival order modeled as a
+    // deterministic multiplicative-hash permutation of event_id (the
+    // fixture's event_id order is time-monotone), running per-user max
+    // event time, lateness thresholds a streaming watermark would drop at
+    "q_late_data" ->
+      s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
+         |    (event_id * 1000003) % 10000019 AS arr FROM events),
+         |r AS (SELECT event_type,
+         |    max(tus) OVER (PARTITION BY user_id ORDER BY arr, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tus AS late_us
+         |  FROM ev)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1h,
+         |  CAST(sum(CASE WHEN late_us > 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_1d,
+         |  CAST(max(late_us) AS BIGINT) AS max_late_us
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // per-source dataset card: volume, language spread + deterministic
     // dominant language, within-source exact-dup count, mean quality

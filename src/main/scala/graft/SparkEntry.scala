@@ -28,7 +28,9 @@ import graft.streaming.Streams
   *    funnel, retention, attribution, transitions, sessionization.
   *  - Evaluation layer: ANN recall vs exact baseline, nearest-prototype
   *    confusion matrix, equi-depth histogram, next-token LM table,
-  *    PII scan/mask.
+  *    PII scan/mask; monitoring: Cohen's kappa, centroid silhouette,
+  *    calibration curve, early-vs-late TVD drift, watermark late-data
+  *    census.
   *  - Structured Streaming ×13 flavors (windows, watermark, dedup,
   *    joins ×3, sessions, top-k, transformWithState CDC, CDC chunk
   *    census, kv sink, per-source quota, PPS sample).
@@ -224,6 +226,11 @@ object SparkEntry {
     "q_cdc_dedup"         -> q(Pipeline.cdcDedup),
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
+    "q_kappa"             -> q(operators.Evaluation.kappa),
+    "q_silhouette"        -> q(operators.Evaluation.silhouette),
+    "q_calibration"       -> q(operators.Evaluation.calibration),
+    "q_drift_tvd"         -> q(operators.Evaluation.driftTvd),
+    "q_late_data"         -> q(operators.Temporal.lateData),
     // data selection & evaluation (round 8)
     "q_dsir"              -> q(operators.Selection.dsirWeights),
     "q_lsh_pr_sweep"      -> q(operators.Selection.lshPrSweep),

@@ -63,7 +63,15 @@ object Evaluation {
     * (label, dim) shuffle and broadcasts to every executor; assignment is
     * a narrow map-side pass (corpus × k integer folds), and the output
     * is at most k² cells. Diagonal cells are the per-class hits. */
-  def evalConfusion(s: SparkSession, dir: String): DataFrame = {
+  /** Shared nearest-prototype distance table: every labeled vector ×
+    * every per-label centroid with the exact integer squared distance
+    * (vec_id, true_label, plabel, dist). The k-row centroid table is an
+    * aggregate of one (label, dim) shuffle and broadcasts; the cross
+    * join is a narrow map-side pass (corpus × k). Shared by the
+    * confusion matrix, Cohen's kappa, the calibration curve, and the
+    * centroid silhouette so all four evals score against the SAME
+    * prototypes. */
+  private[operators] def protoDistances(s: SparkSession, dir: String): DataFrame = {
     val q = Clustering.labeledQVecs(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("true_label"),
         col("qv"))
@@ -74,9 +82,13 @@ object Evaluation {
       .groupBy("plabel")
       .agg(array_sort(collect_list(struct(col("i"), col("c"))))
         .getField("c").as("cv"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("plabel"))
-    val pred = q.crossJoin(broadcast(cents))
+    q.crossJoin(broadcast(cents))
       .withColumn("dist", Fns.sqDistL(col("qv"), col("cv")))
+  }
+
+  def evalConfusion(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("plabel"))
+    val pred = protoDistances(s, dir)
       .withColumn("r", row_number().over(w)).filter(col("r") === 1)
       .select(col("vec_id"), col("true_label"), col("plabel").as("pred_label"))
     val rowTot = pred.groupBy("true_label").agg(count(lit(1)).as("n_true"))
@@ -85,5 +97,167 @@ object Evaluation {
       .select(col("true_label"), col("pred_label"), col("n"), col("n_true"),
         expr("n * 1000000L div n_true").as("share_ppm"))
       .orderBy("true_label", "pred_label")
+  }
+
+  /** Cohen's kappa of the nearest-prototype classifier: chance-corrected
+    * agreement between predicted and true labels, the single-number
+    * companion to the confusion matrix a labeling pipeline tracks over
+    * time (accuracy alone is inflated by class imbalance). All exact
+    * integer arithmetic in ppm: po = diagonal/N, pe = Σ row_t·col_t / N²,
+    * κ = (N·diag − Σrc) / (N² − Σrc).
+    *
+    * Scale shape: everything after the shared prototype assignment is
+    * k²-sized (k = label count) — the marginals and their product sum are
+    * tiny aggregates. The N·N products stay in int64 up to N ≈ 3·10⁹
+    * rows; past that the same marginal cells would feed a DECIMAL(38)
+    * fold, no shape change. */
+  def kappa(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("plabel"))
+    val pred = protoDistances(s, dir)
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("true_label"), col("plabel").as("pred_label"))
+    // single-pass unpivot: each prediction emits its true label (row
+    // marginal), its predicted label (column marginal), and — when they
+    // agree — a diagonal marker, so ONE corpus pass feeds one k-row
+    // aggregate (a naive cells→rowTot/colTot/tot fan-out replays the
+    // whole prediction subtree per marginal: 3 corpus reads at 100 TB)
+    val marginals = pred.select(explode(array(
+        struct(col("true_label").as("lbl"), lit("r").as("kind")),
+        struct(col("pred_label").as("lbl"), lit("c").as("kind")),
+        struct(when(col("true_label") === col("pred_label"),
+            col("true_label")).otherwise(lit(-1L)).as("lbl"),
+          lit("a").as("kind")))).as("t"))
+      .select(col("t.lbl").as("lbl"), col("t.kind").as("kind"))
+      .groupBy("lbl")
+      .agg(sum(when(col("kind") === "r", 1L).otherwise(0L)).as("rn"),
+        sum(when(col("kind") === "c", 1L).otherwise(0L)).as("cn"),
+        sum(when(col("kind") === "a" && col("lbl") >= 0, 1L)
+          .otherwise(0L)).as("an"))
+    marginals
+      .agg(sum(col("rn")).as("n_total"), sum(col("an")).as("n_agree"),
+        sum(col("rn") * col("cn")).as("sum_rc"))
+      .select(col("n_total"), col("n_agree"),
+        expr("n_agree * 1000000L div n_total").as("po_ppm"),
+        expr("sum_rc * 1000000L div (n_total * n_total)").as("pe_ppm"),
+        expr("(n_total * n_agree - sum_rc) * 1000000L div " +
+          "(n_total * n_total - sum_rc)").as("kappa_ppm"))
+  }
+
+  /** Centroid (simplified) silhouette per label cluster: a = squared
+    * distance to the own-label prototype, b = min squared distance to any
+    * other prototype, s = (b−a)/max(a,b) ∈ [−1, 1] in ppm. The standard
+    * embedding-space cluster-cohesion monitor, in its linear-time
+    * centroid form — the classic all-pairs silhouette is O(n²) and can
+    * never run at corpus scale, while this variant is one narrow pass
+    * over the shared prototype-distance table. Squared distances keep it
+    * integer-exact (no sqrt); the ratio is a floor of an IEEE-exact
+    * division of two < 2⁵³ integers, so the oracle reproduces it
+    * bit-for-bit. */
+  def silhouette(s: SparkSession, dir: String): DataFrame = {
+    val ab = protoDistances(s, dir)
+      .groupBy("vec_id", "true_label")
+      .agg(min(when(col("plabel") === col("true_label"), col("dist"))).as("a"),
+        min(when(col("plabel") =!= col("true_label"), col("dist"))).as("b"))
+    val sil = ab.withColumn("s_ppm",
+      when(greatest(col("a"), col("b")) === 0, lit(0L))
+        .otherwise(floor((col("b") - col("a")).cast("double") * lit(1e6) /
+          greatest(col("a"), col("b")).cast("double")).cast("long")))
+    sil.groupBy("true_label")
+      .agg(count(lit(1)).as("n_vecs"),
+        floor(sum(col("s_ppm")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_sil_ppm"),
+        min(col("s_ppm")).as("min_sil_ppm"),
+        max(col("s_ppm")).as("max_sil_ppm"))
+      .orderBy("true_label")
+  }
+
+  /** Calibration curve (reliability diagram) of the nearest-prototype
+    * classifier: pseudo-confidence from the top-2 distance margin,
+    * conf = d₂/(d₁+d₂) ∈ [0.5, 1], binned into ten equal-width buckets
+    * over the OBSERVED confidence range (high-dimensional margins
+    * cluster tightly near 0.5, so fixed [0.5, 1] buckets would collapse
+    * into one) with per-bin accuracy, mean confidence, and |acc − conf|
+    * gap — the table behind an expected-calibration-error monitor. A
+    * data platform runs this to decide whether classifier scores can
+    * gate data (on a calibrated classifier, higher-confidence bins show
+    * higher accuracy).
+    *
+    * Integer-exact throughout: conf_ppm is a floored IEEE division of
+    * < 2⁵³ integers, bin sums are int64, per-bin means use integral
+    * division — so the DuckDB oracle hash-matches. Scale shape: one
+    * narrow pass over the shared prototype-distance table, then a
+    * ≤ 10-row aggregate. */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("plabel"))
+    val per = protoDistances(s, dir)
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 2)
+      .groupBy("vec_id", "true_label")
+      .agg(min(when(col("r") === 1, col("plabel"))).as("pred_label"),
+        min(when(col("r") === 1, col("dist"))).as("d1"),
+        min(when(col("r") === 2, col("dist"))).as("d2"))
+    val conf = per
+      .withColumn("conf_ppm",
+        when(col("d1") + col("d2") === 0, lit(500000L))
+          .otherwise(floor(col("d2").cast("double") * lit(1e6) /
+            (col("d1") + col("d2")).cast("double")).cast("long")))
+      .withColumn("hit",
+        when(col("pred_label") === col("true_label"), lit(1L))
+          .otherwise(lit(0L)))
+    // observed-range bounds: one tiny broadcast aggregate; +1 in the
+    // denominator keeps the top value in bin 9 and guards the
+    // all-equal-confidence case without a branch
+    val bounds = conf.agg(min(col("conf_ppm")).as("cmin"),
+      max(col("conf_ppm")).as("cmax"))
+    val scored = conf.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        expr("(conf_ppm - cmin) * 10L div (cmax - cmin + 1)"))
+    scored.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_hit"),
+        expr("sum(hit) * 1000000L div count(1)").as("acc_ppm"),
+        expr("sum(conf_ppm) div count(1)").as("avg_conf_ppm"))
+      .withColumn("gap_ppm", abs(col("acc_ppm") - col("avg_conf_ppm")))
+      .orderBy("bin")
+  }
+
+  /** Distribution-drift monitor: total-variation distance between the
+    * early and late half of the event stream, per event type, over a
+    * 10-bin equal-width histogram of `value`. TVD = ½·Σ|p_b − q_b| is the
+    * libm-free drift metric (PSI's ln() is not bit-reproducible across
+    * engines; TVD in exact ppm shares is), and it is what a feed monitor
+    * alerts on when an upstream schema or logging change shifts a
+    * metric's distribution.
+    *
+    * Scale shape: the time/value bounds are one tiny broadcast aggregate;
+    * tagging is map-side; the histogram is a (type, half, bin) count —
+    * ≤ 10·2·k cells regardless of corpus size. No window over a global
+    * ordering anywhere (an ntile-based split would single-partition the
+    * sort at 100 TB; the midpoint-boundary split stays embarrassingly
+    * parallel). */
+  def driftTvd(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("tus"), col("value"))
+    val bounds = ev.agg(min(col("tus")).as("tmin"), max(col("tus")).as("tmax"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("tus") * 2 <= col("tmin") + col("tmax"), lit("early"))
+          .otherwise(lit("late")))
+      .withColumn("bin",
+        when(col("vmax") === col("vmin"), lit(0L))
+          .otherwise(least(lit(9L),
+            floor((col("value") - col("vmin")) * lit(10.0) /
+              (col("vmax") - col("vmin"))).cast("long"))))
+    val cells = tagged.groupBy("event_type", "bin")
+      .agg(sum(when(col("half") === "early", lit(1L)).otherwise(lit(0L))).as("ce"),
+        sum(when(col("half") === "late", lit(1L)).otherwise(lit(0L))).as("cl"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum(col("ce")).as("n_early"), sum(col("cl")).as("n_late"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("pe", expr("ce * 1000000L div n_early"))
+      .withColumn("pl", expr("cl * 1000000L div n_late"))
+      .groupBy("event_type")
+      .agg(max(col("n_early")).as("n_early"), max(col("n_late")).as("n_late"),
+        expr("sum(abs(pe - pl)) div 2").as("tvd_ppm"))
+      .orderBy("event_type")
   }
 }

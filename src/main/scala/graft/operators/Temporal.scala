@@ -233,4 +233,33 @@ object Temporal {
       .agg(count(lit(1)).as("n_purchases"), sum("cents").as("revenue_cents"))
       .orderBy("click_hour")
   }
+
+  /** Watermark late-data census: per event type, how many events arrive
+    * with an event time older than the max event time already seen for
+    * that user — exactly the rows a streaming watermark would drop (and
+    * at which lateness thresholds), answered in batch so an operator can
+    * size `withWatermark` before deploying a streaming job. The fixture
+    * has no ingest-time column (its event_id order is time-monotone), so
+    * arrival order is modeled as a deterministic multiplicative-hash
+    * permutation of event_id — documented synthetic re-ordering, same
+    * discipline as the fixture's other derived columns.
+    *
+    * Scale shape: one window partitioned by user (running max — bounded
+    * per-user state, the same state a streaming engine keeps), then a
+    * k-row aggregate. No global ordering anywhere. */
+  def lateData(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      col("event_type"), unix_micros(col("ts")).as("tus"),
+      ((col("event_id") * 1000003L) % 10000019L).as("arr"))
+    val w = Window.partitionBy("user_id").orderBy(col("arr"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("late_us", max(col("tus")).over(w) - col("tus"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+        sum(when(col("late_us") > 3600L * 1000000L, 1L).otherwise(0L)).as("n_late_1h"),
+        sum(when(col("late_us") > 86400L * 1000000L, 1L).otherwise(0L)).as("n_late_1d"),
+        max(col("late_us")).as("max_late_us"))
+      .orderBy("event_type")
+  }
 }

@@ -71,6 +71,62 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("kappa agrees with a driver-side recomputation from the confusion matrix") {
+    val cells = Evaluation.evalConfusion(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val n = cells.values.sum
+    val agree = cells.collect { case ((t, p), c) if t == p => c }.sum
+    val rows = cells.groupBy(_._1._1).map { case (t, g) => t -> g.values.sum }
+    val cols = cells.groupBy(_._1._2).map { case (p, g) => p -> g.values.sum }
+    val sumRc = rows.map { case (l, rn) => rn * cols.getOrElse(l, 0L) }.sum
+    val got = Evaluation.kappa(spark, sf).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert(r.getLong(0) === n && r.getLong(1) === agree)
+    assert(r.getLong(2) === agree * 1000000L / n)
+    assert(r.getLong(3) === sumRc * 1000000L / (n * n))
+    assert(r.getLong(4) === (n * agree - sumRc) * 1000000L / (n * n - sumRc))
+    // prototypes classify their own training labels far above chance
+    assert(r.getLong(4) > r.getLong(3))
+  }
+
+  test("silhouette is bounded, covers the corpus, and separated labels score positive") {
+    val rows = Evaluation.silhouette(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (mean, mn, mx) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mn >= -1000000L && mx <= 1000000L && mn <= mean && mean <= mx)
+    }
+    // every label must have at least one vector strictly closer to its
+    // own prototype than to any other (max silhouette > 0) — weaker than
+    // a positive MEAN, which high-dimensional label overlap can deny
+    assert(rows.exists(_.getLong(4) > 0L))
+  }
+
+  test("calibration bins cover the corpus with exact per-bin arithmetic") {
+    val rows = Evaluation.calibration(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum === Tables.embeddings(spark, sf).count())
+    rows.foreach { r =>
+      val (bin, n, hit, acc, conf, gap) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(bin >= 0L && bin <= 9L && hit <= n)
+      assert(acc === hit * 1000000L / n)
+      assert(conf >= 500000L && conf <= 1000000L)
+      assert(gap === math.abs(acc - conf))
+    }
+  }
+
+  test("drift_tvd is a bounded ppm distance and halves partition each type") {
+    val rows = Evaluation.driftTvd(spark, sf).collect()
+    val byType = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === byType(r.getString(0)))
+      assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+    }
+  }
+
   test("pii_scan finds exactly one phone and one email per contact line") {
     val rows = Pipeline.piiScan(spark, sf).collect()
     assert(rows.nonEmpty)

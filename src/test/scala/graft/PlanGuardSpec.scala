@@ -31,7 +31,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_bpe_apply"       -> 1, // 1-row round-0 token total
     "q_vocab_prune"     -> 1, // 1-row vocab-size aggregate
     "q_dedup_funnel"    -> 1, // two 1-row stats aggregates crossJoined
-    "q_dsir"            -> 1  // 1-row (rtot, ttot) model-totals broadcast
+    "q_dsir"            -> 1, // 1-row (rtot, ttot) model-totals broadcast
+    "q_kappa"           -> 1, // 10-row centroid prototype table
+    "q_silhouette"      -> 1, // 10-row centroid prototype table
+    "q_calibration"     -> 2, // 10-row centroids + 1-row conf bounds
+    "q_drift_tvd"       -> 1  // 1-row time/value bounds aggregate
   )
 
   // one registered test per query (not one sweep): a single analysis error
@@ -118,6 +122,15 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embedding_quantize" -> 1,
     "q_equidepth_hist" -> 6,
     "q_eval_confusion" -> 6,
+    // round-8 eval/monitoring family: one corpus pass over the shared
+    // prototype-distance table each (kappa's marginals ride a single
+    // unpivoted aggregate; calibration re-reads the pass once for its
+    // observed-range bounds), plus tiny k-row tails
+    "q_kappa" -> 5,
+    "q_silhouette" -> 5,
+    "q_calibration" -> 6,
+    "q_drift_tvd" -> 5,
+    "q_late_data" -> 3,
     "q_except" -> 2,
     "q_except_all" -> 2,
     "q_filter_project" -> 1,

@@ -128,4 +128,22 @@ class TemporalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("late_data census: thresholds nest, totals cover the stream, lateness is real") {
+    val rows = Temporal.lateData(spark, sf).collect()
+    val byType = Tables.events(spark, sf).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val (n, late, h1, d1, mx) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n === byType(r.getString(0)))
+      assert(late >= h1 && h1 >= d1, "lateness thresholds must nest")
+      assert(late <= n && mx >= 0L)
+      if (late > 0L) assert(mx > 0L)
+    }
+    // the hash-permuted arrival order must actually produce out-of-order
+    // events, else the census degenerates to zeros and asserts nothing
+    assert(rows.map(_.getLong(2)).sum > 0L, "expected out-of-order arrivals")
+  }
 }
