@@ -2283,6 +2283,70 @@ object Oracles {
          |    sum(conf_ppm) // count(*)) AS BIGINT) AS gap_ppm
          |FROM sb GROUP BY bin ORDER BY bin""".stripMargin,
 
+    // two-sample KS statistic per event type (early vs late half): exact
+    // cumulative integer CDFs over distinct values, D as max |ppm − ppm|
+    "q_ks_test" ->
+      s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+         |b AS (SELECT min(tus) AS tmin, max(tus) AS tmax FROM ev),
+         |t AS (SELECT event_type, value,
+         |    CASE WHEN tus * 2 <= tmin + tmax THEN 1 ELSE 0 END AS early
+         |  FROM ev, b),
+         |cells AS (SELECT event_type, value, CAST(sum(early) AS BIGINT) AS ce,
+         |    CAST(sum(1 - early) AS BIGINT) AS cl
+         |  FROM t GROUP BY event_type, value),
+         |c AS (SELECT event_type,
+         |    CAST(sum(ce) OVER (PARTITION BY event_type ORDER BY value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume,
+         |    CAST(sum(cl) OVER (PARTITION BY event_type ORDER BY value
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuml,
+         |    CAST(sum(ce) OVER (PARTITION BY event_type) AS BIGINT) AS ne,
+         |    CAST(sum(cl) OVER (PARTITION BY event_type) AS BIGINT) AS nl
+         |  FROM cells)
+         |SELECT event_type, max(ne) AS n_early, max(nl) AS n_late,
+         |  CAST(max(abs(cume * 1000000 // ne - cuml * 1000000 // nl)) AS BIGINT) AS ks_ppm
+         |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // two-proportion z-test over the user_id-parity arm split: exact
+    // integer inputs, fixed-order IEEE arithmetic, correctly-rounded sqrt
+    "q_ab_test" ->
+      s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
+         |  FROM events),
+         |f AS (SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY tus, event_id) AS r
+         |  FROM ev),
+         |u AS (SELECT user_id,
+         |    CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS BIGINT) AS conv
+         |  FROM f WHERE r = 1),
+         |t AS (SELECT
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+         |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_control,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+         |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_treat
+         |  FROM u)
+         |SELECT n_control, conv_control, n_treat, conv_treat,
+         |  CAST(conv_control AS DOUBLE) / n_control AS p_control,
+         |  CAST(conv_treat AS DOUBLE) / n_treat AS p_treat,
+         |  CASE WHEN conv_control + conv_treat = 0
+         |      OR conv_control + conv_treat = n_control + n_treat
+         |    THEN CAST(0 AS DOUBLE)
+         |    ELSE (CAST(conv_treat AS DOUBLE) / n_treat - CAST(conv_control AS DOUBLE) / n_control) /
+         |      sqrt((CAST(conv_control + conv_treat AS DOUBLE) / (n_control + n_treat)) *
+         |        (CAST(1 AS DOUBLE) - CAST(conv_control + conv_treat AS DOUBLE) / (n_control + n_treat)) *
+         |        (CAST(1 AS DOUBLE) / n_control + CAST(1 AS DOUBLE) / n_treat)) END AS z
+         |FROM t""".stripMargin,
+
+    // exact-allocation stratified sample: ⌈n/10⌉ per language stratum in
+    // deterministic polyHash order
+    "q_stratified_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, ${polyHashSql("text")} AS h FROM documents),
+         |r AS (SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_stratum
+         |  FROM d)
+         |SELECT doc_id, lang, rk, n_stratum FROM r
+         |WHERE rk <= (n_stratum + 9) // 10
+         |ORDER BY lang, rk""".stripMargin,
+
     // early-vs-late total-variation drift per event type over a 10-bin
     // equal-width value histogram (libm-free: exact ppm shares)
     "q_drift_tvd" ->

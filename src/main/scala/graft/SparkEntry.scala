@@ -227,6 +227,9 @@ object SparkEntry {
     "q_ann_recall"        -> q(operators.Evaluation.annRecall),
     "q_eval_confusion"    -> q(operators.Evaluation.evalConfusion),
     "q_kappa"             -> q(operators.Evaluation.kappa),
+    "q_ks_test"           -> q(operators.Evaluation.ksTest),
+    "q_ab_test"           -> q(operators.Evaluation.abTest),
+    "q_stratified_sample" -> q(Pipeline.stratifiedSample),
     "q_silhouette"        -> q(operators.Evaluation.silhouette),
     "q_calibration"       -> q(operators.Evaluation.calibration),
     "q_drift_tvd"         -> q(operators.Evaluation.driftTvd),

@@ -233,6 +233,88 @@ object Evaluation {
     * ordering anywhere (an ntile-based split would single-partition the
     * sort at 100 TB; the midpoint-boundary split stays embarrassingly
     * parallel). */
+  /** Two-sample Kolmogorov–Smirnov statistic between the early and late
+    * half of the event stream, per event type: D = max |F_early(x) −
+    * F_late(x)| over the pooled observed values — the unbinned companion
+    * to [[driftTvd]] (TVD sees only what the 10 bins see; KS catches a
+    * pure location shift inside one bin). Exact ppm arithmetic: the two
+    * CDFs are cumulative integer counts over distinct values, so the
+    * statistic is a max of |integer − integer|.
+    *
+    * Scale shape: distinct (type, value) cells first (one shuffle), then
+    * a per-type ordered window over CELLS (bounded by distinct values,
+    * not rows) whose partitioning is reused by the total-count window and
+    * the final per-type aggregate — a per-type sort is the price of an
+    * exact KS; the sketch alternative (KLL quantiles) trades exactness
+    * for a mergeable pass. */
+  def ksTest(s: SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir).select(col("event_type"),
+      unix_micros(col("ts")).as("tus"), col("value"))
+    val bounds = ev.agg(min(col("tus")).as("tmin"), max(col("tus")).as("tmax"))
+    val cells = ev.crossJoin(broadcast(bounds))
+      .withColumn("early",
+        (col("tus") * 2 <= col("tmin") + col("tmax")).cast("long"))
+      .groupBy("event_type", "value")
+      .agg(sum(col("early")).as("ce"), sum(lit(1L) - col("early")).as("cl"))
+    val wCum = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("event_type")
+    cells
+      .withColumn("cume", sum(col("ce")).over(wCum))
+      .withColumn("cuml", sum(col("cl")).over(wCum))
+      .withColumn("ne", sum(col("ce")).over(wAll))
+      .withColumn("nl", sum(col("cl")).over(wAll))
+      .groupBy("event_type")
+      .agg(max(col("ne")).as("n_early"), max(col("nl")).as("n_late"),
+        max(abs(expr("cume * 1000000L div ne") -
+          expr("cuml * 1000000L div nl"))).as("ks_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Two-proportion z-test over a deterministic user split (user_id
+    * parity as the arm assignment): per-user LANDING conversion (first
+    * event by event time is a purchase — an "exists any purchase" metric
+    * saturates to 100% on a dense event log and degenerates the pooled
+    * variance), pooled standard error, z = (p_t − p_c)/√(p̂(1−p̂)(1/n_c +
+    * 1/n_t)) — the experiment-analysis primitive a platform runs over
+    * event logs. The float discipline that makes a double-valued z
+    * hash-reproducible: every input to the formula is an exact (< 2⁵³)
+    * integer, each division/multiplication is a single correctly-rounded
+    * IEEE op in a fixed written order, and √ is correctly rounded by
+    * IEEE 754 (unlike ln/exp, which is why [[driftTvd]] avoids PSI but z
+    * can keep its sqrt). A degenerate pool (0% or 100% conversion) has
+    * zero variance; z is defined 0 there — under ANSI mode the raw 0/0
+    * would throw, not NaN. Scale shape: one per-user window (first
+    * event), one user-keyed aggregation, then a 1-row fold. */
+  def abTest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val users = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"),
+        pmod(col("user_id"), lit(2L)).as("arm"))
+    val t = users.agg(
+      sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("arm") === 0L, col("conv")).otherwise(0L)).as("conv_control"),
+      sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_treat"),
+      sum(when(col("arm") === 1L, col("conv")).otherwise(0L)).as("conv_treat"))
+    val pc = col("conv_control").cast("double") / col("n_control")
+    val pt = col("conv_treat").cast("double") / col("n_treat")
+    val pp = (col("conv_control") + col("conv_treat")).cast("double") /
+      (col("n_control") + col("n_treat"))
+    val convTot = col("conv_control") + col("conv_treat")
+    t.select(col("n_control"), col("conv_control"),
+      col("n_treat"), col("conv_treat"),
+      pc.as("p_control"), pt.as("p_treat"),
+      when(convTot === 0L ||
+          convTot === col("n_control") + col("n_treat"), lit(0.0))
+        .otherwise((pt - pc) / sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_control") + lit(1.0) / col("n_treat"))))
+        .as("z"))
+  }
+
   def driftTvd(s: SparkSession, dir: String): DataFrame = {
     val ev = graft.Tables.events(s, dir).select(col("event_type"),
       unix_micros(col("ts")).as("tus"), col("value"))

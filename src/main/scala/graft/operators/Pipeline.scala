@@ -628,6 +628,27 @@ object Pipeline {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Exact-allocation stratified sample: per language stratum, exactly
+    * ⌈n/10⌉ documents, chosen by deterministic hash order (no RNG, no
+    * rate rounding error — [[mixtureSample]]'s Bernoulli thresholds give
+    * each stratum a BINOMIAL sample size; evaluation sets need the exact
+    * count). Scale shape: one window per stratum (rank by hash) — the
+    * per-stratum sort is the cost of exactness; partitioned by lang it
+    * spreads across the cluster, and the count window reuses the same
+    * partitioning so no second shuffle. */
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    val wAll = Window.partitionBy("lang")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), Fns.polyHash(col("text")).as("h"))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("n_stratum", count(lit(1)).over(wAll))
+      .filter(col("rk") <= expr("(n_stratum + 9) div 10"))
+      .select(col("doc_id"), col("lang"), col("rk"), col("n_stratum"))
+      .orderBy("lang", "rk")
+  }
+
   /** Stratified mixture sampling: per-language keep rates applied via
     * deterministic hash thresholds — the data-mix reweighting step of a
     * training pipeline (down-sample the over-represented language), fully

@@ -116,6 +116,43 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("ks_test matches a driver-side exact CDF comparison") {
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), unix_micros(col("ts")).as("tus"), col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val tmin = ev.map(_._2).min; val tmax = ev.map(_._2).max
+    val got = Evaluation.ksTest(spark, sf).collect()
+    got.foreach { r =>
+      val typ = r.getString(0)
+      val vals = ev.filter(_._1 == typ)
+      val early = vals.filter(v => v._2 * 2 <= tmin + tmax).map(_._3)
+      val late = vals.filter(v => v._2 * 2 > tmin + tmax).map(_._3)
+      assert(r.getLong(1) === early.length.toLong)
+      assert(r.getLong(2) === late.length.toLong)
+      val points = vals.map(_._3).distinct.sorted
+      val d = points.map { x =>
+        math.abs(early.count(_ <= x) * 1000000L / early.length -
+          late.count(_ <= x) * 1000000L / late.length)
+      }.max
+      assert(r.getLong(3) === d)
+    }
+  }
+
+  test("ab_test arms partition the users and z matches a driver-side recompute") {
+    val r = Evaluation.abTest(spark, sf).collect().head
+    val (nc, cc, nt, ct) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nc + nt === Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+    assert(cc <= nc && ct <= nt)
+    val pc = cc.toDouble / nc; val pt = ct.toDouble / nt
+    assert(r.getDouble(4) === pc && r.getDouble(5) === pt)
+    val pp = (cc + ct).toDouble / (nc + nt)
+    val z = if (cc + ct == 0L || cc + ct == nc + nt) 0.0
+      else (pt - pc) / math.sqrt(pp * (1.0 - pp) * (1.0 / nc + 1.0 / nt))
+    assert(r.getDouble(6) === z)
+  }
+
   test("drift_tvd is a bounded ppm distance and halves partition each type") {
     val rows = Evaluation.driftTvd(spark, sf).collect()
     val byType = Tables.events(spark, sf).groupBy("event_type").count()

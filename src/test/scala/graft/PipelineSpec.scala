@@ -291,6 +291,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.length < all)
   }
 
+  test("stratified_sample takes exactly ceil(n/10) docs per language stratum") {
+    val strata = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Pipeline.stratifiedSample(spark, sf).collect()
+    val byLang = got.groupBy(_.getString(1))
+    assert(byLang.keySet === strata.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val n = strata(lang)
+      assert(rows.length.toLong === (n + 9) / 10,
+        s"$lang: expected ceil($n/10) sampled docs")
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to rows.length).toSeq,
+        s"$lang: ranks must be 1..k")
+      rows.foreach(r => assert(r.getLong(3) === n))
+    }
+  }
+
   test("chunking covers every token with stride-40/len-50 windows") {
     import org.apache.spark.sql.functions._
     val chunks = Pipeline.chunkDocs(spark, sf).collect()

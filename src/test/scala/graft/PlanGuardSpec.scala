@@ -34,8 +34,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dsir"            -> 1, // 1-row (rtot, ttot) model-totals broadcast
     "q_kappa"           -> 1, // 10-row centroid prototype table
     "q_silhouette"      -> 1, // 10-row centroid prototype table
-    "q_calibration"     -> 2, // 10-row centroids + 1-row conf bounds
-    "q_drift_tvd"       -> 1  // 1-row time/value bounds aggregate
+    "q_calibration"     -> 3, // 10-row centroids (×2: the conf subtree
+                              // feeds both the bounds aggregate and the
+                              // binned pass) + 1-row conf bounds
+    "q_drift_tvd"       -> 2, // 1-row time/value bounds (×2: the tagged
+                              // subtree feeds both cells and totals)
+    "q_ks_test"         -> 2  // 1-row time bounds (×2, same shape)
   )
 
   // one registered test per query (not one sweep): a single analysis error
@@ -131,6 +135,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_calibration" -> 6,
     "q_drift_tvd" -> 5,
     "q_late_data" -> 3,
+    "q_ks_test" -> 4,
+    "q_ab_test" -> 2,
+    "q_stratified_sample" -> 2,
     "q_except" -> 2,
     "q_except_all" -> 2,
     "q_filter_project" -> 1,
