@@ -2335,6 +2335,27 @@ object Oracles {
          |        (CAST(1 AS DOUBLE) / n_control + CAST(1 AS DOUBLE) / n_treat)) END AS z
          |FROM t""".stripMargin,
 
+    // count–min sketch with pinned affine hash rows: deterministic, so
+    // the sketch ESTIMATES hash-verify (not just the exact counts)
+    "q_countmin" ->
+      s"""WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ($Toks) t WHERE word <> '' GROUP BY word),
+         |h AS (SELECT word, cnt, i,
+         |    CASE i WHEN 0 THEN (${polyHashSql("word")} * 31 + 7) % 1021
+         |           WHEN 1 THEN (${polyHashSql("word")} * 37 + 11) % 1021
+         |           WHEN 2 THEN (${polyHashSql("word")} * 41 + 13) % 1021
+         |           ELSE (${polyHashSql("word")} * 43 + 17) % 1021 END AS bkt
+         |  FROM wc, range(0, 4) g(i)),
+         |cells AS (SELECT i, bkt, CAST(sum(cnt) AS BIGINT) AS cell
+         |  FROM h GROUP BY i, bkt),
+         |top AS (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 20),
+         |est AS (SELECT t.word, t.cnt, CAST(min(c.cell) AS BIGINT) AS cm_est
+         |  FROM top t JOIN h ON h.word = t.word
+         |  JOIN cells c ON c.i = h.i AND c.bkt = h.bkt
+         |  GROUP BY t.word, t.cnt)
+         |SELECT word, cnt AS exact, cm_est, cm_est - cnt AS overestimate
+         |FROM est ORDER BY exact DESC, word""".stripMargin,
+
     // exact-allocation stratified sample: ⌈n/10⌉ per language stratum in
     // deterministic polyHash order
     "q_stratified_sample" ->

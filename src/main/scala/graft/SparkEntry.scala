@@ -230,6 +230,7 @@ object SparkEntry {
     "q_ks_test"           -> q(operators.Evaluation.ksTest),
     "q_ab_test"           -> q(operators.Evaluation.abTest),
     "q_stratified_sample" -> q(Pipeline.stratifiedSample),
+    "q_countmin"          -> q(Pipeline.countMin),
     "q_silhouette"        -> q(operators.Evaluation.silhouette),
     "q_calibration"       -> q(operators.Evaluation.calibration),
     "q_drift_tvd"         -> q(operators.Evaluation.driftTvd),

@@ -628,6 +628,60 @@ object Pipeline {
       .select(col("doc_id"), col("n_chars"))
       .orderBy("doc_id")
 
+  /** Count–min sketch census: build a 4×1021 CM sketch of the token
+    * stream (four independent affine hash rows over [[Fns.polyHash]]),
+    * then report the sketch estimate next to the exact count for the
+    * top-20 words — the overestimate column is the sketch's collision
+    * error, by construction ≥ 0. Unlike the HLL/quantile sketches (whose
+    * engine-internal layouts force rows-only checks), a CM sketch with
+    * pinned hashes is fully deterministic, so the DuckDB oracle
+    * hash-verifies the ESTIMATES themselves.
+    *
+    * Scale shape: the sketch is the point — cells are a fixed 4·1021-row
+    * table no matter the corpus (the map-side partial agg collapses each
+    * partition to ≤ 4084 cells before the shuffle), and CM cells are
+    * linear, so per-shard sketches sum to the corpus sketch (the spec
+    * asserts this mergeability). The top-20 probe side is a bounded
+    * TakeOrdered; estimates come from a broadcast join against the tiny
+    * cell table. */
+  /** Per-token word counts of a documents slice (CM sketch input). */
+  private[graft] def cmWcOf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(filter(Fns.tokensArr(col("text")), w => w =!= lit("")))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  private val CmSeeds = Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L))
+
+  /** The four pinned affine hash rows of the CM sketch. */
+  private def cmHashRows = array(CmSeeds.zipWithIndex.map { case ((a, b), i) =>
+    struct(lit(i.toLong).as("i"),
+      pmod(Fns.polyHash(col("word")) * lit(a) + lit(b), lit(1021L)).as("bkt"))
+  }: _*)
+
+  /** CM cell table (i, bkt, cell) of a word-count slice — linear in its
+    * input, so per-shard cell tables sum to the corpus cell table
+    * (asserted in `PipelineSpec`). */
+  private[graft] def cmCellsOf(wc: DataFrame): DataFrame =
+    wc.select(col("cnt"), explode(cmHashRows).as("h"))
+      .groupBy(col("h.i").as("i"), col("h.bkt").as("bkt"))
+      .agg(sum(col("cnt")).as("cell"))
+
+  def countMin(s: SparkSession, dir: String): DataFrame = {
+    val wc = cmWcOf(Tables.documents(s, dir))
+    def hashRows = cmHashRows
+    val cells = cmCellsOf(wc)
+    val top = wc.orderBy(col("cnt").desc, col("word")).limit(20)
+    top.select(col("word"), col("cnt"), explode(hashRows).as("h"))
+      .join(broadcast(cells),
+        col("h.i") === col("i") && col("h.bkt") === col("bkt"))
+      .groupBy("word", "cnt")
+      .agg(min(col("cell")).as("cm_est"))
+      .select(col("word"), col("cnt").as("exact"), col("cm_est"),
+        (col("cm_est") - col("cnt")).as("overestimate"))
+      .orderBy(col("exact").desc, col("word"))
+  }
+
   /** Exact-allocation stratified sample: per language stratum, exactly
     * ⌈n/10⌉ documents, chosen by deterministic hash order (no RNG, no
     * rate rounding error — [[mixtureSample]]'s Bernoulli thresholds give

@@ -291,6 +291,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.length < all)
   }
 
+  test("countmin estimates dominate exact counts and shard sketches merge") {
+    val rows = Pipeline.countMin(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"${r.getString(0)}: CM must overestimate")
+      assert(r.getLong(2) === r.getLong(1) + r.getLong(3))
+    }
+    val exacts = rows.map(_.getLong(1))
+    assert(exacts.sameElements(exacts.sorted(Ordering[Long].reverse)))
+    // mergeability: CM cells are linear, so the sum of the two
+    // doc_id-parity shard sketches equals the corpus sketch cell-by-cell
+    val docs = Tables.documents(spark, sf)
+    def cellsOf(d: org.apache.spark.sql.DataFrame) =
+      Pipeline.cmCellsOf(Pipeline.cmWcOf(d)).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cellsOf(docs)
+    val even = cellsOf(docs.filter(pmod(col("doc_id"), lit(2L)) === 0L))
+    val odd = cellsOf(docs.filter(pmod(col("doc_id"), lit(2L)) === 1L))
+    val merged = (even.keySet ++ odd.keySet).map(k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))).toMap
+    assert(merged === whole)
+  }
+
   test("stratified_sample takes exactly ceil(n/10) docs per language stratum") {
     val strata = Tables.documents(spark, sf).groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
