@@ -2335,6 +2335,28 @@ object Oracles {
          |        (CAST(1 AS DOUBLE) / n_control + CAST(1 AS DOUBLE) / n_treat)) END AS z
          |FROM t""".stripMargin,
 
+    // streaming drift monitor: live (odd event_ids) vs frozen reference
+    // (even event_ids) TVD, bins pinned to reference-only bounds with an
+    // edge-bin clamp
+    "q_stream_drift" ->
+      s"""WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax
+         |  FROM events WHERE event_id % 2 = 0),
+         |t AS (SELECT event_type, event_id % 2 AS side,
+         |    CASE WHEN vmax = vmin THEN 0 ELSE least(9, greatest(0,
+         |      CAST(floor((value - vmin) * 10.0 / (vmax - vmin)) AS BIGINT))) END AS bin
+         |  FROM events, b),
+         |cells AS (SELECT event_type, bin,
+         |    CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cl
+         |  FROM t GROUP BY event_type, bin),
+         |tt AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+         |    CAST(sum(cl) AS BIGINT) AS n_live FROM cells GROUP BY event_type)
+         |SELECT cells.event_type, max(n_ref) AS n_ref, max(n_live) AS n_live,
+         |  CAST(sum(abs(cr * 1000000 // n_ref - cl * 1000000 // n_live)) // 2
+         |    AS BIGINT) AS tvd_ppm
+         |FROM cells JOIN tt USING (event_type)
+         |GROUP BY cells.event_type ORDER BY event_type""".stripMargin,
+
     // count–min sketch with pinned affine hash rows: deterministic, so
     // the sketch ESTIMATES hash-verify (not just the exact counts)
     "q_countmin" ->

@@ -31,9 +31,10 @@ import graft.streaming.Streams
   *    PII scan/mask; monitoring: Cohen's kappa, centroid silhouette,
   *    calibration curve, early-vs-late TVD drift, watermark late-data
   *    census.
-  *  - Structured Streaming ×13 flavors (windows, watermark, dedup,
+  *  - Structured Streaming ×15 flavors (windows, watermark, dedup,
   *    joins ×3, sessions, top-k, transformWithState CDC, CDC chunk
-  *    census, kv sink, per-source quota, PPS sample).
+  *    census, kv sink, per-source quota, PPS sample, LSH ingest probe,
+  *    live-vs-reference drift monitor).
   *
   * Only the two sketches — q_approx_distinct (HLL) and
   * q_approx_percentile (quantile) — are absent from oracleSql (driver
@@ -231,6 +232,7 @@ object SparkEntry {
     "q_ab_test"           -> q(operators.Evaluation.abTest),
     "q_stratified_sample" -> q(Pipeline.stratifiedSample),
     "q_countmin"          -> q(Pipeline.countMin),
+    "q_stream_drift"      -> q(Streams.streamDrift),
     "q_silhouette"        -> q(operators.Evaluation.silhouette),
     "q_calibration"       -> q(operators.Evaluation.calibration),
     "q_drift_tvd"         -> q(operators.Evaluation.driftTvd),

@@ -627,4 +627,58 @@ object Streams {
     withStatePartitions(s, 2) { completeToParquet(s, probed) }
       .orderBy("doc_id")
   }
+
+  /** Streaming drift monitor (15th flavor) — live traffic (odd
+    * event_ids) streams in and is binned against a FROZEN reference
+    * distribution (even event_ids): per-(type, bin) counts aggregate in
+    * complete mode, and the post-drain batch join computes per-type
+    * total-variation distance against the static reference cells —
+    * [[graft.operators.Evaluation.driftTvd]]'s production shape, where
+    * the reference histogram is pinned before the stream starts and live
+    * drift is re-evaluated per micro-batch. Bin bounds come from the
+    * reference ONLY (a monitor cannot peek at future traffic for its
+    * histogram edges), so out-of-range live values clamp into the edge
+    * bins — both engines apply the same clamp.
+    *
+    * Scale shape: the stream side is a map-side projection plus one
+    * stream-static broadcast join on a constant key (the 1-row bounds
+    * aggregate), state is the fixed ≤ k·10-cell complete-mode table, and
+    * the reference cells are a static aggregate computed once. */
+  def streamDrift(s: SparkSession, dir: String): DataFrame = {
+    val ref = graft.Tables.events(s, dir)
+      .filter(pmod(col("event_id"), lit(2L)) === 0L)
+    val bounds = ref.agg(min(col("value")).as("vmin"),
+      max(col("value")).as("vmax")).withColumn("k", lit(1))
+    def binCol = when(col("vmax") === col("vmin"), lit(0L))
+      .otherwise(least(lit(9L), greatest(lit(0L),
+        floor((col("value") - col("vmin")) * lit(10.0) /
+          (col("vmax") - col("vmin"))).cast("long"))))
+    val refCells = ref.withColumn("k", lit(1))
+      .join(broadcast(bounds), Seq("k"))
+      .groupBy(col("event_type"), binCol.as("bin"))
+      .agg(count(lit(1)).as("cr"))
+    val live = eventStream(s, dir)
+      .filter(pmod(col("event_id"), lit(2L)) === 1L)
+      .withColumn("k", lit(1))
+      .join(broadcast(bounds), Seq("k"))
+      .groupBy(col("event_type"), binCol.as("bin"))
+      .agg(count(lit(1)).as("cl"))
+    val drained = withStatePartitions(s, 2) { completeToParquet(s, live) }
+    // full outer so a bin populated on only one side still contributes
+    // its full share to the distance
+    val cells = refCells
+      .join(drained, Seq("event_type", "bin"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cl"), lit(0L)).as("cl"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cl")).as("n_live"))
+    cells.join(broadcast(totals), Seq("event_type"))
+      .withColumn("pr", expr("cr * 1000000L div n_ref"))
+      .withColumn("pl", expr("cl * 1000000L div n_live"))
+      .groupBy("event_type")
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_live")).as("n_live"),
+        expr("sum(abs(pr - pl)) div 2").as("tvd_ppm"))
+      .orderBy("event_type")
+  }
 }

@@ -216,4 +216,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(got === batch)
     assert(got.nonEmpty) // the fixture has near-dup collisions to probe
   }
+
+  test("stream drift: sides partition each type, TVD bounded, self-drift small") {
+    import org.apache.spark.sql.functions._
+    val byType = Tables.events(spark, sf)
+      .groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = Streams.streamDrift(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === byType(r.getString(0)),
+        s"${r.getString(0)}: ref+live must cover the type")
+      val tvd = r.getLong(3)
+      assert(tvd >= 0L && tvd <= 1000000L)
+      // even/odd event_id halves draw from the same distribution, so the
+      // monitor must NOT fire: self-drift stays well under the 0.25
+      // alert band a real deployment would page on
+      assert(tvd < 250000L, s"${r.getString(0)}: self-drift $tvd ppm")
+    }
+  }
 }
