@@ -2335,6 +2335,31 @@ object Oracles {
          |        (CAST(1 AS DOUBLE) / n_control + CAST(1 AS DOUBLE) / n_treat)) END AS z
          |FROM t""".stripMargin,
 
+    // embedding-drift monitor: per-label centroid L1/max-dim shift
+    // between the vec_id-parity halves, same quantization + truncated
+    // mean as the label-centroid family
+    "q_embedding_drift" ->
+      s"""WITH q AS (SELECT vec_id, label, vec_id % 2 AS half,
+         |    list_transform(embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |s AS (SELECT label, half, i, CAST(sum(qv[i]) AS BIGINT) AS sx,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM q, range(1, 65) g(i) GROUP BY label, half, i),
+         |c AS (SELECT label, half, i, n,
+         |    CAST((sx - sx % n) / n AS BIGINT) AS c FROM s),
+         |p AS (SELECT label, i,
+         |    min(CASE WHEN half = 0 THEN c END) AS c0,
+         |    min(CASE WHEN half = 1 THEN c END) AS c1,
+         |    max(CASE WHEN half = 0 THEN n END) AS n0,
+         |    max(CASE WHEN half = 1 THEN n END) AS n1
+         |  FROM c GROUP BY label, i)
+         |SELECT label, CAST(max(n0) AS BIGINT) AS n_even,
+         |  CAST(max(n1) AS BIGINT) AS n_odd,
+         |  CAST(sum(abs(c0 - c1)) AS BIGINT) AS l1_shift,
+         |  CAST(max(abs(c0 - c1)) AS BIGINT) AS max_dim_shift
+         |FROM p GROUP BY label ORDER BY label""".stripMargin,
+
     // streaming drift monitor: live (odd event_ids) vs frozen reference
     // (even event_ids) TVD, bins pinned to reference-only bounds with an
     // edge-bin clamp

@@ -53,7 +53,7 @@ object Clustering {
     * (a − a % n) / n — both % operators truncate with the dividend's sign,
     * the subtraction makes the double division exact, and |a| stays far
     * below 2⁵³. */
-  private def truncDiv(a: Column, n: Column): Column =
+  private[operators] def truncDiv(a: Column, n: Column): Column =
     ((a - a % n) / n).cast("long")
 
   /** Nearest-centroid assignment: broadcast the k centroid rows, score

@@ -219,6 +219,36 @@ object Evaluation {
       .orderBy("bin")
   }
 
+  /** Embedding-drift monitor: per-label centroid shift between the two
+    * vec_id-parity halves of the embedding corpus — the vector-space
+    * companion to [[driftTvd]]/[[ksTest]] (a re-embedded or upstream-
+    * shifted corpus moves its class centroids before any scalar metric
+    * notices). Same int64 quantization and truncated-mean cells as
+    * [[Clustering.labelCentroidCells]], computed per half from ONE
+    * (label, dim, half) aggregation; the shift is the exact L1 distance
+    * between the paired centroid vectors plus the dimension-max shift.
+    *
+    * Scale shape: one corpus-linear shuffle to ≤ k·64·2 cells, then a
+    * k-row tail. */
+  def embeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val cells = Clustering.labeledQVecs(s, dir)
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy("label", "half", "i")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("c", Clustering.truncDiv(col("sx"), col("n")))
+    val paired = cells.groupBy("label", "i")
+      .agg(min(when(col("half") === 0L, col("c"))).as("c0"),
+        min(when(col("half") === 1L, col("c"))).as("c1"),
+        max(when(col("half") === 0L, col("n"))).as("n0"),
+        max(when(col("half") === 1L, col("n"))).as("n1"))
+    paired.groupBy("label")
+      .agg(max(col("n0")).as("n_even"), max(col("n1")).as("n_odd"),
+        sum(abs(col("c0") - col("c1"))).as("l1_shift"),
+        max(abs(col("c0") - col("c1"))).as("max_dim_shift"))
+      .orderBy("label")
+  }
+
   /** Distribution-drift monitor: total-variation distance between the
     * early and late half of the event stream, per event type, over a
     * 10-bin equal-width histogram of `value`. TVD = ½·Σ|p_b − q_b| is the

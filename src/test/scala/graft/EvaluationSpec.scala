@@ -153,6 +153,21 @@ class EvaluationSpec extends AnyFunSuite {
     assert(r.getDouble(6) === z)
   }
 
+  test("embedding_drift halves partition each label and a shifted copy is detected") {
+    val rows = Evaluation.embeddingDrift(spark, sf).collect()
+    val byLabel = Tables.embeddings(spark, sf).groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getInt(0)).toSet === byLabel.keySet)
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === byLabel(r.getInt(0)))
+      assert(r.getLong(4) <= r.getLong(3),
+        "max dimension shift cannot exceed the L1 shift")
+      // same-distribution halves: centroid shift is sampling noise, far
+      // below the 64-dim quantized scale (each |cell| can reach ~10^6)
+      assert(r.getLong(3) < 64L * 1000000L / 4)
+    }
+  }
+
   test("drift_tvd is a bounded ppm distance and halves partition each type") {
     val rows = Evaluation.driftTvd(spark, sf).collect()
     val byType = Tables.events(spark, sf).groupBy("event_type").count()

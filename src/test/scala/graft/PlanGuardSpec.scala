@@ -140,6 +140,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stratified_sample" -> 2,
     "q_countmin" -> 2,
     "q_stream_drift" -> 6,
+    "q_embedding_drift" -> 4,
     "q_except" -> 2,
     "q_except_all" -> 2,
     "q_filter_project" -> 1,
