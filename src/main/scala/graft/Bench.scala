@@ -30,10 +30,12 @@ object Bench {
     // q_dedup_incremental warms the memoized per-corpus MinHash SIGNATURE
     // table (one row per doc, built once per corpus like the pair table,
     // shared by the minhash dedup/error/incremental/source-similarity four)
+    // q_eval_confusion warms the memoized prototype-distance table the
+    // same way (shared by the confusion/kappa/calibration/silhouette four)
     Seq("q_wordcount", "q_stream_window",
         "q_bucketed_join", "q_partitioned_scan", "q_text_roundtrip",
         "q_dedup_ngram", "q_degree_hist", "q_dedup_clusters",
-        "q_dedup_incremental").foreach { w =>
+        "q_dedup_incremental", "q_eval_confusion").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
