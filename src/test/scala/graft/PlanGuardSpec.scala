@@ -39,7 +39,10 @@ class PlanGuardSpec extends AnyFunSuite {
                               // binned pass) + 1-row conf bounds
     "q_drift_tvd"       -> 2, // 1-row time/value bounds (×2: the tagged
                               // subtree feeds both cells and totals)
-    "q_ks_test"         -> 2  // 1-row time bounds (×2, same shape)
+    "q_ks_test"         -> 2, // 1-row time bounds (×2, same shape)
+    "q_stream_drift"    -> 2  // 1-row reference bounds on a constant key
+                              // (condition folds to true → BNLJ; appears
+                              // on the static ref side and the batch tail)
   )
 
   // one registered test per query (not one sweep): a single analysis error
