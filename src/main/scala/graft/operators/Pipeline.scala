@@ -669,10 +669,9 @@ object Pipeline {
 
   def countMin(s: SparkSession, dir: String): DataFrame = {
     val wc = cmWcOf(Tables.documents(s, dir))
-    def hashRows = cmHashRows
     val cells = cmCellsOf(wc)
     val top = wc.orderBy(col("cnt").desc, col("word")).limit(20)
-    top.select(col("word"), col("cnt"), explode(hashRows).as("h"))
+    top.select(col("word"), col("cnt"), explode(cmHashRows).as("h"))
       .join(broadcast(cells),
         col("h.i") === col("i") && col("h.bkt") === col("bkt"))
       .groupBy("word", "cnt")
