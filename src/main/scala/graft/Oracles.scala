@@ -2335,6 +2335,35 @@ object Oracles {
          |        (CAST(1 AS DOUBLE) / n_control + CAST(1 AS DOUBLE) / n_treat)) END AS z
          |FROM t""".stripMargin,
 
+    // robust (median/MAD) outlier census: exact order-statistic medians
+    // via the percentilesDisc rank-window pick, 3·MAD gate
+    "q_robust_anomaly" ->
+      s"""WITH ev AS (SELECT event_type, event_id, value FROM events),
+         |r1 AS (SELECT event_type, event_id, value,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM ev),
+         |med AS (SELECT event_type,
+         |    max(CASE WHEN rn = ceil(0.5 * n) THEN value END) AS med
+         |  FROM r1 GROUP BY event_type),
+         |dev AS (SELECT ev.event_type, ev.event_id, ev.value, med.med,
+         |    abs(ev.value - med.med) AS adev
+         |  FROM ev JOIN med USING (event_type)),
+         |r2 AS (SELECT event_type, event_id, adev,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY adev, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM dev),
+         |mad AS (SELECT event_type,
+         |    max(CASE WHEN rn = ceil(0.5 * n) THEN adev END) AS mad
+         |  FROM r2 GROUP BY event_type)
+         |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  max(dev.med) AS median, max(mad.mad) AS mad,
+         |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |  CAST(sum(CASE WHEN dev.adev > 3.0 * mad.mad THEN 1 ELSE 0 END)
+         |    * 1000000 // count(*) AS BIGINT) AS outlier_ppm
+         |FROM dev JOIN mad USING (event_type)
+         |GROUP BY dev.event_type ORDER BY event_type""".stripMargin,
+
     // embedding-drift monitor: per-label centroid L1/max-dim shift
     // between the vec_id-parity halves, same quantization + truncated
     // mean as the label-centroid family

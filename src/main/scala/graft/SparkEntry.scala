@@ -234,6 +234,7 @@ object SparkEntry {
     "q_countmin"          -> q(Pipeline.countMin),
     "q_stream_drift"      -> q(Streams.streamDrift),
     "q_embedding_drift"   -> q(operators.Evaluation.embeddingDrift),
+    "q_robust_anomaly"    -> q(Relational.robustAnomaly),
     "q_silhouette"        -> q(operators.Evaluation.silhouette),
     "q_calibration"       -> q(operators.Evaluation.calibration),
     "q_drift_tvd"         -> q(operators.Evaluation.driftTvd),

@@ -693,6 +693,43 @@ object Relational {
       .orderBy("event_type", "rank")
   }
 
+  /** Robust (median/MAD) outlier census per event type — the companion
+    * [[anomaly]] needs: mean/stddev z-scores are themselves dragged by
+    * the outliers they hunt, while the median and the median absolute
+    * deviation are 50%-breakdown estimators. Both medians are EXACT
+    * order statistics (the same rank-window pick as [[percentilesDisc]],
+    * no sketch), so the doubles agree bit-for-bit with the oracle, and
+    * the 3·MAD gate is a single deterministic IEEE multiply.
+    *
+    * Scale shape: two per-type rank windows (value, then absolute
+    * deviation) — partitioned sorts like the KS test, spread across the
+    * cluster by event_type — with k-row median/MAD tables broadcast
+    * back; output is k rows. */
+  def robustAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("value"))
+    def medianOf(df: DataFrame, c: String, out: String) = {
+      val byT = W.partitionBy("event_type").orderBy(col(c), col("event_id"))
+      df.withColumn("rn", row_number().over(byT))
+        .withColumn("n", count(lit(1)).over(W.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")), col(c))).as(out))
+    }
+    val med = medianOf(ev, "value", "med")
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = medianOf(dev, "adev", "mad")
+    dev.join(broadcast(mad), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med")).as("median"), max(col("mad")).as("mad"),
+        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000L div n_events"))
+      .orderBy("event_type")
+  }
+
   /** Sessionization (batch): a session breaks after a 30-minute silence.
     * Two window functions over one (user_id, ts) shuffle, then a grouped
     * rollup per user. The streaming twin is Streams.statefulSessions. */

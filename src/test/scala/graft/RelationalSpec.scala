@@ -296,6 +296,26 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("robust_anomaly medians and MAD gate match a driver-side replay") {
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val rows = Relational.robustAnomaly(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === byType.keySet)
+    rows.foreach { r =>
+      val vs = byType(r.getString(0)).map(_._2).sorted
+      assert(r.getLong(1) === vs.length.toLong)
+      val med = vs(math.ceil(0.5 * vs.length).toInt - 1)
+      assert(r.getDouble(2) === med)
+      val adevs = vs.map(v => math.abs(v - med)).sorted
+      val mad = adevs(math.ceil(0.5 * adevs.length).toInt - 1)
+      assert(r.getDouble(3) === mad)
+      val outliers = vs.count(v => math.abs(v - med) > 3.0 * mad)
+      assert(r.getLong(4) === outliers.toLong)
+      assert(r.getLong(5) === outliers.toLong * 1000000L / vs.length)
+    }
+  }
+
   test("skyline equals the brute-force non-dominated set") {
     val pts = Tables.orders(spark, sf)
       .selectExpr("o_orderkey", "o_totalprice",
