@@ -1243,6 +1243,26 @@ object Oracles {
          |    ELSE CAST(0.0 AS DOUBLE) END AS closure
          |FROM counts""".stripMargin,
 
+    // common neighbors per edge via the all-wedges join (the oracle can
+    // afford the quadratic form at sf0.01; the engine reuses the
+    // degree-oriented triangle enumeration instead)
+    "q_graph_jaccard" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b FROM li a JOIN li b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |adj AS (SELECT a AS v, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+         |deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY v),
+         |cm AS (SELECT x.v AS a, y.v AS b, CAST(count(*) AS BIGINT) AS t
+         |  FROM adj x JOIN adj y ON x.nb = y.nb AND x.v < y.v
+         |  GROUP BY x.v, y.v)
+         |SELECT e.a AS part_a, e.b AS part_b,
+         |  CAST(COALESCE(cm.t, 0) AS BIGINT) AS n_common,
+         |  CAST(COALESCE(cm.t, 0) * 1000000
+         |    // (da.d + db.d - COALESCE(cm.t, 0)) AS BIGINT) AS jaccard_ppm
+         |FROM e LEFT JOIN cm ON cm.a = e.a AND cm.b = e.b
+         |JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+         |ORDER BY jaccard_ppm DESC, part_a, part_b LIMIT 20""".stripMargin,
+
     // integer micro-unit PageRank, 3 unrolled power iterations — the same
     // recurrence as Graph.pageRank, replayed exactly (r div d contributions,
     // 150000 + (85·Σ) div 100 damping); all divisions are BIGINT `//`

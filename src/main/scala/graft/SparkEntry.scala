@@ -127,6 +127,7 @@ object SparkEntry {
     "q_copurchase"        -> q(operators.Graph.coPurchase),
     "q_pagerank"          -> q(operators.Graph.pageRank),
     "q_degree_hist"       -> q(operators.Graph.degreeHist),
+    "q_graph_jaccard"     -> q(operators.Graph.edgeJaccard),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_transition_matrix" -> q(operators.Temporal.transitionMatrix),
     "q_attribution"       -> q(operators.Temporal.attribution),

@@ -177,6 +177,57 @@ object Graph {
       .groupBy("d").agg(count(lit(1)).as("n_parts"))
       .orderBy("d")
 
+  /** Per-edge structural similarity: neighbor-set Jaccard
+    * |Γ(a)∩Γ(b)| / |Γ(a)∪Γ(b)| for every edge of the basket-projection
+    * graph (open neighborhoods, so a and b land in the union — each is
+    * the other's neighbor — but never the intersection). This is the
+    * SCAN/SNN edge weight: a high-Jaccard edge joins two parts whose
+    * baskets overlap structurally, the signal community detection and
+    * edge-pruning pipelines threshold on.
+    *
+    * Scale shape: common-neighbor counts are NOT computed by intersecting
+    * full adjacency lists (a hub's full neighborhood is unbounded).
+    * Instead the triangle machinery is reused — every common neighbor z
+    * of an edge {a,b} closes the triangle {a,b,z}, so the census's
+    * degree-oriented edge-iterator enumerates each such triangle exactly
+    * once (O(√m)-bounded arrays, [[orientByDegree]]), `array_intersect`
+    * materializes its third vertex, and each triangle credits its THREE
+    * edges. The credit exchange is output-linear (3 rows per triangle);
+    * union size then needs only the memoized degree table:
+    * |Γ(a)∪Γ(b)| = da + db − t. Jaccard is reported in exact integer ppm
+    * so the top-20 ranking is bit-reproducible. */
+  def edgeJaccard(s: SparkSession, dir: String): DataFrame = {
+    val edges = distinctEdges(s, dir)
+    val deg = degrees(s, dir)
+    val oriented = orientByDegree(edges, deg)
+    val adj = oriented.groupBy("u")
+      .agg(sort_array(collect_set(col("w"))).as("ns"))
+    val tri = oriented.select(col("u"), col("w"))
+      .join(adj, "u").withColumnRenamed("ns", "nu")
+      .join(adj.select(col("u").as("w"), col("ns").as("nw")), "w")
+      .select(col("u"), col("w"),
+        explode(array_intersect(col("nu"), col("nw"))).as("z"))
+    val credits = tri.select(explode(array(
+        struct(least(col("u"), col("w")).as("a"),
+               greatest(col("u"), col("w")).as("b")),
+        struct(least(col("u"), col("z")).as("a"),
+               greatest(col("u"), col("z")).as("b")),
+        struct(least(col("w"), col("z")).as("a"),
+               greatest(col("w"), col("z")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("t"))
+    edges.join(credits, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("t"))
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      // union ≥ 2 always (a ∈ Γ(b), b ∈ Γ(a)), so the div is safe
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("t").as("n_common"),
+        expr("t * 1000000 div (da + db - t)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   /** Integer-exact PageRank over the customer–supplier purchase graph
     * (undirected bipartite: an edge links a customer to every supplier
     * that fulfilled one of their orders; node ids namespaced as

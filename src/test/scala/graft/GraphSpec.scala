@@ -45,6 +45,24 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getDouble(3) === (if (nWedges > 0) 3.0 * nTri / nWedges else 0.0))
   }
 
+  test("edge Jaccard equals a driver-side brute force") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { ls =>
+      val ps = ls.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = edges.toSeq.map { case (a, b) =>
+      val t = (adj(a) intersect adj(b)).size.toLong
+      (a, b, t, t * 1000000L / (adj(a).size + adj(b).size - t))
+    }.sortBy { case (a, b, _, j) => (-j, a, b) }.take(20)
+    val got = Graph.edgeJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
+
   // Adversarial skew: a 10⁴-leaf hub (the shape a hot part in 10⁵ baskets
   // produces at 100 TB). The old id-order orientation pivots on the hub
   // and emits C(10⁴, 2) ≈ 5×10⁷ wedge candidates from that single key; the
