@@ -680,6 +680,36 @@ object Oracles {
     // equi-depth histogram: the rank and the bucket formula
     // 1 + (rank-1)*8 div n are replicated exactly; the flat window here
     // is fine at DuckDB scale (the engine uses the two-phase prefix sum)
+    // the oracle affords plain global row_number windows where the engine
+    // uses the two-phase block prefix sum; same explicit score formula
+    "q_rfm" ->
+      s"""WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+         |mx AS (SELECT max(d) AS dmax FROM o),
+         |b AS (SELECT o_custkey,
+         |    date_diff('day', max(d), (SELECT dmax FROM mx)) AS r_days,
+         |    count(*) AS f, sum(p) AS m FROM o GROUP BY o_custkey),
+         |r AS (SELECT o_custkey, m,
+         |    row_number() OVER (ORDER BY r_days, o_custkey) AS rr,
+         |    row_number() OVER (ORDER BY f, o_custkey) AS rf,
+         |    row_number() OVER (ORDER BY m, o_custkey) AS rm,
+         |    (SELECT count(*) FROM b) AS n FROM b),
+         |sc AS (SELECT o_custkey, m,
+         |    CAST(5 - (rr - 1) * 5 // n AS BIGINT) AS r_score,
+         |    CAST(1 + (rf - 1) * 5 // n AS BIGINT) AS f_score,
+         |    CAST(1 + (rm - 1) * 5 // n AS BIGINT) AS m_score FROM r)
+         |SELECT r_score, f_score, m_score,
+         |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+         |         THEN 'champion'
+         |       WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+         |       WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+         |       WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+         |       ELSE 'regular' END AS segment,
+         |  CAST(count(*) AS BIGINT) AS n_customers,
+         |  CAST(sum(m) AS DOUBLE) AS sum_monetary
+         |FROM sc GROUP BY 1, 2, 3, 4
+         |ORDER BY r_score, f_score, m_score""".stripMargin,
+
     "q_equidepth_hist" ->
       s"""WITH r AS (SELECT l_extendedprice AS p,
          |    CAST(row_number() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS BIGINT) AS rank,

@@ -152,6 +152,7 @@ object SparkEntry {
     "q_approx_percentile" -> q(Relational.approxPercentiles),
     "q_approx_topk"       -> q(Relational.approxTopK),
     "q_equidepth_hist"    -> q(Relational.equidepthHistogram),
+    "q_rfm"               -> q(Relational.rfm),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
     "q_bloom_join"        -> q(Relational.bloomJoin),
     // LLM data pipeline

@@ -524,6 +524,74 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic CRM cohort census: per customer, days since last order,
+    * order count, and decimal-exact spend, each scored into quintiles
+    * 1–5, then a bounded (≤ 5³ rows) segment census with the standard
+    * labels (champion / at_risk / new / hibernating / regular).
+    *
+    * Quintile ranks use the equi-depth histogram's two-phase block
+    * prefix sum ([[equidepthHistogram]]) — block tables are bounded by
+    * each dimension's value domain (days / order counts / spend in
+    * 1000-unit blocks), never customer-sized, so no single-partition
+    * global window exists in any of the three rankings. Scores are the
+    * explicit 1 + (rank−1)·5 div n formula (recency inverted: most
+    * recent = 5) with ties broken by custkey, so the census is
+    * bit-reproducible; spend is routed through DECIMAL(18,2). */
+  def rfm(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val dmax = o.agg(max(col("d")).as("dmax"))
+    val base = o.groupBy("o_custkey")
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("f"),
+        sum(col("p")).as("m"))
+      .crossJoin(broadcast(dmax))
+      .select(col("o_custkey"),
+        datediff(col("dmax"), col("last_d")).cast("long").as("r_days"),
+        col("f"), col("m"))
+    val n = base.agg(count(lit(1)).as("n"))
+    // ascending dense global rank of column x (ties by custkey) via the
+    // block-prefix discipline; in must carry (o_custkey, x, blk)
+    def rankOf(in: DataFrame, out: String): DataFrame = {
+      val bt = in.groupBy("blk").agg(count(lit(1)).as("bt"))
+      val off = bt.withColumn("off",
+          coalesce(sum("bt").over(
+            w.orderBy("blk").rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+        .drop("bt")
+      val wIn = w.partitionBy("blk").orderBy(col("x"), col("o_custkey"))
+      in.join(broadcast(off), "blk")
+        .withColumn(out, col("off") + row_number().over(wIn))
+        .select(col("o_custkey"), col(out))
+    }
+    val rr = rankOf(base.select(col("o_custkey"), col("r_days").as("x"),
+      col("r_days").as("blk")), "rr")
+    val rf = rankOf(base.select(col("o_custkey"), col("f").as("x"),
+      col("f").as("blk")), "rf")
+    val rm = rankOf(base.select(col("o_custkey"), col("m").as("x"),
+      floor(col("m") / 1000).cast("long").as("blk")), "rm")
+    val scored = base.join(rr, "o_custkey").join(rf, "o_custkey")
+      .join(rm, "o_custkey").crossJoin(broadcast(n))
+      .select(col("m"),
+        expr("5L - (rr - 1) * 5 div n").as("r_score"),
+        expr("1L + (rf - 1) * 5 div n").as("f_score"),
+        expr("1L + (rm - 1) * 5 div n").as("m_score"))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("m")).cast("double").as("sum_monetary"))
+      .withColumn("segment",
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+             col("m_score") >= 4, "champion")
+          .when(col("r_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .otherwise("regular"))
+      .select(col("r_score"), col("f_score"), col("m_score"), col("segment"),
+        col("n_customers"), col("sum_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
   /** Exact percentiles (sort-based `percentile`, not the approximate
     * sketch) of quantity per return flag; interpolated values rounded to
     * 4 dp to absorb the one-ulp formula difference between engines. */

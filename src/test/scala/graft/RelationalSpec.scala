@@ -316,6 +316,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm: segments partition customers, quintile marginals balanced ±1") {
+    val rows = Relational.rfm(spark, sf).collect()
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(4)).sum === nCust)
+    // per-dimension marginal counts: the rank formula yields ⌊n/5⌋..⌈n/5⌉
+    for (dim <- 0 to 2) {
+      val marg = rows.groupBy(_.getLong(dim)).view
+        .mapValues(_.map(_.getLong(4)).sum)
+      assert(marg.keys.toSet.subsetOf((1L to 5L).toSet))
+      marg.values.foreach(c =>
+        assert(math.abs(c - nCust / 5.0) <= 1.0, s"dim $dim unbalanced: $marg"))
+    }
+    // every score triple carries the label the CASE ladder assigns
+    rows.foreach { r =>
+      val (rs, fs, ms) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val want =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (rs <= 2 && fs <= 2) "hibernating"
+        else if (rs <= 2 && fs >= 4) "at_risk"
+        else if (rs >= 4 && fs <= 2) "new"
+        else "regular"
+      assert(r.getString(3) === want)
+    }
+  }
+
   test("skyline equals the brute-force non-dominated set") {
     val pts = Tables.orders(spark, sf)
       .selectExpr("o_orderkey", "o_totalprice",
