@@ -2522,6 +2522,21 @@ object Oracles {
     // deterministic multiplicative-hash permutation of event_id (the
     // fixture's event_id order is time-monotone), running per-user max
     // event time, lateness thresholds a streaming watermark would drop at
+    "q_seasonality" ->
+      s"""WITH cells AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |tot AS (SELECT event_type, CAST(sum(n_events) AS BIGINT) AS total,
+         |    min(CASE WHEN n_events = mx THEN hod END) AS peak_hour
+         |  FROM (SELECT *, max(n_events) OVER (PARTITION BY event_type) AS mx
+         |        FROM cells) c
+         |  GROUP BY event_type)
+         |SELECT c.event_type, c.hod, c.n_events,
+         |  CAST(c.n_events * 1000000 // t.total AS BIGINT) AS share_ppm,
+         |  c.hod = t.peak_hour AS is_peak
+         |FROM cells c JOIN tot t ON c.event_type = t.event_type
+         |ORDER BY c.event_type, c.hod""".stripMargin,
+
     "q_late_data" ->
       s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
          |    (event_id * 1000003) % 10000019 AS arr FROM events),

@@ -241,6 +241,7 @@ object SparkEntry {
     "q_calibration"       -> q(operators.Evaluation.calibration),
     "q_drift_tvd"         -> q(operators.Evaluation.driftTvd),
     "q_late_data"         -> q(operators.Temporal.lateData),
+    "q_seasonality"       -> q(operators.Temporal.seasonality),
     // data selection & evaluation (round 8)
     "q_dsir"              -> q(operators.Selection.dsirWeights),
     "q_lsh_pr_sweep"      -> q(operators.Selection.lshPrSweep),

@@ -262,4 +262,33 @@ object Temporal {
         max(col("late_us")).as("max_late_us"))
       .orderBy("event_type")
   }
+
+  /** Diurnal seasonality profile: the hour-of-day load curve per event
+    * type — each of the ≤ 24·k cells carries its exact count and its
+    * integer-ppm share of the type's traffic, plus a peak marker on the
+    * type's busiest hour (ties to the earliest hour). The profile a
+    * capacity planner or anomaly detector baselines against, and the
+    * first thing a traffic dashboard draws.
+    *
+    * Scale shape: one map-side-combined groupBy collapses the corpus to
+    * the fixed ≤ 24·k cell table; totals and peaks are re-aggregations
+    * of the CELLS (never a second corpus read), broadcast back onto the
+    * cell table. Shares are exact integer ppm (count·10⁶ div total), so
+    * the profile is bit-reproducible. */
+  def seasonality(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hod"))
+      .agg(count(lit(1)).as("n_events"))
+    val totals = cells.groupBy("event_type")
+      .agg(sum(col("n_events")).as("total"),
+        max(struct(col("n_events"), (-col("hod")).as("nh"))).as("pk"))
+      .select(col("event_type"), col("total"),
+        (-col("pk.nh")).as("peak_hour"))
+    cells.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("hod"),
+        col("n_events"),
+        expr("n_events * 1000000L div total").as("share_ppm"),
+        (col("hod") === col("peak_hour")).as("is_peak"))
+      .orderBy("event_type", "hod")
+  }
 }

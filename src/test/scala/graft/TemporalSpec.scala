@@ -146,4 +146,20 @@ class TemporalSpec extends AnyFunSuite {
     // events, else the census degenerates to zeros and asserts nothing
     assert(rows.map(_.getLong(2)).sum > 0L, "expected out-of-order arrivals")
   }
+
+  test("seasonality: cells cover the corpus, shares ppm-exact, one peak per type") {
+    val rows = Temporal.seasonality(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === total)
+    rows.groupBy(_.getString(0)).values.foreach { cells =>
+      val n = cells.map(_.getLong(2)).sum
+      cells.foreach { c =>
+        assert(c.getLong(1) >= 0L && c.getLong(1) <= 23L)
+        assert(c.getLong(3) === c.getLong(2) * 1000000L / n)
+      }
+      val peaks = cells.filter(_.getBoolean(4))
+      assert(peaks.length === 1, "exactly one peak cell per type")
+      assert(peaks.head.getLong(2) === cells.map(_.getLong(2)).max)
+    }
+  }
 }
