@@ -1427,6 +1427,35 @@ object Oracles {
     // data-profiling census — the oracle profiles column-by-column (the
     // engine does it in ONE scan; at DuckDB scale the union is fine);
     // l_quantity is integral-valued DOUBLE, rendered through BIGINT
+    // the oracle's run count is a plain global lag per column; rendered
+    // values are compared only within one engine (injective rendering),
+    // never across engines
+    "q_encoding_stats" ->
+      s"""WITH u AS (
+         |  SELECT l_orderkey AS k1, l_linenumber AS k2, 'l_orderkey' AS c,
+         |    CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_partkey',
+         |    CAST(l_partkey AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_quantity',
+         |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_returnflag',
+         |    l_returnflag FROM lineitem
+         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_linestatus',
+         |    l_linestatus FROM lineitem),
+         |r AS (SELECT c, v,
+         |    lag(v) OVER (PARTITION BY c ORDER BY k1, k2, v) AS pv FROM u),
+         |agg AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+         |    CAST(sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_runs
+         |  FROM r GROUP BY c)
+         |SELECT c AS column_name, n, n_distinct, n_runs,
+         |  CAST(n * 100 // n_runs AS BIGINT) AS avg_run_x100,
+         |  CASE WHEN n_runs * 8 <= n THEN 'rle'
+         |       WHEN n_distinct * 256 <= n THEN 'dict'
+         |       ELSE 'plain' END AS encoding
+         |FROM agg ORDER BY column_name""".stripMargin,
+
     "q_profile" ->
       s"""SELECT * FROM (
          |  SELECT 'l_partkey' AS col_name,

@@ -133,6 +133,7 @@ object SparkEntry {
     "q_attribution"       -> q(operators.Temporal.attribution),
     "q_xml_extract"       -> q(Relational.xmlExtract),
     "q_profile"           -> q(Relational.profile),
+    "q_encoding_stats"    -> q(Relational.encodingStats),
     "q_session_window"    -> q(Relational.sessionWindows),
     "q_window_suite"      -> q(Relational.windowSuite),
     "q_moving_agg"        -> q(Relational.movingAgg),

@@ -1160,6 +1160,75 @@ object Relational {
     * count(distinct)s via one Expand), then pivot to rows with a 4-element
     * explode. At 100 TB this is exactly one pass over the fact table;
     * the naive per-column union would be four. */
+  /** Storage-encoding advisor — the physical-layout census a columnar
+    * engine (or its table optimizer) runs before choosing per-column
+    * encodings: for each profiled lineitem column, row count, exact
+    * distinct count, and the number of VALUE RUNS in the table's primary
+    * key order (l_orderkey, l_linenumber), plus the advice the numbers
+    * imply (RLE when mean run length ≥ 8, dictionary when cardinality is
+    * ≤ n/256, plain otherwise). The sorted key column itself scores as
+    * RLE; shuffled fact columns fall through to dict/plain — exactly the
+    * reasoning Parquet writers apply per page.
+    *
+    * Scale shape: run counting never uses a global-order window. Rows
+    * are blocked by l_orderkey div 512; each block counts its internal
+    * transitions with a block-local lag, and runs that straddle a block
+    * boundary are stitched by joining the per-block (first, last) value
+    * table against itself shifted by one — the pack_sequences two-phase
+    * discipline applied to run-length encoding. Values move as strings
+    * only for EQUALITY (each engine's rendering is injective; no
+    * rendered value is ever surfaced), and the unpivot's ×5 fan-out is
+    * the declared price of profiling 5 columns in one scan. */
+  def encodingStats(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val colsProfiled = Seq[(String, Column)](
+      "l_orderkey" -> col("l_orderkey").cast("string"),
+      "l_partkey" -> col("l_partkey").cast("string"),
+      "l_quantity" -> col("l_quantity").cast("long").cast("string"),
+      "l_returnflag" -> col("l_returnflag"),
+      "l_linestatus" -> col("l_linestatus"))
+    val long = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("l_orderkey div 512").as("blk"),
+        explode(array(colsProfiled.map { case (n, c) =>
+          struct(lit(n).as("c"), c.as("v")) }: _*)).as("e"))
+      .select(col("blk"), col("l_orderkey"), col("l_linenumber"),
+        col("e.c").as("c"), col("e.v").as("v"))
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture, so the
+    // rendered value joins the sort key to make the scan order total —
+    // both engines replay the identical (k1, k2, v) order
+    val wIn = w.partitionBy("c", "blk")
+      .orderBy("l_orderkey", "l_linenumber", "v")
+    val perBlk = long
+      .withColumn("prev", lag(col("v"), 1).over(wIn))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("v"), 1L).otherwise(0L))
+      .groupBy("c", "blk")
+      .agg(count(lit(1)).as("n"), sum(col("chg")).as("starts"),
+        min(struct(col("l_orderkey"), col("l_linenumber"), col("v"))).as("fst"),
+        max(struct(col("l_orderkey"), col("l_linenumber"), col("v"))).as("lst"))
+    // a block whose first value equals the previous block's last value
+    // started no new run there — subtract the double-counted start
+    val merged = perBlk.select(col("c"), col("blk"), col("fst.v").as("fv"))
+      .join(perBlk.select(col("c"), (col("blk") + 1).as("blk"),
+        col("lst.v").as("pv")), Seq("c", "blk"))
+      .groupBy("c")
+      .agg(sum(when(col("fv") === col("pv"), 1L).otherwise(0L)).as("m"))
+    val dist = long.groupBy("c").agg(countDistinct(col("v")).as("n_distinct"))
+    perBlk.groupBy("c")
+      .agg(sum(col("n")).as("n"), sum(col("starts")).as("raw_starts"))
+      .join(merged, Seq("c"), "left").na.fill(0L, Seq("m"))
+      .join(dist, "c")
+      .select(col("c").as("column_name"), col("n"), col("n_distinct"),
+        (col("raw_starts") - col("m")).as("n_runs"))
+      .withColumn("avg_run_x100", expr("n * 100 div n_runs"))
+      .withColumn("encoding",
+        when(col("n_runs") * 8 <= col("n"), "rle")
+          .when(col("n_distinct") * 256 <= col("n"), "dict")
+          .otherwise("plain"))
+      .orderBy("column_name")
+  }
+
   def profile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     def stats(c: String, render: Column => Column) = Seq(

@@ -341,6 +341,44 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("encoding_stats run counts equal a driver-side global-order replay") {
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_returnflag", "l_linestatus")
+      .collect()
+    def runsOf(vals: Seq[String]): Long =
+      1L + vals.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+    val cols: Seq[(String, org.apache.spark.sql.Row => String)] = Seq(
+      "l_orderkey" -> (_.getLong(0).toString),
+      "l_partkey" -> (_.getLong(2).toString),
+      "l_quantity" -> (_.getDouble(3).toLong.toString),
+      "l_returnflag" -> (_.getString(4)),
+      "l_linestatus" -> (_.getString(5)))
+    val expected = cols.map { case (name, get) =>
+      val vals = li.map(r => (r.getLong(0), r.getInt(1), get(r)))
+        .sortBy(identity).map(_._3).toSeq
+      name -> (vals.length.toLong, vals.distinct.length.toLong, runsOf(vals))
+    }.toMap
+    val got = Relational.encodingStats(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq === expected.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (n, nd, runs) = expected(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((n, nd, runs)),
+        s"column ${r.getString(0)}")
+      assert(r.getLong(4) === n * 100 / runs)
+    }
+    // advice is exactly the declared formula; the 2-3 value flags land
+    // on dict on any fixture (cardinality ≤ 3 while n ≥ 768)
+    got.foreach { r =>
+      val (n, nd, runs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val want = if (runs * 8 <= n) "rle"
+                 else if (nd * 256 <= n) "dict" else "plain"
+      assert(r.getString(5) === want, s"advice for ${r.getString(0)}")
+    }
+    val enc = got.map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(enc("l_returnflag") === "dict" && enc("l_linestatus") === "dict")
+  }
+
   test("skyline equals the brute-force non-dominated set") {
     val pts = Tables.orders(spark, sf)
       .selectExpr("o_orderkey", "o_totalprice",
