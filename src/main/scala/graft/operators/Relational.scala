@@ -543,36 +543,41 @@ object Relational {
     val o = Tables.orders(s, dir)
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
         col("o_totalprice").cast("decimal(18,2)").as("p"))
-    val dmax = o.agg(max(col("d")).as("dmax"))
+    // recency rank: days-since-last-order ascending ≡ last-order-day
+    // DESCENDING, so the corpus max date (the oracle's r_days anchor)
+    // never needs to join — x = −epoch_day(last_d) ranks identically
     val base = o.groupBy("o_custkey")
-      .agg(max(col("d")).as("last_d"), count(lit(1)).as("f"),
-        sum(col("p")).as("m"))
-      .crossJoin(broadcast(dmax))
-      .select(col("o_custkey"),
-        datediff(col("dmax"), col("last_d")).cast("long").as("r_days"),
-        col("f"), col("m"))
+      .agg((-unix_date(max(col("d")))).cast("long").as("r_key"),
+        count(lit(1)).as("f"), sum(col("p")).as("m"))
     val n = base.agg(count(lit(1)).as("n"))
-    // ascending dense global rank of column x (ties by custkey) via the
-    // block-prefix discipline; in must carry (o_custkey, x, blk)
-    def rankOf(in: DataFrame, out: String): DataFrame = {
-      val bt = in.groupBy("blk").agg(count(lit(1)).as("bt"))
-      val off = bt.withColumn("off",
-          coalesce(sum("bt").over(
-            w.orderBy("blk").rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
-        .drop("bt")
-      val wIn = w.partitionBy("blk").orderBy(col("x"), col("o_custkey"))
-      in.join(broadcast(off), "blk")
-        .withColumn(out, col("off") + row_number().over(wIn))
-        .select(col("o_custkey"), col(out))
-    }
-    val rr = rankOf(base.select(col("o_custkey"), col("r_days").as("x"),
-      col("r_days").as("blk")), "rr")
-    val rf = rankOf(base.select(col("o_custkey"), col("f").as("x"),
-      col("f").as("blk")), "rf")
-    val rm = rankOf(base.select(col("o_custkey"), col("m").as("x"),
-      floor(col("m") / 1000).cast("long").as("blk")), "rm")
-    val scored = base.join(rr, "o_custkey").join(rf, "o_custkey")
-      .join(rm, "o_custkey").crossJoin(broadcast(n))
+    // all three dimensions rank in ONE unpivoted pipeline (dim, blk)
+    // instead of three separate window pipelines: the ×3 map-side
+    // fan-out costs less than three extra shuffle+window rounds. Spend
+    // becomes exact cents (long) so every dimension sorts as int64;
+    // blocks are value-domain-bounded per dimension (days / counts /
+    // 1000-unit spend blocks), never customer-sized.
+    val dims = base.select(col("o_custkey"), explode(array(
+        struct(lit("r").as("dim"), col("r_key").as("x")),
+        struct(lit("f").as("dim"), col("f").as("x")),
+        struct(lit("m").as("dim"),
+          (col("m") * 100).cast("long").as("x")))).as("e"))
+      .select(col("o_custkey"), col("e.dim").as("dim"), col("e.x").as("x"))
+      .withColumn("blk",
+        when(col("dim") === "m", expr("x div 100000")).otherwise(col("x")))
+    val bt = dims.groupBy("dim", "blk").agg(count(lit(1)).as("bt"))
+    val off = bt.withColumn("off",
+        coalesce(sum("bt").over(w.partitionBy("dim").orderBy("blk")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .drop("bt")
+    val wIn = w.partitionBy("dim", "blk").orderBy(col("x"), col("o_custkey"))
+    val ranked = dims.join(broadcast(off), Seq("dim", "blk"))
+      .withColumn("rk", col("off") + row_number().over(wIn))
+    val ranks = ranked.groupBy("o_custkey").agg(
+      max(when(col("dim") === "r", col("rk"))).as("rr"),
+      max(when(col("dim") === "f", col("rk"))).as("rf"),
+      max(when(col("dim") === "m", col("rk"))).as("rm"))
+    val scored = base.select(col("o_custkey"), col("m")).join(ranks, "o_custkey")
+      .crossJoin(broadcast(n))
       .select(col("m"),
         expr("5L - (rr - 1) * 5 div n").as("r_score"),
         expr("1L + (rf - 1) * 5 div n").as("f_score"),

@@ -26,6 +26,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_temperature_mix" -> 1, // 1-row weight total
     "q_triangle_count"  -> 2, // 1-row wedge + triangle counts
     "q_equidepth_hist"  -> 1, // 1-row row-count total
+    "q_rfm"             -> 1, // 1-row customer-count total
     "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
     "q_eval_confusion"  -> 2, // 10-row centroid table (cells + row totals)
     "q_bpe_apply"       -> 1, // 1-row round-0 token total
@@ -129,6 +130,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embedding_quantize" -> 1,
     "q_equidepth_hist" -> 6,
     "q_eval_confusion" -> 6,
+    "q_encoding_stats" -> 8, // unpivot ×5 then (c,blk) window + distinct + stitch
+    "q_graph_jaccard" -> 4, // oriented adj + credit groupBy; rides memoized edge/deg tables
     // round-8 eval/monitoring family: one corpus pass over the shared
     // prototype-distance table each (kappa's marginals ride a single
     // unpivoted aggregate; calibration re-reads the pass once for its
@@ -216,8 +219,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_redact" -> 1,
     "q_repetition_filter" -> 2,
     "q_retention" -> 6,
+    "q_rfm" -> 10, // one unpivoted 3-dim rank pipeline + segment census (customer-sized)
     "q_rollup" -> 2,
     "q_scd2" -> 2,
+    "q_seasonality" -> 3, // corpus→24·k cells, then cell-table re-aggs only
     "q_schema_evolution" -> 2,
     "q_semdedup" -> 3,
     "q_semdedup_sweep" -> 5,
