@@ -2492,6 +2492,37 @@ object Oracles {
 
     // count–min sketch with pinned affine hash rows: deterministic, so
     // the sketch ESTIMATES hash-verify (not just the exact counts)
+    // same pinned affine hash rows; bits compared only as set membership;
+    // the prediction cube uses the engine's exact association
+    "q_bloom_fpr" ->
+      s"""WITH members AS (SELECT c_custkey FROM customer),
+         |mb AS (SELECT DISTINCT b FROM (
+         |  SELECT (c_custkey * 131 + 7) % 65521 AS b FROM members
+         |  UNION ALL SELECT (c_custkey * 137 + 11) % 65521 FROM members
+         |  UNION ALL SELECT (c_custkey * 139 + 13) % 65521 FROM members) m),
+         |probes AS (SELECT (SELECT max(c_custkey) FROM members) + i AS pk
+         |  FROM (SELECT unnest(range(1, 20001)) AS i) r),
+         |pbits AS (SELECT DISTINCT pk, b FROM (
+         |  SELECT pk, (pk * 131 + 7) % 65521 AS b FROM probes
+         |  UNION ALL SELECT pk, (pk * 137 + 11) % 65521 FROM probes
+         |  UNION ALL SELECT pk, (pk * 139 + 13) % 65521 FROM probes) u),
+         |pagg AS (SELECT pbits.pk, count(*) AS nb,
+         |    sum(CASE WHEN mb.b IS NOT NULL THEN 1 ELSE 0 END) AS hits
+         |  FROM pbits LEFT JOIN mb ON pbits.b = mb.b GROUP BY pbits.pk),
+         |stats AS (SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM members) AS n_members,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mb) AS bits_set,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pagg
+         |     WHERE hits = nb) AS n_false_pos)
+         |SELECT n_members, CAST(20000 AS BIGINT) AS n_probes,
+         |  CAST(65521 AS BIGINT) AS m_bits,
+         |  CAST(3 AS BIGINT) AS k_hashes, bits_set, n_false_pos,
+         |  CAST(n_false_pos * 1000000 // 20000 AS BIGINT) AS fpr_ppm,
+         |  CAST((bits_set * 1000000 // 65521) * (bits_set * 1000000 // 65521)
+         |    // 1000000 * (bits_set * 1000000 // 65521) // 1000000
+         |    AS BIGINT) AS fpr_pred_ppm
+         |FROM stats""".stripMargin,
+
     "q_countmin" ->
       s"""WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
          |  FROM ($Toks) t WHERE word <> '' GROUP BY word),

@@ -235,6 +235,7 @@ object SparkEntry {
     "q_ab_test"           -> q(operators.Evaluation.abTest),
     "q_stratified_sample" -> q(Pipeline.stratifiedSample),
     "q_countmin"          -> q(Pipeline.countMin),
+    "q_bloom_fpr"         -> q(operators.Evaluation.bloomFpr),
     "q_stream_drift"      -> q(Streams.streamDrift),
     "q_embedding_drift"   -> q(operators.Evaluation.embeddingDrift),
     "q_robust_anomaly"    -> q(Relational.robustAnomaly),

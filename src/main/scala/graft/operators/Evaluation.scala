@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Fns
@@ -383,5 +383,57 @@ object Evaluation {
       .agg(max(col("n_early")).as("n_early"), max(col("n_late")).as("n_late"),
         expr("sum(abs(pe - pl)) div 2").as("tvd_ppm"))
       .orderBy("event_type")
+  }
+
+  private val BloomM = 65521L // prime cell count
+  private val BloomSeeds = Seq((131L, 7L), (137L, 11L), (139L, 13L))
+
+  /** Bloom-filter geometry eval: build an m=65521-bit, k=3 bloom filter
+    * over the customer key set using pinned affine hash rows — the same
+    * every-engine-replayable discipline as the count–min sketch
+    * ([[Pipeline.countMin]]) — then probe it with 20 000 synthetic keys
+    * strictly above the corpus maximum (guaranteed non-members) and
+    * report the MEASURED false-positive rate next to the load-based
+    * prediction (bits_set/m)³, both in exact integer ppm (the cube is
+    * evaluated in one pinned association, ((p·p) div 10⁶ · p) div 10⁶,
+    * so both engines land on the same integer). This is the eval a
+    * pipeline runs before trusting a bloom-join geometry at scale
+    * (`q_bloom_join` uses Spark's built-in runtime filter; this query
+    * makes the FPR trade-off itself observable and oracle-checked).
+    *
+    * Scale shape: the bit table is ≤ m rows no matter the corpus (the
+    * distinct collapses map-side); the probe set is a constant-size
+    * sequence fanned out of a 1-row max aggregate; probes explode to
+    * ≤ k rows each and hit the broadcast bit table — one linear pass
+    * per side, and the report is 1 row from crossJoined 1-row
+    * aggregates. */
+  def bloomFpr(s: SparkSession, dir: String): DataFrame = {
+    def hashRowsOf(key: Column) = array(BloomSeeds.map { case (a, b) =>
+      pmod(key * lit(a) + lit(b), lit(BloomM)) }: _*)
+    val members = graft.Tables.customer(s, dir).select(col("c_custkey"))
+    val bits = members.select(explode(hashRowsOf(col("c_custkey"))).as("bit"))
+      .distinct()
+    val probes = members.agg(max(col("c_custkey")).as("mx"))
+      .select(explode(sequence(col("mx") + 1, col("mx") + 20000)).as("pk"))
+    // a key's k hashes can self-collide, so membership is "all DISTINCT
+    // bits present" — nb counts them before the explode
+    val pb = probes.select(col("pk"), array_distinct(hashRowsOf(col("pk"))).as("bs"))
+      .select(col("pk"), size(col("bs")).cast("long").as("nb"),
+        explode(col("bs")).as("bit"))
+    val fp = pb.join(broadcast(bits), "bit")
+      .groupBy("pk", "nb").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === col("nb"))
+      .agg(count(lit(1)).as("n_false_pos"))
+    members.agg(count(lit(1)).as("n_members"))
+      .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+      .crossJoin(broadcast(fp))
+      .select(col("n_members"), lit(20000L).as("n_probes"),
+        lit(BloomM).as("m_bits"), lit(3L).as("k_hashes"),
+        col("bits_set"), col("n_false_pos"),
+        expr("n_false_pos * 1000000L div 20000L").as("fpr_ppm"),
+        expr(s"(bits_set * 1000000L div ${BloomM}L) * " +
+          s"(bits_set * 1000000L div ${BloomM}L) div 1000000L * " +
+          s"(bits_set * 1000000L div ${BloomM}L) div 1000000L")
+          .as("fpr_pred_ppm"))
   }
 }

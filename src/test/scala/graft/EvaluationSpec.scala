@@ -187,4 +187,23 @@ class EvaluationSpec extends AnyFunSuite {
       assert(r.getLong(2) === 1L, "email not detected")
     }
   }
+
+  test("bloom_fpr equals a driver-side replay of the pinned filter") {
+    val keys = Tables.customer(spark, sf).select("c_custkey")
+      .collect().map(_.getLong(0))
+    val m = 65521L
+    val seeds = Seq((131L, 7L), (137L, 11L), (139L, 13L))
+    def bitsOf(k: Long) = seeds.map { case (a, b) =>
+      math.floorMod(k * a + b, m) }.distinct
+    val set = keys.flatMap(bitsOf).toSet
+    val mx = keys.max
+    val fps = (mx + 1 to mx + 20000).count(p => bitsOf(p).forall(set))
+    val r = Evaluation.bloomFpr(spark, sf).collect().head
+    assert(r.getLong(0) === keys.length.toLong)
+    assert(r.getLong(4) === set.size.toLong)
+    assert(r.getLong(5) === fps.toLong)
+    assert(r.getLong(6) === fps.toLong * 1000000L / 20000L)
+    val p = set.size.toLong * 1000000L / m
+    assert(r.getLong(7) === p * p / 1000000L * p / 1000000L)
+  }
 }

@@ -27,6 +27,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_triangle_count"  -> 2, // 1-row wedge + triangle counts
     "q_equidepth_hist"  -> 1, // 1-row row-count total
     "q_rfm"             -> 1, // 1-row customer-count total
+    "q_bloom_fpr"       -> 2, // 1-row member-count + 1-row FP-count aggregates
     "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
     "q_eval_confusion"  -> 2, // 10-row centroid table (cells + row totals)
     "q_bpe_apply"       -> 1, // 1-row round-0 token total
@@ -88,6 +89,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_bigrams" -> 1,
     "q_bitwise_math" -> 1,
     "q_bloom_join" -> 5,
+    "q_bloom_fpr" -> 5, // ≤m-row bit table build + probe census + 1-row tails
     "q_bm25" -> 5,
     "q_bpe_apply" -> 6,
     "q_bpe_train" -> 1,
