@@ -1076,6 +1076,34 @@ object Oracles {
          |    WHEN 'es' THEN 800 WHEN 'zh' THEN 800 ELSE 0 END
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // one corpus pass; both samplers' keep rules as conditional sums
+    "q_sample_bias" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_full,
+         |    CAST(sum(CASE WHEN ${polyHashSql("text")} % 100 < 10
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hash,
+         |    CAST(sum(CASE WHEN ${polyHashSql("text")} % 1000 <
+         |      CASE lang WHEN 'en' THEN 400 WHEN 'de' THEN 800
+         |        WHEN 'fr' THEN 800 WHEN 'es' THEN 800 WHEN 'zh' THEN 800
+         |        ELSE 0 END THEN 1 ELSE 0 END) AS BIGINT) AS n_mix
+         |  FROM documents GROUP BY lang),
+         |lg AS (SELECT 'hash' AS sampler, lang, n_full, n_hash AS n_kept FROM c
+         |  UNION ALL
+         |  SELECT 'mixture', lang, n_full, n_mix FROM c),
+         |tot AS (SELECT sampler, CAST(sum(n_full) AS BIGINT) AS tf,
+         |    CAST(sum(n_kept) AS BIGINT) AS tk FROM lg GROUP BY sampler),
+         |sc AS (SELECT lg.sampler, lang, n_full, n_kept,
+         |    CAST(n_full * 1000000 // tf AS BIGINT) AS full_ppm,
+         |    CAST(n_kept * 1000000 // tk AS BIGINT) AS kept_ppm,
+         |    CAST(abs(n_full * 1000000 // tf - n_kept * 1000000 // tk)
+         |      AS BIGINT) AS bias_ppm
+         |  FROM lg JOIN tot ON lg.sampler = tot.sampler),
+         |tv AS (SELECT sampler, CAST(sum(bias_ppm) // 2 AS BIGINT) AS tvd_ppm
+         |  FROM sc GROUP BY sampler)
+         |SELECT sc.sampler, lang, n_full, n_kept, full_ppm, kept_ppm,
+         |  bias_ppm, tvd_ppm
+         |FROM sc JOIN tv ON sc.sampler = tv.sampler
+         |ORDER BY sc.sampler, lang""".stripMargin,
+
     // deterministic hash sampling (bucket 0-9 of 100)
     "q_hash_sample" ->
       s"""SELECT doc_id, n_chars FROM documents

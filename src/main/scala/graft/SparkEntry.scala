@@ -166,6 +166,7 @@ object SparkEntry {
     "q_hash_sample"       -> q(Pipeline.hashSample),
     "q_balanced_sample"   -> q(Pipeline.balancedSample),
     "q_mixture_sample"    -> q(Pipeline.mixtureSample),
+    "q_sample_bias"       -> q(Pipeline.sampleBias),
     "q_importance_sample" -> q(Pipeline.importanceSample),
     "q_chunking"          -> q(Pipeline.chunkDocs),
     "q_curation"          -> q(Pipeline.curationPipeline),

@@ -719,6 +719,54 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Sampling-bias eval: did a sampler skew the language mix? For the
+    * uniform hash sampler ([[hashSample]]'s 10% rule) and the
+    * deliberately reweighting mixture sampler ([[mixtureSample]]'s
+    * per-language rates), compare the kept-set language shares against
+    * the full-corpus shares — per-language absolute bias and the
+    * per-sampler total-variation distance, all in exact integer ppm.
+    * The uniform sampler should sit near 0 TVD (any drift is hash-bucket
+    * noise); the mixture sampler's TVD QUANTIFIES its intended skew —
+    * the eval that separates "sampling artifact" from "designed
+    * reweighting" before a mix ships to training.
+    *
+    * Scale shape: ONE corpus pass computes, per language, the full count
+    * and both samplers' kept counts as conditional sums (the keep rules
+    * are map-side hash predicates, so no sampler output is
+    * materialized); everything after is arithmetic on the ≤ |langs|
+    * cell table. */
+  def sampleBias(s: SparkSession, dir: String): DataFrame = {
+    val rate = MixtureRates.foldLeft(lit(0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val h = Fns.polyHash(col("text"))
+    val cells = Tables.documents(s, dir)
+      .select(col("lang"),
+        when(pmod(h, lit(100L)) < 10, 1L).otherwise(0L).as("kh"),
+        when(pmod(h, lit(1000L)) < rate, 1L).otherwise(0L).as("km"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_full"), sum(col("kh")).as("n_hash"),
+        sum(col("km")).as("n_mix"))
+    val long = cells.select(col("lang"), col("n_full"), explode(array(
+        struct(lit("hash").as("sampler"), col("n_hash").as("n_kept")),
+        struct(lit("mixture").as("sampler"), col("n_mix").as("n_kept"))))
+        .as("e"))
+      .select(col("e.sampler").as("sampler"), col("lang"), col("n_full"),
+        col("e.n_kept").as("n_kept"))
+    val tot = long.groupBy("sampler")
+      .agg(sum(col("n_full")).as("tf"), sum(col("n_kept")).as("tk"))
+    val scored = long.join(broadcast(tot), "sampler")
+      .withColumn("full_ppm", expr("n_full * 1000000L div tf"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000L div tk"))
+      .withColumn("bias_ppm", abs(col("full_ppm") - col("kept_ppm")))
+    val tvd = scored.groupBy("sampler")
+      .agg(expr("sum(bias_ppm) div 2").as("tvd_ppm"))
+    scored.join(broadcast(tvd), "sampler")
+      .select(col("sampler"), col("lang"), col("n_full"), col("n_kept"),
+        col("full_ppm"), col("kept_ppm"), col("bias_ppm"), col("tvd_ppm"))
+      .orderBy("sampler", "lang")
+  }
+
   /** LLM context chunking: each document's token stream cut into windows
     * of 50 tokens with stride 40 (10-token overlap) — the standard
     * pre-embedding segmentation. Chunk text is reassembled and hashed

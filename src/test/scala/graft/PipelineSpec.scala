@@ -756,4 +756,27 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(hn - h / math.log(v.toDouble)) < 1e-3)
     }
   }
+
+  test("sample_bias reconciles with the standalone samplers; mixture skews more") {
+    val rows = Pipeline.sampleBias(spark, sf).collect()
+    val hash = rows.filter(_.getString(0) == "hash")
+    val mix = rows.filter(_.getString(0) == "mixture")
+    // kept counts must equal what the declared samplers themselves keep
+    assert(hash.map(_.getLong(3)).sum === Pipeline.hashSample(spark, sf).count())
+    val mixKept = Pipeline.mixtureSample(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    mix.foreach(r => assert(r.getLong(3) === mixKept.getOrElse(r.getString(1), 0L)))
+    // full-corpus shares are sampler-independent and sum to ~1e6
+    assert(hash.map(_.getLong(4)).sum / 1000 === 999L ||
+      hash.map(_.getLong(4)).sum / 1000 === 1000L)
+    // the uniform sampler's drift is noise; the mixture DESIGNS skew
+    // (en down-weighted 400 vs 800 per-mille), so its TVD dominates
+    val hashTvd = hash.head.getLong(7)
+    val mixTvd = mix.head.getLong(7)
+    assert(hash.forall(_.getLong(7) == hashTvd) && mix.forall(_.getLong(7) == mixTvd))
+    assert(mixTvd > hashTvd, s"mixture TVD $mixTvd should exceed hash TVD $hashTvd")
+    // TVD equals the half-sum of the per-language biases
+    assert(hashTvd === hash.map(_.getLong(6)).sum / 2)
+    assert(mixTvd === mix.map(_.getLong(6)).sum / 2)
+  }
 }

@@ -150,6 +150,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_drift" -> 6,
     "q_embedding_drift" -> 4,
     "q_robust_anomaly" -> 4,
+    "q_sample_bias" -> 4, // one corpus pass to |langs| cells, then cell-table arithmetic
     "q_except" -> 2,
     "q_except_all" -> 2,
     "q_filter_project" -> 1,
