@@ -17,6 +17,8 @@ object GraftFunctions {
     "explode_ngrams" -> (es => graft.functions.NgramGenerator(es(0), es(1))),
     "sorted_intersect_count" ->
       (es => graft.functions.SortedIntersectCount(es(0), es(1))),
+    "sorted_intersect" ->
+      (es => graft.functions.SortedIntersect(es(0), es(1))),
     "cdc_boundaries" -> (es => graft.functions.CdcBoundariesExpr(es.head)),
     "char_hist"      -> (es => graft.functions.CharHistExpr(es.head)),
     "bag_distance"   -> (es => graft.functions.BagDistance(es(0), es(1))),

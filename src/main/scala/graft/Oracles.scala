@@ -565,6 +565,18 @@ object Oracles {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    // aggregate-then-join: HAVING collapses lineitem before any join
+    "q_tpch_q18" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |  CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice, sum_qty
+         |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
     "q_tpch_q3" ->
       s"""SELECT l_orderkey, ${sumD("l_extendedprice*(1-l_discount)", 6, "revenue")},
          |  o_orderdate, o_orderpriority
@@ -823,6 +835,27 @@ object Oracles {
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // salted join ≡ plain join: the oracle is simply the unsalted query
+    "q_skew_audit" ->
+      s"""WITH u AS (
+         |  SELECT 'lineitem.l_partkey' AS c, l_partkey AS k FROM lineitem
+         |  UNION ALL SELECT 'lineitem.l_suppkey', l_suppkey FROM lineitem
+         |  UNION ALL SELECT 'orders.o_custkey', o_custkey FROM orders),
+         |kc AS (SELECT c, k, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM u GROUP BY c, k),
+         |agg AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+         |    min(k) FILTER (WHERE cnt = (SELECT max(cnt) FROM kc k2
+         |      WHERE k2.c = kc.c)) AS top_key
+         |  FROM kc GROUP BY c)
+         |SELECT c AS key_column, n, n_keys, max_cnt, top_key,
+         |  CAST(n * 100 // n_keys AS BIGINT) AS mean_x100,
+         |  CAST(max_cnt * 100 * n_keys // n AS BIGINT) AS skew_x100,
+         |  CASE WHEN max_cnt * 100 * n_keys // n >= 400 THEN 'salt'
+         |       WHEN max_cnt * 100 * n_keys // n >= 200 THEN 'aqe_skew_join'
+         |       ELSE 'none' END AS advice
+         |FROM agg ORDER BY key_column""".stripMargin,
+
     "q_skew_join" ->
       s"""SELECT c_mktsegment, count(*) AS n_orders, ${sumD("o_totalprice", 2, "revenue")}
          |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -2610,6 +2643,29 @@ object Oracles {
     // deterministic multiplicative-hash permutation of event_id (the
     // fixture's event_id order is time-monotone), running per-user max
     // event time, lateness thresholds a streaming watermark would drop at
+    // the oracle's rank is one global row_number; same integer ceil ranks
+    "q_event_gaps" ->
+      s"""WITH g AS (SELECT user_id, event_id,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+         |  FROM events),
+         |gg AS (SELECT user_id, event_id, gap_us,
+         |    row_number() OVER (ORDER BY gap_us, user_id, event_id) AS r,
+         |    (SELECT count(*) FROM g WHERE gap_us IS NOT NULL) AS nn
+         |  FROM g WHERE gap_us IS NOT NULL)
+         |SELECT CAST(max(nn) AS BIGINT) AS n_gaps,
+         |  CAST(max(CASE WHEN r = (nn + 1) // 2 THEN gap_us END)
+         |    AS BIGINT) AS p50_us,
+         |  CAST(max(CASE WHEN r = (9 * nn + 9) // 10 THEN gap_us END)
+         |    AS BIGINT) AS p90_us,
+         |  CAST(max(CASE WHEN r = (99 * nn + 99) // 100 THEN gap_us END)
+         |    AS BIGINT) AS p99_us,
+         |  CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_over_30m,
+         |  CAST(sum(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END)
+         |    * 1000000 // max(nn) AS BIGINT) AS over_30m_ppm
+         |FROM gg""".stripMargin,
+
     "q_seasonality" ->
       s"""WITH cells AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hod,
          |    CAST(count(*) AS BIGINT) AS n_events

@@ -85,6 +85,7 @@ object SparkEntry {
     "q_join_agg"          -> q(Relational.joinAgg),
     "q_join_multi"        -> q(Relational.joinMulti),
     "q_tpch_q3"           -> q(Relational.tpchQ3),
+    "q_tpch_q18"          -> q(Relational.tpchQ18),
     "q_semi_join"         -> q(Relational.semiJoin),
     "q_anti_join"         -> q(Relational.antiJoin),
     "q_outer_join"        -> q(Relational.outerJoin),
@@ -116,6 +117,7 @@ object SparkEntry {
     "q_variant_extract"   -> q(Relational.variantExtract),
     "q_sessionize"        -> q(Relational.sessionize),
     "q_skew_join"         -> q(operators.Skew.skewJoinDemo),
+    "q_skew_audit"        -> q(operators.Skew.skewAudit),
     "q_partitioned_scan"  -> q(operators.Partitioned.partitionedScan),
     "q_dpp_join"          -> q(operators.Partitioned.dppJoin),
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
@@ -245,6 +247,7 @@ object SparkEntry {
     "q_drift_tvd"         -> q(operators.Evaluation.driftTvd),
     "q_late_data"         -> q(operators.Temporal.lateData),
     "q_seasonality"       -> q(operators.Temporal.seasonality),
+    "q_event_gaps"        -> q(operators.Temporal.eventGaps),
     // data selection & evaluation (round 8)
     "q_dsir"              -> q(operators.Selection.dsirWeights),
     "q_lsh_pr_sweep"      -> q(operators.Selection.lshPrSweep),

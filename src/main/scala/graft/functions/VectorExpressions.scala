@@ -268,6 +268,48 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Two-pointer merge INTERSECTION of two sorted `array<bigint>` columns —
+  * the element-returning sibling of [[SortedIntersectCount]], for
+  * consumers that need the common members themselves (the per-edge
+  * Jaccard query explodes them as triangle third-vertices). The built-in
+  * `array_intersect` hashes one side per row and runs interpreted inside
+  * the join projection; this stays a single static call inside
+  * whole-stage codegen and exploits the arrays' sort order. */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbsDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersect.intersect(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersect.intersect($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object SortedIntersect {
+  def intersect(x: ArrayData, y: ArrayData): ArrayData = {
+    val (nx, ny) = (x.numElements(), y.numElements())
+    val buf = new Array[Long](math.min(nx, ny))
+    var i = 0; var j = 0; var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { buf(c) = xv; c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(buf, c))
+  }
+}
+
 /** Codepoint histogram of a string as `array<bigint>` with
   * [[CharHistExpr.Buckets]] buckets (codepoint mod bucket-count) — the
   * map-side precompute for [[BagDistance]] pre-verification in fuzzy
@@ -527,6 +569,10 @@ object VectorExpressions {
   /** Column wrapper for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftShims.column(SortedIntersectCount(GraftShims.expression(a), GraftShims.expression(b)))
+
+  /** Column wrapper for [[SortedIntersect]]. */
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftShims.column(SortedIntersect(GraftShims.expression(a), GraftShims.expression(b)))
 
   /** Column wrapper for [[CdcBoundariesExpr]]. */
   def cdcBoundaries(c: Column): Column =

@@ -107,15 +107,42 @@ object Graph {
       .filter(col("kx") < col("ky"))
       .select(col("u"), col("x"), col("y"))
 
+  /** Memoized degree-oriented edge list of the corpus basket graph —
+    * the third per-corpus graph investment next to [[distinctEdges]] and
+    * [[degrees]], shared by the triangle census and the edge-Jaccard
+    * query (both pay the two degree-attach joins otherwise). */
+  private def orientedOf(s: SparkSession, dir: String): DataFrame =
+    orientCache.computeIfAbsent((s, dir), _ =>
+      Checkpoints.stable(orientByDegree(distinctEdges(s, dir), degrees(s, dir))))
+
+  private val orientCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Memoized sorted out-neighbor adjacency over [[orientedOf]]. */
+  private def adjOf(s: SparkSession, dir: String): DataFrame =
+    adjCache.computeIfAbsent((s, dir), _ =>
+      Checkpoints.stable(orientedOf(s, dir).groupBy("u")
+        .agg(sort_array(collect_set(col("w"))).as("ns"))))
+
+  private val adjCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Census core over an explicit edge list + degree table (exposed for
     * the hub-graph spec, which feeds an adversarial synthetic graph). */
   private[graft] def censusOf(edges: DataFrame, deg: DataFrame): DataFrame = {
+    val oriented = orientByDegree(edges, deg)
+    censusOf(edges, deg, oriented,
+      oriented.groupBy("u").agg(sort_array(collect_set(col("w"))).as("ns")))
+  }
+
+  private def censusOf(edges: DataFrame, deg: DataFrame,
+                       oriented0: DataFrame, adj0: DataFrame): DataFrame = {
     // d·(d−1) is always even, so the integer halving is exact
     // coalesce: sum over an empty degree table is NULL, and a NULL count
     // would poison the census row (and the NaN-sensitive driver compare)
     val nW = deg.agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
       .cast("long").as("n_wedges"))
-    val oriented = orientByDegree(edges, deg)
+    val oriented = oriented0
     // EDGE-ITERATOR closing step: per-pivot sorted out-neighbor arrays,
     // then ONE codegen'd two-pointer intersection per oriented edge —
     // each triangle {x<y<z} (in the (degree,id) order) is counted exactly
@@ -126,8 +153,7 @@ object Graph {
     // out-degree), measured ~30% faster and with the array bound intact
     // under adversarial skew. The inner join on w silently drops edges
     // whose head has no out-neighbors — those contribute 0 triangles.
-    val adj = oriented.groupBy("u")
-      .agg(sort_array(collect_set(col("w"))).as("ns"))
+    val adj = adj0
     val tri = oriented.select(col("u"), col("w"))
       .join(adj, "u").withColumnRenamed("ns", "nu")
       .join(adj.select(col("u").as("w"), col("ns").as("nw")), "w")
@@ -165,7 +191,8 @@ object Graph {
     * [[degreeHist]]; the closure fraction is one IEEE division of exact
     * int64 counts. */
   def triangleCount(s: SparkSession, dir: String): DataFrame =
-    censusOf(distinctEdges(s, dir), degrees(s, dir))
+    censusOf(distinctEdges(s, dir), degrees(s, dir),
+      orientedOf(s, dir), adjOf(s, dir))
 
   /** Degree distribution of the part co-occurrence graph — the first
     * diagnostic a graph pipeline prints (skew detection on the same
@@ -199,14 +226,14 @@ object Graph {
   def edgeJaccard(s: SparkSession, dir: String): DataFrame = {
     val edges = distinctEdges(s, dir)
     val deg = degrees(s, dir)
-    val oriented = orientByDegree(edges, deg)
-    val adj = oriented.groupBy("u")
-      .agg(sort_array(collect_set(col("w"))).as("ns"))
+    val oriented = orientedOf(s, dir)
+    val adj = adjOf(s, dir)
     val tri = oriented.select(col("u"), col("w"))
       .join(adj, "u").withColumnRenamed("ns", "nu")
       .join(adj.select(col("u").as("w"), col("ns").as("nw")), "w")
       .select(col("u"), col("w"),
-        explode(array_intersect(col("nu"), col("nw"))).as("z"))
+        explode(graft.functions.VectorExpressions
+          .sortedIntersect(col("nu"), col("nw"))).as("z"))
     val credits = tri.select(explode(array(
         struct(least(col("u"), col("w")).as("a"),
                greatest(col("u"), col("w")).as("b")),

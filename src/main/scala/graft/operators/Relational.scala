@@ -107,6 +107,31 @@ object Relational {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
+  /** TPC-H Q18 shape — "large volume customers": orders whose line-item
+    * quantity total exceeds the threshold, decorated with their customer
+    * and ranked by order value. The canonical aggregate-then-join plan:
+    * the HAVING filter collapses lineitem to a tiny large-order key set
+    * BEFORE any join, so the orders/customer joins run against a
+    * relation AQE broadcasts — the fact table is never joined row-wise.
+    * Quantities are integral in the fixture, so the total is exact
+    * int64; ties in the top-10 break by o_orderkey. */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 150L)
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** Left-semi join — EXISTS. Broadcast the *keys only* of the probe side. */
   def semiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)

@@ -39,4 +39,43 @@ object Skew {
            graft.functions.Fns.sumD2(col("o_totalprice")).as("revenue"))
       .orderBy("c_mktsegment")
   }
+
+  /** Join-key skew census — the diagnostic that DECIDES when
+    * [[saltedJoin]] (or AQE's skew split) is worth its replication cost:
+    * for each frequently-joined key column, the row count, distinct key
+    * count, heaviest key and its count, the mean key frequency, and the
+    * skew ratio max/mean (×100, exact integer), with the advice the
+    * ratio implies (≥ 4× mean → salt; ≥ 2× → trust AQE's skew join;
+    * else nothing). A pipeline runs this per ingest snapshot so a
+    * celebrity key is discovered before the join stage OOMs, not after.
+    *
+    * Scale shape: the two lineitem key columns unpivot map-side (×2 fan
+    * of a 2-column projection), and all three columns reduce through
+    * ONE map-side-combined (column, key) count — the same shuffle any
+    * of the joins would pay anyway; everything after is a ≤ |keys|-row
+    * aggregation per column. Top keys tie-break to the smallest key. */
+  def skewAudit(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, dir).select(explode(array(
+        struct(lit("lineitem.l_partkey").as("c"), col("l_partkey").as("k")),
+        struct(lit("lineitem.l_suppkey").as("c"), col("l_suppkey").as("k"))))
+        .as("e"))
+      .select(col("e.c").as("c"), col("e.k").as("k"))
+    val ord = graft.Tables.orders(s, dir)
+      .select(lit("orders.o_custkey").as("c"), col("o_custkey").as("k"))
+    val counts = li.union(ord).groupBy("c", "k").agg(count(lit(1)).as("cnt"))
+    counts.groupBy("c").agg(
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"),
+        max(struct(col("cnt"), (-col("k")).as("nk"))).as("top"))
+      .select(col("c").as("key_column"), col("n"), col("n_keys"),
+        col("max_cnt"), (-col("top.nk")).as("top_key"),
+        expr("n * 100 div n_keys").as("mean_x100"),
+        expr("max_cnt * 100 * n_keys div n").as("skew_x100"))
+      .withColumn("advice",
+        when(col("skew_x100") >= 400, "salt")
+          .when(col("skew_x100") >= 200, "aqe_skew_join")
+          .otherwise("none"))
+      .orderBy("key_column")
+  }
 }

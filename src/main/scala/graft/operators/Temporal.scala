@@ -263,6 +263,54 @@ object Temporal {
       .orderBy("event_type")
   }
 
+  /** Inter-event gap distribution — the measurement that TUNES the
+    * sessionization threshold ([[Relational.sessionize]]'s fixed 30
+    * minutes): per-user consecutive-event gaps, summarized as exact
+    * order-statistic percentiles (p50/p90/p99, values AT a rank — no
+    * interpolation, so they hash-check unrounded) plus the ppm share of
+    * gaps that a 30-minute timeout would split. A bimodal gap histogram
+    * (short within-session, long between-session) shows up directly in
+    * the p50↔p99 spread.
+    *
+    * Scale shape: gaps come from one per-user lag window (user-keyed,
+    * spreads across the cluster); the global percentile ranks use the
+    * equi-depth two-phase block prefix sum — blocks are minute-granular
+    * gap values (bounded domain), so no single-partition global window
+    * exists. Ties in the rank order break by (user_id, event_id). */
+  def eventGaps(s: SparkSession, dir: String): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy(col("tus"), col("event_id"))
+    val gaps = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(wU))
+      .filter(col("gap_us").isNotNull)
+      .select(col("user_id"), col("event_id"), col("gap_us"),
+        expr("gap_us div 60000000").as("blk"))
+    val blockTotals = gaps.groupBy("blk").agg(count(lit(1)).as("bt"))
+    val wBlk = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = blockTotals
+      .withColumn("off", coalesce(sum("bt").over(wBlk), lit(0L))).drop("bt")
+    val wIn = Window.partitionBy("blk")
+      .orderBy(col("gap_us"), col("user_id"), col("event_id"))
+    val ranked = gaps.join(broadcast(offsets), "blk")
+      .withColumn("rank", col("off") + row_number().over(wIn))
+    val tot = gaps.agg(count(lit(1)).as("nn"))
+    // integer ceil: rank ⌈q·n⌉ = (q_num·n + q_den − 1) div q_den — float-free
+    ranked.crossJoin(broadcast(tot)).agg(
+        max(col("nn")).as("n_gaps"),
+        max(when(col("rank") === expr("(nn + 1) div 2"), col("gap_us")))
+          .as("p50_us"),
+        max(when(col("rank") === expr("(9 * nn + 9) div 10"), col("gap_us")))
+          .as("p90_us"),
+        max(when(col("rank") === expr("(99 * nn + 99) div 100"), col("gap_us")))
+          .as("p99_us"),
+        sum(when(col("gap_us") > 1800L * 1000000L, 1L).otherwise(0L))
+          .as("n_over_30m"))
+      .select(col("n_gaps"), col("p50_us"), col("p90_us"), col("p99_us"),
+        col("n_over_30m"),
+        expr("n_over_30m * 1000000L div n_gaps").as("over_30m_ppm"))
+  }
+
   /** Diurnal seasonality profile: the hour-of-day load curve per event
     * type — each of the ≤ 24·k cells carries its exact count and its
     * integer-ppm share of the type's traffic, plus a peak marker on the

@@ -82,6 +82,31 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().head.isNullAt(0))
   }
 
+  test("sorted_intersect elements equal array_intersect on sorted sets") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 5L, 10L)),
+      (Seq.empty[Long], Seq(1L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(7L), Seq(7L)))
+    rows.toDF("a", "b")
+      .select(
+        VectorExpressions.sortedIntersect(col("a"), col("b")).as("fast"),
+        array_intersect(col("a"), col("b")).as("slow"))
+      .collect()
+      .foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+    val nul = Seq((Seq(1L), Seq(1L))).toDF("a", "b")
+      .select(VectorExpressions.sortedIntersect(
+        lit(null).cast("array<bigint>"), col("b")))
+    assert(nul.collect().head.isNullAt(0))
+    // SQL registration
+    graft.Engine.tune(spark)
+    Seq((Seq(1L, 4L, 6L), Seq(4L, 6L, 9L))).toDF("a", "b")
+      .createOrReplaceTempView("si_ok")
+    assert(spark.sql("SELECT sorted_intersect(a, b) FROM si_ok")
+      .collect().head.getSeq[Long](0) === Seq(4L, 6L))
+  }
+
   test("sorted_intersect_count rejects non-bigint arrays at analysis time") {
     graft.Engine.tune(spark)
     Seq((Seq("a", "b"), Seq("b", "c"))).toDF("a", "b")

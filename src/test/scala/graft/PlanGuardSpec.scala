@@ -27,6 +27,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_triangle_count"  -> 2, // 1-row wedge + triangle counts
     "q_equidepth_hist"  -> 1, // 1-row row-count total
     "q_rfm"             -> 1, // 1-row customer-count total
+    "q_event_gaps"      -> 1, // 1-row gap-count total
     "q_bloom_fpr"       -> 2, // 1-row member-count + 1-row FP-count aggregates
     "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
     "q_eval_confusion"  -> 2, // 10-row centroid table (cells + row totals)
@@ -133,7 +134,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_equidepth_hist" -> 6,
     "q_eval_confusion" -> 6,
     "q_encoding_stats" -> 8, // unpivot ×5 then (c,blk) window + distinct + stitch
-    "q_graph_jaccard" -> 4, // oriented adj + credit groupBy; rides memoized edge/deg tables
+    "q_graph_jaccard" -> 5, // cold memo build of the shared oriented/adj tables + credit groupBy
     // round-8 eval/monitoring family: one corpus pass over the shared
     // prototype-distance table each (kappa's marginals ride a single
     // unpivoted aggregate; calibration re-reads the pass once for its
@@ -151,6 +152,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embedding_drift" -> 4,
     "q_robust_anomaly" -> 4,
     "q_sample_bias" -> 4, // one corpus pass to |langs| cells, then cell-table arithmetic
+    "q_skew_audit" -> 3, // one (column, key) count shuffle — the same exchange any join pays
+    "q_event_gaps" -> 6, // user-keyed lag + minute-block two-phase rank, no global window
+    "q_tpch_q18" -> 1, // HAVING collapses lineitem before any join; dims broadcast
     "q_except" -> 2,
     "q_except_all" -> 2,
     "q_filter_project" -> 1,
@@ -274,7 +278,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_topk_orders" -> 0,
     "q_tpch_q3" -> 1,
     "q_transition_matrix" -> 4,
-    "q_triangle_count" -> 5,
+    "q_triangle_count" -> 6, // +1 round 8: oriented list now a shared memoized checkpoint (cold build counted once)
     "q_try_functions" -> 1,
     "q_tumbling_window" -> 2,
     "q_unicode_wordcount" -> 2,

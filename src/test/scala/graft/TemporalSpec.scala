@@ -147,6 +147,16 @@ class TemporalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum > 0L, "expected out-of-order arrivals")
   }
 
+  test("event_gaps: percentiles ordered, gap count = events − users") {
+    val r = Temporal.eventGaps(spark, sf).collect().head
+    val nEvents = Tables.events(spark, sf).count()
+    val nUsers = Tables.events(spark, sf).select("user_id").distinct().count()
+    assert(r.getLong(0) === nEvents - nUsers)
+    assert(r.getLong(1) <= r.getLong(2) && r.getLong(2) <= r.getLong(3),
+      "p50 <= p90 <= p99")
+    assert(r.getLong(4) >= 0L && r.getLong(5) === r.getLong(4) * 1000000L / r.getLong(0))
+  }
+
   test("seasonality: cells cover the corpus, shares ppm-exact, one peak per type") {
     val rows = Temporal.seasonality(spark, sf).collect()
     val total = Tables.events(spark, sf).count()
