@@ -32,6 +32,15 @@ object Oracles {
   private def sumD(col: String, scale: Int, alias: String): String =
     s"CAST(sum(CAST($col AS DECIMAL(18,$scale))) AS DOUBLE) AS $alias"
 
+  /** The HLL rank CASE chain (1 + trailing-zero count of the hash
+    * suffix, capped at 23) — the same 22-branch integer expression the
+    * engine evaluates ([[graft.operators.Pipeline]]'s hllRho). */
+  private def hllRhoSql(suf: String): String =
+    s"CASE WHEN $suf = 0 THEN 23 " +
+      (1 to 22).map(i =>
+        s"WHEN $suf % ${1L << i} = ${1L << (i - 1)} THEN $i").mkString(" ") +
+      " ELSE 23 END"
+
   /** VALUES rows reproducing [[graft.operators.LshPlanes]]' deterministic
     * hyperplanes. Every component is an exactly-representable double
     * ((m−500)/512), so the SQL literal → double conversion is bit-exact
@@ -2602,6 +2611,63 @@ object Oracles {
          |  GROUP BY t.word, t.cnt)
          |SELECT word, cnt AS exact, cm_est, cm_est - cnt AS overestimate
          |FROM est ORDER BY exact DESC, word""".stripMargin,
+
+    // the harmonic sum is a sum of dyadic rationals (exact in double in
+    // any order), so the HLL ESTIMATE itself hash-checks; same pinned
+    // hash, same 22-branch rank CASE, same literal-order alpha formula
+    "q_hll_distinct" ->
+      s"""WITH d AS (SELECT list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |w AS (SELECT DISTINCT word FROM (
+         |  SELECT unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS word FROM d) u),
+         |hh AS (SELECT (${polyHashSql("word")} * 2654435761 + 40503)
+         |    % 1073741824 AS h FROM w),
+         |r AS (SELECT h % 256 AS bucket, ${hllRhoSql("(h // 256)")} AS rho
+         |  FROM hh),
+         |regs AS (SELECT i AS bucket, COALESCE(m, 0) AS m
+         |  FROM (SELECT unnest(range(0, 256)) AS i) b
+         |  LEFT JOIN (SELECT bucket, max(rho) AS m FROM r GROUP BY bucket) g
+         |    ON b.i = g.bucket),
+         |st AS (SELECT sum(1.0 / power(2.0, m)) AS harm,
+         |    CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |    CAST(max(m) AS BIGINT) AS max_rho FROM regs),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM w),
+         |est AS (SELECT n_exact, CAST(floor(0.7213 / (1.0 + 1.079 / 256.0)
+         |    * 65536.0 / harm) AS BIGINT) AS est_hll, n_zero, max_rho
+         |  FROM ex, st)
+         |SELECT n_exact, est_hll, n_zero, max_rho,
+         |  CAST(abs(est_hll - n_exact) * 1000000 // n_exact AS BIGINT)
+         |    AS err_ppm
+         |FROM est""".stripMargin,
+
+    // AMS inner product of the two sides' CM sketches ≥ true join size
+    "q_join_estimate" ->
+      s"""WITH cl AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+         |  FROM lineitem GROUP BY 1),
+         |co AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+         |  FROM orders GROUP BY 1),
+         |e1 AS (SELECT i, CASE i WHEN 0 THEN (k * 31 + 7) % 1021
+         |    WHEN 1 THEN (k * 37 + 11) % 1021
+         |    WHEN 2 THEN (k * 41 + 13) % 1021
+         |    ELSE (k * 43 + 17) % 1021 END AS bkt,
+         |    CAST(sum(c) AS BIGINT) AS cc
+         |  FROM cl, range(0, 4) g(i) GROUP BY 1, 2),
+         |e2 AS (SELECT i, CASE i WHEN 0 THEN (k * 31 + 7) % 1021
+         |    WHEN 1 THEN (k * 37 + 11) % 1021
+         |    WHEN 2 THEN (k * 41 + 13) % 1021
+         |    ELSE (k * 43 + 17) % 1021 END AS bkt,
+         |    CAST(sum(c) AS BIGINT) AS cc2
+         |  FROM co, range(0, 4) g(i) GROUP BY 1, 2),
+         |ests AS (SELECT e1.i, CAST(sum(cc * cc2) AS BIGINT) AS est
+         |  FROM e1 JOIN e2 ON e1.i = e2.i AND e1.bkt = e2.bkt GROUP BY e1.i),
+         |mn AS (SELECT CAST(min(est) AS BIGINT) AS cm_est FROM ests),
+         |tr AS (SELECT CAST(sum(cl.c * co.c) AS BIGINT) AS true_rows
+         |  FROM cl JOIN co ON cl.k = co.k)
+         |SELECT true_rows, cm_est, cm_est - true_rows AS overestimate,
+         |  CAST((cm_est - true_rows) * 1000000 // true_rows AS BIGINT)
+         |    AS over_ppm
+         |FROM tr, mn""".stripMargin,
 
     // exact-allocation stratified sample: ⌈n/10⌉ per language stratum in
     // deterministic polyHash order

@@ -239,6 +239,8 @@ object SparkEntry {
     "q_stratified_sample" -> q(Pipeline.stratifiedSample),
     "q_countmin"          -> q(Pipeline.countMin),
     "q_bloom_fpr"         -> q(operators.Evaluation.bloomFpr),
+    "q_hll_distinct"      -> q(Pipeline.hllDistinct),
+    "q_join_estimate"     -> q(Relational.joinEstimate),
     "q_stream_drift"      -> q(Streams.streamDrift),
     "q_embedding_drift"   -> q(operators.Evaluation.embeddingDrift),
     "q_robust_anomaly"    -> q(Relational.robustAnomaly),

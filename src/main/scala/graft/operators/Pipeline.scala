@@ -681,6 +681,81 @@ object Pipeline {
       .orderBy(col("exact").desc, col("word"))
   }
 
+  /** Rank function of the pinned HLL: 1 + trailing-zero count of the
+    * hash suffix (h div 256), capped at 23 — P(rho ≥ k) = 2^−(k−1), the
+    * Flajolet–Martin geometric observable. A 22-branch CASE chain, so
+    * both engines evaluate the identical integer expression. */
+  private def hllRho(suffix: Column): Column =
+    (1 to 22).foldLeft(when(suffix === 0L, lit(23L))) { case (acc, i) =>
+      acc.when(pmod(suffix, lit(1L << i)) === lit(1L << (i - 1)), lit(i.toLong))
+    }.otherwise(lit(23L))
+
+  /** HLL register table (bucket 0..255 → max rho) of a string stream —
+    * linear in its input and max-mergeable (shard registers max-merge to
+    * the corpus registers; asserted in `PipelineSpec`). The poly hash is
+    * scrambled through an odd-multiplier affine map into 30 bits first:
+    * polyHash is near-identity on short strings (a 1-letter token hashes
+    * below 256, zeroing the rank suffix), and the odd multiplier is
+    * invertible mod 2³⁰ so the scramble stays collision-free. Empty
+    * buckets surface as rho 0 so the table is always exactly 256 rows. */
+  private[graft] def hllRegistersOf(words: DataFrame): DataFrame = {
+    val regs = words
+      .select(pmod(Fns.polyHash(col("word")) * lit(2654435761L) + lit(40503L),
+        lit(1073741824L)).as("h"))
+      .select(pmod(col("h"), lit(256L)).as("bucket"),
+        hllRho(expr("h div 256")).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("m"))
+    words.sparkSession.range(0, 256).toDF("bucket")
+      .join(regs, Seq("bucket"), "left")
+      .na.fill(0L, Seq("m"))
+  }
+
+  /** Deterministic HyperLogLog census — the exactly-replayable twin of
+    * the engine-internal `approx_count_distinct` sketch (`q_approx_
+    * distinct`, which is rows-only because its binary layout is opaque):
+    * a 256-register HLL with the pinned [[Fns.polyHash]] split into
+    * bucket (low 8 bits) and rank suffix, reported next to the exact
+    * distinct count with the error in ppm. Every register is an integer
+    * and the harmonic sum Σ2^−Mj is a sum of dyadic rationals with
+    * ≤ 23-bit denominators — EXACTLY representable in double in any
+    * accumulation order — so, unlike ln-based statistics, the estimate
+    * itself hash-verifies against DuckDB bit-for-bit. (The standard
+    * small-range ln correction is deliberately omitted: ln is not
+    * cross-engine reproducible; the raw estimator's bias at our load is
+    * part of what the census REPORTS, next to the truth.)
+    *
+    * Scale shape: the register table is 256 rows no matter the corpus,
+    * built by one map-side-combined max-aggregation — the mergeability
+    * that makes HLL the distributed distinct monitor (shard registers
+    * max-merge; spec'd). The exact count is the one corpus-sized
+    * distinct the sketch would replace at 100 TB. */
+  def hllDistinct(s: SparkSession, dir: String): DataFrame = {
+    // the 3-token shingle stream (the minhash family's unit): tens of
+    // thousands of distinct values — the raw estimator's proper regime.
+    // The 31-word fixture VOCABULARY would sit in the sparse regime
+    // where HLL needs the linear-counting correction, whose ln() is not
+    // cross-engine reproducible.
+    val words = Tables.documents(s, dir)
+      .select(filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+      .select(explode(when(size(col("t")) >= 3,
+          transform(sequence(lit(0), size(col("t")) - 3),
+            i => concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
+        .otherwise(array().cast("array<string>"))).as("word"))
+    val regs = hllRegistersOf(words)
+    val stats = regs.agg(
+      sum(pow(lit(2.0), -col("m").cast("double"))).as("harm"),
+      sum(when(col("m") === 0L, 1L).otherwise(0L)).as("n_zero"),
+      max(col("m")).as("max_rho"))
+    val exact = words.distinct().agg(count(lit(1)).as("n_exact"))
+    exact.crossJoin(broadcast(stats))
+      .withColumn("est_hll",
+        floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(65536.0) / col("harm")).cast("long"))
+      .select(col("n_exact"), col("est_hll"), col("n_zero"), col("max_rho"),
+        expr("abs(est_hll - n_exact) * 1000000L div n_exact").as("err_ppm"))
+  }
+
   /** Exact-allocation stratified sample: per language stratum, exactly
     * ⌈n/10⌉ documents, chosen by deterministic hash order (no RNG, no
     * rate rounding error — [[mixtureSample]]'s Bernoulli thresholds give

@@ -107,6 +107,51 @@ object Relational {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
+  private val JcmSeeds = Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L))
+
+  /** Sketch-based join-cardinality estimation — the optimizer statistic
+    * that decides join order and strategy before any data moves: build a
+    * 4×1021 count–min sketch of each side's join-key frequencies
+    * (pinned affine hash rows, the [[Pipeline.countMin]] discipline) and
+    * estimate |lineitem ⋈ orders| as min_i Σ_b cm_L[i][b]·cm_O[i][b] —
+    * the AMS-style inner product, which equals the true join size plus
+    * non-negative collision mass, so the estimate provably bounds the
+    * truth from above (overestimate ≥ 0, asserted). Reported next to
+    * the exact join size and the relative error in ppm; every quantity
+    * is an exact integer, so the DuckDB oracle reproduces the SKETCH
+    * ESTIMATE itself, not just the truth.
+    *
+    * Scale shape: each sketch is a fixed 4·1021-cell table built by one
+    * map-side-combined aggregation over its side's key counts; the
+    * estimate is a 4084-row join — the whole point is that neither
+    * input table is ever joined. The exact join size (the expensive
+    * truth the sketch replaces at 100 TB) is computed once here as the
+    * eval baseline via the two key-count tables, never a row-level
+    * join. */
+  def joinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val cl = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c"))
+    val co = Tables.orders(s, dir)
+      .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("c"))
+    def cells(df: DataFrame) = df
+      .select(col("c"), explode(array(JcmSeeds.zipWithIndex.map {
+        case ((a, b), i) => struct(lit(i.toLong).as("i"),
+          pmod(col("k") * lit(a) + lit(b), lit(1021L)).as("bkt")) }: _*))
+        .as("hh"))
+      .groupBy(col("hh.i").as("i"), col("hh.bkt").as("bkt"))
+      .agg(sum(col("c")).as("cc"))
+    val ests = cells(cl)
+      .join(cells(co).withColumnRenamed("cc", "cc2"), Seq("i", "bkt"))
+      .groupBy("i").agg(sum(expr("cc * cc2")).as("est"))
+    val estMin = ests.agg(min(col("est")).as("cm_est"))
+    val truth = cl.join(co.withColumnRenamed("c", "c2"), "k")
+      .agg(sum(expr("c * c2")).as("true_rows"))
+    truth.crossJoin(broadcast(estMin))
+      .select(col("true_rows"), col("cm_est"),
+        (col("cm_est") - col("true_rows")).as("overestimate"),
+        expr("(cm_est - true_rows) * 1000000L div true_rows").as("over_ppm"))
+  }
+
   /** TPC-H Q18 shape — "large volume customers": orders whose line-item
     * quantity total exceeds the threshold, decorated with their customer
     * and ranked by order value. The canonical aggregate-then-join plan:

@@ -757,6 +757,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("hll registers are max-mergeable and the estimate replays driver-side") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    def shingles(d: org.apache.spark.sql.DataFrame) = d
+      .select(filter(graft.functions.Fns.tokensArr(col("text")),
+        w => w =!= lit("")).as("t"))
+      .select(explode(when(size(col("t")) >= 3,
+          transform(sequence(lit(0), size(col("t")) - 3),
+            i => concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
+        .otherwise(array().cast("array<string>"))).as("word"))
+    def regsOf(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Pipeline.hllRegistersOf(shingles(d)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = regsOf(docs)
+    val even = regsOf(docs.filter(col("doc_id") % 2 === 0))
+    val odd = regsOf(docs.filter(col("doc_id") % 2 === 1))
+    // max-merge of shard registers = corpus registers (the property that
+    // makes HLL the distributed distinct monitor)
+    (0L until 256L).foreach { b =>
+      assert(full(b) === math.max(even(b), odd(b)), s"bucket $b")
+    }
+    // driver-side replay of the estimate from the registers
+    val harm = full.values.map(m => 1.0 / math.pow(2.0, m.toDouble)).sum
+    val est = math.floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 / harm).toLong
+    val row = Pipeline.hllDistinct(spark, sf).collect().head
+    assert(row.getLong(1) === est)
+    // in the raw regime the estimate lands within 25% of truth (1.04/√256
+    // ≈ 6.5% expected; generous bound keeps the test fixture-robust)
+    assert(math.abs(row.getLong(1) - row.getLong(0)).toDouble <=
+      0.25 * row.getLong(0), s"estimate ${row.getLong(1)} vs ${row.getLong(0)}")
+  }
+
   test("sample_bias reconciles with the standalone samplers; mixture skews more") {
     val rows = Pipeline.sampleBias(spark, sf).collect()
     val hash = rows.filter(_.getString(0) == "hash")

@@ -28,6 +28,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_equidepth_hist"  -> 1, // 1-row row-count total
     "q_rfm"             -> 1, // 1-row customer-count total
     "q_event_gaps"      -> 1, // 1-row gap-count total
+    "q_hll_distinct"    -> 1, // 1-row register-stats aggregate
+    "q_join_estimate"   -> 1, // 1-row sketch-minimum aggregate
     "q_bloom_fpr"       -> 2, // 1-row member-count + 1-row FP-count aggregates
     "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
     "q_eval_confusion"  -> 2, // 10-row centroid table (cells + row totals)
@@ -171,6 +173,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_hard_negatives" -> 3,
     "q_hash_sample" -> 1,
     "q_histogram" -> 2,
+    "q_hll_distinct" -> 4, // 256-row register table + one corpus distinct (the eval baseline)
+    "q_join_estimate" -> 9, // two 4084-cell sketches + key-count truth; inputs never row-joined
     "q_importance_sample" -> 1,
     "q_incremental_agg" -> 3,
     "q_intersect" -> 2,

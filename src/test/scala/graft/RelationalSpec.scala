@@ -341,6 +341,17 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("join_estimate bounds the true join size from above, truth exact") {
+    val r = Relational.joinEstimate(spark, sf).collect().head
+    val trueRows = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(r.getLong(0) === trueRows)
+    assert(r.getLong(2) >= 0L, "AMS inner product must overestimate")
+    assert(r.getLong(1) === r.getLong(0) + r.getLong(2))
+    assert(r.getLong(3) === r.getLong(2) * 1000000L / r.getLong(0))
+  }
+
   test("encoding_stats run counts equal a driver-side global-order replay") {
     val li = Tables.lineitem(spark, sf)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
