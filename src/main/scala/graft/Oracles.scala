@@ -2541,6 +2541,28 @@ object Oracles {
     // streaming drift monitor: live (odd event_ids) vs frozen reference
     // (even event_ids) TVD, bins pinned to reference-only bounds with an
     // edge-bin clamp
+    // streaming registers ≡ batch registers (max is order-insensitive),
+    // so the oracle is the batch HLL reduced to the monitor's columns
+    "q_stream_hll" ->
+      s"""WITH d AS (SELECT list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |w AS (SELECT DISTINCT word FROM (
+         |  SELECT unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS word FROM d) u),
+         |hh AS (SELECT (${polyHashSql("word")} * 2654435761 + 40503)
+         |    % 1073741824 AS h FROM w),
+         |r AS (SELECT h % 256 AS bucket, ${hllRhoSql("(h // 256)")} AS rho
+         |  FROM hh),
+         |regs AS (SELECT i AS bucket, COALESCE(m, 0) AS m
+         |  FROM (SELECT unnest(range(0, 256)) AS i) b
+         |  LEFT JOIN (SELECT bucket, max(rho) AS m FROM r GROUP BY bucket) g
+         |    ON b.i = g.bucket)
+         |SELECT CAST(floor(0.7213 / (1.0 + 1.079 / 256.0)
+         |    * 65536.0 / sum(1.0 / power(2.0, m))) AS BIGINT) AS est_hll,
+         |  CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |  CAST(max(m) AS BIGINT) AS max_rho
+         |FROM regs""".stripMargin,
+
     "q_stream_drift" ->
       s"""WITH b AS (SELECT min(value) AS vmin, max(value) AS vmax
          |  FROM events WHERE event_id % 2 = 0),

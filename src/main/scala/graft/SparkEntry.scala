@@ -242,6 +242,7 @@ object SparkEntry {
     "q_hll_distinct"      -> q(Pipeline.hllDistinct),
     "q_join_estimate"     -> q(Relational.joinEstimate),
     "q_stream_drift"      -> q(Streams.streamDrift),
+    "q_stream_hll"        -> q(Streams.streamHll),
     "q_embedding_drift"   -> q(operators.Evaluation.embeddingDrift),
     "q_robust_anomaly"    -> q(Relational.robustAnomaly),
     "q_silhouette"        -> q(operators.Evaluation.silhouette),

@@ -685,10 +685,11 @@ object Pipeline {
     * hash suffix (h div 256), capped at 23 — P(rho ≥ k) = 2^−(k−1), the
     * Flajolet–Martin geometric observable. A 22-branch CASE chain, so
     * both engines evaluate the identical integer expression. */
-  private def hllRho(suffix: Column): Column =
+  private[graft] def hllRhoOf(suffix: Column): Column =
     (1 to 22).foldLeft(when(suffix === 0L, lit(23L))) { case (acc, i) =>
       acc.when(pmod(suffix, lit(1L << i)) === lit(1L << (i - 1)), lit(i.toLong))
     }.otherwise(lit(23L))
+  private def hllRho(suffix: Column): Column = hllRhoOf(suffix)
 
   /** HLL register table (bucket 0..255 → max rho) of a string stream —
     * linear in its input and max-mergeable (shard registers max-merge to

@@ -681,4 +681,47 @@ object Streams {
         expr("sum(abs(pr - pl)) div 2").as("tvd_ppm"))
       .orderBy("event_type")
   }
+
+  /** Streaming HLL distinct monitor (16th flavor) — the live
+    * distinct-cardinality gauge a pipeline keeps over an arriving
+    * corpus: documents stream in, each row's 3-token shingles and their
+    * (bucket, rho) observables are computed MAP-SIDE (the same pinned
+    * scrambled hash and 22-branch rank as the batch census,
+    * [[graft.operators.Pipeline.hllDistinct]]), and the 256-register
+    * table aggregates in complete mode. max() is commutative and
+    * idempotent, so the drained registers equal the batch registers BY
+    * CONSTRUCTION regardless of micro-batch arrival order (`StreamsSpec`
+    * forces a multi-trigger split) — the streaming estimate is
+    * bit-identical to the batch estimate. State is exactly 256
+    * fixed-width rows no matter how much data arrives: the reason HLL
+    * (not a distinct set) is the production shape for this monitor. */
+  def streamHll(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fns
+    val shingled = documentsStream(s, dir)
+      .select(filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+      .select(explode(when(size(col("t")) >= 3,
+          transform(sequence(lit(0), size(col("t")) - 3),
+            i => concat_ws(" ", element_at(col("t"), i + 1),
+              element_at(col("t"), i + 2), element_at(col("t"), i + 3))))
+        .otherwise(array().cast("array<string>"))).as("word"))
+    val regs = shingled
+      .select(pmod(Fns.polyHash(col("word")) * lit(2654435761L) + lit(40503L),
+        lit(1073741824L)).as("h"))
+      .select(pmod(col("h"), lit(256L)).as("bucket"),
+        graft.operators.Pipeline.hllRhoOf(expr("h div 256")).as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("m"))
+    val drained = withStatePartitions(s, 2) { completeToParquet(s, regs) }
+    // post-drain: fill the never-observed buckets and reduce to the
+    // single-row estimate — identical arithmetic to the batch census
+    val full = s.range(0, 256).toDF("bucket")
+      .join(drained, Seq("bucket"), "left").na.fill(0L, Seq("m"))
+    full.agg(
+        sum(pow(lit(2.0), -col("m").cast("double"))).as("harm"),
+        sum(when(col("m") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        max(col("m")).as("max_rho"))
+      .select(
+        floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) *
+          lit(65536.0) / col("harm")).cast("long").as("est_hll"),
+        col("n_zero"), col("max_rho"))
+  }
 }

@@ -235,4 +235,25 @@ class StreamsSpec extends AnyFunSuite {
       assert(tvd < 250000L, s"${r.getString(0)}: self-drift $tvd ppm")
     }
   }
+
+  test("stream HLL equals the batch estimate and is batch-order-insensitive") {
+    val batch = graft.operators.Pipeline.hllDistinct(spark, sf).collect().head
+    def est(df: org.apache.spark.sql.DataFrame) = df.collect().head
+    val stream = est(Streams.streamHll(spark, sf))
+    // (est, n_zero, max_rho) identical to the batch census
+    assert(stream.getLong(0) === batch.getLong(1))
+    assert(stream.getLong(1) === batch.getLong(2))
+    assert(stream.getLong(2) === batch.getLong(3))
+    // multi-file layout → maxFilesPerTrigger=1 forces ≥2 micro-batches;
+    // max registers must commute across the batch split
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll_stream")
+    try {
+      Tables.documents(spark, sf).repartition(3)
+        .write.parquet(new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath)
+      val split = est(Streams.streamHll(spark, tmp.toString))
+      assert(split.getLong(0) === batch.getLong(1))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }
