@@ -701,6 +701,24 @@ object Oracles {
     // equi-depth histogram: the rank and the bucket formula
     // 1 + (rank-1)*8 div n are replicated exactly; the flat window here
     // is fine at DuckDB scale (the engine uses the two-phase prefix sum)
+    // rank-formula Gini in exact cents; ratio through HUGEINT ≙ the
+    // engine's DECIMAL(38,0) routing
+    "q_gini" ->
+      s"""WITH sp AS (SELECT o_custkey,
+         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+         |      AS m FROM orders GROUP BY o_custkey),
+         |r AS (SELECT m, row_number() OVER (ORDER BY m, o_custkey) AS rank,
+         |    (SELECT count(*) FROM sp) AS n,
+         |    (SELECT CAST(sum(m) AS BIGINT) FROM sp) AS s FROM sp)
+         |SELECT CAST(max(n) AS BIGINT) AS n_customers,
+         |  CAST(max(s) AS BIGINT) AS total_cents,
+         |  CAST((CAST(2 AS HUGEINT) * sum(rank * m)
+         |      - CAST(max(n) + 1 AS HUGEINT) * max(s)) * 1000000
+         |    // (CAST(max(n) AS HUGEINT) * max(s)) AS BIGINT) AS gini_ppm,
+         |  CAST(sum(CASE WHEN rank > n - (n + 99) // 100 THEN m ELSE 0 END)
+         |    * 1000000 // max(s) AS BIGINT) AS top1pct_share_ppm
+         |FROM r""".stripMargin,
+
     // the oracle affords plain global row_number windows where the engine
     // uses the two-phase block prefix sum; same explicit score formula
     "q_rfm" ->
@@ -2457,6 +2475,25 @@ object Oracles {
 
     // two-proportion z-test over the user_id-parity arm split: exact
     // integer inputs, fixed-order IEEE arithmetic, correctly-rounded sqrt
+    // integer-micro-unit chi-square; squares through HUGEINT ≙ the
+    // engine's DECIMAL(38,0) routing, term-exact so the statistic hashes
+    "q_chi2" ->
+      s"""WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+         |  FROM documents GROUP BY lang, source),
+         |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY lang),
+         |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY source),
+         |t AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS nl,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS ns FROM cells),
+         |terms AS (SELECT n, nl, ns,
+         |    CAST(CAST(o * n - r * c AS HUGEINT) * (o * n - r * c) * 1000000
+         |      // (CAST(n AS HUGEINT) * r * c) AS BIGINT) AS term
+         |  FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN t)
+         |SELECT max(n) AS n_docs, max(nl) AS n_langs, max(ns) AS n_sources,
+         |  CAST(max((nl - 1) * (ns - 1)) AS BIGINT) AS df,
+         |  CAST(sum(term) AS BIGINT) AS chi2_micro
+         |FROM terms""".stripMargin,
+
     "q_ab_test" ->
       s"""WITH ev AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tus
          |  FROM events),

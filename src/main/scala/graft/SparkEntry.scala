@@ -156,6 +156,7 @@ object SparkEntry {
     "q_approx_topk"       -> q(Relational.approxTopK),
     "q_equidepth_hist"    -> q(Relational.equidepthHistogram),
     "q_rfm"               -> q(Relational.rfm),
+    "q_gini"              -> q(Relational.gini),
     "q_fuzzy_join"        -> q(Relational.fuzzyJoin),
     "q_bloom_join"        -> q(Relational.bloomJoin),
     // LLM data pipeline
@@ -236,6 +237,7 @@ object SparkEntry {
     "q_kappa"             -> q(operators.Evaluation.kappa),
     "q_ks_test"           -> q(operators.Evaluation.ksTest),
     "q_ab_test"           -> q(operators.Evaluation.abTest),
+    "q_chi2"              -> q(operators.Evaluation.chi2),
     "q_stratified_sample" -> q(Pipeline.stratifiedSample),
     "q_countmin"          -> q(Pipeline.countMin),
     "q_bloom_fpr"         -> q(operators.Evaluation.bloomFpr),

@@ -385,6 +385,39 @@ object Evaluation {
       .orderBy("event_type")
   }
 
+  /** Chi-square independence test of language × source over the
+    * document corpus — "does each crawl source carry the same language
+    * mix?", the categorical complement of the numeric drift monitors
+    * ([[ksTest]], [[driftTvd]]). χ² = Σ (O−E)²/E with E = R·C/N is
+    * evaluated cell-exactly in integer micro-units:
+    * term = (O·N − R·C)²·10⁶ div (N·R·C), every factor an exact count,
+    * the square routed through DECIMAL(38,0) (it overflows int64), and
+    * the statistic the exact integer sum of the ≤ |langs|·|sources|
+    * per-cell terms — so, unlike a float χ², it hash-verifies.
+    *
+    * Scale shape: ONE corpus pass collapses to the contingency cells;
+    * marginals are re-aggregations of the CELL table (never a second
+    * corpus read), broadcast back onto it; the output is 1 row with the
+    * degrees of freedom alongside. */
+  def chi2(s: SparkSession, dir: String): DataFrame = {
+    val cells = graft.Tables.documents(s, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("lang").agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy("source").agg(sum(col("o")).as("c"))
+    val n = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("lang")).as("nl"),
+      countDistinct(col("source")).as("ns"))
+    cells.join(broadcast(rt), "lang").join(broadcast(ct), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        expr("cast((o * n - r * c) as decimal(38,0)) * (o * n - r * c)" +
+          " * 1000000 div (cast(n as decimal(38,0)) * r * c)").cast("long"))
+      .agg(max(col("n")).as("n_docs"), max(col("nl")).as("n_langs"),
+        max(col("ns")).as("n_sources"),
+        max(expr("(nl - 1) * (ns - 1)")).as("df"),
+        sum(col("term")).as("chi2_micro"))
+  }
+
   private val BloomM = 65521L // prime cell count
   private val BloomSeeds = Seq((131L, 7L), (137L, 11L), (139L, 13L))
 

@@ -107,6 +107,47 @@ object Relational {
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
   }
 
+  /** Spend-concentration census — the Gini coefficient of per-customer
+    * revenue plus the top-1% ("whale") share, both in exact integer ppm:
+    * the inequality diagnostic that tells a platform whether its volume
+    * rides on a few heavy keys (the business twin of [[Skew]]'s join-key
+    * audit). Gini uses the rank formula G = (2·Σi·xᵢ − (n+1)·Σxᵢ) /
+    * (n·Σxᵢ) over spend sorted ascending — every term an exact integer
+    * in cents, with the final ratio routed through DECIMAL(38,0) because
+    * Σi·xᵢ·10⁶ overflows int64 at scale.
+    *
+    * Scale shape: ranks come from the equi-depth two-phase block prefix
+    * sum (1000-unit spend blocks), so no single-partition global window;
+    * everything after the ranked pass is a 1-row aggregate. */
+  def gini(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sp = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("m"))
+      .withColumn("blk", expr("m div 100000"))
+    val bt = sp.groupBy("blk").agg(count(lit(1)).as("bt"))
+    val off = bt.withColumn("off",
+        coalesce(sum("bt").over(w.orderBy("blk")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .drop("bt")
+    val wIn = w.partitionBy("blk").orderBy(col("m"), col("o_custkey"))
+    val ranked = sp.join(broadcast(off), "blk")
+      .withColumn("rank", col("off") + row_number().over(wIn))
+    val tot = ranked.agg(count(lit(1)).as("n"), sum(col("m")).as("s"))
+    ranked.crossJoin(broadcast(tot))
+      .agg(max(col("n")).as("n_customers"), max(col("s")).as("total_cents"),
+        sum(expr("rank * m")).as("wsum"),
+        // top 1%: the ⌈n/100⌉ highest ranks
+        sum(when(col("rank") > col("n") - expr("(n + 99) div 100"),
+          col("m")).otherwise(0L)).as("top_cents"))
+      .select(col("n_customers"), col("total_cents"),
+        expr("cast((2 * wsum - (n_customers + 1) * total_cents) as decimal(38,0))" +
+          " * 1000000 div (cast(n_customers as decimal(38,0)) * total_cents)")
+          .cast("long").as("gini_ppm"),
+        expr("top_cents * 1000000L div total_cents").as("top1pct_share_ppm"))
+  }
+
   private val JcmSeeds = Seq((31L, 7L), (37L, 11L), (41L, 13L), (43L, 17L))
 
   /** Sketch-based join-cardinality estimation — the optimizer statistic

@@ -188,6 +188,24 @@ class EvaluationSpec extends AnyFunSuite {
     }
   }
 
+  test("chi2 equals a driver-side contingency replay") {
+    val cells = Tables.documents(spark, sf)
+      .groupBy("lang", "source").count().collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cells.values.sum
+    val chi2 = cells.map { case ((l, s0), o) =>
+      val d = BigInt(o * n - rt(l) * ct(s0))
+      (d * d * 1000000 / (BigInt(n) * rt(l) * ct(s0))).toLong
+    }.sum
+    val r = Evaluation.chi2(spark, sf).collect().head
+    assert(r.getLong(0) === n)
+    assert(r.getLong(1) === rt.size.toLong && r.getLong(2) === ct.size.toLong)
+    assert(r.getLong(3) === (rt.size - 1).toLong * (ct.size - 1))
+    assert(r.getLong(4) === chi2)
+  }
+
   test("bloom_fpr equals a driver-side replay of the pinned filter") {
     val keys = Tables.customer(spark, sf).select("c_custkey")
       .collect().map(_.getLong(0))

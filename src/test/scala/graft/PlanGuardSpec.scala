@@ -29,6 +29,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_rfm"             -> 1, // 1-row customer-count total
     "q_event_gaps"      -> 1, // 1-row gap-count total
     "q_hll_distinct"    -> 1, // 1-row register-stats aggregate
+    "q_gini"            -> 1, // 1-row (n, total) aggregate
+    "q_chi2"            -> 1, // 1-row (N, nl, ns) totals aggregate
     "q_join_estimate"   -> 1, // 1-row sketch-minimum aggregate
     "q_bloom_fpr"       -> 2, // 1-row member-count + 1-row FP-count aggregates
     "q_ann_recall"      -> 1, // inherits the brute-force exact baseline
@@ -100,6 +102,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_cdc_chunks" -> 1,
     "q_cdc_dedup" -> 3,
     "q_char_diversity" -> 3,
+    "q_chi2" -> 9, // corpus → contingency cells; marginals re-agg the cells
     "q_chunking" -> 1,
     "q_cluster_labels" -> 6,
     "q_collocations" -> 3,
@@ -168,6 +171,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_fuzzy_join" -> 1,
     "q_gaps_islands" -> 3,
     "q_gopher_quality" -> 3,
+    "q_gini" -> 7, // customer-sized block-prefix rank + 1-row tails
     "q_grep" -> 1,
     "q_grouped_agg" -> 2,
     "q_grouping_sets" -> 2,

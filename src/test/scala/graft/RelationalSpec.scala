@@ -341,6 +341,25 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("gini equals a driver-side rank-formula replay") {
+    val spend = Tables.orders(spark, sf)
+      .groupBy("o_custkey")
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
+        .cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = spend.sortBy { case (k, m) => (m, k) }.map(_._2)
+    val n = sorted.length.toLong
+    val s0 = sorted.sum
+    val wsum = sorted.zipWithIndex.map { case (m, i) => (i + 1) * m }.sum
+    val giniPpm = ((BigInt(2) * wsum - BigInt(n + 1) * s0) * 1000000 /
+      (BigInt(n) * s0)).toLong
+    val k = (n + 99) / 100
+    val topPpm = sorted.takeRight(k.toInt).sum * 1000000L / s0
+    val r = Relational.gini(spark, sf).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((n, s0, giniPpm, topPpm)))
+  }
+
   test("join_estimate bounds the true join size from above, truth exact") {
     val r = Relational.joinEstimate(spark, sf).collect().head
     val trueRows = Tables.lineitem(spark, sf)
