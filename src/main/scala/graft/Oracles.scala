@@ -597,6 +597,90 @@ object Oracles {
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
          |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
 
+    "q_tpch_q5" ->
+      s"""SELECT n_name, ${sumD("l_extendedprice*(1-l_discount)", 6, "revenue")}
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+         |  AND o_orderdate >= DATE '1997-01-01'
+         |  AND o_orderdate < DATE '1998-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q10" ->
+      s"""WITH pc AS (
+         |  SELECT o_custkey, ${sumD("l_extendedprice*(1-l_discount)", 6, "revenue")}
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate >= DATE '1997-10-01'
+         |    AND o_orderdate < DATE '1998-01-01'
+         |    AND l_returnflag = 'R'
+         |  GROUP BY o_custkey)
+         |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+         |FROM pc
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_weighted_median" ->
+      s"""WITH cells AS (SELECT l_returnflag, l_quantity,
+         |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS wc
+         |  FROM lineitem GROUP BY 1, 2),
+         |c AS (SELECT l_returnflag, l_quantity,
+         |    CAST(sum(wc) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(wc) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+         |  FROM cells)
+         |SELECT l_returnflag,
+         |  min(CASE WHEN cum * 2 >= tot THEN l_quantity END) AS wmedian_qty,
+         |  CAST(max(tot) AS BIGINT) AS total_cents
+         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_constraint_check" ->
+      s"""WITH r AS (
+         |  SELECT 'orders.o_custkey complete' AS con, 1000000 AS thr,
+         |    CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'orders.o_custkey fk customer', 1000000,
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         |  UNION ALL
+         |  SELECT 'customer.c_custkey unique', 1000000,
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'lineitem.l_quantity in [1,50]', 999000,
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'lineitem.l_discount in [0,0.1]', 999000,
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL
+         |  SELECT 'events.value positive', 999000,
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM events
+         |  UNION ALL
+         |  SELECT 'documents.lang iso2', 1000000,
+         |    CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN NOT regexp_matches(lang, '^[a-z]{2}$$')
+         |      THEN 1 ELSE 0 END) AS BIGINT)
+         |  FROM documents)
+         |SELECT con AS "constraint", n_rows, n_bad,
+         |  CAST((n_rows - n_bad) * 1000000 // n_rows AS BIGINT) AS pass_ppm,
+         |  CAST(CASE WHEN (n_rows - n_bad) * 1000000 // n_rows >= thr
+         |    THEN 1 ELSE 0 END AS BIGINT) AS pass
+         |FROM r ORDER BY con""".stripMargin,
+
     "q_semi_join" ->
       s"""SELECT c_custkey, c_name FROM customer
          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -1035,6 +1119,30 @@ object Oracles {
          |FROM dp a JOIN dp b
          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
          |GROUP BY 1, 2 ORDER BY support DESC, part_a, part_b
+         |LIMIT 20""".stripMargin,
+
+    "q_assoc_rules" ->
+      s"""WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM dp),
+         |item AS (SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS isupp
+         |  FROM dp GROUP BY 1),
+         |pair AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         |    CAST(count(*) AS BIGINT) AS sab
+         |  FROM dp a JOIN dp b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+         |  GROUP BY 1, 2 HAVING count(*) >= 2),
+         |rules AS (
+         |  SELECT pa AS antecedent, pb AS consequent, sab FROM pair
+         |  UNION ALL SELECT pb, pa, sab FROM pair)
+         |SELECT antecedent, consequent, sab AS support,
+         |  CAST(sab * 1000000 // ia.isupp AS BIGINT) AS conf_ppm,
+         |  CAST(CAST(sab AS HUGEINT) * nb * 1000000
+         |    // (CAST(ia.isupp AS HUGEINT) * ic.isupp) AS BIGINT) AS lift_ppm
+         |FROM rules
+         |JOIN item ia ON antecedent = ia.p
+         |JOIN item ic ON consequent = ic.p
+         |CROSS JOIN nb
+         |ORDER BY lift_ppm DESC, conf_ppm DESC, antecedent, consequent
          |LIMIT 20""".stripMargin,
 
     "q_skipgrams" ->
@@ -2083,6 +2191,39 @@ object Oracles {
         |      ln(CAST(vocab_size AS DOUBLE)), 4) ELSE 0.0 END AS entropy_norm
         |FROM a ORDER BY lang""".stripMargin,
 
+    // keyness: the pinned two-step micro division (q div d)*1e6 +
+    // ((q mod d)*1e6) div d equals floor(q*1e6/d) exactly on both
+    // engines while keeping every intermediate ≤ N⁴·10⁶
+    "q_keyness" ->
+      s"""WITH t AS (SELECT source,
+         |    unnest(regexp_split_to_array(text,'[^a-zA-Z]+')) AS word
+         |  FROM documents),
+         |cells AS (SELECT source, word, CAST(count(*) AS BIGINT) AS a
+         |  FROM t WHERE word <> '' GROUP BY 1, 2),
+         |wt AS (SELECT word, CAST(sum(a) AS BIGINT) AS ab FROM cells GROUP BY 1),
+         |st AS (SELECT source, CAST(sum(a) AS BIGINT) AS ac FROM cells GROUP BY 1),
+         |n AS (SELECT CAST(sum(a) AS BIGINT) AS n FROM cells),
+         |x AS (SELECT source, word, a, ab, ac, n,
+         |    ab - a AS b, ac - a AS c, n - ab - (ac - a) AS d
+         |  FROM cells JOIN wt USING (word) JOIN st USING (source) CROSS JOIN n),
+         |f AS (SELECT source, word, a, ab,
+         |    CAST(n AS HUGEINT)
+         |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+         |      * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS q,
+         |    CAST(ab AS HUGEINT) * (c + d) * ac * (b + d) AS dn
+         |  FROM x WHERE CAST(a AS HUGEINT) * d > CAST(b AS HUGEINT) * c),
+         |sc AS (SELECT source, word, a, ab,
+         |    CAST((q // dn) * 1000000 + ((q % dn) * 1000000) // dn AS BIGINT)
+         |      AS chi2_micro
+         |  FROM f),
+         |r AS (SELECT source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY chi2_micro DESC, word) AS BIGINT) AS rank,
+         |    word, a AS cnt_in, ab AS cnt_all, chi2_micro
+         |  FROM sc QUALIFY rank <= 10)
+         |SELECT source, rank, word, cnt_in, cnt_all, chi2_micro
+         |FROM r ORDER BY source, rank""".stripMargin,
+
     "q_token_compression" ->
       """WITH d AS (SELECT lang, n_chars,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[.,]')) AS BIGINT) AS n_bpe
@@ -2806,6 +2947,62 @@ object Oracles {
          |FROM cells c JOIN tot t ON c.event_type = t.event_type
          |ORDER BY c.event_type, c.hod""".stripMargin,
 
+    "q_spend_trend" ->
+      s"""WITH monthly AS (SELECT c_mktsegment,
+         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |base AS (SELECT min(m) AS m0 FROM monthly),
+         |xy AS (SELECT c_mktsegment, m - m0 AS x, y FROM monthly CROSS JOIN base),
+         |a AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_months,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM xy GROUP BY 1)
+         |SELECT c_mktsegment, n_months,
+         |  CAST((CAST(n_months AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+         |    * 1000000 // (CAST(n_months AS HUGEINT) * sxx
+         |      - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_microcents
+         |FROM a ORDER BY c_mktsegment""".stripMargin,
+
+    "q_active_users" ->
+      s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+         |days AS (SELECT DISTINCT d FROM du),
+         |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY d),
+         |wau AS (SELECT days.d AS day,
+         |    CAST(count(DISTINCT du.user_id) AS BIGINT) AS wau
+         |  FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+         |  GROUP BY days.d)
+         |SELECT day, dau, wau,
+         |  CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_ppm
+         |FROM wau JOIN dau ON dau.d = wau.day
+         |ORDER BY day""".stripMargin,
+
+    "q_auc" ->
+      s"""WITH cells AS (SELECT source, n_chars,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+         |  FROM documents GROUP BY 1, 2),
+         |c AS (SELECT source, pos, neg,
+         |    CAST(coalesce(sum(neg) OVER (PARTITION BY source ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+         |  FROM cells),
+         |a AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(neg) AS BIGINT) AS n_neg,
+         |    CAST(sum(pos * (2 * cnb + neg)) AS BIGINT) AS u2
+         |  FROM c GROUP BY source)
+         |SELECT source, n_pos, n_neg,
+         |  CAST(CAST(u2 AS HUGEINT) * 1000000
+         |    // (2 * CAST(n_pos AS HUGEINT) * n_neg) AS BIGINT) AS auc_ppm
+         |FROM a WHERE n_pos > 0 AND n_neg > 0 ORDER BY source""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_late_data" ->
       s"""WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tus,
          |    (event_id * 1000003) % 10000019 AS arr FROM events),
@@ -3151,6 +3348,22 @@ object Oracles {
          |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n
          |FROM g, m WHERE h + INTERVAL '1 hour' <= mx - INTERVAL '1 hour'
          |ORDER BY hour, event_type""".stripMargin,
+
+    // streaming WAU closed set: a day [d, d+1) emits when d+1 ≤ final
+    // watermark = (max event day + 6d) − 8d, same contract as
+    // q_stream_window_wm's closure filter
+    "q_stream_active_users" ->
+      s"""WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+         |  FROM events),
+         |m AS (SELECT date_trunc('day', max(ts)) AS mxd FROM events),
+         |f AS (SELECT d + i * INTERVAL '1 day' AS day, user_id
+         |  FROM du, range(7) r(i)),
+         |w AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+         |  FROM f GROUP BY 1)
+         |SELECT strftime(day, '%Y-%m-%d') AS day, wau
+         |FROM w, m
+         |WHERE day + INTERVAL '1 day' <= mxd + INTERVAL '6 days' - INTERVAL '8 days'
+         |ORDER BY day""".stripMargin,
 
     "q_stream_dedup" ->
       s"""SELECT DISTINCT user_id,

@@ -85,7 +85,11 @@ object SparkEntry {
     "q_join_agg"          -> q(Relational.joinAgg),
     "q_join_multi"        -> q(Relational.joinMulti),
     "q_tpch_q3"           -> q(Relational.tpchQ3),
+    "q_tpch_q5"           -> q(Relational.tpchQ5),
+    "q_tpch_q10"          -> q(Relational.tpchQ10),
     "q_tpch_q18"          -> q(Relational.tpchQ18),
+    "q_weighted_median"   -> q(Relational.weightedMedian),
+    "q_constraint_check"  -> q(Relational.constraintCheck),
     "q_semi_join"         -> q(Relational.semiJoin),
     "q_anti_join"         -> q(Relational.antiJoin),
     "q_outer_join"        -> q(Relational.outerJoin),
@@ -118,6 +122,7 @@ object SparkEntry {
     "q_sessionize"        -> q(Relational.sessionize),
     "q_skew_join"         -> q(operators.Skew.skewJoinDemo),
     "q_skew_audit"        -> q(operators.Skew.skewAudit),
+    "q_salted_agg"        -> q(operators.Skew.saltedAgg),
     "q_partitioned_scan"  -> q(operators.Partitioned.partitionedScan),
     "q_dpp_join"          -> q(operators.Partitioned.dppJoin),
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
@@ -130,6 +135,7 @@ object SparkEntry {
     "q_pagerank"          -> q(operators.Graph.pageRank),
     "q_degree_hist"       -> q(operators.Graph.degreeHist),
     "q_graph_jaccard"     -> q(operators.Graph.edgeJaccard),
+    "q_assoc_rules"       -> q(operators.Graph.assocRules),
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_transition_matrix" -> q(operators.Temporal.transitionMatrix),
     "q_attribution"       -> q(operators.Temporal.attribution),
@@ -194,6 +200,7 @@ object SparkEntry {
     "q_adaptive_filter"   -> q(Pipeline.adaptiveFilter),
     "q_zipf"              -> q((s, d) => Pipeline.zipf(s, d)),
     "q_word_entropy"      -> q(Pipeline.wordEntropy),
+    "q_keyness"           -> q(Pipeline.keyness),
     "q_token_compression" -> q(Pipeline.tokenCompression),
     "q_char_diversity"    -> q(Pipeline.charDiversity),
     "q_lang_id"           -> q(Pipeline.langId),
@@ -253,6 +260,9 @@ object SparkEntry {
     "q_late_data"         -> q(operators.Temporal.lateData),
     "q_seasonality"       -> q(operators.Temporal.seasonality),
     "q_event_gaps"        -> q(operators.Temporal.eventGaps),
+    "q_spend_trend"       -> q(operators.Temporal.spendTrend),
+    "q_active_users"      -> q(operators.Temporal.activeUsers),
+    "q_auc"               -> q(operators.Evaluation.auc),
     // data selection & evaluation (round 8)
     "q_dsir"              -> q(operators.Selection.dsirWeights),
     "q_lsh_pr_sweep"      -> q(operators.Selection.lshPrSweep),
@@ -280,7 +290,8 @@ object SparkEntry {
     "q_stream_cdc_dedup"  -> q(Streams.streamCdcDedup),
     "q_stream_domain_cap" -> q((s, d) => Streams.streamDomainCap(s, d)),
     "q_stream_pps_sample" -> q((s, d) => Streams.streamPpsSample(s, d)),
-    "q_stream_lsh_ingest" -> q(Streams.streamLshIngest)
+    "q_stream_lsh_ingest" -> q(Streams.streamLshIngest),
+    "q_stream_active_users" -> q(Streams.streamActiveUsers)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

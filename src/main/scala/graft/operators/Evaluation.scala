@@ -469,4 +469,43 @@ object Evaluation {
           s"(bits_set * 1000000L div ${BloomM}L) div 1000000L")
           .as("fpr_pred_ppm"))
   }
+
+  /** Exact ROC-AUC of a scalar signal as a binary classifier — here,
+    * does document length (`n_chars`) predict English, per source. AUC
+    * is the Mann–Whitney U statistic normalized by `n_pos·n_neg`: the
+    * probability a random positive outranks a random negative, with ties
+    * counted half. This is the eval a platform runs before trusting any
+    * scalar quality/filter signal as a ranking feature (the threshold
+    * twin is `q_quality_sweep`; this is the threshold-free version).
+    *
+    * Everything is integer-exact: scores collapse to (source, score)
+    * cells first, ties contribute through the doubled form
+    * `U·2 = Σ_cells pos·(2·neg_below + neg_tied)` so no halves appear,
+    * and the final ratio routes through DECIMAL(38,0) because
+    * `U2·10⁶` overflows int64 once `n_pos·n_neg` passes ~9·10¹².
+    *
+    * Scale shape: the corpus collapses map-side to at most
+    * |sources| × |distinct lengths| cells (lengths are bounded by the
+    * longest document, NOT by corpus size), the rank accumulation is a
+    * per-source window over those cells, and the output is one row per
+    * source. No global window, no per-row rank. */
+  def auc(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("n_chars")
+    val cells = graft.Tables.documents(s, dir)
+      .groupBy("source", "n_chars")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+    cells
+      .withColumn("cnb", coalesce(sum(col("neg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .groupBy("source")
+      .agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+        sum(expr("pos * (2 * cnb + neg)")).as("u2"))
+      .filter(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("source"), col("n_pos"), col("n_neg"),
+        expr("cast(cast(u2 as decimal(38,0)) * 1000000" +
+          " div (2 * cast(n_pos as decimal(38,0)) * n_neg) as bigint)")
+          .as("auc_ppm"))
+      .orderBy("source")
+  }
 }

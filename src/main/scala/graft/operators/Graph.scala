@@ -37,23 +37,31 @@ object Graph {
     * lineitem-with-lineitem self-join never happens. Ties broken by
     * (part_a, part_b) for a deterministic top-20. */
   def coPurchase(s: SparkSession, dir: String): DataFrame =
-    basketPairs(s, dir)
-      .groupBy(col("a").as("part_a"), col("b").as("part_b"))
-      .agg(count(lit(1)).as("support"))
+    pairSupport(s, dir)
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(20)
 
-  /** The distinct basket-edge table (a < b), the per-corpus shared
-    * investment behind [[triangleCount]] and [[degreeHist]] — the same
-    * memo discipline as the near-dup pair table in [[Pipeline]]. Built and
+  /** Pair-support table — each ordered (a < b) part pair with the number
+    * of distinct orders containing both. The per-corpus shared investment
+    * behind the co-purchase top-k, the association rules, and (via its
+    * key projection) the distinct basket-edge table — the same memo
+    * discipline as the near-dup pair table in [[Pipeline]]. Built and
     * materialized once per (session, corpus); see the lifecycle note at
     * `Pipeline.scala` (entries live as long as their session). */
-  private def distinctEdges(s: SparkSession, dir: String): DataFrame =
-    edgeCache.computeIfAbsent((s, dir), _ =>
-      Checkpoints.stable(basketPairs(s, dir).distinct()))
+  private def pairSupport(s: SparkSession, dir: String): DataFrame =
+    suppCache.computeIfAbsent((s, dir), _ =>
+      Checkpoints.stable(basketPairs(s, dir)
+        .groupBy("a", "b").agg(count(lit(1)).as("support"))))
 
-  private val edgeCache =
+  private val suppCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** The distinct basket-edge table (a < b): the key projection of
+    * [[pairSupport]] — one corpus pass now serves the support queries AND
+    * every edge-keyed graph kernel (triangles, degrees, Jaccard). */
+  private def distinctEdges(s: SparkSession, dir: String): DataFrame =
+    pairSupport(s, dir).select("a", "b")
 
   /** Vertex degrees of an undirected (a < b) edge list. */
   private[graft] def degreesOf(edges: DataFrame): DataFrame =
@@ -313,4 +321,47 @@ object Graph {
 
   private val prEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Association-rule mining over the basket graph — the confidence/lift
+    * step of A-priori that turns [[coPurchase]]'s raw pair supports into
+    * directed rules. For every ordered pair (antecedent → consequent)
+    * with pair support ≥ 2: `conf = supp(ab)/supp(a)` and
+    * `lift = conf / (supp(b)/n_baskets)`, both in exact integer ppm (the
+    * lift numerator `supp(ab)·n_baskets·10⁶` routes through
+    * DECIMAL(38,0) — it overflows int64 at scale). Top-20 by
+    * (lift, conf, keys) — a total order, so the cut is deterministic.
+    *
+    * Scale shape: rides the memoized [[pairSupport]] table (pairs are
+    * generated map-side from per-order baskets, linear in orders — the
+    * corpus is NOT re-read here); item supports and the basket count are
+    * one distinct-projection pass over lineitem; the rule join keys on
+    * single items, so both sides are catalog-sized, and AQE broadcasts
+    * the item-support side when it fits (no forced hint — the lesson of
+    * the round-7 `dedupMinhash` broadcast flag). */
+  def assocRules(s: SparkSession, dir: String): DataFrame = {
+    val sp = pairSupport(s, dir).filter(col("support") >= 2)
+    val rules = sp.select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("support"))
+      .unionAll(sp.select(col("b").as("antecedent"), col("a").as("consequent"),
+        col("support")))
+    val dp = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val item = dp.groupBy(col("l_partkey")).agg(count(lit(1)).as("isupp"))
+    val nb = dp.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("nb"))
+    rules
+      .join(item.select(col("l_partkey").as("antecedent"),
+        col("isupp").as("supp_a")), "antecedent")
+      .join(item.select(col("l_partkey").as("consequent"),
+        col("isupp").as("supp_c")), "consequent")
+      .crossJoin(broadcast(nb))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        expr("support * 1000000L div supp_a").as("conf_ppm"),
+        expr("cast(support as decimal(38,0)) * nb * 1000000" +
+          " div (cast(supp_a as decimal(38,0)) * supp_c)")
+          .cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("conf_ppm").desc,
+        col("antecedent"), col("consequent"))
+      .limit(20)
+  }
 }

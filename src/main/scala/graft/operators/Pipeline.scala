@@ -1310,6 +1310,59 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Per-source characteristic vocabulary by chi-square keyness: for
+    * every (source, word), the 2×2 contingency test of the word's count
+    * inside the source (`a`) against the rest of the corpus (`b`), and
+    * the top-10 OVER-represented words per source —
+    * χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), the corpus-linguistics
+    * keyness statistic. This is how a curation pipeline fingerprints
+    * what a crawl/source is actually about (and spots boilerplate or
+    * spam vocab) without training anything.
+    *
+    * Integer-exact: χ² surfaces in micro units via the pinned two-step
+    * `(q div d)·10⁶ + ((q mod d)·10⁶) div d` — exactly ⌊q·10⁶/d⌋, but
+    * with every intermediate ≤ N⁴·10⁶ instead of N⁵·10⁶, so it stays in
+    * DECIMAL(38,0)/HUGEINT range two orders of magnitude longer than the
+    * naive association (the [[Evaluation.chi2]] discipline, hardened).
+    *
+    * Scale shape: the corpus collapses to (source, word) cells map-side;
+    * word totals re-aggregate the CELLS (vocab-sized, not corpus-sized);
+    * source totals and N broadcast. The per-source top-10 is a
+    * row_number window that WindowGroupLimit bounds to a 10-row heap
+    * per partition before any exchange — never a global sort. */
+  def keyness(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("chi2_micro").desc, col("word"))
+    val cells = Tables.documents(s, dir)
+      .select(col("source"), explode(Fns.tokensArr(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("a"))
+    val wt = cells.groupBy("word").agg(sum(col("a")).as("ab"))
+    val st = cells.groupBy("source").agg(sum(col("a")).as("ac"))
+    val n = cells.agg(sum(col("a")).as("n"))
+    cells.join(wt, "word")
+      .join(broadcast(st), "source")
+      .crossJoin(broadcast(n))
+      .withColumn("b", col("ab") - col("a"))
+      .withColumn("c", col("ac") - col("a"))
+      .withColumn("d", col("n") - col("ab") - col("c"))
+      .filter(expr("cast(a as decimal(38,0)) * d > cast(b as decimal(38,0)) * c"))
+      .withColumn("q",
+        expr("cast(n as decimal(38,0)) *" +
+          " (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c) *" +
+          " (cast(a as decimal(38,0)) * d - cast(b as decimal(38,0)) * c)"))
+      .withColumn("dn",
+        expr("cast(ab as decimal(38,0)) * (c + d) * ac * (b + d)"))
+      .withColumn("chi2_micro",
+        expr("cast((q div dn) * 1000000 + ((q % dn) * 1000000) div dn" +
+          " as bigint)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("word"),
+        col("a").as("cnt_in"), col("ab").as("cnt_all"), col("chi2_micro"))
+      .orderBy("source", "rank")
+  }
+
   /** Bigram-LM document scoring — the perplexity quality filter (CCNet
     * style): train a maximum-likelihood word-bigram model on the corpus
     * itself, score every document by its mean negative log-likelihood

@@ -1447,4 +1447,154 @@ object Relational {
         sumD6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
       .orderBy("o_orderpriority")
   }
+
+  /** TPC-H Q5 (local supplier volume): revenue from orders where the
+    * customer and the line's supplier sit in the SAME nation, for one
+    * region and one order year. The canonical join-graph stress test —
+    * six tables, two independent fact-side equi-joins plus the
+    * c_nationkey = s_nationkey cross-dimension constraint.
+    *
+    * Scale shape: region/nation broadcast by hint; orders carries its
+    * year filter into the parquet scan and joins customer on custkey
+    * (customer is catalog-sized — AQE decides broadcast vs shuffle);
+    * lineitem, the one 100 TB table, is touched once and shuffles only
+    * on l_orderkey against the already-reduced orders side; the
+    * same-nation constraint is applied as a post-join filter on two
+    * already-attached small columns, never as a join of facts. */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-01-01").cast("date")
+    val hi = lit("1998-01-01").cast("date")
+    val nr = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = Tables.customer(s, dir)
+      .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(sumD6(col("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 (returned item reporting): the top-20 customers by revenue
+    * lost to returns in one quarter, with their nation. The
+    * aggregate-then-rank shape on a fact-fact join: lineitem keeps only
+    * returned lines ('R' — the filter reaches the parquet scan), orders
+    * keeps one quarter, and the rank cut is a TakeOrdered top-20, never a
+    * global sort.
+    *
+    * Scale shape: the one big shuffle is lineitem('R') ⋈ orders(quarter)
+    * on l_orderkey; customer attaches AFTER the per-customer aggregate
+    * (catalog-sized by then), and nation broadcasts. Ties break on
+    * c_custkey on both engines. */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val lo = lit("1997-10-01").cast("date")
+    val hi = lit("1998-01-01").cast("date")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sumD6(col("rev")).as("revenue"))
+    perCust
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Weighted median — per return flag, the smallest quantity at which
+    * cumulative revenue (extended price in exact cents) reaches half the
+    * flag's total. The robust "typical order size by value" statistic:
+    * unlike the row-median, a few huge cheap lines can't drag it.
+    *
+    * Scale shape: the corpus collapses map-side to (flag, quantity)
+    * cells — quantity is a bounded domain (1..50 here; any real SKU
+    * domain is catalog-bounded) — so the cumulative window runs over at
+    * most |flags|×|quantities| rows, never over lineitem. */
+  def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("l_quantity")
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        expr("cast(floor(l_extendedprice * 100) as bigint)").as("cents"))
+      .groupBy("l_returnflag", "l_quantity")
+      .agg(sum(col("cents")).as("wc"))
+      .withColumn("cum", sum(col("wc"))
+        .over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("tot", sum(col("wc"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag")
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("l_quantity")))
+          .as("wmedian_qty"),
+        max(col("tot")).as("total_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Declarative data-quality constraint census (the Deequ/
+    * great-expectations pattern): one row per constraint with the rows
+    * checked, violations found, the pass fraction in exact ppm, and a
+    * 0/1 verdict against the constraint's threshold. The gate a
+    * production pipeline runs on every ingested snapshot BEFORE any
+    * query trusts it — completeness, key uniqueness, domain ranges,
+    * referential integrity.
+    *
+    * Scale shape: each constraint is a map-side count over one table
+    * (violation predicates fold into the scan), uniqueness is one
+    * distinct-count aggregation on the key, and the FK check is a
+    * left-semi-shaped join against the catalog-sized customer key set
+    * (AQE broadcasts it when it fits). The union glues 1-row aggregates
+    * — nothing here is ever wider than one pass per table. */
+  def constraintCheck(s: SparkSession, dir: String): DataFrame = {
+    def census(name: String, thresholdPpm: Long, n: Column, bad: Column,
+        src: DataFrame): DataFrame =
+      src.agg(n.as("n_rows"), bad.as("n_bad")).select(
+        lit(name).as("constraint"), col("n_rows"), col("n_bad"),
+        expr("(n_rows - n_bad) * 1000000L div n_rows").as("pass_ppm"),
+        (expr("(n_rows - n_bad) * 1000000L div n_rows") >= thresholdPpm)
+          .cast("long").as("pass"))
+    val cnt = count(lit(1))
+    def viol(p: Column) = sum(p.cast("long"))
+    val orders = Tables.orders(s, dir)
+    val fkBad = orders.select(col("o_custkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+    census("orders.o_custkey complete", 1000000L,
+        cnt, viol(col("o_custkey").isNull), orders)
+      .unionAll(census("orders.o_custkey fk customer", 1000000L,
+        cnt, viol(col("c_custkey").isNull), fkBad))
+      .unionAll(census("customer.c_custkey unique", 1000000L,
+        cnt, cnt - countDistinct(col("c_custkey")), Tables.customer(s, dir)))
+      .unionAll(census("lineitem.l_quantity in [1,50]", 999000L,
+        cnt, viol(col("l_quantity") < 1 || col("l_quantity") > 50),
+        Tables.lineitem(s, dir)))
+      .unionAll(census("lineitem.l_discount in [0,0.1]", 999000L,
+        cnt, viol(col("l_discount") < 0 || col("l_discount") > 0.1),
+        Tables.lineitem(s, dir)))
+      .unionAll(census("events.value positive", 999000L,
+        cnt, viol(col("value") <= 0), Tables.events(s, dir)))
+      .unionAll(census("documents.lang iso2", 1000000L,
+        cnt, viol(!col("lang").rlike("^[a-z]{2}$")), Tables.documents(s, dir)))
+      .orderBy("constraint")
+  }
 }

@@ -78,4 +78,37 @@ object Skew {
           .otherwise("none"))
       .orderBy("key_column")
   }
+
+  /** Salted two-phase aggregation — the skew-safe rewrite for aggregates
+    * over a hot grouping key, proven hash-identical to the plain form.
+    * Phase 1 groups by (key, salt) so a celebrity key's rows land on 32
+    * reducers instead of one; phase 2 re-reduces the 32 partials per key.
+    * For the plain count/sum Spark's own map-side partial aggregation
+    * already absorbs skew, so the query's REAL payload is the case where
+    * it does not: exact distinct users per type, computed as a distinct
+    * over (type, user) — a shuffle keyed by the PAIR, so the hot type
+    * spreads across the cluster — then a count per type. Sums are exact
+    * cents, so the re-association is bit-stable under any partitioning.
+    *
+    * Scale shape: two bounded shuffles — phase 1 is the same width as
+    * the plain agg but with 32× the reducer parallelism on hot keys;
+    * phase 2 moves |keys|·32 partial rows. The distinct path shuffles
+    * the deduped pair table once. Nothing is ever single-reducer. */
+  def saltedAgg(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ev = graft.Tables.events(s, dir)
+      .select(col("event_type"), col("user_id"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+    val partial = ev
+      .withColumn("__salt", pmod(xxhash64(col("user_id")), lit(32)))
+      .groupBy("event_type", "__salt")
+      .agg(count(lit(1)).as("pn"), sum(col("cents")).as("pc"))
+    val merged = partial.groupBy("event_type")
+      .agg(sum(col("pn")).as("n_events"), sum(col("pc")).as("sum_cents"))
+    val dusers = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n_users"))
+    merged.join(dusers, "event_type")
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("sum_cents"))
+      .orderBy("event_type")
+  }
 }

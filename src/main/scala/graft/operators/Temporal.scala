@@ -339,4 +339,75 @@ object Temporal {
         (col("hod") === col("peak_hour")).as("is_peak"))
       .orderBy("event_type", "hod")
   }
+
+  /** Per-segment revenue trend: exact OLS slope of monthly spend (in
+    * cents) against the month index, per market segment — the
+    * growing-or-shrinking verdict a health dashboard puts next to every
+    * cohort. Slope is the closed form
+    * `(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)` over integer inputs: x is the
+    * month offset from the corpus's first month (a 1-row aggregate
+    * broadcast back, keeping x small), y is exact cents, and the final
+    * ratio is scaled to micro-cents-per-month through DECIMAL(38,0)
+    * (`Σxy·10⁶` overflows int64 at real revenue volumes).
+    *
+    * Scale shape: the corpus collapses to ≤ |segments|·|months| cells in
+    * ONE map-side-combined aggregation (orders joins catalog-sized
+    * customer to get the segment — AQE picks broadcast when it fits);
+    * the regression itself is a per-segment fold over those cells. No
+    * window, no second corpus pass. */
+  def spendTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("y"))
+    val base = monthly.agg(min(col("m")).as("m0"))
+    monthly.crossJoin(broadcast(base))
+      .select(col("c_mktsegment"), (col("m") - col("m0")).as("x"), col("y"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_months"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("c_mktsegment"), col("n_months"),
+        expr("cast((cast(n_months as decimal(38,0)) * sxy - cast(sx as" +
+          " decimal(38,0)) * sy) * 1000000 div (cast(n_months as" +
+          " decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)" +
+          " as bigint)").as("slope_microcents"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Rolling 7-day active users (WAU) next to daily actives (DAU) for
+    * every observed day — the engagement curve, with the DAU/WAU ratio
+    * ("stickiness") in exact ppm. The exact-distinct rolling window is
+    * the hard part at scale: a naive per-day `COUNT(DISTINCT)` over a
+    * range window either re-scans the week per day or holds unbounded
+    * state.
+    *
+    * Scale shape: the corpus first collapses to the DISTINCT (day, user)
+    * table — the one big reduction, map-side combined; each such row
+    * then fans out to exactly the ≤ 7 window-days it contributes to
+    * (bounded multiplication of the already-deduped table, the
+    * `q_active_users` twin of pack_sequences' block discipline), and the
+    * per-window-day distinct count shuffles (day, user) pairs once more.
+    * Window days with no same-day activity are dropped by the semi-join
+    * against observed days, matching the calendar the oracle sees. */
+  def activeUsers(s: SparkSession, dir: String): DataFrame = {
+    val du = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = du.select(col("d")).distinct()
+    val dau = du.groupBy("d").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(col("d"), date_add(col("d"), 6))).as("day"),
+        col("user_id"))
+      .join(days.select(col("d").as("day")), Seq("day"), "left_semi")
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    wau.join(dau.select(col("d").as("day"), col("dau")), "day")
+      .select(col("day"), col("dau"), col("wau"),
+        expr("dau * 1000000L div wau").as("stickiness_ppm"))
+      .orderBy("day")
+  }
 }

@@ -724,4 +724,37 @@ object Streams {
           lit(65536.0) / col("harm")).cast("long").as("est_hll"),
         col("n_zero"), col("max_rho"))
   }
+
+  /** 17th flavor — streaming rolling 7-day active users (the live WAU
+    * counter, streaming twin of [[graft.operators.Temporal.activeUsers]]):
+    * each event fans out MAP-SIDE to the ≤ 7 window-days it contributes
+    * to, a watermarked `dropDuplicates` on (window-day, user) keeps
+    * exactly one state row per contribution (state purges as the
+    * watermark passes a day — never unbounded), and a windowed count in
+    * append mode emits each day's exact distinct-user total once the
+    * 8-day watermark closes it. Two chained stateful operators — dedup
+    * feeding a windowed aggregate — under one watermark, the shape
+    * Spark 4 supports natively.
+    *
+    * Append semantics: a day [d, d+1) emits when d+1 ≤ final watermark
+    * (max fanned day + 6d − 8d), so the last three observed days stay
+    * open — exactly the closed set the oracle reproduces (same contract
+    * as [[streamWindowWatermarked]]). */
+  def streamActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    val stream = eventStream(s, dir)
+    val contrib = stream
+      .select(explode(sequence(date_trunc("DAY", col("ts")),
+          date_trunc("DAY", col("ts")) + expr("INTERVAL 6 DAYS"),
+          expr("INTERVAL 1 DAY"))).as("wday"),
+        col("user_id"))
+      .withWatermark("wday", "8 days")
+      .dropDuplicates("wday", "user_id")
+    val agg = contrib
+      .groupBy(window(col("wday"), "1 day"))
+      .agg(count(lit(1)).as("wau"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("wau"))
+    withStatePartitions(s, 2) { appendToParquet(s, agg) }
+      .orderBy("day")
+  }
 }

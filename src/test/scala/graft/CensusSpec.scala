@@ -1,0 +1,228 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Evaluation, Graph, Relational, Skew, Temporal}
+
+/** Behavior tests for the round-8 census/eval additions: TPC-H Q5,
+  * weighted median, the constraint census, per-segment OLS spend trend,
+  * rolling 7-day active users, exact ROC-AUC, association rules, and the
+  * salted two-phase aggregation. Each is replayed driver-side from the
+  * raw fixtures by an independent formulation (brute force over collected
+  * rows, or the plain unsalted/unfactored plan), the same oracle
+  * discipline the reference applies via `test-mr.sh`'s sequential diff.
+  */
+class CensusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  test("tpch_q5 equals an independent SQL formulation") {
+    val got = Relational.tpchQ5(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => spark.read.parquet(s"$sf/$t.parquet")
+        .createOrReplaceTempView(s"v_$t"))
+    val want = spark.sql(
+      """SELECT n_name, cast(sum(cast(l_extendedprice * (1 - l_discount)
+        |    as decimal(18,6))) as double) AS revenue
+        |FROM v_customer, v_orders, v_lineitem, v_supplier, v_nation, v_region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1997-01-01'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("weighted_median: half the revenue mass sits at or below the median") {
+    val rows = Relational.weightedMedian(spark, sf).collect()
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity"),
+        expr("cast(floor(l_extendedprice * 100) as bigint)").as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    for (r <- rows) {
+      val flag = r.getString(0)
+      val med = r.getDouble(1)
+      val tot = r.getLong(2)
+      val mine = li.filter(_._1 == flag)
+      assert(tot === mine.map(_._3).sum)
+      val below = mine.filter(_._2 <= med).map(_._3).sum
+      val strictlyBelow = mine.filter(_._2 < med).map(_._3).sum
+      assert(below * 2 >= tot, "mass through the median reaches half")
+      assert(strictlyBelow * 2 < tot, "the median is the SMALLEST such point")
+    }
+    assert(rows.nonEmpty)
+  }
+
+  test("constraint_check: the clean fixture passes every constraint") {
+    val rows = Relational.constraintCheck(spark, sf).collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getLong(4) === 1L), "all constraints pass")
+    // n_rows per constraint matches the base table counts
+    val byName = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName("customer.c_custkey unique") ===
+      spark.read.parquet(s"$sf/customer.parquet").count())
+    assert(byName("lineitem.l_quantity in [1,50]") ===
+      spark.read.parquet(s"$sf/lineitem.parquet").count())
+    assert(byName("orders.o_custkey complete") ===
+      byName("orders.o_custkey fk customer"))
+    // pass_ppm is exact: (n_rows - n_bad) * 1e6 div n_rows
+    rows.foreach { r =>
+      assert(r.getLong(3) === (r.getLong(1) - r.getLong(2)) * 1000000L / r.getLong(1))
+    }
+  }
+
+  test("spend_trend: slope matches a driver-side OLS over the monthly cells") {
+    val got = Temporal.spendTrend(spark, sf).collect()
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val m0 = cells.map(_._2).min
+    for (r <- got) {
+      val seg = r.getString(0)
+      val pts = cells.filter(_._1 == seg).map(c => (BigInt(c._2 - m0), BigInt(c._3)))
+      val n = BigInt(pts.length)
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val want = (n * sxy - sx * sy) * 1000000 / (n * sxx - sx * sx)
+      assert(r.getLong(1) === pts.length.toLong)
+      assert(BigInt(r.getLong(2)) === want, s"slope for $seg")
+    }
+    assert(got.length === 5)
+  }
+
+  test("active_users: WAU/DAU match a brute force and WAU bounds DAU") {
+    val got = Temporal.activeUsers(spark, sf).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    val du = spark.read.parquet(s"$sf/events.parquet")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val days = du.map(_._1).distinct.sorted((a: java.time.LocalDate,
+        b: java.time.LocalDate) => a.compareTo(b))
+    val want = days.map { d =>
+      val wau = du.filter(p => !p._1.isAfter(d) &&
+        !p._1.isBefore(d.minusDays(6))).map(_._2).distinct.length.toLong
+      val dau = du.filter(_._1 == d).map(_._2).distinct.length.toLong
+      (d.toString, dau, wau)
+    }
+    assert(got.toSeq === want.toSeq)
+    assert(got.forall(r => r._2 <= r._3), "DAU never exceeds WAU")
+  }
+
+  test("auc: matches the pairwise Mann-Whitney brute force per source") {
+    val got = Evaluation.auc(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("n_chars"), (col("lang") === "en").as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    for ((src, nPos, nNeg, aucPpm) <- got) {
+      val pos = docs.filter(d => d._1 == src && d._3).map(_._2)
+      val neg = docs.filter(d => d._1 == src && !d._3).map(_._2)
+      assert(nPos === pos.length.toLong && nNeg === neg.length.toLong)
+      // U2 = #(pos > neg)*2 + #(ties): every (pos, neg) pair compared
+      val u2 = (for (p <- pos; n <- neg) yield
+        if (p > n) 2L else if (p == n) 1L else 0L).sum
+      assert(aucPpm ===
+        (BigInt(u2) * 1000000 / (2 * BigInt(pos.length) * neg.length)).toLong,
+        s"AUC for $src")
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("assoc_rules: confidence/lift replay from brute-force basket supports") {
+    val rules = Graph.assocRules(spark, sf).collect()
+    assert(rules.length === 20)
+    val dp = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nb = dp.map(_._1).distinct.length
+    val isupp = dp.groupBy(_._2).map { case (p, xs) => p -> xs.length }
+    val baskets = dp.groupBy(_._1).map { case (_, xs) => xs.map(_._2).toSet }
+    for (r <- rules) {
+      val (a, c) = (r.getLong(0), r.getLong(1))
+      val sab = baskets.count(b => b(a) && b(c)).toLong
+      assert(r.getLong(2) === sab)
+      assert(sab >= 2)
+      assert(r.getLong(3) === sab * 1000000L / isupp(a))
+      assert(BigInt(r.getLong(4)) ===
+        BigInt(sab) * nb * 1000000 / (BigInt(isupp(a)) * isupp(c)))
+      // a rule worth surfacing: lift above 1 means positive association
+      assert(r.getLong(4) > 0)
+    }
+    // deterministic total order on (lift desc, conf desc, keys)
+    val key = rules.map(r => (-r.getLong(4), -r.getLong(3), r.getLong(0), r.getLong(1)))
+    assert(key.sameElements(key.sorted))
+  }
+
+  test("tpch_q10 equals an independent SQL formulation") {
+    val got = Relational.tpchQ10(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    Seq("customer", "orders", "lineitem", "nation")
+      .foreach(t => spark.read.parquet(s"$sf/$t.parquet")
+        .createOrReplaceTempView(s"w_$t"))
+    val want = spark.sql(
+      """SELECT c_custkey, c_name, cast(sum(cast(l_extendedprice *
+        |    (1 - l_discount) as decimal(18,6))) as double) AS revenue
+        |FROM w_customer, w_orders, w_lineitem, w_nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+        |  AND o_orderdate >= DATE '1997-10-01'
+        |  AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 20)
+  }
+
+  test("keyness: 2x2 cells replay exactly and ranking is over-represented only") {
+    val got = graft.operators.Pipeline.keyness(spark, sf).collect()
+    assert(got.nonEmpty)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), explode(graft.functions.Fns.tokensArr(col("text")))
+        .as("word"))
+      .filter(col("word") =!= "")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val n = BigInt(toks.length)
+    for (r <- got) {
+      val (src, word) = (r.getString(0), r.getString(2))
+      val a = BigInt(toks.count(t => t._1 == src && t._2 == word))
+      val ab = BigInt(toks.count(_._2 == word))
+      val ac = BigInt(toks.count(_._1 == src))
+      val (b, c) = (ab - a, ac - a)
+      val d = n - ab - c
+      assert(r.getLong(3) === a.toLong && r.getLong(4) === ab.toLong)
+      assert(a * d > b * c, "only over-represented words rank")
+      val q = n * (a * d - b * c) * (a * d - b * c)
+      val dn = ab * (c + d) * ac * (b + d)
+      assert(BigInt(r.getLong(5)) === (q / dn) * 1000000 + (q % dn) * 1000000 / dn)
+    }
+    // exactly ≤10 per source, rank dense from 1
+    got.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq === (1L to rs.length).toSeq)
+      assert(rs.length <= 10)
+    }
+  }
+
+  test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
+    val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(expr("cast(floor(value * 100) as bigint)")).as("sum_cents"))
+      .orderBy("event_type").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+}

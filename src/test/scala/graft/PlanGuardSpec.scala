@@ -47,9 +47,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_drift_tvd"       -> 2, // 1-row time/value bounds (×2: the tagged
                               // subtree feeds both cells and totals)
     "q_ks_test"         -> 2, // 1-row time bounds (×2, same shape)
-    "q_stream_drift"    -> 2  // 1-row reference bounds on a constant key
+    "q_stream_drift"    -> 2, // 1-row reference bounds on a constant key
                               // (condition folds to true → BNLJ; appears
                               // on the static ref side and the batch tail)
+    "q_spend_trend"     -> 1, // 1-row min-month anchor broadcast
+    "q_assoc_rules"     -> 1, // 1-row basket-count total broadcast
+    "q_keyness"         -> 1  // 1-row corpus token total broadcast
   )
 
   // one registered test per query (not one sweep): a single analysis error
@@ -161,6 +164,17 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_skew_audit" -> 3, // one (column, key) count shuffle — the same exchange any join pays
     "q_event_gaps" -> 6, // user-keyed lag + minute-block two-phase rank, no global window
     "q_tpch_q18" -> 1, // HAVING collapses lineitem before any join; dims broadcast
+    "q_tpch_q5" -> 3, // lineitem shuffles once on l_orderkey; all dims broadcast
+    "q_tpch_q10" -> 3, // R-lines ⋈ quarter-orders once; customer/nation attach post-agg
+    "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
+    "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
+    "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells
+    "q_constraint_check" -> 8, // one 1-row agg per constraint + the FK semi probe
+    "q_spend_trend" -> 4, // corpus → segment×month cells; regression folds cells
+    "q_active_users" -> 7, // (day,user) distinct, ≤7× fanout, re-distinct, DAU join
+    "q_auc" -> 3, // corpus → (source,len) cells; rank window over cells
+    "q_assoc_rules" -> 4, // memoized pair supports + item-support distinct pass
+    "q_salted_agg" -> 5, // (key,salt) partials + per-key merge + pair distinct
     "q_except" -> 2,
     "q_except_all" -> 2,
     "q_filter_project" -> 1,

@@ -256,4 +256,19 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
+
+  test("stream active users equals batch WAU on the closed days") {
+    val stream = Streams.streamActiveUsers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // batch twin restricted to the append-closed set: a day [d, d+1)
+    // emits when d+1 ≤ (max fanned day + 6d) − 8d, i.e. d ≤ maxday − 3d
+    val batch = graft.operators.Temporal.activeUsers(spark, sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(2)))
+    val maxDay = graft.Tables.events(spark, sf)
+      .agg(max(to_date(col("ts")))).collect()(0).getDate(0).toLocalDate
+    val closed = batch.filter(_._1.compareTo(maxDay.minusDays(3)) <= 0)
+      .map(p => (p._1.toString, p._2)).toMap
+    assert(stream === closed)
+    assert(stream.nonEmpty)
+  }
 }
