@@ -1541,6 +1541,73 @@ object Oracles {
          |  CAST(sum(cents) AS BIGINT) AS revenue_cents
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // remainders pinned to the LAST touch make per-purchase credit sums
+    // exactly equal the revenue on both engines
+    "q_mta" ->
+      s"""WITH c AS (SELECT DISTINCT user_id, ts AS cts FROM events
+         |  WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS pid, user_id, ts AS pts,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |t AS (SELECT pid, cents, cts,
+         |    24 - (epoch_us(pts) - epoch_us(cts)) // 3600000000 AS w
+         |  FROM p JOIN c USING (user_id)
+         |  WHERE cts <= pts AND cts > pts - INTERVAL '24 hours'),
+         |s1 AS (SELECT pid, cents, cts, w,
+         |    CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS k,
+         |    CAST(sum(w) OVER (PARTITION BY pid) AS BIGINT) AS wsum,
+         |    cts = max(cts) OVER (PARTITION BY pid) AS is_last
+         |  FROM t),
+         |s2 AS (SELECT *, cents // k AS lin0, cents * w // wsum AS dec0
+         |  FROM s1),
+         |s3 AS (SELECT *,
+         |    CASE WHEN is_last THEN cents - (cents // k) * (k - 1)
+         |      ELSE lin0 END AS lin,
+         |    CASE WHEN is_last THEN
+         |      cents - (sum(dec0) OVER (PARTITION BY pid) - dec0)
+         |      ELSE dec0 END AS dec
+         |  FROM s2),
+         |orphan AS (SELECT -1 AS click_hour, cents AS lin, cents AS dec
+         |  FROM p WHERE pid NOT IN (SELECT pid FROM t)),
+         |u AS (SELECT CAST(hour(cts) AS BIGINT) AS click_hour, lin, dec
+         |  FROM s3
+         |  UNION ALL SELECT click_hour, lin, dec FROM orphan)
+         |SELECT click_hour, CAST(count(*) AS BIGINT) AS n_credits,
+         |  CAST(sum(lin) AS BIGINT) AS linear_cents,
+         |  CAST(sum(dec) AS BIGINT) AS decay_cents
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_path_purchase" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
+         |    lag(event_type, 1) OVER w AS p1,
+         |    lag(event_type, 2) OVER w AS p2
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |paths AS (SELECT coalesce(p2, '^') || ' > ' || coalesce(p1, '^')
+         |    || ' > ' || event_type AS path, CAST(count(*) AS BIGINT) AS n
+         |  FROM e WHERE event_type = 'purchase' GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM paths)
+         |SELECT path, n, CAST(n * 1000000 // total AS BIGINT) AS share_ppm
+         |FROM paths, t ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    "q_benford" ->
+      s"""WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100)
+         |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
+         |exp_t(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091),
+         |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),
+         |  (8, 51153), (9, 45757))
+         |SELECT d.digit, d.n,
+         |  CAST(d.n * 1000000 // t.total AS BIGINT) AS obs_ppm,
+         |  CAST(exp_ppm AS BIGINT) AS exp_ppm,
+         |  CAST(abs(d.n * 1000000 // t.total - exp_ppm) AS BIGINT) AS dev_ppm,
+         |  CAST(CASE WHEN abs(d.n * 1000000 // t.total - exp_ppm) > 20000
+         |    THEN 1 ELSE 0 END AS BIGINT) AS flag
+         |FROM d, t JOIN exp_t ON exp_t.digit = d.digit
+         |ORDER BY d.digit""".stripMargin,
+
     // same XML envelopes rebuilt from the base table, parsed by regexp —
     // money rides as integer cents so the string render is engine-portable
     "q_xml_extract" ->

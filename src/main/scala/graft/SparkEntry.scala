@@ -139,6 +139,9 @@ object SparkEntry {
     "q_range_join"        -> q(operators.Temporal.rangeJoinEvents),
     "q_transition_matrix" -> q(operators.Temporal.transitionMatrix),
     "q_attribution"       -> q(operators.Temporal.attribution),
+    "q_mta"               -> q(operators.Temporal.mtaAttribution),
+    "q_path_purchase"     -> q(operators.Temporal.pathToPurchase),
+    "q_benford"           -> q(Relational.benford),
     "q_xml_extract"       -> q(Relational.xmlExtract),
     "q_profile"           -> q(Relational.profile),
     "q_encoding_stats"    -> q(Relational.encodingStats),

@@ -1460,7 +1460,15 @@ object Relational {
     * lineitem, the one 100 TB table, is touched once and shuffles only
     * on l_orderkey against the already-reduced orders side; the
     * same-nation constraint is applied as a post-join filter on two
-    * already-attached small columns, never as a join of facts. */
+    * already-attached small columns, never as a join of facts.
+    *
+    * Key-integrity caveat (10× probe finding): this chain of row-level
+    * fact joins multiplies under DUPLICATED join keys — on a corpus
+    * where each orderkey/custkey appears k times the join output grows
+    * k² per hop (the clone-corpus probe measured ×1000 at k=10). Real
+    * growth adds new keys, where the plan is linear; on key-dirty input
+    * run `q_constraint_check`'s uniqueness census first, or prefer
+    * [[tpchQ10]]'s aggregate-before-attach shape, which is immune. */
   def tpchQ5(s: SparkSession, dir: String): DataFrame = {
     val lo = lit("1997-01-01").cast("date")
     val hi = lit("1998-01-01").cast("date")
@@ -1549,6 +1557,38 @@ object Relational {
           .as("wmedian_qty"),
         max(col("tot")).as("total_cents"))
       .orderBy("l_returnflag")
+  }
+
+  /** Benford first-digit audit: the leading-digit distribution of order
+    * totals against Benford's law — the classic fabricated-numbers
+    * screen an audit pipeline runs over monetary columns. Expected
+    * shares log₁₀(1+1/d) are pinned integer ppm CONSTANTS (no libm at
+    * query time), deviation is |observed−expected| in ppm, and the
+    * verdict row-level flag marks digits off by more than 2 % of mass.
+    * (The fixture's uniform-ish totals WILL flag — that is the point of
+    * an audit: the statistic is the deliverable, not a pass.)
+    *
+    * Scale shape: the leading digit extracts map-side (codegen'd
+    * cast-substring over the cents integer), one ≤ 9-cell aggregation,
+    * 1-row total broadcast back. */
+  def benford(s: SparkSession, dir: String): DataFrame = {
+    // Benford expected shares in ppm: round(log10(1+1/d)·1e6), d=1..9 —
+    // pinned constants, no libm at query time
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expCol = element_at(array(expected.map(lit): _*), col("digit").cast("int"))
+    val digits = Tables.orders(s, dir)
+      .select(expr("cast(substring(cast(cast(floor(o_totalprice * 100)" +
+        " as bigint) as string), 1, 1) as bigint)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("n * 1000000L div total").as("obs_ppm"),
+        expCol.as("exp_ppm"))
+      .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+      .withColumn("flag", (col("dev_ppm") > 20000L).cast("long"))
+      .orderBy("digit")
   }
 
   /** Declarative data-quality constraint census (the Deequ/

@@ -340,6 +340,93 @@ object Temporal {
       .orderBy("event_type", "hod")
   }
 
+  /** Path-to-purchase mining: the top-20 three-step event-type paths
+    * that END in a purchase, with their share of all purchases (exact
+    * ppm) — the sequence-mining upgrade of [[transitionMatrix]]'s
+    * bigrams: which two preceding actions actually funnel into
+    * conversion. Purchases with fewer than two preceding events count
+    * under the start-marker '^' so shares still sum over all purchases.
+    *
+    * Scale shape: one user-keyed window (two `lag`s over each user's
+    * timeline — bounded per-user state, the same exchange the
+    * transition matrix pays), a map-side filter to purchase rows, one
+    * (path)-keyed count, and a TakeOrdered top-20; the purchase total
+    * re-aggregates the path counts, never the corpus. */
+  def pathToPurchase(s: SparkSession, dir: String): DataFrame = {
+    val wu = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val paths = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 1).over(wu))
+      .withColumn("p2", lag(col("event_type"), 2).over(wu))
+      .filter(col("event_type") === "purchase")
+      .select(concat_ws(" > ", coalesce(col("p2"), lit("^")),
+        coalesce(col("p1"), lit("^")), col("event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+    val total = paths.agg(sum(col("n")).as("total"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n"),
+        expr("n * 1000000L div total").as("share_ppm"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Multi-touch attribution — the fractional-credit generalization of
+    * [[attribution]]'s last-touch model: every click in a purchase's
+    * 24-hour lookback window earns a share of the revenue, under two
+    * models side by side: LINEAR (equal split) and TIME-DECAY (weight
+    * 24 − age-in-hours, so the touch nearest the purchase earns most).
+    * Credits are exact integer cents with the division remainder pinned
+    * to the LAST touch, so each purchase's credits sum to exactly its
+    * revenue — conservation holds bit-exactly (asserted in CensusSpec)
+    * and both engines agree. Purchases with no touch in the window keep
+    * their full revenue in the −1 bucket, as in last-touch.
+    *
+    * Scale shape: the touch table is a USER-keyed equi-join (purchases ⋈
+    * clicks on user_id) filtered to the 24 h window — per-user fan-out
+    * is bounded by per-user activity, never a corpus cross-product; all
+    * per-purchase statistics (k, Σw, last flag, remainder) are windows
+    * over that purchase-bounded table; the report is a ≤ 25-row hourly
+    * rollup. */
+  def mtaAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts")).distinct()
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pts"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .filter(col("cts") <= col("pts") &&
+        col("cts") > col("pts") - expr("INTERVAL 24 HOURS"))
+      .withColumn("w", lit(24L) -
+        expr("(unix_micros(pts) - unix_micros(cts)) div 3600000000"))
+    val wp = Window.partitionBy("pid")
+    val scored = touches
+      .withColumn("k", count(lit(1)).over(wp))
+      .withColumn("wsum", sum(col("w")).over(wp))
+      .withColumn("is_last", col("cts") === max(col("cts")).over(wp))
+      .withColumn("lin0", expr("cents div k"))
+      .withColumn("dec0", expr("cents * w div wsum"))
+      .withColumn("lin", when(col("is_last"),
+          col("cents") - expr("(cents div k) * (k - 1)"))
+        .otherwise(col("lin0")))
+      .withColumn("dec", when(col("is_last"),
+          col("cents") - (sum(col("dec0")).over(wp) - col("dec0")))
+        .otherwise(col("dec0")))
+    val orphans = purchases
+      .join(touches.select("pid").distinct(), Seq("pid"), "left_anti")
+      .select(lit(-1L).as("click_hour"),
+        col("cents").as("lin"), col("cents").as("dec"))
+    scored
+      .select(hour(col("cts")).cast("long").as("click_hour"),
+        col("lin"), col("dec"))
+      .unionAll(orphans)
+      .groupBy("click_hour")
+      .agg(count(lit(1)).as("n_credits"),
+        sum(col("lin")).as("linear_cents"),
+        sum(col("dec")).as("decay_cents"))
+      .orderBy("click_hour")
+  }
+
   /** Per-segment revenue trend: exact OLS slope of monthly spend (in
     * cents) against the month index, per market segment — the
     * growing-or-shrinking verdict a health dashboard puts next to every

@@ -215,6 +215,66 @@ class CensusSpec extends AnyFunSuite {
     }
   }
 
+  test("mta: both credit models conserve revenue exactly") {
+    val rows = Temporal.mtaAttribution(spark, sf).collect()
+    val totalLin = rows.map(_.getLong(2)).sum
+    val totalDec = rows.map(_.getLong(3)).sum
+    val purchases = spark.read.parquet(s"$sf/events.parquet")
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(floor(value * 100) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(totalLin === purchases, "linear credits sum to total revenue")
+    assert(totalDec === purchases, "decay credits sum to total revenue")
+    // decay weights recency: later-hour touches should never earn less
+    // under decay than linear IN AGGREGATE for the -1 orphan bucket
+    val orphan = rows.find(_.getLong(0) === -1L)
+    orphan.foreach(r => assert(r.getLong(2) === r.getLong(3),
+      "orphans carry identical full credit in both models"))
+    assert(rows.nonEmpty)
+  }
+
+  test("path_purchase: shares are exact and paths replay from user timelines") {
+    val rows = Temporal.pathToPurchase(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        r.getString(3)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)))
+    val allPaths = byUser.values.flatMap { tl =>
+      tl.zipWithIndex.collect { case (e, i) if e._4 == "purchase" =>
+        val p1 = if (i >= 1) tl(i - 1)._4 else "^"
+        val p2 = if (i >= 2) tl(i - 2)._4 else "^"
+        s"$p2 > $p1 > purchase"
+      }
+    }.toSeq
+    val counts = allPaths.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = allPaths.size.toLong
+    for ((path, n, ppm) <- rows) {
+      assert(counts(path) === n, s"count for $path")
+      assert(ppm === n * 1000000L / total)
+    }
+    // top-20 under (n desc, path) total order
+    val key = rows.map(r => (-r._2, r._1))
+    assert(key.sameElements(key.sorted))
+  }
+
+  test("benford: cells partition orders and expected shares are the pinned table") {
+    val rows = Relational.benford(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$sf/orders.parquet").count())
+    val exp = Map(1L -> 301030L, 2L -> 176091L, 3L -> 124939L, 4L -> 96910L,
+      5L -> 79181L, 6L -> 66947L, 7L -> 57992L, 8L -> 51153L, 9L -> 45757L)
+    rows.foreach { r =>
+      assert(r.getLong(3) === exp(r.getLong(0)))
+      assert(r.getLong(4) === math.abs(r.getLong(2) - r.getLong(3)))
+      assert(r.getLong(5) === (if (r.getLong(4) > 20000L) 1L else 0L))
+    }
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")

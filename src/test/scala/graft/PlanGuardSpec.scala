@@ -52,7 +52,9 @@ class PlanGuardSpec extends AnyFunSuite {
                               // on the static ref side and the batch tail)
     "q_spend_trend"     -> 1, // 1-row min-month anchor broadcast
     "q_assoc_rules"     -> 1, // 1-row basket-count total broadcast
-    "q_keyness"         -> 1  // 1-row corpus token total broadcast
+    "q_keyness"         -> 1, // 1-row corpus token total broadcast
+    "q_path_purchase"   -> 1, // 1-row purchase total broadcast
+    "q_benford"         -> 1  // 1-row digit total broadcast
   )
 
   // one registered test per query (not one sweep): a single analysis error
@@ -166,6 +168,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_tpch_q18" -> 1, // HAVING collapses lineitem before any join; dims broadcast
     "q_tpch_q5" -> 3, // lineitem shuffles once on l_orderkey; all dims broadcast
     "q_tpch_q10" -> 3, // R-lines ⋈ quarter-orders once; customer/nation attach post-agg
+    "q_mta" -> 5, // user-keyed touch join + pid windows + hourly rollup
+    "q_path_purchase" -> 3, // one user-keyed lag window + path count + top-20
+    "q_benford" -> 3, // map-side digit extract → ≤9 cells + 1-row total
     "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
     "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
     "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells
