@@ -3357,6 +3357,30 @@ object Oracles {
          |    ELSE 'video' END AS format
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // cross-modal retrieval over the stub 8-dim integer embedding
+    // ((h1 + i*h2) % 1000 - 500); exact integer squared-L2, ties by doc_id
+    "q_multimodal_embed" ->
+      s"""WITH e AS (SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'img'
+         |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    list_transform(range(1, 9), i ->
+         |      (${polyHashSql("text")} + i * ${polyHashSql("text", 131, 1000000009L)})
+         |        % 1000 - 500) AS v
+         |  FROM documents),
+         |p AS (SELECT doc_id AS probe_id, kind AS probe_kind, v AS pv
+         |  FROM e WHERE doc_id < 5),
+         |sc AS (SELECT probe_id, probe_kind, e.doc_id, e.kind,
+         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, 9),
+         |        i -> (pv[i] - v[i]) * (pv[i] - v[i]))),
+         |      (a, b) -> a + b) AS BIGINT) AS dist
+         |  FROM e JOIN p ON e.kind <> probe_kind),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY dist, doc_id) AS BIGINT) AS rank
+         |  FROM sc QUALIFY rank <= 3)
+         |SELECT probe_id, probe_kind, doc_id, kind, dist, rank
+         |FROM r ORDER BY probe_id, rank""".stripMargin,
+
     // exact media dedup by payload digest: media = UTF-8 bytes of text
     // (ASCII fixture → sha256(text) hashes the same bytes), modality from
     // doc_id % 3 as in the other multimodal oracles

@@ -279,6 +279,7 @@ object SparkEntry {
     "q_multimodal_transform" -> q(Media.mediaTransform),
     "q_multimodal_frames" -> q(Media.mediaFrames),
     "q_multimodal_dedup"  -> q(Media.mediaDedup),
+    "q_multimodal_embed"  -> q(Media.mediaEmbed),
     // structured streaming
     "q_stream_window"     -> q(Streams.streamWindow),
     "q_stream_window_wm"  -> q(Streams.streamWindowWatermarked),

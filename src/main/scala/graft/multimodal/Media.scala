@@ -130,4 +130,44 @@ object Media {
       .select(col("kind"), col("h"), col("keep_id"), col("n_copies"), col("n_bytes"),
         ((col("n_copies") - 1) * col("n_bytes")).as("dup_bytes"))
       .orderBy("kind", "h")
+
+  /** Cross-modal retrieval: embed every media blob with the (stubbed)
+    * encoder and, for each probe record, return the top-3 nearest
+    * neighbors of a DIFFERENT modality — the CLIP-style
+    * text-finds-image / image-finds-audio search a multimodal training
+    * pipeline runs for pair mining. The embedding stub is a
+    * deterministic 8-dim integer vector derived from the blob's two
+    * polynomial hashes ((h₁ + i·h₂) mod 1000 − 500 per dimension) — a
+    * clearly-marked stand-in for a real encoder with the same dataflow:
+    * embed map-side, never move payloads, search in vector space.
+    * Distance is the codegen'd integer squared-L2 fold ([[graft
+    * .functions.Fns.sqDistL]]), exact on both engines.
+    *
+    * Scale shape: identical to [[graft.operators.Pipeline
+    * .similarityTopk]] — the probe set (5 rows) broadcasts, scoring is
+    * one map-side pass over the corpus (the declared brute-force
+    * baseline; the LSH/IVF variants are the indexed path), and the
+    * top-3 cut is a per-probe bounded window. Payloads never leave the
+    * embed stage: the join carries 8 ints per row. */
+  def mediaEmbed(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Fns
+    val emb = blobs(s, dir).toDF()
+      .select(col("doc_id"), col("kind"),
+        Fns.polyHash(decode(col("media"), "UTF-8")).as("h1"),
+        Fns.polyHash2(decode(col("media"), "UTF-8")).as("h2"))
+      .select(col("doc_id"), col("kind"),
+        expr("transform(sequence(1, 8)," +
+          " i -> (h1 + i * h2) % 1000 - 500)").as("v"))
+    val probes = emb.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("kind").as("probe_kind"),
+        col("v").as("pv"))
+    val scored = emb.join(broadcast(probes), col("kind") =!= col("probe_kind"))
+      .select(col("probe_id"), col("probe_kind"), col("doc_id"),
+        col("kind"), Fns.sqDistL(col("pv"), col("v")).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("dist"), col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("probe_id", "rank")
+  }
 }

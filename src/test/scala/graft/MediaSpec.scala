@@ -62,4 +62,33 @@ class MediaSpec extends AnyFunSuite {
       assert(f === Seq("img", "audio", "video")((id % 3).toInt))
     }
   }
+
+  test("mediaEmbed: cross-modal only, distances replay, top-3 is a total order") {
+    val rows = graft.multimodal.Media.mediaEmbed(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every match crosses modalities
+    rows.foreach(r => assert(r.getString(1) !== r.getString(3)))
+    // replay the stub embedding + squared L2 driver-side
+    val M = 1000000007L; val M2 = 1000000009L
+    def ph(s: String, base: Long, mod: Long): Long =
+      s.foldLeft(0L)((h, c) => (h * base + c.toLong) % mod)
+    val docs = spark.read.parquet(s"${sf}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def emb(id: Long): Seq[Long] = {
+      val h1 = ph(docs(id), 31L, M); val h2 = ph(docs(id), 131L, M2)
+      (1 to 8).map(i => (h1 + i * h2) % 1000L - 500L)
+    }
+    rows.foreach { r =>
+      val d = emb(r.getLong(0)).zip(emb(r.getLong(2)))
+        .map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(r.getLong(4) === d)
+    }
+    // per probe: exactly 3 ranks, ascending distance
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(5)).sorted.toSeq === Seq(1L, 2L, 3L))
+      val byRank = rs.sortBy(_.getLong(5)).map(_.getLong(4))
+      assert(byRank.toSeq === byRank.sorted.toSeq)
+    }
+  }
 }
