@@ -1577,6 +1577,46 @@ object Oracles {
          |  CAST(sum(dec) AS BIGINT) AS decay_cents
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_freshness" ->
+      s"""WITH w AS (SELECT max(ts) AS wm FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_seen,
+         |  CAST((epoch_us(max(wm)) - epoch_us(max(ts))) // 1000000 AS BIGINT)
+         |    AS staleness_s,
+         |  CAST(sum(CASE WHEN date_trunc('minute', ts) >
+         |    wm - INTERVAL '24 hours' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_last_day
+         |FROM events, w GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // sweep-line: the oracle affords a single global running sum; the
+    // engine computes the same curve via hour-block two-phase prefixes.
+    // Tie order pinned (t, starts before ends, user, session)
+    "q_concurrency" ->
+      s"""WITH e AS (SELECT user_id, ts, event_id,
+         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM events),
+         |s AS (SELECT user_id, ts, event_id,
+         |    CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+         |      THEN 1 ELSE 0 END AS new_sess FROM e),
+         |t AS (SELECT user_id, ts,
+         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM s),
+         |iv AS (SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en
+         |  FROM t GROUP BY 1, 2),
+         |pts AS (SELECT st AS pt, CAST(1 AS BIGINT) AS d, user_id, sess_id FROM iv
+         |  UNION ALL
+         |  SELECT en, CAST(-1 AS BIGINT), user_id, sess_id FROM iv),
+         |run AS (SELECT date_trunc('hour', pt) AS blk, d,
+         |    CAST(sum(d) OVER (ORDER BY pt, d DESC, user_id, sess_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         |  FROM pts)
+         |SELECT strftime(blk, '%Y-%m-%d %H:%M:%S') AS hour,
+         |  CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+         |  CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+         |  CAST(max(c) AS BIGINT) AS peak_concurrency
+         |FROM run GROUP BY blk ORDER BY hour""".stripMargin,
+
     "q_path_purchase" ->
       s"""WITH e AS (SELECT user_id, ts, event_id, event_type,
          |    lag(event_type, 1) OVER w AS p1,

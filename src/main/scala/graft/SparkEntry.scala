@@ -141,6 +141,8 @@ object SparkEntry {
     "q_attribution"       -> q(operators.Temporal.attribution),
     "q_mta"               -> q(operators.Temporal.mtaAttribution),
     "q_path_purchase"     -> q(operators.Temporal.pathToPurchase),
+    "q_concurrency"       -> q(operators.Temporal.concurrency),
+    "q_freshness"         -> q(operators.Temporal.freshness),
     "q_benford"           -> q(Relational.benford),
     "q_xml_extract"       -> q(Relational.xmlExtract),
     "q_profile"           -> q(Relational.profile),

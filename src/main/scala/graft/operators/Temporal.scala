@@ -340,6 +340,94 @@ object Temporal {
       .orderBy("event_type", "hod")
   }
 
+  /** Ingest freshness census — per event type: volume, last-seen event
+    * time, staleness against the corpus watermark (the newest event
+    * anywhere), and trailing-24 h volume. The first page of any pipeline
+    * health dashboard: a type whose staleness grows while others ingest
+    * is a dead upstream, caught before a consumer reads stale joins.
+    *
+    * Scale shape: ONE map-side-combined aggregation collapses the corpus
+    * to k type rows carrying (count, max ts, conditional count); the
+    * corpus watermark is a 1-row re-aggregation of those k rows
+    * broadcast back. The trailing-24 h count uses a self-contained
+    * two-read-free trick: it needs the watermark BEFORE aggregating, so
+    * it instead aggregates a (type, day-bucket) preshape — still one
+    * corpus pass — and finishes on the bucket table. */
+  def freshness(s: SparkSession, dir: String): DataFrame = {
+    // (type, minute) cells: fine enough to cut an exact 24 h trailing
+    // window at minute precision once the watermark is known, coarse
+    // enough that the cell table is ≤ k·minutes rows
+    val cells = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("minute", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("mx"))
+    val wm = cells.agg(max(col("mx")).as("wm"))
+    cells.crossJoin(broadcast(wm))
+      .groupBy("event_type")
+      .agg(sum(col("n")).as("n_events"),
+        date_format(max(col("mx")), "yyyy-MM-dd HH:mm:ss").as("last_seen"),
+        min(expr("unix_micros(wm) - unix_micros(mx)")).as("stale_us"),
+        sum(when(col("m") > expr("wm - INTERVAL 24 HOURS"), col("n"))
+          .otherwise(0L)).as("n_last_day"))
+      .select(col("event_type"), col("n_events"), col("last_seen"),
+        expr("stale_us div 1000000").as("staleness_s"), col("n_last_day"))
+      .orderBy("event_type")
+  }
+
+  /** Peak concurrent sessions per hour — the sweep-line algorithm
+    * distributed: sessionize (30-min gap), emit a +1 boundary event at
+    * each session start and a −1 at its end, and the running sum of
+    * deltas in global time order IS the concurrency curve; the report is
+    * each hour's boundary count and concurrency peak. This is the
+    * capacity metric ("how many users were on at once") that a naive
+    * formulation computes with a single-partition global window.
+    *
+    * Here the global running sum is the two-phase BLOCK PREFIX
+    * (pack_sequences / equi-depth discipline, applied to sweep-lines):
+    * hour-block-local running sums in parallel windows, plus per-block
+    * net-delta offsets accumulated over the ≤ hours-in-corpus block
+    * table — no corpus-sized single partition anywhere. Tie order is
+    * pinned (t, +1 before −1, user, session), so touching sessions
+    * count as concurrent and the curve is deterministic; hours with no
+    * boundary events carry concurrency silently and emit no row
+    * (documented contract — the oracle sees the same hours).
+    *
+    * Scale shape: one user-keyed sessionization exchange, a 2× map-side
+    * boundary fan-out, hour-partitioned windows, and an hours-sized
+    * offset table joined back (AQE broadcasts it). */
+  def concurrency(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+            1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val pts = sess
+      .select(col("st").as("t"), lit(1L).as("d"), col("user_id"), col("sess_id"))
+      .unionAll(sess.select(col("en").as("t"), lit(-1L).as("d"),
+        col("user_id"), col("sess_id")))
+      .withColumn("blk", date_trunc("hour", col("t")))
+    val wBlk = Window.partitionBy("blk")
+      .orderBy(col("t"), col("d").desc, col("user_id"), col("sess_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = pts.withColumn("run", sum(col("d")).over(wBlk))
+    val wOff = Window.orderBy("blk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = pts.groupBy("blk").agg(sum(col("d")).as("net"))
+      .withColumn("off", coalesce(sum(col("net")).over(wOff), lit(0L)))
+    local.join(off.select(col("blk"), col("off")), "blk")
+      .groupBy(date_format(col("blk"), "yyyy-MM-dd HH:mm:ss").as("hour"))
+      .agg(sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"),
+        max(col("off") + col("run")).as("peak_concurrency"))
+      .orderBy("hour")
+  }
+
   /** Path-to-purchase mining: the top-20 three-step event-type paths
     * that END in a purchase, with their share of all purchases (exact
     * ppm) — the sequence-mining upgrade of [[transitionMatrix]]'s

@@ -275,6 +275,58 @@ class CensusSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet.subsetOf((1L to 9L).toSet))
   }
 
+  test("concurrency: hourly peaks replay a driver-side global sweep-line") {
+    val got = Temporal.concurrency(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // driver-side: sessionize, emit ±1 boundaries, ONE global running sum
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val bounds = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      var (st, en, sid) = (sorted.head._2, sorted.head._2, 1L)
+      for (e <- sorted.tail) {
+        if (e._2 - en > 1800L * 1000000L) {
+          bounds += ((st, en, sid)); st = e._2; sid += 1
+        }
+        en = e._2
+      }
+      bounds += ((st, en, sid))
+      bounds.map { case (s0, e0, i) => (u, i, s0, e0) }
+    }
+    val pts = sessions.flatMap { case (u, i, s0, e0) =>
+      Seq((s0, 1L, u, i), (e0, -1L, u, i)) }
+      .sortBy(p => (p._1, -p._2, p._3, p._4))
+    var run = 0L
+    val curve = pts.map { p => run += p._2; (p._1, p._2, run) }
+    val wantPeak = curve.groupBy(c => c._1 / 3600000000L * 3600000000L)
+      .map { case (h, cs) =>
+        val hour = java.time.Instant.ofEpochSecond(h / 1000000L)
+          .atZone(java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        hour -> (cs.count(_._2 == 1L).toLong, cs.count(_._2 == -1L).toLong,
+          cs.map(_._3).max)
+      }
+    assert(got === wantPeak)
+    // conservation: every opened session closes
+    assert(got.values.map(_._1).sum === got.values.map(_._2).sum)
+  }
+
+  test("freshness: watermark type is fresh, volumes reconcile") {
+    val rows = Temporal.freshness(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ===
+      spark.read.parquet(s"$sf/events.parquet").count())
+    // the type holding the newest event has zero staleness
+    assert(rows.map(_.getLong(3)).min === 0L)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(1), "trailing-day count bounded")
+      assert(r.getLong(3) >= 0L)
+    }
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")

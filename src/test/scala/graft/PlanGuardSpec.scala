@@ -55,7 +55,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_keyness"         -> 1, // 1-row corpus token total broadcast
     "q_path_purchase"   -> 1, // 1-row purchase total broadcast
     "q_benford"         -> 1, // 1-row digit total broadcast
-    "q_multimodal_embed" -> 1 // intended brute-force baseline: 5 probes
+    "q_multimodal_embed" -> 1, // intended brute-force baseline: 5 probes
+    "q_freshness"       -> 1  // 1-row corpus-watermark broadcast
   )
 
   // one registered test per query (not one sweep): a single analysis error
@@ -173,6 +174,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_path_purchase" -> 3, // one user-keyed lag window + path count + top-20
     "q_benford" -> 3, // map-side digit extract → ≤9 cells + 1-row total
     "q_multimodal_embed" -> 2, // 5-probe broadcast; scoring is map-side
+    "q_concurrency" -> 5, // sessionize exchange + hour-block two-phase prefix
+    "q_freshness" -> 5, // corpus → (type, minute) cells; 1-row watermark back
     "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
     "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
     "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells
