@@ -1577,6 +1577,33 @@ object Oracles {
          |  CAST(sum(dec) AS BIGINT) AS decay_cents
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // forward as-of via the portable rank form (earliest order ≥ event
+    // day); unmatched events keep -1 markers as in q_asof_join
+    "q_asof_forward" ->
+      s"""WITH o AS (SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS d,
+         |    CAST(min(o_orderkey) AS BIGINT) AS next_orderkey
+         |  FROM orders GROUP BY 1, 2),
+         |e AS (SELECT event_id, user_id, CAST(ts AS DATE) AS d FROM events),
+         |j AS (SELECT e.event_id, e.user_id, e.d AS ed, o.d AS od,
+         |    o.next_orderkey,
+         |    row_number() OVER (PARTITION BY e.event_id ORDER BY o.d) AS rn
+         |  FROM e LEFT JOIN o ON e.user_id = o.user_id AND o.d >= e.d)
+         |SELECT event_id, user_id,
+         |  coalesce(next_orderkey, -1) AS next_orderkey,
+         |  CAST(CASE WHEN od IS NULL THEN -1
+         |    ELSE date_diff('day', ed, od) END AS BIGINT) AS days_until
+         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_ivm_join" ->
+      s"""WITH prof AS (SELECT o_custkey AS user_id,
+         |    CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1)
+         |SELECT event_type,
+         |  CASE WHEN n_orders >= 12 THEN 'heavy' ELSE 'light' END AS tier,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+         |FROM events JOIN prof USING (user_id)
+         |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
+
     "q_freshness" ->
       s"""WITH w AS (SELECT max(ts) AS wm FROM events)
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

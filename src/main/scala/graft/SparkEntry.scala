@@ -126,6 +126,8 @@ object SparkEntry {
     "q_partitioned_scan"  -> q(operators.Partitioned.partitionedScan),
     "q_dpp_join"          -> q(operators.Partitioned.dppJoin),
     "q_asof_join"         -> q(operators.Temporal.asofOrders),
+    "q_asof_forward"      -> q(operators.Temporal.asofForward),
+    "q_ivm_join"          -> q(Relational.ivmJoin),
     "q_scd2"              -> q(operators.Temporal.scd2),
     "q_funnel"            -> q(operators.Temporal.funnel),
     "q_retention"         -> q(operators.Temporal.retention),

@@ -596,6 +596,44 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Incremental JOIN-view maintenance — the bilinear delta identity
+    * behind every materialized join view and differential dataflow:
+    * (A ∪ ΔA) ⋈ (B ∪ ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB when the deltas
+    * are disjoint slices. The query evaluates the enriched-events view
+    * (events ⋈ per-user order profile, rolled up by type and tier)
+    * through the four-term decomposition, and the oracle evaluates the
+    * direct join — hash equality proves the maintenance rule is
+    * result-identical, the companion of [[incrementalAgg]]'s
+    * partial-aggregate merge.
+    *
+    * Scale point: on an incremental tick only the three Δ terms run —
+    * ΔA⋈B (new facts vs old dim), A⋈ΔB (old facts vs changed dim keys —
+    * key-pruned to ΔB's keys), ΔA⋈ΔB — while A⋈B is the already-
+    * materialized view; nothing reprocesses the full history. Here all
+    * four run (there is no persisted tick) to prove the algebra. */
+  def ivmJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+    val prof = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val (a, da) = (ev.filter(pmod(col("user_id") * 31L, lit(3)) =!= 0),
+      ev.filter(pmod(col("user_id") * 31L, lit(3)) === 0))
+    val (b, db) = (prof.filter(pmod(col("user_id"), lit(2)) === 0),
+      prof.filter(pmod(col("user_id"), lit(2)) === 1))
+    def term(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r, Seq("user_id"))
+        .select(col("event_type"),
+          when(col("n_orders") >= 12, "heavy").otherwise("light").as("tier"),
+          col("cents"))
+    term(a, b).unionAll(term(da, b)).unionAll(term(a, db))
+      .unionAll(term(da, db))
+      .groupBy("event_type", "tier")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type", "tier")
+  }
+
   /** Exact equi-DEPTH histogram (8 buckets of equal row count ±1) of
     * lineitem extended price — the companion of the equi-WIDTH
     * [[histogram]], and the shape a query optimizer's column statistics

@@ -24,7 +24,8 @@ object Temporal {
     * `payload` columns are taken from the right side and surfaced on every
     * left row (null where no right row precedes). */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-               lTime: String, rTime: String, payload: Seq[String]): DataFrame = {
+               lTime: String, rTime: String, payload: Seq[String],
+               forward: Boolean = false): DataFrame = {
     val lCols = left.columns
     val lTagged = left.select(
       (col(key) +: col(lTime).as("__t") +: lit(1).as("__side") +:
@@ -34,7 +35,11 @@ object Temporal {
       (col(key) +: col(rTime).as("__t") +: lit(0).as("__side") +:
         payload.map(col)) ++
         lCols.filterNot(_ == key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
+    // forward mode (smallest rTime ≥ lTime) is the same carry pass over
+    // the REVERSED time order; right rows still sort first on ties so an
+    // exactly-equal right row matches in both directions
+    val w = Window.partitionBy(key)
+      .orderBy(if (forward) col("__t").desc else col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = payload.foldLeft(rTagged.unionByName(lTagged)) { (df, p) =>
       df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
@@ -59,6 +64,32 @@ object Temporal {
       .select(col("event_id"), col("user_id"),
         coalesce(col("asof_orderkey"), lit(-1L)).as("asof_orderkey"),
         coalesce(col("asof_orderdate"), lit("")).as("asof_orderdate"))
+      .orderBy("event_id")
+  }
+
+  /** Forward as-of demo — time-to-next-order: each event matched to the
+    * user's EARLIEST order at or after the event's date (the [[asofJoin]]
+    * helper in forward mode — same single keyed shuffle, reversed carry
+    * order), with the wait in days. The operational twin of
+    * [[asofOrders]]: backward as-of answers "state at the time",
+    * forward answers "time until the next action" — conversion lag,
+    * time-to-restock, next-maintenance. Orders pre-aggregate to one row
+    * per (custkey, date) — MIN orderkey, the deterministic choice for
+    * the forward direction. */
+  def asofForward(s: SparkSession, dir: String): DataFrame = {
+    val ords = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("__d"))
+      .agg(min(col("o_orderkey")).as("next_orderkey"))
+      .withColumn("next_orderdate", date_format(col("__d"), "yyyy-MM-dd"))
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("__d"))
+    asofJoin(ev, ords, "user_id", "__d", "__d",
+        Seq("next_orderkey", "next_orderdate"), forward = true)
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("next_orderkey"), lit(-1L)).as("next_orderkey"),
+        when(col("next_orderdate").isNull, lit(-1L))
+          .otherwise(datediff(to_date(col("next_orderdate")), col("__d"))
+            .cast("long")).as("days_until"))
       .orderBy("event_id")
   }
 

@@ -327,6 +327,49 @@ class CensusSpec extends AnyFunSuite {
     }
   }
 
+  test("asof_forward: each match is the earliest order at/after the event day") {
+    val got = Temporal.asofForward(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), to_date(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+      .map(e => e._1 -> e).toMap
+    for ((eid, uid, nko, days) <- got) {
+      val (_, _, ed) = events(eid)
+      val cands = orders.filter(o => o._1 == uid && !o._2.isBefore(ed))
+      if (cands.isEmpty) { assert(nko === -1L && days === -1L) }
+      else {
+        val d0 = cands.map(_._2).min((a: java.time.LocalDate,
+          b: java.time.LocalDate) => a.compareTo(b))
+        assert(days === java.time.temporal.ChronoUnit.DAYS.between(ed, d0))
+        assert(nko === cands.filter(_._2 == d0).map(_._3).min)
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("ivm_join: four-term delta decomposition equals the direct join") {
+    val got = Relational.ivmJoin(spark, sf).collect().map(_.toSeq)
+    val prof = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_custkey").as("user_id"))
+      .agg(count(lit(1)).as("n_orders"))
+    val want = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+      .join(prof, Seq("user_id"))
+      .select(col("event_type"),
+        when(col("n_orders") >= 12, "heavy").otherwise("light").as("tier"),
+        col("cents"))
+      .groupBy("event_type", "tier")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("event_type", "tier").collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")
