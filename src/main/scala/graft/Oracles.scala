@@ -3523,6 +3523,26 @@ object Oracles {
          |WHERE day + INTERVAL '1 day' <= mxd + INTERVAL '6 days' - INTERVAL '8 days'
          |ORDER BY day""".stripMargin,
 
+    // exact order statistics from (hour, cents) count cells: the
+    // percentile is the smallest value whose cumulative count reaches
+    // ceil(q*n), expressed as cum*100 >= tot*q on integers
+    "q_stream_percentile" ->
+      s"""WITH cells AS (SELECT strftime(date_trunc('hour', ts),
+         |    '%Y-%m-%d %H:%M:%S') AS hour,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT hour, cents, n,
+         |    CAST(sum(n) OVER (PARTITION BY hour ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(n) OVER (PARTITION BY hour) AS BIGINT) AS tot
+         |  FROM cells)
+         |SELECT hour, CAST(max(tot) AS BIGINT) AS n_events,
+         |  min(CASE WHEN cum * 100 >= tot * 50 THEN cents END) AS p50,
+         |  min(CASE WHEN cum * 100 >= tot * 95 THEN cents END) AS p95,
+         |  min(CASE WHEN cum * 100 >= tot * 99 THEN cents END) AS p99
+         |FROM c GROUP BY hour ORDER BY hour""".stripMargin,
+
     "q_stream_dedup" ->
       s"""SELECT DISTINCT user_id,
          |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute

@@ -31,7 +31,7 @@ import graft.streaming.Streams
   *    PII scan/mask; monitoring: Cohen's kappa, centroid silhouette,
   *    calibration curve, early-vs-late TVD drift, watermark late-data
   *    census.
-  *  - Structured Streaming ×15 flavors (windows, watermark, dedup,
+  *  - Structured Streaming ×18 flavors (windows, watermark, dedup,
   *    joins ×3, sessions, top-k, transformWithState CDC, CDC chunk
   *    census, kv sink, per-source quota, PPS sample, LSH ingest probe,
   *    live-vs-reference drift monitor).
@@ -299,7 +299,8 @@ object SparkEntry {
     "q_stream_domain_cap" -> q((s, d) => Streams.streamDomainCap(s, d)),
     "q_stream_pps_sample" -> q((s, d) => Streams.streamPpsSample(s, d)),
     "q_stream_lsh_ingest" -> q(Streams.streamLshIngest),
-    "q_stream_active_users" -> q(Streams.streamActiveUsers)
+    "q_stream_active_users" -> q(Streams.streamActiveUsers),
+    "q_stream_percentile" -> q(Streams.streamPercentile)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -725,6 +725,41 @@ object Streams {
         col("n_zero"), col("max_rho"))
   }
 
+  /** 18th flavor — streaming EXACT percentile monitor: the live
+    * p50/p95/p99 gauge (here over event value in cents, per hourly
+    * window). The production problem is that exact order statistics
+    * normally need the sorted data; the streaming shape here keeps
+    * state as (window, cents) COUNT cells — counts are commutative, so
+    * complete-mode aggregation is micro-batch-order-insensitive, and
+    * the post-drain pass computes the exact percentile as the smallest
+    * value whose cumulative count reaches ⌈q·n⌉ over the cell table
+    * (cells per window are bounded by the value domain, not the event
+    * count — the same reason the batch equi-depth histogram works).
+    * Unlike an approx-percentile sketch this is EXACT, and unlike a
+    * sort it never materializes per-event state. */
+  def streamPercentile(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventStream(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("cents"), col("n"))
+    val drained = withStatePartitions(s, 2) { completeToParquet(s, cells) }
+    val wh = org.apache.spark.sql.expressions.Window.partitionBy("hour")
+      .orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    def pct(q: Int) = min(when(
+      col("cum") * 100 >= col("tot") * q, col("cents"))).as(s"p$q")
+    drained
+      .withColumn("cum", sum(col("n")).over(wh))
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("hour")))
+      .groupBy("hour")
+      .agg(max(col("tot")).as("n_events"), pct(50), pct(95), pct(99))
+      .orderBy("hour")
+  }
+
   /** 17th flavor — streaming rolling 7-day active users (the live WAU
     * counter, streaming twin of [[graft.operators.Temporal.activeUsers]]):
     * each event fans out MAP-SIDE to the ≤ 7 window-days it contributes

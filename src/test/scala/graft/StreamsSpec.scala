@@ -257,6 +257,27 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream percentile equals exact batch order statistics per hour") {
+    val stream = Streams.streamPercentile(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // batch brute force: sort each hour's cents, index ceil(q*n)-1
+    val byHour = graft.Tables.events(spark, sf)
+      .select(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("h"),
+        expr("cast(floor(value * 100) as bigint)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def q(xs: Seq[Long], p: Int): Long = {
+      val n = xs.length.toLong
+      xs(((n * p + 99) / 100 - 1).toInt)
+    }
+    val want = byHour.map { case (h, xs) =>
+      h -> (xs.length.toLong, q(xs, 50), q(xs, 95), q(xs, 99)) }
+    assert(stream === want)
+    assert(stream.nonEmpty)
+  }
+
   test("stream active users equals batch WAU on the closed days") {
     val stream = Streams.streamActiveUsers(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
