@@ -2495,6 +2495,30 @@ object Oracles {
 
     "q_similarity_topk" -> similarityTopkSql,
 
+    // norm² via the same strict left-to-right double fold as the engine's
+    // dotD; floor before the integer cast (DuckDB CAST rounds, Spark
+    // truncates — floor pins both)
+    "q_emb_health" ->
+      s"""WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |m AS (SELECT label, CAST(len(v) AS BIGINT) AS dim,
+         |    CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(v, x -> x * x)), (a, b) -> a + b) * 1000000)
+         |      AS BIGINT) AS n2,
+         |    CAST(len(list_filter(v, x -> x = 0)) AS BIGINT) AS zd
+         |  FROM e)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(max(dim) AS BIGINT) AS dim,
+         |  CAST(min(n2) AS BIGINT) AS min_norm2_micro,
+         |  CAST(max(n2) AS BIGINT) AS max_norm2_micro,
+         |  CAST(sum(CAST(n2 AS HUGEINT)) // count(*) AS BIGINT)
+         |    AS avg_norm2_micro,
+         |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_zero_vecs,
+         |  CAST(sum(zd) AS BIGINT) AS n_zero_dims
+         |FROM m GROUP BY label ORDER BY label""".stripMargin,
+
     // LSH-blocked near-dup: candidates from shared (table, bucket) of the
     // deterministic hyperplanes (regenerated verbatim below), then exact
     // cosine ≥ 0.4 — mirrors Pipeline.embeddingNeardup's scale-safe plan.

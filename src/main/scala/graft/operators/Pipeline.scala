@@ -1958,6 +1958,37 @@ object Pipeline {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
+  /** Embedding-store health census — per label: vector count, dimension,
+    * the norm² distribution (min/max/mean in exact micro units via the
+    * strict left-to-right [[graft.functions.Fns.dotD]] fold, floored so
+    * both engines land on the same integer), zero vectors, and dead
+    * (exactly-zero) dimensions. This is the check a vector platform runs
+    * on every re-embedding batch BEFORE indexes rebuild: a collapsed
+    * encoder shows up as zero/deflated norms or dead dimensions long
+    * before ANN recall visibly degrades (`q_ann_recall` is the
+    * downstream symptom; this is the upstream cause monitor).
+    *
+    * Scale shape: everything per-row computes map-side (codegen'd fold +
+    * array filter); one label-keyed aggregation; mean routed through
+    * DECIMAL(38,0) so the sum can't overflow at corpus scale. */
+  def embHealth(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(col("label"), size(col("v")).cast("long").as("dim"),
+        floor(Fns.dotD(col("v"), col("v")) * lit(1e6)).cast("long").as("n2"),
+        size(filter(col("v"), x => x === 0.0)).cast("long").as("zd"))
+    rows.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), max(col("dim")).as("dim"),
+        min(col("n2")).as("min_norm2_micro"),
+        max(col("n2")).as("max_norm2_micro"),
+        expr("cast(sum(cast(n2 as decimal(38,0))) div count(1) as bigint)")
+          .as("avg_norm2_micro"),
+        sum(when(col("n2") === 0L, 1L).otherwise(0L)).as("n_zero_vecs"),
+        sum(col("zd")).as("n_zero_dims"))
+      .orderBy("label")
+  }
+
   // The bucketed embedding table IS the LSH index: (vec_id, v, nrm) fanned
   // out to its (table, bucket) cells. Built once per (session, corpus) and
   // shared by the pairwise near-dup blocker and the probe-side ANN — the

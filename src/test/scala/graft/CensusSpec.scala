@@ -370,6 +370,25 @@ class CensusSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("emb_health: norms replay driver-side and cells partition the store") {
+    val rows = graft.operators.Pipeline.embHealth(spark, sf).collect()
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label").cast("long"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(rows.map(_.getLong(1)).sum === embs.length.toLong)
+    for (r <- rows) {
+      val vs = embs.filter(_._1 == r.getLong(0)).map(_._2)
+      val n2s = vs.map(v => math.floor(
+        v.foldLeft(0.0)((a, x) => a + x * x) * 1e6).toLong)
+      assert(r.getLong(3) === n2s.min && r.getLong(4) === n2s.max)
+      assert(r.getLong(5) === n2s.map(BigInt(_)).sum / n2s.length)
+      assert(r.getLong(6) === n2s.count(_ == 0L).toLong)
+      assert(r.getLong(7) === vs.map(_.count(_ == 0.0).toLong).sum)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")
