@@ -610,6 +610,14 @@ object Oracles {
          |  AND o_orderdate < DATE '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q_tpch_q6" ->
+      s"""SELECT ${sumD("l_extendedprice*l_discount", 6, "revenue")},
+         |  CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
     "q_tpch_q10" ->
       s"""WITH pc AS (
          |  SELECT o_custkey, ${sumD("l_extendedprice*(1-l_discount)", 6, "revenue")}

@@ -1533,6 +1533,22 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q6 (forecasting revenue change): the canonical pure
+    * filter-and-aggregate — no join, no group. Its entire value at scale
+    * is SCAN EFFICIENCY: all three predicates and the two-column
+    * projection must reach the parquet reader (PushedFilters +
+    * ReadSchema in `.explain`; asserted for this family in
+    * `RelationalSpec`'s pushdown tests), so a 100 TB lineitem reads only
+    * the row groups whose min/max stats survive the date range. */
+  def tpchQ6(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sumD6(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
   /** TPC-H Q10 (returned item reporting): the top-20 customers by revenue
     * lost to returns in one quarter, with their nation. The
     * aggregate-then-rank shape on a fact-fact join: lineitem keeps only

@@ -180,6 +180,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_ivm_join" -> 6, // four delta-term joins (dim sides broadcast) + rollup
     "q_stream_percentile" -> 3, // complete-mode cell state + post-drain windows
     "q_emb_health" -> 2, // map-side fold per row + one label-keyed agg
+    "q_tpch_q6" -> 1, // filtered scan → 1-row aggregate; no join anywhere
     "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
     "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
     "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells

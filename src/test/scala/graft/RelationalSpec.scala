@@ -211,6 +211,22 @@ class RelationalSpec extends AnyFunSuite {
       s"missing pushdown in plan:\n$plan")
   }
 
+  test("tpch_q6: all three predicates and the 4-column projection reach the scan") {
+    // formatted mode prints the scan's full PushedFilters list (the tree
+    // string truncates long scan descriptions)
+    val plan = Relational.tpchQ6(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    Seq("GreaterThanOrEqual(l_shipdate", "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity").foreach(f =>
+      assert(plan.contains(f), s"predicate $f not pushed:\n$plan"))
+    // projection pruned to exactly the referenced columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .foreach(c => assert(readSchema.contains(c)))
+    assert(!readSchema.contains("l_orderkey"),
+      s"scan reads unreferenced columns:\n$readSchema")
+  }
+
   test("runtime bloom filter prunes the big side of a selective shuffle join") {
     // at 100 TB a selectively-filtered dimension side injects a bloom
     // filter into the fact-side scan (default-on in Spark 4, gated by a
