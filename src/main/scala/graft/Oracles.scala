@@ -1666,10 +1666,11 @@ object Oracles {
          |FROM paths, t ORDER BY n DESC, path LIMIT 20""".stripMargin,
 
     "q_benford" ->
-      s"""WITH d AS (SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100)
-         |    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM orders GROUP BY 1),
+      s"""WITH pos AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |d AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+         |    AS digit, CAST(count(*) AS BIGINT) AS n
+         |  FROM pos WHERE cents >= 1 GROUP BY 1),
          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM d),
          |exp_t(digit, exp_ppm) AS (VALUES (1, 301030), (2, 176091),
          |  (3, 124939), (4, 96910), (5, 79181), (6, 66947), (7, 57992),

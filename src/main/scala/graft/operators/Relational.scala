@@ -1631,9 +1631,15 @@ object Relational {
     val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
       66947L, 57992L, 51153L, 45757L)
     val expCol = element_at(array(expected.map(lit): _*), col("digit").cast("int"))
+    // Benford is defined on positive magnitudes: totals under one cent
+    // (leading digit 0) or negative are excluded EXPLICITLY in both
+    // engines — element_at(expected, 0) would otherwise be a crash here
+    // and a silently dropped row in the oracle's digit join
     val digits = Tables.orders(s, dir)
-      .select(expr("cast(substring(cast(cast(floor(o_totalprice * 100)" +
-        " as bigint) as string), 1, 1) as bigint)").as("digit"))
+      .select(expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+      .filter(col("cents") >= 1L)
+      .select(expr("cast(substring(cast(cents as string), 1, 1) as bigint)")
+        .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n"))
     val total = digits.agg(sum(col("n")).as("total"))
     digits.crossJoin(broadcast(total))

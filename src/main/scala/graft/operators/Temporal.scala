@@ -578,9 +578,12 @@ object Temporal {
         sum(col("x")).as("sx"), sum(col("y")).as("sy"),
         sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
       .select(col("c_mktsegment"), col("n_months"),
+        // nullif guards the single-month segment (denominator 0): the
+        // engine then emits NULL exactly as DuckDB's `// 0` does,
+        // instead of an ANSI DIVIDE_BY_ZERO error
         expr("cast((cast(n_months as decimal(38,0)) * sxy - cast(sx as" +
-          " decimal(38,0)) * sy) * 1000000 div (cast(n_months as" +
-          " decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx)" +
+          " decimal(38,0)) * sy) * 1000000 div nullif(cast(n_months as" +
+          " decimal(38,0)) * sxx - cast(sx as decimal(38,0)) * sx, 0)" +
           " as bigint)").as("slope_microcents"))
       .orderBy("c_mktsegment")
   }

@@ -110,7 +110,12 @@ class RecoverySpec extends AnyFunSuite {
         && col("ts") < lit("2024-01-15 12:30:00"))
     val secondHalf = ev.filter(col("ts") >= lit("2024-01-15 12:30:00")
         && col("ts") < lit("2024-01-15 13:00:00"))
-    if (firstHalf.count() > 0 && secondHalf.count() > 0) {
+    // assert only when the boundary window actually CLOSED (its end is
+    // at or below the final watermark) — otherwise append mode rightly
+    // emitted nothing for it
+    val boundaryClosed = !mx.toInstant.minusSeconds(3600)
+      .isBefore(java.time.Instant.parse("2024-01-15T13:00:00Z"))
+    if (firstHalf.count() > 0 && secondHalf.count() > 0 && boundaryClosed) {
       assert(boundary.values.sum === firstHalf.count() + secondHalf.count(),
         "the restart-spanning window aggregated rows from both runs")
     }
