@@ -610,6 +610,37 @@ object Oracles {
          |  AND o_orderdate < DATE '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    // one-pass Poisson bootstrap: pinned affine hash mod 1e4 against the
+    // integer Poisson(1) CDF; replica means tie-break by replica id
+    "q_bootstrap_ci" ->
+      s"""WITH o AS (SELECT o_orderkey AS k,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         |reps AS (SELECT b, cents,
+         |    ((k % 1000000007) * (2654435761 + b * 40503) + 97 + b * 131)
+         |      % 1000000007 % 10000 AS r
+         |  FROM o, range(32) t(b)),
+         |w AS (SELECT b, cents, CASE
+         |    WHEN r < 3679 THEN 0 WHEN r < 7358 THEN 1 WHEN r < 9197 THEN 2
+         |    WHEN r < 9810 THEN 3 WHEN r < 9963 THEN 4 WHEN r < 9994 THEN 5
+         |    WHEN r < 9999 THEN 6 ELSE 7 END AS w
+         |  FROM reps),
+         |m AS (SELECT b, CAST(sum(w) AS BIGINT) AS n,
+         |    CAST(sum(w * cents) AS BIGINT) AS sc FROM w GROUP BY b),
+         |mm AS (SELECT b,
+         |    CAST(CAST(sc AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_micro
+         |  FROM m),
+         |rk AS (SELECT mean_micro,
+         |    row_number() OVER (ORDER BY mean_micro, b) AS rank FROM mm),
+         |ci AS (SELECT
+         |    min(CASE WHEN rank = 2 THEN mean_micro END) AS ci_lo_micro,
+         |    min(CASE WHEN rank = 31 THEN mean_micro END) AS ci_hi_micro
+         |  FROM rk)
+         |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(CAST(sum(cents) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+         |    AS mean_micro,
+         |  ci_lo_micro, ci_hi_micro
+         |FROM o, ci GROUP BY ci_lo_micro, ci_hi_micro""".stripMargin,
+
     "q_tpch_q6" ->
       s"""SELECT ${sumD("l_extendedprice*l_discount", 6, "revenue")},
          |  CAST(count(*) AS BIGINT) AS n_lines

@@ -1651,6 +1651,55 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** One-pass Poisson bootstrap — the large-scale form of the bootstrap
+    * confidence interval: instead of materializing B resamples, every
+    * row draws B=32 independent Poisson(1)-distributed WEIGHTS map-side
+    * (a row's multiplicity in each virtual resample), so all replicas
+    * aggregate in ONE corpus pass and the CI is read off the 32 replica
+    * means. Reported: the exact sample mean of order spend and the
+    * percentile interval trimming one replica per tail (≈ 94 % CI).
+    *
+    * Determinism: the Poisson draw is a pinned affine hash of
+    * (orderkey, replica) reduced mod 10⁴ against the integer CDF of
+    * Poisson(1) (3679, 7358, 9197, 9810, 9963, 9994, 9999) — both
+    * engines replay it bit-exactly; replica means route through
+    * DECIMAL(38,0) and tie-break by replica id.
+    *
+    * Scale shape: a 32× map-side fan-out (no shuffle grows), one 32-group
+    * aggregation, and every structure after it is exactly 32 rows. */
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"),
+        expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+    val weights =
+      "transform(sequence(0, 31), b -> CASE" +
+        " WHEN ((k % 1000000007L) * (2654435761L + b * 40503L)" +
+        " + 97L + b * 131L) % 1000000007L % 10000L < 3679 THEN 0L" +
+        weightCase(3679, 7358, 1) + weightCase(7358, 9197, 2) +
+        weightCase(9197, 9810, 3) + weightCase(9810, 9963, 4) +
+        weightCase(9963, 9994, 5) + weightCase(9994, 9999, 6) +
+        " ELSE 7L END)"
+    val m = o.select(col("cents"), posexplode(expr(weights)).as(Seq("b", "w")))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("cents")).as("sc"))
+      .select(col("b"),
+        expr("cast(cast(sc as decimal(38,0)) * 1000000 div n as bigint)")
+          .as("mean_micro"))
+    val ranked = m.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy("mean_micro", "b")))
+    val ci = ranked.agg(
+      min(when(col("rank") === 2, col("mean_micro"))).as("ci_lo_micro"),
+      min(when(col("rank") === 31, col("mean_micro"))).as("ci_hi_micro"))
+    o.agg(count(lit(1)).as("n_orders"),
+        expr("cast(cast(sum(cents) as decimal(38,0)) * 1000000" +
+          " div count(1) as bigint)").as("mean_micro"))
+      .crossJoin(broadcast(ci))
+  }
+
+  private def weightCase(lo: Int, hi: Int, w: Int): String =
+    s" WHEN ((k % 1000000007L) * (2654435761L + b * 40503L)" +
+      s" + 97L + b * 131L) % 1000000007L % 10000L < $hi THEN ${w}L"
+
   /** Declarative data-quality constraint census (the Deequ/
     * great-expectations pattern): one row per constraint with the rows
     * checked, violations found, the pass fraction in exact ppm, and a

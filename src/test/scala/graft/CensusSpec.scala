@@ -389,6 +389,33 @@ class CensusSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("bootstrap_ci: replica weights replay, CI brackets the sample mean") {
+    val row = Relational.bootstrapCi(spark, sf).collect()(0)
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100) as bigint)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(row.getLong(0) === orders.length.toLong)
+    // replay the pinned Poisson(1) draw for all 32 replicas
+    val cdf = Seq(3679, 7358, 9197, 9810, 9963, 9994, 9999)
+    def weight(k: Long, b: Long): Long = {
+      val r = ((k % 1000000007L) * (2654435761L + b * 40503L) +
+        97L + b * 131L) % 1000000007L % 10000L
+      cdf.indexWhere(r < _) match { case -1 => 7L case i => i.toLong }
+    }
+    val means = (0L until 32L).map { b =>
+      val (n, sc) = orders.foldLeft((0L, BigInt(0))) { case ((n0, s0), (k, c)) =>
+        val w = weight(k, b); (n0 + w, s0 + BigInt(w) * c)
+      }
+      (b, (sc * 1000000 / n).toLong)
+    }
+    val sorted = means.sortBy(m => (m._2, m._1)).map(_._2)
+    assert(row.getLong(2) === sorted(1), "ci_lo is the 2nd replica mean")
+    assert(row.getLong(3) === sorted(30), "ci_hi is the 31st replica mean")
+    // the interval is ordered and brackets the exact mean at this n
+    assert(row.getLong(2) <= row.getLong(1) && row.getLong(1) <= row.getLong(3))
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")

@@ -56,7 +56,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_path_purchase"   -> 1, // 1-row purchase total broadcast
     "q_benford"         -> 1, // 1-row digit total broadcast
     "q_multimodal_embed" -> 1, // intended brute-force baseline: 5 probes
-    "q_freshness"       -> 1  // 1-row corpus-watermark broadcast
+    "q_freshness"       -> 1, // 1-row corpus-watermark broadcast
+    "q_bootstrap_ci"    -> 1  // 1-row CI-bounds broadcast
   )
 
   // one registered test per query (not one sweep): a single analysis error
@@ -181,6 +182,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_percentile" -> 3, // complete-mode cell state + post-drain windows
     "q_emb_health" -> 2, // map-side fold per row + one label-keyed agg
     "q_tpch_q6" -> 1, // filtered scan → 1-row aggregate; no join anywhere
+    "q_bootstrap_ci" -> 3, // 32× map fan-out, one 32-group agg, 32-row tails
     "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
     "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
     "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells
