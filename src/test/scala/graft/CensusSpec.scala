@@ -416,6 +416,28 @@ class CensusSpec extends AnyFunSuite {
     assert(row.getLong(2) <= row.getLong(1) && row.getLong(1) <= row.getLong(3))
   }
 
+  test("changepoint: the split maximizes CUSUM deviation over an hourly replay") {
+    val row = Temporal.changepoint(spark, sf).collect()(0)
+    val counts = Tables.events(spark, sf)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("h"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val s = counts.map(_._2).sum
+    val hh = counts.length.toLong
+    val prefix = counts.scanLeft(0L)(_ + _._2).drop(1)
+    val devs = prefix.zipWithIndex.map { case (sh, i) =>
+      (BigInt(sh) * hh - BigInt(i + 1) * s).abs }
+    val bestIdx = devs.zipWithIndex.maxBy { case (d, i) => (d, -i) }._2
+    assert(row.getString(0) === counts(bestIdx)._1)
+    assert(row.getLong(1) === prefix(bestIdx))
+    assert(row.getLong(2) === s - prefix(bestIdx))
+    assert(BigInt(row.getLong(5)) ===
+      devs(bestIdx) * 1000000 / (BigInt(s) * hh))
+    // totals conserve
+    assert(row.getLong(1) + row.getLong(2) === s)
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")

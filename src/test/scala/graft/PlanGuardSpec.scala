@@ -57,7 +57,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_benford"         -> 1, // 1-row digit total broadcast
     "q_multimodal_embed" -> 1, // intended brute-force baseline: 5 probes
     "q_freshness"       -> 1, // 1-row corpus-watermark broadcast
-    "q_bootstrap_ci"    -> 1  // 1-row CI-bounds broadcast
+    "q_bootstrap_ci"    -> 1, // 1-row CI-bounds broadcast
+    "q_changepoint"     -> 1  // 1-row (S, H) totals broadcast
   )
 
   // one registered test per query (not one sweep): a single analysis error
@@ -183,6 +184,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_emb_health" -> 2, // map-side fold per row + one label-keyed agg
     "q_tpch_q6" -> 1, // filtered scan → 1-row aggregate; no join anywhere
     "q_bootstrap_ci" -> 3, // 32× map fan-out, one 32-group agg, 32-row tails
+    "q_changepoint" -> 3, // corpus → hourly cells; windows over ≤H cells
     "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
     "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
     "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells
