@@ -1665,40 +1665,42 @@ object Relational {
     * engines replay it bit-exactly; replica means route through
     * DECIMAL(38,0) and tie-break by replica id.
     *
-    * Scale shape: a 32× map-side fan-out (no shuffle grows), one 32-group
-    * aggregation, and every structure after it is exactly 32 rows. */
+    * Scale shape: a 33× map-side fan-out (replica 32 is the exact sample
+    * at weight 1, so the sample mean rides the same pass — the corpus is
+    * scanned ONCE), one 33-group aggregation whose exchange both output
+    * branches reuse, and every structure after it is ≤ 33 rows. */
   def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
       .select(col("o_orderkey").as("k"),
         expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+    // replica 32 carries weight 1 everywhere — the exact sample rides the
+    // SAME single corpus pass as the 32 resamples. The inner transform
+    // computes each replica's hash draw r once; the outer maps r through
+    // the Poisson(1) CDF (sentinel −1 → the exact-sample replica).
     val weights =
-      "transform(sequence(0, 31), b -> CASE" +
-        " WHEN ((k % 1000000007L) * (2654435761L + b * 40503L)" +
-        " + 97L + b * 131L) % 1000000007L % 10000L < 3679 THEN 0L" +
-        weightCase(3679, 7358, 1) + weightCase(7358, 9197, 2) +
-        weightCase(9197, 9810, 3) + weightCase(9810, 9963, 4) +
-        weightCase(9963, 9994, 5) + weightCase(9994, 9999, 6) +
-        " ELSE 7L END)"
+      "transform(transform(sequence(0, 32)," +
+        " b -> IF(b = 32, -1L," +
+        " ((k % 1000000007L) * (2654435761L + b * 40503L)" +
+        " + 97L + b * 131L) % 1000000007L % 10000L))," +
+        " r -> CASE WHEN r = -1 THEN 1L WHEN r < 3679 THEN 0L" +
+        " WHEN r < 7358 THEN 1L WHEN r < 9197 THEN 2L" +
+        " WHEN r < 9810 THEN 3L WHEN r < 9963 THEN 4L" +
+        " WHEN r < 9994 THEN 5L WHEN r < 9999 THEN 6L ELSE 7L END)"
     val m = o.select(col("cents"), posexplode(expr(weights)).as(Seq("b", "w")))
       .groupBy("b")
       .agg(sum(col("w")).as("n"), sum(col("w") * col("cents")).as("sc"))
       .select(col("b"),
         expr("cast(cast(sc as decimal(38,0)) * 1000000 div n as bigint)")
-          .as("mean_micro"))
-    val ranked = m.withColumn("rank", row_number().over(
+          .as("mean_micro"), col("n"))
+    val ranked = m.filter(col("b") < 32).withColumn("rank", row_number().over(
       org.apache.spark.sql.expressions.Window.orderBy("mean_micro", "b")))
     val ci = ranked.agg(
       min(when(col("rank") === 2, col("mean_micro"))).as("ci_lo_micro"),
       min(when(col("rank") === 31, col("mean_micro"))).as("ci_hi_micro"))
-    o.agg(count(lit(1)).as("n_orders"),
-        expr("cast(cast(sum(cents) as decimal(38,0)) * 1000000" +
-          " div count(1) as bigint)").as("mean_micro"))
+    m.filter(col("b") === 32)
+      .select(col("n").as("n_orders"), col("mean_micro"))
       .crossJoin(broadcast(ci))
   }
-
-  private def weightCase(lo: Int, hi: Int, w: Int): String =
-    s" WHEN ((k % 1000000007L) * (2654435761L + b * 40503L)" +
-      s" + 97L + b * 131L) % 1000000007L % 10000L < $hi THEN ${w}L"
 
   /** Declarative data-quality constraint census (the Deequ/
     * great-expectations pattern): one row per constraint with the rows
