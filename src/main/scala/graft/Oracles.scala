@@ -357,6 +357,29 @@ object Oracles {
 
   /** Exact brute-force cosine top-10 (shared verbatim by the
     * q_similarity_topk entry and, as a CTE, the q_ann_recall eval). */
+  private lazy val changepointSql: String =
+    s"""WITH cells AS (SELECT date_trunc('hour', ts) AS h,
+       |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+       |t AS (SELECT CAST(sum(c) AS BIGINT) AS s,
+       |    CAST(count(*) AS BIGINT) AS hh FROM cells),
+       |sc AS (SELECT h, s, hh,
+       |    CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS idx,
+       |    CAST(sum(c) OVER (ORDER BY h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sh
+       |  FROM cells, t),
+       |d AS (SELECT *,
+       |    abs(CAST(sh AS HUGEINT) * hh - CAST(idx AS HUGEINT) * s) AS dev
+       |  FROM sc),
+       |b AS (SELECT * FROM d ORDER BY dev DESC, idx LIMIT 1)
+       |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS split_hour,
+       |  sh AS n_before, s - sh AS n_after,
+       |  CAST(sh * 1000 // idx AS BIGINT) AS rate_before_milli,
+       |  CAST(CASE WHEN hh = idx THEN 0
+       |    ELSE (s - sh) * 1000 // (hh - idx) END AS BIGINT)
+       |    AS rate_after_milli,
+       |  CAST(dev * 1000000 // (CAST(s AS HUGEINT) * hh) AS BIGINT) AS dev_ppm
+       |FROM b""".stripMargin
+
   private lazy val similarityTopkSql: String =
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings),
@@ -1644,29 +1667,12 @@ object Oracles {
          |GROUP BY 1, 2 ORDER BY event_type, tier""".stripMargin,
 
     // max-CUSUM split: dev desc then idx asc picks the earliest maximal
-    // deviation hour, matching the engine's (dev, -idx) struct-max
-    "q_changepoint" ->
-      s"""WITH cells AS (SELECT date_trunc('hour', ts) AS h,
-         |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
-         |t AS (SELECT CAST(sum(c) AS BIGINT) AS s,
-         |    CAST(count(*) AS BIGINT) AS hh FROM cells),
-         |sc AS (SELECT h, s, hh,
-         |    CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS idx,
-         |    CAST(sum(c) OVER (ORDER BY h
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sh
-         |  FROM cells, t),
-         |d AS (SELECT *,
-         |    abs(CAST(sh AS HUGEINT) * hh - CAST(idx AS HUGEINT) * s) AS dev
-         |  FROM sc),
-         |b AS (SELECT * FROM d ORDER BY dev DESC, idx LIMIT 1)
-         |SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS split_hour,
-         |  sh AS n_before, s - sh AS n_after,
-         |  CAST(sh * 1000 // idx AS BIGINT) AS rate_before_milli,
-         |  CAST(CASE WHEN hh = idx THEN 0
-         |    ELSE (s - sh) * 1000 // (hh - idx) END AS BIGINT)
-         |    AS rate_after_milli,
-         |  CAST(dev * 1000000 // (CAST(s AS HUGEINT) * hh) AS BIGINT) AS dev_ppm
-         |FROM b""".stripMargin,
+    // deviation hour, matching the engine's (dev, -idx) struct-max. The
+    // streaming twin drains identical hourly cells (commutative counts),
+    // so both queries share this oracle verbatim.
+    "q_changepoint" -> changepointSql,
+
+    "q_stream_changepoint" -> changepointSql,
 
     "q_freshness" ->
       s"""WITH w AS (SELECT max(ts) AS wm FROM events)

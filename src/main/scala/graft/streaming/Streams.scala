@@ -725,6 +725,41 @@ object Streams {
         col("n_zero"), col("max_rho"))
   }
 
+  /** 19th flavor — live changepoint monitor: the streaming twin of
+    * [[graft.operators.Temporal.changepoint]]. State is the hourly count
+    * cell table (complete mode — counts are commutative, so the drained
+    * cells equal the batch cells regardless of micro-batch order, and
+    * state is ≤ hours-in-corpus rows); the max-CUSUM argmax runs
+    * post-drain over the cells with the same pinned earliest-hour tie
+    * rule, so the live monitor and the batch census produce the SAME
+    * split row — the property that lets an alerting pipeline page on the
+    * streaming result and trust the batch backfill to agree. */
+  def streamChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val cells = eventStream(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    val drained = withStatePartitions(s, 2) { completeToParquet(s, cells) }
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy("h").rowsBetween(W.unboundedPreceding, W.currentRow)
+    val tot = drained.agg(sum(col("c")).as("s"), count(lit(1)).as("hh"))
+    drained.crossJoin(broadcast(tot))
+      .withColumn("idx", row_number().over(W.orderBy("h")).cast("long"))
+      .withColumn("sh", sum(col("c")).over(w))
+      .withColumn("dev", abs(expr(
+        "cast(sh as decimal(38,0)) * hh - cast(idx as decimal(38,0)) * s")))
+      .withColumn("best", max(struct(col("dev"),
+        (-col("idx")).as("ni"))).over(W.partitionBy(lit(1))))
+      .filter(col("idx") === -col("best.ni"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("split_hour"),
+        col("sh").as("n_before"), (col("s") - col("sh")).as("n_after"),
+        expr("sh * 1000L div idx").as("rate_before_milli"),
+        when(col("hh") === col("idx"), lit(0L))
+          .otherwise(expr("(s - sh) * 1000L div (hh - idx)"))
+          .as("rate_after_milli"),
+        expr("cast(cast(best.dev as decimal(38,0)) * 1000000 div" +
+          " (cast(s as decimal(38,0)) * hh) as bigint)").as("dev_ppm"))
+  }
+
   /** 18th flavor — streaming EXACT percentile monitor: the live
     * p50/p95/p99 gauge (here over event value in cents, per hourly
     * window). The production problem is that exact order statistics

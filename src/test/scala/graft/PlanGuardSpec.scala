@@ -58,7 +58,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_multimodal_embed" -> 1, // intended brute-force baseline: 5 probes
     "q_freshness"       -> 1, // 1-row corpus-watermark broadcast
     "q_bootstrap_ci"    -> 1, // 1-row CI-bounds broadcast
-    "q_changepoint"     -> 1  // 1-row (S, H) totals broadcast
+    "q_changepoint"     -> 1, // 1-row (S, H) totals broadcast
+    "q_stream_changepoint" -> 1 // same 1-row totals broadcast post-drain
   )
 
   // one registered test per query (not one sweep): a single analysis error
@@ -185,6 +186,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_tpch_q6" -> 1, // filtered scan → 1-row aggregate; no join anywhere
     "q_bootstrap_ci" -> 3, // 32× map fan-out, one 32-group agg, 32-row tails
     "q_changepoint" -> 3, // corpus → hourly cells; windows over ≤H cells
+    "q_stream_changepoint" -> 2, // complete-mode cells + post-drain windows
     "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
     "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
     "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells

@@ -278,6 +278,13 @@ class StreamsSpec extends AnyFunSuite {
     assert(stream.nonEmpty)
   }
 
+  test("stream changepoint equals the batch CUSUM split row") {
+    val stream = Streams.streamChangepoint(spark, sf).collect().map(_.toSeq)
+    val batch = graft.operators.Temporal.changepoint(spark, sf)
+      .collect().map(_.toSeq)
+    assert(stream.toSeq === batch.toSeq)
+  }
+
   test("stream active users equals batch WAU on the closed days") {
     val stream = Streams.streamActiveUsers(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
