@@ -633,6 +633,27 @@ object Oracles {
          |  AND o_orderdate < DATE '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q_reconcile" ->
+      s"""WITH comp AS (SELECT l_orderkey,
+         |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS comp
+         |  FROM lineitem GROUP BY 1),
+         |rec AS (SELECT o_orderkey,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS rec FROM orders),
+         |j AS (SELECT rec, comp,
+         |    CASE WHEN rec IS NULL THEN 'no_header'
+         |      WHEN comp IS NULL THEN 'no_lines'
+         |      WHEN abs(comp - rec) * 1000000 // rec = 0 THEN 'exact'
+         |      WHEN abs(comp - rec) * 1000000 // rec <= 1000 THEN 'within_0.1pct'
+         |      WHEN abs(comp - rec) * 1000000 // rec <= 10000 THEN 'within_1pct'
+         |      WHEN abs(comp - rec) * 1000000 // rec <= 100000 THEN 'within_10pct'
+         |      ELSE 'over_10pct' END AS band
+         |  FROM rec FULL OUTER JOIN comp ON o_orderkey = l_orderkey)
+         |SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+         |  CAST(sum(coalesce(rec, 0)) AS BIGINT) AS recorded_cents,
+         |  CAST(sum(coalesce(comp, 0)) AS BIGINT) AS computed_cents
+         |FROM j GROUP BY band ORDER BY band""".stripMargin,
+
     // one-pass Poisson bootstrap: pinned affine hash mod 1e4 against the
     // integer Poisson(1) CDF; replica means tie-break by replica id
     "q_bootstrap_ci" ->

@@ -1651,6 +1651,45 @@ object Relational {
       .orderBy("digit")
   }
 
+  /** Cross-table reconciliation census — does the fact roll up to the
+    * header? Per order, the lineitem-computed gross revenue (exact
+    * cents) is compared to the recorded o_totalprice, and orders land in
+    * relative-discrepancy bands (exact ppm): 0, ≤0.1 %, ≤1 %, ≤10 %,
+    * >10 %, plus headerless/lineless orphans from a full outer join.
+    * This is the nightly reconciliation every warehouse runs between an
+    * aggregate table and its source facts — the statistic is the
+    * deliverable (the synthetic fixture's headers do NOT reconcile; the
+    * census proves the engine measures that exactly).
+    *
+    * Scale shape: one map-side-combined per-order aggregation of
+    * lineitem, a full outer join on the order key against the header
+    * projection, then a ≤ 7-row band rollup. */
+  def reconcile(s: SparkSession, dir: String): DataFrame = {
+    val computed = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(expr("cast(floor(l_extendedprice * 100) as bigint)"))
+        .as("comp"))
+    val recorded = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        expr("cast(floor(o_totalprice * 100) as bigint)").as("rec"))
+    recorded.join(computed, col("o_orderkey") === col("l_orderkey"),
+        "full_outer")
+      .withColumn("band",
+        when(col("rec").isNull, "no_header")
+          .when(col("comp").isNull, "no_lines")
+          .otherwise({
+            val d = expr("abs(comp - rec) * 1000000L div rec")
+            when(d === 0L, "exact").when(d <= 1000L, "within_0.1pct")
+              .when(d <= 10000L, "within_1pct")
+              .when(d <= 100000L, "within_10pct").otherwise("over_10pct")
+          }))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("rec"), lit(0L))).as("recorded_cents"),
+        sum(coalesce(col("comp"), lit(0L))).as("computed_cents"))
+      .orderBy("band")
+  }
+
   /** One-pass Poisson bootstrap — the large-scale form of the bootstrap
     * confidence interval: instead of materializing B resamples, every
     * row draws B=32 independent Poisson(1)-distributed WEIGHTS map-side

@@ -438,6 +438,28 @@ class CensusSpec extends AnyFunSuite {
     assert(row.getLong(1) + row.getLong(2) === s)
   }
 
+  test("reconcile: bands partition all orders and totals conserve") {
+    val rows = Relational.reconcile(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nOrders = spark.read.parquet(s"$sf/orders.parquet").count()
+    val lineOrders = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(countDistinct(col("l_orderkey"))).collect()(0).getLong(0)
+    // every order lands in exactly one band; orphan line-orders add rows
+    val totalRows = rows.map(_._2).sum
+    assert(totalRows >= nOrders && totalRows >= lineOrders)
+    // recorded cents conserve across bands
+    val recTotal = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._3).sum === recTotal)
+    // computed cents conserve too
+    val compTotal = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(sum(expr("cast(floor(l_extendedprice * 100) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum === compTotal)
+    assert(rows.nonEmpty)
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")
