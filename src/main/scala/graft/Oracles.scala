@@ -1204,6 +1204,25 @@ object Oracles {
          |GROUP BY 1, 2 ORDER BY support DESC, part_a, part_b
          |LIMIT 20""".stripMargin,
 
+    "q_graph_components" ->
+      s"""WITH RECURSIVE dp AS (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         |pe AS (SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+         |  FROM dp a JOIN dp b
+         |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+         |edges AS (SELECT a, b FROM pe UNION SELECT b, a FROM pe),
+         |verts AS (SELECT DISTINCT a AS v FROM edges),
+         |reach(v, lbl) AS (
+         |  SELECT v, v FROM verts
+         |  UNION
+         |  SELECT e.b, r.lbl FROM reach r JOIN edges e ON e.a = r.v),
+         |comp AS (SELECT v, min(lbl) AS lbl FROM reach GROUP BY v),
+         |sizes AS (SELECT lbl, CAST(count(*) AS BIGINT) AS component_size
+         |  FROM comp GROUP BY lbl)
+         |SELECT component_size, CAST(count(*) AS BIGINT) AS n_components,
+         |  CAST(component_size * count(*) AS BIGINT) AS n_vertices
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_assoc_rules" ->
       s"""WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
          |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS nb FROM dp),

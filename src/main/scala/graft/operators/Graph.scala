@@ -322,6 +322,30 @@ object Graph {
   private val prEdgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Connected components of the basket graph — the [[Pipeline
+    * .minLabelComponents]] kernel (convergent min-label propagation with
+    * a loud non-convergence guard) applied to the product co-purchase
+    * topology, reported as the component-size census: how many isolated
+    * product clusters exist and how much of the catalog the giant
+    * component swallows. The assortment-connectivity diagnostic —
+    * category managers read the giant-component share, dedup readers
+    * already know the kernel from `q_dedup_clusters`.
+    *
+    * Scale shape: rides the memoized [[pairSupport]] edge projection;
+    * each superstep is one edges⋈labels equi-join + min-aggregation
+    * (label table is vertex-sized), rounds bounded by component
+    * diameter; the census re-aggregates the vertex-sized label table
+    * twice. */
+  def components(s: SparkSession, dir: String): DataFrame = {
+    val comp = Pipeline.minLabelComponents(distinctEdges(s, dir))
+    comp.groupBy("cluster_id").agg(count(lit(1)).as("component_size"))
+      .groupBy("component_size")
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("component_size"), col("n_components"),
+        (col("component_size") * col("n_components")).as("n_vertices"))
+      .orderBy("component_size")
+  }
+
   /** Association-rule mining over the basket graph — the confidence/lift
     * step of A-priori that turns [[coPurchase]]'s raw pair supports into
     * directed rules. For every ordered pair (antecedent → consequent)

@@ -86,4 +86,33 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getLong(0) === 2 * n - 1)   // n hub edges + (n−1) chain edges
     assert(r.getLong(2) === n - 1)       // one triangle per chain edge
   }
+
+  test("graph components census equals a driver-side union-find") {
+    val rows = Graph.components(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // union-find over the same basket pairs
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+    }
+    li.groupBy(_._1).values.foreach { xs =>
+      val ps = xs.map(_._2).distinct
+      if (ps.length > 1) ps.tail.foreach(union(ps.head, _))
+    }
+    // vertices = parts appearing in a basket with ≥ 2 distinct parts
+    val verts = li.groupBy(_._1).values
+      .filter(_.map(_._2).distinct.length > 1).flatMap(_.map(_._2)).toSet
+    val sizes = verts.groupBy(find).map(_._2.size.toLong)
+    val want = sizes.groupBy(identity).map { case (sz, xs) =>
+      (sz, xs.size.toLong, sz * xs.size) }.toSeq.sortBy(_._1)
+    assert(rows.toSeq === want)
+    assert(rows.map(_._3).sum === verts.size.toLong,
+      "components partition the co-purchased catalog")
+  }
 }

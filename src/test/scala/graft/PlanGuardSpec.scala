@@ -188,6 +188,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_changepoint" -> 3, // corpus → hourly cells; windows over ≤H cells
     "q_stream_changepoint" -> 2, // complete-mode cells + post-drain windows
     "q_reconcile" -> 4, // per-order lineitem rollup ⋈ header, 7-row bands
+    "q_graph_components" -> 12, // min-label supersteps over the memoized
+                                // edge table (one join+agg per round,
+                                // rounds = component diameter)
     "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
     "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
     "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells
