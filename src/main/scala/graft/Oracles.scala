@@ -3216,6 +3216,28 @@ object Oracles {
          |FROM cells c JOIN tot t ON c.event_type = t.event_type
          |ORDER BY c.event_type, c.hod""".stripMargin,
 
+    "q_cohort_ltv" ->
+      s"""WITH o AS (SELECT o_custkey,
+         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         |    CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         |c AS (SELECT o_custkey, CAST(min(m) AS BIGINT) AS cm
+         |  FROM o GROUP BY 1),
+         |sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_customers
+         |  FROM c GROUP BY 1),
+         |cells AS (SELECT cm, m - cm AS age, CAST(sum(cents) AS BIGINT) AS rev
+         |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2),
+         |t AS (SELECT cm, age, rev,
+         |    CAST(sum(rev) OVER (PARTITION BY cm ORDER BY age
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM cells)
+         |SELECT cm AS cohort_month, age, n_customers, rev AS rev_cents,
+         |  cum AS cum_cents,
+         |  CAST(CAST(cum AS HUGEINT) * 1000000 // n_customers AS BIGINT)
+         |    AS ltv_microcents
+         |FROM t JOIN sz USING (cm)
+         |ORDER BY cohort_month, age""".stripMargin,
+
     "q_spend_trend" ->
       s"""WITH monthly AS (SELECT c_mktsegment,
          |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,

@@ -588,6 +588,40 @@ object Temporal {
       .orderBy("click_hour")
   }
 
+  /** Cohort LTV triangle — customers cohorted by FIRST-order month, and
+    * for each cohort age (months since acquisition) the exact cumulative
+    * revenue per acquired customer in micro-cents: the lifetime-value
+    * curve finance reads to see whether newer cohorts monetize faster.
+    * The cumulative sum runs over the (cohort, age) CELL table (months²/2
+    * rows at most), partitioned by cohort — never over orders.
+    *
+    * Scale shape: one customer-keyed aggregation finds each customer's
+    * cohort month (min order month — map-side combinable), one join
+    * carries it back onto orders (customer-keyed, AQE-broadcastable
+    * side), one (cohort, age) aggregation collapses the corpus, and the
+    * triangle arithmetic is windowed over cells. */
+  def cohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val om = (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+      .cast("long")
+    val orders = Tables.orders(s, dir)
+      .select(col("o_custkey"), om.as("m"),
+        expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
+    val cohorts = orders.groupBy("o_custkey").agg(min(col("m")).as("cm"))
+    val sizes = cohorts.groupBy("cm").agg(count(lit(1)).as("n_customers"))
+    val cells = orders.join(cohorts, "o_custkey")
+      .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+      .agg(sum(col("cents")).as("rev"))
+    val w = Window.partitionBy("cm").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum", sum(col("rev")).over(w))
+      .join(sizes, "cm")
+      .select(col("cm").as("cohort_month"), col("age"), col("n_customers"),
+        col("rev").as("rev_cents"), col("cum").as("cum_cents"),
+        expr("cast(cast(cum as decimal(38,0)) * 1000000 div n_customers" +
+          " as bigint)").as("ltv_microcents"))
+      .orderBy("cohort_month", "age")
+  }
+
   /** Per-segment revenue trend: exact OLS slope of monthly spend (in
     * cents) against the month index, per market segment — the
     * growing-or-shrinking verdict a health dashboard puts next to every

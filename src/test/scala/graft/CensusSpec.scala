@@ -460,6 +460,30 @@ class CensusSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("cohort_ltv: triangle conserves revenue and LTV is monotone per cohort") {
+    val rows = Temporal.cohortLtv(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // total revenue across all (cohort, age) cells equals corpus revenue
+    val total = spark.read.parquet(s"$sf/orders.parquet")
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_._4).sum === total)
+    // cohort sizes partition the customer base
+    val nCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    assert(rows.groupBy(_._1).map(_._2.head._3).sum === nCust)
+    // cumulative revenue and LTV are non-decreasing within each cohort
+    rows.groupBy(_._1).values.foreach { cs =>
+      val byAge = cs.sortBy(_._2)
+      assert(byAge.map(_._5).toSeq === byAge.map(_._5).sorted.toSeq)
+      assert(byAge.map(_._6).toSeq === byAge.map(_._6).sorted.toSeq)
+      // age 0 exists for every cohort (the acquisition month itself)
+      assert(byAge.head._2 === 0L)
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")
