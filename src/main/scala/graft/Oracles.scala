@@ -2144,6 +2144,36 @@ object Oracles {
          |       ELSE 'test' END AS split
          |FROM a ORDER BY doc_id""".stripMargin,
 
+    "q_split_parity" ->
+      s"""WITH cl AS (SELECT * FROM ($DedupClustersSql) c),
+         |a AS (SELECT d.doc_id, d.lang, d.n_chars,
+         |    coalesce(cl.cluster_id, d.doc_id) AS rep_id
+         |  FROM documents d LEFT JOIN cl USING (doc_id)),
+         |sp AS (SELECT doc_id, lang, n_chars,
+         |    CASE WHEN (rep_id * 2654435761) % 100 < 80 THEN 'train'
+         |         WHEN (rep_id * 2654435761) % 100 < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM a),
+         |u AS (SELECT split, 'lang' AS dim, lang AS v FROM sp
+         |    WHERE split <> 'val'
+         |  UNION ALL
+         |  SELECT split, 'len_bucket',
+         |    CAST(least(9, n_chars // 200) AS VARCHAR) FROM sp
+         |    WHERE split <> 'val'),
+         |cells AS (SELECT dim, v,
+         |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ntr,
+         |    CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nte
+         |  FROM u GROUP BY dim, v),
+         |t AS (SELECT dim, CAST(sum(ntr) AS BIGINT) AS ttr,
+         |    CAST(sum(nte) AS BIGINT) AS tte FROM cells GROUP BY dim)
+         |SELECT dim AS dimension, max(ttr) AS n_train, max(tte) AS n_test,
+         |  CAST(sum(abs(ntr * 1000000 // ttr - nte * 1000000 // tte)) // 2
+         |    AS BIGINT) AS tvd_ppm
+         |FROM cells JOIN t USING (dim)
+         |GROUP BY dim ORDER BY dimension""".stripMargin,
+
     "q_syndication" ->
       s"""WITH np AS (SELECT doc_a, doc_b FROM ($DedupNgramSql) g),
          |s AS (SELECT doc_id, source FROM documents)

@@ -583,6 +583,51 @@ object Pipeline {
       .select("doc_id", "lang", "rep_id", "split")
       .orderBy("doc_id")
 
+  /** Split-parity audit — are train and test drawn from the same
+    * distribution AFTER the cluster-safe assignment? For each audited
+    * dimension (language mix; fixed-width length buckets), the exact
+    * total-variation distance between the train and test shares in ppm —
+    * the check that catches a split whose leakage-safety accidentally
+    * skewed it (whole near-dup clusters land on one side, so a big
+    * boilerplate family can drag a language with it). The ML-pipeline
+    * sibling of `q_drift_tvd`: that one audits time, this audits the
+    * split axis; `q_leakage_split` guarantees safety, this measures the
+    * price.
+    *
+    * Scale shape: rides [[leakageSplit]] (cluster table memoized), one
+    * unpivoted (dimension, value, split) count collapses the corpus
+    * map-side, and the TVD arithmetic runs over the ≤ |langs|+10 cell
+    * table. */
+  def splitParity(s: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(leakageSplit(s, dir).select(col("doc_id"), col("split")),
+        Seq("doc_id"))
+      .filter(col("split") =!= "val")
+    val cells = joined.select(col("split"), explode(array(
+        struct(lit("lang").as("dim"), col("lang").as("v")),
+        struct(lit("len_bucket").as("dim"),
+          least(lit(9L), expr("n_chars div 200")).cast("string").as("v"))))
+        .as("e"))
+      .select(col("split"), col("e.dim").as("dim"), col("e.v").as("v"))
+      .groupBy("dim", "v", "split").agg(count(lit(1)).as("n"))
+    val pivoted = cells.groupBy("dim", "v")
+      .agg(sum(when(col("split") === "train", col("n")).otherwise(0L))
+          .as("ntr"),
+        sum(when(col("split") === "test", col("n")).otherwise(0L)).as("nte"))
+    val totals = pivoted.groupBy("dim")
+      .agg(sum(col("ntr")).as("ttr"), sum(col("nte")).as("tte"))
+    pivoted.join(broadcast(totals), "dim")
+      .withColumn("ptr", expr("ntr * 1000000L div ttr"))
+      .withColumn("pte", expr("nte * 1000000L div tte"))
+      .groupBy("dim")
+      .agg(max(col("ttr")).as("n_train"), max(col("tte")).as("n_test"),
+        expr("sum(abs(ptr - pte)) div 2").as("tvd_ppm"))
+      .select(col("dim").as("dimension"), col("n_train"), col("n_test"),
+        col("tvd_ppm"))
+      .orderBy("dimension")
+  }
+
   /** Syndication census: the near-dup pair table ([[dedupNgram]]) keyed
     * by the SOURCES of the two endpoints — how much near-duplicate
     * content is republished across sources versus duplicated within one

@@ -484,6 +484,33 @@ class CensusSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
   }
 
+  test("split_parity: TVD replays from the split table and is bounded") {
+    val rows = graft.operators.Pipeline.splitParity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq("lang", "len_bucket"))
+    val sp = graft.operators.Pipeline.leakageSplit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val splitOf = sp.toMap
+    def tvd(of: ((Long, String, Long)) => String): (Long, Long, Long) = {
+      val tr = docs.filter(d => splitOf(d._1) == "train")
+      val te = docs.filter(d => splitOf(d._1) == "test")
+      val keys = (tr.map(of) ++ te.map(of)).distinct
+      val t = keys.map { k =>
+        math.abs(tr.count(of(_) == k).toLong * 1000000L / tr.length -
+          te.count(of(_) == k).toLong * 1000000L / te.length)
+      }.sum / 2
+      (tr.length.toLong, te.length.toLong, t)
+    }
+    val langWant = tvd(_._2)
+    val lenWant = tvd(d => math.min(9L, d._3 / 200L).toString)
+    assert(rows(0) === (("lang", langWant._1, langWant._2, langWant._3)))
+    assert(rows(1) === (("len_bucket", lenWant._1, lenWant._2, lenWant._3)))
+    rows.foreach(r => assert(r._4 >= 0L && r._4 <= 1000000L))
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")
