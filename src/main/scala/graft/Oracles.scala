@@ -3246,6 +3246,27 @@ object Oracles {
          |FROM cells c JOIN tot t ON c.event_type = t.event_type
          |ORDER BY c.event_type, c.hod""".stripMargin,
 
+    "q_gap_fill" ->
+      s"""SELECT event_id, user_id, event_type,
+         |  coalesce(last_value(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(floor(value * 100) AS BIGINT) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         |    AS locf_cents
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_mom_growth" ->
+      s"""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+         |    AS BIGINT) AS m,
+         |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         |      AS rev
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT m, rev, lag(rev) OVER (ORDER BY m) AS prev FROM m)
+         |SELECT printf('%04d-%02d', (m - 1) // 12, (m - 1) % 12 + 1) AS month,
+         |  rev AS rev_cents,
+         |  CAST((rev - prev) * 1000000 // prev AS BIGINT) AS mom_growth_ppm
+         |FROM g WHERE prev IS NOT NULL ORDER BY month""".stripMargin,
+
     "q_cohort_ltv" ->
       s"""WITH o AS (SELECT o_custkey,
          |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,

@@ -588,6 +588,56 @@ object Temporal {
       .orderBy("click_hour")
   }
 
+  /** LOCF imputation (last observation carried forward): every event
+    * annotated with the user's most recent purchase amount at or before
+    * it (exact cents; −1 before the first purchase) — the standard
+    * missing-value fill for irregular time series, and the feature
+    * engineering step ("last basket size at the time of this event")
+    * that must NOT leak future data. One user-keyed window with an
+    * ignore-nulls running last — per-user bounded state, the exact shape
+    * a streaming version would keep.
+    *
+    * Scale shape: one keyed exchange + sort; no joins, no fan-out. */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        when(col("event_type") === "purchase",
+          expr("cast(floor(value * 100) as bigint)")).as("pc"))
+      .withColumn("locf_cents",
+        coalesce(last(col("pc"), ignoreNulls = true).over(w), lit(-1L)))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("locf_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Month-over-month growth table: corpus revenue per calendar month
+    * with the MoM delta in exact ppm (NULL for the first month, exactly
+    * as the oracle's integer division of a NULL lag) — the first chart
+    * of any revenue dashboard, over the same bounded month-cell table as
+    * [[spendTrend]].
+    *
+    * Scale shape: corpus → ≤ months cells map-side; the lag window runs
+    * over the cell table. */
+  def momGrowth(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy("m")
+    Tables.orders(s, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("rev"))
+      .withColumn("prev", lag(col("rev"), 1).over(w))
+      // first month has no predecessor: dropped rather than carrying a
+      // NULL the hash compare can't equate (NaN != NaN in the gate)
+      .filter(col("prev").isNotNull)
+      .select(
+        expr("format_string('%04d-%02d', (m - 1) div 12, (m - 1) % 12 + 1)")
+          .as("month"),
+        col("rev").as("rev_cents"),
+        expr("(rev - prev) * 1000000L div prev").as("mom_growth_ppm"))
+      .orderBy("month")
+  }
+
   /** Cohort LTV triangle — customers cohorted by FIRST-order month, and
     * for each cohort age (months since acquisition) the exact cumulative
     * revenue per acquired customer in micro-cents: the lifetime-value

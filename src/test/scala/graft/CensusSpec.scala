@@ -511,6 +511,45 @@ class CensusSpec extends AnyFunSuite {
     rows.foreach(r => assert(r._4 >= 0L && r._4 <= 1000000L))
   }
 
+  test("gap_fill: LOCF replays per-user and never looks forward") {
+    val got = Temporal.gapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("unix_micros(ts)"), col("event_id"),
+        col("event_type"), expr("cast(floor(value * 100) as bigint)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4)))
+    ev.groupBy(_._1).values.foreach { es =>
+      var locf = -1L
+      es.sortBy(e => (e._2, e._3)).foreach { e =>
+        if (e._4 == "purchase") locf = e._5
+        assert(got(e._3) === locf, s"LOCF for event ${e._3}")
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
+  test("mom_growth: growth replays from monthly cells, months contiguous") {
+    val rows = Temporal.momGrowth(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val monthly = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast("long").as("m"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.length === monthly.length - 1, "first month dropped")
+    monthly.sliding(2).zip(rows.iterator).foreach {
+      case (Array((m0, r0), (m1, r1)), (lbl, rev, g)) =>
+        assert(lbl === f"${(m1 - 1) / 12}%04d-${(m1 - 1) % 12 + 1}%02d")
+        assert(rev === r1)
+        // Spark div and DuckDB // both truncate toward zero on negatives,
+        // as does Scala's / — floorDiv would disagree on shrink months
+        assert(g === (r1 - r0) * 1000000L / r0)
+        assert(m1 === m0 + 1, "fixture months are contiguous")
+    }
+  }
+
   test("salted_agg equals the plain unsalted aggregation bit-for-bit") {
     val got = Skew.saltedAgg(spark, sf).collect().map(_.toSeq)
     val want = spark.read.parquet(s"$sf/events.parquet")

@@ -190,6 +190,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_reconcile" -> 4, // per-order lineitem rollup ⋈ header, 7-row bands
     "q_cohort_ltv" -> 6, // cohort min-month agg + carry-back join + cells
     "q_split_parity" -> 7, // rides the memoized cluster split + cell TVD
+    "q_gap_fill" -> 2, // one user-keyed window, no joins
+    "q_mom_growth" -> 2, // corpus → month cells; lag over cells
     "q_graph_components" -> 12, // min-label supersteps over the memoized
                                 // edge table (one join+agg per round,
                                 // rounds = component diameter)
