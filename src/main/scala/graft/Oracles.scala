@@ -633,6 +633,98 @@ object Oracles {
          |  AND o_orderdate < DATE '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q_tpch_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         |  ${sumD("volume", 6, "revenue")}
+         |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |    CAST(year(l_shipdate) AS INTEGER) AS l_year,
+         |    l_extendedprice * (1 - l_discount) AS volume
+         |  FROM supplier
+         |  JOIN lineitem ON s_suppkey = l_suppkey
+         |  JOIN orders ON o_orderkey = l_orderkey
+         |  JOIN customer ON c_custkey = o_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+         |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+         |    AND l_shipdate >= DATE '1996-01-01'
+         |    AND l_shipdate < DATE '1998-01-01')
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_tpch_q8" ->
+      s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         |  CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3' THEN
+         |      l_extendedprice * (1 - l_discount) ELSE 0 END
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS nation_volume,
+         |  ${sumD("l_extendedprice*(1-l_discount)", 6, "total_volume")},
+         |  CAST(sum(CAST(CASE WHEN sn.n_name = 'NATION_3' THEN
+         |      l_extendedprice * (1 - l_discount) ELSE 0 END
+         |    AS DECIMAL(18,6))) AS DOUBLE)
+         |  / CAST(sum(CAST(l_extendedprice*(1-l_discount)
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN region ON cn.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+         |  AND o_orderdate >= DATE '1996-01-01'
+         |  AND o_orderdate < DATE '1998-01-01'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q13" ->
+      s"""SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+         |FROM (SELECT c_custkey,
+         |    CAST(count(o_orderkey) AS BIGINT) AS c_count
+         |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         |  GROUP BY c_custkey)
+         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q14" ->
+      s"""SELECT
+         |  CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN
+         |      l_extendedprice * (1 - l_discount) ELSE 0 END
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue,
+         |  ${sumD("l_extendedprice*(1-l_discount)", 6, "total_revenue")},
+         |  100.0 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN
+         |      l_extendedprice * (1 - l_discount) ELSE 0 END
+         |    AS DECIMAL(18,6))) AS DOUBLE)
+         |  / CAST(sum(CAST(l_extendedprice*(1-l_discount)
+         |    AS DECIMAL(18,6))) AS DOUBLE) AS promo_pct
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE l_shipdate >= DATE '1997-09-01'
+         |  AND l_shipdate < DATE '1997-10-01'""".stripMargin,
+
+    "q_tpch_q15" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+         |    ${sumD("l_extendedprice*(1-l_discount)", 6, "total_revenue")}
+         |  FROM lineitem
+         |  WHERE l_shipdate >= DATE '1997-01-01'
+         |    AND l_shipdate < DATE '1997-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q17" ->
+      s"""WITH lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#23'),
+         |aq AS (SELECT l_partkey AS ak,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lp GROUP BY 1)
+         |SELECT ${sumD("l_extendedprice", 2, "total_revenue")},
+         |  CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+         |    AS avg_yearly
+         |FROM lp JOIN aq ON l_partkey = ak
+         |WHERE CAST(l_quantity AS BIGINT) * 5 * cnt < sq""".stripMargin,
+
     "q_reconcile" ->
       s"""WITH comp AS (SELECT l_orderkey,
          |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

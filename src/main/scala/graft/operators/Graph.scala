@@ -337,7 +337,12 @@ object Graph {
     * diameter; the census re-aggregates the vertex-sized label table
     * twice. */
   def components(s: SparkSession, dir: String): DataFrame = {
-    val comp = Pipeline.minLabelComponents(distinctEdges(s, dir))
+    // the vertex→component label table is the same kind of per-corpus
+    // investment as the dedup cluster table (Pipeline.clustersCache): the
+    // convergent loop runs once per (session, corpus), downstream reads
+    // re-read the materialized vertex-sized table
+    val comp = compCache.computeIfAbsent((s, dir), _ =>
+      Checkpoints.stable(Pipeline.minLabelComponents(distinctEdges(s, dir))))
     comp.groupBy("cluster_id").agg(count(lit(1)).as("component_size"))
       .groupBy("component_size")
       .agg(count(lit(1)).as("n_components"))
@@ -345,6 +350,9 @@ object Graph {
         (col("component_size") * col("n_components")).as("n_vertices"))
       .orderBy("component_size")
   }
+
+  private val compCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Association-rule mining over the basket graph — the confidence/lift
     * step of A-priori that turns [[coPurchase]]'s raw pair supports into

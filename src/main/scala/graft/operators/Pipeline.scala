@@ -358,8 +358,15 @@ object Pipeline {
   def minLabelComponents(pairs: DataFrame, floorRounds: Int = 4,
                          maxRounds: Int = 64): DataFrame = {
     val Array(a, b) = pairs.columns
+    // hash-partition the symmetrized edge table on src BEFORE materializing
+    // it: every superstep joins on src, and the label table arrives from
+    // its groupBy(v) already hash-partitioned on the same key, so the join
+    // itself never exchanges either side — each round's only shuffle is the
+    // groupBy(v) over the pushed labels. LogicalRDD keeps the checkpoint's
+    // output partitioning, so the planner sees and reuses it every round.
     val edges = pairs.union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
+      .repartition(col("src"))
       .stable
     def superstep(labels: DataFrame): DataFrame = {
       val viaEdges = edges.join(labels, col("src") === col("v"))
@@ -383,8 +390,26 @@ object Pipeline {
       val self = labels.select(col("v"), col("lbl"), col("lbl").as("old"))
       val via = edges.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("lbl"), lit(null).cast("long").as("old"))
-      val next = self.union(via).groupBy("v")
+      val pushed = self.union(via).groupBy("v")
         .agg(min(col("lbl")).as("lbl"), min(col("old")).as("old"))
+      // pointer-jumping shortcut: a label is itself a vertex id, so after
+      // the push each vertex also adopts its label's PREVIOUS label —
+      // min(lbl, L(lbl)) — turning chains into stars geometrically and
+      // cutting convergence from O(eccentricity) pushes to O(log) rounds
+      // (the Shiloach–Vishkin / large-star idea). The lookup joins the
+      // vertex-sized PREVIOUS label table (already materialized — no
+      // double-evaluation of `pushed`), left outer because nothing
+      // guarantees a label id has edge rows of its own in `labels`' key
+      // set beyond construction; the fixpoint argument is unchanged: when
+      // a full push+shortcut round improves nothing, in particular the
+      // push improved nothing, which already implies labels are constant
+      // per component at the component minimum.
+      val next = pushed
+        .join(labels.select(col("lbl").as("jump"), col("v").as("lbl")),
+          Seq("lbl"), "left")
+        .select(col("v"),
+          least(col("lbl"), coalesce(col("jump"), col("lbl"))).as("lbl"),
+          col("old"))
         .stable
       changed = next.filter(col("lbl") < col("old")).count()
       labels = next.select(col("v"), col("lbl"))
@@ -395,6 +420,9 @@ object Pipeline {
     require(changed == 0,
       s"label propagation hit the $maxRounds-round cap before convergence " +
       s"($changed labels still improving) — raise maxRounds for this graph")
+    if (sys.props.get("graft.cc.debug").contains("1"))
+      System.err.println(s"[cc] converged after $round rounds " +
+        s"($floorRounds floor + ${round - floorRounds} counted)")
     labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

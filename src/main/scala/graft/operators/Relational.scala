@@ -1583,6 +1583,196 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q7 (volume shipping): bilateral trade volume between two
+    * nations by ship year — lineitems whose SUPPLIER sits in one nation
+    * and whose ordering CUSTOMER in the other, both directions reported.
+    * The canonical "two filtered copies of one dimension" query.
+    *
+    * Scale shape: nation is filtered to the two parties once and
+    * broadcast-attached to supplier and customer separately (each then
+    * catalog-sized × 2/25); lineitem carries the two-year shipdate range
+    * into the parquet scan and broadcast-joins the supplier side
+    * map-side, so the only big shuffle is lineitem ⋈ orders on orderkey;
+    * the cross-pair constraint collapses to `supp_nation ≠ cust_nation`
+    * because both sides are already restricted to the pair. Revenue folds
+    * through DECIMAL(18,6); year() of the pinned-UTC shipdate matches
+    * DuckDB's. */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(s, dir)
+      .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      .select(col("n_nationkey"), col("n_name"))
+    val su = Tables.supplier(s, dir)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cu = Tables.customer(s, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1998-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+    l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sumD6(col("volume")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8 (national market share): of all ECONOMY-part revenue sold
+    * into EUROPE-region customers over two order years, the share
+    * supplied by NATION_3, per year. The ratio-of-conditional-aggregates
+    * pattern: BOTH sums ride one grouped aggregate (never two passes),
+    * stay DECIMAL-exact, and only the final share is one IEEE division
+    * of exact operands (bit-stable on both engines).
+    *
+    * Scale shape: part(type) and the region-filtered customer key set
+    * reduce the fact side early (part broadcast; customer catalog-sized,
+    * AQE picks); the one big shuffle is the filtered lineitem ⋈ orders;
+    * supplier→nation attaches map-side by broadcast. */
+  def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val rn = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cu = Tables.customer(s, dir)
+      .join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val p = Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val supN = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).as("o_year"))
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cu, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("o_year")
+      .agg(sumD6(when(col("n_name") === "NATION_3", col("volume"))
+          .otherwise(lit(0.0))).as("nation_volume"),
+        sumD6(col("volume")).as("total_volume"))
+      .select(col("o_year"), col("nation_volume"), col("total_volume"),
+        (col("nation_volume").cast("double") /
+          col("total_volume").cast("double")).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q13 (customer distribution): how many customers placed
+    * exactly k orders, including k = 0 — the canonical LEFT OUTER join +
+    * double aggregation (and the query whose outer join cannot be
+    * reordered away). Adapted to the fixture: orders carries no comment
+    * column, so the "not like '%special%requests%'" carve-out is dropped
+    * (noted here; the join/agg shape is the point).
+    *
+    * Scale shape: one customer ⋈ orders shuffle on custkey (both sides
+    * key-partitioned, count partial-aggregates map-side), then the
+    * second groupBy runs over the customer-sized count table and its
+    * output is bounded by the max order count. */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q14 (promotion effect): the fraction of one ship-month's
+    * revenue that came from PROMO-type parts. Same exact-ratio treatment
+    * as [[tpchQ8]]: both sums DECIMAL(18,6) in ONE aggregate, the
+    * percentage one IEEE division at the end.
+    *
+    * Scale shape: the one-month shipdate range reaches the parquet scan
+    * (row-group pruning does the heavy lifting at 100 TB); part attaches
+    * by broadcast; no shuffle at all beyond the final 1-row aggregate. */
+  def tpchQ14(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("date") &&
+        col("l_shipdate") < lit("1997-10-01").cast("date"))
+      .select(col("l_partkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
+      .join(broadcast(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(sumD6(when(col("p_type") === "PROMO", col("volume"))
+          .otherwise(lit(0.0))).as("promo_revenue"),
+        sumD6(col("volume")).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100.0) * col("promo_revenue").cast("double") /
+          col("total_revenue").cast("double")).as("promo_pct"))
+
+  /** TPC-H Q15 (top supplier): the supplier(s) whose one-quarter shipped
+    * revenue equals the maximum — the "view + scalar subquery on the
+    * same view" query. The revenue view is computed ONCE and
+    * materialized ([[graft.util.Checkpoints]]), then both consumers (the
+    * max and the equality probe) re-read the supplier-sized table;
+    * revenue stays DECIMAL(18,6) so the max-equality is exact, not an
+    * epsilon compare.
+    *
+    * Scale shape: one filtered lineitem pass partial-aggregated on
+    * suppkey; everything after is supplier-sized, max broadcast. */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sumD6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total_revenue"))
+      .stable
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): average yearly revenue
+    * lost if orders below 20% of a part's average order quantity were
+    * not taken — the canonical CORRELATED scalar subquery, decorrelated
+    * the only way that scales: aggregate-then-join (per-part avg
+    * computed once, attached back by partkey). Adapted to the fixture:
+    * the brand filter stands alone (no p_container column).
+    *
+    * Determinism: quantities are integral doubles (1..50), so the
+    * correlated predicate `qty < 0.2·avg(qty)` is evaluated EXACTLY as
+    * `5·qty·cnt < sum` in int64 — no division, no epsilon, identical on
+    * both engines; only the final /7.0 is IEEE.
+    *
+    * Scale shape: brand-filtered part broadcasts into lineitem twice
+    * (once for the per-part aggregate, once for the probe — both
+    * map-side); the per-part avg table is part-sized and broadcast back.
+    * Lineitem never shuffles. */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+      .select(col("p_partkey"))
+    val lp = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val avgQ = lp.groupBy(col("l_partkey").as("ak"))
+      .agg(sum(col("l_quantity").cast("bigint")).as("sq"),
+        count(lit(1)).as("cnt"))
+    lp.join(broadcast(avgQ), col("l_partkey") === col("ak"))
+      .filter(col("l_quantity").cast("bigint") * 5 * col("cnt") < col("sq"))
+      .agg(sumD2(col("l_extendedprice")).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(col("total_revenue"), col("n_lines"),
+        (col("total_revenue").cast("double") / 7.0).as("avg_yearly"))
+  }
+
   /** Weighted median — per return flag, the smallest quantity at which
     * cumulative revenue (extended price in exact cents) reaches half the
     * flag's total. The robust "typical order size by value" statistic:

@@ -184,6 +184,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_percentile" -> 3, // complete-mode cell state + post-drain windows
     "q_emb_health" -> 2, // map-side fold per row + one label-keyed agg
     "q_tpch_q6" -> 1, // filtered scan → 1-row aggregate; no join anywhere
+    "q_tpch_q7" -> 2, // lineitem ⋈ orders once; nation-filtered dims broadcast
+    "q_tpch_q8" -> 4, // lineitem ⋈ orders + region-filtered customer; part/supplier broadcast
+    "q_tpch_q13" -> 3, // customer ⋈ orders outer on custkey + count-of-counts re-agg
+    "q_tpch_q14" -> 1, // one-month scan → 1-row aggregate; part broadcast
+    "q_tpch_q15" -> 2, // supplier-keyed revenue agg (built once, checkpointed) + argmax probe
+    "q_tpch_q17" -> 2, // per-part avg agg + probe; brand-filtered part broadcast twice
     "q_bootstrap_ci" -> 3, // 32× map fan-out, one 32-group agg, 32-row tails
     "q_changepoint" -> 3, // corpus → hourly cells; windows over ≤H cells
     "q_stream_changepoint" -> 2, // complete-mode cells + post-drain windows

