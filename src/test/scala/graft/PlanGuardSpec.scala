@@ -190,7 +190,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_tpch_q14" -> 1, // one-month scan → 1-row aggregate; part broadcast
     "q_tpch_q15" -> 2, // supplier-keyed revenue agg (built once, checkpointed) + argmax probe
     "q_tpch_q17" -> 2, // per-part avg agg + probe; brand-filtered part broadcast twice
-    "q_bootstrap_ci" -> 3, // 32× map fan-out, one 32-group agg, 32-row tails
+    "q_bootstrap_ci" -> 3, // 66 conditional aggs in one map-side pass; 33-row tails
     "q_changepoint" -> 3, // corpus → hourly cells; windows over ≤H cells
     "q_stream_changepoint" -> 2, // complete-mode cells + post-drain windows
     "q_reconcile" -> 4, // per-order lineitem rollup ⋈ header, 7-row bands
