@@ -358,14 +358,64 @@ object Pipeline {
   def minLabelComponents(pairs: DataFrame, floorRounds: Int = 4,
                          maxRounds: Int = 64): DataFrame = {
     val Array(a, b) = pairs.columns
-    // hash-partition the symmetrized edge table on src BEFORE materializing
-    // it: every superstep joins on src, and the label table arrives from
-    // its groupBy(v) already hash-partitioned on the same key, so the join
-    // itself never exchanges either side — each round's only shuffle is the
-    // groupBy(v) over the pushed labels. LogicalRDD keeps the checkpoint's
-    // output partitioning, so the planner sees and reuses it every round.
-    val edges = pairs.union(pairs.select(col(b), col(a)))
+    // LOCAL CONTRACTION before any superstep: each partition runs an
+    // in-memory union-find over its own edges and emits one (v, local
+    // root = min id of v's local component) pair per vertex incidence —
+    // the per-partition spanning FOREST. Connectivity is preserved (two
+    // vertices locally connected share a root edge; cross-partition
+    // connectivity survives because a vertex appearing in two partitions
+    // links both its roots), but every superstep below now scans forest
+    // pairs (≤ distinct vertex incidences, bounded by V × partitions)
+    // instead of the raw edge list — on a dense graph that is the E → V·P
+    // collapse that keeps 100 TB supersteps affordable, and the imperative
+    // union-find is exactly the bounded per-partition state mapPartitions
+    // is for (memory ∝ vertices per partition, governed by split size).
+    // Both edge directions are emitted here so the contracted table needs
+    // no second union pass; self-pairs keep isolated-self-edge vertices
+    // visible to the label init below.
+    val raw = pairs.union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
+      .repartition(col("src"))
+    val contractedPairs = {
+      import org.apache.spark.sql.Encoders
+      raw.select(col("src").cast("long"), col("dst").cast("long"))
+        .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.get(r) != r) r = parent.get(r)
+            var c = x
+            while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            r
+          }
+          def add(x: Long): Unit =
+            if (!parent.containsKey(x)) parent.put(x, x)
+          it.foreach { case (x, y) =>
+            add(x); add(y)
+            val rx = find(x); val ry = find(y)
+            if (rx != ry) {
+              if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry)
+            }
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          val ks = parent.keySet.iterator
+          while (ks.hasNext) {
+            val v = ks.next(); val r = find(v)
+            out += ((v, r))
+            if (r != v) out += ((r, v))
+          }
+          out.iterator
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+        .toDF("src", "dst")
+    }
+    // hash-partition the contracted table on src BEFORE materializing it:
+    // every superstep joins on src, and the label table arrives from its
+    // groupBy(v) already hash-partitioned on the same key, so the join
+    // itself never exchanges either side — each round's only shuffle is
+    // the groupBy(v) over the pushed labels. LogicalRDD keeps the
+    // checkpoint's output partitioning, so the planner reuses it per round.
+    val edges = contractedPairs
       .repartition(col("src"))
       .stable
     def superstep(labels: DataFrame): DataFrame = {
