@@ -3400,6 +3400,48 @@ object Oracles {
          |      - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS slope_microcents
          |FROM a ORDER BY c_mktsegment""".stripMargin,
 
+    // Theil–Sen / Mann–Kendall share the month-pair CTE: slopes stay an
+    // exact (num, den) rational; ordering is the IEEE slope with the
+    // exact pair as tie-break so the median pick is bit-deterministic
+    "q_theil_sen" ->
+      s"""WITH monthly AS (SELECT c_mktsegment,
+         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a.c_mktsegment,
+         |    CAST(b.y - a.y AS BIGINT) AS num, CAST(b.m - a.m AS BIGINT) AS den,
+         |    CAST(b.y - a.y AS DOUBLE) / CAST(b.m - a.m AS DOUBLE) AS slope
+         |  FROM monthly a JOIN monthly b
+         |    ON a.c_mktsegment = b.c_mktsegment AND a.m < b.m),
+         |counted AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM pairs GROUP BY 1),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+         |    ORDER BY slope, num, den) AS rk FROM pairs)
+         |SELECT r.c_mktsegment, n_pairs,
+         |  num AS slope_num_cents, den AS slope_den_months,
+         |  slope AS slope_cents_per_month
+         |FROM ranked r JOIN counted c ON r.c_mktsegment = c.c_mktsegment
+         |WHERE rk = (n_pairs + 1) // 2
+         |ORDER BY r.c_mktsegment""".stripMargin,
+
+    "q_mann_kendall" ->
+      s"""WITH monthly AS (SELECT c_mktsegment,
+         |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+         |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |pairs AS (SELECT a.c_mktsegment,
+         |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+         |  FROM monthly a JOIN monthly b
+         |    ON a.c_mktsegment = b.c_mktsegment AND a.m < b.m)
+         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(sgn) AS BIGINT) AS s_stat,
+         |  CAST(sum(sgn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS tau,
+         |  CASE WHEN sum(sgn) > 0 THEN 'increasing'
+         |    WHEN sum(sgn) < 0 THEN 'decreasing' ELSE 'no_trend' END AS verdict
+         |FROM pairs GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q_active_users" ->
       s"""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
          |days AS (SELECT DISTINCT d FROM du),

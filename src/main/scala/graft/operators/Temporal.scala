@@ -688,14 +688,7 @@ object Temporal {
     * the regression itself is a per-segment fold over those cells. No
     * window, no second corpus pass. */
   def spendTrend(s: SparkSession, dir: String): DataFrame = {
-    val monthly = Tables.orders(s, dir)
-      .join(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment")),
-        col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_mktsegment"),
-        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
-          .cast("long").as("m"))
-      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("y"))
+    val monthly = segMonthlyCents(s, dir)
     val base = monthly.agg(min(col("m")).as("m0"))
     monthly.crossJoin(broadcast(base))
       .select(col("c_mktsegment"), (col("m") - col("m0")).as("x"), col("y"))
@@ -713,6 +706,88 @@ object Temporal {
           " as bigint)").as("slope_microcents"))
       .orderBy("c_mktsegment")
   }
+
+  /** Per-(segment, month) exact revenue cells — the shared collapse
+    * behind the three trend statistics ([[spendTrend]] OLS,
+    * [[theilSen]], [[mannKendall]]): one map-side-combined aggregation
+    * reduces orders to ≤ |segments|·|months| rows of exact cents. */
+  private def segMonthlyCents(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("y"))
+
+  /** Month-pair slope table (x₂ > x₁ within a segment) — the bounded
+    * all-pairs core of Theil–Sen and Mann–Kendall. Pair count is
+    * months²/2 per segment (cells, never orders), so the "all-pairs"
+    * here is a few thousand rows at ANY corpus size. */
+  private def monthPairs(s: SparkSession, dir: String): DataFrame = {
+    val cells = segMonthlyCents(s, dir)
+    cells.select(col("c_mktsegment"), col("m").as("m1"), col("y").as("y1"))
+      .join(cells.select(col("c_mktsegment"), col("m").as("m2"),
+        col("y").as("y2")), Seq("c_mktsegment"))
+      .filter(col("m1") < col("m2"))
+  }
+
+  /** Theil–Sen estimator — the ROBUST slope of monthly segment revenue:
+    * the median of all pairwise month-to-month slopes, immune to the
+    * outlier months that drag [[spendTrend]]'s OLS line (up to ~29%
+    * contamination). The median slope is reported as an EXACT rational
+    * (cents numerator, month denominator of the median pair) plus its
+    * double value; selection orders by the IEEE slope with the exact
+    * (num, den) pair as tie-break, so the pick is bit-deterministic on
+    * both engines, and the even count takes the lower median.
+    *
+    * Scale shape: the corpus collapses to month cells first
+    * ([[segMonthlyCents]] — one map-side-combined aggregation); the
+    * all-pairs table and its per-segment rank window run over
+    * months²-bounded cells, never rows. Differences need no epoch
+    * anchor, so there is no 1-row broadcast here at all. */
+  def theilSen(s: SparkSession, dir: String): DataFrame = {
+    val pairs = monthPairs(s, dir)
+      .select(col("c_mktsegment"),
+        (col("y2") - col("y1")).as("num"), (col("m2") - col("m1")).as("den"))
+      .withColumn("slope", col("num").cast("double") / col("den").cast("double"))
+    val counted = pairs.groupBy("c_mktsegment").agg(count(lit(1)).as("n_pairs"))
+    pairs
+      .withColumn("rk", row_number().over(Window.partitionBy("c_mktsegment")
+        .orderBy(col("slope"), col("num"), col("den"))))
+      .join(counted, "c_mktsegment")
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("c_mktsegment"), col("n_pairs"),
+        col("num").as("slope_num_cents"), col("den").as("slope_den_months"),
+        col("slope").as("slope_cents_per_month"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Mann–Kendall trend test — the nonparametric companion of
+    * [[theilSen]]: S = Σ sign(y₂ − y₁) over all month pairs per segment,
+    * Kendall's τ = S / C(n,2), and the sign verdict. Distribution-free
+    * (no normality assumption behind it), exact: S is an int64 sum of
+    * CASE signs (never a float sign function), τ one IEEE division of
+    * exact integers. A segment needs ≥ 2 months to have pairs; ties in
+    * revenue contribute 0 to S exactly as the textbook statistic.
+    *
+    * Scale shape: identical to [[theilSen]] — cells, then a bounded
+    * pair table, then one per-segment fold. */
+  def mannKendall(s: SparkSession, dir: String): DataFrame =
+    monthPairs(s, dir)
+      .select(col("c_mktsegment"),
+        when(col("y2") > col("y1"), 1L).when(col("y2") < col("y1"), -1L)
+          .otherwise(0L).as("sgn"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("sgn")).as("s_stat"))
+      .select(col("c_mktsegment"), col("n_pairs"), col("s_stat"),
+        (col("s_stat").cast("double") / col("n_pairs").cast("double"))
+          .as("tau"),
+        when(col("s_stat") > 0, "increasing")
+          .when(col("s_stat") < 0, "decreasing")
+          .otherwise("no_trend").as("verdict"))
+      .orderBy("c_mktsegment")
 
   /** Rolling 7-day active users (WAU) next to daily actives (DAU) for
     * every observed day — the engagement curve, with the DAU/WAU ratio

@@ -102,6 +102,53 @@ class CensusSpec extends AnyFunSuite {
     assert(got.length === 5)
   }
 
+  test("theil_sen + mann_kendall replay from a driver-side pair sweep") {
+    val cells = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100) as bigint)")).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val ts = Temporal.theilSen(spark, sf).collect()
+    assert(ts.length === 5)
+    for (r <- ts) {
+      val pts = cells(r.getString(0)).sortBy(_._2)
+      val pairs = for {
+        i <- pts.indices; j <- pts.indices if i < j
+      } yield (pts(j)._3 - pts(i)._3, pts(j)._2 - pts(i)._2)
+      assert(r.getLong(1) === pairs.length.toLong)
+      // the reported slope is the lower-median pair under the
+      // (double slope, num, den) order — replay the selection exactly
+      val sorted = pairs.map { case (num, den) =>
+        (num.toDouble / den.toDouble, num, den)
+      }.sorted
+      val (ws, wn, wd) = sorted((pairs.length + 1) / 2 - 1)
+      assert(r.getLong(2) === wn && r.getLong(3) === wd)
+      assert(r.getDouble(4) === ws)
+      // median property: at most half the slopes fall strictly below/above
+      val below = sorted.count(_._1 < ws)
+      val above = sorted.count(_._1 > ws)
+      assert(below <= pairs.length / 2 && above <= (pairs.length + 1) / 2)
+    }
+    val mk = Temporal.mannKendall(spark, sf).collect()
+    assert(mk.length === 5)
+    for (r <- mk) {
+      val pts = cells(r.getString(0)).sortBy(_._2)
+      val signs = for {
+        i <- pts.indices; j <- pts.indices if i < j
+      } yield (pts(j)._3 compare pts(i)._3).sign.toLong
+      assert(r.getLong(1) === signs.length.toLong)
+      assert(r.getLong(2) === signs.sum)
+      assert(r.getDouble(3) === signs.sum.toDouble / signs.length.toDouble)
+      val verdict = if (signs.sum > 0) "increasing"
+        else if (signs.sum < 0) "decreasing" else "no_trend"
+      assert(r.getString(4) === verdict)
+    }
+  }
+
   test("active_users: WAU/DAU match a brute force and WAU bounds DAU") {
     val got = Temporal.activeUsers(spark, sf).collect()
       .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
