@@ -633,6 +633,20 @@ object Oracles {
          |  AND o_orderdate < DATE '1998-01-01'
          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
+    "q_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sumD("l_quantity", 2, "sum_qty")},
+         |  ${sumD("l_extendedprice", 2, "sum_base_price")},
+         |  ${sumD("l_extendedprice*(1-l_discount)", 6, "sum_disc_price")},
+         |  ${sumD("l_extendedprice*(1-l_discount)*(1+l_tax)", 6, "sum_charge")},
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_price,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)/count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q_tpch_q7" ->
       s"""SELECT supp_nation, cust_nation, l_year,
          |  ${sumD("volume", 6, "revenue")}

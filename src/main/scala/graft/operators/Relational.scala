@@ -1583,6 +1583,31 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q1 (pricing summary) — the full eight-aggregate form of
+    * [[groupedAgg]]'s Q1 shape: quantities, base/discounted/charged
+    * revenue, three averages and the row count per (returnflag,
+    * linestatus). Pure scan + map-side-combined grouped aggregation over
+    * a bounded group domain; every sum folds through DECIMAL so the
+    * averages are one IEEE division of exact operands on both engines.
+    * (The fixture's lineitem drops no Q1 column, so this one is
+    * schema-faithful.) */
+  def tpchQ1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumD2(col("l_quantity")).as("sum_qty"),
+        sumD2(col("l_extendedprice")).as("sum_base_price"),
+        sumD6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_disc_price"),
+        sumD6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax"))).as("sum_charge"),
+        (sumD2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (sumD2(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        (sumD2(col("l_discount")) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   /** TPC-H Q7 (volume shipping): bilateral trade volume between two
     * nations by ship year — lineitems whose SUPPLIER sits in one nation
     * and whose ordering CUSTOMER in the other, both directions reported.

@@ -183,6 +183,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_ivm_join" -> 6, // four delta-term joins (dim sides broadcast) + rollup
     "q_stream_percentile" -> 3, // complete-mode cell state + post-drain windows
     "q_emb_health" -> 2, // map-side fold per row + one label-keyed agg
+    "q_tpch_q1" -> 2, // grouped agg over bounded (flag, status) domain + range sort of ≤ 6 groups
     "q_tpch_q6" -> 1, // filtered scan → 1-row aggregate; no join anywhere
     "q_tpch_q7" -> 2, // lineitem ⋈ orders once; nation-filtered dims broadcast
     "q_tpch_q8" -> 4, // lineitem ⋈ orders + region-filtered customer; part/supplier broadcast

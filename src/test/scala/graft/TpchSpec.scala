@@ -22,6 +22,24 @@ class TpchSpec extends AnyFunSuite {
       "part").foreach(t => spark.read.parquet(s"$sf/$t.parquet")
       .createOrReplaceTempView(s"v_$t"))
 
+  test("tpch_q1 aggregates are internally consistent and groups partition the scan") {
+    views()
+    val rows = Relational.tpchQ1(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val scanned = spark.sql(
+      "SELECT count(*) FROM v_lineitem " +
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'")
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(9)).sum === scanned)
+    rows.foreach { r =>
+      val n = r.getLong(9)
+      assert(r.getDouble(6) === r.getDouble(2) / n) // avg_qty
+      assert(r.getDouble(7) === r.getDouble(3) / n) // avg_price
+      // charge ≥ discounted price (tax ≥ 0)
+      assert(r.getDouble(5) >= r.getDouble(4))
+    }
+  }
+
   test("tpch_q7 equals the textbook comma-join formulation") {
     views()
     val got = Relational.tpchQ7(spark, sf).collect()
