@@ -2184,6 +2184,22 @@ object Oracles {
          |  SELECT doc_id FROM ($DedupClustersSql) c WHERE doc_id <> cluster_id)
          |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // quality-argmax canonical per cluster: row_number ordered by
+    // (score DESC, doc_id) replays the engine's max(struct(score, -id))
+    "q_dedup_keep_best" ->
+      s"""WITH $QualityScoreCtes,
+         |clusters AS (SELECT * FROM ($DedupClustersSql) x),
+         |j AS (SELECT c.cluster_id, c.doc_id, sc.score
+         |  FROM clusters c JOIN sc ON c.doc_id = sc.doc_id),
+         |r AS (SELECT cluster_id, doc_id, score,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS nm FROM j)
+         |SELECT cluster_id, CAST(nm AS BIGINT) AS n_members,
+         |  doc_id AS kept_doc, CAST(score * 100 AS BIGINT) AS kept_score_pct,
+         |  cluster_id <> doc_id AS changed
+         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+
     "q_dedup_minhash" ->
       (MinhashCtes + "\n" +
         s"""SELECT c.doc_a, c.doc_b,

@@ -490,6 +490,36 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** Quality-aware canonical selection — per near-dup cluster, keep the
+    * HIGHEST-[[qualityScore]] member (ties broken by min doc_id) instead
+    * of [[dedupApply]]'s min-id rule, and report per cluster whether the
+    * two rules disagree. This is what production curation actually does:
+    * when near-duplicates differ (truncation, boilerplate wrap), the
+    * pipeline keeps the best copy, not the numerically-first crawl.
+    *
+    * Determinism: the score domain is exact quarters (0, .25, …, 1), the
+    * argmax is max(struct(score, −doc_id)) ≡ the oracle's row_number
+    * ordered by (score DESC, doc_id), and the reported score is an exact
+    * integer percentage.
+    *
+    * Scale shape: rides the memoized cluster table (tiny — clustered
+    * docs only); the score attach is one doc_id equi-join against the
+    * narrow per-doc score projection (AQE broadcasts the cluster side);
+    * the argmax is a map-side-combinable struct-max per cluster. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(s, dir)
+    val scores = qualityScore(s, dir).select(col("doc_id"), col("score"))
+    clusters.join(scores, "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.nid")).as("kept_doc"),
+        (col("best.score") * 100).cast("long").as("kept_score_pct"),
+        (col("cluster_id") =!= -col("best.nid")).as("changed"))
+      .orderBy("cluster_id")
+  }
+
   /** Dedup-funnel audit: the stage-by-stage survivor census of the dedup
     * pipeline — raw corpus → exact (content-hash) dedup → near-dup
     * cluster collapse — the dashboard table a curation team reads to see

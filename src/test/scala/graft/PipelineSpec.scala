@@ -270,6 +270,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("dedup_keep_best picks the quality argmax per cluster, min id on ties") {
+    val scores = Pipeline.qualityScore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val clusters = Pipeline.dedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val want = clusters.groupBy(_._2).map { case (cid, members) =>
+      val docs = members.map(_._1)
+      val best = docs.minBy(d => (-scores(d), d))
+      cid -> (docs.length.toLong, best, (scores(best) * 100).toLong)
+    }
+    val got = Pipeline.dedupKeepBest(spark, sf).collect()
+    assert(got.length === want.size)
+    got.foreach { r =>
+      val (n, kept, pct) = want(r.getLong(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === kept)
+      assert(r.getLong(3) === pct)
+      assert(r.getBoolean(4) === (kept != r.getLong(0)))
+    }
+  }
+
   test("minLabelComponents converges on a diameter-6 chain plus a far pair") {
     import spark.implicits._
     // chain 107-106-...-101 (diameter 6, min label at the FAR end from the

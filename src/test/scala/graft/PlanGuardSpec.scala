@@ -208,6 +208,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_constraint_check" -> 8, // one 1-row agg per constraint + the FK semi probe
     "q_spend_trend" -> 4, // corpus → segment×month cells; regression folds cells
     "q_theil_sen" -> 5, // cells agg + months²-bounded pair self-join + rank window
+    "q_dedup_keep_best" -> 2, // memoized cluster table ⋈ score projection + struct-max
     "q_mann_kendall" -> 3, // cells agg + bounded pair self-join + per-seg fold
     "q_active_users" -> 7, // (day,user) distinct, ≤7× fanout, re-distinct, DAU join
     "q_auc" -> 3, // corpus → (source,len) cells; rank window over cells
