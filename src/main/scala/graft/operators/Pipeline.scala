@@ -91,16 +91,25 @@ object Pipeline {
   private val pairCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def computePairStats(s: SparkSession, dir: String): DataFrame = {
-    val ex = shinglesRaw(s, dir)
-      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+  private def computePairStats(s: SparkSession, dir: String): DataFrame =
+    pairStatsOf(shinglesRaw(s, dir)
+      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h")), MaxShingleDf)
+
+  /** Blocking core over a (doc_id, h) shingle-hash table, exposed for the
+    * recall spec: the df cap is a RECALL knob calibrated to corpus scale
+    * (the honest-100× probe measured the default cap going recall-blind
+    * when every shingle's df inflates 100× under verbatim duplication —
+    * SURVEY §9); deployments growing the corpus must grow the cap with it
+    * or route mass duplication through the MinHash band path, which
+    * needs no df statistics. */
+  private[graft] def pairStatsOf(ex: DataFrame, dfCap: Long): DataFrame = {
     val byShingle = ex.groupBy("h")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
     val sizes = byShingle
       .select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = byShingle
-      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .filter(size(col("ds")).between(2, dfCap))
       .select(explode(flatten(transform(col("ds"), (a, i) =>
           transform(slice(col("ds"), i + 2, size(col("ds"))),
             b => struct(a.as("doc_a"), b.as("doc_b")))))).as("p"))

@@ -270,6 +270,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("df cap is a recall knob: verbatim duplication blinds a low cap, a scaled cap recovers") {
+    import spark.implicits._
+    // 3 content families × 10 verbatim copies: every shingle hash has
+    // df = 10 (the miniature of the honest-100× duplication stress)
+    val ex = (for {
+      fam <- 0 until 3; copy <- 0 until 10; sh <- 0 until 5
+    } yield (fam * 100L + copy, fam * 1000L + sh)).toDF("doc_id", "h")
+    // cap below the duplication factor: blocking drops EVERY shingle
+    val blind = Pipeline.pairStatsOf(ex, dfCap = 5).count()
+    assert(blind === 0L, "a sub-duplication cap must go recall-blind")
+    // cap at/above the duplication factor: all within-family pairs found,
+    // every pair sharing all 5 shingles (jaccard 1 near-dups)
+    val found = Pipeline.pairStatsOf(ex, dfCap = 10).collect()
+    assert(found.length === 3 * (10 * 9) / 2)
+    found.foreach { r =>
+      assert(r.getLong(2) === 5L) // common
+      assert(r.getLong(0) / 100 === r.getLong(1) / 100) // same family only
+    }
+  }
+
   test("dedup_keep_best picks the quality argmax per cluster, min id on ties") {
     val scores = Pipeline.qualityScore(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(4)).toMap
