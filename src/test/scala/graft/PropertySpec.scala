@@ -100,6 +100,37 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("contracted minLabelComponents equals union-find on random graphs") {
+    // the local-contraction + pointer-jumping kernel is the newest moving
+    // part: replay 8 random graph shapes (sparse, dense, chain-heavy)
+    // against an exact driver-side union-find
+    (1 to 8).foreach { trial =>
+      val nV = 5 + rnd.nextInt(40)
+      val nE = 1 + rnd.nextInt(60)
+      val base = rnd.nextInt(1000).toLong
+      val edges = (0 until nE).map { _ =>
+        (base + rnd.nextInt(nV), base + rnd.nextInt(nV))
+      }.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val want = verts.map(v => v -> find(v)).toMap
+        val got = graft.operators.Pipeline
+          .minLabelComponents(edges.toDF("doc_a", "doc_b"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(got === want, s"trial $trial (v=$nV e=${edges.length})")
+      }
+    }
+  }
+
   test("triangle census core equals brute force on random basket graphs") {
     import graft.operators.Graph
     (1 to 3).foreach { trial =>
