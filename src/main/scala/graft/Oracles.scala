@@ -3377,6 +3377,18 @@ object Oracles {
          |    AS locf_cents
          |FROM events ORDER BY event_id""".stripMargin,
 
+    // the streaming LOCF twin shares the batch oracle verbatim: a single
+    // AvailableNow drain folds each user's events in (ts, event_id) order,
+    // which IS the batch window
+    "q_stream_gap_fill" ->
+      s"""SELECT event_id, user_id, event_type,
+         |  coalesce(last_value(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(floor(value * 100) AS BIGINT) END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         |    AS locf_cents
+         |FROM events ORDER BY event_id""".stripMargin,
+
     "q_mom_growth" ->
       s"""WITH m AS (SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
          |    AS BIGINT) AS m,

@@ -17,6 +17,18 @@ case class EvT(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
 case class CurProfile(user_id: Long, n_events: Long, last_ts_us: Long,
                       last_event_id: Long, last_type: String)
 
+/** Event record with type and value for the streaming LOCF gap-fill. */
+case class GfEv(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                event_type: String, value: Double)
+
+/** Emitted per event by the streaming gap-fill: the event with its
+  * carried most-recent purchase cents (−1 before any purchase). */
+case class GfOut(event_id: Long, user_id: Long, event_type: String,
+                 locf_cents: Long)
+
+/** Per-user carried state for the streaming gap-fill. */
+case class GfState(cents: Long)
+
 /** Running per-user session state carried across micro-batches. */
 case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
 
@@ -526,6 +538,48 @@ object Streams {
       case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
       case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
+  }
+
+  /** Streaming LOCF gap-fill (20th flavor) — [[graft.operators.Temporal
+    * .gapFill]]'s production shape: every incoming event is emitted
+    * carrying the user's most recent purchase amount, with ONE int64 of
+    * state per user (the carried cents — exactly the bounded state the
+    * batch query's Scaladoc promises a streaming version would keep).
+    * Within a batch the group's events fold in (ts, event_id) order, so
+    * the single-`AvailableNow`-drain result equals the batch window and
+    * the two share one oracle; across batches the carried cents resumes
+    * from state, the no-future-leak invariant by construction.
+    *
+    * Scale shape: one user-keyed state exchange; output is event-sized
+    * but map-emitted (no window over the corpus); state is O(users) ×
+    * one long. */
+  def streamGapFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stream = eventStream(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        col("value")).as[GfEv]
+
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+
+    def fn(user: Long, events: Iterator[GfEv],
+           state: GroupState[GfState]): Iterator[GfOut] = {
+      val evs = events.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      var c = state.getOption.map(_.cents).getOrElse(-1L)
+      val out = evs.map { e =>
+        if (e.event_type == "purchase") c = math.floor(e.value * 100).toLong
+        GfOut(e.event_id, user, e.event_type, c)
+      }
+      if (evs.nonEmpty) state.update(GfState(c))
+      out.iterator
+    }
+
+    val out = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    withStatePartitions(s, 2) { appendToParquet(s, out.toDF()) }
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("locf_cents"))
+      .orderBy("event_id")
   }
 
   /** Stateful sessionization via flatMapGroupsWithState: a session closes

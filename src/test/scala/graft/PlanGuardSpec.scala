@@ -165,6 +165,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_countmin" -> 2,
     "q_stream_drift" -> 6,
     "q_stream_hll" -> 1, // 256-register complete-mode agg; post-drain is 257-row arithmetic
+    "q_stream_gap_fill" -> 1, // one user-keyed state exchange; post-drain is a sorted read
     "q_embedding_drift" -> 4,
     "q_robust_anomaly" -> 4,
     "q_sample_bias" -> 4, // one corpus pass to |langs| cells, then cell-table arithmetic

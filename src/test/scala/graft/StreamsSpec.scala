@@ -132,6 +132,21 @@ class StreamsSpec extends AnyFunSuite {
     assert(stream === batch)
   }
 
+  test("stream gap-fill equals the batch LOCF window per event") {
+    val stream = Streams.streamGapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+    val batch = graft.operators.Temporal.gapFill(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+    assert(stream.toSeq === batch.toSeq)
+    assert(stream.nonEmpty)
+    // sentinel invariant: a user with no purchases can never carry a fill
+    val purchasers = stream.collect { case (_, (u, "purchase", _)) => u }.toSet
+    stream.foreach { case (eid, (u, _, cents)) =>
+      if (!purchasers.contains(u))
+        assert(cents === -1L, s"event $eid of purchase-free user $u carries $cents")
+    }
+  }
+
   test("stream CDC census equals batch census and is batch-order-insensitive") {
     def censusOf(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
