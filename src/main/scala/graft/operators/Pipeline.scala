@@ -378,13 +378,20 @@ object Pipeline {
     // instead of the raw edge list — on a dense graph that is the E → V·P
     // collapse that keeps 100 TB supersteps affordable, and the imperative
     // union-find is exactly the bounded per-partition state mapPartitions
-    // is for (memory ∝ vertices per partition, governed by split size).
+    // is for. The pre-contraction repartition is ROUND-ROBIN, not keyed:
+    // keying on src would land every edge of a high-degree hub (and a
+    // parent map ∝ its degree) in one task — an OOM on skewed graphs —
+    // while round-robin bounds per-task edges (hence union-find memory)
+    // by E / partitions regardless of degree distribution. Contraction is
+    // correct under ANY partitioning (cross-partition connectivity
+    // survives via shared vertices linking their local roots), it only
+    // trades a little collapse ratio for skew immunity.
     // Both edge directions are emitted here so the contracted table needs
     // no second union pass; self-pairs keep isolated-self-edge vertices
     // visible to the label init below.
     val raw = pairs.union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
-      .repartition(col("src"))
+      .repartition(pairs.sparkSession.sessionState.conf.numShufflePartitions)
     val contractedPairs = {
       import org.apache.spark.sql.Encoders
       raw.select(col("src").cast("long"), col("dst").cast("long"))
@@ -488,13 +495,17 @@ object Pipeline {
   /** Apply the dedup decisions: drop every non-canonical cluster member
     * (keep the minimum doc_id per near-dup component) and report the kept
     * corpus per language — the step that turns pair detection into an
-    * actual training-set filter. Left-anti join against the (tiny) drop
-    * list; at scale the drop list broadcastable or bucket-joined. */
+    * actual training-set filter. Left-anti join against the drop list —
+    * NO broadcast hint: the drop list is linear in duplicate mass, so a
+    * forced broadcast would ship a multi-GB id table to the driver and
+    * every executor at 100 TB. AQE still broadcasts when the measured
+    * table is small; otherwise a shuffled anti-join on doc_id is safe at
+    * any scale. */
   def dedupApply(s: SparkSession, dir: String): DataFrame = {
     val drop = dedupClusters(s, dir)
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     Tables.documents(s, dir)
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(drop, Seq("doc_id"), "left_anti")
       .groupBy("lang").agg(count(lit(1)).as("n_kept"))
       .orderBy("lang")
   }
@@ -540,8 +551,10 @@ object Pipeline {
     *
     * Scale shape: one corpus scan feeds a global count+distinct; the
     * stage-2 census joins the (hash-group canonical) keep table against
-    * the tiny near-dup drop list — broadcast-sized, same discipline as
-    * [[dedupApply]]. The three report rows come from exploding a literal
+    * the near-dup drop list as a plain shuffled join (the drop list is
+    * duplicate-mass-linear — no broadcast hint; AQE broadcasts it only
+    * when measured small, same discipline as [[dedupApply]]). The three
+    * report rows come from exploding a literal
     * array over the single combined stats row — the only crossJoin is
     * two 1-row aggregates. */
   def dedupFunnel(s: SparkSession, dir: String): DataFrame = {
@@ -552,7 +565,7 @@ object Pipeline {
       .agg(min(col("doc_id")).as("doc_id"))
     val drop = dedupClusters(s, dir)
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
-    val ndRemoved = keeps.join(broadcast(drop), Seq("doc_id"))
+    val ndRemoved = keeps.join(drop, Seq("doc_id"))
       .agg(count(lit(1)).as("n_nd"))
     totals.crossJoin(broadcast(ndRemoved))
       .select(explode(array(
@@ -1066,15 +1079,20 @@ object Pipeline {
     * context chunking, summarized per language. This is the pipeline the
     * individual operators exist for, declared as one composed query so the
     * whole chain is oracle-checked: left-semi the quality keepers,
-    * left-anti the non-canonical cluster members (both side tables are
-    * tiny relative to the corpus — broadcast), chunk the survivors. */
+    * left-anti the non-canonical cluster members, chunk the survivors.
+    * NO broadcast hints on either side table: `kept` is the quality
+    * SURVIVOR set — most of the corpus by construction — and `drop` is
+    * duplicate-mass-linear, so forced broadcasts would ship multi-GB id
+    * tables through the driver at 100 TB. Shuffled semi/anti joins on
+    * doc_id are safe at any scale, and AQE still broadcasts whichever
+    * side measures small at runtime. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
     val kept = qualityScore(s, dir).filter(col("keep")).select("doc_id")
     val drop = dedupClusters(s, dir)
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val curated = Tables.documents(s, dir)
-      .join(broadcast(kept), Seq("doc_id"), "left_semi")
-      .join(broadcast(drop), Seq("doc_id"), "left_anti")
+      .join(kept, Seq("doc_id"), "left_semi")
+      .join(drop, Seq("doc_id"), "left_anti")
     chunkRows(curated)
       .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang")

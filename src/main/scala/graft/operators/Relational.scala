@@ -12,9 +12,12 @@ import graft.functions.Fns._
   * Scale notes (100 TB design):
   *  - Fact-side scans carry their filters/projections in the plan so they
   *    reach the parquet reader (PushedFilters / pruned ReadSchema).
-  *  - Every dimension join uses an explicit `broadcast()` hint: customer /
-  *    nation / region stay tiny relative to orders/lineitem at any SF, so
-  *    the fact table never shuffles for them.
+  *  - Dimension joins: only the CONSTANT-size dims (nation = 25 rows,
+  *    region = 5 rows, 1-row aggregates) carry explicit `broadcast()`
+  *    hints. SF-growing dims (customer / supplier / part, even filtered)
+  *    carry NO hint — AQE broadcasts them map-side while they measure
+  *    small and degrades to a shuffled join beyond that, instead of a
+  *    forced multi-GB driver broadcast at extreme SF.
   *  - Double sums go through decimal(18,x) (see [[graft.functions.Fns]]):
   *    exact, order-independent, and therefore stable under any partitioning
   *    or AQE re-plan — correctness does not depend on reduce order.
@@ -50,18 +53,24 @@ object Relational {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
-  /** Broadcast dimension join (reduce-side join in MR terms, done map-side):
-    * orders ⋈ customer, revenue per market segment. */
+  /** Dimension join (reduce-side join in MR terms, done map-side when the
+    * dim fits): orders ⋈ customer, revenue per market segment. No forced
+    * hint — customer GROWS with SF (1:10 vs orders), so AQE's measured
+    * runtime broadcast is the safe call at every scale; the explicit-hint
+    * surface is demonstrated on the constant-size nation/region dims in
+    * [[joinMulti]]. */
   def joinAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)),
+      .join(Tables.customer(s, dir),
             col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_orders"), sumD2(col("o_totalprice")).as("revenue"))
       .orderBy("c_mktsegment")
 
   /** Multi-way star join: lineitem ⋈ orders (shuffle, the only big-big join)
-    * with customer/nation/region broadcast onto it. Revenue per nation. */
+    * with customer attached by AQE's measured choice (customer grows with
+    * SF — no forced hint) and the CONSTANT-size nation/region dims
+    * explicitly broadcast. Revenue per nation. */
   def joinMulti(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
@@ -70,7 +79,7 @@ object Relational {
     val n  = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val r  = Tables.region(s, dir).select(col("r_regionkey"), col("r_name"))
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -399,8 +408,9 @@ object Relational {
     * the snapshot range for keys ≡ 0 mod 13) merged into the snapshot as
     * WHEN MATCHED UPDATE / NOT MATCHED INSERT — expressed as a left-anti
     * join (drop replaced rows) plus union, the scale shape: one equi-join
-    * shuffle on the key (or a broadcast when the change set is small, as
-    * change sets usually are), no full-table rewrite logic in the plan.
+    * shuffle on the key (AQE broadcasts the change set at runtime when it
+    * measures small — no forced hint, since this change set is snapshot/7,
+    * i.e. corpus-linear), no full-table rewrite logic in the plan.
     * The double arithmetic (× 1.1) is IEEE-identical on both engines. */
   def upsert(s: SparkSession, dir: String): DataFrame = {
     val snap = Tables.orders(s, dir)
@@ -409,7 +419,7 @@ object Relational {
       .withColumn("o_totalprice", col("o_totalprice") * 1.1)
     val inserts = snap.filter(col("o_orderkey") % 13 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
-    snap.join(broadcast(updates.select("o_orderkey")), Seq("o_orderkey"), "left_anti")
+    snap.join(updates.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
       .union(updates).union(inserts)
       .orderBy("o_orderkey")
   }
@@ -994,8 +1004,8 @@ object Relational {
   def pivotSegmentYear(s: SparkSession, dir: String): DataFrame = {
     val years = Seq(1996, 1997, 1998)
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_mktsegment"))),
+      .join(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
       .groupBy("c_mktsegment").pivot("yr", years).agg(count(lit(1)))
@@ -1526,7 +1536,7 @@ object Relational {
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
       .filter(col("s_nationkey") === col("c_nationkey"))
       .groupBy("n_name")
       .agg(sumD6(col("rev")).as("revenue"))
@@ -1616,8 +1626,10 @@ object Relational {
     * Scale shape: nation is filtered to the two parties once and
     * broadcast-attached to supplier and customer separately (each then
     * catalog-sized × 2/25); lineitem carries the two-year shipdate range
-    * into the parquet scan and broadcast-joins the supplier side
-    * map-side, so the only big shuffle is lineitem ⋈ orders on orderkey;
+    * into the parquet scan and AQE broadcast-joins the nation-filtered
+    * supplier side map-side when it measures small (no forced hint —
+    * supplier grows with SF), so the only guaranteed big shuffle is
+    * lineitem ⋈ orders on orderkey;
     * the cross-pair constraint collapses to `supp_nation ≠ cust_nation`
     * because both sides are already restricted to the pair. Revenue folds
     * through DECIMAL(18,6); year() of the pinned-UTC shipdate matches
@@ -1639,7 +1651,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_suppkey"),
         year(col("l_shipdate")).as("l_year"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
-    l.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+    l.join(su, col("l_suppkey") === col("s_suppkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(cu, col("o_custkey") === col("c_custkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
@@ -1656,9 +1668,10 @@ object Relational {
     * of exact operands (bit-stable on both engines).
     *
     * Scale shape: part(type) and the region-filtered customer key set
-    * reduce the fact side early (part broadcast; customer catalog-sized,
-    * AQE picks); the one big shuffle is the filtered lineitem ⋈ orders;
-    * supplier→nation attaches map-side by broadcast. */
+    * reduce the fact side early (both SF-growing — AQE picks broadcast
+    * when measured small, shuffle otherwise; no forced hints); the one
+    * big shuffle is the filtered lineitem ⋈ orders; supplier→nation
+    * attaches by the constant-size nation broadcast. */
   def tpchQ8(s: SparkSession, dir: String): DataFrame = {
     val rn = Tables.nation(s, dir)
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
@@ -1682,10 +1695,10 @@ object Relational {
     val l = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
-    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    l.join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(cu, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+      .join(supN, col("l_suppkey") === col("s_suppkey"))
       .groupBy("o_year")
       .agg(sumD6(when(col("n_name") === "NATION_3", col("volume"))
           .otherwise(lit(0.0))).as("nation_volume"),
@@ -1730,8 +1743,8 @@ object Relational {
         col("l_shipdate") < lit("1997-10-01").cast("date"))
       .select(col("l_partkey"),
         (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"))
-      .join(broadcast(Tables.part(s, dir)
-        .select(col("p_partkey"), col("p_type"))),
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_type")),
         col("l_partkey") === col("p_partkey"))
       .agg(sumD6(when(col("p_type") === "PROMO", col("volume"))
           .otherwise(lit(0.0))).as("promo_revenue"),
@@ -1777,20 +1790,22 @@ object Relational {
     * `5·qty·cnt < sum` in int64 — no division, no epsilon, identical on
     * both engines; only the final /7.0 is IEEE.
     *
-    * Scale shape: brand-filtered part broadcasts into lineitem twice
-    * (once for the per-part aggregate, once for the probe — both
-    * map-side); the per-part avg table is part-sized and broadcast back.
-    * Lineitem never shuffles. */
+    * Scale shape: brand-filtered part joins into lineitem twice (once
+    * for the per-part aggregate, once for the probe); the per-part avg
+    * table is part-sized and joins back on partkey. No forced hints —
+    * filtered part is SF-growing (part/25), so AQE broadcasts it (and
+    * the avg table) map-side only while they measure small, and degrades
+    * to safe shuffled joins beyond that instead of OOMing the driver. */
   def tpchQ17(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
       .select(col("p_partkey"))
     val lp = Tables.lineitem(s, dir)
       .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
     val avgQ = lp.groupBy(col("l_partkey").as("ak"))
       .agg(sum(col("l_quantity").cast("bigint")).as("sq"),
         count(lit(1)).as("cnt"))
-    lp.join(broadcast(avgQ), col("l_partkey") === col("ak"))
+    lp.join(avgQ, col("l_partkey") === col("ak"))
       .filter(col("l_quantity").cast("bigint") * 5 * col("cnt") < col("sq"))
       .agg(sumD2(col("l_extendedprice")).as("total_revenue"),
         count(lit(1)).as("n_lines"))

@@ -120,11 +120,18 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_corr_exact" -> 2,
     "q_csv_dirty" -> 1,
     "q_cube_docs" -> 2,
-    "q_curation" -> 3,
+    // +1 in round 9: the forced broadcast(kept)/broadcast(drop) hints were
+    // dropped (kept is the quality-SURVIVOR set — most of the corpus — and
+    // drop is duplicate-mass-linear; both would ship through the driver at
+    // 100 TB). AQE now plans shuffled semi/anti joins at tiny SF — the
+    // safe shape at scale.
+    "q_curation" -> 4,
     "q_dataset_card" -> 5,
     "q_date_functions" -> 1,
     "q_decontamination" -> 7,
-    "q_dedup_apply" -> 2,
+    // +2 in round 9: forced broadcast(drop) hint dropped (duplicate-mass-
+    // linear drop list); the left-anti now shuffles both sides at tiny SF
+    "q_dedup_apply" -> 4,
     "q_dedup_clusters" -> 1,
     "q_dedup_containment" -> 1,
     "q_dedup_exact" -> 2,
@@ -372,6 +379,60 @@ class PlanGuardSpec extends AnyFunSuite {
         s"$name shuffles $shuffles > recorded budget $budget — a new " +
           "exchange appeared; if intentional, re-run ExchangeCensus and " +
           "update the budget with a note on why the extra shuffle scales")
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Broadcast-hint sweep: no `broadcast()` hint may sit on a
+  // corpus-derived table. A forced hint overrides AQE's size check, so a
+  // hint on anything that grows with the corpus (a drop list, a survivor
+  // set, a candidate-pair table) ships a multi-GB relation through the
+  // driver at 100 TB — the exact bug class fixed in dedupMinhash (r8) and
+  // dedupApply/dedupFunnel/curationPipeline (r9). This sweep makes the
+  // class structurally dead: every hinted subtree must be PROVABLY
+  // constant-bounded — all leaves local/1-row, or cut by a LIMIT or a
+  // grouping-free (1-row) aggregate — or appear in the justified
+  // allowlist below with the reason its row count is corpus-independent.
+  // ------------------------------------------------------------------
+
+  /** query → number of broadcast hints whose subtree
+    * [[graft.tools.HintAudit.constantBounded]] can NOT prove bounded but
+    * whose cardinality is constant (or corpus-sublinear by a documented
+    * large factor) for the stated domain reason. Anything beyond these
+    * counts fails — a new forced broadcast anywhere must either be
+    * structurally provable or justified here. */
+  private val unboundedHintAllowed = Map[String, Int](
+    "q_ann_adc"  -> 2, // 4×16-cell PQ codebook — memoized as a LogicalRDD, so
+                       // its bounded structure (groupBy(m, cid), both constant
+                       // domains) is opaque to the audit; 64 rows at any SF
+    "q_bloom_fpr" -> 1, // distinct set bits: ≤65521 rows (pmod-literal domain)
+    "q_bm25"      -> 1, // df table filtered to the 3 literal query terms
+    "q_cluster_labels" -> 1, // per-cluster token totals: cid ∈ k-means k=8
+    "q_countmin"  -> 1, // CM sketch cells: 4 hash rows × 1021 buckets, constant
+    "q_equidepth_hist" -> 1, // per-block prefix-sum offsets: rows = corpus/5000
+                       // (a 5000× reduction; the offsets table is the price of
+                       // a single-pass global rank — audited r8)
+    "q_event_gaps" -> 1, // same block-offset shape (corpus/blocksize)
+    "q_gini"       -> 2, // same block-offset table, tagged twice in the plan
+    "q_pack_sequences" -> 1, // same block-offset shape
+    "q_rfm"        -> 1, // per-(dim, blk) offsets — dim is a 3-value literal,
+                       // blk the same corpus/blocksize reduction
+    "q_skyline"    -> 1  // dominance frontier over per-DAY maxima: rows ≤ the
+                       // date domain (a few thousand at any corpus size)
+  )
+
+  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+    test(s"$name: no broadcast hint on a corpus-derived table") {
+      val unproven =
+        graft.tools.HintAudit.unprovenHints(SparkEntry.queries(name)(spark, sf))
+      val allowed = unboundedHintAllowed.getOrElse(name, 0)
+      assert(unproven.size <= allowed,
+        s"$name carries ${unproven.size} broadcast hint(s) on subtrees not " +
+          s"provably constant-bounded (allowed: $allowed). A forced " +
+          "broadcast of a corpus-derived table ships it through the driver " +
+          "at 100 TB — drop the hint (AQE still broadcasts measured-small " +
+          "tables) or, if the domain is genuinely constant, add a justified " +
+          s"allowlist entry. First offending subtree:\n${unproven.headOption.getOrElse("")}")
     }
   }
 }
