@@ -53,6 +53,33 @@ object Bench {
     // non-zero — a bench artifact can never look FASTER because a query
     // broke (that happened in round 7 when a fixture regression turned six
     // event-time queries into ~0.06s analysis-error fast-fails).
+    // CALIBRATION ANCHORS (round 9): three fixed probes whose plans are
+    // frozen forever — pure codegen CPU, a fixed 1000-key shuffle, and a
+    // raw parquet scan-aggregate — timed immediately before pass 1 and
+    // again after pass 2. Identical code has measured 1.3-1.5x per-query
+    // drift between host epochs (SURVEY §8); the anchors let any two
+    // bench artifacts be normalized against each other (divide by the
+    // anchor ratio) instead of arguing about which run's host was slow,
+    // and the before/after pair exposes drift WITHIN a run.
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
+    val calibrations: Seq[(String, () => Unit)] = Seq(
+      "cal_cpu" -> (() => {
+        spark.range(200000000L)
+          .select(sum(col("id") * 2654435761L + 12345L)).count(); ()
+      }),
+      "cal_shuffle" -> (() => {
+        spark.range(20000000L)
+          .groupBy(pmod(col("id"), lit(1000)).as("k"))
+          .agg(count(lit(1)).as("n")).agg(sum(col("n"))).count(); ()
+      }),
+      "cal_scan" -> (() => {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(sum(col("l_quantity"))).count(); ()
+      }))
+    def calPass(): Map[String, Double] = calibrations.map { case (name, fn) =>
+      val t0 = System.nanoTime(); fn(); name -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    calPass() // one untimed warmup (JIT + page cache for the scan anchor)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -62,8 +89,10 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val calBefore = calPass()
     val first = pass()
     val second = pass()
+    val calAfter = calPass()
     val results = first.map { case (k, v) =>
       k -> (if (v < 0 || second(k) < 0) -1.0 else math.min(v, second(k)))
     }
@@ -73,7 +102,10 @@ object Bench {
     val errJson = errors.map { case (k, m) =>
       s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val calJson = calibrations.map { case (name, _) =>
+      s"\"" + name + "\":[" + calBefore(name) + "," + calAfter(name) + "]"
+    }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
     // print first AND persist: the driver's log capture truncates long sbt
     // tails, so the artifact self-contains the totals either way
     println(json)

@@ -2169,6 +2169,29 @@ object Oracles {
     // rare hash collisions are reproduced bit-for-bit on both sides
     "q_dedup_ngram" -> DedupNgramSql,
 
+    // df-cap self-report: distinct/pairable/capped shingle-key census +
+    // the emitted pair count — the 1-row signal that fires when the cap
+    // goes recall-blind under mass duplication
+    "q_dedup_ngram_census" ->
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
+         |    w -> w <> '') AS t FROM documents),
+         |shs AS (SELECT DISTINCT doc_id, h FROM (
+         |  SELECT doc_id, ${polyHashSql("sh")} AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 1)),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh FROM d) y) z),
+         |pk AS (SELECT h, count(*) AS ndocs FROM shs GROUP BY h),
+         |cz AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |    CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi,
+         |    CAST(sum(CASE WHEN ndocs > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped
+         |  FROM pk),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM ($DedupNgramSql) p)
+         |SELECT n_keys, n_multi, n_capped,
+         |  CASE WHEN n_multi > 0
+         |    THEN CAST(n_capped AS DOUBLE) * 1000000.0 / CAST(n_multi AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS capped_ppm,
+         |  n_pairs
+         |FROM cz, np""".stripMargin,
+
     "q_dedup_containment" -> DedupContainmentSql,
 
     // connected components over the near-dup pair graph: a recursive CTE
@@ -2323,6 +2346,24 @@ object Oracles {
          |  UNION ALL SELECT CAST(2 AS BIGINT), 'neardup', n_exact - n_nd, n_nd
          |    FROM t, r) z
          |ORDER BY stage""".stripMargin,
+
+    // per-document funnel lineage: sequential-stage disposition + the
+    // surviving canonical representative (exact stage wins ties)
+    "q_dedup_lineage" ->
+      s"""WITH hx AS (SELECT doc_id, sha256(text) AS h FROM documents),
+         |cx AS (SELECT h, min(doc_id) AS canon FROM hx GROUP BY h),
+         |ex AS (SELECT doc_id, canon FROM hx JOIN cx USING (h)),
+         |dl AS (SELECT doc_id, cluster_id FROM ($DedupClustersSql) c2
+         |  WHERE doc_id <> cluster_id)
+         |SELECT ex.doc_id,
+         |  CASE WHEN ex.doc_id <> ex.canon THEN 'exact'
+         |       WHEN dl.cluster_id IS NOT NULL THEN 'neardup'
+         |       ELSE 'kept' END AS dropped_by,
+         |  CAST(CASE WHEN ex.doc_id <> ex.canon THEN ex.canon
+         |       WHEN dl.cluster_id IS NOT NULL THEN dl.cluster_id
+         |       ELSE ex.doc_id END AS BIGINT) AS canonical
+         |FROM ex LEFT JOIN dl ON ex.doc_id = dl.doc_id
+         |ORDER BY ex.doc_id""".stripMargin,
 
     // content-hash CDC between the two deterministic snapshot slices
     "q_snapshot_diff" ->
@@ -3623,6 +3664,35 @@ object Oracles {
            |  min(i.index_doc) AS first_match
            |FROM probe p JOIN idx i ON p.b = i.b AND p.key = i.key
            |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
+
+    // streaming LSH probe-then-insert: per new-snapshot doc, collisions
+    // against the static index AND against earlier-id stream docs (the
+    // persistent carrier state drained in one batch ≡ min earlier-id doc
+    // per band key); admitted = zero hits of either kind
+    "q_stream_lsh_admit" ->
+      (MinhashCtes + ",\n" +
+        s"""idx AS (SELECT b, key, doc_id AS index_doc FROM bands WHERE doc_id % 4 <> 3),
+           |probe AS (SELECT doc_id, b, key FROM bands WHERE doc_id % 4 = 3),
+           |ih AS (SELECT p.doc_id,
+           |    CAST(count(i.index_doc) AS BIGINT) AS n_index_hits,
+           |    min(i.index_doc) AS fi
+           |  FROM probe p LEFT JOIN idx i ON p.b = i.b AND p.key = i.key
+           |  GROUP BY p.doc_id),
+           |sh AS (SELECT p1.doc_id, p1.b, min(p2.doc_id) AS carrier
+           |  FROM probe p1 JOIN probe p2
+           |    ON p1.b = p2.b AND p1.key = p2.key AND p2.doc_id < p1.doc_id
+           |  GROUP BY p1.doc_id, p1.b),
+           |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_stream_hits,
+           |    min(carrier) AS fs
+           |  FROM sh GROUP BY doc_id)
+           |SELECT ih.doc_id, n_index_hits,
+           |  CAST(coalesce(n_stream_hits, 0) AS BIGINT) AS n_stream_hits,
+           |  CAST(CASE WHEN fi IS NULL AND fs IS NULL THEN -1
+           |    ELSE least(coalesce(fi, fs), coalesce(fs, fi)) END AS BIGINT)
+           |    AS first_match,
+           |  (n_index_hits = 0 AND coalesce(n_stream_hits, 0) = 0) AS admitted
+           |FROM ih LEFT JOIN sc ON ih.doc_id = sc.doc_id
+           |ORDER BY ih.doc_id""".stripMargin),
 
     // DSIR importance log-weights: hashed-unigram bucket models (target =
     // lang 'en', raw = whole corpus), add-one smoothing over 256 buckets;

@@ -82,8 +82,9 @@ object Clustering {
   // final (centroids, assignment) memoized per (session, corpus) — the
   // trained codebook is computed once and shared by kmeans/semDedup.
   // Lifecycle: see the note at Pipeline.pairCache — one session per run.
-  private val modelCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val modelCache = graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame)]())
 
   /** Run Iters Lloyd rounds from the deterministic seed (vectors 0..k−1)
     * and return (final centroids, final assignment). */
@@ -280,8 +281,9 @@ object Clustering {
 
   // trained (codebooks, final assignment) memoized per (session, corpus)
   // like modelCache — shared by the encoder summary and the ADC search.
-  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val pqCache = graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame)]())
 
   /** Train the [[PqM]] codebooks and return (codebooks (m, cid, cv),
     * final per-subvector assignment (vec_id, m, qsub, cid, dist)). */

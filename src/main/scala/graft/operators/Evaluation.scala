@@ -78,7 +78,8 @@ object Evaluation {
     * exactly what a production eval job materializes once per corpus
     * snapshot. */
   private val protoCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   private[operators] def protoDistances(s: SparkSession, dir: String): DataFrame =
     protoCache.computeIfAbsent((s, dir), _ => computeProtoDistances(s, dir).stable)

@@ -55,7 +55,8 @@ object Graph {
         .groupBy("a", "b").agg(count(lit(1)).as("support"))))
 
   private val suppCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   /** The distinct basket-edge table (a < b): the key projection of
     * [[pairSupport]] — one corpus pass now serves the support queries AND
@@ -78,7 +79,8 @@ object Graph {
       Checkpoints.stable(degreesOf(distinctEdges(s, dir))))
 
   private val degCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   /** Degree-ordered orientation: each undirected edge {a,b} is directed
     * toward its HIGHER endpoint in the total order (degree, id), so a
@@ -124,7 +126,8 @@ object Graph {
       Checkpoints.stable(orientByDegree(distinctEdges(s, dir), degrees(s, dir))))
 
   private val orientCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   /** Memoized sorted out-neighbor adjacency over [[orientedOf]]. */
   private def adjOf(s: SparkSession, dir: String): DataFrame =
@@ -133,7 +136,8 @@ object Graph {
         .agg(sort_array(collect_set(col("w"))).as("ns"))))
 
   private val adjCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   /** Census core over an explicit edge list + degree table (exposed for
     * the hub-graph spec, which feeds an adversarial synthetic graph). */
@@ -320,7 +324,8 @@ object Graph {
   }
 
   private val prEdgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   /** Connected components of the basket graph — the [[Pipeline
     * .minLabelComponents]] kernel (convergent min-label propagation with
@@ -352,7 +357,8 @@ object Graph {
   }
 
   private val compCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   /** Association-rule mining over the basket graph — the confidence/lift
     * step of A-priori that turns [[coPurchase]]'s raw pair supports into

@@ -89,7 +89,8 @@ object Pipeline {
   // for one run, so there is no eviction path; a long-lived multi-corpus
   // service would add unpersist-on-evict here.
   private val pairCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   private def computePairStats(s: SparkSession, dir: String): DataFrame =
     pairStatsOf(shinglesRaw(s, dir)
@@ -121,11 +122,54 @@ object Pipeline {
       .select("doc_a", "doc_b", "common", "sz_a", "sz_b")
   }
 
+  /** The df-cap's self-report: a 1-row census of how much pairable
+    * shingle mass the stop-shingle cap DROPPED — `n_keys` distinct
+    * shingle hashes, `n_multi` of them pairable (df ≥ 2), `n_capped`
+    * dropped by the df > [[MaxShingleDf]] cap, `capped_ppm` the dropped
+    * fraction of pairable keys in ppm, and `n_pairs` the pair rows
+    * [[dedupNgram]] actually emitted. The honest-100× probe (SURVEY §9)
+    * showed the fixed cap going recall-BLIND under mass duplication —
+    * every shingle's df inflates past the cap and the pair table silently
+    * empties. This census is how a production run SEES that blindness:
+    * `capped_ppm` spiking while `n_pairs` collapses is the signal to
+    * raise the cap or route the corpus through the MinHash band path.
+    * Emitted as its own 1-row query (not a column on the pair rows)
+    * precisely because the blindness scenario is ZERO pair rows — a
+    * column on an empty table reports nothing.
+    *
+    * Scale shape: one memoized aggregate pass over the shingle-hash
+    * stream (groupBy int64 h, countDistinct doc) + a 1-row count of the
+    * memoized pair table; both 1-row sides crossJoin by broadcast. */
+  def dedupNgramCensus(s: SparkSession, dir: String): DataFrame = {
+    val census = censusCache.computeIfAbsent((s, dir), _ =>
+      shinglesRaw(s, dir)
+        .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+        .groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_multi"),
+          sum(when(col("ndocs") > MaxShingleDf, 1L).otherwise(0L))
+            .as("n_capped"))
+        .stable)
+    val nPairs = dedupNgram(s, dir).agg(count(lit(1)).as("n_pairs"))
+    census.crossJoin(broadcast(nPairs))
+      .select(col("n_keys"), col("n_multi"), col("n_capped"),
+        when(col("n_multi") > 0,
+            col("n_capped").cast("double") * 1000000.0 /
+              col("n_multi").cast("double"))
+          .otherwise(lit(0.0)).as("capped_ppm"),
+        col("n_pairs"))
+  }
+
+  private val censusCache =
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
+
   /** Near-dup detection via exact n-gram Jaccard with shared-shingle
     * blocking: docs pair only if they share a (non-stop) shingle; Jaccard
     * computed from exact distinct-set sizes over the shared [[pairStats]]
     * table. Threshold 0.2 (fixture corpus is random text; real near-dups
-    * would sit ≫ 0.8). */
+    * would sit ≫ 0.8). The cap's dropped-mass self-report is
+    * [[dedupNgramCensus]]. */
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     pairStats(s, dir)
       .select(col("doc_a"), col("doc_b"),
@@ -191,7 +235,8 @@ object Pipeline {
     * query; the memo here is the narrow upstream aggregate, amortized
     * across four consumers.) Lifecycle: see the note at pairCache. */
   private val sigsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   private[operators] def minhashSigs(s: SparkSession, dir: String): DataFrame =
     sigsCache.computeIfAbsent((s, dir), _ => computeMinhashSigs(s, dir).stable)
@@ -336,7 +381,8 @@ object Pipeline {
   // Lifecycle: see the note at pairCache — one session per run, no
   // eviction needed; a long-lived service would unpersist-on-evict.
   private val clustersCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clustersCache.computeIfAbsent((s, dir), _ =>
@@ -580,6 +626,38 @@ object Pipeline {
       .select(col("r.stage").as("stage"), col("r.name").as("name"),
         col("r.n_docs").as("n_docs"), col("r.n_removed").as("n_removed"))
       .orderBy("stage")
+  }
+
+  /** Document-level lineage for the dedup funnel: where [[dedupFunnel]]
+    * reports per-stage COUNTS, this emits the per-document audit row an
+    * operator actually debugs with — `(doc_id, dropped_by, canonical)`
+    * where `dropped_by` ∈ {exact, neardup, kept} follows the funnel's
+    * sequential semantics (a doc that is both an exact duplicate and a
+    * near-dup cluster member is charged to the FIRST stage that dropped
+    * it) and `canonical` is the surviving representative: the min-id
+    * content-hash twin for exact drops, the cluster canonical for
+    * near-dup drops, the doc itself when kept.
+    *
+    * Scale shape: one sha256-keyed aggregate (32-byte digests shuffle,
+    * never text) joined back on the digest, then one doc_id left join
+    * against the memoized (tiny) cluster drop table — all linear, no
+    * broadcast hints (AQE decides). */
+  def dedupLineage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val canon = docs.groupBy("h").agg(min(col("doc_id")).as("canon"))
+    val exact = docs.join(canon, "h").select("doc_id", "canon")
+    val drop = dedupClusters(s, dir)
+      .filter(col("doc_id") =!= col("cluster_id"))
+    exact.join(drop, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("canon"), lit("exact"))
+          .when(col("cluster_id").isNotNull, lit("neardup"))
+          .otherwise(lit("kept")).as("dropped_by"),
+        when(col("doc_id") =!= col("canon"), col("canon"))
+          .when(col("cluster_id").isNotNull, col("cluster_id"))
+          .otherwise(col("doc_id")).as("canonical"))
+      .orderBy("doc_id")
   }
 
   /** Snapshot diff census: content-hash CDC between two corpus snapshots
@@ -1862,8 +1940,9 @@ object Pipeline {
   // trained model memoized per (session, corpus): the loop is eager
   // (per-round localCheckpoints), so q_bpe_train and q_bpe_apply share
   // one training run. Lifecycle: see the note at pairCache.
-  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val bpeCache = graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), (DataFrame, DataFrame)]())
 
   def bpeTrain(s: SparkSession, dir: String): DataFrame =
     bpeModel(s, dir)._1.orderBy("round")
@@ -2178,7 +2257,8 @@ object Pipeline {
   // Lifecycle: see the note at pairCache — one session per run, no
   // eviction needed; a long-lived service would unpersist-on-evict.
   private val lshIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   private def lshIndex(s: SparkSession, dir: String): DataFrame =
     lshIndexCache.computeIfAbsent((s, dir), _ =>

@@ -74,7 +74,8 @@ object TextIO {
   // bucketed/partitioned layouts (the layout IS part of the operator; the
   // bench warm list charges it to setup, not steady state).
   private val kvLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]())
 
   /** Declared exercise of the [[graft.sources.kv.KvDataSource]] V2
     * connector: the corpus wordcount is materialized through the
@@ -104,7 +105,8 @@ object TextIO {
   // second kv layout (per-word document frequency) for the multi-source
   // connector→plugin-API query; same memo discipline as the wordcount one
   private val kvDfLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]())
 
   /** Per-word document-frequency `"key value"` layout via the V2 sink. */
   def kvDocFreqLayout(s: SparkSession, dir: String): String =
@@ -158,7 +160,8 @@ object TextIO {
   // dirty-CSV layout memoized like the kv layout above — plan-only
   // sweeps and warm bench runs must not pay (or leak) a fresh write
   private val csvLayoutCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]())
 
   def csvDirty(s: SparkSession, dir: String): DataFrame = {
     val tmp = csvLayoutCache.computeIfAbsent((s, dir), _ => {

@@ -29,6 +29,14 @@ case class GfOut(event_id: Long, user_id: Long, event_type: String,
 /** Per-user carried state for the streaming gap-fill. */
 case class GfState(cents: Long)
 
+/** One LSH band of one in-flight document for the admit stream. */
+case class AdmitBand(doc_id: Long, b: Int, key: String)
+
+/** Emitted per band row by [[Streams.streamLshAdmit]]: the band with the
+  * earliest-id prior stream document sharing its key (−1 if this doc is
+  * the band's first stream carrier). */
+case class AdmitHit(doc_id: Long, b: Int, key: String, stream_match: Long)
+
 /** Running per-user session state carried across micro-batches. */
 case class SessState(lastTsMicros: Long, nSessions: Long, nEvents: Long)
 
@@ -98,6 +106,36 @@ object Streams {
     val (data, ckpt) = sinkDirs()
     val q = out.writeStream.outputMode("append").format("parquet")
       .option("path", data).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    readSink(s, data, out.schema)
+  }
+
+  /** [[appendToParquet]] that ENFORCES the drain fitting in one non-empty
+    * micro-batch. Some flavors' batch-oracle equality is only guaranteed
+    * for a single-batch drain (order-sensitive folds like the LOCF
+    * gap-fill: a directory-of-part-files source, a resumed checkpoint, or
+    * maxFilesPerTrigger can replay files out of (ts, event_id) order
+    * across batches and silently diverge from the batch window). Those
+    * flavors drain through this wrapper so a split drain FAILS LOUDLY
+    * instead of returning plausible-but-divergent rows. */
+  private def appendToParquetSingleBatch(s: SparkSession, out0: Dataset[_]): DataFrame = {
+    val out = out0.toDF()
+    val (data, ckpt) = sinkDirs()
+    @volatile var nonEmpty = 0
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        if (!batch.isEmpty) {
+          nonEmpty += 1
+          if (nonEmpty > 1) throw new IllegalStateException(
+            s"single-batch drain invariant violated (non-empty batch $id is " +
+              "the " + nonEmpty + "th): this flavor's batch-oracle equality " +
+              "requires the whole source in one micro-batch — re-drain with " +
+              "a fresh checkpoint and no maxFilesPerTrigger")
+          batch.write.mode("append").parquet(data)
+        }
+      }
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
     try q.awaitTermination() finally q.stop()
     readSink(s, data, out.schema)
@@ -548,7 +586,12 @@ object Streams {
     * Within a batch the group's events fold in (ts, event_id) order, so
     * the single-`AvailableNow`-drain result equals the batch window and
     * the two share one oracle; across batches the carried cents resumes
-    * from state, the no-future-leak invariant by construction.
+    * from state, the no-future-leak invariant by construction. The
+    * single-batch drain is a HARD invariant enforced in code (the drain
+    * goes through the single-batch sink wrapper and fails loudly on a
+    * split drain): a multi-file source or resumed checkpoint could
+    * replay files out of (ts, event_id) order across batches and the
+    * LOCF fold would silently diverge from the batch window.
     *
     * Scale shape: one user-keyed state exchange; output is event-sized
     * but map-emitted (no window over the corpus); state is O(users) ×
@@ -576,7 +619,7 @@ object Streams {
 
     val out = stream.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-    withStatePartitions(s, 2) { appendToParquet(s, out.toDF()) }
+    withStatePartitions(s, 2) { appendToParquetSingleBatch(s, out.toDF()) }
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("locf_cents"))
       .orderBy("event_id")
@@ -645,6 +688,27 @@ object Streams {
     * — the price of needing no shuffle before the probe join; at 100 TB
     * the probe slice is a crawl increment, not the corpus. */
   def streamLshIngest(s: SparkSession, dir: String): DataFrame = {
+    val bands = streamBands(s, dir)
+    val index = graft.operators.Pipeline.minhashBands(s, dir)
+      .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
+      .select(col("b"), col("key"), col("doc_id").as("index_doc"))
+    val probed = bands.join(index, Seq("b", "key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_band_hits"),
+        min(col("index_doc")).as("first_match"))
+    withStatePartitions(s, 2) { completeToParquet(s, probed) }
+      .orderBy("doc_id")
+  }
+
+  /** The new-snapshot slice's MinHash band stream: per-row 64-perm
+    * signatures computed MAP-SIDE ([[VectorExpressions.minhashSig]] — one
+    * compiled pass for shingle hashes and all permutation minima; the
+    * higher-order-function composition runs interpreted per element,
+    * measured 6.1s), cut into the same 16×4 bands as the batch index.
+    * Empty shingle set → null signature → dropped, same as the batch
+    * path's absent signature. Shared by [[streamLshIngest]] (probe-only)
+    * and [[streamLshAdmit]] (probe-then-insert). */
+  private def streamBands(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Fns, VectorExpressions}
     val docs = documentsStream(s, dir)
       .filter(pmod(col("doc_id"), lit(4L)) === 3L)
@@ -657,28 +721,109 @@ object Streams {
                                   element_at(col("t"), i + 2),
                                   element_at(col("t"), i + 3))))
           .otherwise(array().cast("array<string>")).as("shs"))
-      // one compiled pass per row: both shingle hashes and all 64
-      // permutation minima ([[MinhashSigExpr]]; the equivalent
-      // higher-order-function composition runs interpreted per element —
-      // measured 6.1s → see bench); empty shingle set → null → dropped,
-      // same as the batch path's absent signature
       .select(col("doc_id"), VectorExpressions.minhashSig(col("shs")).as("sig"))
       .filter(col("sig").isNotNull)
-    val bands = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(15)), b =>
           struct(b.as("b"),
             concat_ws(",", (0 until 4).map(r =>
               element_at(col("sig"), b * 4 + r + 1).cast("string")): _*)
               .as("key")))).as("bk"))
       .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+  }
+
+  /** Streaming LSH ingest with PROBE-THEN-INSERT — the closed loop
+    * [[streamLshIngest]] lacks: every ingested document's bands enter a
+    * persistent band index (`transformWithState` ValueState, RocksDB), so
+    * two near-duplicate documents arriving in the SAME stream detect each
+    * other — the production semantics of incremental dedup (the batch
+    * index alone can never see intra-crawl duplicates, which is exactly
+    * where crawl duplication concentrates).
+    *
+    * Semantics (append-only index): per band key, state holds the
+    * earliest-id stream document that carried it (the "carrier"). Each
+    * band row emits the carrier it collided with (−1 if it became the
+    * carrier). Downstream, a document's census combines its static-index
+    * collisions with its stream collisions; `admitted` = zero of both.
+    * Every document's bands enter the index whether or not it collided
+    * (near-dups of near-dups should also be flagged); an admitted-only
+    * insert would need a second cross-band coordination round per batch —
+    * the same signal is recoverable here by filtering on `admitted`.
+    *
+    * Determinism: within a batch each band group folds in doc_id order
+    * and the carrier is the group minimum, so a single-`AvailableNow`
+    * drain equals the batch oracle (min earlier-id same-key doc) exactly,
+    * independent of partitioning. Across multiple batches the semantics
+    * is ingest-time ("earlier" = earlier batch, then smaller id) — still
+    * deterministic for a given batch split, and the cross-batch collision
+    * DETECTION keeps working (that is the point of persistent state);
+    * only equality with the id-ordered batch oracle is single-drain.
+    *
+    * Scale shape: map-side signatures (no pre-join shuffle), one keyed
+    * state exchange on (b, key) — the same key the batch index join
+    * shuffles on — state is one long per distinct band key (RocksDB,
+    * spills off-heap), and the static-index census joins the drained
+    * band table AFTER the stream, linear in the increment. At 100 TB the
+    * increment is a crawl slice; the index state grows with distinct
+    * band keys of the stream, not with the corpus. */
+  def streamLshAdmit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Encs}
+
+    class CarrierProcessor extends StatefulProcessor[(Int, String), AdmitBand, AdmitHit] {
+      @transient private var st: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Long]("carrier",
+          Encs.scalaLong, TTLConfig.NONE)
+      override def handleInputRows(key: (Int, String), rows: Iterator[AdmitBand],
+                                   timerValues: TimerValues): Iterator[AdmitHit] = {
+        val rs = rows.toArray.sortBy(_.doc_id)
+        var carrier = if (st.exists()) st.get() else Long.MinValue
+        val out = rs.map { r =>
+          val hit = if (carrier != Long.MinValue && carrier < r.doc_id) carrier
+                    else -1L
+          if (carrier == Long.MinValue || r.doc_id < carrier) carrier = r.doc_id
+          AdmitHit(r.doc_id, r.b, r.key, hit)
+        }
+        if (rs.nonEmpty) st.update(carrier)
+        out.iterator
+      }
+    }
+
+    val bands = streamBands(s, dir)
+      .select(col("doc_id"), col("b").cast("int").as("b"), col("key"))
+      .as[AdmitBand]
+    val out = bands.groupByKey(r => (r.b, r.key))
+      .transformWithState(new CarrierProcessor, TimeMode.None(), OutputMode.Append())
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val drained =
+      try withStatePartitions(s, 2) { appendToParquet(s, out.toDF()) }
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    // static-index census post-drain: the left join fans a band row per
+    // index match, so the stream-side census counts DISTINCT bands
     val index = graft.operators.Pipeline.minhashBands(s, dir)
       .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
       .select(col("b"), col("key"), col("doc_id").as("index_doc"))
-    val probed = bands.join(index, Seq("b", "key"))
+    drained.join(index, Seq("b", "key"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_band_hits"),
-        min(col("index_doc")).as("first_match"))
-    withStatePartitions(s, 2) { completeToParquet(s, probed) }
+      .agg(count(col("index_doc")).as("n_index_hits"),
+        countDistinct(when(col("stream_match") >= 0, col("b")))
+          .as("n_stream_hits"),
+        min(col("index_doc")).as("fi"),
+        min(when(col("stream_match") >= 0, col("stream_match"))).as("fs"))
+      .select(col("doc_id"), col("n_index_hits"), col("n_stream_hits"),
+        // −1 sentinel (not NULL) for admitted docs: the census is a
+        // numeric column consumers aggregate over
+        when(col("fi").isNull && col("fs").isNull, lit(-1L))
+          .otherwise(least(coalesce(col("fi"), col("fs")),
+                           coalesce(col("fs"), col("fi")))).as("first_match"),
+        (col("n_index_hits") === 0 && col("n_stream_hits") === 0).as("admitted"))
       .orderBy("doc_id")
   }
 

@@ -728,6 +728,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(2).getLong(3) === ndDrop.toLong)
   }
 
+  test("dedup_lineage: per-doc dispositions reconcile with the funnel counts") {
+    val lineage = Pipeline.dedupLineage(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val funnel = Pipeline.dedupFunnel(spark, sf).collect()
+    // one row per corpus document, every doc dispositioned exactly once
+    assert(lineage.length.toLong === funnel(0).getLong(2))
+    assert(lineage.map(_._1).distinct.length === lineage.length)
+    val byStage = lineage.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(byStage.getOrElse("exact", 0L) === funnel(1).getLong(3))
+    assert(byStage.getOrElse("neardup", 0L) === funnel(2).getLong(3))
+    assert(byStage.getOrElse("kept", 0L) === funnel(2).getLong(2))
+    // canonical: kept docs self-canonical; neardup drops point at their
+    // cluster canonical (which must itself be a kept doc); exact drops
+    // point at a smaller id with identical content hash
+    val keptIds = lineage.filter(_._2 == "kept").map(_._1).toSet
+    lineage.foreach {
+      case (d, "kept", c)    => assert(c === d)
+      case (d, "neardup", c) => assert(c < d || keptIds.contains(c))
+      case (d, "exact", c)   => assert(c < d)
+      case other             => fail(s"unknown disposition $other")
+    }
+    val clusterCanon = Pipeline.dedupClusters(spark, sf).collect()
+      .filter(r => r.getLong(0) !== r.getLong(1))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lineage.filter(_._2 == "neardup").foreach { case (d, _, c) =>
+      assert(clusterCanon(d) === c)
+    }
+  }
+
   test("snapshot_diff: statuses partition both slices, no 'changed' in fixture") {
     val rows = Pipeline.snapshotDiff(spark, sf).collect()
     val byStatus = rows.groupBy(_.getString(1)).view

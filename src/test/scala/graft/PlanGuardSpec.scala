@@ -38,6 +38,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_bpe_apply"       -> 1, // 1-row round-0 token total
     "q_vocab_prune"     -> 1, // 1-row vocab-size aggregate
     "q_dedup_funnel"    -> 1, // two 1-row stats aggregates crossJoined
+    "q_dedup_ngram_census" -> 1, // 1-row shingle census × 1-row pair count
     "q_dsir"            -> 1, // 1-row (rtot, ttot) model-totals broadcast
     "q_kappa"           -> 1, // 10-row centroid prototype table
     "q_silhouette"      -> 1, // 10-row centroid prototype table
@@ -137,12 +138,16 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dedup_exact" -> 2,
     "q_dedup_funnel" -> 4,
     "q_dedup_incremental" -> 3,
+    "q_dedup_lineage" -> 3, // sha-keyed canon agg + digest join-back +
+                            // doc_id left join to the memoized drop table
     // +1 in round 8: the forced broadcast() hints on the candidate-pair
     // table were dropped (they forced a corpus-linear table to the driver
     // at 100×); AQE now plans one extra shuffled semi-join at tiny SF,
     // which is the safe shape at scale
     "q_dedup_minhash" -> 9,
     "q_dedup_ngram" -> 1,
+    "q_dedup_ngram_census" -> 1, // memoized 1-row shingle census +
+                                 // 1-row pair count, broadcast-crossJoined
     "q_degree_hist" -> 2,
     "q_distinct_words" -> 2,
     "q_doc_perplexity" -> 4,
@@ -198,7 +203,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_tpch_q13" -> 3, // customer ⋈ orders outer on custkey + count-of-counts re-agg
     "q_tpch_q14" -> 1, // one-month scan → 1-row aggregate; part broadcast
     "q_tpch_q15" -> 2, // supplier-keyed revenue agg (built once, checkpointed) + argmax probe
-    "q_tpch_q17" -> 2, // per-part avg agg + probe; brand-filtered part broadcast twice
+    "q_tpch_q17" -> 2, // per-part avg agg + probe; brand-filtered part joins
+                       // un-hinted (r9) — AQE broadcasts it while small
     "q_bootstrap_ci" -> 3, // 66 conditional aggs in one map-side pass; 33-row tails
     "q_changepoint" -> 3, // corpus → hourly cells; windows over ≤H cells
     "q_stream_changepoint" -> 2, // complete-mode cells + post-drain windows
@@ -327,6 +333,8 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_domain_cap" -> 1,
     "q_stream_pps_sample" -> 1,
     "q_stream_lsh_ingest" -> 1,
+    "q_stream_lsh_admit" -> 3, // post-drain index census: drained-bands ⋈
+                               // memoized band table + per-doc aggregate
     "q_stream_kv_sink" -> 1,
     "q_stream_outer_join" -> 1,
     "q_stream_sessions" -> 2,

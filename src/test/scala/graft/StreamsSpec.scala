@@ -232,6 +232,90 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty) // the fixture has near-dup collisions to probe
   }
 
+  test("stream LSH admit: same-stream near-dups detect each other (probe-then-insert)") {
+    import org.apache.spark.sql.functions._
+    // synthetic corpus: A(3) and B(7) are identical stream-slice docs
+    // (doc_id ≡ 3 mod 4) — B must collide with same-batch-ADMITTED A,
+    // the case the probe-only ingest can never see. C(11) is unique
+    // (admitted). E(15) duplicates INDEX doc D(4) — the static-index
+    // path. D itself is index-slice, so it never appears in the output.
+    val dupText = ("alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val uniqueText = "one lonely document about completely different things " +
+      "nothing shared with any other text in this corpus at all today"
+    val indexText = "the index side owns this exact passage of twenty words " +
+      "which the late stream document fifteen repeats verbatim for the probe"
+    def row(id: Long, text: String) = (id, text, "en", "web", text.length.toLong)
+    val docs = Seq(row(3, dupText), row(7, dupText), row(11, uniqueText),
+      row(15, indexText), row(4, indexText))
+    def writeCorpus(parts: Int): java.nio.file.Path = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_admit_stream")
+      spark.createDataFrame(docs)
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(parts)
+        .write.parquet(new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath)
+      tmp
+    }
+    val tmp = writeCorpus(1)
+    try {
+      val got = Streams.streamLshAdmit(spark, tmp.toString).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSeq
+      // (doc, n_index_hits, n_stream_hits, first_match, admitted)
+      assert(got === Seq(
+        (3L, 0L, 0L, -1L, true),    // A: clean at admission time
+        (7L, 0L, 16L, 3L, false),   // B: all 16 bands hit carrier A
+        (11L, 0L, 0L, -1L, true),   // unique → admitted
+        (15L, 16L, 0L, 4L, false))) // dup of index doc D
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+
+    // fixture corpus: single-drain result equals the batch oracle (the
+    // CORRECTNESS gate re-checks this against DuckDB); here assert the
+    // stream-vs-stream census against a batch twin built from the band
+    // table directly
+    val bands = graft.operators.Pipeline.minhashBands(spark, sf)
+    val probe = bands.filter(pmod(col("doc_id"), lit(4L)) === 3L)
+      .select(col("doc_id"), col("b"), col("key"))
+    val sh = probe.join(
+        probe.select(col("doc_id").as("od"), col("b").as("ob"),
+          col("key").as("ok")),
+        col("ob") === col("b") && col("ok") === col("key") &&
+          col("od") < col("doc_id"))
+      .groupBy(col("doc_id"), col("b")).agg(min(col("od")).as("carrier"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), min(col("carrier")).as("fm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotFix = Streams.streamLshAdmit(spark, sf)
+      .filter(col("n_stream_hits") > 0)
+      .select(col("doc_id"), col("n_stream_hits"),
+        // isolate the stream-side match for comparison where no index hit
+        when(col("n_index_hits") === 0, col("first_match")).as("fm"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(gotFix.map(_._1) === sh.map(_._1))
+    val shOnly = sh.filter { case (d, _, _) =>
+      gotFix.exists(g => g._1 == d && g._3 != -1L) }
+    assert(shOnly.forall { case (d, n, fm) => gotFix.contains((d, n, fm)) })
+
+    // multi-file layout → maxFilesPerTrigger=1 forces multiple batches:
+    // the carrier state must persist ACROSS batches, so the A/B pair
+    // still detects each other whichever file order the source lists —
+    // exactly one of them carries, the other is flagged against it
+    val tmp3 = writeCorpus(3)
+    try {
+      val byId = Streams.streamLshAdmit(spark, tmp3.toString).collect()
+        .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .toMap
+      val (aHits, bHits) = (byId(3L), byId(7L))
+      assert(Seq(aHits, bHits).count(_._3) == 1,       // one admitted
+        s"exactly one of the twins must be admitted: $aHits $bHits")
+      val flagged = if (aHits._3) bHits else aHits
+      val carrier = if (aHits._3) 3L else 7L
+      assert(flagged._1 == 16L && flagged._2 == carrier)
+      assert(byId(11L)._3 && !byId(15L)._3)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp3.toFile)
+  }
+
   test("stream drift: sides partition each type, TVD bounded, self-drift small") {
     import org.apache.spark.sql.functions._
     val byType = Tables.events(spark, sf)

@@ -43,6 +43,17 @@ def main(src: str, out: str, n: int) -> None:
     for t, keys in KEYED.items():
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')").fetchall()]
+        # the disjoint-shard guarantee REQUIRES every source key < STRIDE:
+        # a key >= STRIDE would collide with copy i+1's keyspace and
+        # silently reintroduce the k^2 clone artifact this tool exists to
+        # avoid -- fail loudly instead (raise STRIDE for larger-SF sources)
+        for c in keys:
+            mx = con.execute(
+                f"SELECT max({c}) FROM read_parquet('{src}/{t}.parquet')"
+            ).fetchone()[0]
+            assert mx is None or mx < STRIDE, (
+                f"{t}.{c} max={mx} >= STRIDE={STRIDE}: cross-copy key "
+                "collision would break the disjoint-shard guarantee")
         sel = ", ".join(
             f"{c} + i * {STRIDE} AS {c}" if c in keys else c for c in cols)
         con.execute(
