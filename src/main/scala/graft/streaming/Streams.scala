@@ -104,6 +104,15 @@ object Streams {
     * driver harness (or a downstream batch job) would do with the sink. */
   private def appendToParquet(s: SparkSession, out: Dataset[_]): DataFrame = {
     val (data, ckpt) = sinkDirs()
+    appendToParquetAt(s, out, data, ckpt)
+  }
+
+  /** [[appendToParquet]] with CALLER-OWNED sink/checkpoint dirs — the
+    * production resume path: a second drain against the same checkpoint
+    * processes only files that arrived since the first, and stateful
+    * operators resume from their persisted state store. */
+  private def appendToParquetAt(s: SparkSession, out: Dataset[_],
+                                data: String, ckpt: String): DataFrame = {
     val q = out.writeStream.outputMode("append").format("parquet")
       .option("path", data).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).start()
@@ -767,6 +776,19 @@ object Streams {
     * increment is a crawl slice; the index state grows with distinct
     * band keys of the stream, not with the corpus. */
   def streamLshAdmit(s: SparkSession, dir: String): DataFrame = {
+    val (data, ckpt) = sinkDirs()
+    streamLshAdmitAt(s, dir, data, ckpt)
+  }
+
+  /** [[streamLshAdmit]] with caller-owned sink/checkpoint dirs — the
+    * RESUME path (exercised by `StreamsSpec`): a later invocation against
+    * the same checkpoint drains only newly-arrived source files, and the
+    * band-carrier ValueState resumes from its RocksDB store, so a
+    * document ingested in run N+1 collides with a carrier admitted in
+    * run N — restart-durable incremental dedup, the coordinator-resume
+    * semantics of the reference's own incremental philosophy. */
+  private[graft] def streamLshAdmitAt(s: SparkSession, dir: String,
+                                      data: String, ckpt: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.{Encoders => Encs}
@@ -800,7 +822,7 @@ object Streams {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val drained =
-      try withStatePartitions(s, 2) { appendToParquet(s, out.toDF()) }
+      try withStatePartitions(s, 2) { appendToParquetAt(s, out.toDF(), data, ckpt) }
       finally prev match {
         case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")

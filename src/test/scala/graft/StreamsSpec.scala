@@ -316,6 +316,42 @@ class StreamsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp3.toFile)
   }
 
+  test("stream LSH admit resumes its carrier index across separate runs (checkpoint restart)") {
+    import org.apache.spark.sql.functions._
+    // the production restart path: run 1 drains file 1 and admits doc A;
+    // the process "restarts" (a fresh streaming query against the SAME
+    // checkpoint + sink); run 2 drains only the newly-arrived file 2 and
+    // doc B — identical text — must collide with the carrier A persisted
+    // in the RocksDB state store by run 1
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admit_resume")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet")
+    val sink = new java.io.File(tmp.toFile, "sink").getAbsolutePath
+    val ckpt = new java.io.File(tmp.toFile, "ckpt").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def write(id: Long): Unit =
+      spark.createDataFrame(Seq((id, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(docsDir.getAbsolutePath)
+    try {
+      write(3L)
+      val run1 = Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(run1(3L) === ((0L, -1L, true))) // A admitted clean in run 1
+      // new file arrives; drop the per-corpus memo entries (the corpus
+      // changed) — exercises the CorpusMemo invalidation hook
+      write(7L)
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      val run2 = Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+      assert(run2(3L) === ((0L, -1L, true)))  // run-1 rows still in the sink
+      assert(run2(7L) === ((16L, 3L, false)), // B hits the RESUMED carrier A
+        s"run-2 doc must collide with the run-1 carrier: ${run2(7L)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
   test("stream drift: sides partition each type, TVD bounded, self-drift small") {
     import org.apache.spark.sql.functions._
     val byType = Tables.events(spark, sf)
