@@ -749,8 +749,9 @@ object Streams {
     * index alone can never see intra-crawl duplicates, which is exactly
     * where crawl duplication concentrates).
     *
-    * Semantics (append-only index): per band key, state holds the
-    * earliest-id stream document that carried it (the "carrier"). Each
+    * Semantics (append-only index, FIRST ARRIVAL WINS): per band key,
+    * state holds the first stream document ever to carry it (the
+    * "carrier" — within a batch, the group's min doc_id claims). Each
     * band row emits the carrier it collided with (−1 if it became the
     * carrier). Downstream, a document's census combines its static-index
     * collisions with its stream collisions; `admitted` = zero of both.
@@ -759,14 +760,16 @@ object Streams {
     * insert would need a second cross-band coordination round per batch —
     * the same signal is recoverable here by filtering on `admitted`.
     *
-    * Determinism: within a batch each band group folds in doc_id order
-    * and the carrier is the group minimum, so a single-`AvailableNow`
-    * drain equals the batch oracle (min earlier-id same-key doc) exactly,
-    * independent of partitioning. Across multiple batches the semantics
-    * is ingest-time ("earlier" = earlier batch, then smaller id) — still
-    * deterministic for a given batch split, and the cross-batch collision
-    * DETECTION keeps working (that is the point of persistent state);
-    * only equality with the id-ordered batch oracle is single-drain.
+    * Determinism: within a batch each band group folds in doc_id order,
+    * so a single-`AvailableNow` drain — where the whole slice is one
+    * batch — has carrier ≡ the key's min doc_id and equals the batch
+    * oracle (min other-id same-key doc) exactly, independent of
+    * partitioning. Across multiple batches precedence is ARRIVAL order
+    * (earlier batch claims; later arrivals of ANY id are flagged against
+    * it — an ingest index must not silently miss a smaller-id twin that
+    * arrives later), deterministic for a given batch split; only the
+    * equality with the id-ordered batch oracle is single-drain. Replays
+    * of the same doc_id never flag themselves (carrier == id → no hit).
     *
     * Scale shape: map-side signatures (no pre-join shuffle), one keyed
     * state exchange on (b, key) — the same key the batch index join
@@ -800,15 +803,25 @@ object Streams {
           Encs.scalaLong, TTLConfig.NONE)
       override def handleInputRows(key: (Int, String), rows: Iterator[AdmitBand],
                                    timerValues: TimerValues): Iterator[AdmitHit] = {
+        // FIRST ARRIVAL WINS: the band key's carrier is claimed by the
+        // first document ever to reach it (within a batch, the min
+        // doc_id) and never changes — every later arrival, whatever its
+        // id, is flagged against that carrier. A min-id-takeover rule
+        // would silently MISS a smaller-id twin arriving in a later
+        // batch (carrier > doc_id ⇒ "no earlier doc" under an id-order
+        // definition); arrival order is the honest precedence for an
+        // ingest index, and on a single-`AvailableNow` drain it
+        // coincides with id order, so the batch oracle is unchanged.
         val rs = rows.toArray.sortBy(_.doc_id)
-        var carrier = if (st.exists()) st.get() else Long.MinValue
+        val existing = if (st.exists()) st.get() else Long.MinValue
+        var carrier = existing
         val out = rs.map { r =>
-          val hit = if (carrier != Long.MinValue && carrier < r.doc_id) carrier
+          val hit = if (carrier != Long.MinValue && carrier != r.doc_id) carrier
                     else -1L
-          if (carrier == Long.MinValue || r.doc_id < carrier) carrier = r.doc_id
+          if (carrier == Long.MinValue) carrier = r.doc_id
           AdmitHit(r.doc_id, r.b, r.key, hit)
         }
-        if (rs.nonEmpty) st.update(carrier)
+        if (carrier != existing) st.update(carrier)
         out.iterator
       }
     }
@@ -822,7 +835,13 @@ object Streams {
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val drained =
-      try withStatePartitions(s, 2) { appendToParquetAt(s, out.toDF(), data, ckpt) }
+      // 8 state lanes, not the 2 the small per-user flavors use: this
+      // stream keys state by BAND (16 per doc — ~20k groups at sf0.1),
+      // and per-key processing dominates; measured warm at sf0.1:
+      // 2 lanes 6.9 s, 8 lanes 3.9 s, 16 lanes 4.8 s (store-init wins
+      // past 8). Resume requires a constant lane count across runs —
+      // this constant is part of the checkpoint contract.
+      try withStatePartitions(s, 8) { appendToParquetAt(s, out.toDF(), data, ckpt) }
       finally prev match {
         case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
