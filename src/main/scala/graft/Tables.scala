@@ -74,9 +74,14 @@ object Engine {
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    // dimension tables (region/nation/customer/supplier/part) stay well
-    // under this at bench scale; at 100 TB the same hint-based broadcasts
-    // in the query code keep the big-table joins shuffle-free on one side.
+    // 64 MB: the ONE broadcast size policy for every un-hinted join.
+    // Since round 9 only provably constant tables carry broadcast()
+    // hints (nation/region/1-row aggregates — HintAudit enforces this);
+    // everything else (customer/supplier/part, dedup drop/keep lists,
+    // band indexes) broadcasts exactly when AQE measures it under this
+    // cap and falls back to a shuffled join above it — size-bounded at
+    // any corpus scale. On a real cluster this is the knob to match to
+    // executor memory.
     c.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
     spark
   }
