@@ -61,20 +61,40 @@ object Bench {
     // bench artifacts be normalized against each other (divide by the
     // anchor ratio) instead of arguing about which run's host was slow,
     // and the before/after pair exposes drift WITHIN a run.
+    // FORCE WITH THE NOOP SINK, NOT count(): under `.count()` Catalyst
+    // legally prunes the final aggregate expressions and, transitively,
+    // the scan columns feeding them (verified on this Spark: the scan
+    // anchor's plan under count() reads `ReadSchema: struct<>` — a
+    // metadata-only scan that measures nothing). `format("noop")` is the
+    // benchmarking sink: every output column is computed and every row
+    // produced on the executors, with no sink cost and no driver
+    // accumulation. Round 9 switched BOTH the anchors and pass() to it —
+    // totals step up versus earlier rounds' count()-forced artifacts
+    // because queries now pay their full measure-column pipelines; the
+    // calibration anchors + per-query medians (tools/bench_compare.py)
+    // are the cross-round bridge.
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
     import org.apache.spark.sql.functions.{col, count, lit, pmod, sum}
     val calibrations: Seq[(String, () => Unit)] = Seq(
       "cal_cpu" -> (() => {
-        spark.range(200000000L)
-          .select(sum(col("id") * 2654435761L + 12345L)).count(); ()
+        // per-element value kept < 1e9 by the mod so the 2e8-element sum
+        // stays ~2e17 — inside int64 under ANSI (the raw product sum
+        // overflowed the moment the noop sink stopped count() from
+        // pruning the aggregate, which is exactly why the anchors force
+        // real execution now)
+        force(spark.range(200000000L)
+          .select(sum(pmod(col("id") * 2654435761L + 12345L,
+            lit(1000000007L)))))
       }),
       "cal_shuffle" -> (() => {
-        spark.range(20000000L)
+        force(spark.range(20000000L)
           .groupBy(pmod(col("id"), lit(1000)).as("k"))
-          .agg(count(lit(1)).as("n")).agg(sum(col("n"))).count(); ()
+          .agg(count(lit(1)).as("n")).agg(sum(col("n"))))
       }),
       "cal_scan" -> (() => {
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .agg(sum(col("l_quantity"))).count(); ()
+        force(spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(sum(col("l_quantity"))))
       }))
     def calPass(): Map[String, Double] = calibrations.map { case (name, fn) =>
       val t0 = System.nanoTime(); fn(); name -> (System.nanoTime() - t0) / 1e9
@@ -83,7 +103,7 @@ object Bench {
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      val ok = try { force(fn(spark, sfDir)); true } catch {
         case e: Throwable =>
           errors(name) = e.toString.linesIterator.next().take(200); false
       }

@@ -139,7 +139,13 @@ object Pipeline {
     *
     * Scale shape: one memoized aggregate pass over the shingle-hash
     * stream (groupBy int64 h, countDistinct doc) + a 1-row count of the
-    * memoized pair table; both 1-row sides crossJoin by broadcast. */
+    * memoized pair table; both 1-row sides crossJoin by broadcast. This
+    * is DELIBERATELY a second corpus pass rather than a byproduct of the
+    * pair build: sharing the pass would require materializing the
+    * per-hash doc-set table ([[pairStatsOf]]'s collect_set aggregate —
+    * shingle-corpus-sized), which costs far more storage than re-scanning
+    * with the lighter countDistinct; both passes are once-per-corpus
+    * memos. */
   def dedupNgramCensus(s: SparkSession, dir: String): DataFrame = {
     val census = censusCache.computeIfAbsent((s, dir), _ =>
       shinglesRaw(s, dir)

@@ -60,6 +60,18 @@ object HintAudit {
         a.groupingExpressions.forall(
           _.references.forall(r => boundedDomainCols(r.name)))
     case f: Filter   => keyCapped(f.condition) || constantBounded(f.child)
+    // Generate MULTIPLIES rows, so a bounded child proves nothing unless
+    // the generator's fan-out is a fixed arity: explode/posexplode/inline
+    // of an array LITERAL CONSTRUCTOR (CreateArray — fixed element count
+    // whatever the element expressions reference). explode of a
+    // collect_list (or any data-sized array) over a 1-row aggregate is
+    // exactly the corpus-smuggling shape this prover exists to reject.
+    case g: Generate =>
+      (g.generator match {
+        case Explode(_: CreateArray) | PosExplode(_: CreateArray) => true
+        case Inline(_: CreateArray)                               => true
+        case _                                                    => false
+      }) && g.children.forall(constantBounded)
     case j: Join     => constantBounded(j.left) && constantBounded(j.right)
     case u: Union    => u.children.forall(constantBounded)
     case l: LeafNode => constantDimLeaf(l) // file scan / RDD: grows with the corpus

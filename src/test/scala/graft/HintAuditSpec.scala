@@ -72,6 +72,21 @@ class HintAuditSpec extends AnyFunSuite {
     assert(unproven(docs.crossJoin(one)) === 1)
   }
 
+  test("rejects: explode of a data-sized array over a 1-row aggregate") {
+    // the corpus-smuggling shape: collect the whole corpus into one row,
+    // then explode it back out — the 1-row aggregate must NOT launder it
+    val smuggled = docs.agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(col("ids")).as("doc_id"))
+    assert(unproven(smuggled) === 1)
+  }
+
+  test("proves: explode of a FIXED-arity literal array constructor") {
+    val two = docs.agg(count(lit(1)).as("n"), max(col("doc_id")).as("m"))
+      .select(explode(array(struct(lit("count").as("k"), col("n").as("v")),
+        struct(lit("max").as("k"), col("m").as("v")))).as("e"))
+    assert(unproven(two) === 0)
+  }
+
   test("counts every hint in a multi-hint plan, including subqueries") {
     val bad = docs.select("doc_id")
     val good = docs.limit(2)

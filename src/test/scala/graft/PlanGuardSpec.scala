@@ -387,6 +387,12 @@ class PlanGuardSpec extends AnyFunSuite {
         s"$name shuffles $shuffles > recorded budget $budget — a new " +
           "exchange appeared; if intentional, re-run ExchangeCensus and " +
           "update the budget with a note on why the extra shuffle scales")
+      // broadcast-hint audit on the SAME execution (a separate test would
+      // re-run every streaming drain just to read a plan). For q_stream_*
+      // this sees only the post-drain batch plan — hints inside the
+      // streaming job are covered by the in-code policy + review, since
+      // the stream's own logical plan is consumed inside the operator.
+      auditHints(name, df)
     }
   }
 
@@ -429,18 +435,15 @@ class PlanGuardSpec extends AnyFunSuite {
                        // date domain (a few thousand at any corpus size)
   )
 
-  SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-    test(s"$name: no broadcast hint on a corpus-derived table") {
-      val unproven =
-        graft.tools.HintAudit.unprovenHints(SparkEntry.queries(name)(spark, sf))
-      val allowed = unboundedHintAllowed.getOrElse(name, 0)
-      assert(unproven.size <= allowed,
-        s"$name carries ${unproven.size} broadcast hint(s) on subtrees not " +
-          s"provably constant-bounded (allowed: $allowed). A forced " +
-          "broadcast of a corpus-derived table ships it through the driver " +
-          "at 100 TB — drop the hint (AQE still broadcasts measured-small " +
-          "tables) or, if the domain is genuinely constant, add a justified " +
-          s"allowlist entry. First offending subtree:\n${unproven.headOption.getOrElse("")}")
-    }
+  private def auditHints(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val unproven = graft.tools.HintAudit.unprovenHints(df)
+    val allowed = unboundedHintAllowed.getOrElse(name, 0)
+    assert(unproven.size <= allowed,
+      s"$name carries ${unproven.size} broadcast hint(s) on subtrees not " +
+        s"provably constant-bounded (allowed: $allowed). A forced " +
+        "broadcast of a corpus-derived table ships it through the driver " +
+        "at 100 TB — drop the hint (AQE still broadcasts measured-small " +
+        "tables) or, if the domain is genuinely constant, add a justified " +
+        s"allowlist entry. First offending subtree:\n${unproven.headOption.getOrElse("")}")
   }
 }

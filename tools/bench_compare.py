@@ -61,9 +61,12 @@ def main(old_path, new_path):
           f"(old-only {len(set(oq)-set(nq))}, new-only {len(set(nq)-set(oq))})")
     print(f"old sum (common): {sum(oq[k] for k in common):8.1f}s   "
           f"new sum (common): {sum(nq[k] for k in common):8.1f}s")
-    print(f"per-query ratio median: {med:.3f}  "
-          f"(p25 {statistics.quantiles(list(ratios.values()), n=4)[0]:.3f}, "
-          f"p75 {statistics.quantiles(list(ratios.values()), n=4)[2]:.3f})")
+    if len(ratios) >= 2:
+        qs = statistics.quantiles(list(ratios.values()), n=4)
+        print(f"per-query ratio median: {med:.3f}  "
+              f"(p25 {qs[0]:.3f}, p75 {qs[2]:.3f})")
+    else:
+        print(f"per-query ratio (single common query): {med:.3f}")
 
     cal_ratio = None
     if "calibration" in old and "calibration" in new:

@@ -33,14 +33,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     import os
-    skipped = 0
     for name, sql in sorted(oracle.items()):
-        # dev subset runs dump only the selected queries' parquet but the
-        # FULL oracle map — skip absent ones instead of spending minutes
-        # executing their (sometimes heavy) oracle SQL just to ERROR on
-        # the missing read-back. Full driver runs have every dir present.
+        # an oracle entry with NO parquet dir means the query CRASHED
+        # during the Verify dump (Verify deletes the stale dir first and
+        # keeps the entry precisely so the crash fails the compare loudly
+        # instead of vanishing) — fail it without paying the oracle SQL
         if not os.path.isdir(os.path.join(out_dir, name)):
-            skipped += 1
+            print(f"FAIL {name}: no parquet dump (query crashed in Verify)")
+            n_fail += 1
             continue
         try:
             exp = norm(con.execute(sql).fetchdf())
@@ -92,8 +92,7 @@ def main(sf_dir: str, out_dir: str) -> int:
                 print(f"ROWS-ONLY {name}: {n} rows")
             except Exception as ex:
                 print(f"ERROR {name} (rows-only): {ex}")
-    tail = f" ({skipped} oracles skipped: no parquet in outDir)" if skipped else ""
-    print(f"== {n_pass} pass, {n_fail} fail{tail}")
+    print(f"== {n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
 
 
