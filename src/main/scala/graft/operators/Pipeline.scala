@@ -2473,24 +2473,37 @@ object Pipeline {
     * per-sequence manifest (docs spanned, tokens, doc_id range).
     *
     * The global running token offset is computed as a two-phase prefix
-    * sum — per-block partials (block = doc_id div `PackBlock`), a running
-    * offset over the small block table, then a within-block window — so
-    * no stage ever needs the single-partition global window that a naive
-    * `Window.orderBy(doc_id)` cumsum would plan. At cluster scale
-    * `PackBlock` grows with the corpus (one block row per ~10⁶ docs keeps
-    * the block table driver-broadcastable); the oracle computes the same
-    * prefix sum with one flat window, which is fine at DuckDB's scale. */
+    * sum — per-block partials, a running offset over the small block
+    * table, then a within-block window — so no stage ever needs the
+    * single-partition global window that a naive `Window.orderBy(doc_id)`
+    * cumsum would plan. The block size is ADAPTIVE: `blk = doc_id div
+    * greatest(PackBlock, (max_id + 1) div PackMaxBlocks)`, with the
+    * corpus extent coming from a 1-row aggregate broadcast onto the
+    * stream. That caps the block-offset table at PackMaxBlocks + 1 rows
+    * AT ANY CORPUS SIZE (10⁰… docs alike), so both the unpartitioned
+    * running-offset window over it and its broadcast re-join are bounded
+    * — a fixed `div 64` would make the table corpus-linear (n/64 rows
+    * through one window task and one driver broadcast at 10¹⁰ docs).
+    * Block boundaries cannot affect the output: the two-phase sum is
+    * exact for every monotone blocking, so the manifest is bit-identical
+    * for any block size and the oracle computes the same prefix sum with
+    * one flat window, which is fine at DuckDB's scale. */
   private val SeqLen = 256L
   private val PackBlock = 64L
+  private val PackMaxBlocks = 10000L
 
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
+    val ext = Tables.documents(s, dir).agg(max(col("doc_id")).as("mx"))
     val d = Tables.documents(s, dir)
       .select(col("doc_id"),
         size(filter(split(col("text"), " +"), t => t =!= lit("")))
           .cast("long").as("n"))
       .filter(col("n") > 0)
-      .withColumn("blk", expr(s"doc_id div $PackBlock"))
+      .crossJoin(broadcast(ext))
+      .withColumn("blk", expr(
+        s"doc_id div greatest(${PackBlock}L, (mx + 1) div $PackMaxBlocks)"))
+      .drop("mx")
     val blockTotals = d.groupBy("blk").agg(sum("n").as("bt"))
     val wBlk = w.orderBy("blk")
       .rowsBetween(w.unboundedPreceding, -1)

@@ -2,7 +2,11 @@ package graft.tools
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, First, Last, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.types.Decimal
 
 /** Structural audit of `broadcast()` hints: classifies each hinted
   * logical subtree as provably constant-bounded or (conservatively)
@@ -11,42 +15,309 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * relation through the driver at 100 TB — the bug class fixed in
   * dedupMinhash (r8) and dedupApply/dedupFunnel/curationPipeline/the
   * TPC-H SF-growing dims (r9). `PlanGuardSpec` runs this as CI over
-  * every declared query. */
+  * every declared query.
+  *
+  * Attribute checks resolve through exprId LINEAGE (Project / Aggregate /
+  * Window alias definitions and fixed-arity generator outputs) down to
+  * base-relation columns, so an alias cannot launder an unbounded
+  * subtree into a declared-bounded column name
+  * (`select(col("text").as("lang"))` proves nothing). */
 object HintAudit {
 
   /** Fixture columns whose value domain does not grow with corpus size
     * (TESTDATA.md schemas): the categorical enums (lang / source /
     * event_type / label), literal-struct tags (sampler / dim), and the
-    * calendar-bounded cohort day. Grouping on ONLY these yields a
-    * constant-cardinality aggregate even over an unbounded child. */
+    * calendar-bounded cohort day. A BASE-RELATION attribute resolving to
+    * one of these — or any deterministic scalar function of only these —
+    * yields a constant-cardinality grouping even over an unbounded
+    * child. */
   private val boundedDomainCols =
     Set("lang", "source", "event_type", "sampler", "dim",
         "label", "true_label", "pred_label", "cohort")
+
+  /** Fixture columns whose value RANGE is corpus-independent (TPC-H
+    * price formulas: l_extendedprice ≤ ~105k, o_totalprice ≤ ~600k at
+    * every SF) but whose raw cardinality is too large to group on — only
+    * an explicit COARSENING (`floor(col / k)` / `col div k`, literal
+    * k ≥ [[MinCoarsen]]) of them is bounded: range/k rows, ≤ a few
+    * hundred for the declared domains. */
+  private val boundedRangeCols = Set("l_extendedprice", "o_totalprice")
 
   /** Fixture primary keys (unique per row): a `key < literal` filter
     * caps the subtree at `literal` rows — the probe-table idiom
     * (`vec_id < 5`) used by the ANN/similarity family. */
   private val uniqueKeyCols = Set("vec_id", "doc_id")
 
-  private def isLit(e: Expression): Boolean = e match {
+  /** `pmod(_, k)` is bounded by k whatever its child; accept it as a
+    * broadcast-safe bound only while k itself is small (the bloom bit
+    * domain, 65521, is the largest declared sketch modulus). */
+  private val MaxPmod = 4000000L
+
+  /** Minimum literal divisor for a range-coarsening bound, so "bounded"
+    * always means "small enough to broadcast": range/1000 of the
+    * declared [[boundedRangeCols]] domains is ≤ ~600 rows. */
+  private val MinCoarsen = 1000L
+
+  /** Boundedness certificate for one memoized (checkpointed) table:
+    * whether its ROW COUNT is corpus-independent, and which of its
+    * columns have corpus-independent VALUE DOMAINS. Recorded at
+    * [[certifyStable]] time, keyed by the checkpoint RDD's id (stable
+    * across `newInstance()` plan copies, which share the RDD). */
+  private final case class MemoCert(rowsBounded: Boolean, boundedCols: Set[String])
+  private val memoCerts =
+    new java.util.concurrent.ConcurrentHashMap[Int, MemoCert]()
+
+  /** Called by [[graft.util.Checkpoints.stable]]: prove what we can
+    * about `original` BEFORE its lineage is cut, and attach the result
+    * to the checkpointed plan's RDD so later audits can see through the
+    * opaque `LogicalRDD` leaf. This is what lets the ITERATIVE memos
+    * (k-means centroids, PQ codebooks) stay provable by induction: round
+    * 0's seed table is bounded by a key-capped filter, each recenter is
+    * an aggregate grouping on columns whose domains the previous round's
+    * certificate bounds, so every round's checkpoint re-earns the
+    * certificate. A corpus-sized checkpoint (CC labels, pair tables)
+    * gets only its genuinely domain-bounded columns (e.g. a cluster id
+    * drawn from a bounded centroid table), never a row bound. */
+  def certifyStable(original: DataFrame, stabilized: DataFrame): Unit =
+    stabilized.queryExecution.analyzed.collectLeaves() match {
+      case Seq(lr: LogicalRDD) =>
+        val plan = original.queryExecution.analyzed
+        val rows = constantBounded(plan)
+        val ctx = ctxOf(plan)
+        val cols =
+          if (rows) plan.output.map(_.name).toSet
+          else plan.output.filter(o => boundedValue(o, ctx)).map(_.name).toSet
+        if (rows || cols.nonEmpty)
+          memoCerts.put(lr.rdd.id, MemoCert(rows, cols))
+      case _ => () // reliable-checkpoint or unexpected shape: no claim
+    }
+
+  /** Lineage context harvested from one audited subtree. */
+  private final case class Ctx(
+      defs: Map[ExprId, Expression],       // alias → defining expression
+      gens: Map[ExprId, Seq[Expression]],  // fixed-arity generator output → elements
+      leaf: Map[ExprId, String],           // base-relation attribute → column name
+      inSet: Set[ExprId],                  // attrs filtered to a literal set below
+      boundedAttrs: Set[ExprId])           // leaf attrs with certified bounded domains
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x         => Seq(x)
+  }
+
+  private def ctxOf(p: LogicalPlan): Ctx = {
+    val defs = Map.newBuilder[ExprId, Expression]
+    val gens = Map.newBuilder[ExprId, Seq[Expression]]
+    val leaf = Map.newBuilder[ExprId, String]
+    val ins = Set.newBuilder[ExprId]
+    val bnd = Set.newBuilder[ExprId]
+    p.foreach {
+      case pr: Project =>
+        pr.projectList.foreach {
+          case a: Alias => defs += a.exprId -> a.child
+          case _        => ()
+        }
+      case ag: Aggregate =>
+        ag.aggregateExpressions.foreach {
+          case a: Alias => defs += a.exprId -> a.child
+          case _        => ()
+        }
+      case wd: Window =>
+        wd.windowExpressions.foreach {
+          case a: Alias => defs += a.exprId -> a.child
+          case _        => ()
+        }
+      case g: Generate =>
+        g.generator match {
+          case Explode(arr: CreateArray) =>
+            g.generatorOutput.foreach(o => gens += o.exprId -> arr.children)
+          case PosExplode(arr: CreateArray) =>
+            g.generatorOutput match {
+              case Seq(pos, c) =>
+                gens += pos.exprId ->
+                  arr.children.indices.map(i => Literal(i): Expression)
+                gens += c.exprId -> arr.children
+              case _ => ()
+            }
+          case _ => () // data-sized generator: outputs stay unresolvable
+        }
+      case f: Filter =>
+        // only CONJUNCTS constrain — an In under Or/Not bounds nothing
+        conjuncts(f.condition).foreach {
+          case In(a: AttributeReference, vs) if vs.forall(isLit) =>
+            ins += a.exprId
+          case InSet(a: AttributeReference, _) => ins += a.exprId
+          case EqualTo(a: AttributeReference, l) if isLit(l) => ins += a.exprId
+          case EqualTo(l, a: AttributeReference) if isLit(l) => ins += a.exprId
+          case _ => ()
+        }
+      case l: LeafNode =>
+        l.output.foreach(o => leaf += o.exprId -> o.name)
+        l match {
+          case _: LocalRelation | _: OneRowRelation =>
+            // driver-local by construction: every column's domain is as
+            // bounded as the relation itself
+            l.output.foreach(o => bnd += o.exprId)
+          case lr: LogicalRDD =>
+            Option(memoCerts.get(lr.rdd.id)).foreach { cert =>
+              l.output.foreach(o =>
+                if (cert.rowsBounded || cert.boundedCols(o.name))
+                  bnd += o.exprId)
+            }
+          case _ => ()
+        }
+      case _ => ()
+    }
+    Ctx(defs.result(), gens.result(), leaf.result(), ins.result(),
+      bnd.result())
+  }
+
+  /** Peel the value-preserving wrappers analysis inserts. */
+  @scala.annotation.tailrec
+  private def strip(e: Expression): Expression = e match {
+    case c: Cast  => strip(c.child)
+    case a: Alias => strip(a.child)
+    case u: UnaryExpression
+        if u.nodeName == "CheckOverflow" || u.nodeName == "PromotePrecision" ||
+          u.nodeName == "KnownNotNull" =>
+      strip(u.child)
+    case _ => e
+  }
+
+  private def isLit(e: Expression): Boolean = strip(e) match {
     case _: Literal => true
-    case c: Cast    => isLit(c.child)
     case _          => false
   }
 
-  private def keyCapped(cond: Expression): Boolean = cond match {
-    case LessThan(a: AttributeReference, l) if isLit(l)        => uniqueKeyCols(a.name)
-    case LessThanOrEqual(a: AttributeReference, l) if isLit(l) => uniqueKeyCols(a.name)
-    case And(l, r) => keyCapped(l) || keyCapped(r)
+  private def litLong(e: Expression): Option[Long] = strip(e) match {
+    case Literal(v: Long, _)    => Some(v)
+    case Literal(v: Int, _)     => Some(v.toLong)
+    case Literal(v: Short, _)   => Some(v.toLong)
+    case Literal(v: Byte, _)    => Some(v.toLong)
+    case Literal(d: Decimal, _) => Some(d.toLong)
+    case Literal(d: Double, _)  => Some(d.toLong)
+    case _                      => None
+  }
+
+  /** Resolve an attribute through alias definitions to the BASE-relation
+    * column name it renames, or None if it is derived (not a rename). */
+  private def baseName(a: AttributeReference, ctx: Ctx, depth: Int = 0): Option[String] =
+    if (depth > 24) None
+    else ctx.defs.get(a.exprId) match {
+      case Some(d) => strip(d) match {
+        case ar: AttributeReference => baseName(ar, ctx, depth + 1)
+        case _                      => None
+      }
+      case None => ctx.leaf.get(a.exprId)
+    }
+
+  /** x is (a rename of) a declared bounded-RANGE base column. */
+  private def boundedRangeRef(x: Expression, ctx: Ctx): Boolean =
+    strip(x) match {
+      case ar: AttributeReference => baseName(ar, ctx).exists(boundedRangeCols)
+      case _                      => false
+    }
+
+  /** Conservative proof that the expression's VALUE DOMAIN is small and
+    * corpus-independent — the per-grouping-expression engine behind the
+    * Aggregate case of [[constantBounded]]. Handles: literals;
+    * `pmod(_, k)` (≤ k values); `floor(range-col / k)` / `range-col div
+    * k` coarsenings; calendar coarsenings (day-or-coarser images of any
+    * physical time column are bounded by the fixtures' fixed calendar
+    * windows, and sub-day fields are range-bounded by definition —
+    * hour ∈ 0..23); attributes resolved through alias lineage,
+    * fixed-arity generator elements, In-literal filters below, or
+    * declared enum base columns; struct-field access into fixed-arity
+    * generator elements; and any deterministic scalar composition of
+    * bounded inputs. Aggregate/window values are corpus-derived by
+    * fiat. */
+  private def boundedValue(e0: Expression, ctx: Ctx, depth: Int = 0): Boolean = {
+    if (depth > 24) return false
+    def rec(e: Expression): Boolean = boundedValue(e, ctx, depth + 1)
+    strip(e0) match {
+      case _: Literal => true
+      case p: Pmod =>
+        litLong(p.right).exists(v => v > 0 && v <= MaxPmod)
+      case d: IntegralDivide
+          if litLong(d.right).exists(_ >= MinCoarsen) &&
+            boundedRangeRef(d.left, ctx) => true
+      case fl: Floor =>
+        strip(fl.child) match {
+          case d: Divide =>
+            litLong(d.right).exists(_ >= MinCoarsen) &&
+              boundedRangeRef(d.left, ctx)
+          case d: IntegralDivide =>
+            litLong(d.right).exists(_ >= MinCoarsen) &&
+              boundedRangeRef(d.left, ctx)
+          case other => rec(other) // floor of a bounded value stays bounded
+        }
+      case _: ParseToDate | _: TruncDate | _: TruncTimestamp | _: Year |
+          _: Quarter | _: Month | _: DayOfMonth | _: DayOfYear |
+          _: WeekOfYear | _: DayOfWeek | _: Hour | _: Minute | _: Second |
+          _: DateDiff =>
+        true
+      case ar: AttributeReference =>
+        ctx.inSet(ar.exprId) || ctx.boundedAttrs(ar.exprId) ||
+          (ctx.defs.get(ar.exprId) match {
+            case Some(d) => rec(d)
+            case None =>
+              ctx.gens.get(ar.exprId) match {
+                case Some(els) => els.forall(rec)
+                case None => ctx.leaf.get(ar.exprId).exists(boundedDomainCols)
+              }
+          })
+      case gsf: GetStructField =>
+        strip(gsf.child) match {
+          case ar: AttributeReference if ctx.gens.contains(ar.exprId) =>
+            ctx.gens(ar.exprId).forall { el =>
+              strip(el) match {
+                case cns: CreateNamedStruct =>
+                  cns.valExprs.lift(gsf.ordinal).exists(rec)
+                case _ => false
+              }
+            }
+          case _ => false
+        }
+      // min/max/first/last SELECT a value from their input, so the
+      // result's domain is a subset of the child's — bounded child value,
+      // bounded aggregate (q_retention's cohort = min(calendar day)).
+      // Sums/counts/averages ACCUMULATE and are corpus-derived by fiat.
+      case ae: AggregateExpression =>
+        ae.aggregateFunction match {
+          case Min(c)   => rec(c)
+          case Max(c)   => rec(c)
+          case f: First => rec(f.child)
+          case l: Last  => rec(l.child)
+          case _        => false
+        }
+      case _: WindowExpression    => false
+      case other if other.deterministic && other.children.nonEmpty =>
+        other.children.forall(rec)
+      case _ => false
+    }
+  }
+
+  private def keyCapped(cond: Expression, ctx: Ctx): Boolean = cond match {
+    case LessThan(a: AttributeReference, l) if isLit(l) =>
+      baseName(a, ctx).exists(uniqueKeyCols)
+    case LessThanOrEqual(a: AttributeReference, l) if isLit(l) =>
+      baseName(a, ctx).exists(uniqueKeyCols)
+    case And(l, r) => keyCapped(l, ctx) || keyCapped(r, ctx)
     case _         => false
   }
 
   /** TPC-H tables whose row count is constant at every scale factor
     * (nation = 25, region = 5 per the TPC-H spec), recognized by their
-    * signature key columns surviving in a leaf's output. */
-  private def constantDimLeaf(l: LeafNode): Boolean = {
-    val names = l.output.map(_.name).toSet
-    names.contains("n_nationkey") || names.contains("r_regionkey")
+    * signature key columns surviving in a leaf's output; plus memoized
+    * checkpoints carrying a rows-bounded [[certifyStable]] certificate
+    * (k-means centroids, PQ codebooks — bounded by induction over the
+    * Lloyd rounds). */
+  private def constantDimLeaf(l: LeafNode): Boolean = l match {
+    case lr: LogicalRDD =>
+      Option(memoCerts.get(lr.rdd.id)).exists(_.rowsBounded)
+    case _ =>
+      val names = l.output.map(_.name).toSet
+      names.contains("n_nationkey") || names.contains("r_regionkey")
   }
 
   /** Conservative structural proof that a logical subtree's row count
@@ -56,10 +327,17 @@ object HintAudit {
     case _: LocalRelation | _: OneRowRelation | _: Range => true
     case _: GlobalLimit | _: LocalLimit                  => true
     case a: Aggregate =>
-      a.groupingExpressions.isEmpty || constantBounded(a.child) ||
-        a.groupingExpressions.forall(
-          _.references.forall(r => boundedDomainCols(r.name)))
-    case f: Filter   => keyCapped(f.condition) || constantBounded(f.child)
+      a.groupingExpressions.isEmpty || constantBounded(a.child) || {
+        val ctx = ctxOf(a)
+        a.groupingExpressions.forall(g => boundedValue(g, ctx))
+      }
+    case f: Filter =>
+      keyCapped(f.condition, ctxOf(f)) || constantBounded(f.child)
+    // DISTINCT over keys with bounded value domains is bounded whatever
+    // the child's row count (q_bloom_fpr's distinct pmod-valued bits).
+    case d: Deduplicate =>
+      d.keys.forall(k => boundedValue(k, ctxOf(d))) ||
+        d.children.forall(constantBounded)
     // Generate MULTIPLIES rows, so a bounded child proves nothing unless
     // the generator's fan-out is a fixed arity: explode/posexplode/inline
     // of an array LITERAL CONSTRUCTOR (CreateArray — fixed element count
@@ -72,10 +350,17 @@ object HintAudit {
         case Inline(_: CreateArray)                               => true
         case _                                                    => false
       }) && g.children.forall(constantBounded)
-    case j: Join     => constantBounded(j.left) && constantBounded(j.right)
-    case u: Union    => u.children.forall(constantBounded)
+    // typed flatMap family: each of these can fan one input row out to
+    // arbitrarily many output rows (an iterator the audit cannot see
+    // into), so a bounded child proves nothing — reject explicitly
+    // rather than falling into the 1:1 default case.
+    case _: MapPartitions | _: MapGroups | _: CoGroup |
+        _: FlatMapGroupsWithState =>
+      false
+    case j: Join  => constantBounded(j.left) && constantBounded(j.right)
+    case u: Union => u.children.forall(constantBounded)
     case l: LeafNode => constantDimLeaf(l) // file scan / RDD: grows with the corpus
-    case other       => other.children.forall(constantBounded)
+    case other => other.children.forall(constantBounded)
   }
 
   /** All broadcast-hinted subtrees in a query's analyzed plan. */

@@ -32,6 +32,17 @@ object Checkpoints {
   /** Materialize `df` eagerly and return a plan that re-reads the
     * materialized blocks (lineage cut). Mode per the session confs above. */
   def stable(df: DataFrame): DataFrame = {
+    val out = stable0(df)
+    // attach a boundedness certificate to the checkpoint's RDD so the
+    // broadcast-hint audit (graft.tools.HintAudit) can still prove what
+    // was provable about the pre-checkpoint plan after lineage is cut —
+    // without this, every memoized k-row centroid/codebook table would
+    // look like an opaque corpus-sized leaf.
+    graft.tools.HintAudit.certifyStable(df, out)
+    out
+  }
+
+  private def stable0(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val reliable = spark.conf
       .getOption("spark.graft.checkpoint.reliable").exists(_.toBoolean)

@@ -87,6 +87,108 @@ class HintAuditSpec extends AnyFunSuite {
     assert(unproven(two) === 0)
   }
 
+  test("proves: literal coarsening of a declared bounded-RANGE column") {
+    // floor(o_totalprice / k): TPC-H price formulas cap the range at
+    // every SF, so range/k blocks — the equi-depth-offsets shape
+    val o = Tables.orders(spark, sf)
+    assert(unproven(o.groupBy(expr("cast(o_totalprice as bigint) div 5000").as("blk"))
+      .agg(count(lit(1)).as("n"))) === 0)
+    assert(unproven(o.groupBy(floor(col("o_totalprice") / 5000).as("blk"))
+      .agg(count(lit(1)).as("n"))) === 0)
+  }
+
+  test("rejects: range coarsening with a too-small divisor, or of an undeclared column") {
+    val o = Tables.orders(spark, sf)
+    // div 2 of a ~600k range is ~300k blocks — not broadcast-small
+    assert(unproven(o.groupBy(expr("cast(o_totalprice as bigint) div 2").as("blk"))
+      .agg(count(lit(1)).as("n"))) === 1)
+    // o_orderkey is corpus-linear, not range-bounded: coarsening it
+    // still yields a corpus-linear block count
+    assert(unproven(o.groupBy(expr("o_orderkey div 5000").as("blk"))
+      .agg(count(lit(1)).as("n"))) === 1)
+  }
+
+  test("proves: pmod-literal grouping; rejects an unbounded modulus") {
+    assert(unproven(docs.groupBy(pmod(col("doc_id") * 131 + 7, lit(65521))
+      .as("bit")).agg(count(lit(1)).as("n"))) === 0)
+    assert(unproven(docs.groupBy(pmod(col("doc_id"), lit(1000000000L))
+      .as("bit")).agg(count(lit(1)).as("n"))) === 1)
+  }
+
+  test("proves: DISTINCT over a bounded-domain value, whatever the child size") {
+    // the bloom-bits shape: explode fixed-arity pmod hashes, dedup
+    val bits = docs.select(explode(array(
+      pmod(col("doc_id") * 131 + 7, lit(65521)),
+      pmod(col("doc_id") * 137 + 11, lit(65521)))).as("bit")).distinct()
+    assert(unproven(bits) === 0)
+  }
+
+  test("rejects: DISTINCT over a corpus-cardinality key") {
+    assert(unproven(docs.select("doc_id").distinct()) === 1)
+  }
+
+  test("proves: grouping on min/max of a calendar-bounded value") {
+    // the retention-cohort shape: cohort = min(day-granularity date
+    // image) per user — min SELECTS from the bounded day domain
+    val e = Tables.events(spark, sf)
+    val cohort = e.groupBy("user_id")
+      .agg(min(datediff(to_date(col("ts")), lit("1990-01-01"))).as("cohort"))
+      .groupBy("cohort").agg(count(lit(1)).as("n"))
+    assert(unproven(cohort) === 0)
+  }
+
+  test("rejects: grouping on an ACCUMULATING aggregate of a bounded value") {
+    // sum() accumulates — per-group totals grow with the corpus even
+    // when each addend is domain-bounded
+    val e = Tables.events(spark, sf)
+    val spend = e.groupBy("user_id")
+      .agg(sum(datediff(to_date(col("ts")), lit("1990-01-01"))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("n"))
+    assert(unproven(spend) === 1)
+  }
+
+  test("rejects: alias-laundering an unbounded column into a bounded name") {
+    // select(text.as("lang")) must NOT inherit lang's enum bound —
+    // attributes resolve through exprId lineage to their base column
+    val laundered = docs.select(col("text").as("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(unproven(laundered) === 1)
+    // and the genuine rename still proves
+    val renamed = docs.select(col("lang").as("l2"))
+      .groupBy("l2").agg(count(lit(1)).as("n"))
+    assert(unproven(renamed) === 0)
+  }
+
+  test("rejects: typed flatMap over a bounded child (fan-out is opaque)") {
+    import spark.implicits._
+    val fanned = docs.limit(2).select(col("text")).as[String]
+      .flatMap(_.split(" ")).toDF("w")
+    assert(unproven(fanned) === 1)
+  }
+
+  test("memo certificate: a checkpointed bounded table stays provable") {
+    import graft.util.Checkpoints.StableOps
+    // bounded BEFORE the checkpoint (key-capped filter) — the
+    // certificate must survive the lineage cut
+    val seed = docs.filter(col("doc_id") < 4).select("doc_id", "lang").stable
+    assert(unproven(seed) === 0)
+    // and an aggregate grouping on the certified table's column domains
+    // re-earns the certificate (the Lloyd-iteration induction step)
+    val next = seed.groupBy("doc_id").agg(count(lit(1)).as("n")).stable
+    assert(unproven(next) === 0)
+  }
+
+  test("memo certificate: a corpus-sized checkpoint is NOT row-bounded, but its bounded COLUMNS carry") {
+    import graft.util.Checkpoints.StableOps
+    val asg = docs.select(col("doc_id"), col("lang")).stable
+    assert(unproven(asg) === 1) // rows grow with the corpus
+    // …but grouping on its certified bounded column still proves (the
+    // cluster-labels shape: cid rides a corpus-sized assignment table)
+    assert(unproven(asg.groupBy("lang").agg(count(lit(1)).as("n"))) === 0)
+    // while grouping on its corpus-cardinality column does not
+    assert(unproven(asg.groupBy("doc_id").agg(count(lit(1)).as("n"))) === 1)
+  }
+
   test("counts every hint in a multi-hint plan, including subqueries") {
     val bad = docs.select("doc_id")
     val good = docs.limit(2)
