@@ -129,8 +129,18 @@ object Streams {
     * flavors drain through this wrapper so a split drain FAILS LOUDLY
     * instead of returning plausible-but-divergent rows. */
   private def appendToParquetSingleBatch(s: SparkSession, out0: Dataset[_]): DataFrame = {
-    val out = out0.toDF()
     val (data, ckpt) = sinkDirs()
+    appendToParquetSingleBatchAt(s, out0, data, ckpt)
+  }
+
+  /** [[appendToParquetSingleBatch]] with caller-owned sink/checkpoint
+    * dirs (the admit stream's ORACLE path: first-arrival-wins equals the
+    * id-ordered batch oracle only when the whole fixture drains in one
+    * micro-batch — a directory-of-part-files fixture under
+    * maxFilesPerTrigger=1 would otherwise diverge silently). */
+  private def appendToParquetSingleBatchAt(s: SparkSession, out0: Dataset[_],
+                                           data: String, ckpt: String): DataFrame = {
+    val out = out0.toDF()
     @volatile var nonEmpty = 0
     val q = out.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
@@ -780,7 +790,10 @@ object Streams {
     * band keys of the stream, not with the corpus. */
   def streamLshAdmit(s: SparkSession, dir: String): DataFrame = {
     val (data, ckpt) = sinkDirs()
-    streamLshAdmitAt(s, dir, data, ckpt)
+    // The DECLARED (oracle-gated) entry enforces the single-batch drain
+    // its id-order oracle equality assumes; the resume path below is
+    // multi-batch by design (first-arrival-wins across drains).
+    streamLshAdmitAt(s, dir, data, ckpt, singleBatch = true)
   }
 
   /** [[streamLshAdmit]] with caller-owned sink/checkpoint dirs — the
@@ -791,16 +804,34 @@ object Streams {
     * run N — restart-durable incremental dedup, the coordinator-resume
     * semantics of the reference's own incremental philosophy. */
   private[graft] def streamLshAdmitAt(s: SparkSession, dir: String,
-                                      data: String, ckpt: String): DataFrame = {
+                                      data: String, ckpt: String,
+                                      singleBatch: Boolean = false): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.{Encoders => Encs}
+
+    // STATE-LIFECYCLE KNOB (`spark.graft.stream.admitTtlMs`): an
+    // always-on ingest index otherwise accretes one carrier per distinct
+    // band key FOREVER. With a TTL, a band key unseen for the window is
+    // evicted (its next arrival re-admits as the new carrier — the
+    // standard freshness-window trade of production dedup indexes: only
+    // duplicates farther apart than the TTL are missed), while a live key
+    // still collides. OFF by default — TTLConfig.NONE + TimeMode.None
+    // keep the declared query's semantics and hash bit-identical. The
+    // knob value is part of the checkpoint contract like the lane count:
+    // resume with the same setting.
+    val ttlMs = s.conf.getOption("spark.graft.stream.admitTtlMs")
+      .map(_.toLong).filter(_ > 0L)
+    val ttlCfg = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
+      .getOrElse(TTLConfig.NONE)
+    val timeMode = if (ttlMs.isDefined) TimeMode.ProcessingTime()
+                   else TimeMode.None()
 
     class CarrierProcessor extends StatefulProcessor[(Int, String), AdmitBand, AdmitHit] {
       @transient private var st: ValueState[Long] = _
       override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
         st = getHandle.getValueState[Long]("carrier",
-          Encs.scalaLong, TTLConfig.NONE)
+          Encs.scalaLong, ttlCfg)
       override def handleInputRows(key: (Int, String), rows: Iterator[AdmitBand],
                                    timerValues: TimerValues): Iterator[AdmitHit] = {
         // FIRST ARRIVAL WINS: the band key's carrier is claimed by the
@@ -830,7 +861,7 @@ object Streams {
       .select(col("doc_id"), col("b").cast("int").as("b"), col("key"))
       .as[AdmitBand]
     val out = bands.groupByKey(r => (r.b, r.key))
-      .transformWithState(new CarrierProcessor, TimeMode.None(), OutputMode.Append())
+      .transformWithState(new CarrierProcessor, timeMode, OutputMode.Append())
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -841,7 +872,27 @@ object Streams {
       // 2 lanes 6.9 s, 8 lanes 3.9 s, 16 lanes 4.8 s (store-init wins
       // past 8). Resume requires a constant lane count across runs —
       // this constant is part of the checkpoint contract.
-      try withStatePartitions(s, 8) { appendToParquetAt(s, out.toDF(), data, ckpt) }
+      try withStatePartitions(s, 8) {
+        // In TTL mode the engine runs under TimeMode.ProcessingTime, and
+        // every no-data batch ADVANCES processing time — which, with TTL
+        // state live, makes the engine schedule another no-data batch:
+        // an infinite instant-batch loop under AvailableNow (observed:
+        // 5,600+ committed no-data batches before the kill). This stream
+        // has no watermark, so the finalizing no-data batch contributes
+        // nothing here — disable it for the TTL drain.
+        def drain(): DataFrame =
+          if (singleBatch) appendToParquetSingleBatchAt(s, out.toDF(), data, ckpt)
+          else appendToParquetAt(s, out.toDF(), data, ckpt)
+        if (ttlMs.isDefined) {
+          val k = "spark.sql.streaming.noDataMicroBatches.enabled"
+          val prev0 = s.conf.getOption(k)
+          s.conf.set(k, "false")
+          try drain() finally prev0 match {
+            case Some(v) => s.conf.set(k, v)
+            case None    => s.conf.unset(k)
+          }
+        } else drain()
+      }
       finally prev match {
         case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")

@@ -300,10 +300,16 @@ class StreamsSpec extends AnyFunSuite {
     // multi-file layout → maxFilesPerTrigger=1 forces multiple batches:
     // the carrier state must persist ACROSS batches, so the A/B pair
     // still detects each other whichever file order the source lists —
-    // exactly one of them carries, the other is flagged against it
+    // exactly one of them carries, the other is flagged against it.
+    // Goes through the resume-path variant: the DECLARED entry now
+    // asserts the single-batch drain its id-order oracle assumes, so a
+    // multi-file fixture through it fails loudly by design (r10).
     val tmp3 = writeCorpus(3)
+    val sink3 = new java.io.File(tmp3.toFile, "sink").getAbsolutePath
+    val ckpt3 = new java.io.File(tmp3.toFile, "ckpt").getAbsolutePath
     try {
-      val byId = Streams.streamLshAdmit(spark, tmp3.toString).collect()
+      val byId = Streams.streamLshAdmitAt(spark, tmp3.toString, sink3, ckpt3)
+        .collect()
         .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
         .toMap
       val (aHits, bHits) = (byId(3L), byId(7L))
@@ -350,6 +356,79 @@ class StreamsSpec extends AnyFunSuite {
       assert(run2(7L) === ((16L, 3L, false)), // B hits the RESUMED carrier A
         s"run-2 doc must collide with the run-1 carrier: ${run2(7L)}")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("stream LSH admit: the DECLARED entry fails loudly on a multi-batch drain") {
+    // the id-order oracle is only guaranteed single-drain; a directory of
+    // part files under maxFilesPerTrigger=1 splits into multiple batches,
+    // so the oracle-gated entry must refuse rather than return
+    // plausible-but-divergent rows (ADVICE r9)
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admit_split")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    try {
+      Seq(3L, 7L).foreach { id =>
+        spark.createDataFrame(Seq((id, t, "en", "web", t.length.toLong)))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("append").parquet(docsDir)
+      }
+      val e = intercept[Exception] {
+        Streams.streamLshAdmit(spark, tmp.toString).collect()
+      }
+      def msgs(x: Throwable): Seq[String] =
+        Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
+      assert(msgs(e).exists(_.contains("single-batch drain invariant")),
+        s"expected the single-batch invariant failure, got: $e")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
+
+  test("stream LSH admit TTL: an evicted carrier re-admits; a live one still collides") {
+    // state-lifecycle knob (spark.graft.stream.admitTtlMs): an always-on
+    // ingest index must be able to bound its band-key state. With a TTL,
+    // a carrier unseen for the window evicts — its twin arriving later
+    // ADMITS as the new carrier (the freshness-window trade) — while a
+    // carrier inside the window still collides. Off by default, so the
+    // declared query's hash is untouched.
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def corpus(): (java.nio.file.Path, String, String, Long => Unit) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_admit_ttl")
+      val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+      val sink = new java.io.File(tmp.toFile, "sink").getAbsolutePath
+      val ckpt = new java.io.File(tmp.toFile, "ckpt").getAbsolutePath
+      (tmp, sink, ckpt, (id: Long) =>
+        spark.createDataFrame(Seq((id, t, "en", "web", t.length.toLong)))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("append").parquet(docsDir))
+    }
+    def admitted(df: org.apache.spark.sql.DataFrame, id: Long): Boolean =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap.apply(id)
+    def withTtl[T](ms: Long)(body: => T): T = {
+      spark.conf.set("spark.graft.stream.admitTtlMs", ms.toString)
+      try body finally spark.conf.unset("spark.graft.stream.admitTtlMs")
+    }
+    // EVICTION: run 1 admits A; past the TTL, A's twin B re-admits
+    val (tmp1, sink1, ckpt1, write1) = corpus()
+    try withTtl(500L) {
+      write1(3L)
+      assert(admitted(Streams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 3L))
+      Thread.sleep(2000L) // comfortably past the 500 ms TTL
+      write1(7L)
+      graft.util.CorpusMemo.invalidate(spark, tmp1.toString)
+      assert(admitted(Streams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 7L),
+        "carrier state past its TTL must evict: the twin re-admits")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp1.toFile)
+    // RETENTION: same restart shape inside a generous TTL → still collides
+    val (tmp2, sink2, ckpt2, write2) = corpus()
+    try withTtl(3600000L) {
+      write2(3L)
+      assert(admitted(Streams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 3L))
+      write2(7L)
+      graft.util.CorpusMemo.invalidate(spark, tmp2.toString)
+      assert(!admitted(Streams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 7L),
+        "a carrier inside the TTL window must still collide with its twin")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)
   }
 
   test("stream drift: sides partition each type, TVD bounded, self-drift small") {
