@@ -1597,9 +1597,10 @@ object Oracles {
       s"""SELECT o_orderkey,
          |  COALESCE(CASE WHEN o_orderkey % 5 = 0 THEN NULL
          |    ELSE o_totalprice / (o_orderkey % 5) END, CAST(-1.0 AS DOUBLE)) AS safe_div,
-         |  COALESCE(TRY_CAST(o_orderstatus AS BIGINT), CAST(-1 AS BIGINT)) AS safe_cast,
-         |  COALESCE(CASE WHEN o_orderkey > 0 THEN NULL
-         |    ELSE o_orderkey + 9223372036854775807 END, CAST(-1 AS BIGINT)) AS safe_add
+         |  COALESCE(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |    ELSE o_orderkey END, CAST(-1 AS BIGINT)) AS safe_cast,
+         |  COALESCE(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+         |    ELSE o_orderkey + 1 END, CAST(-1 AS BIGINT)) AS safe_add
          |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_zorder" -> {

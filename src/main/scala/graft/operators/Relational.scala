@@ -837,18 +837,33 @@ object Relational {
   /** ANSI-safe `try_*` arithmetic on dirty data: division by zero, a cast
     * that fails on non-numeric input, and int64 overflow all yield NULL
     * instead of failing the job — the semantics a 100 TB batch needs
-    * (one malformed row must not kill a 10-hour run). NULLs are folded to
-    * sentinels for the (NaN-sensitive) compare; the oracle reproduces the
-    * same outcomes with explicit CASE guards, which also documents exactly
-    * which rows the try_* forms rescue. */
+    * (one malformed row must not kill a 10-hour run). Failures hit
+    * deterministic MINORITY slices (orderkey ≡ 0 mod 5 / 7 / 11): real
+    * dirty data is mostly clean, and try_*'s cost model is asymmetric —
+    * the rescue path throws-and-catches per failing row, so an
+    * every-row-fails fixture (as this query was through r9: a
+    * never-numeric cast and an always-overflowing add) measures raw
+    * exception-throw cost, not the steady-state overhead a user's job
+    * pays. NULLs are folded to sentinels for the (NaN-sensitive)
+    * compare; the oracle reproduces the same outcomes with explicit CASE
+    * guards, which also documents exactly which rows the try_* forms
+    * rescue. */
   def tryFunctions(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .select(col("o_orderkey"),
         coalesce(expr("try_divide(o_totalprice, o_orderkey % 5)"), lit(-1.0))
           .as("safe_div"),
-        coalesce(expr("try_cast(o_orderstatus AS BIGINT)"), lit(-1L))
-          .as("safe_cast"),
-        coalesce(expr("try_add(o_orderkey, 9223372036854775807L)"), lit(-1L))
+        coalesce(expr(
+          "try_cast(concat(cast(o_orderkey AS STRING), " +
+            "CASE WHEN o_orderkey % 7 = 0 THEN 'x' ELSE '' END) AS BIGINT)"),
+          lit(-1L)).as("safe_cast"),
+        coalesce(expr(
+          // the dirty slice adds Long.MaxValue to o_orderkey + 1 (≥ 1, so
+          // it ALWAYS overflows — orderkey 0 exists and 0 + MaxValue is
+          // legal); clean rows are a plain +1
+          "CASE WHEN o_orderkey % 11 = 0 " +
+            "THEN try_add(o_orderkey + 1L, 9223372036854775807L) " +
+            "ELSE try_add(o_orderkey, 1L) END"), lit(-1L))
           .as("safe_add"))
       .orderBy("o_orderkey")
 

@@ -256,11 +256,16 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("try_* functions rescue exactly the dirty rows") {
+    // failures live on deterministic minority slices (mod 5/7/11) since
+    // r10 — an all-rows-failing fixture measured exception-throw cost,
+    // not try_*'s steady-state overhead
     Relational.tryFunctions(spark, sf).collect().foreach { r =>
       val k = r.getLong(0)
       assert((r.getDouble(1) == -1.0) === (k % 5 == 0), s"safe_div key $k")
-      assert(r.getLong(2) === -1L, "status never casts to a number")
-      assert((r.getLong(3) == -1L) === (k > 0), s"safe_add key $k")
+      assert((r.getLong(2) == -1L) === (k % 7 == 0), s"safe_cast key $k")
+      if (k % 7 != 0) assert(r.getLong(2) === k, s"clean cast key $k")
+      assert((r.getLong(3) == -1L) === (k % 11 == 0), s"safe_add key $k")
+      if (k % 11 != 0) assert(r.getLong(3) === k + 1, s"clean add key $k")
     }
   }
 
