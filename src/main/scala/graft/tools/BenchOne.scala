@@ -12,11 +12,24 @@ object BenchOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // probe hook: GRAFT_SIGS_PATH exercises the persisted minhash-index
+    // path (spark.graft.minhash.sigsPath) for the 100x ingest probes
+    sys.env.get("GRAFT_SIGS_PATH").foreach(p =>
+      spark.conf.set("spark.graft.minhash.sigsPath", p))
+    // Force with the noop sink, matching graft.Bench (count() lets
+    // Catalyst prune measure columns — timings then under-measure).
+    // GRAFT_FORCE=count switches back, ONLY for quantifying exactly that
+    // pruning delta (the r8→r9 measurement-regime attribution).
+    val useCount = sys.env.get("GRAFT_FORCE").contains("count")
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val cnt = try graft.SparkEntry.queries(n)(spark, sfDir).count()
-                catch { case e: Throwable => println(s"TIMING $n FAILED ${e.getMessage}"); -1L }
-      println(f"TIMING $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$cnt")
+      val ok = try {
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        if (useCount) { df.count(); () }
+        else df.write.mode("overwrite").format("noop").save()
+        true
+      } catch { case e: Throwable => println(s"TIMING $n FAILED ${e.getMessage}"); false }
+      if (ok) println(f"TIMING $n%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
     spark.stop()
   }

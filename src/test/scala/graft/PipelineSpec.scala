@@ -882,4 +882,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(hashTvd === hash.map(_.getLong(6)).sum / 2)
     assert(mixTvd === mix.map(_.getLong(6)).sum / 2)
   }
+
+  test("minhash signature table persists to and loads from a sigsPath index") {
+    // spark.graft.minhash.sigsPath: production keeps the signature table
+    // next to the corpus snapshot; a restarted session must READ it back
+    // rather than re-derive the static index. Proven by deleting the
+    // source corpus between runs: the second load can only succeed from
+    // the persisted parquet.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs_persist")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val sigsPath = new java.io.File(tmp.toFile, "sigs.parquet").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    try {
+      spark.createDataFrame(Seq((1L, t, "en", "web", t.length.toLong),
+          (2L, t + " extra tail words here", "en", "web", t.length + 22L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(docsDir)
+      spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
+      val first = Pipeline.minhashSigs(spark, tmp.toString).collect()
+        .map(r => r.getLong(0)).sorted.toSeq
+      assert(first === Seq(1L, 2L))
+      assert(new java.io.File(sigsPath).exists(), "index must be written on first use")
+      // corpus gone + memo dropped: only the persisted index can answer
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(docsDir))
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      val second = Pipeline.minhashSigs(spark, tmp.toString)
+      assert(second.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+      assert(second.columns.take(2).toSeq === Seq("doc_id", "m0"))
+    } finally {
+      spark.conf.unset("spark.graft.minhash.sigsPath")
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }
