@@ -96,11 +96,21 @@ object Bench {
         force(spark.read.parquet(s"$sfDir/lineitem.parquet")
           .agg(sum(col("l_quantity"))))
       }))
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Anchors get the same failure discipline as pass(): a broken anchor
+    // (missing lineitem.parquet, noop sink unavailable) records -1 plus an
+    // errors entry and the run still emits a self-describing artifact,
+    // instead of aborting with no bench.json at all.
     def calPass(): Map[String, Double] = calibrations.map { case (name, fn) =>
-      val t0 = System.nanoTime(); fn(); name -> (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      val ok = try { fn(); true } catch {
+        case e: Throwable =>
+          errors(s"cal:$name") = e.toString.linesIterator.next().take(200)
+          false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }.toMap
     calPass() // one untimed warmup (JIT + page cache for the scan anchor)
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true } catch {

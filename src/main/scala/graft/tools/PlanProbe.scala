@@ -17,8 +17,17 @@ object PlanProbe {
     args.drop(1).foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
-      val cnt = df.count()
+      // Time with the SAME forcing as graft.Bench: the noop sink computes
+      // every output column on the executors; `.count()` (used pre-r10)
+      // let Catalyst prune the measure columns — probe timings then
+      // misrepresented what the bench measures.
+      df.write.mode("overwrite").format("noop").save()
       val secs = (System.nanoTime() - t0) / 1e9
+      // The noop write finalizes ITS OWN QueryExecution, not df's — so
+      // finalize df's plan by executing it directly (an RDD job that
+      // materializes every row/column, noop-equivalent), which doubles as
+      // the row count (RDD.count cannot prune: the physical plan is fixed).
+      val cnt = df.queryExecution.executedPlan.execute().count()
       println(f"PROBE $n%-22s $secs%8.2f s  rows=$cnt")
       df.queryExecution.executedPlan.toString.linesIterator
         .map(_.trim.replaceAll("#\\d+L?", ""))

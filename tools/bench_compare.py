@@ -84,6 +84,15 @@ def main(old_path, new_path):
     else:
         print("calibration block missing in one artifact (pre-round-9) — "
               "falling back to the per-query median as the drift estimate")
+        if ("calibration" in old) != ("calibration" in new):
+            print("CAVEAT: the calibration block arrived in round 9 TOGETHER "
+                  "with the switch from count()-forcing to the noop sink; "
+                  "count()-forced artifacts let Catalyst prune measure "
+                  "columns, under-measuring projection-heavy queries 10-40x "
+                  "on identical plans (SURVEY §8). Per-query numbers across "
+                  "this boundary compare MEASUREMENT REGIMES, not plans — "
+                  "treat any 'regression' against the pre-r9 side as "
+                  "unattributed until re-measured under noop forcing.")
         print(f"new total {new['value']:.1f}s -> "
               f"{new['value'] / med:.1f}s normalized by the common-query median")
 
