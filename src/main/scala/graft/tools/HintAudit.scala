@@ -218,10 +218,162 @@ object HintAudit {
       case _                      => false
     }
 
+  /** Cardinality ceiling for a range-inferred bound: an integer
+    * expression whose inferred range spans < MaxCard values groups into
+    * a broadcast-small table (same policy ceiling as [[MaxPmod]]). */
+  private val MaxCard = 4000000L
+
+  /** Declared µs-epoch envelope of the fixtures' event calendar:
+    * TESTDATA pins `events.ts` inside a fixed window at every SF (the
+    * generated data spans January 2024; the envelope below is the whole
+    * 2024 calendar year for regeneration slack). Corpus growth adds
+    * events per unit time, never calendar span — the same
+    * fixture-domain declaration as the TPC-H price ranges. */
+  private val tsRangeUs = (1704067200000000L, 1735689600000000L)
+
+  /** Every attribute the expression references resolves (through alias
+    * lineage) to a base-relation column in `names`. */
+  private def onlyBase(e: Expression, ctx: Ctx, names: Set[String],
+                       depth: Int = 0): Boolean =
+    depth <= 24 && e.references.toSeq.forall {
+      case ar: AttributeReference =>
+        ctx.defs.get(ar.exprId) match {
+          case Some(d) => onlyBase(d, ctx, names, depth + 1)
+          case None    => ctx.leaf.get(ar.exprId).exists(names)
+        }
+      case _ => false
+    }
+
+  /** Interval corners under an op monotone in each argument (add / sub /
+    * mul / trunc-div are); None on int64 overflow — overflow means the
+    * proof is abandoned, never widened. */
+  private def corners(a: (Long, Long), b: (Long, Long),
+                      f: (Long, Long) => Long): Option[(Long, Long)] =
+    try {
+      val vs = Seq(f(a._1, b._1), f(a._1, b._2), f(a._2, b._1), f(a._2, b._2))
+      Some((vs.min, vs.max))
+    } catch { case _: ArithmeticException => None }
+
+  /** Conservative int64 interval inference — the engine behind the
+    * range-cardinality clause of [[boundedValue]]. Seeds: literals and
+    * µs-epoch images of the declared event calendar
+    * (`unix_micros(ts…)`, however the fixture's timestamp encoding was
+    * normalized). Propagates through alias lineage, lag/lead/nth-value
+    * (they SELECT an input value), min/max/first/last (plain or
+    * windowed), +/−/× (corner arithmetic, overflow aborts the proof),
+    * `div` by a literal, `floor(x / k)`, and `pmod(_, k)` → [0, k).
+    * This is what proves the gap-histogram blocking shape:
+    * `(tus − lag(tus)) div 60e6` spans ≤ the calendar window in minutes
+    * — corpus-independent — even though every intermediate value has
+    * far too many distinct values to group on raw. */
+  private def rangeOf(e0: Expression, ctx: Ctx, depth: Int = 0): Option[(Long, Long)] = {
+    if (depth > 24) return None
+    def rec(e: Expression): Option[(Long, Long)] = rangeOf(e, ctx, depth + 1)
+    strip(e0) match {
+      case um: UnixMicros if onlyBase(um, ctx, Set("ts")) => Some(tsRangeUs)
+      case l: Literal => litLong(l).map(v => (v, v))
+      case ar: AttributeReference => ctx.defs.get(ar.exprId).flatMap(rec)
+      case we: WindowExpression =>
+        we.windowFunction match {
+          case lg: Lag       => rec(lg.input)
+          case ld: Lead      => rec(ld.input)
+          case nv: NthValue  => rec(nv.input)
+          case ae: AggregateExpression => rec(ae)
+          case _             => None
+        }
+      case ae: AggregateExpression =>
+        ae.aggregateFunction match {
+          case Min(c)   => rec(c)
+          case Max(c)   => rec(c)
+          case f: First => rec(f.child)
+          case l: Last  => rec(l.child)
+          case _        => None
+        }
+      case a: Add =>
+        for { x <- rec(a.left); y <- rec(a.right)
+              r <- corners(x, y, Math.addExact) } yield r
+      case s: Subtract =>
+        for { x <- rec(s.left); y <- rec(s.right)
+              r <- corners(x, y, Math.subtractExact) } yield r
+      case m: Multiply =>
+        for { x <- rec(m.left); y <- rec(m.right)
+              r <- corners(x, y, Math.multiplyExact) } yield r
+      case d: IntegralDivide =>
+        for { k <- litLong(d.right) if k != 0L
+              x <- rec(d.left)
+              r <- corners(x, (k, k), _ / _) } yield r
+      case fl: Floor =>
+        strip(fl.child) match {
+          case d: Divide =>
+            for { k <- litLong(d.right) if k != 0L
+                  x <- rec(d.left)
+                  r <- corners(x, (k, k), Math.floorDiv) } yield r
+          case other => rec(other)
+        }
+      case p: Pmod =>
+        litLong(p.right).collect { case k if k > 0L => (0L, k - 1L) }
+      case _ => None
+    }
+  }
+
+  /** The expression's inferred integer range spans fewer than
+    * [[MaxCard]] distinct values — a corpus-independent grouping. */
+  private def rangeBounded(e: Expression, ctx: Ctx): Boolean =
+    rangeOf(e, ctx).exists { case (lo, hi) =>
+      try Math.subtractExact(hi, lo) < MaxCard
+      catch { case _: ArithmeticException => false }
+    }
+
+  /** The q_pack_sequences shape: `x div greatest(litMin, (max(x)+1) div
+    * litK)` over a non-negative fixture key x — the divisor is at least
+    * (max(x)+1)/litK, so with 0 ≤ x ≤ max(x) the quotient is < litK:
+    * an ADAPTIVE coarsening whose block count is capped at litK at any
+    * corpus size even though the divisor itself is corpus-derived. */
+  private def adaptiveKeyDiv(d: IntegralDivide, ctx: Ctx): Boolean = {
+    val xBase = strip(d.left) match {
+      case ar: AttributeReference => baseName(ar, ctx).filter(uniqueKeyCols)
+      case _                      => None
+    }
+    xBase.isDefined && (strip(d.right) match {
+      case g: Greatest if g.children.size == 2 =>
+        g.children.map(strip).exists(c => litLong(c).exists(_ >= 1L)) &&
+          g.children.map(strip).exists {
+            case inner: IntegralDivide =>
+              litLong(inner.right).exists(k => k >= 1L && k < MaxCard) &&
+                (strip(inner.left) match {
+                  case a: Add if litLong(a.right).contains(1L) =>
+                    strip(a.left) match {
+                      case mr: AttributeReference =>
+                        ctx.defs.get(mr.exprId).map(strip).exists {
+                          case ae: AggregateExpression =>
+                            ae.aggregateFunction match {
+                              case Max(mc) => strip(mc) match {
+                                case mca: AttributeReference =>
+                                  baseName(mca, ctx) == xBase
+                                case _ => false
+                              }
+                              case _ => false
+                            }
+                          case _ => false
+                        }
+                      case _ => false
+                    }
+                  case _ => false
+                })
+            case _ => false
+          }
+      case _ => false
+    })
+  }
+
   /** Conservative proof that the expression's VALUE DOMAIN is small and
     * corpus-independent — the per-grouping-expression engine behind the
-    * Aggregate case of [[constantBounded]]. Handles: literals;
-    * `pmod(_, k)` (≤ k values); `floor(range-col / k)` / `range-col div
+    * Aggregate case of [[constantBounded]]. Handles: int64 interval
+    * inference ([[rangeOf]] — window-lag diffs of calendar values,
+    * arithmetic compositions, spans < [[MaxCard]]); literals;
+    * `pmod(_, k)` (≤ k values); the adaptive key coarsening
+    * `x div greatest(m, (max(x)+1) div k)` ([[adaptiveKeyDiv]] — ≤ k
+    * blocks at any corpus size); `floor(range-col / k)` / `range-col div
     * k` coarsenings; calendar coarsenings (day-or-coarser images of any
     * physical time column are bounded by the fixtures' fixed calendar
     * windows, and sub-day fields are range-bounded by definition —
@@ -229,15 +381,20 @@ object HintAudit {
     * fixed-arity generator elements, In-literal filters below, or
     * declared enum base columns; struct-field access into fixed-arity
     * generator elements; and any deterministic scalar composition of
-    * bounded inputs. Aggregate/window values are corpus-derived by
-    * fiat. */
+    * bounded inputs. Accumulating aggregate/window values (sums, counts)
+    * are corpus-derived by fiat. */
   private def boundedValue(e0: Expression, ctx: Ctx, depth: Int = 0): Boolean = {
     if (depth > 24) return false
     def rec(e: Expression): Boolean = boundedValue(e, ctx, depth + 1)
     strip(e0) match {
+      // interval inference first: it proves compositions (window-lag
+      // diffs of calendar values, adaptive key coarsenings) no single
+      // syntactic clause below can see
+      case e if rangeBounded(e, ctx) => true
       case _: Literal => true
       case p: Pmod =>
         litLong(p.right).exists(v => v > 0 && v <= MaxPmod)
+      case d: IntegralDivide if adaptiveKeyDiv(d, ctx) => true
       case d: IntegralDivide
           if litLong(d.right).exists(_ >= MinCoarsen) &&
             boundedRangeRef(d.left, ctx) => true

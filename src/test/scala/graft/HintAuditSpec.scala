@@ -189,6 +189,44 @@ class HintAuditSpec extends AnyFunSuite {
     assert(unproven(asg.groupBy("doc_id").agg(count(lit(1)).as("n"))) === 1)
   }
 
+  test("proves: window-lag calendar diff coarsening (the gap-histogram shape)") {
+    import org.apache.spark.sql.expressions.Window
+    // blk = (tus - lag(tus)) div 60e6: every intermediate has far too
+    // many distinct values to group on raw, but interval inference bounds
+    // the diff by the declared event-calendar span → minutes are
+    // corpus-independent
+    val w = Window.partitionBy("user_id").orderBy("tus")
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+      .withColumn("gap_us", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+    assert(unproven(e.groupBy(expr("gap_us div 60000000").as("blk"))
+      .agg(count(lit(1)).as("n"))) === 0)
+    // too-fine granularity: µs-level blocks span the whole calendar
+    // window — billions of potential keys, NOT broadcast-bounded
+    assert(unproven(e.groupBy(expr("gap_us div 1000").as("blk"))
+      .agg(count(lit(1)).as("n"))) === 1)
+    // and raw epoch-micros never prove, lag or not
+    assert(unproven(e.groupBy("tus").agg(count(lit(1)).as("n"))) === 1)
+  }
+
+  test("proves: adaptive key coarsening x div greatest(m, (max(x)+1) div k)") {
+    // the pack_sequences shape: the divisor is corpus-derived (a 1-row
+    // max aggregate riding a broadcast crossJoin), but 0 ≤ doc_id ≤
+    // max(doc_id) caps the quotient at k blocks at ANY corpus size
+    def blocked(extCol: String, k: Long) = docs.select("doc_id", "n_chars")
+      .crossJoin(broadcast(docs.agg(max(col(extCol)).as("mx"))))
+      .groupBy(expr(s"doc_id div greatest(64L, (mx + 1) div $k)").as("blk"))
+      .agg(count(lit(1)).as("n"))
+    assert(unproven(blocked("doc_id", 10000L)) === 0)
+    // extent of a DIFFERENT column bounds nothing (max(n_chars) says
+    // nothing about doc_id's reach)
+    assert(unproven(blocked("n_chars", 10000L)) === 1)
+    // a block target at/above the cardinality ceiling is not broadcast-
+    // small even when the algebra holds
+    assert(unproven(blocked("doc_id", 500000000L)) === 1)
+  }
+
   test("counts every hint in a multi-hint plan, including subqueries") {
     val bad = docs.select("doc_id")
     val good = docs.limit(2)

@@ -420,33 +420,21 @@ class PlanGuardSpec extends AnyFunSuite {
     * counts fails — a new forced broadcast anywhere must either be
     * structurally provable or justified here. */
   private val unboundedHintAllowed = Map[String, Int](
-    // The four entries below are all prefix-sum OFFSET tables whose block
-    // key is an aggregate- or window-DERIVED value the structural prover
-    // rejects by fiat; each key's value domain is nonetheless bounded for
-    // the stated fixture reason, so the tables stay small at any corpus
-    // size. (The equi-depth histogram's offsets, by contrast, block on
-    // floor(l_extendedprice / 5000) — a value-DOMAIN coarsening the
-    // prover now proves directly, so it no longer appears here; same for
-    // the pmod / min-of-calendar / certified-memo families.)
-    "q_event_gaps" -> 1, // blk = per-user event gap in MINUTES (window lag
-                       // diff): gaps live inside the fixture's fixed event
-                       // calendar window, so blk ≤ window-length-in-minutes
-                       // (~0.5M keys worst case, ~thousands occupied) —
-                       // corpus growth adds rows per block, not blocks
-    "q_gini"       -> 2, // blk = per-customer centi-spend div 1e5 (same
-                       // table hinted twice in the plan): orders-per-
-                       // customer is fixed in TPC-H (~10 at every SF), so
-                       // per-customer spend — and with it the block count,
-                       // ≤ ~60 — is corpus-independent
-    "q_pack_sequences" -> 1, // blk = doc_id div greatest(64, (max_id+1) div
-                       // 1e4): the ADAPTIVE divisor caps the offsets table
-                       // at PackMaxBlocks+1 = 10,001 rows at ANY corpus
-                       // size (Pipeline.packSequences), but the divisor is
-                       // computed from a 1-row aggregate, not a literal,
-                       // so the coarsening clause cannot see the bound
-    "q_rfm"        -> 1  // per-(dim, blk) offsets — dim is a 3-value
-                       // literal, blk the same per-customer-spend
-                       // coarsening as q_gini (≤ ~60 per dim)
+    // The two remaining entries block on PER-CUSTOMER SPEND — an
+    // accumulating sum whose bound is a TPC-H DISTRIBUTIONAL fact
+    // (orders-per-customer is ~10 at every SF, so per-customer spend and
+    // with it the block count, ≤ ~60, is corpus-independent), not a
+    // structural property any sound prover can see. Everything else is
+    // proven: value-domain coarsenings, pmod literals, min-of-calendar
+    // cohorts, certified memo checkpoints, window-lag calendar diffs
+    // (q_event_gaps' gap-minutes via interval inference), and the
+    // adaptive key coarsening (q_pack_sequences' div greatest(64,
+    // (max+1) div 1e4) — ≤ 10,001 blocks at any corpus size).
+    "q_gini" -> 2, // blk = per-customer centi-spend div 1e5 (same table
+                   // hinted twice in the plan)
+    "q_rfm"  -> 1  // per-(dim, blk) offsets — dim is a 3-value literal,
+                   // blk the same per-customer-spend coarsening (≤ ~60
+                   // per dim)
   )
 
   private def auditHints(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
