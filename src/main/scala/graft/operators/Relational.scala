@@ -126,15 +126,25 @@ object Relational {
     * Σi·xᵢ·10⁶ overflows int64 at scale.
     *
     * Scale shape: ranks come from the equi-depth two-phase block prefix
-    * sum (1000-unit spend blocks), so no single-partition global window;
-    * everything after the ranked pass is a 1-row aggregate. */
+    * sum, so no single-partition global window; everything after the
+    * ranked pass is a 1-row aggregate. The spend blocking is ADAPTIVE
+    * (r10): `(m − min) div greatest(10⁵, (max − min + 1) div 10⁴)` with
+    * the extent from a 1-row broadcast aggregate caps the block-offset
+    * table at 10,001 rows whatever the spend distribution — the fixed
+    * `div 10⁵` bound held only through the TPC-H orders-per-customer
+    * invariant. Block boundaries cannot affect the output: the two-phase
+    * rank is exact for every monotone blocking of the sort key. */
   def gini(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val sp = Tables.orders(s, dir)
+    val spBase = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg((sum(col("o_totalprice").cast("decimal(18,2)")) * 100)
         .cast("long").as("m"))
-      .withColumn("blk", expr("m div 100000"))
+    val ext = spBase.agg(min(col("m")).as("mn"), max(col("m")).as("mxm"))
+    val sp = spBase.crossJoin(broadcast(ext))
+      .withColumn("blk",
+        expr("(m - mn) div greatest(100000L, (mxm - mn + 1) div 10000)"))
+      .drop("mn", "mxm")
     val bt = sp.groupBy("blk").agg(count(lit(1)).as("bt"))
     val off = bt.withColumn("off",
         coalesce(sum("bt").over(w.orderBy("blk")
@@ -715,14 +725,24 @@ object Relational {
     // becomes exact cents (long) so every dimension sorts as int64;
     // blocks are value-domain-bounded per dimension (days / counts /
     // 1000-unit spend blocks), never customer-sized.
-    val dims = base.select(col("o_custkey"), explode(array(
+    val dims0 = base.select(col("o_custkey"), explode(array(
         struct(lit("r").as("dim"), col("r_key").as("x")),
         struct(lit("f").as("dim"), col("f").as("x")),
         struct(lit("m").as("dim"),
           (col("m") * 100).cast("long").as("x")))).as("e"))
       .select(col("o_custkey"), col("e.dim").as("dim"), col("e.x").as("x"))
+    // ADAPTIVE per-dimension blocking (r10): a 3-row extent table joined
+    // back caps each dimension's block count at 10,001 whatever its
+    // distribution — the previous raw-x blocks for r/f and fixed
+    // spend/10⁵ blocks were bounded only through fixture facts (calendar
+    // span, orders-per-customer). Blocking is monotone in x per dim, so
+    // the two-phase ranks — and the output — are unchanged.
+    val ext = dims0.groupBy("dim")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val dims = dims0.join(broadcast(ext), "dim")
       .withColumn("blk",
-        when(col("dim") === "m", expr("x div 100000")).otherwise(col("x")))
+        expr("(x - mn) div greatest(1L, (mx - mn + 1) div 10000)"))
+      .drop("mn", "mx")
     val bt = dims.groupBy("dim", "blk").agg(count(lit(1)).as("bt"))
     val off = bt.withColumn("off",
         coalesce(sum("bt").over(w.partitionBy("dim").orderBy("blk")

@@ -324,46 +324,139 @@ object HintAudit {
       catch { case _: ArithmeticException => false }
     }
 
-  /** The q_pack_sequences shape: `x div greatest(litMin, (max(x)+1) div
-    * litK)` over a non-negative fixture key x — the divisor is at least
-    * (max(x)+1)/litK, so with 0 ≤ x ≤ max(x) the quotient is < litK:
-    * an ADAPTIVE coarsening whose block count is capped at litK at any
-    * corpus size even though the divisor itself is corpus-derived. */
-  private def adaptiveKeyDiv(d: IntegralDivide, ctx: Ctx): Boolean = {
-    val xBase = strip(d.left) match {
-      case ar: AttributeReference => baseName(ar, ctx).filter(uniqueKeyCols)
-      case _                      => None
-    }
-    xBase.isDefined && (strip(d.right) match {
-      case g: Greatest if g.children.size == 2 =>
-        g.children.map(strip).exists(c => litLong(c).exists(_ >= 1L)) &&
-          g.children.map(strip).exists {
-            case inner: IntegralDivide =>
-              litLong(inner.right).exists(k => k >= 1L && k < MaxCard) &&
-                (strip(inner.left) match {
-                  case a: Add if litLong(a.right).contains(1L) =>
-                    strip(a.left) match {
-                      case mr: AttributeReference =>
-                        ctx.defs.get(mr.exprId).map(strip).exists {
-                          case ae: AggregateExpression =>
-                            ae.aggregateFunction match {
-                              case Max(mc) => strip(mc) match {
-                                case mca: AttributeReference =>
-                                  baseName(mca, ctx) == xBase
-                                case _ => false
-                              }
-                              case _ => false
-                            }
-                          case _ => false
-                        }
-                      case _ => false
-                    }
-                  case _ => false
+  /** Structural equality modulo exprIds: the two expressions have the
+    * same shape and their attributes resolve — through alias lineage —
+    * to definitions of the same shape, bottoming out at equal
+    * base-relation column NAMES. This is what survives Spark's
+    * DeduplicateRelations, which renews exprIds on one side of a
+    * self-referential join (the crossJoin(broadcast(df.agg(…))) extent
+    * idiom is exactly that). By-name leaf matching is why the pattern's
+    * documented same-rows assumption exists. */
+  private def structEq(e1: Expression, e2: Expression, ctx: Ctx,
+                       depth: Int = 0): Boolean = {
+    if (depth > 32) return false
+    (strip(e1), strip(e2)) match {
+      case (a: AttributeReference, b: AttributeReference) =>
+        a.exprId == b.exprId ||
+          ((ctx.defs.get(a.exprId), ctx.defs.get(b.exprId)) match {
+            case (Some(da), Some(db)) => structEq(da, db, ctx, depth + 1)
+            case (None, None) =>
+              ((ctx.gens.get(a.exprId), ctx.gens.get(b.exprId)) match {
+                case (Some(ga), Some(gb)) =>
+                  ga.size == gb.size && ga.zip(gb).forall {
+                    case (u, v) => structEq(u, v, ctx, depth + 1)
+                  }
+                case _ => false
+              }) ||
+                ((ctx.leaf.get(a.exprId), ctx.leaf.get(b.exprId)) match {
+                  case (Some(x), Some(y)) => x == y
+                  case _                  => false
                 })
             case _ => false
+          })
+      case (l1: Literal, l2: Literal) => l1.semanticEquals(l2)
+      case (g1: GetStructField, g2: GetStructField) =>
+        g1.ordinal == g2.ordinal && structEq(g1.child, g2.child, ctx, depth + 1)
+      case (x, y) =>
+        x.getClass == y.getClass && x.children.size == y.children.size &&
+          x.children.zip(y.children).forall {
+            case (c1, c2) => structEq(c1, c2, ctx, depth + 1)
           }
+    }
+  }
+
+  /** `ref` is an attribute that resolves to an aggregate `agg(x')` (Max
+    * or Min per `wantMax`) where x' is THE SAME value as `x`: the
+    * identical attribute (exprId match), a rename of the same
+    * base-relation key column, or [[structEq]]-identical lineage (the
+    * post-DeduplicateRelations case). */
+  private def extentOf(ref: Expression, x: AttributeReference, wantMax: Boolean,
+                       ctx: Ctx): Boolean = {
+    def sameAs(e: Expression): Boolean = strip(e) match {
+      case ar: AttributeReference =>
+        ar.exprId == x.exprId ||
+          ((baseName(ar, ctx), baseName(x, ctx)) match {
+            case (Some(a), Some(b)) => a == b && uniqueKeyCols(a)
+            case _                  => false
+          }) || structEq(ar, x, ctx)
       case _ => false
-    })
+    }
+    strip(ref) match {
+      case mr: AttributeReference =>
+        ctx.defs.get(mr.exprId).map(strip).exists {
+          case ae: AggregateExpression =>
+            ae.aggregateFunction match {
+              case Max(mc) if wantMax  => sameAs(mc)
+              case Min(mc) if !wantMax => sameAs(mc)
+              case _                   => false
+            }
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  /** The adaptive-coarsening shapes (q_pack_sequences, q_gini, q_rfm):
+    *
+    *   x div greatest(litM, (max(x) + 1) div litK)          — key form
+    *   (x − min(x)) div greatest(litM, (max(x) − min(x) + 1) div litK)
+    *                                                        — range form
+    *
+    * In both, the divisor is corpus-DERIVED (1-row extent aggregates
+    * broadcast onto the stream) yet the quotient is provably < litK at
+    * any corpus size and any value distribution: the key form needs
+    * 0 ≤ x (declared non-negative fixture keys), the range form needs
+    * nothing — min(x) ≤ x ≤ max(x) by definition. The extent aggregates
+    * must be over the SAME attribute as x ([[extentOf]]). Assumption the
+    * pattern cannot check: the extent is aggregated over (a superset of)
+    * the rows being divided — true by construction for the
+    * crossJoin(broadcast(df.agg(…))) idiom these queries use, the only
+    * shape in this repo; an extent over a FILTERED subset would not
+    * bound the full column. */
+  private def adaptiveKeyDiv(d: IntegralDivide, ctx: Ctx): Boolean = {
+    // numerator: either x itself (key form) or x − minRef (range form)
+    val num = strip(d.left) match {
+      case x: AttributeReference => Some((x, None: Option[Expression]))
+      case s: Subtract => strip(s.left) match {
+        case x: AttributeReference => Some((x, Some(s.right)))
+        case _                     => None
+      }
+      case _ => None
+    }
+    num.exists { case (x, minRef) =>
+      val keyForm = minRef.isEmpty && baseName(x, ctx).exists(uniqueKeyCols)
+      val rangeForm = minRef.exists(m => extentOf(m, x, wantMax = false, ctx))
+      (keyForm || rangeForm) && (strip(d.right) match {
+        case g: Greatest if g.children.size == 2 =>
+          g.children.map(strip).exists(c => litLong(c).exists(_ >= 1L)) &&
+            g.children.map(strip).exists {
+              case inner: IntegralDivide =>
+                litLong(inner.right).exists(k => k >= 1L && k < MaxCard) &&
+                  (strip(inner.left) match {
+                    case a: Add if litLong(a.right).contains(1L) =>
+                      strip(a.left) match {
+                        // key form: max(x) + 1
+                        case mr: AttributeReference if minRef.isEmpty =>
+                          extentOf(mr, x, wantMax = true, ctx)
+                        // range form: (max(x) − min(x)) + 1, with the
+                        // SAME min reference as the numerator's shift
+                        case s2: Subtract if minRef.nonEmpty =>
+                          extentOf(s2.left, x, wantMax = true, ctx) &&
+                            ((strip(s2.right), minRef.map(strip)) match {
+                              case (a2: AttributeReference,
+                                    Some(a1: AttributeReference)) =>
+                                a1.exprId == a2.exprId
+                              case _ => false
+                            })
+                        case _ => false
+                      }
+                    case _ => false
+                  })
+              case _ => false
+            }
+        case _ => false
+      })
+    }
   }
 
   /** Conservative proof that the expression's VALUE DOMAIN is small and

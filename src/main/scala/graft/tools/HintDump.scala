@@ -24,7 +24,7 @@ object HintDump {
           hinted.zipWithIndex.foreach { case (c, i) =>
             println(s"=== $name hint #$i bounded=${HintAudit.constantBounded(c)}")
             if (!HintAudit.constantBounded(c))
-              println(c.treeString.linesIterator.take(12).mkString("\n"))
+              println(c.treeString.linesIterator.take(60).mkString("\n"))
           }
         } else if (unproven.nonEmpty)
           println(s"""    "$name" -> ${unproven.size},""")

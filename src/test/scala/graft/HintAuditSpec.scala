@@ -227,6 +227,31 @@ class HintAuditSpec extends AnyFunSuite {
     assert(unproven(blocked("doc_id", 500000000L)) === 1)
   }
 
+  test("proves: min-shifted adaptive range coarsening over an unbounded aggregate") {
+    // the gini/rfm shape: x = per-customer spend (an accumulating sum —
+    // NOT value-bounded), yet (x − min) div greatest(m, (max − min + 1)
+    // div k) is < k blocks for ANY distribution. The extent attributes
+    // get new exprIds from DeduplicateRelations on the self-referential
+    // crossJoin, so the prover must match them by structural lineage.
+    val spend = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).cast("long").as("m"))
+    val ext = spend.agg(min(col("m")).as("mn"), max(col("m")).as("mx"))
+    val blocked = spend.crossJoin(broadcast(ext))
+      .groupBy(expr("(m - mn) div greatest(1000L, (mx - mn + 1) div 10000)")
+        .as("blk"))
+      .agg(count(lit(1)).as("n"))
+    assert(unproven(blocked) === 0)
+    // an extent over a DIFFERENT aggregate bounds nothing
+    val ext2 = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(count(lit(1)).as("m2"))
+      .agg(min(col("m2")).as("mn"), max(col("m2")).as("mx"))
+    val wrong = spend.crossJoin(broadcast(ext2))
+      .groupBy(expr("(m - mn) div greatest(1000L, (mx - mn + 1) div 10000)")
+        .as("blk"))
+      .agg(count(lit(1)).as("n"))
+    assert(unproven(wrong) === 1)
+  }
+
   test("counts every hint in a multi-hint plan, including subqueries") {
     val bad = docs.select("doc_id")
     val good = docs.limit(2)

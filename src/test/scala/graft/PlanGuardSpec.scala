@@ -32,7 +32,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_rfm"             -> 1, // 1-row customer-count total
     "q_event_gaps"      -> 1, // 1-row gap-count total
     "q_hll_distinct"    -> 1, // 1-row register-stats aggregate
-    "q_gini"            -> 1, // 1-row (n, total) aggregate
+    "q_gini"            -> 5, // 1-row (n, total) aggregate + the 1-row
+                              // (min, max) spend-extent crossJoin of the
+                              // r10 adaptive blocking, replayed per
+                              // consumer branch (physical exchange reuse
+                              // dedupes execution; every build is 1 row)
     "q_chi2"            -> 1, // 1-row (N, nl, ns) totals aggregate
     "q_join_estimate"   -> 1, // 1-row sketch-minimum aggregate
     "q_bloom_fpr"       -> 2, // 1-row member-count + 1-row FP-count aggregates
@@ -241,7 +245,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_fuzzy_join" -> 1,
     "q_gaps_islands" -> 3,
     "q_gopher_quality" -> 3,
-    "q_gini" -> 7, // customer-sized block-prefix rank + 1-row tails
+    "q_gini" -> 8, // customer-sized block-prefix rank + 1-row tails; +1
+                   // in r10: SinglePartition for the 1-row spend-extent
+                   // aggregate behind the adaptive blocking
     "q_grep" -> 1,
     "q_grouped_agg" -> 2,
     "q_grouping_sets" -> 2,
@@ -306,7 +312,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_redact" -> 1,
     "q_repetition_filter" -> 2,
     "q_retention" -> 6,
-    "q_rfm" -> 10, // one unpivoted 3-dim rank pipeline + segment census (customer-sized)
+    "q_rfm" -> 11, // one unpivoted 3-dim rank pipeline + segment census
+                   // (customer-sized); +1 in r10: the 3-row per-dim
+                   // extent aggregate behind the adaptive blocking
     "q_rollup" -> 2,
     "q_scd2" -> 2,
     "q_seasonality" -> 3, // corpus→24·k cells, then cell-table re-aggs only
@@ -420,21 +428,17 @@ class PlanGuardSpec extends AnyFunSuite {
     * counts fails — a new forced broadcast anywhere must either be
     * structurally provable or justified here. */
   private val unboundedHintAllowed = Map[String, Int](
-    // The two remaining entries block on PER-CUSTOMER SPEND — an
-    // accumulating sum whose bound is a TPC-H DISTRIBUTIONAL fact
-    // (orders-per-customer is ~10 at every SF, so per-customer spend and
-    // with it the block count, ≤ ~60, is corpus-independent), not a
-    // structural property any sound prover can see. Everything else is
-    // proven: value-domain coarsenings, pmod literals, min-of-calendar
-    // cohorts, certified memo checkpoints, window-lag calendar diffs
-    // (q_event_gaps' gap-minutes via interval inference), and the
-    // adaptive key coarsening (q_pack_sequences' div greatest(64,
-    // (max+1) div 1e4) — ≤ 10,001 blocks at any corpus size).
-    "q_gini" -> 2, // blk = per-customer centi-spend div 1e5 (same table
-                   // hinted twice in the plan)
-    "q_rfm"  -> 1  // per-(dim, blk) offsets — dim is a 3-value literal,
-                   // blk the same per-customer-spend coarsening (≤ ~60
-                   // per dim)
+    // EMPTY since round 10: every broadcast hint in every declared query
+    // is structurally proven bounded by HintAudit — value-domain
+    // coarsenings, pmod literals, min-of-calendar cohorts, certified
+    // memo checkpoints, window-lag calendar diffs (q_event_gaps via
+    // interval inference), and the adaptive coarsenings: the key form
+    // (q_pack_sequences' `x div greatest(64, (max(x)+1) div 1e4)`) and
+    // the min-shifted range form (q_gini / q_rfm now block on
+    // `(x − min) div greatest(m, (max − min + 1) div 1e4)`, ≤ 10,001
+    // blocks for ANY value distribution — their old fixed coarsenings
+    // were bounded only through TPC-H distributional facts). A new
+    // unprovable hint must either become provable or be justified here.
   )
 
   private def auditHints(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
