@@ -158,15 +158,22 @@ object MapReduceJob {
   * reducef) pairs runnable on [[MapReduceJob.run]] — used by the
   * `q_mr_*` queries and the property tests to prove API fidelity. */
 object RefApps {
-  /** wc.go:21-44 — split on non-letters, emit (word,"1"); reduce = count. */
+  /** wc.go:21-44 — split on any non-letter RUNE (`unicode.IsLetter`:
+    * digits split words, letters of ANY script are kept — `\p{L}`, not
+    * `[a-zA-Z]`), emit (word,"1"); reduce = count. The fixture corpus is
+    * ASCII so the two classes coincide there, but the API-fidelity claim
+    * is "hand wc.go's functions to [[MapReduceJob.run]]" — rune-level
+    * parity is part of it (round 11; non-ASCII property-tested in
+    * `MapReduceJobSpec`). */
   val wcMap: MapReduceJob.MapF = (_, contents) =>
-    contents.split("[^a-zA-Z]+").iterator.filter(_.nonEmpty).map(w => (w, "1"))
+    contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).map(w => (w, "1"))
   val wcReduce: MapReduceJob.ReduceF = (_, values) => values.size.toString
 
-  /** indexer.go:20-39 — per-doc distinct words; reduce = "N doc1,doc2,..."
+  /** indexer.go:20-39 — per-doc distinct words (same `unicode.IsLetter`
+    * tokenizer as wc.go); reduce = "N doc1,doc2,..."
     * with docs sorted lexicographically. */
   val indexerMap: MapReduceJob.MapF = (name, contents) =>
-    contents.split("[^a-zA-Z]+").iterator.filter(_.nonEmpty).distinct.map(w => (w, name))
+    contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty).distinct.map(w => (w, name))
   val indexerReduce: MapReduceJob.ReduceF = (_, values) => {
     val docs = values.distinct.sorted
     s"${docs.size} ${docs.mkString(",")}"

@@ -29,7 +29,8 @@ object MrApi {
   def mrGrep(s: SparkSession, dir: String): DataFrame = {
     val pat = "s[a-z]*a[a-z]+".r
     val mapf: MapReduceJob.MapF = (name, contents) =>
-      contents.split("[^a-zA-Z]+").iterator.filter(_.nonEmpty)
+      // same unicode.IsLetter tokenizer as RefApps (wc.go:23 rune parity)
+      contents.split("[^\\p{L}]+").iterator.filter(_.nonEmpty)
         .filter(w => pat.findFirstIn(w).isDefined).distinct.map(w => (w, name))
     MapReduceJob.runOnDocs(s, Tables.documents(s, dir), mapf, RefApps.indexerReduce)
       .orderBy("key")

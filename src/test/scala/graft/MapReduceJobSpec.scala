@@ -56,6 +56,30 @@ class MapReduceJobSpec extends AnyFunSuite {
     }
   }
 
+  test("wc/indexer ≡ sequential executor on non-ASCII inputs (unicode.IsLetter parity)") {
+    // wc.go:23 splits on any non-LETTER rune: digits split words, letters
+    // of ANY script are kept. The fixture corpus is ASCII so the declared
+    // q_mr_* hashes can't see this; these cases pin the rune-level
+    // semantics the plugin-API fidelity claim rests on (round 11).
+    val uniVocab = Seq("naïve", "café", "東京", "Größe", "схема", "x7y", "π", "reduce")
+    def genU(n: Int): Seq[(String, String)] = (0 until n).map { i =>
+      val words = Seq.fill(10 + rnd.nextInt(20))(uniVocab(rnd.nextInt(uniVocab.size)))
+      (s"u$i", words.mkString(" "))
+    }
+    (1 to 4).foreach { _ =>
+      runBoth(genU(4), 3, RefApps.wcMap, RefApps.wcReduce)
+      runBoth(genU(3), 2, RefApps.indexerMap, RefApps.indexerReduce)
+    }
+    // rune-class spot checks against the Go semantics themselves (the
+    // runBoth equality above uses the same mapf on both sides, so it can
+    // never catch a tokenizer-class divergence): digits SPLIT (x7y → x,y;
+    // 東京2024年 → 東京,年), any-script letters KEEP (naïve is one token)
+    assert(RefApps.wcMap("f", "naïve x7y 東京2024年 café-au-lait").map(_._1).toSeq ===
+      Seq("naïve", "x", "y", "東京", "年", "café", "au", "lait"))
+    assert(RefApps.indexerMap("d", "π π schéma_2 π").map(_._1).toSeq ===
+      Seq("π", "schéma"))
+  }
+
   test("partition-count invariance (1/4/10 partitions)") {
     (1 to 3).foreach { _ =>
       val files = genFiles(5)
