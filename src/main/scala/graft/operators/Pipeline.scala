@@ -256,13 +256,100 @@ object Pipeline {
         // session — or a restarted probe — reads the parquet back, so
         // steady-state cost is ∝ the increment, not the corpus.
         case Some(p) =>
+          // INDEX INTEGRITY (round 11, ADVICE): existence alone is not
+          // validity — a partially-written dir from a crashed first
+          // build, a corpus that has GROWN since the index was written
+          // (the 100× ingest case), or a different corpus dir reused
+          // with the same sigsPath would all silently serve stale or
+          // incomplete signatures to every consumer. The index is valid
+          // only if (a) the write job committed (_SUCCESS present) and
+          // (b) its recorded corpus fingerprint (dir + doc count + max
+          // doc_id — one cheap column-stats aggregate, paid once per
+          // session on the memo miss) matches the live corpus. Invalid
+          // → rebuild into a temp sibling and SWAP via rename, so a
+          // crash mid-rebuild leaves either the old valid index or a
+          // temp dir the next build deletes — never a half-written
+          // index at the published path. (Directory rename is atomic on
+          // HDFS/local FS; object stores want a copy-commit layer — the
+          // same caveat as Checkpoints.scala's reliable mode.)
           val hp = new org.apache.hadoop.fs.Path(p)
           val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-          if (!fs.exists(hp))
-            computeMinhashSigs(s, dir).write.mode("overwrite").parquet(p)
+          // The source corpus may legitimately be GONE at read time (the
+          // index outliving an archived snapshot is the point of
+          // persisting it) — then the recorded fingerprint can't be
+          // recomputed, and validity degrades to committed-write + DIR
+          // identity (still catches the reused-sigsPath hazard; growth
+          // is moot for an unreadable corpus). A readable corpus must
+          // match the full fingerprint.
+          val live =
+            try Some(corpusFingerprint(s, dir))
+            catch { case _: Exception => None }
+          val valid = fs.exists(hp) &&
+            fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")) &&
+            readIndexFingerprint(fs, hp).exists { rec =>
+              live match {
+                case Some(l) => rec == l
+                case None    => rec.startsWith(s"graft-minhash-v1|$dir|")
+              }
+            }
+          if (!valid) {
+            val fp = live.getOrElse(throw new IllegalStateException(
+              s"minhash index at $p is invalid and the corpus at $dir " +
+                "is unreadable: nothing to rebuild from"))
+            val tmp = new org.apache.hadoop.fs.Path(p + "._build")
+            fs.delete(tmp, true)
+            computeMinhashSigs(s, dir).write.mode("overwrite").parquet(tmp.toString)
+            writeIndexFingerprint(fs, tmp, fp)
+            fs.delete(hp, true)
+            if (!fs.rename(tmp, hp))
+              throw new IllegalStateException(
+                s"minhash index swap failed: rename($tmp -> $hp)")
+          }
           s.read.parquet(p)
         case None => computeMinhashSigs(s, dir).stable
       })
+
+  /** Cheap identity of the corpus a persisted index was built from:
+    * source dir + doc count + max doc_id (parquet column stats make the
+    * aggregate near-free). Deliberately NOT a content hash — the index
+    * guards against the lifecycle hazards (growth, dir reuse, partial
+    * write), not adversarial in-place edits of existing rows, which the
+    * fixtures' immutable-snapshot discipline rules out. */
+  private def corpusFingerprint(s: SparkSession, dir: String): String = {
+    val r = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("n"), max(col("doc_id")).as("m")).head()
+    val mx = if (r.isNullAt(1)) -1L else r.getLong(1)
+    s"graft-minhash-v1|$dir|n=${r.getLong(0)}|max=$mx"
+  }
+
+  private val IndexFingerprintFile = "_GRAFT_FINGERPRINT"
+
+  private def writeIndexFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                                    dirPath: org.apache.hadoop.fs.Path,
+                                    fp: String): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dirPath, IndexFingerprintFile), true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readIndexFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                                   dirPath: org.apache.hadoop.fs.Path)
+      : Option[String] = {
+    val f = new org.apache.hadoop.fs.Path(dirPath, IndexFingerprintFile)
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+  }
 
   private def computeMinhashSigs(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(s, dir).select(col("doc_id"),

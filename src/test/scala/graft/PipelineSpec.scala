@@ -915,4 +915,63 @@ class PipelineSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
+
+  test("sigsPath index integrity: partial write, corpus growth, and dir reuse all rebuild") {
+    // fs.exists alone is not validity (round 11, ADVICE): the index
+    // carries a _SUCCESS commit marker and a corpus fingerprint
+    // (dir + doc count + max doc_id); any mismatch rebuilds atomically.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs_integrity")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val sigsPath = new java.io.File(tmp.toFile, "sigs.parquet").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def writeDoc(id: Long): Unit =
+      spark.createDataFrame(Seq((id, t + s" tail$id words vary", "en", "web", 60L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(docsDir)
+    def loadIds(dir: String): Seq[Long] = {
+      graft.util.CorpusMemo.invalidate(spark, dir)
+      Pipeline.minhashSigs(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    try {
+      spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
+      writeDoc(1L)
+      assert(loadIds(tmp.toString) === Seq(1L))
+      val success = new java.io.File(sigsPath, "_SUCCESS")
+      val fprint = new java.io.File(sigsPath, "_GRAFT_FINGERPRINT")
+      assert(success.exists() && fprint.exists(),
+        "committed index must carry _SUCCESS and the corpus fingerprint")
+
+      // PARTIAL WRITE: strip the commit marker — a crashed first build's
+      // dir exists but must not be served; the next load rebuilds
+      assert(success.delete())
+      assert(loadIds(tmp.toString) === Seq(1L))
+      assert(success.exists(), "rebuild must recommit the _SUCCESS marker")
+
+      // CORPUS GROWTH: a new doc lands in the corpus; the stale index
+      // (built at n=1) must be detected by the fingerprint and rebuilt
+      // to include the new signature
+      writeDoc(5L)
+      assert(loadIds(tmp.toString) === Seq(1L, 5L),
+        "a grown corpus must invalidate the persisted index")
+
+      // DIR REUSE: a DIFFERENT corpus dir pointed at the same sigsPath
+      // must not be served the other corpus's signatures
+      val tmp2 = java.nio.file.Files.createTempDirectory("graft_sigs_other")
+      val docs2 = new java.io.File(tmp2.toFile, "documents.parquet").getAbsolutePath
+      try {
+        spark.createDataFrame(Seq((9L, t, "en", "web", 50L)))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.parquet(docs2)
+        assert(loadIds(tmp2.toString) === Seq(9L),
+          "a reused sigsPath must rebuild for the new corpus dir")
+      } finally {
+        graft.util.CorpusMemo.invalidate(spark, tmp2.toString)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)
+      }
+    } finally {
+      spark.conf.unset("spark.graft.minhash.sigsPath")
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
 }
