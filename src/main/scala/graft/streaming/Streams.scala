@@ -787,7 +787,17 @@ object Streams {
     * spills off-heap), and the static-index census joins the drained
     * band table AFTER the stream, linear in the increment. At 100 TB the
     * increment is a crawl slice; the index state grows with distinct
-    * band keys of the stream, not with the corpus. */
+    * band keys of the stream, not with the corpus.
+    *
+    * Durability (round 11): the carrier state is CHECKPOINT-scoped. With
+    * `spark.graft.stream.admitIndexPath` set, each drain also merges its
+    * increment's band rows into a parquet index table and the census
+    * probes the pre-drain snapshot of it — so a wiped checkpoint, an
+    * index migration, or a brand-new pipeline still collides with every
+    * prior run's admissions from parquet alone (spec: admit → wipe →
+    * restart → still flagged). Merge is idempotent (doc_id anti-join);
+    * cost ∝ increment. Off by default — the declared query's hash and
+    * plan are untouched. */
   def streamLshAdmit(s: SparkSession, dir: String): DataFrame = {
     val (data, ckpt) = sinkDirs()
     // The DECLARED (oracle-gated) entry enforces the single-batch drain
@@ -897,12 +907,65 @@ object Streams {
         case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
       }
+    // DURABLE ADMIT INDEX (`spark.graft.stream.admitIndexPath`, round 11):
+    // the RocksDB carrier state is CHECKPOINT-scoped — a wiped checkpoint,
+    // an index migration, or a fresh ingest pipeline loses every prior
+    // admission. With the knob set, each drain MERGES its increment's
+    // band rows into a parquet index table (append of exactly the docs
+    // not yet present — a doc_id anti-join makes replays idempotent), and
+    // the census below probes the PRE-DRAIN snapshot of that table
+    // alongside the static corpus index, so run N+1 collides with run N's
+    // admissions from parquet alone. The snapshot is pinned by listing
+    // the index's data files BEFORE the append: the census is lazy, and
+    // an unpinned read would see this run's own rows — double-counting
+    // the in-batch collisions the stream lane already reports. Same-run
+    // self-hits are nulled by doc_id (a replayed doc must not collide
+    // with itself). ALL drained docs' bands enter the index, admitted or
+    // not — parity with the carrier state's insert semantics (near-dups
+    // of near-dups must flag). Steady-state cost ∝ increment + one
+    // doc_id anti-join against the index, never the corpus. Off by
+    // default: the declared query's plan and hash are untouched. The
+    // parquet append commits through Spark's staged job-commit protocol
+    // (_temporary → rename), so a crashed append leaves no visible rows.
+    val durablePath = s.conf.getOption("spark.graft.stream.admitIndexPath")
+    val durableSnapshot: Option[DataFrame] = durablePath.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hp)) None
+      else {
+        val files = fs.listStatus(hp).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath.toString)
+        if (files.isEmpty) None else Some(s.read.parquet(files: _*))
+      }
+    }
+    durablePath.foreach { p =>
+      val newBands = drained.select(col("doc_id"), col("b"), col("key"))
+      val inc = durableSnapshot match {
+        case Some(ix) => newBands.join(
+          ix.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        case None => newBands
+      }
+      inc.write.mode("append").parquet(p)
+    }
     // static-index census post-drain: the left join fans a band row per
     // index match, so the stream-side census counts DISTINCT bands
-    val index = graft.operators.Pipeline.minhashBands(s, dir)
+    val staticIndex = graft.operators.Pipeline.minhashBands(s, dir)
       .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
       .select(col("b"), col("key"), col("doc_id").as("index_doc"))
-    drained.join(index, Seq("b", "key"), "left")
+    val index = durableSnapshot match {
+      case Some(ix) => staticIndex.unionByName(
+        ix.select(col("b"), col("key"), col("doc_id").as("index_doc")))
+      case None => staticIndex
+    }
+    val probed0 = drained.join(index, Seq("b", "key"), "left")
+    val probed = if (durableSnapshot.isDefined)
+      probed0.withColumn("index_doc",
+        when(col("index_doc") === col("doc_id"), lit(null).cast("long"))
+          .otherwise(col("index_doc")))
+    else probed0
+    probed
       .groupBy("doc_id")
       .agg(count(col("index_doc")).as("n_index_hits"),
         countDistinct(when(col("stream_match") >= 0, col("b")))
