@@ -830,6 +830,22 @@ object Streams {
     // keep the declared query's semantics and hash bit-identical. The
     // knob value is part of the checkpoint contract like the lane count:
     // resume with the same setting.
+    //
+    // BACKFILL CONTRACT (round 11): the TTL runs on PROCESSING time —
+    // wall clock, not data age. That is correct for steady-state ingest
+    // (where arrival time ≈ data time) and WRONG for replay: six months
+    // of crawl history drained in an hour would either retain everything
+    // (TTL > an hour — the freshness window silently becomes "all of
+    // history") or evict mid-replay by wall clock (TTL < the replay's
+    // duration — a historical duplicate re-admits even though its twin
+    // is "recent" in data time). The contract is therefore: DISABLE the
+    // TTL for backfill (carriers then persist across any wall-clock
+    // gap), re-enable it when the stream reaches steady state. An
+    // event-time retention mode is deliberately NOT offered: the band
+    // stream carries no event-time column (documents have no timestamp
+    // field in this data model), so any "data age" would be synthetic —
+    // and Spark's TTLConfig is processing-time-only. Both arms are
+    // spec'd in StreamsSpec ("backfill contract").
     val ttlMs = s.conf.getOption("spark.graft.stream.admitTtlMs")
       .map(_.toLong).filter(_ > 0L)
     val ttlCfg = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))

@@ -431,6 +431,59 @@ class StreamsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)
   }
 
+  test("admit TTL backfill contract: disable for replay; processing-time TTL evicts by wall clock") {
+    // The TTL runs on PROCESSING time — wall clock, not data age — so
+    // replaying history through an always-on admit stream must run with
+    // the TTL DISABLED (the documented backfill mode). Both arms of the
+    // contract (round 11, VERDICT #2):
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    def corpus(): (java.nio.file.Path, String, String, Long => Unit) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_admit_backfill")
+      val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+      val sink = new java.io.File(tmp.toFile, "sink").getAbsolutePath
+      val ckpt = new java.io.File(tmp.toFile, "ckpt").getAbsolutePath
+      (tmp, sink, ckpt, (id: Long) =>
+        spark.createDataFrame(Seq((id, t, "en", "web", t.length.toLong)))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .coalesce(1).write.mode("append").parquet(docsDir))
+    }
+    def admitted(df: org.apache.spark.sql.DataFrame, id: Long): Boolean =
+      df.collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap.apply(id)
+    // ARM 1 — the documented backfill mode: TTL unset, two historical
+    // slices replayed with a wall-clock gap LONGER than the steady-state
+    // TTL of arm 2; the historical twin still collides (carriers persist
+    // across any wall-clock gap when the TTL is off)
+    val (tmp1, sink1, ckpt1, write1) = corpus()
+    try {
+      write1(3L)
+      assert(admitted(Streams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 3L))
+      Thread.sleep(1500L) // replay pause ≫ arm 2's 500 ms TTL
+      write1(7L)
+      graft.util.CorpusMemo.invalidate(spark, tmp1.toString)
+      assert(!admitted(Streams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 7L),
+        "backfill mode (TTL off) must retain carriers across wall-clock gaps")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp1.toFile)
+    // ARM 2 — the documented hazard: the same replay shape under a TTL
+    // shorter than the replay's wall time silently re-admits the
+    // historical duplicate (wall-clock eviction, not data age)
+    val (tmp2, sink2, ckpt2, write2) = corpus()
+    spark.conf.set("spark.graft.stream.admitTtlMs", "500")
+    try {
+      write2(3L)
+      assert(admitted(Streams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 3L))
+      Thread.sleep(1500L)
+      write2(7L)
+      graft.util.CorpusMemo.invalidate(spark, tmp2.toString)
+      assert(admitted(Streams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 7L),
+        "a TTL shorter than the replay's wall time re-admits the twin — " +
+          "the documented reason backfill must disable the TTL")
+    } finally {
+      spark.conf.unset("spark.graft.stream.admitTtlMs")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)
+    }
+  }
+
   test("stream LSH admit durable index: wiped checkpoint still collides via parquet") {
     // round 11 (VERDICT top item): with spark.graft.stream.admitIndexPath
     // set, each drain MERGES its increment's band rows into a parquet
