@@ -61,11 +61,24 @@ object HintAudit {
   /** Boundedness certificate for one memoized (checkpointed) table:
     * whether its ROW COUNT is corpus-independent, and which of its
     * columns have corpus-independent VALUE DOMAINS. Recorded at
-    * [[certifyStable]] time, keyed by the checkpoint RDD's id (stable
-    * across `newInstance()` plan copies, which share the RDD). */
+    * [[certifyStable]] time, keyed by (applicationId, RDD id) — the RDD
+    * id is stable across `newInstance()` plan copies (they share the
+    * RDD) but RESTARTS per SparkContext, so a bare-id key would let a
+    * later context in the same JVM inherit a stale rows-bounded
+    * certificate for a corpus-sized checkpoint (round 11, ADVICE). The
+    * entry also holds the RDD weakly: once a memo invalidation drops the
+    * last strong reference and GC runs, the cert is swept on the next
+    * [[certifyStable]] — the map is bounded by the LIVE memo population,
+    * not the session's cumulative `stable` call count. */
   private final case class MemoCert(rowsBounded: Boolean, boundedCols: Set[String])
+  private final case class CertSlot(
+      holder: java.lang.ref.WeakReference[AnyRef], cert: MemoCert)
   private val memoCerts =
-    new java.util.concurrent.ConcurrentHashMap[Int, MemoCert]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), CertSlot]()
+
+  private def certOf(lr: LogicalRDD): Option[MemoCert] =
+    Option(memoCerts.get((lr.rdd.context.applicationId, lr.rdd.id)))
+      .filter(_.holder.get() != null).map(_.cert)
 
   /** Called by [[graft.util.Checkpoints.stable]]: prove what we can
     * about `original` BEFORE its lineage is cut, and attach the result
@@ -87,8 +100,18 @@ object HintAudit {
         val cols =
           if (rows) plan.output.map(_.name).toSet
           else plan.output.filter(o => boundedValue(o, ctx)).map(_.name).toSet
-        if (rows || cols.nonEmpty)
-          memoCerts.put(lr.rdd.id, MemoCert(rows, cols))
+        if (rows || cols.nonEmpty) {
+          val app = lr.rdd.context.applicationId
+          // sweep: certs of DEAD contexts (only one SparkContext is
+          // alive per JVM, so any other appId is a past context whose
+          // RDD ids may collide with this one's) and of GC'd checkpoints
+          // (the memo cache dropped its only strong reference)
+          memoCerts.entrySet.removeIf(e =>
+            e.getKey._1 != app || e.getValue.holder.get() == null)
+          memoCerts.put((app, lr.rdd.id),
+            CertSlot(new java.lang.ref.WeakReference[AnyRef](lr.rdd),
+              MemoCert(rows, cols)))
+        }
       case _ => () // reliable-checkpoint or unexpected shape: no claim
     }
 
@@ -98,7 +121,8 @@ object HintAudit {
       gens: Map[ExprId, Seq[Expression]],  // fixed-arity generator output → elements
       leaf: Map[ExprId, String],           // base-relation attribute → column name
       inSet: Set[ExprId],                  // attrs filtered to a literal set below
-      boundedAttrs: Set[ExprId])           // leaf attrs with certified bounded domains
+      boundedAttrs: Set[ExprId],           // leaf attrs with certified bounded domains
+      timeAttrs: Set[ExprId])              // base-relation ts/date-typed attrs
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -106,70 +130,127 @@ object HintAudit {
   }
 
   private def ctxOf(p: LogicalPlan): Ctx = {
-    val defs = Map.newBuilder[ExprId, Expression]
-    val gens = Map.newBuilder[ExprId, Seq[Expression]]
-    val leaf = Map.newBuilder[ExprId, String]
-    val ins = Set.newBuilder[ExprId]
-    val bnd = Set.newBuilder[ExprId]
-    p.foreach {
-      case pr: Project =>
-        pr.projectList.foreach {
-          case a: Alias => defs += a.exprId -> a.child
-          case _        => ()
+    import scala.collection.mutable
+    val defs = mutable.Map[ExprId, Expression]()
+    val gens = mutable.Map[ExprId, Seq[Expression]]()
+    val leaf = mutable.Map[ExprId, String]()
+    val ins = mutable.Set[ExprId]()
+    val bnd = mutable.Set[ExprId]()
+    val tim = mutable.Set[ExprId]()
+
+    // resolve an exprId through alias RENAMES to its base column name,
+    // over the partially-built maps (used by the Union intersection)
+    def resolveBase(id: ExprId, depth: Int = 0): Option[String] =
+      if (depth > 24) None
+      else defs.get(id) match {
+        case Some(d) => strip(d) match {
+          case ar: AttributeReference => resolveBase(ar.exprId, depth + 1)
+          case _                      => None
         }
-      case ag: Aggregate =>
-        ag.aggregateExpressions.foreach {
-          case a: Alias => defs += a.exprId -> a.child
-          case _        => ()
-        }
-      case wd: Window =>
-        wd.windowExpressions.foreach {
-          case a: Alias => defs += a.exprId -> a.child
-          case _        => ()
-        }
-      case g: Generate =>
-        g.generator match {
-          case Explode(arr: CreateArray) =>
-            g.generatorOutput.foreach(o => gens += o.exprId -> arr.children)
-          case PosExplode(arr: CreateArray) =>
-            g.generatorOutput match {
-              case Seq(pos, c) =>
-                gens += pos.exprId ->
-                  arr.children.indices.map(i => Literal(i): Expression)
-                gens += c.exprId -> arr.children
+        case None => leaf.get(id)
+      }
+
+    // POST-ORDER traversal: descendants' facts land before the node's
+    // own, so a Union can intersect its branches' claims before any
+    // constraint established ABOVE it (a Filter on the unioned result —
+    // which legitimately binds all branches' rows) is recorded.
+    def visit(n: LogicalPlan): Unit = {
+      n match {
+        case u: Union =>
+          u.children.foreach(visit)
+          // Union reuses its FIRST child's output exprIds, so a fact
+          // proven inside one branch would otherwise apply to rows
+          // flowing from every other branch
+          // (filtered.union(unfiltered).groupBy(col) must NOT be proven
+          // bounded — round 11, ADVICE). An output attr keeps a
+          // branch-local fact only if EVERY branch's corresponding attr
+          // establishes it; lineage survives only when all branches
+          // rename the SAME base column.
+          u.output.indices.foreach { i =>
+            val outId = u.output(i).exprId
+            val ids = u.children.map(_.output(i).exprId)
+            if (!ids.forall(ins)) ins -= outId
+            if (!ids.forall(bnd)) bnd -= outId
+            if (!ids.forall(tim)) tim -= outId
+            val names = ids.map(id => resolveBase(id))
+            defs -= outId
+            gens -= outId
+            if (names.forall(_.isDefined) && names.distinct.size == 1)
+              leaf(outId) = names.head.get
+            else
+              leaf -= outId
+          }
+        case other => other.children.foreach(visit)
+      }
+      n match {
+        case pr: Project =>
+          pr.projectList.foreach {
+            case a: Alias => defs(a.exprId) = a.child
+            case _        => ()
+          }
+        case ag: Aggregate =>
+          ag.aggregateExpressions.foreach {
+            case a: Alias => defs(a.exprId) = a.child
+            case _        => ()
+          }
+        case wd: Window =>
+          wd.windowExpressions.foreach {
+            case a: Alias => defs(a.exprId) = a.child
+            case _        => ()
+          }
+        case g: Generate =>
+          g.generator match {
+            case Explode(arr: CreateArray) =>
+              g.generatorOutput.foreach(o => gens(o.exprId) = arr.children)
+            case PosExplode(arr: CreateArray) =>
+              g.generatorOutput match {
+                case Seq(pos, c) =>
+                  gens(pos.exprId) =
+                    arr.children.indices.map(i => Literal(i): Expression)
+                  gens(c.exprId) = arr.children
+                case _ => ()
+              }
+            case _ => () // data-sized generator: outputs stay unresolvable
+          }
+        case f: Filter =>
+          // only CONJUNCTS constrain — an In under Or/Not bounds nothing
+          conjuncts(f.condition).foreach {
+            case In(a: AttributeReference, vs) if vs.forall(isLit) =>
+              ins += a.exprId
+            case InSet(a: AttributeReference, _) => ins += a.exprId
+            case EqualTo(a: AttributeReference, l) if isLit(l) => ins += a.exprId
+            case EqualTo(l, a: AttributeReference) if isLit(l) => ins += a.exprId
+            case _ => ()
+          }
+        case l: LeafNode =>
+          l.output.foreach { o =>
+            leaf(o.exprId) = o.name
+            o.dataType match {
+              case _: org.apache.spark.sql.types.DateType |
+                  _: org.apache.spark.sql.types.TimestampType |
+                  _: org.apache.spark.sql.types.TimestampNTZType =>
+                tim += o.exprId
               case _ => ()
             }
-          case _ => () // data-sized generator: outputs stay unresolvable
-        }
-      case f: Filter =>
-        // only CONJUNCTS constrain — an In under Or/Not bounds nothing
-        conjuncts(f.condition).foreach {
-          case In(a: AttributeReference, vs) if vs.forall(isLit) =>
-            ins += a.exprId
-          case InSet(a: AttributeReference, _) => ins += a.exprId
-          case EqualTo(a: AttributeReference, l) if isLit(l) => ins += a.exprId
-          case EqualTo(l, a: AttributeReference) if isLit(l) => ins += a.exprId
-          case _ => ()
-        }
-      case l: LeafNode =>
-        l.output.foreach(o => leaf += o.exprId -> o.name)
-        l match {
-          case _: LocalRelation | _: OneRowRelation =>
-            // driver-local by construction: every column's domain is as
-            // bounded as the relation itself
-            l.output.foreach(o => bnd += o.exprId)
-          case lr: LogicalRDD =>
-            Option(memoCerts.get(lr.rdd.id)).foreach { cert =>
-              l.output.foreach(o =>
-                if (cert.rowsBounded || cert.boundedCols(o.name))
-                  bnd += o.exprId)
-            }
-          case _ => ()
-        }
-      case _ => ()
+          }
+          l match {
+            case _: LocalRelation | _: OneRowRelation =>
+              // driver-local by construction: every column's domain is as
+              // bounded as the relation itself
+              l.output.foreach(o => bnd += o.exprId)
+            case lr: LogicalRDD =>
+              certOf(lr).foreach { cert =>
+                l.output.foreach(o =>
+                  if (cert.rowsBounded || cert.boundedCols(o.name))
+                    bnd += o.exprId)
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
     }
-    Ctx(defs.result(), gens.result(), leaf.result(), ins.result(),
-      bnd.result())
+    visit(p)
+    Ctx(defs.toMap, gens.toMap, leaf.toMap, ins.toSet, bnd.toSet, tim.toSet)
   }
 
   /** Peel the value-preserving wrappers analysis inserts. */
@@ -501,11 +582,19 @@ object HintAudit {
               boundedRangeRef(d.left, ctx)
           case other => rec(other) // floor of a bounded value stays bounded
         }
-      case _: ParseToDate | _: TruncDate | _: TruncTimestamp | _: Year |
-          _: Quarter | _: Month | _: DayOfMonth | _: DayOfYear |
-          _: WeekOfYear | _: DayOfWeek | _: Hour | _: Minute | _: Second |
-          _: DateDiff =>
+      // intra-year / sub-day calendar FIELDS are range-bounded by
+      // DEFINITION whatever the child (hour ∈ 0..23, month ∈ 1..12, …)
+      case _: Quarter | _: Month | _: DayOfMonth | _: DayOfYear |
+          _: WeekOfYear | _: DayOfWeek | _: Hour | _: Minute | _: Second =>
         true
+      // day-or-coarser IMAGES are bounded only by the fixtures' fixed
+      // calendar window — a fact about the base ts/date COLUMNS, so the
+      // temporal child must resolve to one through lineage: to_date /
+      // datediff of a corpus-ACCUMULATING value proves nothing
+      // (round 11, ADVICE — previously accepted unconditionally)
+      case e @ (_: ParseToDate | _: TruncDate | _: TruncTimestamp |
+          _: Year | _: DateDiff) =>
+        e.children.forall(c => isLit(c) || timeColRooted(c, ctx, depth + 1))
       case ar: AttributeReference =>
         ctx.inSet(ar.exprId) || ctx.boundedAttrs(ar.exprId) ||
           (ctx.defs.get(ar.exprId) match {
@@ -547,6 +636,33 @@ object HintAudit {
     }
   }
 
+  /** The expression is (a rename of) a base ts/date-TYPED column, or a
+    * value-preserving temporal image of one (cast / trunc / parse
+    * chains; [[strip]] unwraps the casts) — the lineage requirement
+    * behind the calendar-coarsening clause of [[boundedValue]]. A
+    * min/max/first/last of a time-rooted value still SELECTS one of its
+    * inputs, so aggregate wrappers keep the root. */
+  private def timeColRooted(e: Expression, ctx: Ctx, depth: Int = 0): Boolean = {
+    if (depth > 24) return false
+    strip(e) match {
+      case ar: AttributeReference =>
+        ctx.timeAttrs(ar.exprId) ||
+          ctx.defs.get(ar.exprId).exists(d => timeColRooted(d, ctx, depth + 1))
+      case t @ (_: ParseToDate | _: TruncDate | _: TruncTimestamp) =>
+        t.children.exists(c => !isLit(c) && timeColRooted(c, ctx, depth + 1)) &&
+          t.children.forall(c => isLit(c) || timeColRooted(c, ctx, depth + 1))
+      case ae: AggregateExpression =>
+        ae.aggregateFunction match {
+          case Min(c)   => timeColRooted(c, ctx, depth + 1)
+          case Max(c)   => timeColRooted(c, ctx, depth + 1)
+          case f: First => timeColRooted(f.child, ctx, depth + 1)
+          case l: Last  => timeColRooted(l.child, ctx, depth + 1)
+          case _        => false
+        }
+      case _ => false
+    }
+  }
+
   private def keyCapped(cond: Expression, ctx: Ctx): Boolean = cond match {
     case LessThan(a: AttributeReference, l) if isLit(l) =>
       baseName(a, ctx).exists(uniqueKeyCols)
@@ -563,8 +679,7 @@ object HintAudit {
     * (k-means centroids, PQ codebooks — bounded by induction over the
     * Lloyd rounds). */
   private def constantDimLeaf(l: LeafNode): Boolean = l match {
-    case lr: LogicalRDD =>
-      Option(memoCerts.get(lr.rdd.id)).exists(_.rowsBounded)
+    case lr: LogicalRDD => certOf(lr).exists(_.rowsBounded)
     case _ =>
       val names = l.output.map(_.name).toSet
       names.contains("n_nationkey") || names.contains("r_regionkey")

@@ -252,6 +252,50 @@ class HintAuditSpec extends AnyFunSuite {
     assert(unproven(wrong) === 1)
   }
 
+  test("union: a bound proven in ONE branch must not leak through exprId reuse") {
+    // Union reuses its first child's output exprIds (round 11, ADVICE):
+    // an equality filter inside branch 1 must not certify rows flowing
+    // from the unfiltered branch 2
+    def agg(df: DataFrame) = df.groupBy("text").agg(count(lit(1)).as("n"))
+    val filtered = docs.filter(col("text") === "x").select(col("text"))
+    val unfiltered = docs.select(col("text"))
+    assert(unproven(agg(filtered.union(unfiltered))) === 1)
+    // a bound EVERY branch establishes still proves
+    val filtered2 = docs.filter(col("text") === "y").select(col("text"))
+    assert(unproven(agg(filtered.union(filtered2))) === 0)
+    // a constraint ABOVE the union binds all branches' rows — kept
+    assert(unproven(agg(filtered.union(unfiltered)
+      .filter(col("text") === "z"))) === 0)
+    // enum-domain lineage survives a union of the SAME base column
+    assert(unproven(docs.select("lang").union(docs.select("lang"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))) === 0)
+    // ...but not a positional union of DIFFERENT base columns (bounded
+    // lang in branch 1, corpus-cardinality text in branch 2)
+    assert(unproven(docs.select("lang").union(docs.select("text"))
+      .groupBy("lang").agg(count(lit(1)).as("n"))) === 1)
+  }
+
+  test("temporal: calendar images prove only over base time columns") {
+    // year/trunc/datediff are calendar-bounded facts about the fixtures'
+    // ts/date COLUMNS — a corpus-ACCUMULATING value laundered through
+    // epoch arithmetic must not inherit them (round 11, ADVICE)
+    val ev = Tables.events(spark, sf)
+    assert(unproven(ev.groupBy(year(col("ts")).as("y"))
+      .agg(count(lit(1)).as("n"))) === 0)
+    assert(unproven(ev.groupBy(date_trunc("month", col("ts")).as("m"))
+      .agg(count(lit(1)).as("n"))) === 0)
+    assert(unproven(ev.groupBy(datediff(col("ts"), col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))) === 0)
+    val spend = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(sum(col("o_totalprice")).cast("long").as("m"))
+    assert(unproven(spend.groupBy(year(timestamp_seconds(col("m"))).as("y"))
+      .agg(count(lit(1)).as("n"))) === 1,
+      "year() of an accumulating sum is corpus-derived, not calendar-bounded")
+    // sub-day/intra-year FIELDS are range-bounded by definition, any child
+    assert(unproven(spend.groupBy(hour(timestamp_seconds(col("m"))).as("h"))
+      .agg(count(lit(1)).as("n"))) === 0)
+  }
+
   test("counts every hint in a multi-hint plan, including subqueries") {
     val bad = docs.select("doc_id")
     val good = docs.limit(2)
