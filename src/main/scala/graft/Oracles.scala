@@ -2190,7 +2190,11 @@ object Oracles {
          |  CASE WHEN n_multi > 0
          |    THEN CAST(n_capped AS DOUBLE) * 1000000.0 / CAST(n_multi AS DOUBLE)
          |    ELSE CAST(0.0 AS DOUBLE) END AS capped_ppm,
-         |  n_pairs
+         |  n_pairs,
+         |  CASE WHEN (CASE WHEN n_multi > 0
+         |    THEN CAST(n_capped AS DOUBLE) * 1000000.0 / CAST(n_multi AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END) > 100000.0
+         |    THEN 'use_minhash' ELSE 'ok' END AS advice
          |FROM cz, np""".stripMargin,
 
     "q_dedup_containment" -> DedupContainmentSql,

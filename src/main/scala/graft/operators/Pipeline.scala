@@ -157,14 +157,32 @@ object Pipeline {
             .as("n_capped"))
         .stable)
     val nPairs = dedupNgram(s, dir).agg(count(lit(1)).as("n_pairs"))
+    // ADVISORY (round 11): the census no longer just reports the dropped
+    // mass — past a pinned threshold it NAMES the remediation. When more
+    // than [[CensusAdvisoryPpm]] of the pairable keys were capped, the
+    // blocking path is recall-blind for this corpus (the 100× clone
+    // probe measured 992,393 ppm with ZERO pairs emitted) and the row
+    // says `use_minhash`: the banded LSH path's recall is duplication-
+    // INdependent, so it is the correct route for mass-duplicated
+    // corpora. The threshold is a pinned literal the DuckDB oracle
+    // replays, keeping the query hash-gated.
+    val cappedPpm = when(col("n_multi") > 0,
+        col("n_capped").cast("double") * 1000000.0 /
+          col("n_multi").cast("double"))
+      .otherwise(lit(0.0))
     census.crossJoin(broadcast(nPairs))
       .select(col("n_keys"), col("n_multi"), col("n_capped"),
-        when(col("n_multi") > 0,
-            col("n_capped").cast("double") * 1000000.0 /
-              col("n_multi").cast("double"))
-          .otherwise(lit(0.0)).as("capped_ppm"),
-        col("n_pairs"))
+        cappedPpm.as("capped_ppm"),
+        col("n_pairs"),
+        when(cappedPpm > CensusAdvisoryPpm.toDouble, lit("use_minhash"))
+          .otherwise(lit("ok")).as("advice"))
   }
+
+  /** Capped-fraction threshold (ppm) past which [[dedupNgramCensus]]
+    * advises routing the corpus through the MinHash path: 10% of the
+    * pairable keys dropped is far past any healthy corpus (the fixtures
+    * sit at 0; the 100× clone stress at 992,393). */
+  private val CensusAdvisoryPpm = 100000L
 
   private val censusCache =
     graft.util.CorpusMemo.register(

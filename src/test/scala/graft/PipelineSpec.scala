@@ -916,6 +916,41 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngram census advisory: mass duplication flips advice to use_minhash") {
+    // round 11 (VERDICT #4): past 100,000 ppm of capped pairable keys the
+    // census row itself names the remediation — the df-capped blocking
+    // path is recall-blind under mass duplication (the 100× clone probe:
+    // 992,393 ppm, zero pairs), while banded MinHash recall is
+    // duplication-independent. 150 identical docs > MaxShingleDf=100 cap
+    // every shingle: the local replica of that blindness.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_census_advice")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    try {
+      spark.createDataFrame((1L to 150L).map(i => (i, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(docsDir)
+      val row = Pipeline.dedupNgramCensus(spark, tmp.toString).head()
+      assert(row.getAs[Long]("n_capped") === row.getAs[Long]("n_multi"),
+        "every pairable shingle must be capped in the clone corpus")
+      assert(row.getAs[Double]("capped_ppm") === 1000000.0)
+      assert(row.getAs[Long]("n_pairs") === 0L,
+        "the blocking path must be pair-blind here — that IS the hazard")
+      assert(row.getAs[String]("advice") === "use_minhash")
+      // and the banded MinHash path the advice routes to DOES see the
+      // duplication: 150 identical docs pair in every band
+      assert(Pipeline.dedupMinhash(spark, tmp.toString).count() > 0L)
+    } finally {
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    // the healthy fixture stays 'ok' at 0 ppm
+    val fix = Pipeline.dedupNgramCensus(spark, sf).head()
+    assert(fix.getAs[Double]("capped_ppm") === 0.0)
+    assert(fix.getAs[String]("advice") === "ok")
+  }
+
   test("sigsPath index integrity: partial write, corpus growth, and dir reuse all rebuild") {
     // fs.exists alone is not validity (round 11, ADVICE): the index
     // carries a _SUCCESS commit marker and a corpus fingerprint
