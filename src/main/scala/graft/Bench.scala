@@ -100,17 +100,22 @@ object Bench {
     // Anchors get the same failure discipline as pass(): a broken anchor
     // (missing lineitem.parquet, noop sink unavailable) records -1 plus an
     // errors entry and the run still emits a self-describing artifact,
-    // instead of aborting with no bench.json at all.
-    def calPass(): Map[String, Double] = calibrations.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(); true } catch {
-        case e: Throwable =>
-          errors(s"cal:$name") = e.toString.linesIterator.next().take(200)
-          false
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
-    calPass() // one untimed warmup (JIT + page cache for the scan anchor)
+    // instead of aborting with no bench.json at all. The WARMUP anchor
+    // pass does NOT record errors: a warmup-only failure (cold cache
+    // blip) would otherwise leave a stale 'cal:<name>' entry next to a
+    // valid timing from the timed passes (round 11, ADVICE).
+    def calPass(record: Boolean = true): Map[String, Double] =
+      calibrations.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(); true } catch {
+          case e: Throwable =>
+            if (record)
+              errors(s"cal:$name") = e.toString.linesIterator.next().take(200)
+            false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    calPass(record = false) // untimed warmup (JIT + page cache for the scan)
     def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { force(fn(spark, sfDir)); true } catch {
@@ -119,23 +124,32 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    // PER-PASS anchors (round 9 had before/after only): cal_* runs
+    // before pass 1, BETWEEN the passes, and after pass 2, and the
+    // artifact carries both passes' per-query timings — so a single-query
+    // drift flag can be attributed by the tool (normalize each pass by
+    // its bracketing anchors; tools/bench_compare.py) instead of argued
+    // from a whole-run average, the r10 q_bloom_fpr lesson.
     val calBefore = calPass()
     val first = pass()
+    val calMid = calPass()
     val second = pass()
     val calAfter = calPass()
     val results = first.map { case (k, v) =>
       k -> (if (v < 0 || second(k) < 0) -1.0 else math.min(v, second(k)))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def qJson(m: Map[String, Double]): String =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = qJson(results)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val errJson = errors.map { case (k, m) =>
       s"\"" + k + "\":\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
     val calJson = calibrations.map { case (name, _) =>
-      s"\"" + name + "\":[" + calBefore(name) + "," + calAfter(name) + "]"
+      s"\"" + name + "\":[" + calBefore(name) + "," + calMid(name) + "," +
+        calAfter(name) + "]"
     }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
     // print first AND persist: the driver's log capture truncates long sbt
     // tails, so the artifact self-contains the totals either way
     println(json)

@@ -37,8 +37,8 @@ def load(path):
         except json.JSONDecodeError:
             pass
     qs = {k: float(v) for k, v in re.findall(r'"(q_\w+)":(-?[0-9.]+)', tail)}
-    cal = {k: [float(a), float(b)] for k, a, b in re.findall(
-        r'"(cal_\w+)":\[([0-9.]+),([0-9.]+)\]', tail)}
+    cal = {k: [float(x) for x in vs.split(",")] for k, vs in re.findall(
+        r'"(cal_\w+)":\[([0-9.eE+,\-]+)\]', tail)}
     out = {"queries": qs, "value": sum(v for v in qs.values() if v > 0)}
     if cal:
         out["calibration"] = cal
@@ -72,9 +72,9 @@ def main(old_path, new_path):
     if "calibration" in old and "calibration" in new:
         pairs = []
         for k in set(old["calibration"]) & set(new["calibration"]):
-            o = min(old["calibration"][k])
-            n = min(new["calibration"][k])
-            if o > 0:
+            o = min([x for x in old["calibration"][k] if x > 0], default=0)
+            n = min([x for x in new["calibration"][k] if x > 0], default=0)
+            if o > 0 and n > 0:
                 pairs.append(n / o)
         if pairs:
             cal_ratio = statistics.median(pairs)
@@ -96,10 +96,33 @@ def main(old_path, new_path):
         print(f"new total {new['value']:.1f}s -> "
               f"{new['value'] / med:.1f}s normalized by the common-query median")
 
-    # outliers AFTER removing the host factor: the real plan deltas
+    # outliers AFTER removing the host factor: the real plan deltas.
+    # Round 11: when both artifacts carry per-pass timings (pass1/pass2)
+    # and 3-element anchor arrays ([before, mid, after]), each query is
+    # normalized by the anchor bracket of the PASS that produced its min
+    # — single-query flags are then attributed by the tool even when the
+    # host drifted WITHIN a run (the r10 q_bloom_fpr case, argued by
+    # hand because only run-level anchors existed).
     norm = cal_ratio if cal_ratio else med
-    flagged = [(k, ratios[k] / norm, oq[k], nq[k]) for k in common
-               if ratios[k] / norm > 1.5 and nq[k] > 0.4]
+    ob, nb = pass_brackets(old), pass_brackets(new)
+    per_pass = ob is not None and nb is not None
+    if per_pass:
+        print("per-pass anchors present in both artifacts: flags below use "
+              "the anchor bracket of each query's min pass")
+
+    def norm_for(k):
+        if per_pass:
+            po, pn = pass_of(old, k), pass_of(new, k)
+            if po and pn:
+                rs = [nb[pn][a] / ob[po][a]
+                      for a in set(ob[po]) & set(nb[pn])
+                      if ob[po][a] and nb[pn][a] and ob[po][a] > 0]
+                if rs:
+                    return statistics.median(rs)
+        return norm
+
+    flagged = [(k, ratios[k] / norm_for(k), oq[k], nq[k]) for k in common]
+    flagged = [f for f in flagged if f[1] > 1.5 and f[3] > 0.4]
     if flagged:
         print("\nhost-normalized regressions >1.5x (investigate these):")
         for k, r, o, n in sorted(flagged, key=lambda x: -x[1]):
@@ -107,6 +130,37 @@ def main(old_path, new_path):
     else:
         print("\nno host-normalized per-query regression > 1.5x")
     return 0
+
+
+def pass_brackets(art):
+    """Per-pass anchor levels from a 3-element calibration block:
+    pass 1 is bracketed by [before, mid], pass 2 by [mid, after].
+    Returns {1: {anchor: level}, 2: {anchor: level}} or None when the
+    artifact predates per-pass anchors (2-element arrays / no pass1)."""
+    cal = art.get("calibration")
+    if not cal or "pass1" not in art or "pass2" not in art:
+        return None
+    if any(len(v) != 3 for v in cal.values()):
+        return None
+
+    def lvl(a, b):
+        vals = [x for x in (a, b) if x > 0]
+        return sum(vals) / len(vals) if vals else None
+
+    return {1: {k: lvl(v[0], v[1]) for k, v in cal.items()},
+            2: {k: lvl(v[1], v[2]) for k, v in cal.items()}}
+
+
+def pass_of(art, k):
+    """Which pass produced this query's reported min (1 or 2), or None."""
+    p1, p2 = art.get("pass1", {}).get(k), art.get("pass2", {}).get(k)
+    if p1 is None or p2 is None:
+        return None
+    if p1 < 0:
+        return 2
+    if p2 < 0:
+        return 1
+    return 1 if p1 <= p2 else 2
 
 
 if __name__ == "__main__":
