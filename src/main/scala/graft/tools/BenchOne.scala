@@ -16,6 +16,10 @@ object BenchOne {
     // path (spark.graft.minhash.sigsPath) for the 100x ingest probes
     sys.env.get("GRAFT_SIGS_PATH").foreach(p =>
       spark.conf.set("spark.graft.minhash.sigsPath", p))
+    // probe hook: GRAFT_ADMIT_INDEX_PATH exercises the durable admit
+    // index (spark.graft.stream.admitIndexPath) for the merge-cost probes
+    sys.env.get("GRAFT_ADMIT_INDEX_PATH").foreach(p =>
+      spark.conf.set("spark.graft.stream.admitIndexPath", p))
     // Force with the noop sink, matching graft.Bench (count() lets
     // Catalyst prune measure columns — timings then under-measure).
     // GRAFT_FORCE=count switches back, ONLY for quantifying exactly that
