@@ -963,7 +963,11 @@ object Streams {
           ix.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
         case None => newBands
       }
-      inc.write.mode("append").parquet(p)
+      // merged_at_ms stamps the MERGE wall-clock (constant per drain):
+      // the age axis [[compactAdmitIndex]]'s freshness-window prune cuts
+      // on. Probe joins never read it.
+      inc.withColumn("merged_at_ms", lit(System.currentTimeMillis()))
+        .write.mode("append").parquet(p)
     }
     // static-index census post-drain: the left join fans a band row per
     // index match, so the stream-side census counts DISTINCT bands
@@ -996,6 +1000,52 @@ object Streams {
                            coalesce(col("fs"), col("fi")))).as("first_match"),
         (col("n_index_hits") === 0 && col("n_stream_hits") === 0).as("admitted"))
       .orderBy("doc_id")
+  }
+
+  /** Compact the durable admit index (`spark.graft.stream.admitIndexPath`):
+    * every drain APPENDS one file set, so a long-lived ingest pipeline
+    * accumulates part files with drain COUNT, not data size — listing
+    * and scan overhead on every later snapshot read. Rewrites the index
+    * into a right-sized file set (~128 MB targets), optionally pruning
+    * rows merged more than `maxAgeMs` ago — the freshness-window policy
+    * for deployments running the admit TTL: the index is append-only
+    * HISTORY and the TTL does NOT prune it, so without an age prune a
+    * band key the TTL already evicted still index-flags its re-arrival
+    * forever. Swap is the same temp-sibling + rename discipline as the
+    * minhash sigsPath index (atomic on HDFS/local FS), with a row-count
+    * verification before the swap when nothing is being pruned. Run it
+    * BETWEEN drains — the one-shot `AvailableNow` model means the owner
+    * schedules both, and a compaction racing an append could drop that
+    * append's rows at the swap. */
+  def compactAdmitIndex(s: SparkSession, path: String,
+                        maxAgeMs: Option[Long] = None): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) return
+    val cur = s.read.parquet(path)
+    val kept = maxAgeMs match {
+      case Some(w) =>
+        val cutoff = System.currentTimeMillis() - w
+        cur.filter(col("merged_at_ms") >= cutoff)
+      case None => cur
+    }
+    val bytes = fs.getContentSummary(hp).getLength
+    val nFiles = math.max(1L, bytes / (128L << 20)).toInt
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
+    fs.delete(tmp, true)
+    kept.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    if (maxAgeMs.isEmpty) {
+      val (a, b) = (s.read.parquet(tmp.toString).count(), cur.count())
+      if (a != b) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"admit-index compaction row mismatch: $a compacted vs $b current")
+      }
+    }
+    fs.delete(hp, true)
+    if (!fs.rename(tmp, hp))
+      throw new IllegalStateException(
+        s"admit-index compaction swap failed: rename($tmp -> $hp)")
   }
 
   /** Streaming drift monitor (15th flavor) — live traffic (odd

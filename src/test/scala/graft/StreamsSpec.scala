@@ -532,6 +532,29 @@ class StreamsSpec extends AnyFunSuite {
         s"replay must not self-collide or change the census: ${run3(7L)}")
       assert(spark.read.parquet(indexPath).count() === 32L,
         "replay must not duplicate index rows")
+      // COMPACTION: two drains appended two file sets; the compactor
+      // rewrites them into a right-sized set, rows preserved, and the
+      // compacted index still serves the census (doc 7 still flagged)
+      def partFiles(): Int = new java.io.File(indexPath).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(partFiles() >= 2, "two drains must have appended two file sets")
+      Streams.compactAdmitIndex(spark, indexPath)
+      assert(partFiles() === 1, "fixture-sized index compacts to one file")
+      assert(spark.read.parquet(indexPath).count() === 32L)
+      val run4 = run(s2, "2")
+      assert(run4(7L) === ((16L, 0L, 3L, false)),
+        s"the compacted index must still serve the census: ${run4(7L)}")
+      // AGE PRUNE (the freshness-window policy for TTL deployments: the
+      // index is append-only history the TTL never prunes): everything
+      // here merged more than 50 ms ago → a 1 ms window empties it; a
+      // generous window keeps it
+      Streams.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(3600000L))
+      assert(spark.read.parquet(indexPath).count() === 32L,
+        "rows inside the freshness window must survive an age-pruned compaction")
+      Thread.sleep(50L)
+      Streams.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(1L))
+      assert(spark.read.parquet(indexPath).count() === 0L,
+        "rows past the freshness window must be pruned")
     } finally {
       spark.conf.unset("spark.graft.stream.admitIndexPath")
       Seq(s1, s2).foreach(graft.util.CorpusMemo.invalidate(spark, _))
