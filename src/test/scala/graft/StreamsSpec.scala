@@ -562,6 +562,46 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream LSH admit durable index + live checkpoint: both lanes report, self-hits nulled") {
+    // resume WITHOUT a wipe while the durable index is on: a colliding
+    // doc is reported by BOTH lanes (stream state AND the parquet index
+    // hold the run-1 carrier — the documented parity of the index with
+    // the state's insert semantics), while the carrier doc itself never
+    // self-collides (its own index rows are nulled by doc_id).
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admit_both_lanes")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val sink = new java.io.File(tmp.toFile, "sink").getAbsolutePath
+    val ckpt = new java.io.File(tmp.toFile, "ckpt").getAbsolutePath
+    val indexPath = new java.io.File(tmp.toFile, "ix.parquet").getAbsolutePath
+    def write(id: Long): Unit =
+      spark.createDataFrame(Seq((id, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(docsDir)
+    def run(): Map[Long, (Long, Long, Long, Boolean)] =
+      Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    spark.conf.set("spark.graft.stream.admitIndexPath", indexPath)
+    try {
+      write(3L)
+      assert(run()(3L) === ((0L, 0L, -1L, true)))
+      write(7L)
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      val r2 = run()
+      assert(r2(3L) === ((0L, 0L, -1L, true)),
+        s"the carrier must not collide with its own index rows: ${r2(3L)}")
+      assert(r2(7L) === ((16L, 16L, 3L, false)),
+        s"a live-state resume with the index on reports BOTH lanes: ${r2(7L)}")
+      assert(spark.read.parquet(indexPath).count() === 32L)
+    } finally {
+      spark.conf.unset("spark.graft.stream.admitIndexPath")
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("stream drift: sides partition each type, TVD bounded, self-drift small") {
     import org.apache.spark.sql.functions._
     val byType = Tables.events(spark, sf)
