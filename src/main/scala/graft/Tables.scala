@@ -52,7 +52,29 @@ object Tables {
 }
 
 /** Session tuning applied once per session before queries run.
-  * Runtime-settable confs only (the session is created by the driver). */
+  * Runtime-settable confs only (the session is created by the driver).
+  *
+  * Deployment knob registry (all optional; every default is the
+  * fixture/CI-safe behavior — each knob is documented in depth at its
+  * implementation site):
+  *
+  *  - `spark.graft.checkpoint.reliable` + `spark.graft.checkpoint.dir`
+  *    — reliable DFS checkpoints for multi-executor clusters instead of
+  *    `localCheckpoint` ([[graft.util.Checkpoints]]).
+  *  - `spark.graft.minhash.sigsPath` — persist the per-corpus MinHash
+  *    signature table as a parquet index (committed + corpus-
+  *    fingerprinted; invalid indexes rebuild atomically)
+  *    ([[graft.operators.Pipeline.minhashSigs]]).
+  *  - `spark.graft.stream.admitTtlMs` — processing-time TTL on the
+  *    streaming admit index's carrier state; steady-state ingest only,
+  *    DISABLE for backfill/replay ([[graft.streaming.Streams]]).
+  *  - `spark.graft.stream.admitIndexPath` — durable parquet band index
+  *    merged per admit drain; survives checkpoint wipes; compact with
+  *    [[graft.streaming.Streams.compactAdmitIndex]] (optionally age-
+  *    pruned — the TTL's complement).
+  *  - `spark.sql.autoBroadcastJoinThreshold` — set here to 64 MB, the
+  *    single un-hinted broadcast policy; match to executor memory on a
+  *    real cluster. */
 object Engine {
   def tune(spark: SparkSession): SparkSession = {
     // expose the custom codegen expressions to the SQL surface (once per
