@@ -280,50 +280,79 @@ object Pipeline {
           // (the 100× ingest case), or a different corpus dir reused
           // with the same sigsPath would all silently serve stale or
           // incomplete signatures to every consumer. The index is valid
-          // only if (a) the write job committed (_SUCCESS present) and
-          // (b) its recorded corpus fingerprint (dir + doc count + max
-          // doc_id — one cheap column-stats aggregate, paid once per
-          // session on the memo miss) matches the live corpus. Invalid
-          // → rebuild into a temp sibling and SWAP via rename, so a
-          // crash mid-rebuild leaves either the old valid index or a
-          // temp dir the next build deletes — never a half-written
-          // index at the published path. (Directory rename is atomic on
-          // HDFS/local FS; object stores want a copy-commit layer — the
-          // same caveat as Checkpoints.scala's reliable mode.)
+          // only if (a) its generation's write job committed (_SUCCESS)
+          // and (b) the recorded corpus fingerprint (dir + doc count +
+          // max doc_id — one cheap column-stats aggregate, paid once
+          // per session on the memo miss) matches the live corpus.
+          //
+          // GENERATIONAL LAYOUT: data lives under `p/gen=<sha8(fp)>/`
+          // with `p/_GRAFT_FINGERPRINT` naming the current generation.
+          // A rebuild writes the NEW generation and repoints the
+          // fingerprint — it never deletes the files a still-live
+          // reader (another corpus's memoized frame in this session, or
+          // another session on shared storage) may hold open; the
+          // superseded generation is retained until the NEXT switch
+          // (one-generation grace), then GC'd. A crash mid-rebuild
+          // leaves either the old current generation or an uncommitted
+          // gen dir the next build deletes; a crash after the gen
+          // commit but before the fingerprint repoint self-heals — the
+          // next build finds the committed generation and adopts it.
+          // (Directory rename is atomic on HDFS/local FS; object stores
+          // want a copy-commit layer — the Checkpoints.scala caveat.)
           val hp = new org.apache.hadoop.fs.Path(p)
           val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
           // The source corpus may legitimately be GONE at read time (the
           // index outliving an archived snapshot is the point of
           // persisting it) — then the recorded fingerprint can't be
-          // recomputed, and validity degrades to committed-write + DIR
-          // identity (still catches the reused-sigsPath hazard; growth
-          // is moot for an unreadable corpus). A readable corpus must
-          // match the full fingerprint.
+          // recomputed, and validity degrades to committed-generation +
+          // DIR identity (still catches the reused-sigsPath hazard;
+          // growth is moot for an unreadable corpus). A readable corpus
+          // must match the full fingerprint.
           val live =
             try Some(corpusFingerprint(s, dir))
             catch { case _: Exception => None }
-          val valid = fs.exists(hp) &&
-            fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")) &&
-            readIndexFingerprint(fs, hp).exists { rec =>
-              live match {
-                case Some(l) => rec == l
-                case None    => rec.startsWith(s"graft-minhash-v1|$dir|")
-              }
-            }
-          if (!valid) {
-            val fp = live.getOrElse(throw new IllegalStateException(
-              s"minhash index at $p is invalid and the corpus at $dir " +
-                "is unreadable: nothing to rebuild from"))
-            val tmp = new org.apache.hadoop.fs.Path(p + "._build")
-            fs.delete(tmp, true)
-            computeMinhashSigs(s, dir).write.mode("overwrite").parquet(tmp.toString)
-            writeIndexFingerprint(fs, tmp, fp)
-            fs.delete(hp, true)
-            if (!fs.rename(tmp, hp))
-              throw new IllegalStateException(
-                s"minhash index swap failed: rename($tmp -> $hp)")
+          def genPath(fp: String) =
+            new org.apache.hadoop.fs.Path(hp, "gen=" + sha8(fp))
+          def committed(g: org.apache.hadoop.fs.Path) =
+            fs.exists(g) && fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS"))
+          val recorded = readIndexFingerprint(fs, hp)
+          val current = recorded.filter { rec =>
+            (live match {
+              case Some(l) => rec == l
+              case None    => rec.startsWith(s"graft-minhash-v1|$dir|")
+            }) && committed(genPath(rec))
           }
-          s.read.parquet(p)
+          val gen = current match {
+            case Some(rec) => genPath(rec)
+            case None =>
+              val fp = live.getOrElse(throw new IllegalStateException(
+                s"minhash index at $p is invalid and the corpus at $dir " +
+                  "is unreadable: nothing to rebuild from"))
+              val g = genPath(fp)
+              if (!committed(g)) {
+                val tmp = new org.apache.hadoop.fs.Path(p + "._build")
+                fs.delete(tmp, true)
+                computeMinhashSigs(s, dir).write.mode("overwrite")
+                  .parquet(tmp.toString)
+                fs.delete(g, true) // only ever a crashed, uncommitted build
+                fs.mkdirs(hp)
+                if (!fs.rename(tmp, g))
+                  throw new IllegalStateException(
+                    s"minhash index generation swap failed: rename($tmp -> $g)")
+              }
+              writeIndexFingerprint(fs, hp, fp)
+              // GC every generation other than the new current and the
+              // one recorded before the switch (one-generation grace
+              // for readers still holding the superseded files)
+              val keep = Set(g.getName) ++ recorded.map(r => genPath(r).getName)
+              fs.listStatus(hp).foreach { st =>
+                if (st.isDirectory && st.getPath.getName.startsWith("gen=") &&
+                    !keep(st.getPath.getName))
+                  fs.delete(st.getPath, true)
+              }
+              g
+          }
+          s.read.parquet(gen.toString)
         case None => computeMinhashSigs(s, dir).stable
       })
 
@@ -341,6 +370,11 @@ object Pipeline {
   }
 
   private val IndexFingerprintFile = "_GRAFT_FINGERPRINT"
+
+  private def sha8(v: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
 
   private def writeIndexFingerprint(fs: org.apache.hadoop.fs.FileSystem,
                                     dirPath: org.apache.hadoop.fs.Path,

@@ -891,6 +891,25 @@ object Streams {
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // With the durable index on, the merge below must see only THIS
+    // drain's increment — pin the sink's pre-drain data files so the
+    // post-drain difference is exactly the new batch's output. Merging
+    // from the whole accumulated sink would (a) grow merge cost with
+    // cumulative sink size instead of the increment and (b) RESURRECT
+    // rows an age-pruned compaction removed (the resume path re-reads
+    // old drains' rows forever, and the anti-join no longer excludes a
+    // doc whose index rows were pruned).
+    def sinkDataFiles(): Set[String] = {
+      val dp = new org.apache.hadoop.fs.Path(data)
+      val dfs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!dfs.exists(dp)) Set.empty
+      else dfs.listStatus(dp).toSeq
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toSet
+    }
+    val durablePath = s.conf.getOption("spark.graft.stream.admitIndexPath")
+    val sinkBefore = if (durablePath.isDefined) sinkDataFiles() else Set.empty[String]
     val drained =
       // 8 state lanes, not the 2 the small per-user flavors use: this
       // stream keys state by BAND (16 per doc — ~20k groups at sf0.1),
@@ -943,7 +962,6 @@ object Streams {
     // default: the declared query's plan and hash are untouched. The
     // parquet append commits through Spark's staged job-commit protocol
     // (_temporary → rename), so a crashed append leaves no visible rows.
-    val durablePath = s.conf.getOption("spark.graft.stream.admitIndexPath")
     val durableSnapshot: Option[DataFrame] = durablePath.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -957,17 +975,24 @@ object Streams {
       }
     }
     durablePath.foreach { p =>
-      val newBands = drained.select(col("doc_id"), col("b"), col("key"))
-      val inc = durableSnapshot match {
-        case Some(ix) => newBands.join(
-          ix.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        case None => newBands
+      // the INCREMENT: exactly the sink files this drain produced (the
+      // census below still reads the whole sink — coverage and merge
+      // have different scopes by design)
+      val newFiles = (sinkDataFiles() -- sinkBefore).toSeq
+      if (newFiles.nonEmpty) {
+        val newBands = s.read.parquet(newFiles: _*)
+          .select(col("doc_id"), col("b"), col("key"))
+        val inc = durableSnapshot match {
+          case Some(ix) => newBands.join(
+            ix.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          case None => newBands
+        }
+        // merged_at_ms stamps the MERGE wall-clock (constant per drain):
+        // the age axis [[compactAdmitIndex]]'s freshness-window prune
+        // cuts on. Probe joins never read it.
+        inc.withColumn("merged_at_ms", lit(System.currentTimeMillis()))
+          .write.mode("append").parquet(p)
       }
-      // merged_at_ms stamps the MERGE wall-clock (constant per drain):
-      // the age axis [[compactAdmitIndex]]'s freshness-window prune cuts
-      // on. Probe joins never read it.
-      inc.withColumn("merged_at_ms", lit(System.currentTimeMillis()))
-        .write.mode("append").parquet(p)
     }
     // static-index census post-drain: the left join fans a band row per
     // index match, so the stream-side census counts DISTINCT bands
@@ -1029,18 +1054,25 @@ object Streams {
         cur.filter(col("merged_at_ms") >= cutoff)
       case None => cur
     }
+    // right-size from the KEPT bytes (pre-prune dir bytes scaled by the
+    // surviving row fraction): sizing from the unpruned directory would
+    // fan a heavily-pruned survivor set into many near-empty files — the
+    // exact small-files overhead this compactor exists to remove. The
+    // two counts are cheap next to the rewrite and double as the
+    // row-preservation verification.
+    val totalRows = cur.count()
+    val keptRows = if (maxAgeMs.isEmpty) totalRows else kept.count()
     val bytes = fs.getContentSummary(hp).getLength
-    val nFiles = math.max(1L, bytes / (128L << 20)).toInt
+    val keptBytes = if (totalRows == 0L) 0L else bytes * keptRows / totalRows
+    val nFiles = math.max(1L, keptBytes / (128L << 20)).toInt
     val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
     fs.delete(tmp, true)
     kept.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    if (maxAgeMs.isEmpty) {
-      val (a, b) = (s.read.parquet(tmp.toString).count(), cur.count())
-      if (a != b) {
-        fs.delete(tmp, true)
-        throw new IllegalStateException(
-          s"admit-index compaction row mismatch: $a compacted vs $b current")
-      }
+    val written = s.read.parquet(tmp.toString).count()
+    if (written != keptRows) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"admit-index compaction row mismatch: $written written vs $keptRows kept")
     }
     fs.delete(hp, true)
     if (!fs.rename(tmp, hp))

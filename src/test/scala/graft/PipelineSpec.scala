@@ -967,28 +967,39 @@ class PipelineSpec extends AnyFunSuite {
       graft.util.CorpusMemo.invalidate(spark, dir)
       Pipeline.minhashSigs(spark, dir).collect().map(_.getLong(0)).sorted.toSeq
     }
+    def gens(): Seq[java.io.File] = new java.io.File(sigsPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen=")).toSeq.sortBy(_.getName)
     try {
       spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
       writeDoc(1L)
       assert(loadIds(tmp.toString) === Seq(1L))
-      val success = new java.io.File(sigsPath, "_SUCCESS")
       val fprint = new java.io.File(sigsPath, "_GRAFT_FINGERPRINT")
-      assert(success.exists() && fprint.exists(),
-        "committed index must carry _SUCCESS and the corpus fingerprint")
+      assert(gens().size === 1 && fprint.exists(),
+        "committed index must carry a generation dir and the corpus fingerprint")
+      val success = new java.io.File(gens().head, "_SUCCESS")
+      assert(success.exists(), "the generation must carry its commit marker")
 
-      // PARTIAL WRITE: strip the commit marker — a crashed first build's
-      // dir exists but must not be served; the next load rebuilds
+      // PARTIAL WRITE: strip the commit marker — a crashed build's gen
+      // dir exists but must not be served; the next load rebuilds it
       assert(success.delete())
       assert(loadIds(tmp.toString) === Seq(1L))
       assert(success.exists(), "rebuild must recommit the _SUCCESS marker")
 
       // CORPUS GROWTH: a new doc lands in the corpus; the stale index
-      // (built at n=1) must be detected by the fingerprint and rebuilt
-      // to include the new signature
+      // (built at n=1) must be detected by the fingerprint and a NEW
+      // generation built with the new signature — the superseded
+      // generation is retained for still-live readers (grace of one)
       writeDoc(5L)
       assert(loadIds(tmp.toString) === Seq(1L, 5L),
         "a grown corpus must invalidate the persisted index")
+      assert(gens().size === 2,
+        "the superseded generation must be retained for live readers")
 
+      // LIVE READER SURVIVES A SWITCH: corpus A's memoized frame keeps
+      // serving after a different corpus repoints the shared sigsPath
+      // (the rebuild writes a new generation instead of deleting files
+      // under A's feet)
+      val aFrame = Pipeline.minhashSigs(spark, tmp.toString)
       // DIR REUSE: a DIFFERENT corpus dir pointed at the same sigsPath
       // must not be served the other corpus's signatures
       val tmp2 = java.nio.file.Files.createTempDirectory("graft_sigs_other")
@@ -999,6 +1010,10 @@ class PipelineSpec extends AnyFunSuite {
           .coalesce(1).write.parquet(docs2)
         assert(loadIds(tmp2.toString) === Seq(9L),
           "a reused sigsPath must rebuild for the new corpus dir")
+        assert(aFrame.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L),
+          "corpus A's live reader must survive corpus B's generation switch")
+        assert(gens().size === 2,
+          "generations beyond current + one-previous must be GC'd")
       } finally {
         graft.util.CorpusMemo.invalidate(spark, tmp2.toString)
         org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)

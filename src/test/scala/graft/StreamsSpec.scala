@@ -555,6 +555,14 @@ class StreamsSpec extends AnyFunSuite {
       Streams.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(1L))
       assert(spark.read.parquet(indexPath).count() === 0L,
         "rows past the freshness window must be pruned")
+      // NO RESURRECTION: a replay drain after the prune produces no new
+      // sink files, so the merge (which sources the drain INCREMENT, not
+      // the accumulated sink) must not re-append the pruned history
+      val run5 = run(s2, "2")
+      assert(spark.read.parquet(indexPath).count() === 0L,
+        "a pruned index must not be repopulated from old drains' sink rows")
+      assert(run5(7L)._4 === true,
+        "with the index history pruned, the census no longer index-flags the doc")
     } finally {
       spark.conf.unset("spark.graft.stream.admitIndexPath")
       Seq(s1, s2).foreach(graft.util.CorpusMemo.invalidate(spark, _))

@@ -36,10 +36,40 @@ def load(path):
             return json.loads(m.group(0))
         except json.JSONDecodeError:
             pass
-    qs = {k: float(v) for k, v in re.findall(r'"(q_\w+)":(-?[0-9.]+)', tail)}
+    # Round-11 artifacts carry three q_* sections (queries/pass1/pass2):
+    # a flat scrape would keep the LAST match per key — pass-2 timings
+    # instead of the min, and a -1 failure in "queries" silently
+    # resurrected by a valid pass-2 number. When both pass sections
+    # survived the (front-)truncation, reconstruct the minima from them
+    # (complete, since they sit at the END of the line); otherwise fall
+    # back to the flat scrape, which is correct for pre-r11 single-
+    # section artifacts.
+    def section(name):
+        m = re.search('"' + name + r'":\{(.*?)\}', tail, re.S)
+        if not m:
+            return None
+        return {k: float(v) for k, v in re.findall(
+            r'"(q_\w+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)', m.group(1))}
+    p1, p2 = section("pass1"), section("pass2")
+    if p1 is not None and p2 is not None:
+        qs = {k: (-1.0 if p1[k] < 0 or p2[k] < 0 else min(p1[k], p2[k]))
+              for k in set(p1) & set(p2)}
+    elif p2 is not None or p1 is not None:
+        # only one pass section survived the truncation: its timings are
+        # internally consistent single-pass numbers (-1 semantics intact),
+        # unlike a flat scrape that would mix sections per key
+        qs = dict(p2 if p2 is not None else p1)
+        print(f"note: {path} kept only one complete pass section — "
+              f"single-pass timings, not min-of-passes")
+        p1 = p2 = None
+    else:
+        qs = {k: float(v) for k, v in re.findall(
+            r'"(q_\w+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)', tail)}
     cal = {k: [float(x) for x in vs.split(",")] for k, vs in re.findall(
         r'"(cal_\w+)":\[([0-9.eE+,\-]+)\]', tail)}
     out = {"queries": qs, "value": sum(v for v in qs.values() if v > 0)}
+    if p1 is not None:
+        out["pass1"], out["pass2"] = p1, p2
     if cal:
         out["calibration"] = cal
     print(f"note: {path} scraped from a (possibly truncated) driver tail — "
