@@ -343,12 +343,24 @@ object Pipeline {
               writeIndexFingerprint(fs, hp, fp)
               // GC every generation other than the new current and the
               // one recorded before the switch (one-generation grace
-              // for readers still holding the superseded files)
+              // for readers still holding the superseded files).
+              // LEGACY flat-layout data files (pre-generational indexes
+              // kept part files at the top level) get the same grace:
+              // they are deleted only once the superseded current is
+              // itself generational — i.e. on the second rebuild after
+              // migration, when the flat files are ≥ two switches
+              // stale. A same-fingerprint recovery (crashed build
+              // re-adopted) is not a switch and deletes nothing.
               val keep = Set(g.getName) ++ recorded.map(r => genPath(r).getName)
+              val supersededWasGenerational = recorded.exists(r =>
+                genPath(r) != g && committed(genPath(r)))
               fs.listStatus(hp).foreach { st =>
-                if (st.isDirectory && st.getPath.getName.startsWith("gen=") &&
-                    !keep(st.getPath.getName))
+                val n = st.getPath.getName
+                if (st.isDirectory && n.startsWith("gen=") && !keep(n))
                   fs.delete(st.getPath, true)
+                else if (!st.isDirectory && supersededWasGenerational &&
+                    !n.startsWith("_") && !n.startsWith("."))
+                  fs.delete(st.getPath, false)
               }
               g
           }

@@ -916,6 +916,55 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sigsPath legacy flat-layout files are GC'd one switch after migration") {
+    // pre-generational indexes kept part files at the TOP level. The
+    // migration rebuild leaves them in place (a legacy reader may still
+    // hold them — the one-switch grace), and the SECOND rebuild, whose
+    // superseded current is itself generational, deletes them.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs_legacy")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val sigsPath = new java.io.File(tmp.toFile, "sigs.parquet").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def writeDoc(id: Long): Unit =
+      spark.createDataFrame(Seq((id, t + s" tail$id words vary", "en", "web", 60L)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(docsDir)
+    def loadIds(): Seq[Long] = {
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      Pipeline.minhashSigs(spark, tmp.toString).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    def legacyFile = new java.io.File(sigsPath, "part-legacy.parquet")
+    try {
+      spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
+      writeDoc(1L)
+      // fabricate the legacy layout: a data file at the top level plus a
+      // (stale) fingerprint — content is never read, only lifecycle matters
+      val stage = new java.io.File(tmp.toFile, "stage").getAbsolutePath
+      spark.range(1).coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      assert(new java.io.File(sigsPath).mkdirs())
+      java.nio.file.Files.copy(part.toPath, legacyFile.toPath)
+      java.nio.file.Files.writeString(
+        new java.io.File(sigsPath, "_GRAFT_FINGERPRINT").toPath, "legacy-flat")
+      // rebuild #1 (migration): fingerprint mismatch → new generation;
+      // legacy file survives the grace window
+      assert(loadIds() === Seq(1L))
+      assert(legacyFile.exists(),
+        "migration must leave legacy flat files for one switch")
+      // rebuild #2 (corpus growth): superseded current is generational →
+      // legacy flat files are ≥ two switches stale and must be GC'd
+      writeDoc(5L)
+      assert(loadIds() === Seq(1L, 5L))
+      assert(!legacyFile.exists(),
+        "the second rebuild must GC the legacy flat files")
+    } finally {
+      spark.conf.unset("spark.graft.minhash.sigsPath")
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("ngram census advisory: mass duplication flips advice to use_minhash") {
     // round 11 (VERDICT #4): past 100,000 ppm of capped pairable keys the
     // census row itself names the remediation — the df-capped blocking
