@@ -322,49 +322,55 @@ object Pipeline {
               case None    => rec.startsWith(s"graft-minhash-v1|$dir|")
             }) && committed(genPath(rec))
           }
-          val gen = current match {
-            case Some(rec) => genPath(rec)
-            case None =>
-              val fp = live.getOrElse(throw new IllegalStateException(
+          current match {
+            case Some(rec) => s.read.parquet(genPath(rec).toString)
+            case None if live.isEmpty =>
+              // ARCHIVED LEGACY INDEX (round-11 review): a
+              // pre-generational index carries no fingerprint to
+              // validate and its corpus is gone, so there is nothing to
+              // rebuild from — but its committed flat data is exactly
+              // what the pre-r11 code served. Keep serving it at the
+              // same trust level rather than failing the upgrade.
+              if (recorded.isEmpty &&
+                  fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
+                s.read.parquet(p)
+              else throw new IllegalStateException(
                 s"minhash index at $p is invalid and the corpus at $dir " +
-                  "is unreadable: nothing to rebuild from"))
+                  "is unreadable: nothing to rebuild from")
+            case None =>
+              val fp = live.get
               val g = genPath(fp)
               if (!committed(g)) {
-                val tmp = new org.apache.hadoop.fs.Path(p + "._build")
+                // per-attempt temp dir + commit-adoption (round-11
+                // review): two sessions on shared storage can race the
+                // same rebuild. Each builds in its own temp; whoever
+                // commits the generation first wins, and a loser that
+                // finds g committed ADOPTS it and discards its own work
+                // (same fingerprint ⇒ equivalent content) instead of
+                // deleting a generation another session already serves.
+                val tmp = new org.apache.hadoop.fs.Path(
+                  p + s"._build-${System.nanoTime()}")
                 fs.delete(tmp, true)
                 computeMinhashSigs(s, dir).write.mode("overwrite")
                   .parquet(tmp.toString)
-                fs.delete(g, true) // only ever a crashed, uncommitted build
-                fs.mkdirs(hp)
-                if (!fs.rename(tmp, g))
-                  throw new IllegalStateException(
-                    s"minhash index generation swap failed: rename($tmp -> $g)")
+                // per-generation provenance, committed atomically with
+                // the data: the GC below scopes retention by corpus dir
+                writeIndexFingerprint(fs, tmp, fp)
+                if (committed(g)) fs.delete(tmp, true)
+                else {
+                  fs.delete(g, true) // only ever a crashed, uncommitted build
+                  fs.mkdirs(hp)
+                  if (!fs.rename(tmp, g)) {
+                    if (committed(g)) fs.delete(tmp, true) // photo-finish loss
+                    else throw new IllegalStateException(
+                      s"minhash index generation swap failed: rename($tmp -> $g)")
+                  }
+                }
               }
               writeIndexFingerprint(fs, hp, fp)
-              // GC every generation other than the new current and the
-              // one recorded before the switch (one-generation grace
-              // for readers still holding the superseded files).
-              // LEGACY flat-layout data files (pre-generational indexes
-              // kept part files at the top level) get the same grace:
-              // they are deleted only once the superseded current is
-              // itself generational — i.e. on the second rebuild after
-              // migration, when the flat files are ≥ two switches
-              // stale. A same-fingerprint recovery (crashed build
-              // re-adopted) is not a switch and deletes nothing.
-              val keep = Set(g.getName) ++ recorded.map(r => genPath(r).getName)
-              val supersededWasGenerational = recorded.exists(r =>
-                genPath(r) != g && committed(genPath(r)))
-              fs.listStatus(hp).foreach { st =>
-                val n = st.getPath.getName
-                if (st.isDirectory && n.startsWith("gen=") && !keep(n))
-                  fs.delete(st.getPath, true)
-                else if (!st.isDirectory && supersededWasGenerational &&
-                    !n.startsWith("_") && !n.startsWith("."))
-                  fs.delete(st.getPath, false)
-              }
-              g
+              gcGenerations(fs, hp, g, recorded)
+              s.read.parquet(g.toString)
           }
-          s.read.parquet(gen.toString)
         case None => computeMinhashSigs(s, dir).stable
       })
 
@@ -387,6 +393,58 @@ object Pipeline {
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
+
+  /** The corpus dir a fingerprint records
+    * (`graft-minhash-v1|<dir>|n=…|max=…`). */
+  private def fpDir(fp: String): Option[String] = {
+    val pre = "graft-minhash-v1|"
+    if (!fp.startsWith(pre)) None
+    else {
+      val rest = fp.stripPrefix(pre)
+      val j = rest.lastIndexOf("|n=")
+      if (j < 0) None else Some(rest.substring(0, j))
+    }
+  }
+
+  /** Generation retention (round-11 review): keep the newest TWO
+    * generations PER CORPUS DIR (provenance from each generation's own
+    * fingerprint file) and never GC across corpora — with several
+    * corpora sharing one sigsPath, another consumer's memoized frame may
+    * still read a different corpus's generation, and the old global
+    * keep-two policy deleted exactly that on the second switch.
+    * Generations with unreadable provenance (pre-round-11 builds) are
+    * never GC'd. Legacy flat-layout data files get a one-switch grace:
+    * deleted only once the superseded current is itself generational —
+    * a same-fingerprint recovery (crashed build re-adopted) is not a
+    * switch and deletes nothing. */
+  private def gcGenerations(fs: org.apache.hadoop.fs.FileSystem,
+                            hp: org.apache.hadoop.fs.Path,
+                            g: org.apache.hadoop.fs.Path,
+                            recorded: Option[String]): Unit = {
+    def genName(fp: String) = "gen=" + sha8(fp)
+    val keep = Set(g.getName) ++ recorded.map(genName)
+    val supersededWasGenerational = recorded.exists { r =>
+      val rg = new org.apache.hadoop.fs.Path(hp, genName(r))
+      rg.getName != g.getName &&
+        fs.exists(new org.apache.hadoop.fs.Path(rg, "_SUCCESS"))
+    }
+    val entries = fs.listStatus(hp).toSeq
+    entries.filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .groupBy(st => readIndexFingerprint(fs, st.getPath).flatMap(fpDir))
+      .foreach {
+        case (Some(_), sts) =>
+          sts.sortBy(-_.getModificationTime).drop(2).foreach { st =>
+            if (!keep(st.getPath.getName)) fs.delete(st.getPath, true)
+          }
+        case (None, _) => () // unknown provenance: never GC'd
+      }
+    entries.foreach { st =>
+      val n = st.getPath.getName
+      if (!st.isDirectory && supersededWasGenerational &&
+          !n.startsWith("_") && !n.startsWith("."))
+        fs.delete(st.getPath, false)
+    }
+  }
 
   private def writeIndexFingerprint(fs: org.apache.hadoop.fs.FileSystem,
                                     dirPath: org.apache.hadoop.fs.Path,

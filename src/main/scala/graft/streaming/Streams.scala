@@ -891,25 +891,7 @@ object Streams {
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // With the durable index on, the merge below must see only THIS
-    // drain's increment — pin the sink's pre-drain data files so the
-    // post-drain difference is exactly the new batch's output. Merging
-    // from the whole accumulated sink would (a) grow merge cost with
-    // cumulative sink size instead of the increment and (b) RESURRECT
-    // rows an age-pruned compaction removed (the resume path re-reads
-    // old drains' rows forever, and the anti-join no longer excludes a
-    // doc whose index rows were pruned).
-    def sinkDataFiles(): Set[String] = {
-      val dp = new org.apache.hadoop.fs.Path(data)
-      val dfs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!dfs.exists(dp)) Set.empty
-      else dfs.listStatus(dp).toSeq
-        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
-        .map(_.getPath.toString).toSet
-    }
     val durablePath = s.conf.getOption("spark.graft.stream.admitIndexPath")
-    val sinkBefore = if (durablePath.isDefined) sinkDataFiles() else Set.empty[String]
     val drained =
       // 8 state lanes, not the 2 the small per-user flavors use: this
       // stream keys state by BAND (16 per doc — ~20k groups at sf0.1),
@@ -946,52 +928,69 @@ object Streams {
     // the RocksDB carrier state is CHECKPOINT-scoped — a wiped checkpoint,
     // an index migration, or a fresh ingest pipeline loses every prior
     // admission. With the knob set, each drain MERGES its increment's
-    // band rows into a parquet index table (append of exactly the docs
-    // not yet present — a doc_id anti-join makes replays idempotent), and
-    // the census below probes the PRE-DRAIN snapshot of that table
-    // alongside the static corpus index, so run N+1 collides with run N's
-    // admissions from parquet alone. The snapshot is pinned by listing
-    // the index's data files BEFORE the append: the census is lazy, and
-    // an unpinned read would see this run's own rows — double-counting
-    // the in-batch collisions the stream lane already reports. Same-run
-    // self-hits are nulled by doc_id (a replayed doc must not collide
-    // with itself). ALL drained docs' bands enter the index, admitted or
-    // not — parity with the carrier state's insert semantics (near-dups
-    // of near-dups must flag). Steady-state cost ∝ increment + one
-    // doc_id anti-join against the index, never the corpus. Off by
-    // default: the declared query's plan and hash are untouched. The
-    // parquet append commits through Spark's staged job-commit protocol
-    // (_temporary → rename), so a crashed append leaves no visible rows.
-    val durableSnapshot: Option[DataFrame] = durablePath.flatMap { p =>
+    // band rows into a generational parquet index and the census below
+    // probes the PRE-merge snapshot of it alongside the static corpus
+    // index, so run N+1 collides with run N's admissions from parquet
+    // alone.
+    //
+    // Crash-safe increment accounting (round-11 review): the increment
+    // is "committed sink files without a marker in the index's _merged
+    // log" — NOT a pre/post directory diff of one run, which silently
+    // loses an increment forever when the process dies between the
+    // drain's checkpoint commit and the index append. Committed files
+    // come from `input_file_name()` over the metadata-log-aware sink
+    // read, so an orphaned task file from a failed attempt (present on
+    // disk, absent from _spark_metadata) can never leak rows into the
+    // index. A crash anywhere between the append and the last marker
+    // write just re-processes those files next drain, and the
+    // (doc_id, b, key) anti-join makes the retry idempotent at ROW
+    // granularity — a partially-appended doc heals instead of being
+    // excluded forever. The _merged log lives beside the generations
+    // and is never touched by compaction, so an age-pruned row's sink
+    // file stays marked and pruned history is never resurrected.
+    val durableIx: Option[(org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path, Seq[String])] = durablePath.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(hp)) None
-      else {
-        val files = fs.listStatus(hp).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.startsWith("."))
-          .map(_.getPath.toString)
-        if (files.isEmpty) None else Some(s.read.parquet(files: _*))
-      }
+      val snapFiles = admitGenDir(fs, hp).map(g => dataFilesIn(fs, g))
+        .getOrElse(Seq.empty)
+      (fs, hp, snapFiles)
     }
-    durablePath.foreach { p =>
-      // the INCREMENT: exactly the sink files this drain produced (the
-      // census below still reads the whole sink — coverage and merge
-      // have different scopes by design)
-      val newFiles = (sinkDataFiles() -- sinkBefore).toSeq
+    durableIx.foreach { case (fs, hp, snapFiles) =>
+      val mergedLog = new org.apache.hadoop.fs.Path(hp, "_merged")
+      val sinkPath = new org.apache.hadoop.fs.Path(data)
+      val sinkFs = sinkPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val committedSink: Seq[String] =
+        if (!sinkFs.exists(sinkPath)) Seq.empty
+        else drained.select(input_file_name().as("f")).distinct()
+          .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
+      val marked: Set[String] =
+        if (!fs.exists(mergedLog)) Set.empty
+        else fs.listStatus(mergedLog).map(_.getPath.getName).toSet
+      // marker key = bare file name (unique per sink: job-UUID names),
+      // robust to scheme/prefix differences in input_file_name URIs
+      val newFiles = committedSink
+        .filterNot(f => marked(new org.apache.hadoop.fs.Path(f).getName))
       if (newFiles.nonEmpty) {
-        val newBands = s.read.parquet(newFiles: _*)
-          .select(col("doc_id"), col("b"), col("key"))
-        val inc = durableSnapshot match {
-          case Some(ix) => newBands.join(
-            ix.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-          case None => newBands
-        }
+        val newRows = s.read.parquet(newFiles: _*)
+          .select(col("doc_id"), col("b"), col("key")).distinct()
+        val inc =
+          if (snapFiles.isEmpty) newRows
+          else newRows.join(
+            s.read.parquet(snapFiles: _*).select(col("doc_id"), col("b"), col("key")),
+            Seq("doc_id", "b", "key"), "left_anti")
+        val genDir = admitGenDir(fs, hp)
+          .getOrElse(new org.apache.hadoop.fs.Path(hp, newGenName(fs, hp)))
         // merged_at_ms stamps the MERGE wall-clock (constant per drain):
-        // the age axis [[compactAdmitIndex]]'s freshness-window prune
-        // cuts on. Probe joins never read it.
+        // it orders the census's index lane (earlier-arrivals-only) and
+        // is the age axis [[compactAdmitIndex]]'s freshness prune cuts on
         inc.withColumn("merged_at_ms", lit(System.currentTimeMillis()))
-          .write.mode("append").parquet(p)
+          .write.mode("append").parquet(genDir.toString)
+        writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile),
+          genDir.getName)
+        fs.mkdirs(mergedLog)
+        newFiles.foreach(f => fs.create(new org.apache.hadoop.fs.Path(mergedLog,
+          new org.apache.hadoop.fs.Path(f).getName), true).close())
       }
     }
     // static-index census post-drain: the left join fans a band row per
@@ -999,17 +998,32 @@ object Streams {
     val staticIndex = graft.operators.Pipeline.minhashBands(s, dir)
       .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
       .select(col("b"), col("key"), col("doc_id").as("index_doc"))
-    val index = durableSnapshot match {
-      case Some(ix) => staticIndex.unionByName(
-        ix.select(col("b"), col("key"), col("doc_id").as("index_doc")))
-      case None => staticIndex
+    val probed = durableIx match {
+      case Some((_, _, snapFiles)) if snapFiles.nonEmpty =>
+        val ix0 = s.read.parquet(snapFiles: _*)
+        // ARRIVAL-ORDERED index lane (round-11 review): a doc is flagged
+        // only against index rows merged STRICTLY BEFORE its own merge
+        // (static corpus rows predate everything — null ix_ms always
+        // counts). Without the ordering, a carrier whose twin merged
+        // LATER gets retroactively flagged against that twin on the next
+        // census — first-arrival-wins must stay stable under replays.
+        // Strict < also subsumes self-nulling (a doc's own rows share
+        // its stamp).
+        val durIx = ix0.select(col("b"), col("key"),
+          col("doc_id").as("index_doc"), col("merged_at_ms").as("ix_ms"))
+        val own = ix0.groupBy(col("doc_id"))
+          .agg(min(col("merged_at_ms")).as("own_ms"))
+        val index = staticIndex
+          .withColumn("ix_ms", lit(null).cast("long")).unionByName(durIx)
+        drained.join(own, Seq("doc_id"), "left")
+          .join(index, Seq("b", "key"), "left")
+          .withColumn("index_doc",
+            when(col("own_ms").isNotNull && col("ix_ms").isNotNull &&
+                col("ix_ms") >= col("own_ms"), lit(null).cast("long"))
+              .otherwise(col("index_doc")))
+          .drop("own_ms", "ix_ms")
+      case _ => drained.join(staticIndex, Seq("b", "key"), "left")
     }
-    val probed0 = drained.join(index, Seq("b", "key"), "left")
-    val probed = if (durableSnapshot.isDefined)
-      probed0.withColumn("index_doc",
-        when(col("index_doc") === col("doc_id"), lit(null).cast("long"))
-          .otherwise(col("index_doc")))
-    else probed0
     probed
       .groupBy("doc_id")
       .agg(count(col("index_doc")).as("n_index_hits"),
@@ -1027,57 +1041,155 @@ object Streams {
       .orderBy("doc_id")
   }
 
+  // ------------- durable admit index layout (round 11) -------------
+  //
+  //   p/_GRAFT_CURRENT      text file naming the current generation dir
+  //   p/gen-<epochms>/      parquet data (job _SUCCESS inside)
+  //   p/_merged/<filename>  one empty marker per merged sink data file
+  //
+  // Appends go into the current generation; compaction writes a NEW
+  // generation and repoints — nothing is ever deleted before its
+  // replacement is committed and referenced (the sigsPath generational
+  // discipline). The _merged log lives beside the generations, so
+  // compaction/pruning never forgets which sink files were merged.
+
+  private val AdmitPointerFile = "_GRAFT_CURRENT"
+
+  private def dataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            f: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                             f: org.apache.hadoop.fs.Path, v: String): Unit = {
+    val out = fs.create(f, true)
+    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The index's CURRENT generation: the pointer file's target if it is
+    * a committed generation, else the newest committed `gen-*` dir (a
+    * torn or missing pointer — crash between gen commit and repoint —
+    * recovers to the newest complete data rather than losing history). */
+  private[graft] def admitGenDir(fs: org.apache.hadoop.fs.FileSystem,
+                                 hp: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(hp)) return None
+    def committed(g: org.apache.hadoop.fs.Path) =
+      fs.exists(g) && fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS"))
+    readSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile))
+      .map(n => new org.apache.hadoop.fs.Path(hp, n)).filter(committed)
+      .orElse {
+        fs.listStatus(hp).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+          .map(_.getPath).filter(committed).sortBy(_.getName).lastOption
+      }
+  }
+
+  /** A fresh generation name, strictly greater than any existing one so
+    * the torn-pointer fallback (newest by name) stays correct even under
+    * clock skew. */
+  private def newGenName(fs: org.apache.hadoop.fs.FileSystem,
+                         hp: org.apache.hadoop.fs.Path): String = {
+    val existingMax: Long =
+      if (!fs.exists(hp)) 0L
+      else fs.listStatus(hp).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen-").toLong).toOption)
+        .foldLeft(0L)(math.max)
+    f"gen-${math.max(System.currentTimeMillis(), existingMax + 1L)}%013d"
+  }
+
+  /** Read the durable admit index's current generation — the user-facing
+    * read surface (empty frame with the index schema when absent). */
+  def admitIndexRows(s: SparkSession, path: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    admitGenDir(fs, hp) match {
+      case Some(g) => s.read.parquet(g.toString)
+      case None =>
+        import org.apache.spark.sql.types._
+        s.createDataFrame(java.util.Collections.emptyList[Row](),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("b", IntegerType), StructField("key", StringType),
+            StructField("merged_at_ms", LongType))))
+    }
+  }
+
   /** Compact the durable admit index (`spark.graft.stream.admitIndexPath`):
-    * every drain APPENDS one file set, so a long-lived ingest pipeline
-    * accumulates part files with drain COUNT, not data size — listing
-    * and scan overhead on every later snapshot read. Rewrites the index
-    * into a right-sized file set (~128 MB targets), optionally pruning
-    * rows merged more than `maxAgeMs` ago — the freshness-window policy
-    * for deployments running the admit TTL: the index is append-only
-    * HISTORY and the TTL does NOT prune it, so without an age prune a
-    * band key the TTL already evicted still index-flags its re-arrival
-    * forever. Swap is the same temp-sibling + rename discipline as the
-    * minhash sigsPath index (atomic on HDFS/local FS), with a row-count
-    * verification before the swap when nothing is being pruned. Run it
-    * BETWEEN drains — the one-shot `AvailableNow` model means the owner
-    * schedules both, and a compaction racing an append could drop that
-    * append's rows at the swap. */
+    * every drain APPENDS one file set into the current generation, so a
+    * long-lived ingest pipeline accumulates part files with drain COUNT,
+    * not data size. Writes the survivors into a NEW right-sized
+    * generation (~128 MB targets, sized from the KEPT bytes), verifies
+    * the row count, REPOINTS, and GCs all generations but the new one
+    * and its predecessor (one-switch grace for census frames still
+    * holding the superseded files). Optionally prunes rows merged more
+    * than `maxAgeMs` ago — the freshness-window policy for deployments
+    * running the admit TTL: the index is append-only HISTORY the TTL
+    * never touches. Nothing is deleted before its replacement is
+    * committed AND referenced, so no crash point loses the index (a
+    * crash between gen commit and repoint recovers via the
+    * newest-committed fallback); the _merged log is untouched, so pruned
+    * history is never re-merged. Run it BETWEEN drains — the one-shot
+    * `AvailableNow` model means the owner schedules both. */
   def compactAdmitIndex(s: SparkSession, path: String,
                         maxAgeMs: Option[Long] = None): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(hp)) return
-    val cur = s.read.parquet(path)
+    val gen = admitGenDir(fs, hp).getOrElse(return)
+    val cur = s.read.parquet(gen.toString)
     val kept = maxAgeMs match {
       case Some(w) =>
         val cutoff = System.currentTimeMillis() - w
         cur.filter(col("merged_at_ms") >= cutoff)
       case None => cur
     }
-    // right-size from the KEPT bytes (pre-prune dir bytes scaled by the
-    // surviving row fraction): sizing from the unpruned directory would
-    // fan a heavily-pruned survivor set into many near-empty files — the
-    // exact small-files overhead this compactor exists to remove. The
-    // two counts are cheap next to the rewrite and double as the
+    // right-size from the KEPT bytes (current-gen bytes scaled by the
+    // surviving row fraction): sizing from the unpruned data would fan a
+    // heavily-pruned survivor set into many near-empty files — the exact
+    // small-files overhead this compactor exists to remove. The two
+    // counts are cheap next to the rewrite and double as the
     // row-preservation verification.
     val totalRows = cur.count()
     val keptRows = if (maxAgeMs.isEmpty) totalRows else kept.count()
-    val bytes = fs.getContentSummary(hp).getLength
+    val bytes = fs.getContentSummary(gen).getLength
     val keptBytes = if (totalRows == 0L) 0L else bytes * keptRows / totalRows
     val nFiles = math.max(1L, keptBytes / (128L << 20)).toInt
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact")
-    fs.delete(tmp, true)
-    kept.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
-    val written = s.read.parquet(tmp.toString).count()
+    val newGen = new org.apache.hadoop.fs.Path(hp, newGenName(fs, hp))
+    kept.repartition(nFiles).write.mode("overwrite").parquet(newGen.toString)
+    val written = s.read.parquet(newGen.toString).count()
     if (written != keptRows) {
-      fs.delete(tmp, true)
+      fs.delete(newGen, true)
       throw new IllegalStateException(
         s"admit-index compaction row mismatch: $written written vs $keptRows kept")
     }
-    fs.delete(hp, true)
-    if (!fs.rename(tmp, hp))
-      throw new IllegalStateException(
-        s"admit-index compaction swap failed: rename($tmp -> $hp)")
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile),
+      newGen.getName)
+    val keep = Set(newGen.getName, gen.getName)
+    fs.listStatus(hp).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("gen-") && !keep(n))
+        fs.delete(st.getPath, true)
+    }
   }
 
   /** Streaming drift monitor (15th flavor) — live traffic (odd

@@ -34,7 +34,7 @@ object AdmitIndexCompact {
     }
     val t0 = System.nanoTime()
     graft.streaming.Streams.compactAdmitIndex(spark, path, maxAge)
-    val rows = spark.read.parquet(path).count()
+    val rows = graft.streaming.Streams.admitIndexRows(spark, path).count()
     println(f"COMPACTED $path in ${(System.nanoTime() - t0) / 1e9}%.2f s, $rows rows")
     spark.stop()
   }

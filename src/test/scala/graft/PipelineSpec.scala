@@ -916,6 +916,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("archived legacy flat sigsPath (no fingerprint, corpus gone) still serves") {
+    // round-11 review: a pre-generational index has no fingerprint and
+    // its corpus may be archived — committed flat data at the top level
+    // is exactly what the old code served, so the upgrade must keep
+    // serving it instead of throwing "nothing to rebuild from".
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs_archived")
+    val sigsPath = new java.io.File(tmp.toFile, "sigs.parquet").getAbsolutePath
+    val goneCorpus = new java.io.File(tmp.toFile, "archived_corpus").getAbsolutePath
+    try {
+      spark.createDataFrame(Seq((42L, 7L))).toDF("doc_id", "m0")
+        .coalesce(1).write.parquet(sigsPath)
+      spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
+      val got = Pipeline.minhashSigs(spark, goneCorpus)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(42L),
+        "the committed legacy flat data must be served at the old trust level")
+    } finally {
+      spark.conf.unset("spark.graft.minhash.sigsPath")
+      graft.util.CorpusMemo.invalidate(spark, goneCorpus)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("sigsPath legacy flat-layout files are GC'd one switch after migration") {
     // pre-generational indexes kept part files at the TOP level. The
     // migration rebuild leaves them in place (a legacy reader may still
@@ -1061,8 +1084,19 @@ class PipelineSpec extends AnyFunSuite {
           "a reused sigsPath must rebuild for the new corpus dir")
         assert(aFrame.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L),
           "corpus A's live reader must survive corpus B's generation switch")
-        assert(gens().size === 2,
-          "generations beyond current + one-previous must be GC'd")
+        // retention is PER CORPUS DIR (round-11 review): corpus B's
+        // switch retains BOTH of A's generations — a cross-corpus GC
+        // could delete a generation another consumer's memo still reads
+        assert(gens().size === 3,
+          "cross-corpus generations must be retained (A×2 + B×1)")
+        // a further SAME-corpus growth trims A to its newest two: the
+        // oldest A generation goes, the one aFrame holds survives
+        writeDoc(7L)
+        assert(loadIds(tmp.toString) === Seq(1L, 5L, 7L))
+        assert(gens().size === 3,
+          "per-corpus keep-two: A's oldest generation must be GC'd (A×2 + B×1)")
+        assert(aFrame.collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L),
+          "the one-switch grace must still cover aFrame's generation")
       } finally {
         graft.util.CorpusMemo.invalidate(spark, tmp2.toString)
         org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)

@@ -514,15 +514,24 @@ class StreamsSpec extends AnyFunSuite {
     try {
       // run 1: slice 1 admits doc 3; its 16 band rows land in the index
       assert(run(s1, "1")(3L) === ((0L, 0L, -1L, true)))
-      assert(spark.read.parquet(indexPath).count() === 16L,
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 16L,
         "all 16 band rows of the admitted doc must be merged")
+      // CRASH-SAFE MERGE ACCOUNTING: losing the _merged markers (≙ a
+      // crash between the index append and the marker writes) re-merges
+      // those sink files on the next drain; the (doc_id, b, key)
+      // anti-join keeps the retry idempotent
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(indexPath, "_merged"))
+      assert(run(s1, "1")(3L) === ((0L, 0L, -1L, true)))
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 16L,
+        "re-merging unmarked sink files must not duplicate index rows")
       // TOTAL STATE LOSS: run 2 uses a fresh checkpoint + sink (≙ wiped)
       // on a separate slice — doc 7 (identical text) must collide with
       // run-1's admission THROUGH THE PARQUET INDEX alone
       val run2 = run(s2, "2")
       assert(run2(7L) === ((16L, 0L, 3L, false)),
         s"doc 7 must flag against run-1 admission 3 via the index: ${run2(7L)}")
-      assert(spark.read.parquet(indexPath).count() === 32L,
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
         "run 2's increment must also merge into the index")
       // IDEMPOTENT REPLAY: re-draining the same checkpoint (no new files)
       // re-censuses the sink against an index that now holds doc 7's own
@@ -530,17 +539,21 @@ class StreamsSpec extends AnyFunSuite {
       val run3 = run(s2, "2")
       assert(run3(7L) === ((16L, 0L, 3L, false)),
         s"replay must not self-collide or change the census: ${run3(7L)}")
-      assert(spark.read.parquet(indexPath).count() === 32L,
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
         "replay must not duplicate index rows")
       // COMPACTION: two drains appended two file sets; the compactor
       // rewrites them into a right-sized set, rows preserved, and the
       // compacted index still serves the census (doc 7 still flagged)
-      def partFiles(): Int = new java.io.File(indexPath).listFiles()
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      def partFiles(): Int = {
+        val cur = java.nio.file.Files.readString(
+          new java.io.File(indexPath, "_GRAFT_CURRENT").toPath).trim
+        new java.io.File(indexPath, cur).listFiles()
+          .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      }
       assert(partFiles() >= 2, "two drains must have appended two file sets")
       Streams.compactAdmitIndex(spark, indexPath)
       assert(partFiles() === 1, "fixture-sized index compacts to one file")
-      assert(spark.read.parquet(indexPath).count() === 32L)
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L)
       val run4 = run(s2, "2")
       assert(run4(7L) === ((16L, 0L, 3L, false)),
         s"the compacted index must still serve the census: ${run4(7L)}")
@@ -549,17 +562,17 @@ class StreamsSpec extends AnyFunSuite {
       // here merged more than 50 ms ago → a 1 ms window empties it; a
       // generous window keeps it
       Streams.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(3600000L))
-      assert(spark.read.parquet(indexPath).count() === 32L,
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
         "rows inside the freshness window must survive an age-pruned compaction")
       Thread.sleep(50L)
       Streams.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(1L))
-      assert(spark.read.parquet(indexPath).count() === 0L,
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 0L,
         "rows past the freshness window must be pruned")
       // NO RESURRECTION: a replay drain after the prune produces no new
       // sink files, so the merge (which sources the drain INCREMENT, not
       // the accumulated sink) must not re-append the pruned history
       val run5 = run(s2, "2")
-      assert(spark.read.parquet(indexPath).count() === 0L,
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 0L,
         "a pruned index must not be repopulated from old drains' sink rows")
       assert(run5(7L)._4 === true,
         "with the index history pruned, the census no longer index-flags the doc")
@@ -602,7 +615,15 @@ class StreamsSpec extends AnyFunSuite {
         s"the carrier must not collide with its own index rows: ${r2(3L)}")
       assert(r2(7L) === ((16L, 16L, 3L, false)),
         s"a live-state resume with the index on reports BOTH lanes: ${r2(7L)}")
-      assert(spark.read.parquet(indexPath).count() === 32L)
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L)
+      // FIRST-ARRIVAL STABILITY (round-11 review): a third census, with
+      // the twin's rows now IN the index, must not retroactively flag
+      // the carrier against its later-arriving twin — the index lane is
+      // arrival-ordered (strictly-earlier merges only)
+      val r3 = run()
+      assert(r3(3L) === ((0L, 0L, -1L, true)),
+        s"the carrier must stay admitted after its twin merges: ${r3(3L)}")
+      assert(r3(7L) === ((16L, 16L, 3L, false)), s"twin census drifted: ${r3(7L)}")
     } finally {
       spark.conf.unset("spark.graft.stream.admitIndexPath")
       graft.util.CorpusMemo.invalidate(spark, tmp.toString)
