@@ -285,20 +285,32 @@ object Pipeline {
           // max doc_id — one cheap column-stats aggregate, paid once
           // per session on the memo miss) matches the live corpus.
           //
-          // GENERATIONAL LAYOUT: data lives under `p/gen=<sha8(fp)>/`
-          // with `p/_GRAFT_FINGERPRINT` naming the current generation.
-          // A rebuild writes the NEW generation and repoints the
-          // fingerprint — it never deletes the files a still-live
-          // reader (another corpus's memoized frame in this session, or
-          // another session on shared storage) may hold open; the
-          // superseded generation is retained until the NEXT switch
-          // (one-generation grace), then GC'd. A crash mid-rebuild
-          // leaves either the old current generation or an uncommitted
-          // gen dir the next build deletes; a crash after the gen
-          // commit but before the fingerprint repoint self-heals — the
-          // next build finds the committed generation and adopts it.
-          // (Directory rename is atomic on HDFS/local FS; object stores
-          // want a copy-commit layer — the Checkpoints.scala caveat.)
+          // GENERATIONAL LAYOUT (round 12): data lives under
+          // `p/gen=<sha8(fp)>-<nonce>/` — a name UNIQUE PER BUILD
+          // ATTEMPT — with `p/_GRAFT_CURRENT` naming the current
+          // generation and `p/_GRAFT_FINGERPRINT` recording the corpus
+          // it serves. A rebuild writes the NEW generation and repoints
+          // — it never deletes the files a still-live reader (another
+          // corpus's memoized frame in this session, or another session
+          // on shared storage) may hold open; the superseded generation
+          // is retained until the NEXT switch (one-generation grace),
+          // then GC'd. Because every attempt renames into a FRESH name,
+          // no code path deletes or renames over a directory another
+          // session could have committed — the r11 delete-then-rename
+          // into the fixed `gen=<sha8>` name had a TOCTOU hole (ADVICE):
+          // between this session's committed(g) check and its delete,
+          // another session could commit g, and the delete destroyed a
+          // generation that session already served. Concurrent builders
+          // of the SAME fingerprint race benignly: whoever repoints last
+          // wins, both generations are committed and equivalent, and the
+          // loser's is GC'd at the next switch. A crash mid-rebuild
+          // leaves only a `._build-*` temp; a crash after the rename but
+          // before the repoint self-heals — the next load ADOPTS any
+          // committed generation whose own fingerprint matches. Pre-r12
+          // fixed-name generations resolve via the fingerprint-derived
+          // fallback and keep serving unmigrated. (Directory rename is
+          // atomic on HDFS/local FS; object stores want a copy-commit
+          // layer — the Checkpoints.scala caveat.)
           val hp = new org.apache.hadoop.fs.Path(p)
           val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
           // The source corpus may legitimately be GONE at read time (the
@@ -311,43 +323,67 @@ object Pipeline {
           val live =
             try Some(corpusFingerprint(s, dir))
             catch { case _: Exception => None }
-          def genPath(fp: String) =
+          def genFixed(fp: String) =
             new org.apache.hadoop.fs.Path(hp, "gen=" + sha8(fp))
           def committed(g: org.apache.hadoop.fs.Path) =
             fs.exists(g) && fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS"))
           val recorded = readIndexFingerprint(fs, hp)
-          val current = recorded.filter { rec =>
-            (live match {
-              case Some(l) => rec == l
-              case None    => rec.startsWith(s"graft-minhash-v1|$dir|")
-            }) && committed(genPath(rec))
+          def fpMatches(rec: String) = live match {
+            case Some(l) => rec == l
+            case None    => rec.startsWith(s"graft-minhash-v1|$dir|")
+          }
+          // resolve the current generation: the pointer file names it;
+          // pre-r12 layouts fall back to the fingerprint-derived fixed
+          // name. Either way the generation must be committed AND carry
+          // matching per-generation provenance — a pointer torn by a
+          // crash between rename and repoint resolves to None and the
+          // adoption path below heals it.
+          val pointed = readSmallText(fs,
+              new org.apache.hadoop.fs.Path(hp, IndexPointerFile))
+            .map(n => new org.apache.hadoop.fs.Path(hp, n))
+          val current = recorded.filter(fpMatches).flatMap { rec =>
+            (pointed.toSeq :+ genFixed(rec))
+              .find(g => committed(g) && readIndexFingerprint(fs, g).contains(rec))
           }
           current match {
-            case Some(rec) => s.read.parquet(genPath(rec).toString)
+            case Some(g) => s.read.parquet(g.toString)
             case None if live.isEmpty =>
               // ARCHIVED LEGACY INDEX (round-11 review): a
               // pre-generational index carries no fingerprint to
               // validate and its corpus is gone, so there is nothing to
               // rebuild from — but its committed flat data is exactly
               // what the pre-r11 code served. Keep serving it at the
-              // same trust level rather than failing the upgrade.
+              // same trust level rather than failing the upgrade — via
+              // an EXPLICIT top-level file list (ADVICE round 11): a
+              // directory read would partition-discover any `gen=*`
+              // subdirs as a 'gen' column and serve a mixed
+              // flat+generational frame if the top-level fingerprint is
+              // ever lost after migration while the flat _SUCCESS
+              // remains.
+              val flat = topLevelDataFiles(fs, hp)
               if (recorded.isEmpty &&
-                  fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")))
-                s.read.parquet(p)
+                  fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")) &&
+                  flat.nonEmpty)
+                s.read.parquet(flat: _*)
               else throw new IllegalStateException(
                 s"minhash index at $p is invalid and the corpus at $dir " +
                   "is unreadable: nothing to rebuild from")
             case None =>
               val fp = live.get
-              val g = genPath(fp)
-              if (!committed(g)) {
-                // per-attempt temp dir + commit-adoption (round-11
-                // review): two sessions on shared storage can race the
-                // same rebuild. Each builds in its own temp; whoever
-                // commits the generation first wins, and a loser that
-                // finds g committed ADOPTS it and discards its own work
-                // (same fingerprint ⇒ equivalent content) instead of
-                // deleting a generation another session already serves.
+              // ADOPTION-FIRST: any committed generation whose own
+              // provenance matches the live corpus serves as-is — a
+              // crash between a winner's rename and its repoint, or a
+              // concurrent session's fresh build, is adopted instead of
+              // rebuilt (same fingerprint ⇒ equivalent content).
+              def adoptable(): Option[org.apache.hadoop.fs.Path] =
+                if (!fs.exists(hp)) None
+                else fs.listStatus(hp).toSeq
+                  .filter(st => st.isDirectory &&
+                    st.getPath.getName.startsWith("gen="))
+                  .map(_.getPath)
+                  .find(g => committed(g) &&
+                    readIndexFingerprint(fs, g).contains(fp))
+              val g = adoptable().getOrElse {
                 val tmp = new org.apache.hadoop.fs.Path(
                   p + s"._build-${System.nanoTime()}")
                 fs.delete(tmp, true)
@@ -356,19 +392,29 @@ object Pipeline {
                 // per-generation provenance, committed atomically with
                 // the data: the GC below scopes retention by corpus dir
                 writeIndexFingerprint(fs, tmp, fp)
-                if (committed(g)) fs.delete(tmp, true)
-                else {
-                  fs.delete(g, true) // only ever a crashed, uncommitted build
-                  fs.mkdirs(hp)
-                  if (!fs.rename(tmp, g)) {
-                    if (committed(g)) fs.delete(tmp, true) // photo-finish loss
-                    else throw new IllegalStateException(
-                      s"minhash index generation swap failed: rename($tmp -> $g)")
-                  }
+                adoptable() match {
+                  // another session committed this fingerprint while we
+                  // were building: adopt its generation, discard ours
+                  case Some(won) => fs.delete(tmp, true); won
+                  case None =>
+                    // rename into a name UNIQUE to this attempt: no
+                    // session ever deletes or renames over a path
+                    // another session could serve (the ADVICE TOCTOU)
+                    val fresh = new org.apache.hadoop.fs.Path(hp,
+                      s"gen=${sha8(fp)}-${java.lang.Long.toHexString(System.nanoTime())}")
+                    fs.mkdirs(hp)
+                    if (!fs.rename(tmp, fresh))
+                      throw new IllegalStateException(
+                        s"minhash index generation swap failed: rename($tmp -> $fresh)")
+                    fresh
                 }
               }
+              val prevPointer = readSmallText(fs,
+                new org.apache.hadoop.fs.Path(hp, IndexPointerFile))
+              writeSmallText(fs,
+                new org.apache.hadoop.fs.Path(hp, IndexPointerFile), g.getName)
               writeIndexFingerprint(fs, hp, fp)
-              gcGenerations(fs, hp, g, recorded)
+              gcGenerations(fs, hp, g, recorded, prevPointer)
               s.read.parquet(g.toString)
           }
         case None => computeMinhashSigs(s, dir).stable
@@ -388,6 +434,41 @@ object Pipeline {
   }
 
   private val IndexFingerprintFile = "_GRAFT_FINGERPRINT"
+  private val IndexPointerFile = "_GRAFT_CURRENT"
+
+  /** Top-level DATA files of the index dir (legacy flat layout): never a
+    * directory read, so `gen=*` subdirs cannot be partition-discovered
+    * into the frame (ADVICE round 11). */
+  private def topLevelDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                hp: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(hp)) Seq.empty
+    else fs.listStatus(hp).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+
+  private def writeSmallText(fs: org.apache.hadoop.fs.FileSystem,
+                             f: org.apache.hadoop.fs.Path, v: String): Unit = {
+    val out = fs.create(f, true)
+    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
+                            f: org.apache.hadoop.fs.Path): Option[String] =
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
 
   private def sha8(v: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -412,33 +493,51 @@ object Pipeline {
     * corpora sharing one sigsPath, another consumer's memoized frame may
     * still read a different corpus's generation, and the old global
     * keep-two policy deleted exactly that on the second switch.
-    * Generations with unreadable provenance (pre-round-11 builds) are
-    * never GC'd. Legacy flat-layout data files get a one-switch grace:
+    * COMMITTED generations with unreadable provenance (pre-round-11
+    * builds) are never GC'd; UNCOMMITTED gen dirs are crash debris
+    * (round 12: live generations only ever arrive by atomic rename of a
+    * committed temp into a unique name) and are deleted. Legacy
+    * flat-layout data files get a one-switch grace:
     * deleted only once the superseded current is itself generational —
     * a same-fingerprint recovery (crashed build re-adopted) is not a
     * switch and deletes nothing. */
   private def gcGenerations(fs: org.apache.hadoop.fs.FileSystem,
                             hp: org.apache.hadoop.fs.Path,
                             g: org.apache.hadoop.fs.Path,
-                            recorded: Option[String]): Unit = {
-    def genName(fp: String) = "gen=" + sha8(fp)
-    val keep = Set(g.getName) ++ recorded.map(genName)
-    val supersededWasGenerational = recorded.exists { r =>
-      val rg = new org.apache.hadoop.fs.Path(hp, genName(r))
-      rg.getName != g.getName &&
-        fs.exists(new org.apache.hadoop.fs.Path(rg, "_SUCCESS"))
+                            recorded: Option[String],
+                            prevPointer: Option[String]): Unit = {
+    // the superseded current = the previous pointer target (round 12) or,
+    // on a pre-pointer layout, the fingerprint-derived fixed name
+    val prevCurrent: Option[String] =
+      prevPointer.orElse(recorded.map(r => "gen=" + sha8(r)))
+    val keep = Set(g.getName) ++ prevCurrent
+    val supersededWasGenerational = prevCurrent.exists { n =>
+      n != g.getName && fs.exists(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(hp, n), "_SUCCESS"))
     }
     val entries = fs.listStatus(hp).toSeq
-    entries.filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+    val (genDirs, rest) = entries.partition(st =>
+      st.isDirectory && st.getPath.getName.startsWith("gen="))
+    // UNCOMMITTED gen dirs are debris, whoever they belonged to: since
+    // round 12 every live generation arrives by ATOMIC rename of a
+    // fully-committed temp (and its unique name means no session will
+    // ever commit into it later); pre-r12 partial writes are exactly the
+    // crashed builds the old code deleted inline.
+    val (committedGens, debris) = genDirs.partition(st =>
+      fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+    debris.foreach { st =>
+      if (st.getPath.getName != g.getName) fs.delete(st.getPath, true)
+    }
+    committedGens
       .groupBy(st => readIndexFingerprint(fs, st.getPath).flatMap(fpDir))
       .foreach {
         case (Some(_), sts) =>
           sts.sortBy(-_.getModificationTime).drop(2).foreach { st =>
             if (!keep(st.getPath.getName)) fs.delete(st.getPath, true)
           }
-        case (None, _) => () // unknown provenance: never GC'd
+        case (None, _) => () // committed, unknown provenance: never GC'd
       }
-    entries.foreach { st =>
+    rest.foreach { st =>
       val n = st.getPath.getName
       if (!st.isDirectory && supersededWasGenerational &&
           !n.startsWith("_") && !n.startsWith("."))

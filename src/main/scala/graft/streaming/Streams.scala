@@ -937,17 +937,25 @@ object Streams {
     // is "committed sink files without a marker in the index's _merged
     // log" — NOT a pre/post directory diff of one run, which silently
     // loses an increment forever when the process dies between the
-    // drain's checkpoint commit and the index append. Committed files
-    // come from `input_file_name()` over the metadata-log-aware sink
-    // read, so an orphaned task file from a failed attempt (present on
-    // disk, absent from _spark_metadata) can never leak rows into the
-    // index. A crash anywhere between the append and the last marker
-    // write just re-processes those files next drain, and the
-    // (doc_id, b, key) anti-join makes the retry idempotent at ROW
-    // granularity — a partially-appended doc heals instead of being
-    // excluded forever. The _merged log lives beside the generations
-    // and is never touched by compaction, so an age-pruned row's sink
-    // file stays marked and pruned history is never resurrected.
+    // drain's checkpoint commit and the index append. Candidate files
+    // come from `input_file_name()` over the sink read-back. Orphan
+    // exclusion is per sink flavor (ADVICE round 11): the RESUME path
+    // writes through the streaming parquet file sink, whose
+    // `_spark_metadata` log the read-back honors — an orphaned task
+    // file from a failed attempt (on disk, absent from the log) never
+    // leaks rows into the index; the DECLARED single-batch path writes
+    // via `foreachBatch` + `batch.write.append`, which has no metadata
+    // log — there, orphan protection is the batch committer's
+    // `_temporary` staging (a failed task's output is never moved into
+    // the sink dir), and a crash-replayed batch that double-appends
+    // whole files heals through the row-granular anti-join below. A
+    // crash anywhere between the append and the last marker write just
+    // re-processes those files next drain, and the (doc_id, b, key)
+    // anti-join makes the retry idempotent at ROW granularity — a
+    // partially-appended doc heals instead of being excluded forever.
+    // The _merged log lives beside the generations and is never touched
+    // by compaction, so an age-pruned row's sink file stays marked and
+    // pruned history is never resurrected.
     val durableIx: Option[(org.apache.hadoop.fs.FileSystem,
         org.apache.hadoop.fs.Path, Seq[String])] = durablePath.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
@@ -979,15 +987,69 @@ object Streams {
           else newRows.join(
             s.read.parquet(snapFiles: _*).select(col("doc_id"), col("b"), col("key")),
             Seq("doc_id", "b", "key"), "left_anti")
-        val genDir = admitGenDir(fs, hp)
+        // merged_at_ms stamps the MERGE (constant per drain): it orders
+        // the census's index lane (earlier-arrivals-only) and is the age
+        // axis [[compactAdmitIndex]]'s freshness prune cuts on. The
+        // stamp is STRICTLY GREATER than every stamp already in the
+        // index (ADVICE round 11): two sequential drains inside one
+        // wall-clock millisecond would otherwise tie, and a tied stamp
+        // makes arrival order ambiguous in the census lane.
+        val maxExisting: Long =
+          if (snapFiles.isEmpty) Long.MinValue
+          else {
+            val r = s.read.parquet(snapFiles: _*)
+              .agg(max(col("merged_at_ms"))).head()
+            if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+          }
+        val stamp = math.max(System.currentTimeMillis(), maxExisting + 1L)
+        val incStamped = inc.withColumn("merged_at_ms", lit(stamp))
+        // COMPACTION FENCING (round 12, VERDICT top item): a compactor
+        // whose read snapshot predates this append repoints to a new
+        // generation WITHOUT our rows — if we then wrote markers, the
+        // increment would be invisible to admitIndexRows, the markers
+        // would block a re-merge, and the next compaction's GC would
+        // destroy it: silent admission loss. So after every append the
+        // pointer is RE-READ; if it moved, the rows the new current
+        // generation is missing (row-granular anti-join — the compactor
+        // may have caught some or all of the append) are re-appended to
+        // it, and only when an append settles with the pointer unmoved
+        // are the markers written. A crash anywhere in the loop leaves
+        // the markers unwritten, so the next drain retries idempotently.
+        val pointer = new org.apache.hadoop.fs.Path(hp, AdmitPointerFile)
+        val pointerHealthy = readSmallFile(fs, pointer)
+          .map(n => new org.apache.hadoop.fs.Path(hp, n))
+          .exists(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS")))
+        var gen = admitGenDir(fs, hp)
           .getOrElse(new org.apache.hadoop.fs.Path(hp, newGenName(fs, hp)))
-        // merged_at_ms stamps the MERGE wall-clock (constant per drain):
-        // it orders the census's index lane (earlier-arrivals-only) and
-        // is the age axis [[compactAdmitIndex]]'s freshness prune cuts on
-        inc.withColumn("merged_at_ms", lit(System.currentTimeMillis()))
-          .write.mode("append").parquet(genDir.toString)
-        writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile),
-          genDir.getName)
+        var pending = incStamped
+        var rounds = 0
+        var settled = false
+        while (!settled) {
+          pending.write.mode("append").parquet(gen.toString)
+          if (rounds == 0) {
+            // first-generation creation, or healing a pointer torn by a
+            // crash between a compactor's gen commit and its repoint
+            if (!pointerHealthy) writeSmallFile(fs, pointer, gen.getName)
+            admitMergePostAppendHook()
+          }
+          val cur = admitGenDir(fs, hp).getOrElse(gen)
+          if (cur.getName == gen.getName) settled = true
+          else {
+            rounds += 1
+            if (rounds > 5) throw new IllegalStateException(
+              "admit-index merge lost the generation race " + rounds +
+                " times: a compactor is repointing continuously — " +
+                "schedule drains and compaction from one owner")
+            pending = incStamped.join(
+              s.read.parquet(cur.toString)
+                .select(col("doc_id"), col("b"), col("key")),
+              Seq("doc_id", "b", "key"), "left_anti")
+            gen = cur
+            if (pending.isEmpty) settled = true
+          }
+        }
+        // markers LAST: written only after the increment is visible in
+        // the current generation
         fs.mkdirs(mergedLog)
         newFiles.foreach(f => fs.create(new org.apache.hadoop.fs.Path(mergedLog,
           new org.apache.hadoop.fs.Path(f).getName), true).close())
@@ -1007,8 +1069,13 @@ object Streams {
         // counts). Without the ordering, a carrier whose twin merged
         // LATER gets retroactively flagged against that twin on the next
         // census — first-arrival-wins must stay stable under replays.
-        // Strict < also subsumes self-nulling (a doc's own rows share
-        // its stamp).
+        // TIES (ADVICE round 11): equal stamps exclude only a doc's OWN
+        // rows. Monotonic merge stamps (max-existing + 1) make cross-
+        // drain ties impossible on one index, but two out-of-contract
+        // writers with clock skew on shared storage can still collide —
+        // there, a blanket `>=` null would make a strictly-earlier twin
+        // silently stop flagging the later doc (a MISSED duplicate);
+        // flagging both directions is the conservative arm.
         val durIx = ix0.select(col("b"), col("key"),
           col("doc_id").as("index_doc"), col("merged_at_ms").as("ix_ms"))
         val own = ix0.groupBy(col("doc_id"))
@@ -1019,7 +1086,10 @@ object Streams {
           .join(index, Seq("b", "key"), "left")
           .withColumn("index_doc",
             when(col("own_ms").isNotNull && col("ix_ms").isNotNull &&
-                col("ix_ms") >= col("own_ms"), lit(null).cast("long"))
+                (col("ix_ms") > col("own_ms") ||
+                  (col("ix_ms") === col("own_ms") &&
+                    col("index_doc") === col("doc_id"))),
+                lit(null).cast("long"))
               .otherwise(col("index_doc")))
           .drop("own_ms", "ix_ms")
       case _ => drained.join(staticIndex, Seq("b", "key"), "left")
@@ -1054,6 +1124,13 @@ object Streams {
   // compaction/pruning never forgets which sink files were merged.
 
   private val AdmitPointerFile = "_GRAFT_CURRENT"
+
+  /** Test-only interleaving hook: runs once per durable-index merge,
+    * right after the first append and before the pointer re-check —
+    * `StreamsSpec` injects a compaction here to prove the fencing loop
+    * re-merges an increment a racing compactor orphaned. No-op in
+    * production. */
+  private[graft] var admitMergePostAppendHook: () => Unit = () => ()
 
   private def dataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
                           dir: org.apache.hadoop.fs.Path): Seq[String] =
@@ -1149,8 +1226,15 @@ object Streams {
     * committed AND referenced, so no crash point loses the index (a
     * crash between gen commit and repoint recovers via the
     * newest-committed fallback); the _merged log is untouched, so pruned
-    * history is never re-merged. Run it BETWEEN drains — the one-shot
-    * `AvailableNow` model means the owner schedules both. */
+    * history is never re-merged. Run it between drains — the one-shot
+    * `AvailableNow` model means one owner naturally schedules both — but
+    * since round 12 the contract is ENFORCED rather than assumed: a
+    * compaction that races a drain's merge cannot orphan the increment,
+    * because the merge re-reads the pointer after its append and
+    * re-merges anything this compaction's snapshot missed into the new
+    * generation before writing its markers (see the fencing loop in
+    * [[streamLshAdmitAt]]; spec'd by the interleaved-compaction case in
+    * `StreamsSpec`). */
   def compactAdmitIndex(s: SparkSession, path: String,
                         maxAgeMs: Option[Long] = None): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)

@@ -939,6 +939,76 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("archived legacy flat sigsPath with stray gen dirs never serves a mixed frame") {
+    // ADVICE round 11: the legacy fallback used a DIRECTORY read, which
+    // partition-discovers `gen=<sha8>/` subdirs as a 'gen' column — if a
+    // migrated index ever loses its top-level fingerprint while the flat
+    // _SUCCESS remains, that read served flat+generational rows mixed.
+    // The fallback now reads an explicit top-level FILE list.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs_mixed")
+    val sigsPath = new java.io.File(tmp.toFile, "sigs.parquet").getAbsolutePath
+    val goneCorpus = new java.io.File(tmp.toFile, "archived_corpus").getAbsolutePath
+    try {
+      spark.createDataFrame(Seq((42L, 7L))).toDF("doc_id", "m0")
+        .coalesce(1).write.parquet(sigsPath)
+      // a migrated generation whose pointer/fingerprint were lost
+      spark.createDataFrame(Seq((99L, 8L))).toDF("doc_id", "m0")
+        .coalesce(1).write.parquet(
+          new java.io.File(sigsPath, "gen=deadbeef").getAbsolutePath)
+      spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
+      val got = Pipeline.minhashSigs(spark, goneCorpus)
+      assert(!got.columns.contains("gen"),
+        "the legacy fallback must never partition-discover gen= subdirs")
+      assert(got.collect().map(_.getLong(0)).toSeq === Seq(42L),
+        "only the top-level flat files may be served")
+    } finally {
+      spark.conf.unset("spark.graft.minhash.sigsPath")
+      graft.util.CorpusMemo.invalidate(spark, goneCorpus)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("sigsPath crash between rename and repoint heals by ADOPTION, not rebuild") {
+    // round 12 (ADVICE TOCTOU): generations get unique per-attempt names
+    // and publishing is rename-into-fresh + pointer repoint — no code
+    // path deletes a dir another session may have committed. A crash
+    // after the rename but before the repoint leaves a committed,
+    // fingerprinted generation with no pointer; the next load must adopt
+    // it instead of building a second equivalent generation.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs_adopt")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val sigsPath = new java.io.File(tmp.toFile, "sigs.parquet").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def gens(): Seq[java.io.File] = new java.io.File(sigsPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen=")).toSeq.sortBy(_.getName)
+    def load(): Seq[Long] = {
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      Pipeline.minhashSigs(spark, tmp.toString).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    try {
+      spark.createDataFrame(Seq((1L, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(docsDir)
+      spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
+      assert(load() === Seq(1L))
+      val gen1 = gens().head.getName
+      // simulate the crash window: committed generation present, pointer
+      // and top-level fingerprint never written
+      assert(new java.io.File(sigsPath, "_GRAFT_CURRENT").delete())
+      assert(new java.io.File(sigsPath, "_GRAFT_FINGERPRINT").delete())
+      assert(load() === Seq(1L))
+      assert(gens().map(_.getName) === Seq(gen1),
+        "the committed generation must be adopted, not rebuilt beside")
+      assert(new java.io.File(sigsPath, "_GRAFT_CURRENT").exists() &&
+        new java.io.File(sigsPath, "_GRAFT_FINGERPRINT").exists(),
+        "adoption must repoint and re-record the fingerprint")
+    } finally {
+      spark.conf.unset("spark.graft.minhash.sigsPath")
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("sigsPath legacy flat-layout files are GC'd one switch after migration") {
     // pre-generational indexes kept part files at the TOP level. The
     // migration rebuild leaves them in place (a legacy reader may still
@@ -1052,10 +1122,16 @@ class PipelineSpec extends AnyFunSuite {
       assert(success.exists(), "the generation must carry its commit marker")
 
       // PARTIAL WRITE: strip the commit marker — a crashed build's gen
-      // dir exists but must not be served; the next load rebuilds it
+      // dir exists but must not be served; the next load rebuilds into a
+      // FRESH generation (round 12: unique per-attempt names, no
+      // delete-then-rename over a shared path) and the GC sweeps the
+      // uncommitted debris
       assert(success.delete())
       assert(loadIds(tmp.toString) === Seq(1L))
-      assert(success.exists(), "rebuild must recommit the _SUCCESS marker")
+      assert(gens().size === 1,
+        "rebuild must land one fresh committed generation and GC the debris")
+      assert(new java.io.File(gens().head, "_SUCCESS").exists(),
+        "the rebuilt generation must carry its commit marker")
 
       // CORPUS GROWTH: a new doc lands in the corpus; the stale index
       // (built at n=1) must be detected by the fingerprint and a NEW

