@@ -3875,11 +3875,28 @@ object Oracles {
            |GROUP BY tau ORDER BY tau""".stripMargin),
 
     // ------------------------------------------------------- multimodal
+    // REAL-CODEC lanes (round 12): img rows are synthesized PNGs
+    // (w = id%300+8, h = id*7%48+8, one stored-deflate block → byte
+    // length h*(1+3w)+68) parsed by javax.imageio; audio rows are PCM16
+    // mono WAVs (id%2000+100 samples at 8 kHz → 44+2n bytes) parsed by
+    // javax.sound — the oracle replays the SYNTHESIS closed forms, the
+    // engine reports what the codec parsed; video keeps the text-bytes
+    // stand-in (no JDK video codec)
     "q_multimodal_meta" ->
-      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
-         |  CAST(length(text) % 640 + 1 AS BIGINT) AS width,
-         |  CAST((length(text) * 7) % 480 + 1 AS BIGINT) AS height,
-         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+      s"""SELECT doc_id,
+         |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         |    WHEN 0 THEN ((doc_id * 7) % 48 + 8) * (1 + 3 * (doc_id % 300 + 8)) + 68
+         |    WHEN 1 THEN 44 + 2 * (doc_id % 2000 + 100)
+         |    ELSE length(text) END AS BIGINT) AS n_bytes,
+         |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         |    WHEN 0 THEN doc_id % 300 + 8
+         |    WHEN 1 THEN doc_id % 2000 + 100
+         |    ELSE length(text) % 640 + 1 END AS BIGINT) AS width,
+         |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         |    WHEN 0 THEN (doc_id * 7) % 48 + 8
+         |    WHEN 1 THEN 8000
+         |    ELSE (length(text) * 7) % 480 + 1 END AS BIGINT) AS height,
+         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wave'
          |    ELSE 'video' END AS format
          |FROM documents ORDER BY doc_id""".stripMargin,
 
@@ -3923,22 +3940,35 @@ object Oracles {
          |  CAST((n_copies - 1) * n_bytes AS BIGINT) AS dup_bytes
          |FROM g ORDER BY kind, h""".stripMargin,
 
+    // img: real ImageIO pixel decode — checksum is the decoded RGB byte
+    // sum, which for the constant-pixel synthesis is w*h*3*(id%256);
+    // audio: real PCM decode — checksum is the little-endian byte sum of
+    // n identical 16-bit samples; video: text-bytes stand-in as before
     "q_multimodal_transform" ->
       s"""WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-         |    CAST(length(text) % 640 + 1 AS BIGINT) AS w,
-         |    CAST((length(text) * 7) % 480 + 1 AS BIGINT) AS h,
-         |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
-         |      ELSE 'video' END AS format
-         |  FROM documents)
-         |SELECT doc_id, format,
-         |  CASE WHEN greatest(w, h) <= 224 THEN w
-         |       ELSE greatest(w * 224 // greatest(w, h), 1) END AS out_w,
-         |  CASE WHEN greatest(w, h) <= 224 THEN h
-         |       ELSE greatest(h * 224 // greatest(w, h), 1) END AS out_h,
-         |  CASE WHEN format = 'video' THEN ((n % 30 + 1) + 4) // 5
-         |       ELSE CAST(1 AS BIGINT) END AS n_frames_sampled,
-         |  ${polyHashSql("text", 1)} AS checksum
-         |FROM m ORDER BY doc_id""".stripMargin,
+         |    CAST(doc_id % 3 AS INTEGER) AS k FROM documents),
+         |d AS (SELECT doc_id, text, n, k,
+         |    CAST(CASE k WHEN 0 THEN doc_id % 300 + 8
+         |      ELSE n % 640 + 1 END AS BIGINT) AS w,
+         |    CAST(CASE k WHEN 0 THEN (doc_id * 7) % 48 + 8
+         |      ELSE (n * 7) % 480 + 1 END AS BIGINT) AS h
+         |  FROM m)
+         |SELECT doc_id,
+         |  CASE k WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
+         |  CAST(CASE WHEN k = 1 THEN (doc_id % 2000 + 100) // 2
+         |       WHEN greatest(w, h) <= 224 THEN w
+         |       ELSE greatest(w * 224 // greatest(w, h), 1) END AS BIGINT) AS out_w,
+         |  CAST(CASE WHEN k = 1 THEN 1
+         |       WHEN greatest(w, h) <= 224 THEN h
+         |       ELSE greatest(h * 224 // greatest(w, h), 1) END AS BIGINT) AS out_h,
+         |  CAST(CASE WHEN k = 2 THEN ((n % 30 + 1) + 4) // 5
+         |       ELSE 1 END AS BIGINT) AS n_frames_sampled,
+         |  CAST(CASE k
+         |    WHEN 0 THEN (w * h * 3 * (doc_id % 256)) % 1000000007
+         |    WHEN 1 THEN ((doc_id % 2000 + 100) *
+         |      ((doc_id % 1000) % 256 + (doc_id % 1000) // 256)) % 1000000007
+         |    ELSE ${polyHashSql("text", 1)} END AS BIGINT) AS checksum
+         |FROM d ORDER BY doc_id""".stripMargin,
 
     // per-frame fan-out for video blobs; frame fingerprint from the
     // byte-sum checksum (polyHash base 1) mixed with the frame index

@@ -17,20 +17,42 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, for
 case class MediaFeature(doc_id: Long, format: String, out_w: Long, out_h: Long,
                         n_frames_sampled: Long, checksum: Long)
 
-/** Multimodal column plumbing (north-star extension). The container has no
-  * image/audio codecs, so `decodeStub` below is a clearly-marked
-  * deterministic FAKE decode; everything around it — binary column
-  * construction, typed Dataset encoders, batched `mapPartitions` execution
-  * shape (the Scala analogue of arrow-batched UDFs), schema of the
-  * decoded output — is real and tested. Swapping `decodeStub` for a JNI
-  * codec is a one-function change. */
+/** Multimodal column plumbing (north-star extension). The decode lanes
+  * ([[mediaMeta]], [[mediaTransform]]) run REAL codecs since round 12:
+  * image blobs are spec-conformant PNGs decoded through `javax.imageio`
+  * and audio blobs are PCM16 WAVs decoded through `javax.sound.sampled`
+  * ([[Codecs]]) — container synthesis is parameterized by doc_id with
+  * closed-form byte lengths, so the DuckDB oracle replays every surfaced
+  * number without needing a codec while the engine path exercises an
+  * actual parse + decompress. Video keeps a deterministic stand-in
+  * ([[decodeStub]]): the JDK ships no video codec, and pulling one in is
+  * outside the zero-dependency contract. The byte-level lanes
+  * ([[mediaDedup]], [[mediaEmbed]], [[mediaFrames]]) hash/embed raw
+  * payloads — their oracles must replay the digests, so their fixture
+  * payloads stay the UTF-8 text bytes (the operators themselves are
+  * content-agnostic: a digest dedup never looks inside the container). */
 object Media {
 
-  /** STUB: stands in for an image/audio decoder. Deterministic in the blob
-    * length so the DuckDB oracle can reproduce it exactly. */
+  /** Deterministic stand-in decode for the VIDEO lane only (no JDK video
+    * codec); parameterized by blob length so the oracle replays it. */
   def decodeStub(blob: Array[Byte]): (Long, Long) =
     (blob.length.toLong % 640 + 1, (blob.length.toLong * 7) % 480 + 1)
 
+  // container-synthesis parameters, all closed forms of doc_id so the
+  // DuckDB oracle replays dimensions / byte lengths / checksums exactly;
+  // image widths straddle 224 so the resize hits BOTH branches, and
+  // h*(1+3w) ≤ 55*922 stays inside the single stored-deflate block
+  private[multimodal] def imgW(id: Long): Int = (id % 300 + 8).toInt
+  private[multimodal] def imgH(id: Long): Int = (id * 7 % 48 + 8).toInt
+  private[multimodal] def imgPixel(id: Long): Int = (id % 256).toInt
+  private[multimodal] def wavSamples(id: Long): Int = (id % 2000 + 100).toInt
+  private[multimodal] def wavValue(id: Long): Int = (id % 1000).toInt
+  private[multimodal] val WavRate = 8000
+
+  /** Text-payload blobs for the BYTE-LEVEL lanes (dedup / embed /
+    * frames): these operators digest or hash raw payload bytes, and the
+    * DuckDB oracle must replay those digests — so their fixture payloads
+    * stay UTF-8 text. The decode lanes use [[containerBlobs]]. */
   private def blobs(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -42,18 +64,50 @@ object Media {
       .as[MediaBlob]
   }
 
+  /** Real binary containers for the DECODE lanes: PNG for img, WAV for
+    * audio (both synthesized from doc_id — [[Codecs]]), raw text bytes
+    * for video (stub lane). Built row-wise map-side; payloads never
+    * shuffle. */
+  private def containerBlobs(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        (id % 3) match {
+          case 0 => MediaBlob(id, Codecs.pngRgb(imgW(id), imgH(id), imgPixel(id)), "img")
+          case 1 => MediaBlob(id, Codecs.wavPcm16Mono(WavRate, wavSamples(id), wavValue(id)), "audio")
+          case _ => MediaBlob(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8), "video")
+        }
+      }
+  }
+
   /** Build binary media columns from the documents fixture and run the
-    * batched decode → metadata extraction pipeline. */
+    * batched decode → metadata extraction pipeline. Image and audio rows
+    * go through REAL header parses (`javax.imageio` /
+    * `javax.sound.sampled` — width/height/format and frame-count/rate
+    * come out of the codec, not a formula); for audio, (width, height)
+    * carry (frames, sample rate) — the spatial slots of the shared
+    * metadata schema. Video rows keep the deterministic stand-in. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val in = blobs(s, dir)
+    val in = containerBlobs(s, dir)
     // Batched per-partition decode: the grouped(64) mirrors an arrow batch
-    // size; a real decoder would amortize codec init across the batch.
+    // size; codec init (ImageIO reader lookup, RIFF parser) amortizes
+    // across the batch.
     val meta = in.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { b =>
-          val (w, h) = decodeStub(b.media)
-          MediaMeta(b.doc_id, b.media.length.toLong, w, h, b.kind)
+          b.kind match {
+            case "img" =>
+              val (w, h, fmt) = Codecs.imageMeta(b.media)
+              MediaMeta(b.doc_id, b.media.length.toLong, w, h, fmt)
+            case "audio" =>
+              val (frames, rate, fmt) = Codecs.audioMeta(b.media)
+              MediaMeta(b.doc_id, b.media.length.toLong, frames, rate, fmt)
+            case _ =>
+              val (w, h) = decodeStub(b.media)
+              MediaMeta(b.doc_id, b.media.length.toLong, w, h, b.kind)
+          }
         }
       }
     }
@@ -85,27 +139,46 @@ object Media {
     frames.orderBy("doc_id", "frame_no")
   }
 
-  /** Transform stage over the decoded media: resize to fit a 224×224 box
-    * (aspect-preserving integer scale — STUB standing in for a real
-    * resampler), sample every 5th frame for video, and fold a content
-    * checksum (byte sum mod 1e9+7) as the feature-extraction stand-in.
-    * All arithmetic is integer so the DuckDB oracle reproduces it. */
+  /** Transform stage over DECODED media. Images: full pixel decode
+    * through `ImageIO.read`, aspect-preserving integer fit into a
+    * 224×224 box (the synthesized widths straddle 224, so both branches
+    * run), checksum = decoded channel-byte sum mod 1e9+7 — computed from
+    * the RASTER the codec produced, replayed by the oracle from the
+    * constant-pixel closed form. Audio: full PCM decode through
+    * `AudioSystem`, a decimate-by-2 resample stand-in
+    * (out_w = frames div 2, out_h = 1), checksum over the decoded PCM
+    * bytes. Video: deterministic stand-in over the raw payload, every
+    * 5th frame sampled, as before. All arithmetic is integer so the
+    * DuckDB oracle reproduces it exactly. */
   def mediaTransform(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = blobs(s, dir).mapPartitions { it =>
+    val out = containerBlobs(s, dir).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { b =>
-          val n = b.media.length.toLong
-          val (w, h) = decodeStub(b.media)
-          val maxDim = math.max(w, h)
-          val (ow, oh) =
-            if (maxDim <= 224) (w, h)
-            else (math.max(w * 224 / maxDim, 1L), math.max(h * 224 / maxDim, 1L))
-          val frames = if (b.kind == "video") ((n % 30 + 1) + 4) / 5 else 1L
-          var sum = 0L
-          var i = 0
-          while (i < b.media.length) { sum = (sum + (b.media(i) & 0xff)) % 1000000007L; i += 1 }
-          MediaFeature(b.doc_id, b.kind, ow, oh, frames, sum)
+          b.kind match {
+            case "img" =>
+              val (w, h, sum) = Codecs.imagePixelSum(b.media)
+              val maxDim = math.max(w, h)
+              val (ow, oh) =
+                if (maxDim <= 224) (w, h)
+                else (math.max(w * 224 / maxDim, 1L), math.max(h * 224 / maxDim, 1L))
+              MediaFeature(b.doc_id, b.kind, ow, oh, 1L, sum)
+            case "audio" =>
+              val (frames, sum) = Codecs.audioPcmSum(b.media)
+              MediaFeature(b.doc_id, b.kind, frames / 2L, 1L, 1L, sum)
+            case _ =>
+              val n = b.media.length.toLong
+              val (w, h) = decodeStub(b.media)
+              val maxDim = math.max(w, h)
+              val (ow, oh) =
+                if (maxDim <= 224) (w, h)
+                else (math.max(w * 224 / maxDim, 1L), math.max(h * 224 / maxDim, 1L))
+              val frames = ((n % 30 + 1) + 4) / 5
+              var sum = 0L
+              var i = 0
+              while (i < b.media.length) { sum = (sum + (b.media(i) & 0xff)) % 1000000007L; i += 1 }
+              MediaFeature(b.doc_id, b.kind, ow, oh, frames, sum)
+          }
         }
       }
     }

@@ -29,27 +29,75 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
-  test("decode stub is deterministic in the payload") {
+  test("decode stub (video lane) is deterministic in the payload") {
     val (w1, h1) = Media.decodeStub("hello world".getBytes)
     val (w2, h2) = Media.decodeStub("hello world".getBytes)
     assert((w1, h1) === (w2, h2))
     assert(w1 === 11 % 640 + 1 && h1 === (11 * 7) % 480 + 1)
   }
 
-  test("mediaTransform: resize fits 224 box, video frame sampling, checksum") {
-    val rows = Media.mediaTransform(spark, sf).collect()
-    assert(rows.length === 500)
-    rows.foreach { r =>
-      val (f, ow, oh, frames) =
-        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      assert(ow >= 1 && oh >= 1)
-      assert(math.max(ow, oh) <= 224)
-      if (f == "video") assert(frames >= 1 && frames <= 6)
-      else assert(frames === 1L)
+  test("Codecs: synthesized PNG round-trips through javax.imageio exactly") {
+    import graft.multimodal.Codecs
+    for (id <- Seq(0L, 3L, 216L, 399L, 441L, 6789L)) {
+      val (w, h, pv) = ((id % 300 + 8).toInt, (id * 7 % 48 + 8).toInt, (id % 256).toInt)
+      val blob = Codecs.pngRgb(w, h, pv)
+      // closed-form byte length the oracle relies on
+      assert(blob.length === h * (1 + 3 * w) + 68, s"id=$id")
+      // header-only parse: real reader, real dimensions, real format name
+      assert(Codecs.imageMeta(blob) === ((w.toLong, h.toLong, "png")), s"id=$id")
+      // full decode: the codec inflates the scanlines; the channel sum
+      // must equal the constant-pixel closed form
+      val (dw, dh, sum) = Codecs.imagePixelSum(blob)
+      assert((dw, dh) === ((w.toLong, h.toLong)), s"id=$id")
+      assert(sum === w.toLong * h * 3 * pv % 1000000007L, s"id=$id")
+      // and the decoded pixels really are the synthesized color
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      val rgb = img.getRGB(w / 2, h / 2)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) === ((pv, pv, pv)))
     }
   }
 
-  test("mediaMeta: schema and values derived from blob bytes") {
+  test("Codecs: synthesized WAV round-trips through javax.sound exactly") {
+    import graft.multimodal.Codecs
+    for (id <- Seq(1L, 4L, 997L, 2101L)) {
+      val (ns, sv) = ((id % 2000 + 100).toInt, (id % 1000).toInt)
+      val blob = Codecs.wavPcm16Mono(8000, ns, sv)
+      assert(blob.length === 44 + 2 * ns, s"id=$id")
+      assert(Codecs.audioMeta(blob) === ((ns.toLong, 8000L, "wave")), s"id=$id")
+      val (frames, sum) = Codecs.audioPcmSum(blob)
+      assert(frames === ns.toLong, s"id=$id")
+      assert(sum === ns.toLong * ((sv & 0xff) + (sv >> 8)) % 1000000007L, s"id=$id")
+    }
+  }
+
+  test("mediaTransform: image resize fits 224, audio decimates, video samples frames") {
+    val rows = Media.mediaTransform(spark, sf).collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (id, f, ow, oh, frames) = (r.getLong(0),
+        r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ow >= 1 && oh >= 1)
+      f match {
+        case "img" =>
+          assert(math.max(ow, oh) <= 224)
+          assert(frames === 1L)
+        case "audio" =>
+          assert(ow === (id % 2000 + 100) / 2 && oh === 1L)
+          assert(frames === 1L)
+        case _ =>
+          assert(math.max(ow, oh) <= 224)
+          assert(frames >= 1 && frames <= 6)
+      }
+    }
+    // both resize branches must be exercised by the synthesized widths
+    val imgs = rows.filter(_.getString(1) == "img")
+    assert(imgs.exists(r => r.getLong(2) === r.getLong(0) % 300 + 8),
+      "some images fit the box unscaled")
+    assert(imgs.exists(r => r.getLong(2) === 224L),
+      "some images hit the downscale branch (width is the max dim)")
+  }
+
+  test("mediaMeta: real codec parses surface the synthesis parameters") {
     val rows = Media.mediaMeta(spark, sf).collect()
     assert(rows.length === 500)
     assert(Media.mediaMeta(spark, sf).columns.toSeq ===
@@ -57,9 +105,19 @@ class MediaSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (id, n, w, h, f) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
-      assert(w === n % 640 + 1)
-      assert(h === (n * 7) % 480 + 1)
-      assert(f === Seq("img", "audio", "video")((id % 3).toInt))
+      (id % 3) match {
+        case 0 =>
+          assert(f === "png", s"doc $id")
+          assert(w === id % 300 + 8 && h === id * 7 % 48 + 8, s"doc $id")
+          assert(n === h * (1 + 3 * w) + 68, s"doc $id")
+        case 1 =>
+          assert(f === "wave", s"doc $id")
+          assert(w === id % 2000 + 100 && h === 8000L, s"doc $id")
+          assert(n === 44 + 2 * w, s"doc $id")
+        case _ =>
+          assert(f === "video", s"doc $id")
+          assert(w === n % 640 + 1 && h === (n * 7) % 480 + 1, s"doc $id")
+      }
     }
   }
 
