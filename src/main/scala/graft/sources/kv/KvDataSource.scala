@@ -31,7 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    reader against the raw line, before any row object is built.
   *    Pushed filters are ALSO returned as post-scan filters (the
   *    conservative V2 contract), so Spark's own evaluation remains a
-  *    correctness backstop and the pushdown is purely an I/O saving.
+  *    correctness backstop and the pushdown is purely an I/O saving, and
+  *  - '''limit pushdown''' (`SupportsPushDownLimit`, round 12): a
+  *    `LIMIT k` directly over the scan stops each split's byte stream
+  *    after k emitted rows (partial push — Spark keeps the global
+  *    Limit; the per-split cut is the I/O saving).
   *
   * Input partitions are BYTE-RANGE splits of each file (capped at the
   * session's `spark.sql.files.maxPartitionBytes`, overridable with the
@@ -85,9 +89,11 @@ private[kv] class KvTable(path: String) extends Table
 
 private[kv] class KvScanBuilder(path: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownLimit {
   private var required: StructType = KvDataSource.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Int = -1
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -99,12 +105,23 @@ private[kv] class KvScanBuilder(path: String, options: CaseInsensitiveStringMap)
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** Limit pushdown (round 12, VERDICT #7): each partition reader stops
+    * after emitting `limit` rows instead of draining its whole byte
+    * range — a `LIMIT k` over a TB-scale kv dir then reads O(k) lines
+    * per split, not the dir. Returns false (a PARTIAL push): with
+    * multiple splits the source can only bound each partition at k, so
+    * Spark keeps its own global Limit on top — the engine-side cut is
+    * purely an I/O saving, the same conservative contract as the filter
+    * pushdown above. Spark only offers the limit when it sits directly
+    * on the scan (no residual-filtered LIMIT ever reaches here). */
+  override def pushLimit(l: Int): Boolean = { limit = l; false }
+
   override def build(): Scan = {
     // 0 or negative disables splitting (one partition per file)
     val splitSize = options.getLong("splitsize",
       SparkSession.active.sessionState.conf.filesMaxPartitionBytes)
     new KvScan(path, required, pushed,
-      if (splitSize > 0) splitSize else Long.MaxValue)
+      if (splitSize > 0) splitSize else Long.MaxValue, limit)
   }
 }
 
@@ -136,12 +153,14 @@ private[kv] object KvFilters {
 }
 
 private[kv] class KvScan(path: String, required: StructType,
-                         pushed: Array[Filter], splitSize: Long)
+                         pushed: Array[Filter], splitSize: Long,
+                         limit: Int = -1)
     extends Scan with Batch {
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graftkv path=$path, PushedFilters: [${pushed.mkString(", ")}], " +
+    s"PushedLimit: ${if (limit >= 0) limit.toString else "none"}, " +
     s"ReadSchema: ${required.catalogString}"
 
   override def toBatch: Batch = this
@@ -180,7 +199,7 @@ private[kv] class KvScan(path: String, required: StructType,
       while (it.hasNext) { val e = it.next(); b += ((e.getKey, e.getValue)) }
       b.result()
     }
-    new KvReaderFactory(required, pushed, props)
+    new KvReaderFactory(required, pushed, props, limit)
   }
 }
 
@@ -350,11 +369,13 @@ private[kv] class KvDataWriter(path: String, writeId: String,
 }
 
 private[kv] class KvReaderFactory(required: StructType, pushed: Array[Filter],
-                                  hadoopProps: Array[(String, String)])
+                                  hadoopProps: Array[(String, String)],
+                                  limit: Int = -1)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[KvInputPartition]
-    new KvPartitionReader(p.file, p.start, p.length, required, pushed, hadoopProps)
+    new KvPartitionReader(p.file, p.start, p.length, required, pushed,
+      hadoopProps, limit)
   }
 }
 
@@ -374,7 +395,8 @@ private[kv] class KvReaderFactory(required: StructType, pushed: Array[Filter],
 private[kv] class KvPartitionReader(file: String, start: Long, length: Long,
                                     required: StructType,
                                     pushed: Array[Filter],
-                                    hadoopProps: Array[(String, String)])
+                                    hadoopProps: Array[(String, String)],
+                                    limit: Int = -1)
     extends PartitionReader[InternalRow] {
   private val conf = {
     val c = new org.apache.hadoop.conf.Configuration(false)
@@ -393,8 +415,12 @@ private[kv] class KvPartitionReader(file: String, start: Long, length: Long,
   private var pos = start
   if (start > 0) pos += lines.readLine(text)
   private var row: InternalRow = _
+  private var emitted = 0
 
   override def next(): Boolean = {
+    // pushed-limit early stop: a LIMIT k plan stops this split's byte
+    // stream after k emitted rows instead of draining the range
+    if (limit >= 0 && emitted >= limit) return false
     while (pos <= end) {
       val n = lines.readLine(text)
       if (n == 0) return false // EOF
@@ -412,6 +438,7 @@ private[kv] class KvPartitionReader(file: String, start: Long, length: Long,
             case "value" => UTF8String.fromString(line.substring(sep + 1))
           }
           row = InternalRow.fromSeq(vals.toIndexedSeq)
+          emitted += 1
           return true
         }
       }
