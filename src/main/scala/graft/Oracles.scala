@@ -1974,22 +1974,24 @@ object Oracles {
 
     // data-profiling census — the oracle profiles column-by-column (the
     // engine does it in ONE scan; at DuckDB scale the union is fine);
-    // l_quantity is integral-valued DOUBLE, rendered through BIGINT
-    // the oracle's run count is a plain global lag per column; rendered
-    // values are compared only within one engine (injective rendering),
-    // never across engines
+    // l_quantity is integral-valued DOUBLE, routed through BIGINT.
+    // Values travel as INJECTIVE LONGS on both sides (round 12: numeric
+    // value, or the code point of the 1-char flags) — the sort order on
+    // (k1, k2, v) decides which value sits at a duplicate-key boundary,
+    // so engine and oracle must share the total order, and they now
+    // share the integer one
     "q_encoding_stats" ->
       s"""WITH u AS (
          |  SELECT l_orderkey AS k1, l_linenumber AS k2, 'l_orderkey' AS c,
-         |    CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+         |    CAST(l_orderkey AS BIGINT) AS v FROM lineitem
          |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_partkey',
-         |    CAST(l_partkey AS VARCHAR) FROM lineitem
+         |    CAST(l_partkey AS BIGINT) FROM lineitem
          |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_quantity',
-         |    CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem
+         |    CAST(l_quantity AS BIGINT) FROM lineitem
          |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_returnflag',
-         |    l_returnflag FROM lineitem
+         |    CAST(ascii(l_returnflag) AS BIGINT) FROM lineitem
          |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_linestatus',
-         |    l_linestatus FROM lineitem),
+         |    CAST(ascii(l_linestatus) AS BIGINT) FROM lineitem),
          |r AS (SELECT c, v,
          |    lag(v) OVER (PARTITION BY c ORDER BY k1, k2, v) AS pv FROM u),
          |agg AS (SELECT c, CAST(count(*) AS BIGINT) AS n,

@@ -1374,18 +1374,22 @@ object Relational {
     * transitions with a block-local lag, and runs that straddle a block
     * boundary are stitched by joining the per-block (first, last) value
     * table against itself shifted by one — the pack_sequences two-phase
-    * discipline applied to run-length encoding. Values move as strings
-    * only for EQUALITY (each engine's rendering is injective; no
-    * rendered value is ever surfaced), and the unpivot's ×5 fan-out is
+    * discipline applied to run-length encoding. Values move as
+    * FIXED-WIDTH LONGS (round 12, VERDICT #4 — the window previously
+    * sorted string renderings): profiling needs only equality plus a
+    * shared total order, and every profiled column maps injectively
+    * into a long (the numeric value; the code point for the 1-char
+    * flags), so the sort payload is 8 bytes and the comparator integer
+    * — no rendered value is ever surfaced. The unpivot's ×5 fan-out is
     * the declared price of profiling 5 columns in one scan. */
   def encodingStats(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val colsProfiled = Seq[(String, Column)](
-      "l_orderkey" -> col("l_orderkey").cast("string"),
-      "l_partkey" -> col("l_partkey").cast("string"),
-      "l_quantity" -> col("l_quantity").cast("long").cast("string"),
-      "l_returnflag" -> col("l_returnflag"),
-      "l_linestatus" -> col("l_linestatus"))
+      "l_orderkey" -> col("l_orderkey").cast("long"),
+      "l_partkey" -> col("l_partkey").cast("long"),
+      "l_quantity" -> col("l_quantity").cast("long"),
+      "l_returnflag" -> ascii(col("l_returnflag")).cast("long"),
+      "l_linestatus" -> ascii(col("l_linestatus")).cast("long"))
     val long = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         expr("l_orderkey div 512").as("blk"),
