@@ -106,17 +106,18 @@ object Bench {
       // regressions separable from engine-init drift in bench_compare.
       "cal_stream" -> (() => {
         val root = java.nio.file.Files.createTempDirectory("graft-cal-stream")
-        val in = new java.io.File(root.toFile, "in")
-        in.mkdirs()
-        val q = spark.readStream.schema("id LONG")
-          .parquet(in.getAbsolutePath)
-          .writeStream.format("noop")
-          .option("checkpointLocation",
-            new java.io.File(root.toFile, "ckpt").getAbsolutePath)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try q.awaitTermination() finally q.stop()
-        org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+        try {
+          val in = new java.io.File(root.toFile, "in")
+          in.mkdirs()
+          val q = spark.readStream.schema("id LONG")
+            .parquet(in.getAbsolutePath)
+            .writeStream.format("noop")
+            .option("checkpointLocation",
+              new java.io.File(root.toFile, "ckpt").getAbsolutePath)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          try q.awaitTermination() finally q.stop()
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }))
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Anchors get the same failure discipline as pass(): a broken anchor

@@ -334,16 +334,28 @@ object Pipeline {
           }
           // resolve the current generation: the pointer file names it;
           // pre-r12 layouts fall back to the fingerprint-derived fixed
-          // name. Either way the generation must be committed AND carry
-          // matching per-generation provenance — a pointer torn by a
-          // crash between rename and repoint resolves to None and the
-          // adoption path below heals it.
+          // name; a LOST pointer (crash between rename and repoint, or
+          // a publish caught mid-swap) falls back to a provenance scan
+          // of the gen dirs — round-12 review: without the scan, a lost
+          // pointer over an ARCHIVED corpus (live unknown, nonce-named
+          // generation) bricked a fully intact index. Either way the
+          // generation must be committed AND carry matching
+          // per-generation provenance.
           val pointed = readSmallText(fs,
               new org.apache.hadoop.fs.Path(hp, IndexPointerFile))
             .map(n => new org.apache.hadoop.fs.Path(hp, n))
+          def genWithFp(fp: String): Option[org.apache.hadoop.fs.Path] =
+            if (!fs.exists(hp)) None
+            else fs.listStatus(hp).toSeq
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith("gen="))
+              .map(_.getPath)
+              .find(g => committed(g) &&
+                readIndexFingerprint(fs, g).contains(fp))
           val current = recorded.filter(fpMatches).flatMap { rec =>
             (pointed.toSeq :+ genFixed(rec))
               .find(g => committed(g) && readIndexFingerprint(fs, g).contains(rec))
+              .orElse(genWithFp(rec))
           }
           current match {
             case Some(g) => s.read.parquet(g.toString)
@@ -375,14 +387,7 @@ object Pipeline {
               // crash between a winner's rename and its repoint, or a
               // concurrent session's fresh build, is adopted instead of
               // rebuilt (same fingerprint ⇒ equivalent content).
-              def adoptable(): Option[org.apache.hadoop.fs.Path] =
-                if (!fs.exists(hp)) None
-                else fs.listStatus(hp).toSeq
-                  .filter(st => st.isDirectory &&
-                    st.getPath.getName.startsWith("gen="))
-                  .map(_.getPath)
-                  .find(g => committed(g) &&
-                    readIndexFingerprint(fs, g).contains(fp))
+              def adoptable(): Option[org.apache.hadoop.fs.Path] = genWithFp(fp)
               val g = adoptable().getOrElse {
                 val tmp = new org.apache.hadoop.fs.Path(
                   p + s"._build-${System.nanoTime()}")
@@ -438,37 +443,19 @@ object Pipeline {
 
   /** Top-level DATA files of the index dir (legacy flat layout): never a
     * directory read, so `gen=*` subdirs cannot be partition-discovered
-    * into the frame (ADVICE round 11). */
+    * into the frame (ADVICE round 11). Shared protocol impl:
+    * [[graft.util.MetaFiles]] (round 12 — one copy, tmp+rename publish). */
   private def topLevelDataFiles(fs: org.apache.hadoop.fs.FileSystem,
                                 hp: org.apache.hadoop.fs.Path): Seq[String] =
-    if (!fs.exists(hp)) Seq.empty
-    else fs.listStatus(hp).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
+    graft.util.MetaFiles.dataFiles(fs, hp)
 
   private def writeSmallText(fs: org.apache.hadoop.fs.FileSystem,
-                             f: org.apache.hadoop.fs.Path, v: String): Unit = {
-    val out = fs.create(f, true)
-    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                             f: org.apache.hadoop.fs.Path, v: String): Unit =
+    graft.util.MetaFiles.write(fs, f, v)
 
   private def readSmallText(fs: org.apache.hadoop.fs.FileSystem,
                             f: org.apache.hadoop.fs.Path): Option[String] =
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](4096)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        Some(new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
-      } catch { case _: java.io.IOException => None }
-      finally in.close()
-    }
+    graft.util.MetaFiles.read(fs, f)
 
   private def sha8(v: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
@@ -547,30 +534,15 @@ object Pipeline {
 
   private def writeIndexFingerprint(fs: org.apache.hadoop.fs.FileSystem,
                                     dirPath: org.apache.hadoop.fs.Path,
-                                    fp: String): Unit = {
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(dirPath, IndexFingerprintFile), true)
-    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                                    fp: String): Unit =
+    graft.util.MetaFiles.write(fs,
+      new org.apache.hadoop.fs.Path(dirPath, IndexFingerprintFile), fp)
 
   private def readIndexFingerprint(fs: org.apache.hadoop.fs.FileSystem,
                                    dirPath: org.apache.hadoop.fs.Path)
-      : Option[String] = {
-    val f = new org.apache.hadoop.fs.Path(dirPath, IndexFingerprintFile)
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](4096)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        Some(new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: java.io.IOException => None }
-      finally in.close()
-    }
-  }
+      : Option[String] =
+    graft.util.MetaFiles.read(fs,
+      new org.apache.hadoop.fs.Path(dirPath, IndexFingerprintFile))
 
   private def computeMinhashSigs(s: SparkSession, dir: String): DataFrame = {
     val hashed = shingles(s, dir).select(col("doc_id"),

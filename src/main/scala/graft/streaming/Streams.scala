@@ -1040,10 +1040,15 @@ object Streams {
               "admit-index merge lost the generation race " + rounds +
                 " times: a compactor is repointing continuously — " +
                 "schedule drains and compaction from one owner")
+            // localCheckpoint: the anti-join against the repointed
+            // generation is consumed twice (emptiness probe + append) —
+            // materialize it once instead of rescanning the new
+            // generation per consumer (round-12 review)
             pending = incStamped.join(
               s.read.parquet(cur.toString)
                 .select(col("doc_id"), col("b"), col("key")),
               Seq("doc_id", "b", "key"), "left_anti")
+              .localCheckpoint(true)
             gen = cur
             if (pending.isEmpty) settled = true
           }
@@ -1069,13 +1074,20 @@ object Streams {
         // counts). Without the ordering, a carrier whose twin merged
         // LATER gets retroactively flagged against that twin on the next
         // census — first-arrival-wins must stay stable under replays.
-        // TIES (ADVICE round 11): equal stamps exclude only a doc's OWN
-        // rows. Monotonic merge stamps (max-existing + 1) make cross-
-        // drain ties impossible on one index, but two out-of-contract
-        // writers with clock skew on shared storage can still collide —
-        // there, a blanket `>=` null would make a strictly-earlier twin
-        // silently stop flagging the later doc (a MISSED duplicate);
-        // flagging both directions is the conservative arm.
+        // TIES (ADVICE round 11, corrected by the round-12 review):
+        // merge stamps are strictly monotonic per index (max-existing+1
+        // floor), so on one index an equal stamp means SAME DRAIN — and
+        // docs co-merged in one drain already had their precedence
+        // decided by the STREAM lane of that drain (carrier admitted,
+        // twin flagged, recorded in the sink's stream_match). Nulling
+        // `>=` therefore keeps a co-merged carrier admitted under
+        // replays (flagging it against its same-drain twin here would
+        // break first-arrival-wins — the intra-drain regression the
+        // review caught in the first tie-break attempt). The ADVICE's
+        // original cross-drain millisecond tie is structurally gone via
+        // the monotonic stamp; only out-of-contract CONCURRENT writers
+        // could still tie, and the single-scheduler contract plus the
+        // merge/compaction fencing make that a non-shipped interleaving.
         val durIx = ix0.select(col("b"), col("key"),
           col("doc_id").as("index_doc"), col("merged_at_ms").as("ix_ms"))
         val own = ix0.groupBy(col("doc_id"))
@@ -1086,10 +1098,7 @@ object Streams {
           .join(index, Seq("b", "key"), "left")
           .withColumn("index_doc",
             when(col("own_ms").isNotNull && col("ix_ms").isNotNull &&
-                (col("ix_ms") > col("own_ms") ||
-                  (col("ix_ms") === col("own_ms") &&
-                    col("index_doc") === col("doc_id"))),
-                lit(null).cast("long"))
+                col("ix_ms") >= col("own_ms"), lit(null).cast("long"))
               .otherwise(col("index_doc")))
           .drop("own_ms", "ix_ms")
       case _ => drained.join(staticIndex, Seq("b", "key"), "left")
@@ -1132,36 +1141,28 @@ object Streams {
     * production. */
   private[graft] var admitMergePostAppendHook: () => Unit = () => ()
 
+  /** Test-only twin of the merge hook on the COMPACTOR side: runs after
+    * the rewrite is verified, immediately before the repoint —
+    * `StreamsSpec` injects a drain here (one that settles and writes
+    * markers BEFORE the repoint, i.e. the interleaving the merge-side
+    * fence cannot see) to prove the post-repoint sweep folds that
+    * increment into the new generation. No-op in production. */
+  private[graft] var admitCompactPreRepointHook: () => Unit = () => ()
+
+  // shared metadata-file protocol (round 12: one implementation with a
+  // tmp+rename publish — a reader can see a missing pointer, never a
+  // torn one, and missing falls back to newest-committed/adoption)
   private def dataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
                           dir: org.apache.hadoop.fs.Path): Seq[String] =
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .map(_.getPath.toString)
+    graft.util.MetaFiles.dataFiles(fs, dir)
 
   private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
                             f: org.apache.hadoop.fs.Path): Option[String] =
-    if (!fs.exists(f)) None
-    else {
-      val in = fs.open(f)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](4096)
-        var n = in.read(tmp)
-        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        Some(new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
-      } catch { case _: java.io.IOException => None }
-      finally in.close()
-    }
+    graft.util.MetaFiles.read(fs, f)
 
   private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                             f: org.apache.hadoop.fs.Path, v: String): Unit = {
-    val out = fs.create(f, true)
-    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+                             f: org.apache.hadoop.fs.Path, v: String): Unit =
+    graft.util.MetaFiles.write(fs, f, v)
 
   /** The index's CURRENT generation: the pointer file's target if it is
     * a committed generation, else the newest committed `gen-*` dir (a
@@ -1229,24 +1230,37 @@ object Streams {
     * history is never re-merged. Run it between drains — the one-shot
     * `AvailableNow` model means one owner naturally schedules both — but
     * since round 12 the contract is ENFORCED rather than assumed: a
-    * compaction that races a drain's merge cannot orphan the increment,
-    * because the merge re-reads the pointer after its append and
-    * re-merges anything this compaction's snapshot missed into the new
-    * generation before writing its markers (see the fencing loop in
-    * [[streamLshAdmitAt]]; spec'd by the interleaved-compaction case in
-    * `StreamsSpec`). */
+    * compaction that races a drain's merge cannot orphan the increment.
+    * The merge re-reads the pointer after its append and re-merges
+    * anything this compaction's snapshot missed into the new generation
+    * before writing its markers (the fencing loop in
+    * [[streamLshAdmitAt]]), and this compactor carries the mirror
+    * fence — after repointing it re-lists the source generation and
+    * folds any data file outside its rewrite snapshot into the new
+    * generation (a drain that settled before the repoint left exactly
+    * such a file, markers already written); appends after that listing
+    * see the moved pointer on their own re-check. Both interleavings
+    * are spec'd in `StreamsSpec` via the test hooks. */
   def compactAdmitIndex(s: SparkSession, path: String,
                         maxAgeMs: Option[Long] = None): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     val gen = admitGenDir(fs, hp).getOrElse(return)
-    val cur = s.read.parquet(gen.toString)
-    val kept = maxAgeMs match {
+    // EXPLICIT file-list snapshot (round-12 review): the rewrite reads
+    // exactly these files, and the post-repoint sweep below computes
+    // "files a racing drain appended after this point" against it — a
+    // directory read would leave the snapshot boundary implicit in
+    // Spark's file-index timing.
+    val snap = dataFilesIn(fs, gen)
+    if (snap.isEmpty) return // a just-created empty generation: nothing to do
+    val cur = s.read.parquet(snap: _*)
+    def inWindow(df: DataFrame): DataFrame = maxAgeMs match {
       case Some(w) =>
         val cutoff = System.currentTimeMillis() - w
-        cur.filter(col("merged_at_ms") >= cutoff)
-      case None => cur
+        df.filter(col("merged_at_ms") >= cutoff)
+      case None => df
     }
+    val kept = inWindow(cur)
     // right-size from the KEPT bytes (current-gen bytes scaled by the
     // surviving row fraction): sizing from the unpruned data would fan a
     // heavily-pruned survivor set into many near-empty files — the exact
@@ -1266,8 +1280,29 @@ object Streams {
       throw new IllegalStateException(
         s"admit-index compaction row mismatch: $written written vs $keptRows kept")
     }
+    admitCompactPreRepointHook()
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile),
       newGen.getName)
+    // POST-REPOINT SWEEP (round 12, review): the merge-side fence only
+    // covers drains whose pointer re-check runs AFTER this repoint; a
+    // drain that appended after `snap` was listed but re-checked before
+    // the repoint has already written its markers, and its increment
+    // lives only in the superseded generation. Re-list the source gen
+    // now that the pointer has moved: any data file outside the
+    // snapshot is such an append — fold its rows (same freshness
+    // window) into the new generation, anti-joined so rows the
+    // merge-side fence already re-landed are not duplicated. Appends
+    // that arrive after THIS listing belong to merges that must see the
+    // moved pointer on their re-check (the listing happens after the
+    // repoint), so the two fences cover every interleaving.
+    val late = dataFilesIn(fs, gen).filterNot(snap.toSet)
+    if (late.nonEmpty) {
+      val missing = inWindow(s.read.parquet(late: _*))
+        .join(s.read.parquet(newGen.toString)
+            .select(col("doc_id"), col("b"), col("key")),
+          Seq("doc_id", "b", "key"), "left_anti")
+      missing.write.mode("append").parquet(newGen.toString)
+    }
     val keep = Set(newGen.getName, gen.getName)
     fs.listStatus(hp).foreach { st =>
       val n = st.getPath.getName

@@ -1,0 +1,62 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Tiny metadata-file protocol shared by the generational indexes (the
+  * durable admit index in `streaming/Streams` and the minhash sigsPath
+  * index in `operators/Pipeline`): pointer/fingerprint files and data-
+  * file listings. One implementation (round-12 review: the two copies
+  * had already started to diverge) so a protocol fix lands everywhere.
+  *
+  * `write` publishes via hidden-temp + rename: a reader can observe the
+  * file MISSING for an instant (HDFS rename onto an existing target
+  * needs the delete first) but never a torn prefix — and every consumer
+  * treats a missing pointer as "fall back to the newest committed
+  * generation / adoption scan", so absence is safe where truncation was
+  * not. (Rename atomicity: HDFS/local yes; object stores want a
+  * copy-commit layer — the Checkpoints.scala caveat.) */
+object MetaFiles {
+
+  def write(fs: FileSystem, f: Path, v: String): Unit = {
+    val tmp = new Path(f.getParent,
+      "." + f.getName + ".tmp-" + java.lang.Long.toHexString(System.nanoTime()))
+    val out = fs.create(tmp, true)
+    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(f, false) // HDFS rename refuses an existing destination
+    if (!fs.rename(tmp, f)) {
+      // a concurrent writer recreated f between delete and rename:
+      // last-writer-wins retry once, then give up loudly
+      fs.delete(f, false)
+      if (!fs.rename(tmp, f)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"metadata publish failed: $tmp -> $f")
+      }
+    }
+  }
+
+  def read(fs: FileSystem, f: Path): Option[String] =
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8).trim).filter(_.nonEmpty)
+      } catch { case _: java.io.IOException => None }
+      finally in.close()
+    }
+
+  /** Visible DATA files directly inside `dir` (never a directory read:
+    * callers must not partition-discover subdirectories, and commit
+    * markers / hidden temps are protocol files, not data). */
+  def dataFiles(fs: FileSystem, dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.toString)
+}

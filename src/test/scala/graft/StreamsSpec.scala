@@ -671,6 +671,106 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream LSH admit durable index: co-merged twins stay stable under replay") {
+    // round-12 review regression guard: docs drained TOGETHER share one
+    // merged_at_ms stamp (the stamp is per merge), and their precedence
+    // was already decided by that drain's STREAM lane (carrier admitted,
+    // twin flagged). The census must keep nulling equal stamps — a
+    // tie-break that excluded only a doc's own rows retroactively
+    // flagged the carrier against its same-drain twin on every replay.
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_comerge")
+    val indexPath = new java.io.File(root.toFile, "ix.parquet").getAbsolutePath
+    val dir = new java.io.File(root.toFile, "slice")
+    // both ids ≡ 3 (mod 4) so both land in the stream slice
+    spark.createDataFrame(Seq((3L, t, "en", "web", t.length.toLong),
+        (7L, t, "en", "web", t.length.toLong)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write
+      .parquet(new java.io.File(dir, "documents.parquet").getAbsolutePath)
+    val sink = new java.io.File(root.toFile, "sink").getAbsolutePath
+    val ckpt = new java.io.File(root.toFile, "ckpt").getAbsolutePath
+    def run(): Map[Long, (Long, Long, Long, Boolean)] =
+      Streams.streamLshAdmitAt(spark, dir.getAbsolutePath, sink, ckpt)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    spark.conf.set("spark.graft.stream.admitIndexPath", indexPath)
+    try {
+      val r1 = run()
+      assert(r1(3L) === ((0L, 0L, -1L, true)), s"carrier: ${r1(3L)}")
+      assert(r1(7L) === ((0L, 16L, 3L, false)), s"twin: ${r1(7L)}")
+      assert(Streams.admitIndexRows(spark, indexPath)
+        .select("merged_at_ms").distinct().count() === 1L,
+        "one drain merges both docs under one stamp")
+      // replay: both docs sit in the index at the SAME stamp — the
+      // carrier must not start flagging against its co-merged twin
+      val r2 = run()
+      assert(r2(3L) === ((0L, 0L, -1L, true)),
+        s"carrier flagged against its co-merged twin on replay: ${r2(3L)}")
+      assert(r2(7L) === ((0L, 16L, 3L, false)), s"twin drifted: ${r2(7L)}")
+    } finally {
+      spark.conf.unset("spark.graft.stream.admitIndexPath")
+      graft.util.CorpusMemo.invalidate(spark, dir.getAbsolutePath)
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
+  test("stream LSH admit durable index: drain landing inside a compaction is swept, not orphaned") {
+    // round-12 review: the merge-side fence covers drains whose pointer
+    // re-check runs AFTER the repoint. A drain that appends after the
+    // compactor's snapshot but SETTLES (markers written) before the
+    // repoint is the other half — the compactor's post-repoint sweep
+    // must fold that increment into the new generation. Injected via
+    // the compactor's pre-repoint hook.
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_sweep")
+    val indexPath = new java.io.File(root.toFile, "ix.parquet").getAbsolutePath
+    def slice(name: String, id: Long): String = {
+      val dir = new java.io.File(root.toFile, name)
+      spark.createDataFrame(Seq((id, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write
+        .parquet(new java.io.File(dir, "documents.parquet").getAbsolutePath)
+      dir.getAbsolutePath
+    }
+    def run(dir: String, tag: String): Map[Long, (Long, Long, Long, Boolean)] = {
+      val sink = new java.io.File(root.toFile, s"sink_$tag").getAbsolutePath
+      val ckpt = new java.io.File(root.toFile, s"ckpt_$tag").getAbsolutePath
+      Streams.streamLshAdmitAt(spark, dir, sink, ckpt)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    }
+    spark.conf.set("spark.graft.stream.admitIndexPath", indexPath)
+    val (s1, s2) = (slice("slice1", 3L), slice("slice2", 7L))
+    try {
+      assert(run(s1, "1")(3L) === ((0L, 0L, -1L, true)))
+      // compaction with a drain racing in between rewrite and repoint:
+      // the drain settles against the OLD pointer and writes markers
+      var drained: Map[Long, (Long, Long, Long, Boolean)] = Map.empty
+      Streams.admitCompactPreRepointHook = () => { drained = run(s2, "2") }
+      try Streams.compactAdmitIndex(spark, indexPath)
+      finally Streams.admitCompactPreRepointHook = () => ()
+      assert(drained(7L) === ((16L, 0L, 3L, false)),
+        s"the racing drain's own census is unaffected: ${drained(7L)}")
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+        "the post-repoint sweep must fold the racing drain's increment " +
+          "into the new generation")
+      // markers were written by the racing drain: a replay appends
+      // nothing and the census is stable against the swept index
+      val r3 = run(s2, "2")
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+        "replay after the sweep must not duplicate rows")
+      assert(r3(7L) === ((16L, 0L, 3L, false)), s"census drifted: ${r3(7L)}")
+    } finally {
+      Streams.admitCompactPreRepointHook = () => ()
+      spark.conf.unset("spark.graft.stream.admitIndexPath")
+      Seq(s1, s2).foreach(graft.util.CorpusMemo.invalidate(spark, _))
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("stream LSH admit durable index + live checkpoint: both lanes report, self-hits nulled") {
     // resume WITHOUT a wipe while the durable index is on: a colliding
     // doc is reported by BOTH lanes (stream state AND the parquet index

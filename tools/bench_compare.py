@@ -41,7 +41,10 @@ def git_show(repo_dir, spec):
 
 
 def round_artifact(repo_dir, n):
-    """The full bench.json committed by the driver's "round N:" commit."""
+    """The full bench.json committed by the driver's "round N:" commit —
+    but ONLY if that commit actually changed bench.json (round-12
+    review: a round commit that didn't refresh it would otherwise
+    silently serve a stale prior-round artifact)."""
     try:
         out = subprocess.run(["git", "-C", repo_dir or ".", "log",
                               "--format=%H %s"],
@@ -51,6 +54,15 @@ def round_artifact(repo_dir, n):
         for line in out.stdout.splitlines():
             h, _, subj = line.partition(" ")
             if subj.startswith(f"round {n}:"):
+                chg = subprocess.run(
+                    ["git", "-C", repo_dir or ".", "show", "--name-only",
+                     "--format=", h],
+                    capture_output=True, text=True, timeout=30)
+                if chg.returncode != 0 or \
+                        "bench.json" not in chg.stdout.split():
+                    print(f"note: the round-{n} commit did not change "
+                          "bench.json — falling back to the wrapper tail")
+                    return None
                 return git_show(repo_dir, f"{h}:bench.json")
     except Exception:
         pass
@@ -60,26 +72,29 @@ def round_artifact(repo_dir, n):
 def load(path):
     """Accept a raw Bench artifact, the driver's wrapper (BENCH_r*.json:
     our JSON line inside a possibly-FRONT-TRUNCATED 'tail' string), or a
-    git "rev:path" spec. BENCH_r{N}.json prefers the round-N commit's
-    full bench.json; the tail scrape (which survives truncation with a
-    partial query set) is the fallback."""
+    git "rev:path" spec (either artifact flavor). BENCH_r{N}.json
+    prefers the round-N commit's full bench.json; the tail scrape
+    (which survives truncation with a partial query set) is the
+    fallback."""
     if not os.path.exists(path) and re.match(r"^[^:]+:.+", path):
         repo = os.path.dirname(path.split(":", 1)[1]) or "."
         d = git_show(".", path) or git_show(repo, path)
         if d is None:
             sys.exit(f"cannot read git spec {path}")
         print(f"note: {path} read via git show")
-        return d
-    m = re.search(r"BENCH_r0*(\d+)\.json$", path)
-    if m:
-        full = round_artifact(os.path.dirname(path), int(m.group(1)))
-        if full is not None and "queries" in full:
-            print(f"note: {path} -> full bench.json from the round-"
-                  f"{int(m.group(1))} commit ({len(full['queries'])} queries; "
-                  f"the wrapper tail is truncated)")
-            return full
-    with open(path) as f:
-        d = json.load(f)
+        # fall through to the same wrapper unwrapping as file paths (a
+        # rev:BENCH_rN.json spec is a wrapper, not a raw artifact)
+    else:
+        m = re.search(r"BENCH_r0*(\d+)\.json$", path)
+        if m:
+            full = round_artifact(os.path.dirname(path), int(m.group(1)))
+            if full is not None and "queries" in full:
+                print(f"note: {path} -> full bench.json from the round-"
+                      f"{int(m.group(1))} commit ({len(full['queries'])} "
+                      "queries; the wrapper tail is truncated)")
+                return full
+        with open(path) as f:
+            d = json.load(f)
     if "queries" in d:
         return d
     if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
