@@ -353,33 +353,65 @@ object Pipeline {
               .find(g => committed(g) &&
                 readIndexFingerprint(fs, g).contains(fp))
           val current = recorded.filter(fpMatches).flatMap { rec =>
-            (pointed.toSeq :+ genFixed(rec))
-              .find(g => committed(g) && readIndexFingerprint(fs, g).contains(rec))
+            // pointer target: always r12-built (or a healed adoption),
+            // so provenance must match when present; the FIXED-NAME
+            // candidate tolerates a MISSING per-gen fingerprint — pre-
+            // provenance r11 builds (the shipped 100× index is one)
+            // never wrote it, and the name gen=<sha8(rec)> is itself
+            // derived from rec (round-12 second review: requiring the
+            // file silently invalidated every such index — full rebuild
+            // for live corpora, a brick for archived ones)
+            pointed.find(g => committed(g) &&
+                readIndexFingerprint(fs, g).forall(_ == rec))
+              .orElse(Some(genFixed(rec)).filter(g => committed(g) &&
+                readIndexFingerprint(fs, g).forall(_ == rec)))
               .orElse(genWithFp(rec))
           }
           current match {
             case Some(g) => s.read.parquet(g.toString)
             case None if live.isEmpty =>
-              // ARCHIVED LEGACY INDEX (round-11 review): a
-              // pre-generational index carries no fingerprint to
-              // validate and its corpus is gone, so there is nothing to
-              // rebuild from — but its committed flat data is exactly
-              // what the pre-r11 code served. Keep serving it at the
-              // same trust level rather than failing the upgrade — via
-              // an EXPLICIT top-level file list (ADVICE round 11): a
-              // directory read would partition-discover any `gen=*`
-              // subdirs as a 'gen' column and serve a mixed
-              // flat+generational frame if the top-level fingerprint is
-              // ever lost after migration while the flat _SUCCESS
-              // remains.
-              val flat = topLevelDataFiles(fs, hp)
-              if (recorded.isEmpty &&
-                  fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")) &&
-                  flat.nonEmpty)
-                s.read.parquet(flat: _*)
-              else throw new IllegalStateException(
-                s"minhash index at $p is invalid and the corpus at $dir " +
-                  "is unreadable: nothing to rebuild from")
+              // ARCHIVED CORPUS, NO RESOLVABLE CURRENT. Before falling
+              // back to legacy flat data, scan generation PROVENANCE by
+              // corpus-dir prefix (round-12 second review): the
+              // top-level fingerprint has a delete-then-rename publish
+              // window, and losing it over an archived corpus used to
+              // brick an index whose committed generations name this
+              // exact corpus dir in their own fingerprint files. Newest
+              // matching generation wins (same order the GC retains).
+              val byPrefix =
+                if (!fs.exists(hp)) None
+                else fs.listStatus(hp).toSeq
+                  .filter(st => st.isDirectory &&
+                    st.getPath.getName.startsWith("gen="))
+                  .map(_.getPath)
+                  .filter(g => committed(g) &&
+                    readIndexFingerprint(fs, g)
+                      .exists(_.startsWith(s"graft-minhash-v1|$dir|")))
+                  .sortBy(_.getName).lastOption
+              byPrefix match {
+                case Some(g) => s.read.parquet(g.toString)
+                case None =>
+                  // ARCHIVED LEGACY INDEX (round-11 review): a
+                  // pre-generational index carries no fingerprint to
+                  // validate and its corpus is gone, so there is
+                  // nothing to rebuild from — but its committed flat
+                  // data is exactly what the pre-r11 code served. Keep
+                  // serving it at the same trust level rather than
+                  // failing the upgrade — via an EXPLICIT top-level
+                  // file list (ADVICE round 11): a directory read would
+                  // partition-discover any `gen=*` subdirs as a 'gen'
+                  // column and serve a mixed flat+generational frame if
+                  // the top-level fingerprint is ever lost after
+                  // migration while the flat _SUCCESS remains.
+                  val flat = topLevelDataFiles(fs, hp)
+                  if (recorded.isEmpty &&
+                      fs.exists(new org.apache.hadoop.fs.Path(hp, "_SUCCESS")) &&
+                      flat.nonEmpty)
+                    s.read.parquet(flat: _*)
+                  else throw new IllegalStateException(
+                    s"minhash index at $p is invalid and the corpus at $dir " +
+                      "is unreadable: nothing to rebuild from")
+              }
             case None =>
               val fp = live.get
               // ADOPTION-FIRST: any committed generation whose own

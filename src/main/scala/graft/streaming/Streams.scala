@@ -960,6 +960,11 @@ object Streams {
         org.apache.hadoop.fs.Path, Seq[String])] = durablePath.map { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // fold any increment a crashed compactor left unswept BEFORE the
+      // census snapshot below is taken — otherwise a drain racing the
+      // repoint-to-sweep window would census against an index missing
+      // settled admissions and admit their twins permanently
+      recoverPendingSweep(s, fs, hp)
       val snapFiles = admitGenDir(fs, hp).map(g => dataFilesIn(fs, g))
         .getOrElse(Seq.empty)
       (fs, hp, snapFiles)
@@ -1133,6 +1138,45 @@ object Streams {
   // compaction/pruning never forgets which sink files were merged.
 
   private val AdmitPointerFile = "_GRAFT_CURRENT"
+  private val SweepPendingFile = "_GRAFT_SWEEP_PENDING"
+
+  /** Recover an interrupted compactor sweep (round-12 second review):
+    * the post-repoint sweep is the step that folds a racing drain's
+    * settled increment into the new generation — a compactor crash
+    * between its repoint and that sweep would otherwise orphan the
+    * increment permanently (markers written, rows only in the
+    * superseded generation, next GC destroys it). The compactor
+    * therefore records `(sourceGen, snapshot file set)` in
+    * [[SweepPendingFile]] BEFORE repointing and deletes it after the
+    * sweep; this recovery runs at every merge and compaction START, so
+    * the fold happens before any census snapshot or GC can act on the
+    * incomplete state. Idempotent (row-granular anti-join); no
+    * freshness filter — rows a pruning compaction would have dropped
+    * are folded conservatively and go out with the next prune. */
+  private def recoverPendingSweep(s: SparkSession,
+                                  fs: org.apache.hadoop.fs.FileSystem,
+                                  hp: org.apache.hadoop.fs.Path): Unit = {
+    val rec = new org.apache.hadoop.fs.Path(hp, SweepPendingFile)
+    readSmallFile(fs, rec).foreach { v =>
+      val lines = v.split("\n").toSeq
+      val src = new org.apache.hadoop.fs.Path(hp, lines.head)
+      val snapNames = lines.tail.toSet
+      admitGenDir(fs, hp).foreach { cur =>
+        if (fs.exists(src)) {
+          val late = dataFilesIn(fs, src).filterNot(f =>
+            snapNames(new org.apache.hadoop.fs.Path(f).getName))
+          if (late.nonEmpty && cur.getName != src.getName) {
+            val missing = s.read.parquet(late: _*)
+              .join(s.read.parquet(cur.toString)
+                  .select(col("doc_id"), col("b"), col("key")),
+                Seq("doc_id", "b", "key"), "left_anti")
+            missing.write.mode("append").parquet(cur.toString)
+          }
+        }
+      }
+      fs.delete(rec, false)
+    }
+  }
 
   /** Test-only interleaving hook: runs once per durable-index merge,
     * right after the first append and before the pointer re-check —
@@ -1223,7 +1267,12 @@ object Streams {
     * holding the superseded files). Optionally prunes rows merged more
     * than `maxAgeMs` ago — the freshness-window policy for deployments
     * running the admit TTL: the index is append-only HISTORY the TTL
-    * never touches. Nothing is deleted before its replacement is
+    * never touches. (Freshness measures MERGE time: an increment whose
+    * drain crashed before its markers re-merges later with the retry's
+    * stamp, so a pipeline down longer than its window re-ages those
+    * unmarked admissions — the conservative direction: they flag twins
+    * for another window, never wrongly admit one.) Nothing is deleted
+    * before its replacement is
     * committed AND referenced, so no crash point loses the index (a
     * crash between gen commit and repoint recovers via the
     * newest-committed fallback); the _merged log is untouched, so pruned
@@ -1245,6 +1294,9 @@ object Streams {
                         maxAgeMs: Option[Long] = None): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fold any increment a PREVIOUS compactor's crash left unswept
+    // before this run snapshots or GCs anything
+    recoverPendingSweep(s, fs, hp)
     val gen = admitGenDir(fs, hp).getOrElse(return)
     // EXPLICIT file-list snapshot (round-12 review): the rewrite reads
     // exactly these files, and the post-repoint sweep below computes
@@ -1253,7 +1305,12 @@ object Streams {
     // Spark's file-index timing.
     val snap = dataFilesIn(fs, gen)
     if (snap.isEmpty) return // a just-created empty generation: nothing to do
-    val cur = s.read.parquet(snap: _*)
+    // .distinct(): exact-duplicate rows can only enter through the
+    // documented double-append window (merge-side fence and compactor
+    // sweep racing under an out-of-contract schedule) — they are
+    // harmless-but-conservative in the census, and every compaction
+    // heals them here for one bounded exchange
+    val cur = s.read.parquet(snap: _*).distinct()
     def inWindow(df: DataFrame): DataFrame = maxAgeMs match {
       case Some(w) =>
         val cutoff = System.currentTimeMillis() - w
@@ -1281,6 +1338,17 @@ object Streams {
         s"admit-index compaction row mismatch: $written written vs $keptRows kept")
     }
     admitCompactPreRepointHook()
+    // SWEEP OBLIGATION RECORD (round-12 second review): written BEFORE
+    // the repoint so a crash anywhere between the repoint and the end
+    // of the sweep leaves a durable instruction — any observer of the
+    // new pointer also sees the record, and both merges and compactions
+    // run [[recoverPendingSweep]] first, so a racing drain's settled
+    // increment can never be orphaned by a compactor crash, and a
+    // census snapshot taken in the repoint-to-sweep window folds the
+    // late rows before reading.
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, SweepPendingFile),
+      (gen.getName +: snap.map(f =>
+        new org.apache.hadoop.fs.Path(f).getName)).mkString("\n"))
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile),
       newGen.getName)
     // POST-REPOINT SWEEP (round 12, review): the merge-side fence only
@@ -1303,6 +1371,7 @@ object Streams {
           Seq("doc_id", "b", "key"), "left_anti")
       missing.write.mode("append").parquet(newGen.toString)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(hp, SweepPendingFile), false)
     val keep = Set(newGen.getName, gen.getName)
     fs.listStatus(hp).foreach { st =>
       val n = st.getPath.getName

@@ -18,6 +18,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object MetaFiles {
 
   def write(fs: FileSystem, f: Path, v: String): Unit = {
+    // sweep temp debris from CRASHED publishes of this same file (>10
+    // minutes old by modtime — a live concurrent publish is seconds
+    // old, and the age guard keeps this from racing one)
+    try fs.listStatus(f.getParent).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("." + f.getName + ".tmp-")
+          && st.getModificationTime < System.currentTimeMillis() - 600000L)
+        fs.delete(st.getPath, false)
+    } catch { case _: java.io.IOException => () }
     val tmp = new Path(f.getParent,
       "." + f.getName + ".tmp-" + java.lang.Long.toHexString(System.nanoTime()))
     val out = fs.create(tmp, true)

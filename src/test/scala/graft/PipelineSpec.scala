@@ -1009,6 +1009,87 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sigsPath pre-provenance r11 generation (no per-gen fingerprint) still serves") {
+    // round-12 second review: resolution demanded per-generation
+    // provenance, but r11-era builds (the shipped 100x index among
+    // them) wrote only the TOP-LEVEL fingerprint — requiring the file
+    // silently invalidated every such index (full rebuild when the
+    // corpus is live, a brick when archived). The fixed-name candidate
+    // gen=<sha8(fp)> tolerates a MISSING per-gen fingerprint: the name
+    // is itself derived from the fingerprint.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs_r11layout")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val sigsPath = new java.io.File(tmp.toFile, "sigs.parquet").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def gens(): Seq[java.io.File] = new java.io.File(sigsPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("gen=")).toSeq.sortBy(_.getName)
+    def load(): Seq[Long] = {
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      Pipeline.minhashSigs(spark, tmp.toString).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    try {
+      spark.createDataFrame(Seq((1L, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(docsDir)
+      spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
+      assert(load() === Seq(1L))
+      // transform the r12 layout into the r11 one: fixed name (strip
+      // the nonce suffix), no pointer, no per-generation fingerprint
+      val g = gens().head
+      val fixedName = g.getName.takeWhile(_ != '-')
+      assert(g.renameTo(new java.io.File(sigsPath, fixedName)))
+      assert(new java.io.File(sigsPath, "_GRAFT_CURRENT").delete())
+      val perGen = new java.io.File(new java.io.File(sigsPath, fixedName),
+        "_GRAFT_FINGERPRINT")
+      assert(perGen.delete())
+      // live corpus: must SERVE the r11 generation, not rebuild beside it
+      assert(load() === Seq(1L))
+      assert(gens().map(_.getName) === Seq(fixedName),
+        "an r11 fixed-name generation must be served unmigrated, not rebuilt")
+      // archived corpus: same index must still serve (not throw)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(docsDir))
+      assert(load() === Seq(1L),
+        "an archived-corpus r11 index must keep serving")
+    } finally {
+      spark.conf.unset("spark.graft.minhash.sigsPath")
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("sigsPath lost top-level fingerprint over an archived corpus adopts by provenance prefix") {
+    // round-12 second review: the top-level fingerprint has a
+    // delete-then-rename publish window; losing it while the corpus is
+    // archived used to throw even though committed generations carry
+    // this exact corpus dir in their own fingerprints.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sigs_lostfp")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val sigsPath = new java.io.File(tmp.toFile, "sigs.parquet").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def load(): Seq[Long] = {
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      Pipeline.minhashSigs(spark, tmp.toString).collect().map(_.getLong(0)).sorted.toSeq
+    }
+    try {
+      spark.createDataFrame(Seq((1L, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(docsDir)
+      spark.conf.set("spark.graft.minhash.sigsPath", sigsPath)
+      assert(load() === Seq(1L))
+      // the crash window: fingerprint and pointer both gone, corpus gone
+      assert(new java.io.File(sigsPath, "_GRAFT_FINGERPRINT").delete())
+      assert(new java.io.File(sigsPath, "_GRAFT_CURRENT").delete())
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(docsDir))
+      assert(load() === Seq(1L),
+        "committed generations naming this corpus in their provenance " +
+          "must be adopted instead of throwing")
+    } finally {
+      spark.conf.unset("spark.graft.minhash.sigsPath")
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("sigsPath legacy flat-layout files are GC'd one switch after migration") {
     // pre-generational indexes kept part files at the TOP level. The
     // migration rebuild leaves them in place (a legacy reader may still

@@ -771,6 +771,78 @@ class StreamsSpec extends AnyFunSuite {
     }
   }
 
+  test("stream LSH admit durable index: compactor crash between repoint and sweep recovers") {
+    // round-12 second review: the post-repoint sweep is what folds a
+    // racing drain's settled increment into the new generation — a
+    // compactor crash in that window used to orphan it permanently
+    // (markers written, rows only in the superseded generation, next
+    // GC destroys them). The compactor now records its sweep
+    // obligation BEFORE repointing; merges and compactions replay it
+    // on start. This test constructs the exact crash state by hand.
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val root = java.nio.file.Files.createTempDirectory("graft_admit_crashsweep")
+    val indexPath = new java.io.File(root.toFile, "ix.parquet").getAbsolutePath
+    def slice(name: String, id: Long): String = {
+      val dir = new java.io.File(root.toFile, name)
+      spark.createDataFrame(Seq((id, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write
+        .parquet(new java.io.File(dir, "documents.parquet").getAbsolutePath)
+      dir.getAbsolutePath
+    }
+    def run(dir: String, tag: String): Map[Long, (Long, Long, Long, Boolean)] = {
+      val sink = new java.io.File(root.toFile, s"sink_$tag").getAbsolutePath
+      val ckpt = new java.io.File(root.toFile, s"ckpt_$tag").getAbsolutePath
+      Streams.streamLshAdmitAt(spark, dir, sink, ckpt)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    }
+    spark.conf.set("spark.graft.stream.admitIndexPath", indexPath)
+    val (s1, s2) = (slice("slice1", 3L), slice("slice2", 7L))
+    try {
+      // drain 1 (doc 3), then drain 2 (doc 7): both increments live in
+      // generation A, both marker sets written
+      assert(run(s1, "1")(3L) === ((0L, 0L, -1L, true)))
+      val genA = java.nio.file.Files.readString(
+        new java.io.File(indexPath, "_GRAFT_CURRENT").toPath).trim
+      val aDir = new java.io.File(indexPath, genA)
+      val preDrain2 = aDir.listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.getName).toSet
+      assert(run(s2, "2")(7L) === ((16L, 0L, 3L, false)))
+      // CRASH STATE: a compactor snapshotted A BEFORE drain 2's append,
+      // rewrote only doc 3's rows into generation B, recorded its sweep
+      // obligation, repointed — and died before sweeping
+      val genB = f"gen-${genA.stripPrefix("gen-").toLong + 1L}%013d"
+      spark.read.parquet(preDrain2.map(n =>
+          new java.io.File(aDir, n).getAbsolutePath).toSeq: _*)
+        .coalesce(1).write.parquet(new java.io.File(indexPath, genB).getAbsolutePath)
+      java.nio.file.Files.writeString(
+        new java.io.File(indexPath, "_GRAFT_SWEEP_PENDING").toPath,
+        (genA +: preDrain2.toSeq).mkString("\n"))
+      java.nio.file.Files.writeString(
+        new java.io.File(indexPath, "_GRAFT_CURRENT").toPath, genB)
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 16L,
+        "the crash state serves the orphaned view before recovery")
+      // the next drain recovers the sweep BEFORE its census snapshot:
+      // doc 7's rows fold into B, the census still flags, no duplicates
+      val r = run(s2, "2")
+      assert(r(7L) === ((16L, 0L, 3L, false)), s"census after recovery: ${r(7L)}")
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+        "recovery must fold the orphaned increment into the new generation")
+      assert(!new java.io.File(indexPath, "_GRAFT_SWEEP_PENDING").exists(),
+        "the sweep obligation is cleared once replayed")
+      // and a compaction after recovery preserves everything
+      Streams.compactAdmitIndex(spark, indexPath)
+      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L)
+    } finally {
+      spark.conf.unset("spark.graft.stream.admitIndexPath")
+      Seq(s1, s2).foreach(graft.util.CorpusMemo.invalidate(spark, _))
+      org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
+    }
+  }
+
   test("stream LSH admit durable index + live checkpoint: both lanes report, self-hits nulled") {
     // resume WITHOUT a wipe while the durable index is on: a colliding
     // doc is reported by BOTH lanes (stream state AND the parquet index
