@@ -397,14 +397,18 @@ class RelationalSpec extends AnyFunSuite {
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
         "l_returnflag", "l_linestatus")
       .collect()
-    def runsOf(vals: Seq[String]): Long =
+    def runsOf(vals: Seq[Long]): Long =
       1L + vals.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
-    val cols: Seq[(String, org.apache.spark.sql.Row => String)] = Seq(
-      "l_orderkey" -> (_.getLong(0).toString),
-      "l_partkey" -> (_.getLong(2).toString),
-      "l_quantity" -> (_.getDouble(3).toLong.toString),
-      "l_returnflag" -> (_.getString(4)),
-      "l_linestatus" -> (_.getString(5)))
+    // the replay mirrors the round-12 FIXED-WIDTH LONG sort/compare key
+    // (numeric value; code point for the 1-char flags): the total order
+    // on (k1, k2, v) decides which value sits at a duplicate-key
+    // boundary, so the replay must share the engine's integer order
+    val cols: Seq[(String, org.apache.spark.sql.Row => Long)] = Seq(
+      "l_orderkey" -> (_.getLong(0)),
+      "l_partkey" -> (_.getLong(2)),
+      "l_quantity" -> (_.getDouble(3).toLong),
+      "l_returnflag" -> (_.getString(4).charAt(0).toLong),
+      "l_linestatus" -> (_.getString(5).charAt(0).toLong))
     val expected = cols.map { case (name, get) =>
       val vals = li.map(r => (r.getLong(0), r.getInt(1), get(r)))
         .sortBy(identity).map(_._3).toSeq
