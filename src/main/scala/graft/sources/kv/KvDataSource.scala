@@ -6,6 +6,7 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -155,7 +156,7 @@ private[kv] object KvFilters {
 private[kv] class KvScan(path: String, required: StructType,
                          pushed: Array[Filter], splitSize: Long,
                          limit: Int = -1)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
 
   override def description(): String =
@@ -165,7 +166,9 @@ private[kv] class KvScan(path: String, required: StructType,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  // one driver-side listing serves both the statistics estimate and the
+  // split planning
+  private lazy val fileStats: Seq[(String, Long)] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val p = new HPath(path)
     val fs = FileSystem.get(p.toUri, conf)
@@ -179,9 +182,27 @@ private[kv] class KvScan(path: String, required: StructType,
         n.startsWith("_") || n.startsWith(".")
       }
       .sortBy(_.getPath.toString)
-      .flatMap { s =>
-        val len = s.getLen
-        val f = s.getPath.toString
+      .map(s => (s.getPath.toString, s.getLen))
+  }
+
+  /** Size statistics from the file listing (round 12): without them a
+    * DSv2 relation reports the session's `defaultSizeInBytes` (Long.Max
+    * by default), so a 2 KB kv dimension table could NEVER be chosen
+    * for an auto-broadcast join — the planner treated the smallest
+    * input in the system as the largest. Row count stays unknown (lines
+    * aren't counted without a scan); byte size is what the broadcast
+    * threshold compares against. */
+  override def estimateStatistics(): connector.read.Statistics =
+    new connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(fileStats.map(_._2).sum)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    fileStats
+      .flatMap { case (f, len) =>
         (0L until len by splitSize).map(off =>
           KvInputPartition(f, off, math.min(splitSize, len - off)): InputPartition)
       }

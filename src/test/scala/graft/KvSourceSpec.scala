@@ -92,6 +92,33 @@ class KvSourceSpec extends AnyFunSuite {
     assert(limited.collect().length === 5)
   }
 
+  test("scan reports byte-size statistics; a small kv side auto-broadcasts") {
+    // round 12: without SupportsReportStatistics a DSv2 relation reports
+    // defaultSizeInBytes (Long.Max), so a tiny kv dimension could never
+    // win an auto-broadcast — the planner saw the smallest table in the
+    // system as the largest
+    val dir = Files.createTempDirectory("graft_kvstats")
+    val bytes = "N 1\nA 2\nR 3\n".getBytes
+    Files.write(Paths.get(dir.toString, "part-00000"), bytes)
+    val kv = spark.read.format("graftkv").load(dir.toString)
+    val est = scanOf(kv).scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(est.sizeInBytes().getAsLong === bytes.length.toLong,
+      "size must equal the listed data-file bytes")
+    assert(!est.numRows().isPresent, "row count is unknown without a scan")
+    // the 12-byte side must now be the build side of a broadcast join
+    val joined = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag").as("key"), col("l_quantity"))
+      .join(kv, "key")
+    // toString sees through the AdaptiveSparkPlan wrapper (collectFirst
+    // does not descend into AQE's inner plan)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tiny kv side must auto-broadcast:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("the V2 sink stages and renames: roundtrip parity, no temp residue") {
     val dir = Files.createTempDirectory("graft_kvw").toString
     import spark.implicits._
