@@ -203,4 +203,40 @@ class PropertySpec extends AnyFunSuite {
       assert(got === want, s"trial $trial")
     }
   }
+
+  test("PNG synthesis round-trips through javax.imageio on random dimensions") {
+    import graft.multimodal.Codecs
+    (1 to 40).foreach { trial =>
+      val w = 1 + rnd.nextInt(400)
+      // keep one stored block: h*(1+3w) <= 65535
+      val hMax = math.max(1, 65535 / (1 + 3 * w))
+      val h = 1 + rnd.nextInt(hMax)
+      val pv = rnd.nextInt(256)
+      val blob = Codecs.pngRgb(w, h, pv)
+      assert(blob.length === h * (1 + 3 * w) + 68, s"trial $trial ($w x $h)")
+      assert(Codecs.imageMeta(blob) === ((w.toLong, h.toLong, "png")),
+        s"trial $trial ($w x $h)")
+      val (dw, dh, sum) = Codecs.imagePixelSum(blob)
+      assert((dw, dh) === ((w.toLong, h.toLong)), s"trial $trial")
+      assert(sum === w.toLong * h * 3 * pv % 1000000007L,
+        s"trial $trial ($w x $h pv=$pv)")
+    }
+  }
+
+  test("WAV synthesis round-trips through javax.sound on random parameters") {
+    import graft.multimodal.Codecs
+    (1 to 40).foreach { trial =>
+      val rate = Seq(8000, 16000, 44100)(rnd.nextInt(3))
+      val n = rnd.nextInt(5000)
+      val sv = rnd.nextInt(32768)
+      val blob = Codecs.wavPcm16Mono(rate, n, sv)
+      assert(blob.length === 44 + 2 * n, s"trial $trial")
+      assert(Codecs.audioMeta(blob) === ((n.toLong, rate.toLong, "wave")),
+        s"trial $trial (rate=$rate n=$n)")
+      val (frames, sum) = Codecs.audioPcmSum(blob)
+      assert(frames === n.toLong, s"trial $trial")
+      assert(sum === n.toLong * ((sv & 0xff) + (sv >> 8)) % 1000000007L,
+        s"trial $trial (n=$n sv=$sv)")
+    }
+  }
 }
