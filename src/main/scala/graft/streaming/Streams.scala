@@ -1156,25 +1156,37 @@ object Streams {
   private def recoverPendingSweep(s: SparkSession,
                                   fs: org.apache.hadoop.fs.FileSystem,
                                   hp: org.apache.hadoop.fs.Path): Unit = {
-    val rec = new org.apache.hadoop.fs.Path(hp, SweepPendingFile)
-    readSmallFile(fs, rec).foreach { v =>
-      val lines = v.split("\n").toSeq
-      val src = new org.apache.hadoop.fs.Path(hp, lines.head)
-      val snapNames = lines.tail.toSet
-      admitGenDir(fs, hp).foreach { cur =>
-        if (fs.exists(src)) {
-          val late = dataFilesIn(fs, src).filterNot(f =>
-            snapNames(new org.apache.hadoop.fs.Path(f).getName))
-          if (late.nonEmpty && cur.getName != src.getName) {
-            val missing = s.read.parquet(late: _*)
-              .join(s.read.parquet(cur.toString)
-                  .select(col("doc_id"), col("b"), col("key")),
-                Seq("doc_id", "b", "key"), "left_anti")
-            missing.write.mode("append").parquet(cur.toString)
+    // records are UNIQUE PER COMPACTION (suffix nonce) and ALL
+    // outstanding ones are replayed: a single fixed-name record would
+    // let one of two out-of-contract concurrent compactors clobber the
+    // other's obligation (and the survivor's cleanup delete it) before
+    // the other repointed — replay-all makes the obligation log safe
+    // under any number of writers. The legacy bare name is accepted.
+    if (!fs.exists(hp)) return
+    val recs = fs.listStatus(hp).toSeq
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(SweepPendingFile))
+      .map(_.getPath)
+    recs.foreach { rec =>
+      readSmallFile(fs, rec).foreach { v =>
+        val lines = v.split("\n").toSeq
+        val src = new org.apache.hadoop.fs.Path(hp, lines.head)
+        val snapNames = lines.tail.toSet
+        admitGenDir(fs, hp).foreach { cur =>
+          if (fs.exists(src)) {
+            val late = dataFilesIn(fs, src).filterNot(f =>
+              snapNames(new org.apache.hadoop.fs.Path(f).getName))
+            if (late.nonEmpty && cur.getName != src.getName) {
+              val missing = s.read.parquet(late: _*)
+                .join(s.read.parquet(cur.toString)
+                    .select(col("doc_id"), col("b"), col("key")),
+                  Seq("doc_id", "b", "key"), "left_anti")
+              missing.write.mode("append").parquet(cur.toString)
+            }
           }
         }
+        fs.delete(rec, false)
       }
-      fs.delete(rec, false)
     }
   }
 
@@ -1346,7 +1358,9 @@ object Streams {
     // increment can never be orphaned by a compactor crash, and a
     // census snapshot taken in the repoint-to-sweep window folds the
     // late rows before reading.
-    writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, SweepPendingFile),
+    val sweepRec = new org.apache.hadoop.fs.Path(hp, SweepPendingFile +
+      "-" + java.lang.Long.toHexString(System.nanoTime()))
+    writeSmallFile(fs, sweepRec,
       (gen.getName +: snap.map(f =>
         new org.apache.hadoop.fs.Path(f).getName)).mkString("\n"))
     writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile),
@@ -1371,7 +1385,7 @@ object Streams {
           Seq("doc_id", "b", "key"), "left_anti")
       missing.write.mode("append").parquet(newGen.toString)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(hp, SweepPendingFile), false)
+    fs.delete(sweepRec, false)
     val keep = Set(newGen.getName, gen.getName)
     fs.listStatus(hp).foreach { st =>
       val n = st.getPath.getName
