@@ -6,7 +6,6 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
@@ -192,8 +191,8 @@ private[kv] class KvScan(path: String, required: StructType,
     * input in the system as the largest. Row count stays unknown (lines
     * aren't counted without a scan); byte size is what the broadcast
     * threshold compares against. */
-  override def estimateStatistics(): connector.read.Statistics =
-    new connector.read.Statistics {
+  override def estimateStatistics(): Statistics =
+    new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(fileStats.map(_._2).sum)
       override def numRows(): java.util.OptionalLong =

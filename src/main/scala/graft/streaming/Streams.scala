@@ -1172,21 +1172,42 @@ object Streams {
         val lines = v.split("\n").toSeq
         val src = new org.apache.hadoop.fs.Path(hp, lines.head)
         val snapNames = lines.tail.toSet
-        admitGenDir(fs, hp).foreach { cur =>
-          if (fs.exists(src)) {
-            val late = dataFilesIn(fs, src).filterNot(f =>
-              snapNames(new org.apache.hadoop.fs.Path(f).getName))
-            if (late.nonEmpty && cur.getName != src.getName) {
-              val missing = s.read.parquet(late: _*)
-                .join(s.read.parquet(cur.toString)
-                    .select(col("doc_id"), col("b"), col("key")),
-                  Seq("doc_id", "b", "key"), "left_anti")
-              missing.write.mode("append").parquet(cur.toString)
+        // a record is DISCHARGED (deletable) only once its obligation
+        // cannot recur: the pointer moved off the source generation
+        // (fold done below), or the source is gone. While cur == src
+        // the OWNING compactor is still between record-write and
+        // repoint — deleting its record here would reopen the orphan
+        // hole if it repoints and then crashes (third review pass). A
+        // record whose owner crashed before repointing self-discharges
+        // after the next successful compaction moves the pointer.
+        val discharged = admitGenDir(fs, hp) match {
+          case None => !fs.exists(src)
+          case Some(cur) =>
+            if (!fs.exists(src)) true
+            else if (cur.getName == src.getName) false
+            else {
+              val late = dataFilesIn(fs, src).filterNot(f =>
+                snapNames(new org.apache.hadoop.fs.Path(f).getName))
+              if (late.nonEmpty) {
+                val missing = s.read.parquet(late: _*)
+                  .join(s.read.parquet(cur.toString)
+                      .select(col("doc_id"), col("b"), col("key")),
+                    Seq("doc_id", "b", "key"), "left_anti")
+                missing.write.mode("append").parquet(cur.toString)
+              }
+              true
             }
-          }
         }
-        fs.delete(rec, false)
+        if (discharged) fs.delete(rec, false)
       }
+    }
+    // crashed record PUBLISHES leave unique-named hidden temps the
+    // per-name sweep in MetaFiles.write can never match — collect them
+    // here once they are stale (third review pass)
+    fs.listStatus(hp).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("." + SweepPendingFile) &&
+          st.getModificationTime < System.currentTimeMillis() - 600000L)
+        fs.delete(st.getPath, false)
     }
   }
 

@@ -112,10 +112,19 @@ class KvSourceSpec extends AnyFunSuite {
       .select(col("l_returnflag").as("key"), col("l_quantity"))
       .join(kv, "key")
     // toString sees through the AdaptiveSparkPlan wrapper (collectFirst
-    // does not descend into AQE's inner plan)
+    // does not descend into AQE's inner plan). Asserting WHICH side
+    // builds matters: lineitem at sf0.001 is also under the broadcast
+    // threshold, so a bare contains("BroadcastHashJoin") would pass
+    // even with the statistics fix reverted (Spark would broadcast the
+    // parquet side instead) — the kv scan must sit UNDER the exchange
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"tiny kv side must auto-broadcast:\n$plan")
+    val bx = plan.indexOf("BroadcastExchange")
+    assert(bx >= 0 && plan.indexOf("BatchScan graftkv") > bx,
+      s"the kv side must be the broadcast BUILD side:\n$plan")
+    assert(plan.indexOf("FileScan parquet") < bx,
+      s"the parquet side must be the stream side:\n$plan")
     assert(joined.count() > 0)
   }
 

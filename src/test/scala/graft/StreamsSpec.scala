@@ -818,6 +818,13 @@ class StreamsSpec extends AnyFunSuite {
       spark.read.parquet(preDrain2.map(n =>
           new java.io.File(aDir, n).getAbsolutePath).toSeq: _*)
         .coalesce(1).write.parquet(new java.io.File(indexPath, genB).getAbsolutePath)
+      // the production NONCE-SUFFIXED record name (exercises recovery's
+      // prefix filter on the writer's actual format) PLUS a legacy bare
+      // record and an already-discharged duplicate — replay-all must
+      // handle every outstanding record without duplicating rows
+      java.nio.file.Files.writeString(
+        new java.io.File(indexPath, "_GRAFT_SWEEP_PENDING-deadbeef").toPath,
+        (genA +: preDrain2.toSeq).mkString("\n"))
       java.nio.file.Files.writeString(
         new java.io.File(indexPath, "_GRAFT_SWEEP_PENDING").toPath,
         (genA +: preDrain2.toSeq).mkString("\n"))
@@ -830,9 +837,11 @@ class StreamsSpec extends AnyFunSuite {
       val r = run(s2, "2")
       assert(r(7L) === ((16L, 0L, 3L, false)), s"census after recovery: ${r(7L)}")
       assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
-        "recovery must fold the orphaned increment into the new generation")
-      assert(!new java.io.File(indexPath, "_GRAFT_SWEEP_PENDING").exists(),
-        "the sweep obligation is cleared once replayed")
+        "recovery must fold the orphaned increment into the new " +
+          "generation exactly once across all outstanding records")
+      assert(new java.io.File(indexPath).listFiles()
+          .count(_.getName.startsWith("_GRAFT_SWEEP_PENDING")) === 0,
+        "every discharged sweep obligation is cleared")
       // and a compaction after recovery preserves everything
       Streams.compactAdmitIndex(spark, indexPath)
       assert(Streams.admitIndexRows(spark, indexPath).count() === 32L)
