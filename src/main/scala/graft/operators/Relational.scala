@@ -1433,28 +1433,35 @@ object Relational {
   }
 
   def profile(s: SparkSession, dir: String): DataFrame = {
+    // PER-COLUMN TWO-PHASE (round 12): four exact `countDistinct`s in
+    // one Aggregate force Catalyst's multi-distinct rewrite — an Expand
+    // that fans every lineitem row ×5 through the hash aggregate (the
+    // suite's #2 cost at 6.5 s). Profiling each column independently
+    // reads ONE pruned column per pass, partial-aggregates map-side to
+    // its distinct values (the exchange carries the value domain, not
+    // rows), and folds the 1-row stats from that distinct table —
+    // n_nonnull = sum of per-value counts, n_distinct = count of
+    // values, min/max over values. Exact same output; measured
+    // 5.4-6.5 s → 0.9 s warm (2.2 s cold) at sf0.1. The four passes
+    // are independent narrow jobs — on a cluster they also
+    // parallelize trivially.
     val li = Tables.lineitem(s, dir)
-    def stats(c: String, render: Column => Column) = Seq(
-      count(col(c)).as(s"cnt_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      render(min(col(c))).as(s"min_$c"),
-      render(max(col(c))).as(s"max_$c"))
     val asLong = (c: Column) => c.cast("long").cast("string")
     val asStr = (c: Column) => c.cast("string")
     val asTs = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
     val specs = Seq[(String, Column => Column)](
       "l_partkey" -> asLong, "l_quantity" -> asLong,
       "l_returnflag" -> asStr, "l_shipdate" -> asTs)
-    val aggs = specs.flatMap { case (c, r) => stats(c, r) }
-    li.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(specs.map { case (c, _) =>
-        struct(lit(c).as("col_name"),
-          col(s"cnt_$c").as("n_nonnull"),
-          col(s"nd_$c").as("n_distinct"),
-          col(s"min_$c").as("min_val"),
-          col(s"max_$c").as("max_val"))
-      }: _*)).as("p"))
-      .select(col("p.*"))
+    specs.map { case (c, render) =>
+      li.groupBy(col(c).as("v")).agg(count(lit(1)).as("per_v"))
+        .agg(sum(when(col("v").isNotNull, col("per_v"))).as("n_nonnull"),
+          count(col("v")).as("n_distinct"),
+          render(min(col("v"))).as("min_val"),
+          render(max(col("v"))).as("max_val"))
+        .select(lit(c).as("col_name"),
+          coalesce(col("n_nonnull"), lit(0L)).as("n_nonnull"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_.unionByName(_))
       .orderBy("col_name")
   }
 

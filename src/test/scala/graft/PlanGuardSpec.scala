@@ -299,7 +299,14 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_percentiles_disc" -> 2,
     "q_pii_scan" -> 1,
     "q_pivot" -> 3,
-    "q_profile" -> 2,
+    "q_profile" -> 8, // r12: 4 independent per-column distinct passes
+                      // (2 exchanges each: value groupBy + 1-row fold)
+                      // replaced one Expand x5 multi-distinct Aggregate
+                      // — each exchange carries a COLUMN'S VALUE DOMAIN
+                      // (partial-aggregated map-side), not rows, so all
+                      // 8 stay bounded by distinct-value counts at any
+                      // corpus size; measured 5.4-6.5 -> 0.9 s warm
+
     "q_quality_score" -> 1,
     "q_langid_eval" -> 3,
     "q_lsh_pr_sweep" -> 12,
