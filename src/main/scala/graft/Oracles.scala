@@ -3877,30 +3877,40 @@ object Oracles {
            |GROUP BY tau ORDER BY tau""".stripMargin),
 
     // ------------------------------------------------------- multimodal
-    // REAL-CODEC lanes (round 12): img rows are synthesized PNGs
+    // REAL-CODEC lanes (rounds 12-13): img rows are synthesized PNGs
     // (w = id%300+8, h = id*7%48+8, one stored-deflate block → byte
     // length h*(1+3w)+68) parsed by javax.imageio; audio rows are PCM16
     // mono WAVs (id%2000+100 samples at 8 kHz → 44+2n bytes) parsed by
-    // javax.sound — the oracle replays the SYNTHESIS closed forms, the
-    // engine reports what the codec parsed; video keeps the text-bytes
-    // stand-in (no JDK video codec)
+    // javax.sound; video rows are multi-frame animated GIFs
+    // (w = id%350+8, h = id*5%24+4, frames = id%14+2, uncompressed LZW:
+    // per frame D = N + (N-1) div 125 + 2 one-byte codes over N = w*h
+    // pixels, blob = 398 + frames*(12 + D + ceil(D/255)) — Codecs.scala
+    // documents the derivation) decoded by ImageIO's GIF reader. The
+    // oracle replays the SYNTHESIS closed forms; the engine reports what
+    // the codec parsed.
     "q_multimodal_meta" ->
-      s"""SELECT doc_id,
-         |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+      s"""WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS k,
+         |    CAST(doc_id % 350 + 8 AS BIGINT) AS vw,
+         |    CAST((doc_id * 5) % 24 + 4 AS BIGINT) AS vh,
+         |    CAST(doc_id % 14 + 2 AS BIGINT) AS vf
+         |  FROM documents),
+         |v AS (SELECT *, vw * vh + (vw * vh - 1) // 125 + 2 AS vd FROM d)
+         |SELECT doc_id,
+         |  CAST(CASE k
          |    WHEN 0 THEN ((doc_id * 7) % 48 + 8) * (1 + 3 * (doc_id % 300 + 8)) + 68
          |    WHEN 1 THEN 44 + 2 * (doc_id % 2000 + 100)
-         |    ELSE length(text) END AS BIGINT) AS n_bytes,
-         |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         |    ELSE 398 + vf * (12 + vd + (vd + 254) // 255) END AS BIGINT) AS n_bytes,
+         |  CAST(CASE k
          |    WHEN 0 THEN doc_id % 300 + 8
          |    WHEN 1 THEN doc_id % 2000 + 100
-         |    ELSE length(text) % 640 + 1 END AS BIGINT) AS width,
-         |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         |    ELSE vw END AS BIGINT) AS width,
+         |  CAST(CASE k
          |    WHEN 0 THEN (doc_id * 7) % 48 + 8
          |    WHEN 1 THEN 8000
-         |    ELSE (length(text) * 7) % 480 + 1 END AS BIGINT) AS height,
-         |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png' WHEN 1 THEN 'wave'
-         |    ELSE 'video' END AS format
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |    ELSE vh END AS BIGINT) AS height,
+         |  CASE k WHEN 0 THEN 'png' WHEN 1 THEN 'wave'
+         |    ELSE 'gif' END AS format
+         |FROM v ORDER BY doc_id""".stripMargin,
 
     // cross-modal retrieval over the stub 8-dim integer embedding
     // ((h1 + i*h2) % 1000 - 500); exact integer squared-L2, ties by doc_id
@@ -3945,15 +3955,18 @@ object Oracles {
     // img: real ImageIO pixel decode — checksum is the decoded RGB byte
     // sum, which for the constant-pixel synthesis is w*h*3*(id%256);
     // audio: real PCM decode — checksum is the little-endian byte sum of
-    // n identical 16-bit samples; video: text-bytes stand-in as before
+    // n identical 16-bit samples; video: real GIF decode of every 5th
+    // frame — checksum is the sum of the sampled frames' raster index
+    // sums, which for the constant-index synthesis is Σ w*h*((id+f)%128)
     "q_multimodal_transform" ->
-      s"""WITH m AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
-         |    CAST(doc_id % 3 AS INTEGER) AS k FROM documents),
-         |d AS (SELECT doc_id, text, n, k,
+      s"""WITH m AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS k
+         |  FROM documents),
+         |d AS (SELECT doc_id, k,
          |    CAST(CASE k WHEN 0 THEN doc_id % 300 + 8
-         |      ELSE n % 640 + 1 END AS BIGINT) AS w,
+         |      ELSE doc_id % 350 + 8 END AS BIGINT) AS w,
          |    CAST(CASE k WHEN 0 THEN (doc_id * 7) % 48 + 8
-         |      ELSE (n * 7) % 480 + 1 END AS BIGINT) AS h
+         |      ELSE (doc_id * 5) % 24 + 4 END AS BIGINT) AS h,
+         |    CAST(doc_id % 14 + 2 AS BIGINT) AS vf
          |  FROM m)
          |SELECT doc_id,
          |  CASE k WHEN 0 THEN 'img' WHEN 1 THEN 'audio' ELSE 'video' END AS format,
@@ -3963,23 +3976,29 @@ object Oracles {
          |  CAST(CASE WHEN k = 1 THEN 1
          |       WHEN greatest(w, h) <= 224 THEN h
          |       ELSE greatest(h * 224 // greatest(w, h), 1) END AS BIGINT) AS out_h,
-         |  CAST(CASE WHEN k = 2 THEN ((n % 30 + 1) + 4) // 5
+         |  CAST(CASE WHEN k = 2 THEN (vf + 4) // 5
          |       ELSE 1 END AS BIGINT) AS n_frames_sampled,
          |  CAST(CASE k
          |    WHEN 0 THEN (w * h * 3 * (doc_id % 256)) % 1000000007
          |    WHEN 1 THEN ((doc_id % 2000 + 100) *
          |      ((doc_id % 1000) % 256 + (doc_id % 1000) // 256)) % 1000000007
-         |    ELSE ${polyHashSql("text", 1)} END AS BIGINT) AS checksum
+         |    ELSE list_aggregate(list_transform(range(0, vf, 5),
+         |      f -> w * h * ((doc_id + f) % 128)), 'sum') % 1000000007
+         |    END AS BIGINT) AS checksum
          |FROM d ORDER BY doc_id""".stripMargin,
 
-    // per-frame fan-out for video blobs; frame fingerprint from the
-    // byte-sum checksum (polyHash base 1) mixed with the frame index
+    // per-frame fan-out for video blobs: the engine decodes every 5th
+    // GIF frame for real; the oracle replays the constant-index raster
+    // sum w*h*((id+f)%128) per sampled frame
     "q_multimodal_frames" ->
-      s"""WITH v AS (SELECT doc_id, length(text) AS n, ${polyHashSql("text", 1)} AS s
+      s"""WITH v AS (SELECT doc_id,
+         |    CAST(doc_id % 350 + 8 AS BIGINT) AS w,
+         |    CAST((doc_id * 5) % 24 + 4 AS BIGINT) AS h,
+         |    CAST(doc_id % 14 + 2 AS BIGINT) AS vf
          |  FROM documents WHERE doc_id % 3 = 2),
-         |f AS (SELECT doc_id, s, unnest(range(0, n % 30 + 1, 5)) AS frame_no FROM v)
+         |f AS (SELECT doc_id, w, h, unnest(range(0, vf, 5)) AS frame_no FROM v)
          |SELECT doc_id, CAST(frame_no AS BIGINT) AS frame_no,
-         |  (s * (frame_no + 1) + frame_no) % 1000000007 AS frame_fp
+         |  CAST((w * h * ((doc_id + frame_no) % 128)) % 1000000007 AS BIGINT) AS frame_fp
          |FROM f ORDER BY doc_id, frame_no""".stripMargin,
 
     // -------------------------------------------------------- streaming

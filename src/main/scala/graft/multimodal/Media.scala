@@ -17,42 +17,43 @@ case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long, height: Long, for
 case class MediaFeature(doc_id: Long, format: String, out_w: Long, out_h: Long,
                         n_frames_sampled: Long, checksum: Long)
 
-/** Multimodal column plumbing (north-star extension). The decode lanes
-  * ([[mediaMeta]], [[mediaTransform]]) run REAL codecs since round 12:
-  * image blobs are spec-conformant PNGs decoded through `javax.imageio`
-  * and audio blobs are PCM16 WAVs decoded through `javax.sound.sampled`
-  * ([[Codecs]]) — container synthesis is parameterized by doc_id with
-  * closed-form byte lengths, so the DuckDB oracle replays every surfaced
-  * number without needing a codec while the engine path exercises an
-  * actual parse + decompress. Video keeps a deterministic stand-in
-  * ([[decodeStub]]): the JDK ships no video codec, and pulling one in is
-  * outside the zero-dependency contract. The byte-level lanes
-  * ([[mediaDedup]], [[mediaEmbed]], [[mediaFrames]]) hash/embed raw
-  * payloads — their oracles must replay the digests, so their fixture
-  * payloads stay the UTF-8 text bytes (the operators themselves are
-  * content-agnostic: a digest dedup never looks inside the container). */
+/** Multimodal column plumbing (north-star extension). ALL THREE decode
+  * lanes ([[mediaMeta]], [[mediaTransform]], [[mediaFrames]]) run REAL
+  * JDK codecs since rounds 12-13: image blobs are spec-conformant PNGs
+  * and video blobs are multi-frame animated GIFs, both decoded through
+  * `javax.imageio`; audio blobs are PCM16 WAVs decoded through
+  * `javax.sound.sampled` ([[Codecs]]) — container synthesis is
+  * parameterized by doc_id with closed-form byte lengths, so the DuckDB
+  * oracle replays every surfaced number without needing a codec while
+  * the engine path exercises an actual parse + decompress (frame counts
+  * come out of the GIF reader's own image-count search, frame
+  * fingerprints out of the decoded rasters). The byte-level lanes
+  * ([[mediaDedup]], [[mediaEmbed]]) hash/embed raw payloads — their
+  * oracles must replay the digests, so their fixture payloads stay the
+  * UTF-8 text bytes (the operators themselves are content-agnostic: a
+  * digest dedup never looks inside the container). */
 object Media {
-
-  /** Deterministic stand-in decode for the VIDEO lane only (no JDK video
-    * codec); parameterized by blob length so the oracle replays it. */
-  def decodeStub(blob: Array[Byte]): (Long, Long) =
-    (blob.length.toLong % 640 + 1, (blob.length.toLong * 7) % 480 + 1)
 
   // container-synthesis parameters, all closed forms of doc_id so the
   // DuckDB oracle replays dimensions / byte lengths / checksums exactly;
-  // image widths straddle 224 so the resize hits BOTH branches, and
-  // h*(1+3w) ≤ 55*922 stays inside the single stored-deflate block
+  // image AND video widths straddle 224 so the resize hits BOTH
+  // branches; h*(1+3w) ≤ 55*922 stays inside the single stored-deflate
+  // PNG block; GIF frame pixel indices stay < 128 (the palette size)
   private[multimodal] def imgW(id: Long): Int = (id % 300 + 8).toInt
   private[multimodal] def imgH(id: Long): Int = (id * 7 % 48 + 8).toInt
   private[multimodal] def imgPixel(id: Long): Int = (id % 256).toInt
   private[multimodal] def wavSamples(id: Long): Int = (id % 2000 + 100).toInt
   private[multimodal] def wavValue(id: Long): Int = (id % 1000).toInt
   private[multimodal] val WavRate = 8000
+  private[multimodal] def vidW(id: Long): Int = (id % 350 + 8).toInt
+  private[multimodal] def vidH(id: Long): Int = (id * 5 % 24 + 4).toInt
+  private[multimodal] def vidFrames(id: Long): Int = (id % 14 + 2).toInt
+  private[multimodal] def vidPixel(id: Long, f: Int): Int = ((id + f) % 128).toInt
 
-  /** Text-payload blobs for the BYTE-LEVEL lanes (dedup / embed /
-    * frames): these operators digest or hash raw payload bytes, and the
-    * DuckDB oracle must replay those digests — so their fixture payloads
-    * stay UTF-8 text. The decode lanes use [[containerBlobs]]. */
+  /** Text-payload blobs for the BYTE-LEVEL lanes (dedup / embed): these
+    * operators digest or hash raw payload bytes, and the DuckDB oracle
+    * must replay those digests — so their fixture payloads stay UTF-8
+    * text. The decode lanes use [[containerBlobs]]. */
   private def blobs(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.documents(s, dir)
@@ -65,29 +66,29 @@ object Media {
   }
 
   /** Real binary containers for the DECODE lanes: PNG for img, WAV for
-    * audio (both synthesized from doc_id — [[Codecs]]), raw text bytes
-    * for video (stub lane). Built row-wise map-side; payloads never
+    * audio, multi-frame animated GIF for video (all synthesized from
+    * doc_id — [[Codecs]]). Built row-wise map-side; payloads never
     * shuffle. */
   private def containerBlobs(s: SparkSession, dir: String) = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+      .select(col("doc_id")).as[Long]
+      .map { id =>
         (id % 3) match {
           case 0 => MediaBlob(id, Codecs.pngRgb(imgW(id), imgH(id), imgPixel(id)), "img")
           case 1 => MediaBlob(id, Codecs.wavPcm16Mono(WavRate, wavSamples(id), wavValue(id)), "audio")
-          case _ => MediaBlob(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8), "video")
+          case _ => MediaBlob(id, Codecs.gifGray(vidW(id), vidH(id), vidFrames(id), f => vidPixel(id, f)), "video")
         }
       }
   }
 
   /** Build binary media columns from the documents fixture and run the
-    * batched decode → metadata extraction pipeline. Image and audio rows
-    * go through REAL header parses (`javax.imageio` /
-    * `javax.sound.sampled` — width/height/format and frame-count/rate
-    * come out of the codec, not a formula); for audio, (width, height)
-    * carry (frames, sample rate) — the spatial slots of the shared
-    * metadata schema. Video rows keep the deterministic stand-in. */
+    * batched decode → metadata extraction pipeline. EVERY row goes
+    * through a REAL header parse (`javax.imageio` for PNG and GIF,
+    * `javax.sound.sampled` for WAV — width/height/format and
+    * frame-count/rate come out of the codec, not a formula); for audio,
+    * (width, height) carry (frames, sample rate) — the spatial slots of
+    * the shared metadata schema. */
   def mediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val in = containerBlobs(s, dir)
@@ -98,15 +99,12 @@ object Media {
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { b =>
           b.kind match {
-            case "img" =>
-              val (w, h, fmt) = Codecs.imageMeta(b.media)
-              MediaMeta(b.doc_id, b.media.length.toLong, w, h, fmt)
             case "audio" =>
               val (frames, rate, fmt) = Codecs.audioMeta(b.media)
               MediaMeta(b.doc_id, b.media.length.toLong, frames, rate, fmt)
-            case _ =>
-              val (w, h) = decodeStub(b.media)
-              MediaMeta(b.doc_id, b.media.length.toLong, w, h, b.kind)
+            case _ => // img (PNG) and video (GIF) both parse via ImageIO
+              val (w, h, fmt) = Codecs.imageMeta(b.media)
+              MediaMeta(b.doc_id, b.media.length.toLong, w, h, fmt)
           }
         }
       }
@@ -114,25 +112,20 @@ object Media {
     meta.toDF().orderBy("doc_id")
   }
 
-  /** Per-frame expansion for video blobs: sampled frame indices (every
-    * 5th of the stub-decoded frame count) exploded to one row per frame,
-    * each with a deterministic frame fingerprint (stub: content checksum
-    * mixed with the frame index) — the fan-out a video pipeline runs
-    * before per-frame feature extraction, with the same batched
-    * mapPartitions execution shape as the decode. */
+  /** Per-frame expansion for video blobs: the frame count comes from the
+    * GIF reader's own image-count search, every 5th frame is decoded
+    * FOR REAL (random-access `reader.read(i)` — skipped frames are never
+    * decompressed) and exploded to one row per sampled frame, each
+    * fingerprinted by its decoded raster's index-byte sum — the fan-out
+    * a video pipeline runs before per-frame feature extraction, with the
+    * same batched mapPartitions execution shape as the decode. */
   def mediaFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val frames = blobs(s, dir).filter(_.kind == "video").mapPartitions { it =>
+    val frames = containerBlobs(s, dir).filter(_.kind == "video").mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.flatMap { b =>
-          val n = b.media.length.toLong
-          val nFrames = n % 30 + 1
-          var sum = 0L
-          var i = 0
-          while (i < b.media.length) { sum = (sum + (b.media(i) & 0xff)) % 1000000007L; i += 1 }
-          (0L until nFrames by 5L).map { f =>
-            (b.doc_id, f, (sum * (f + 1) + f) % 1000000007L)
-          }
+          val (_, _, _, sums) = Codecs.gifFrameSums(b.media, _ % 5 == 0)
+          sums.map { case (f, sum) => (b.doc_id, f.toLong, sum) }
         }
       }
     }.toDF("doc_id", "frame_no", "frame_fp")
@@ -147,9 +140,10 @@ object Media {
     * constant-pixel closed form. Audio: full PCM decode through
     * `AudioSystem`, a decimate-by-2 resample stand-in
     * (out_w = frames div 2, out_h = 1), checksum over the decoded PCM
-    * bytes. Video: deterministic stand-in over the raw payload, every
-    * 5th frame sampled, as before. All arithmetic is integer so the
-    * DuckDB oracle reproduces it exactly. */
+    * bytes. Video: full GIF decode of every 5th frame (the frame count
+    * from the codec's own search), the same aspect-preserving 224 fit,
+    * checksum over the decoded rasters of the sampled frames. All
+    * arithmetic is integer so the DuckDB oracle reproduces it exactly. */
   def mediaTransform(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = containerBlobs(s, dir).mapPartitions { it =>
@@ -167,17 +161,15 @@ object Media {
               val (frames, sum) = Codecs.audioPcmSum(b.media)
               MediaFeature(b.doc_id, b.kind, frames / 2L, 1L, 1L, sum)
             case _ =>
-              val n = b.media.length.toLong
-              val (w, h) = decodeStub(b.media)
+              val (_, w, h, sums) = Codecs.gifFrameSums(b.media, _ % 5 == 0)
               val maxDim = math.max(w, h)
               val (ow, oh) =
                 if (maxDim <= 224) (w, h)
                 else (math.max(w * 224 / maxDim, 1L), math.max(h * 224 / maxDim, 1L))
-              val frames = ((n % 30 + 1) + 4) / 5
-              var sum = 0L
-              var i = 0
-              while (i < b.media.length) { sum = (sum + (b.media(i) & 0xff)) % 1000000007L; i += 1 }
-              MediaFeature(b.doc_id, b.kind, ow, oh, frames, sum)
+              // each per-frame sum < 1e9+7 and ≤ 3 frames are sampled,
+              // so the plain sum cannot overflow before the final mod
+              val checksum = sums.map(_._2).sum % 1000000007L
+              MediaFeature(b.doc_id, b.kind, ow, oh, sums.size.toLong, checksum)
           }
         }
       }

@@ -29,11 +29,32 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
-  test("decode stub (video lane) is deterministic in the payload") {
-    val (w1, h1) = Media.decodeStub("hello world".getBytes)
-    val (w2, h2) = Media.decodeStub("hello world".getBytes)
-    assert((w1, h1) === (w2, h2))
-    assert(w1 === 11 % 640 + 1 && h1 === (11 * 7) % 480 + 1)
+  test("Codecs: synthesized animated GIF round-trips through javax.imageio exactly") {
+    import graft.multimodal.Codecs
+    for (id <- Seq(2L, 5L, 125L, 349L, 1000001L, 6788L)) {
+      val (w, h, nf) = ((id % 350 + 8).toInt, (id * 5 % 24 + 4).toInt, (id % 14 + 2).toInt)
+      val blob = Codecs.gifGray(w, h, nf, f => ((id + f) % 128).toInt)
+      // closed-form byte length the oracle relies on
+      val n = w * h
+      val d = n + (n - 1) / 125 + 2
+      assert(blob.length === 398 + nf * (12 + d + (d + 254) / 255), s"id=$id")
+      // header-only parse: real reader, real dimensions, real format name
+      assert(Codecs.imageMeta(blob) === ((w.toLong, h.toLong, "gif")), s"id=$id")
+      // multi-frame decode: the codec's own search finds every frame and
+      // each sampled raster sums to the constant-index closed form
+      val (cnf, cw, ch, sums) = Codecs.gifFrameSums(blob, _ % 5 == 0)
+      assert(cnf === nf, s"id=$id")
+      assert((cw, ch) === ((w.toLong, h.toLong)), s"id=$id")
+      assert(sums.map(_._1) === (0 until nf by 5), s"id=$id")
+      sums.foreach { case (f, s) =>
+        assert(s === w.toLong * h * ((id + f) % 128) % 1000000007L, s"id=$id f=$f")
+      }
+      // and the decoded pixels really are the synthesized gray value
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      val pv = (id % 128).toInt // frame 0
+      val rgb = img.getRGB(w / 2, h / 2)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) === ((pv, pv, pv)))
+    }
   }
 
   test("Codecs: synthesized PNG round-trips through javax.imageio exactly") {
@@ -86,7 +107,9 @@ class MediaSpec extends AnyFunSuite {
           assert(frames === 1L)
         case _ =>
           assert(math.max(ow, oh) <= 224)
-          assert(frames >= 1 && frames <= 6)
+          // every 5th of 2..15 real GIF frames → 1..3 sampled
+          assert(frames >= 1 && frames <= 3)
+          assert(frames === (id % 14 + 2 + 4) / 5)
       }
     }
     // both resize branches must be exercised by the synthesized widths
@@ -95,6 +118,11 @@ class MediaSpec extends AnyFunSuite {
       "some images fit the box unscaled")
     assert(imgs.exists(r => r.getLong(2) === 224L),
       "some images hit the downscale branch (width is the max dim)")
+    val vids = rows.filter(_.getString(1) == "video")
+    assert(vids.exists(r => r.getLong(2) === r.getLong(0) % 350 + 8),
+      "some videos fit the box unscaled")
+    assert(vids.exists(r => r.getLong(2) === 224L),
+      "some videos hit the downscale branch (width is the max dim)")
   }
 
   test("mediaMeta: real codec parses surface the synthesis parameters") {
@@ -115,8 +143,12 @@ class MediaSpec extends AnyFunSuite {
           assert(w === id % 2000 + 100 && h === 8000L, s"doc $id")
           assert(n === 44 + 2 * w, s"doc $id")
         case _ =>
-          assert(f === "video", s"doc $id")
-          assert(w === n % 640 + 1 && h === (n * 7) % 480 + 1, s"doc $id")
+          assert(f === "gif", s"doc $id")
+          assert(w === id % 350 + 8 && h === id * 5 % 24 + 4, s"doc $id")
+          val nf = id % 14 + 2
+          val np = w * h
+          val d = np + (np - 1) / 125 + 2
+          assert(n === 398 + nf * (12 + d + (d + 254) / 255), s"doc $id")
       }
     }
   }
