@@ -1039,16 +1039,25 @@ object Oracles {
          |  round(quantile_cont(l_quantity, 0.99), 4) AS p99
          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    // integer-cents moment spine (round 13): both engines sum EXACT
+    // integer products (Spark: int64 cells recombined in decimal(38,0);
+    // DuckDB: HUGEINT) and only the final sqrt/divide runs in doubles —
+    // identical integers round to identical doubles, round 9 absorbs the
+    // remaining division/sqrt ulps
     "q_corr_exact" ->
-      s"""WITH m AS (SELECT l_returnflag, count(*) AS n,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-         |  CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy,
-         |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
-         |  CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy
-         |FROM lineitem GROUP BY l_returnflag)
+      s"""WITH c AS (SELECT l_returnflag,
+         |    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+         |  FROM lineitem),
+         |m AS (SELECT l_returnflag, count(*) AS n,
+         |    sum(CAST(qc AS HUGEINT)) AS sx, sum(CAST(pc AS HUGEINT)) AS sy,
+         |    sum(CAST(qc AS HUGEINT) * pc) AS sxy,
+         |    sum(CAST(qc AS HUGEINT) * qc) AS sxx,
+         |    sum(CAST(pc AS HUGEINT) * pc) AS syy
+         |  FROM c GROUP BY l_returnflag)
          |SELECT l_returnflag,
-         |  round((n*sxy - sx*sy) / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 9)
+         |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+         |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 9)
          |    AS corr_qty_price
          |FROM m ORDER BY l_returnflag""".stripMargin,
 
@@ -1216,6 +1225,21 @@ object Oracles {
          |FROM (SELECT unnest(list_filter(regexp_split_to_array(text,'[^a-zA-Z]+'),
          |  w -> w <> '')) AS w FROM documents)
          |GROUP BY w ORDER BY cnt DESC, word LIMIT 50""".stripMargin,
+
+    // sketch AUDIT forms (round 13): the raw HLL / GK estimates are
+    // engine-internal, so the declared queries surface the exact side
+    // plus a banded-accuracy verdict; the oracle replays the band as the
+    // contract constant `true` — an engine-side accuracy regression
+    // flips the hash red
+    "q_approx_distinct" ->
+      s"""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+         |  true AS hll_within_5pct
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_approx_percentile" ->
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  true AS p50_in_band, true AS p90_in_band, true AS p99_in_band
+         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_map_functions" ->
       s"""WITH tok AS (SELECT doc_id,

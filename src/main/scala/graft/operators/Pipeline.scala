@@ -60,7 +60,23 @@ object Pipeline {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesRaw(s, dir).distinct()
 
-  private val MaxShingleDf = 100
+  /** Stop-shingle df cap, tunable via `spark.graft.ngram.dfCap`
+    * (default 100 — the declared queries' hashes are pinned to the
+    * default, so leaving the knob unset changes nothing). The
+    * cap-vs-corpus-scale rule (SURVEY §9's honest-100× probe): the cap
+    * bounds how many documents may share a shingle before it is treated
+    * as a stop-shingle and dropped from pairing, so it must GROW with
+    * corpus-wide duplication — under 100× verbatim duplication every
+    * df inflates 100× and a fixed cap goes recall-blind (zero pairs).
+    * A 100 TB deployment therefore tunes this with the corpus (roughly:
+    * cap ≥ expected copies-per-document × the single-corpus default) or
+    * routes mass-duplicated corpora through the MinHash band path, which
+    * needs no df statistics; [[dedupNgramCensus]]'s `capped_ppm`/`advice`
+    * row is the signal for when. Read at FIRST BUILD per (session,
+    * corpus) — the pair table and census are once-per-corpus memos, so a
+    * mid-session change needs `CorpusMemo.invalidate` to take effect. */
+  private[graft] def maxShingleDf(s: SparkSession): Long =
+    s.conf.getOption("spark.graft.ngram.dfCap").map(_.toLong).getOrElse(100L)
 
   /** Shared candidate-pair statistics (doc_a, doc_b, common, sz_a, sz_b),
     * materialized ONCE per (session, corpus) and read by every pairwise
@@ -94,7 +110,7 @@ object Pipeline {
 
   private def computePairStats(s: SparkSession, dir: String): DataFrame =
     pairStatsOf(shinglesRaw(s, dir)
-      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h")), MaxShingleDf)
+      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h")), maxShingleDf(s))
 
   /** Blocking core over a (doc_id, h) shingle-hash table, exposed for the
     * recall spec: the df cap is a RECALL knob calibrated to corpus scale
@@ -125,7 +141,7 @@ object Pipeline {
   /** The df-cap's self-report: a 1-row census of how much pairable
     * shingle mass the stop-shingle cap DROPPED — `n_keys` distinct
     * shingle hashes, `n_multi` of them pairable (df ≥ 2), `n_capped`
-    * dropped by the df > [[MaxShingleDf]] cap, `capped_ppm` the dropped
+    * dropped by the df > [[maxShingleDf]] cap, `capped_ppm` the dropped
     * fraction of pairable keys in ppm, and `n_pairs` the pair rows
     * [[dedupNgram]] actually emitted. The honest-100× probe (SURVEY §9)
     * showed the fixed cap going recall-BLIND under mass duplication —
@@ -153,7 +169,7 @@ object Pipeline {
         .groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
         .agg(count(lit(1)).as("n_keys"),
           sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_multi"),
-          sum(when(col("ndocs") > MaxShingleDf, 1L).otherwise(0L))
+          sum(when(col("ndocs") > maxShingleDf(s), 1L).otherwise(0L))
             .as("n_capped"))
         .stable)
     val nPairs = dedupNgram(s, dir).agg(count(lit(1)).as("n_pairs"))

@@ -820,37 +820,75 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** HyperLogLog++ approximate distinct (the sketch path for 100 TB
-    * cardinalities — mergeable, fixed memory). Sketch estimates differ
-    * across engines by design → no SQL oracle; accuracy asserted in tests
-    * against the exact count. */
+    * cardinalities — mergeable, fixed memory). The raw estimate is
+    * engine-internal (sketch estimates differ across engines by design),
+    * so the DECLARED query surfaces the AUDIT form — the exact count
+    * plus a banded-accuracy VERDICT (|approx − exact| ≤ 5 %·exact, 2.5×
+    * the sketch's 2 % rsd target) — which the DuckDB oracle replays
+    * hash-exact (the band as the contract constant `true`). A sketch
+    * regression past the band now flips the hash red instead of hiding
+    * in a rows-only check (round 13, VERDICT #7). */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    approxDistinctRaw(s, dir)
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.05).as("hll_within_5pct"))
+      .orderBy("l_returnflag")
+
+  /** The sketch estimate beside its exact twin — audit helper for the
+    * accuracy spec in RelationalSpec. */
+  private[graft] def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
            countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
-  /** Pearson correlation computed from decimal-exact moment sums, so the
+  /** Pearson correlation computed from EXACT integer moment sums, so the
     * result is bit-stable under any partitioning — unlike the built-in
-    * streaming `corr`, whose float accumulation is order-dependent. */
+    * streaming `corr`, whose float accumulation is order-dependent.
+    *
+    * Round 13 (VERDICT #4): the moment spine is int64 CELLS, not
+    * per-row decimal arithmetic. Each value becomes integer cents via
+    * one cheap double round (exact: the fixtures carry ≤ 2 decimals and
+    * cents stay far below 2⁵³), the three per-row products are plain
+    * long multiplies, and each product sum is carried as TWO long
+    * aggregates (`prod div 2²⁴`, `prod % 2²⁴`) recombined through one
+    * decimal(38,0) expression on the 3 output rows — everything per-row
+    * stays in whole-stage-codegen'd primitive longs. Overflow bounds of
+    * the cell sums: the low cell grows ≤ 2²⁴/row and the high cell
+    * ≤ (maxProd/2²⁴)/row ≈ 6·10⁶/row for price², so int64 holds past
+    * 10¹² rows per group — beyond the 100 TB target; a bigger corpus
+    * raises the split to three cells. The final combination is computed
+    * from exact integers (no FMA-contraction hazard left) and rounded to
+    * 9 dp only to absorb sqrt/division ulps across engines. */
   def corrExact(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val q = col("l_quantity")
-    val p = col("l_extendedprice")
-    Tables.lineitem(s, dir)
+    val C = 1L << 24
+    val cells = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qc"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      .select(col("l_returnflag"), col("qc"), col("pc"),
+        (col("qc") * col("pc")).as("xy"),
+        (col("qc") * col("qc")).as("xx"),
+        (col("pc") * col("pc")).as("yy"))
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"),
-           sumD2(q).as("sx"), sumD2(p).as("sy"),
-           sum((q * p).cast(DecimalType(28, 4))).cast("double").as("sxy"),
-           sum((q * q).cast(DecimalType(28, 4))).cast("double").as("sxx"),
-           sum((p * p).cast(DecimalType(28, 4))).cast("double").as("syy"))
+        sum(col("qc")).as("sx"), sum(col("pc")).as("sy"),
+        sum(expr(s"xy div ${C}L")).as("xyh"), sum(expr(s"xy % ${C}L")).as("xyl"),
+        sum(expr(s"xx div ${C}L")).as("xxh"), sum(expr(s"xx % ${C}L")).as("xxl"),
+        sum(expr(s"yy div ${C}L")).as("yyh"), sum(expr(s"yy % ${C}L")).as("yyl"))
+    def recomb(hi: String, lo: String) =
+      expr(s"$hi * cast($C as decimal(38,0)) + $lo")
+    cells
+      .withColumn("sxy", recomb("xyh", "xyl"))
+      .withColumn("sxx", recomb("xxh", "xxl"))
+      .withColumn("syy", recomb("yyh", "yyl"))
       .select(col("l_returnflag"),
-        // moment sums are decimal-exact; the final combination is rounded
-        // to 9 dp because compiled engines may contract a*b - c into FMA,
-        // shifting the last ulp (observed at sf0.001)
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"))
+        round(expr("cast(n * sxy - cast(sx as decimal(38,0)) * sy as double)") /
+          (sqrt(expr("cast(n * sxx - cast(sx as decimal(38,0)) * sx as double)")) *
+           sqrt(expr("cast(n * syy - cast(sy as decimal(38,0)) * sy as double)"))),
+          9).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 
@@ -1204,13 +1242,47 @@ object Relational {
   }
 
   /** Mergeable approximate percentiles (Greenwald-Khanna sketch via
-    * `approx_percentile`) beside their exact sort-based twins — at 100 TB
-    * the sketch is the right default (fixed memory, one pass, mergeable
-    * across partitions) and the exact form is the audit path. Sketch
-    * internals differ across engines by design → rows-only driver check
-    * (like the HLL sketch); the error bound vs exact is asserted in
-    * [[graft.RelationalSpec]]. */
-  def approxPercentiles(s: SparkSession, dir: String): DataFrame =
+    * `approx_percentile`) — at 100 TB the sketch is the right default
+    * (fixed memory, one pass, mergeable across partitions) and the exact
+    * form ([[percentilesDisc]]) is the audit path. The raw sketch values
+    * are engine-internal, so the DECLARED query surfaces the AUDIT form
+    * (round 13, VERDICT #7): per group, the row count plus one
+    * banded-accuracy VERDICT per quantile — "the returned value's rank
+    * interval [count(<v)+1, count(≤v)] overlaps q·n ± (2ε·n + 1)", i.e.
+    * the sketch's own rank guarantee (ε = 1/accuracy) with 2× slack —
+    * which the DuckDB oracle replays hash-exact (the bands as the
+    * contract constant `true`). Shape: sketch pass → 3-row-per-group
+    * broadcast back over the data for the rank counts → 1 row per group;
+    * both passes are single-shuffle aggregates. */
+  def approxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"))
+    val sk = approxPercentilesRaw(s, dir)
+      .select(col("l_returnflag").as("rf"), col("ap50"), col("ap90"), col("ap99"))
+    val counts = li.join(broadcast(sk), col("l_returnflag") === col("rf"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_quantity") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("l_quantity") <= col("ap50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("l_quantity") < col("ap90"), 1L).otherwise(0L)).as("lt90"),
+        sum(when(col("l_quantity") <= col("ap90"), 1L).otherwise(0L)).as("le90"),
+        sum(when(col("l_quantity") < col("ap99"), 1L).otherwise(0L)).as("lt99"),
+        sum(when(col("l_quantity") <= col("ap99"), 1L).otherwise(0L)).as("le99"))
+    def ok(q: Double, lt: Column, le: Column): Column = {
+      val target = col("n").cast("double") * q
+      val slack = col("n").cast("double") * 0.002 + 1.0
+      ((lt.cast("double") + 1.0) <= target + slack) &&
+        (le.cast("double") >= target - slack)
+    }
+    counts.select(col("l_returnflag"), col("n"),
+        ok(0.50, col("lt50"), col("le50")).as("p50_in_band"),
+        ok(0.90, col("lt90"), col("le90")).as("p90_in_band"),
+        ok(0.99, col("lt99"), col("le99")).as("p99_in_band"))
+      .orderBy("l_returnflag")
+  }
+
+  /** The raw sketch values — audit helper for the band spec in
+    * RelationalSpec. */
+  private[graft] def approxPercentilesRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
       .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 1000)").as("ap"))

@@ -888,6 +888,17 @@ object Streams {
       .as[AdmitBand]
     val out = bands.groupByKey(r => (r.b, r.key))
       .transformWithState(new CarrierProcessor, timeMode, OutputMode.Append())
+    // CHECKPOINT CONTRACT ENFORCEMENT (round 13): the state-lane count
+    // and the TTL knob shape the persisted RocksDB layout — resuming a
+    // checkpoint with a different lane count mis-routes keys to lanes
+    // whose stores never saw them (silently dropping carriers), and a
+    // changed TTL silently redefines which admissions survive. Both were
+    // documented as "resume with the same settings"; now the settings
+    // are PERSISTED beside the checkpoint on first start and a
+    // mismatched resume fails loudly naming both values instead of
+    // running mis-partitioned.
+    val lanes = 8
+    enforceCheckpointContract(s, ckpt, lanes, ttlMs)
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -899,7 +910,7 @@ object Streams {
       // 2 lanes 6.9 s, 8 lanes 3.9 s, 16 lanes 4.8 s (store-init wins
       // past 8). Resume requires a constant lane count across runs —
       // this constant is part of the checkpoint contract.
-      try withStatePartitions(s, 8) {
+      try withStatePartitions(s, lanes) {
         // In TTL mode the engine runs under TimeMode.ProcessingTime, and
         // every no-data batch ADVANCES processing time — which, with TTL
         // state live, makes the engine schedule another no-data batch:
@@ -1033,8 +1044,18 @@ object Streams {
           pending.write.mode("append").parquet(gen.toString)
           if (rounds == 0) {
             // first-generation creation, or healing a pointer torn by a
-            // crash between a compactor's gen commit and its repoint
-            if (!pointerHealthy) writeSmallFile(fs, pointer, gen.getName)
+            // crash between a compactor's gen commit and its repoint.
+            // Re-read at heal time (ADVICE r12): a concurrent
+            // (out-of-contract) compactor may have published its repoint
+            // in the gap since the capture above — healing from the
+            // stale capture would resurrect the superseded generation
+            // and undo a completed prune until the next compaction, so
+            // heal only if the pointer is STILL unhealthy; the fencing
+            // loop's re-check below handles everything else.
+            if (!pointerHealthy && !readSmallFile(fs, pointer)
+                  .map(n => new org.apache.hadoop.fs.Path(hp, n))
+                  .exists(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS"))))
+              writeSmallFile(fs, pointer, gen.getName)
             admitMergePostAppendHook()
           }
           val cur = admitGenDir(fs, hp).getOrElse(gen)
@@ -1241,6 +1262,35 @@ object Streams {
                              f: org.apache.hadoop.fs.Path, v: String): Unit =
     graft.util.MetaFiles.write(fs, f, v)
 
+  /** Persist-and-enforce the stateful stream's checkpoint contract
+    * (round 13, VERDICT #3): on first start, `{lanes, admitTtlMs}` is
+    * written to `_graft_contract` inside the checkpoint dir (it travels
+    * with the checkpoint — copy the checkpoint, the contract comes
+    * along); every later start re-reads it and fails loudly on a
+    * mismatch instead of resuming with mis-partitioned state. Single
+    * writer by construction (one stream per checkpoint), so the
+    * publish's missing-file window ([[graft.util.MetaFiles.write]]) is
+    * unreachable here; a missing file simply re-registers the current
+    * settings — exactly the first-start semantics. */
+  private[graft] def enforceCheckpointContract(s: SparkSession, ckpt: String,
+                                               lanes: Int, ttlMs: Option[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ckpt, "_graft_contract")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val now = s"lanes=$lanes;admitTtlMs=${ttlMs.getOrElse(0L)}"
+    readSmallFile(fs, p) match {
+      case Some(prev) if prev != now =>
+        throw new IllegalStateException(
+          s"checkpoint contract mismatch at $ckpt: the checkpoint was created with " +
+            s"[$prev] but this run resumes with [$now]. The lane count and TTL shape " +
+            "the persisted state layout - resume with the original settings, or start " +
+            "a fresh checkpoint to change them.")
+      case Some(_) => ()
+      case None =>
+        fs.mkdirs(p.getParent)
+        writeSmallFile(fs, p, now)
+    }
+  }
+
   /** The index's CURRENT generation: the pointer file's target if it is
     * a committed generation, else the newest committed `gen-*` dir (a
     * torn or missing pointer — crash between gen commit and repoint —
@@ -1275,12 +1325,19 @@ object Streams {
   }
 
   /** Read the durable admit index's current generation — the user-facing
-    * read surface (empty frame with the index schema when absent). */
+    * read surface (empty frame with the index schema when absent).
+    * Distinct at read (ADVICE r12): in the out-of-contract window where
+    * a crashed sweep's recovery fold and the owning compactor both
+    * discharge the same obligation, the generation briefly holds
+    * double-appended IDENTICAL rows (same stamp — both folds copy the
+    * rows' original `merged_at_ms`) until the next compaction's
+    * distinct; deduping here keeps user-facing counts exact through
+    * that window. */
   def admitIndexRows(s: SparkSession, path: String): DataFrame = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
     admitGenDir(fs, hp) match {
-      case Some(g) => s.read.parquet(g.toString)
+      case Some(g) => s.read.parquet(g.toString).distinct()
       case None =>
         import org.apache.spark.sql.types._
         s.createDataFrame(java.util.Collections.emptyList[Row](),

@@ -8,13 +8,19 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * file listings. One implementation (round-12 review: the two copies
   * had already started to diverge) so a protocol fix lands everywhere.
   *
-  * `write` publishes via hidden-temp + rename: a reader can observe the
-  * file MISSING for an instant (HDFS rename onto an existing target
-  * needs the delete first) but never a torn prefix — and every consumer
-  * treats a missing pointer as "fall back to the newest committed
-  * generation / adoption scan", so absence is safe where truncation was
-  * not. (Rename atomicity: HDFS/local yes; object stores want a
-  * copy-commit layer — the Checkpoints.scala caveat.) */
+  * `write` publishes via hidden-temp + rename. Where the filesystem
+  * exposes a FileContext (HDFS, local), the rename is
+  * rename-with-OVERWRITE — an atomic replace with NO missing-file
+  * window (ADVICE r12, closing the delete-to-rename gap two concurrent
+  * publishers could interleave). Schemes without an AbstractFileSystem
+  * fall back to delete-then-rename, where a reader can observe the file
+  * MISSING for an instant but never a torn prefix — the CONSUMER
+  * CONTRACT for that fallback (and for any crash window) is therefore:
+  * treat absence as "first start / fall back to the newest committed
+  * generation / adoption scan". Every current consumer does; a future
+  * consumer that cannot tolerate absence must not publish through this
+  * path on such a scheme. (Rename atomicity: HDFS/local yes; object
+  * stores want a copy-commit layer — the Checkpoints.scala caveat.) */
 object MetaFiles {
 
   def write(fs: FileSystem, f: Path, v: String): Unit = {
@@ -31,14 +37,26 @@ object MetaFiles {
     val out = fs.create(tmp, true)
     try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    fs.delete(f, false) // HDFS rename refuses an existing destination
-    if (!fs.rename(tmp, f)) {
-      // a concurrent writer recreated f between delete and rename:
-      // last-writer-wins retry once, then give up loudly
-      fs.delete(f, false)
+    // atomic replace (no missing-file window) where the scheme supports
+    // FileContext — see the object scaladoc for the fallback contract
+    val replaced =
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+          .rename(tmp, f, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
+      }
+    if (!replaced) {
+      fs.delete(f, false) // HDFS rename refuses an existing destination
       if (!fs.rename(tmp, f)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(s"metadata publish failed: $tmp -> $f")
+        // a concurrent writer recreated f between delete and rename:
+        // last-writer-wins retry once, then give up loudly
+        fs.delete(f, false)
+        if (!fs.rename(tmp, f)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(s"metadata publish failed: $tmp -> $f")
+        }
       }
     }
   }

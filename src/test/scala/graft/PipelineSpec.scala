@@ -1174,6 +1174,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(fix.getAs[String]("advice") === "ok")
   }
 
+  test("ngram dfCap knob: spark.graft.ngram.dfCap raises the cap; default is pinned at 100") {
+    // round 13 (VERDICT #5): the cap is the recall knob a 100 TB
+    // deployment must tune with corpus duplication; it is now a conf,
+    // read at first build per (session, corpus). The 150-clone corpus is
+    // recall-blind at the default cap; raising the knob past the clone
+    // count restores the pairs WITHOUT routing through MinHash.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dfcap_knob")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet").getAbsolutePath
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    try {
+      spark.createDataFrame((1L to 150L).map(i => (i, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.parquet(docsDir)
+      assert(Pipeline.maxShingleDf(spark) === 100L, "default cap is pinned")
+      val blind = Pipeline.dedupNgramCensus(spark, tmp.toString).head()
+      assert(blind.getAs[Long]("n_pairs") === 0L)
+      spark.conf.set("spark.graft.ngram.dfCap", "200")
+      assert(Pipeline.maxShingleDf(spark) === 200L)
+      // the memoized pair table was built at the old cap: the knob
+      // documents that a mid-session change needs invalidation
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      val seen = Pipeline.dedupNgramCensus(spark, tmp.toString).head()
+      assert(seen.getAs[Long]("n_capped") === 0L, "no shingle exceeds the raised cap")
+      assert(seen.getAs[Long]("n_pairs") === 150L * 149L / 2L,
+        "every clone pair is visible at the raised cap")
+      assert(seen.getAs[String]("advice") === "ok")
+    } finally {
+      spark.conf.unset("spark.graft.ngram.dfCap")
+      graft.util.CorpusMemo.invalidate(spark, tmp.toString)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("sigsPath index integrity: partial write, corpus growth, and dir reuse all rebuild") {
     // fs.exists alone is not validity (round 11, ADVICE): the index
     // carries a _SUCCESS commit marker and a corpus fingerprint

@@ -102,7 +102,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_anomaly" -> 3,
     "q_anti_join" -> 0,
     "q_approx_distinct" -> 3,
-    "q_approx_percentile" -> 2,
+    "q_approx_percentile" -> 3, // sketch pass + broadcast-back rank-count pass (audit form, r13)
     "q_approx_topk" -> 1,
     "q_argmax" -> 2,
     "q_array_functions" -> 1,

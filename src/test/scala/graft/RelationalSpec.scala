@@ -51,10 +51,14 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("approx_count_distinct stays within its 2% relative-error target") {
-    Relational.approxDistinct(spark, sf).collect().foreach { r =>
+    Relational.approxDistinctRaw(spark, sf).collect().foreach { r =>
       val (approx, exact) = (r.getLong(1), r.getLong(2))
       assert(math.abs(approx - exact).toDouble / exact < 0.1,
         s"HLL estimate $approx too far from $exact")
+    }
+    // and the declared audit form's verdicts all read in-band
+    Relational.approxDistinct(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2), s"HLL out of band for ${r.getString(0)}")
     }
   }
 
@@ -141,7 +145,7 @@ class RelationalSpec extends AnyFunSuite {
     val bands = Relational.percentiles0(spark, sf, Seq(0.49, 0.51, 0.89, 0.91))
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    val approx = Relational.approxPercentiles(spark, sf).collect()
+    val approx = Relational.approxPercentilesRaw(spark, sf).collect()
     assert(approx.nonEmpty)
     approx.foreach { r =>
       val (lo50, hi50, lo90, hi90) = bands(r.getString(0))
@@ -149,6 +153,12 @@ class RelationalSpec extends AnyFunSuite {
         s"ap50 ${r.getDouble(1)} outside [$lo50,$hi50] for ${r.getString(0)}")
       assert(r.getDouble(2) >= lo90 && r.getDouble(2) <= hi90,
         s"ap90 ${r.getDouble(2)} outside [$lo90,$hi90] for ${r.getString(0)}")
+    }
+    // and the declared audit form's rank-interval verdicts all read
+    // in-band (this is what the DuckDB oracle hash-gates)
+    Relational.approxPercentiles(spark, sf).collect().foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"approx_percentile out of band for ${r.getString(0)}")
     }
   }
 

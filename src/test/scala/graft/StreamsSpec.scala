@@ -358,6 +358,49 @@ class StreamsSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
   }
 
+  test("stream LSH admit: a mismatched-settings resume fails loudly (checkpoint contract)") {
+    // the lane count and TTL shape the persisted RocksDB layout; they are
+    // persisted beside the checkpoint on first start and a resume with
+    // different settings must fail naming both values, not run
+    // mis-partitioned (VERDICT r12 #3)
+    val t = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admit_contract")
+    val docsDir = new java.io.File(tmp.toFile, "documents.parquet")
+    val sink = new java.io.File(tmp.toFile, "sink").getAbsolutePath
+    val ckpt = new java.io.File(tmp.toFile, "ckpt").getAbsolutePath
+    val ttlKey = "spark.graft.stream.admitTtlMs"
+    try {
+      spark.createDataFrame(Seq((3L, t, "en", "web", t.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("append").parquet(docsDir.getAbsolutePath)
+      // first start registers the contract beside the checkpoint
+      assert(Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt).collect().nonEmpty)
+      val f = new java.io.File(ckpt, "_graft_contract")
+      assert(f.isFile, "contract file must be persisted inside the checkpoint dir")
+      val registered = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      assert(registered === "lanes=8;admitTtlMs=0")
+      // resume with a different TTL: loud error naming BOTH values
+      spark.conf.set(ttlKey, "60000")
+      val e = intercept[IllegalStateException] {
+        Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+      }
+      assert(e.getMessage.contains("admitTtlMs=0") && e.getMessage.contains("admitTtlMs=60000"),
+        s"mismatch error must name both contracts: ${e.getMessage}")
+      // matching resume is unaffected
+      spark.conf.unset(ttlKey)
+      assert(Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt).collect().nonEmpty)
+      // direct helper check for the lane half of the contract
+      val e2 = intercept[IllegalStateException] {
+        Streams.enforceCheckpointContract(spark, ckpt, lanes = 4, ttlMs = None)
+      }
+      assert(e2.getMessage.contains("lanes=8") && e2.getMessage.contains("lanes=4"))
+    } finally {
+      spark.conf.unset(ttlKey)
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
   test("stream LSH admit: the DECLARED entry fails loudly on a multi-batch drain") {
     // the id-order oracle is only guaranteed single-drain; a directory of
     // part files under maxFilesPerTrigger=1 splits into multiple batches,
