@@ -119,6 +119,39 @@ object Bench {
           try q.awaitTermination() finally q.stop()
         } finally org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
       }))
+    // REFERENCE ARTIFACT (round 13, VERDICT #2): pass-disagreement can't
+    // catch CORRELATED noise — r12's driver epoch read q_variant_extract
+    // at 8.1/10.7 s in BOTH passes (clean epoch: 2.8 s) and nothing
+    // flagged it. The prior bench.json in cwd (in a fresh driver
+    // checkout: the committed HEAD artifact) is read BEFORE this run
+    // overwrites it and used as the anchor-relative reference: each
+    // query's min is divided by (reference min × the runs' calibration-
+    // anchor ratio) and large deviations are named in the artifact.
+    val reference: Option[(Map[String, Double], Map[String, Double])] =
+      try {
+        val p = java.nio.file.Paths.get("bench.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val txt = java.nio.file.Files.readString(p)
+          def section(name: String): Option[String] =
+            ("\"" + name + "\":\\{(.*?)\\}").r.findFirstMatchIn(txt).map(_.group(1))
+          val refSf = "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
+          if (!refSf.contains(sfDir)) None // different SF: not comparable
+          else {
+            val qs = section("queries").map(s =>
+              "\"(q_[A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(s)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+            // per anchor, the MIN of its bracket array — the epoch's
+            // cleanest measurement of that fixed plan
+            val cals = "\"(cal_[A-Za-z0-9_]+)\":\\[([^\\]]*)\\]".r
+              .findAllMatchIn(txt).map { m =>
+                val vs = m.group(2).split(",").map(_.trim.toDouble).filter(_ > 0)
+                m.group(1) -> (if (vs.nonEmpty) vs.min else -1.0)
+              }.toMap
+            qs.map(q => (q, cals))
+          }
+        }
+      } catch { case _: Throwable => None }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // Anchors get the same failure discipline as pass(): a broken anchor
     // (missing lineitem.parquet, noop sink unavailable) records -1 plus an
@@ -173,6 +206,47 @@ object Bench {
       a > 0 && b > 0 && math.min(a, b) > 0.2 &&
         math.max(a, b) / math.min(a, b) > 2.0
     }
+    // ANCHOR-RELATIVE DEVIATION (round 13, VERDICT #2 — the other half
+    // of self-flagging): each query's min vs the reference artifact's
+    // min scaled by the calibration-anchor ratio between the two
+    // epochs. Batch queries normalize by the median of the cpu/shuffle/
+    // scan anchor ratios; streaming queries by the cal_stream ratio
+    // (the streaming floor drifts independently — the r12 anchor).
+    // Queries >2× off their own prediction (either direction, above the
+    // 0.2 s noise floor) are named WITH their deviation, so a
+    // correlated-noise epoch self-identifies without a by-hand git
+    // diff. A genuine plan change also flags once — and then becomes
+    // the new reference when its artifact is committed.
+    val deviant: Map[String, Double] = reference match {
+      case None => Map.empty
+      case Some((refQ, refCal)) =>
+        val curCal = calibrations.map { case (name, _) =>
+          val vs = Seq(calBefore(name), calMid(name), calAfter(name)).filter(_ > 0)
+          name -> (if (vs.nonEmpty) vs.min else -1.0)
+        }.toMap
+        def ratio(names: Seq[String]): Option[Double] = {
+          val rs = names.flatMap { n =>
+            (curCal.get(n), refCal.get(n)) match {
+              case (Some(c), Some(r)) if c > 0 && r > 0 => Some(c / r)
+              case _ => None
+            }
+          }.sorted
+          if (rs.isEmpty) None else Some(rs(rs.size / 2))
+        }
+        val batchR = ratio(Seq("cal_cpu", "cal_shuffle", "cal_scan"))
+        val streamR = ratio(Seq("cal_stream")).orElse(batchR)
+        results.toSeq.sorted.flatMap { case (k, v) =>
+          val r = if (k.startsWith("q_stream")) streamR else batchR
+          (r, refQ.get(k)) match {
+            case (Some(cr), Some(ref)) if v > 0.2 && ref > 0 =>
+              val dev = v / (ref * cr)
+              if (dev > 2.0 || dev < 0.5)
+                Some(k -> math.round(dev * 100.0) / 100.0)
+              else None
+            case _ => None
+          }
+        }.toMap
+    }
     def qJson(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = qJson(results)
@@ -185,7 +259,13 @@ object Bench {
         calAfter(name) + "]"
     }.mkString("{", ",", "}")
     val unstableJson = unstable.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
+    // "deviant" sits at the FRONT of the line on purpose: the driver's
+    // log capture truncates from the front, and a flat last-match-wins
+    // scrape of q_* keys must resolve to pass-2 timings, never to these
+    // ratio values (tools/bench_compare.py parses the section by name)
+    val deviantJson = deviant.toSeq.sorted
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","deviant":$deviantJson,"has_reference":${reference.isDefined},"queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
     // print first AND persist: the driver's log capture truncates long sbt
     // tails, so the artifact self-contains the totals either way
     println(json)

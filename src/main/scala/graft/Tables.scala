@@ -70,7 +70,7 @@ object Tables {
   *    DISABLE for backfill/replay ([[graft.streaming.Streams]]).
   *  - `spark.graft.stream.admitIndexPath` — durable parquet band index
   *    merged per admit drain; survives checkpoint wipes; compact with
-  *    [[graft.streaming.Streams.compactAdmitIndex]] (optionally age-
+  *    [[graft.streaming.AdmitIndex.compactAdmitIndex]] (optionally age-
   *    pruned — the TTL's complement).
   *  - `spark.sql.autoBroadcastJoinThreshold` — set here to 64 MB, the
   *    single un-hinted broadcast policy; match to executor memory on a

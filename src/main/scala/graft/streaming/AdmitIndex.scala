@@ -1,0 +1,473 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The DURABLE ADMIT INDEX lifecycle (`spark.graft.stream.admitIndexPath`)
+  * — extracted from `Streams.scala` in round 13 (VERDICT #6, pure move:
+  * no behavior change).
+  *
+  * The RocksDB carrier state of the streaming LSH admit/ingest flavors is
+  * CHECKPOINT-scoped — a wiped checkpoint, an index migration, or a fresh
+  * ingest pipeline loses every prior admission. With the knob set, each
+  * drain MERGES its increment's band rows into a generational parquet
+  * index and the census probes the PRE-merge snapshot of it alongside the
+  * static corpus index, so run N+1 collides with run N's admissions from
+  * parquet alone (spec: admit → wipe → restart → still flagged).
+  *
+  * On-disk layout (round 11):
+  *
+  *   p/_GRAFT_CURRENT        text file naming the current generation dir
+  *   p/gen-<epochms>/        parquet data (job _SUCCESS inside)
+  *   p/_merged/<filename>    one empty marker per merged sink data file
+  *   p/_GRAFT_SWEEP_PENDING-<nonce>  compactor sweep obligation records
+  *
+  * Appends go into the current generation; compaction writes a NEW
+  * generation and repoints — nothing is ever deleted before its
+  * replacement is committed and referenced (the sigsPath generational
+  * discipline). The _merged log lives beside the generations, so
+  * compaction/pruning never forgets which sink files were merged.
+  *
+  * Crash/concurrency contract (rounds 11-12, all spec'd in StreamsSpec):
+  *  - increment accounting is a MARKER LOG ("committed sink files
+  *    without a marker"), never a pre/post directory diff — a crash
+  *    between the drain's checkpoint commit and the index append
+  *    re-processes those files next drain, and the (doc_id, b, key)
+  *    anti-join makes the retry idempotent at ROW granularity;
+  *  - the merge-side FENCE re-reads the pointer after every append and
+  *    re-merges whatever a racing compactor's snapshot missed
+  *    ([[mergeIncrement]]); the compactor carries the MIRROR fence — a
+  *    post-repoint re-list of the source generation folding any
+  *    outside-snapshot data file into the new generation
+  *    ([[compactAdmitIndex]]);
+  *  - the sweep is CRASH-DURABLE: the compactor records
+  *    `(sourceGen, snapshot file set)` in a sweep-pending obligation
+  *    file BEFORE repointing, and [[recoverPendingSweep]] replays all
+  *    outstanding records at every merge and compaction START
+  *    ([[recoverPendingSweep]]).
+  */
+object AdmitIndex {
+
+  private val AdmitPointerFile = "_GRAFT_CURRENT"
+  private val SweepPendingFile = "_GRAFT_SWEEP_PENDING"
+
+  // shared metadata-file protocol (round 12: one implementation with an
+  // atomic-replace publish — see graft.util.MetaFiles for the
+  // missing-window contract of the non-FileContext fallback)
+  private[streaming] def dataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+                                     dir: org.apache.hadoop.fs.Path): Seq[String] =
+    graft.util.MetaFiles.dataFiles(fs, dir)
+
+  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                            f: org.apache.hadoop.fs.Path): Option[String] =
+    graft.util.MetaFiles.read(fs, f)
+
+  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
+                             f: org.apache.hadoop.fs.Path, v: String): Unit =
+    graft.util.MetaFiles.write(fs, f, v)
+
+  /** Test-only interleaving hook: runs once per durable-index merge,
+    * right after the first append and before the pointer re-check —
+    * `StreamsSpec` injects a compaction here to prove the fencing loop
+    * re-merges an increment a racing compactor orphaned. No-op in
+    * production. */
+  private[graft] var admitMergePostAppendHook: () => Unit = () => ()
+
+  /** Test-only twin of the merge hook on the COMPACTOR side: runs after
+    * the rewrite is verified, immediately before the repoint —
+    * `StreamsSpec` injects a drain here (one that settles and writes
+    * markers BEFORE the repoint, i.e. the interleaving the merge-side
+    * fence cannot see) to prove the post-repoint sweep folds that
+    * increment into the new generation. No-op in production. */
+  private[graft] var admitCompactPreRepointHook: () => Unit = () => ()
+
+  /** The index's CURRENT generation: the pointer file's target if it is
+    * a committed generation, else the newest committed `gen-*` dir (a
+    * torn or missing pointer — crash between gen commit and repoint —
+    * recovers to the newest complete data rather than losing history). */
+  private[graft] def admitGenDir(fs: org.apache.hadoop.fs.FileSystem,
+                                 hp: org.apache.hadoop.fs.Path)
+      : Option[org.apache.hadoop.fs.Path] = {
+    if (!fs.exists(hp)) return None
+    def committed(g: org.apache.hadoop.fs.Path) =
+      fs.exists(g) && fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS"))
+    readSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile))
+      .map(n => new org.apache.hadoop.fs.Path(hp, n)).filter(committed)
+      .orElse {
+        fs.listStatus(hp).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
+          .map(_.getPath).filter(committed).sortBy(_.getName).lastOption
+      }
+  }
+
+  /** A fresh generation name, strictly greater than any existing one so
+    * the torn-pointer fallback (newest by name) stays correct even under
+    * clock skew. */
+  private def newGenName(fs: org.apache.hadoop.fs.FileSystem,
+                         hp: org.apache.hadoop.fs.Path): String = {
+    val existingMax: Long =
+      if (!fs.exists(hp)) 0L
+      else fs.listStatus(hp).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("gen-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("gen-").toLong).toOption)
+        .foldLeft(0L)(math.max)
+    f"gen-${math.max(System.currentTimeMillis(), existingMax + 1L)}%013d"
+  }
+
+  /** Recover an interrupted compactor sweep (round-12 second review):
+    * the post-repoint sweep is the step that folds a racing drain's
+    * settled increment into the new generation — a compactor crash
+    * between its repoint and that sweep would otherwise orphan the
+    * increment permanently (markers written, rows only in the
+    * superseded generation, next GC destroys it). The compactor
+    * therefore records `(sourceGen, snapshot file set)` in
+    * [[SweepPendingFile]] BEFORE repointing and deletes it after the
+    * sweep; this recovery runs at every merge and compaction START, so
+    * the fold happens before any census snapshot or GC can act on the
+    * incomplete state. Idempotent (row-granular anti-join); no
+    * freshness filter — rows a pruning compaction would have dropped
+    * are folded conservatively and go out with the next prune. */
+  private[streaming] def recoverPendingSweep(s: SparkSession,
+                                             fs: org.apache.hadoop.fs.FileSystem,
+                                             hp: org.apache.hadoop.fs.Path): Unit = {
+    // records are UNIQUE PER COMPACTION (suffix nonce) and ALL
+    // outstanding ones are replayed: a single fixed-name record would
+    // let one of two out-of-contract concurrent compactors clobber the
+    // other's obligation (and the survivor's cleanup delete it) before
+    // the other repointed — replay-all makes the obligation log safe
+    // under any number of writers. The legacy bare name is accepted.
+    if (!fs.exists(hp)) return
+    val recs = fs.listStatus(hp).toSeq
+      .filter(st => st.isFile &&
+        st.getPath.getName.startsWith(SweepPendingFile))
+      .map(_.getPath)
+    recs.foreach { rec =>
+      readSmallFile(fs, rec).foreach { v =>
+        val lines = v.split("\n").toSeq
+        val src = new org.apache.hadoop.fs.Path(hp, lines.head)
+        val snapNames = lines.tail.toSet
+        // a record is DISCHARGED (deletable) only once its obligation
+        // cannot recur: the pointer moved off the source generation
+        // (fold done below), or the source is gone. While cur == src
+        // the OWNING compactor is still between record-write and
+        // repoint — deleting its record here would reopen the orphan
+        // hole if it repoints and then crashes (third review pass). A
+        // record whose owner crashed before repointing self-discharges
+        // after the next successful compaction moves the pointer.
+        val discharged = admitGenDir(fs, hp) match {
+          case None => !fs.exists(src)
+          case Some(cur) =>
+            if (!fs.exists(src)) true
+            else if (cur.getName == src.getName) false
+            else {
+              val late = dataFilesIn(fs, src).filterNot(f =>
+                snapNames(new org.apache.hadoop.fs.Path(f).getName))
+              if (late.nonEmpty) {
+                val missing = s.read.parquet(late: _*)
+                  .join(s.read.parquet(cur.toString)
+                      .select(col("doc_id"), col("b"), col("key")),
+                    Seq("doc_id", "b", "key"), "left_anti")
+                missing.write.mode("append").parquet(cur.toString)
+              }
+              true
+            }
+        }
+        if (discharged) fs.delete(rec, false)
+      }
+    }
+    // crashed record PUBLISHES leave unique-named hidden temps the
+    // per-name sweep in MetaFiles.write can never match — collect them
+    // here once they are stale (third review pass)
+    fs.listStatus(hp).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith("." + SweepPendingFile) &&
+          st.getModificationTime < System.currentTimeMillis() - 600000L)
+        fs.delete(st.getPath, false)
+    }
+  }
+
+  /** Merge one drain's increment into the index — the durable half of
+    * `Streams.streamLshAdmitAt` (extracted verbatim in the round-13
+    * split).
+    *
+    * Crash-safe increment accounting (round-11 review): the increment
+    * is "committed sink files without a marker in the index's _merged
+    * log" — NOT a pre/post directory diff of one run, which silently
+    * loses an increment forever when the process dies between the
+    * drain's checkpoint commit and the index append. Candidate files
+    * come from `input_file_name()` over the sink read-back. Orphan
+    * exclusion is per sink flavor (ADVICE round 11): the RESUME path
+    * writes through the streaming parquet file sink, whose
+    * `_spark_metadata` log the read-back honors — an orphaned task
+    * file from a failed attempt (on disk, absent from the log) never
+    * leaks rows into the index; the DECLARED single-batch path writes
+    * via `foreachBatch` + `batch.write.append`, which has no metadata
+    * log — there, orphan protection is the batch committer's
+    * `_temporary` staging (a failed task's output is never moved into
+    * the sink dir), and a crash-replayed batch that double-appends
+    * whole files heals through the row-granular anti-join below. A
+    * crash anywhere between the append and the last marker write just
+    * re-processes those files next drain, and the (doc_id, b, key)
+    * anti-join makes the retry idempotent at ROW granularity — a
+    * partially-appended doc heals instead of being excluded forever.
+    * The _merged log lives beside the generations and is never touched
+    * by compaction, so an age-pruned row's sink file stays marked and
+    * pruned history is never resurrected. */
+  private[streaming] def mergeIncrement(s: SparkSession, sinkData: String,
+                                        fs: org.apache.hadoop.fs.FileSystem,
+                                        hp: org.apache.hadoop.fs.Path,
+                                        snapFiles: Seq[String],
+                                        drained: DataFrame): Unit = {
+    val mergedLog = new org.apache.hadoop.fs.Path(hp, "_merged")
+    val sinkPath = new org.apache.hadoop.fs.Path(sinkData)
+    val sinkFs = sinkPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val committedSink: Seq[String] =
+      if (!sinkFs.exists(sinkPath)) Seq.empty
+      else drained.select(input_file_name().as("f")).distinct()
+        .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
+    val marked: Set[String] =
+      if (!fs.exists(mergedLog)) Set.empty
+      else fs.listStatus(mergedLog).map(_.getPath.getName).toSet
+    // marker key = bare file name (unique per sink: job-UUID names),
+    // robust to scheme/prefix differences in input_file_name URIs
+    val newFiles = committedSink
+      .filterNot(f => marked(new org.apache.hadoop.fs.Path(f).getName))
+    if (newFiles.nonEmpty) {
+      val newRows = s.read.parquet(newFiles: _*)
+        .select(col("doc_id"), col("b"), col("key")).distinct()
+      val inc =
+        if (snapFiles.isEmpty) newRows
+        else newRows.join(
+          s.read.parquet(snapFiles: _*).select(col("doc_id"), col("b"), col("key")),
+          Seq("doc_id", "b", "key"), "left_anti")
+      // merged_at_ms stamps the MERGE (constant per drain): it orders
+      // the census's index lane (earlier-arrivals-only) and is the age
+      // axis [[compactAdmitIndex]]'s freshness prune cuts on. The
+      // stamp is STRICTLY GREATER than every stamp already in the
+      // index (ADVICE round 11): two sequential drains inside one
+      // wall-clock millisecond would otherwise tie, and a tied stamp
+      // makes arrival order ambiguous in the census lane.
+      val maxExisting: Long =
+        if (snapFiles.isEmpty) Long.MinValue
+        else {
+          val r = s.read.parquet(snapFiles: _*)
+            .agg(max(col("merged_at_ms"))).head()
+          if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        }
+      val stamp = math.max(System.currentTimeMillis(), maxExisting + 1L)
+      val incStamped = inc.withColumn("merged_at_ms", lit(stamp))
+      // COMPACTION FENCING (round 12, VERDICT top item): a compactor
+      // whose read snapshot predates this append repoints to a new
+      // generation WITHOUT our rows — if we then wrote markers, the
+      // increment would be invisible to admitIndexRows, the markers
+      // would block a re-merge, and the next compaction's GC would
+      // destroy it: silent admission loss. So after every append the
+      // pointer is RE-READ; if it moved, the rows the new current
+      // generation is missing (row-granular anti-join — the compactor
+      // may have caught some or all of the append) are re-appended to
+      // it, and only when an append settles with the pointer unmoved
+      // are the markers written. A crash anywhere in the loop leaves
+      // the markers unwritten, so the next drain retries idempotently.
+      val pointer = new org.apache.hadoop.fs.Path(hp, AdmitPointerFile)
+      val pointerHealthy = readSmallFile(fs, pointer)
+        .map(n => new org.apache.hadoop.fs.Path(hp, n))
+        .exists(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS")))
+      var gen = admitGenDir(fs, hp)
+        .getOrElse(new org.apache.hadoop.fs.Path(hp, newGenName(fs, hp)))
+      var pending = incStamped
+      var rounds = 0
+      var settled = false
+      while (!settled) {
+        pending.write.mode("append").parquet(gen.toString)
+        if (rounds == 0) {
+          // first-generation creation, or healing a pointer torn by a
+          // crash between a compactor's gen commit and its repoint.
+          // Re-read at heal time (ADVICE r12): a concurrent
+          // (out-of-contract) compactor may have published its repoint
+          // in the gap since the capture above — healing from the
+          // stale capture would resurrect the superseded generation
+          // and undo a completed prune until the next compaction, so
+          // heal only if the pointer is STILL unhealthy; the fencing
+          // loop's re-check below handles everything else.
+          if (!pointerHealthy && !readSmallFile(fs, pointer)
+                .map(n => new org.apache.hadoop.fs.Path(hp, n))
+                .exists(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS"))))
+            writeSmallFile(fs, pointer, gen.getName)
+          admitMergePostAppendHook()
+        }
+        val cur = admitGenDir(fs, hp).getOrElse(gen)
+        if (cur.getName == gen.getName) settled = true
+        else {
+          rounds += 1
+          if (rounds > 5) throw new IllegalStateException(
+            "admit-index merge lost the generation race " + rounds +
+              " times: a compactor is repointing continuously — " +
+              "schedule drains and compaction from one owner")
+          // localCheckpoint: the anti-join against the repointed
+          // generation is consumed twice (emptiness probe + append) —
+          // materialize it once instead of rescanning the new
+          // generation per consumer (round-12 review)
+          pending = incStamped.join(
+            s.read.parquet(cur.toString)
+              .select(col("doc_id"), col("b"), col("key")),
+            Seq("doc_id", "b", "key"), "left_anti")
+            .localCheckpoint(true)
+          gen = cur
+          if (pending.isEmpty) settled = true
+        }
+      }
+      // markers LAST: written only after the increment is visible in
+      // the current generation
+      fs.mkdirs(mergedLog)
+      newFiles.foreach(f => fs.create(new org.apache.hadoop.fs.Path(mergedLog,
+        new org.apache.hadoop.fs.Path(f).getName), true).close())
+    }
+  }
+
+  /** Read the durable admit index's current generation — the user-facing
+    * read surface (empty frame with the index schema when absent).
+    * Distinct at read (ADVICE r12): in the out-of-contract window where
+    * a crashed sweep's recovery fold and the owning compactor both
+    * discharge the same obligation, the generation briefly holds
+    * double-appended IDENTICAL rows (same stamp — both folds copy the
+    * rows' original `merged_at_ms`) until the next compaction's
+    * distinct; deduping here keeps user-facing counts exact through
+    * that window. */
+  def admitIndexRows(s: SparkSession, path: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    admitGenDir(fs, hp) match {
+      case Some(g) => s.read.parquet(g.toString).distinct()
+      case None =>
+        import org.apache.spark.sql.types._
+        s.createDataFrame(java.util.Collections.emptyList[Row](),
+          StructType(Seq(StructField("doc_id", LongType),
+            StructField("b", IntegerType), StructField("key", StringType),
+            StructField("merged_at_ms", LongType))))
+    }
+  }
+
+  /** Compact the durable admit index (`spark.graft.stream.admitIndexPath`):
+    * every drain APPENDS one file set into the current generation, so a
+    * long-lived ingest pipeline accumulates part files with drain COUNT,
+    * not data size. Writes the survivors into a NEW right-sized
+    * generation (~128 MB targets, sized from the KEPT bytes), verifies
+    * the row count, REPOINTS, and GCs all generations but the new one
+    * and its predecessor (one-switch grace for census frames still
+    * holding the superseded files). Optionally prunes rows merged more
+    * than `maxAgeMs` ago — the freshness-window policy for deployments
+    * running the admit TTL: the index is append-only HISTORY the TTL
+    * never touches. (Freshness measures MERGE time: an increment whose
+    * drain crashed before its markers re-merges later with the retry's
+    * stamp, so a pipeline down longer than its window re-ages those
+    * unmarked admissions — the conservative direction: they flag twins
+    * for another window, never wrongly admit one.) Nothing is deleted
+    * before its replacement is
+    * committed AND referenced, so no crash point loses the index (a
+    * crash between gen commit and repoint recovers via the
+    * newest-committed fallback); the _merged log is untouched, so pruned
+    * history is never re-merged. Run it between drains — the one-shot
+    * `AvailableNow` model means one owner naturally schedules both — but
+    * since round 12 the contract is ENFORCED rather than assumed: a
+    * compaction that races a drain's merge cannot orphan the increment.
+    * The merge re-reads the pointer after its append and re-merges
+    * anything this compaction's snapshot missed into the new generation
+    * before writing its markers (the fencing loop in [[mergeIncrement]]),
+    * and this compactor carries the mirror fence — after repointing it
+    * re-lists the source generation and folds any data file outside its
+    * rewrite snapshot into the new generation (a drain that settled
+    * before the repoint left exactly such a file, markers already
+    * written); appends after that listing see the moved pointer on their
+    * own re-check. Both interleavings are spec'd in `StreamsSpec` via
+    * the test hooks. */
+  def compactAdmitIndex(s: SparkSession, path: String,
+                        maxAgeMs: Option[Long] = None): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // fold any increment a PREVIOUS compactor's crash left unswept
+    // before this run snapshots or GCs anything
+    recoverPendingSweep(s, fs, hp)
+    val gen = admitGenDir(fs, hp).getOrElse(return)
+    // EXPLICIT file-list snapshot (round-12 review): the rewrite reads
+    // exactly these files, and the post-repoint sweep below computes
+    // "files a racing drain appended after this point" against it — a
+    // directory read would leave the snapshot boundary implicit in
+    // Spark's file-index timing.
+    val snap = dataFilesIn(fs, gen)
+    if (snap.isEmpty) return // a just-created empty generation: nothing to do
+    // .distinct(): exact-duplicate rows can only enter through the
+    // documented double-append window (merge-side fence and compactor
+    // sweep racing under an out-of-contract schedule) — they are
+    // harmless-but-conservative in the census, and every compaction
+    // heals them here for one bounded exchange
+    val cur = s.read.parquet(snap: _*).distinct()
+    def inWindow(df: DataFrame): DataFrame = maxAgeMs match {
+      case Some(w) =>
+        val cutoff = System.currentTimeMillis() - w
+        df.filter(col("merged_at_ms") >= cutoff)
+      case None => df
+    }
+    val kept = inWindow(cur)
+    // right-size from the KEPT bytes (current-gen bytes scaled by the
+    // surviving row fraction): sizing from the unpruned data would fan a
+    // heavily-pruned survivor set into many near-empty files — the exact
+    // small-files overhead this compactor exists to remove. The two
+    // counts are cheap next to the rewrite and double as the
+    // row-preservation verification.
+    val totalRows = cur.count()
+    val keptRows = if (maxAgeMs.isEmpty) totalRows else kept.count()
+    val bytes = fs.getContentSummary(gen).getLength
+    val keptBytes = if (totalRows == 0L) 0L else bytes * keptRows / totalRows
+    val nFiles = math.max(1L, keptBytes / (128L << 20)).toInt
+    val newGen = new org.apache.hadoop.fs.Path(hp, newGenName(fs, hp))
+    kept.repartition(nFiles).write.mode("overwrite").parquet(newGen.toString)
+    val written = s.read.parquet(newGen.toString).count()
+    if (written != keptRows) {
+      fs.delete(newGen, true)
+      throw new IllegalStateException(
+        s"admit-index compaction row mismatch: $written written vs $keptRows kept")
+    }
+    admitCompactPreRepointHook()
+    // SWEEP OBLIGATION RECORD (round-12 second review): written BEFORE
+    // the repoint so a crash anywhere between the repoint and the end
+    // of the sweep leaves a durable instruction — any observer of the
+    // new pointer also sees the record, and both merges and compactions
+    // run [[recoverPendingSweep]] first, so a racing drain's settled
+    // increment can never be orphaned by a compactor crash, and a
+    // census snapshot taken in the repoint-to-sweep window folds the
+    // late rows before reading.
+    val sweepRec = new org.apache.hadoop.fs.Path(hp, SweepPendingFile +
+      "-" + java.lang.Long.toHexString(System.nanoTime()))
+    writeSmallFile(fs, sweepRec,
+      (gen.getName +: snap.map(f =>
+        new org.apache.hadoop.fs.Path(f).getName)).mkString("\n"))
+    writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile),
+      newGen.getName)
+    // POST-REPOINT SWEEP (round 12, review): the merge-side fence only
+    // covers drains whose pointer re-check runs AFTER this repoint; a
+    // drain that appended after `snap` was listed but re-checked before
+    // the repoint has already written its markers, and its increment
+    // lives only in the superseded generation. Re-list the source gen
+    // now that the pointer has moved: any data file outside the
+    // snapshot is such an append — fold its rows (same freshness
+    // window) into the new generation, anti-joined so rows the
+    // merge-side fence already re-landed are not duplicated. Appends
+    // that arrive after THIS listing belong to merges that must see the
+    // moved pointer on their re-check (the listing happens after the
+    // repoint), so the two fences cover every interleaving.
+    val late = dataFilesIn(fs, gen).filterNot(snap.toSet)
+    if (late.nonEmpty) {
+      val missing = inWindow(s.read.parquet(late: _*))
+        .join(s.read.parquet(newGen.toString)
+            .select(col("doc_id"), col("b"), col("key")),
+          Seq("doc_id", "b", "key"), "left_anti")
+      missing.write.mode("append").parquet(newGen.toString)
+    }
+    fs.delete(sweepRec, false)
+    val keep = Set(newGen.getName, gen.getName)
+    fs.listStatus(hp).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("gen-") && !keep(n))
+        fs.delete(st.getPath, true)
+    }
+  }
+}

@@ -1,0 +1,380 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The streaming LSH near-duplicate flavors — the ingest/admit half of
+  * incremental dedup (split out of `Streams.scala` in round 13 alongside
+  * [[AdmitIndex]]; pure move, no behavior change): a map-side
+  * 64-permutation MinHash band stream over the new-crawl slice
+  * ([[streamBands]]), the probe-only census against the static corpus
+  * index ([[streamLshIngest]]), and the closed-loop PROBE-THEN-INSERT
+  * admit flavor ([[streamLshAdmit]]) whose persistent band-carrier state
+  * (transformWithState, RocksDB) detects intra-crawl duplicates and
+  * optionally merges every drain into the durable generational parquet
+  * index ([[AdmitIndex]]). */
+object LshStreams {
+  /** Streaming LSH index probe — the ingest half of incremental near-dup
+    * detection ([[graft.operators.Pipeline.dedupIncremental]]'s streaming
+    * twin): newly-crawled documents (the doc_id ≡ 3 mod 4 snapshot
+    * slice) stream in, each row computes its own 64-permutation MinHash
+    * signature MAP-SIDE (array expressions over the row's shingle set —
+    * no aggregation, so the signature exists before any stateful
+    * operator), cuts it into the same 16×4 bands as the batch index, and
+    * probes the static accepted-corpus band table; the per-document
+    * collision census (band hits + earliest colliding index doc) is the
+    * accept/review signal the ingest emits.
+    *
+    * Scale shape: the stream side is per-row narrow projections; the
+    * static side is the memoized signature table's band fan-out (built
+    * once per corpus, re-read per micro-batch); the join is the same
+    * linear (band, key) equi-join as the batch path, and state is one
+    * fixed-width row per in-flight probe document. Per-row signatures are
+    * marginally more CPU than the batch path's one signature aggregation
+    * — the price of needing no shuffle before the probe join; at 100 TB
+    * the probe slice is a crawl increment, not the corpus. */
+  def streamLshIngest(s: SparkSession, dir: String): DataFrame = {
+    val bands = streamBands(s, dir)
+    val index = graft.operators.Pipeline.minhashBands(s, dir)
+      .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
+      .select(col("b"), col("key"), col("doc_id").as("index_doc"))
+    val probed = bands.join(index, Seq("b", "key"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_band_hits"),
+        min(col("index_doc")).as("first_match"))
+    Streams.withStatePartitions(s, 2) { Streams.completeToParquet(s, probed) }
+      .orderBy("doc_id")
+  }
+
+  /** The new-snapshot slice's MinHash band stream: per-row 64-perm
+    * signatures computed MAP-SIDE ([[VectorExpressions.minhashSig]] — one
+    * compiled pass for shingle hashes and all permutation minima; the
+    * higher-order-function composition runs interpreted per element,
+    * measured 6.1s), cut into the same 16×4 bands as the batch index.
+    * Empty shingle set → null signature → dropped, same as the batch
+    * path's absent signature. Shared by [[streamLshIngest]] (probe-only)
+    * and [[streamLshAdmit]] (probe-then-insert). */
+  private def streamBands(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.{Fns, VectorExpressions}
+    val docs = Streams.documentsStream(s, dir)
+      .filter(pmod(col("doc_id"), lit(4L)) === 3L)
+      .select(col("doc_id"),
+        filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 3,
+            transform(sequence(lit(0), size(col("t")) - 3),
+              i => concat_ws(" ", element_at(col("t"), i + 1),
+                                  element_at(col("t"), i + 2),
+                                  element_at(col("t"), i + 3))))
+          .otherwise(array().cast("array<string>")).as("shs"))
+      .select(col("doc_id"), VectorExpressions.minhashSig(col("shs")).as("sig"))
+      .filter(col("sig").isNotNull)
+    docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(15)), b =>
+          struct(b.as("b"),
+            concat_ws(",", (0 until 4).map(r =>
+              element_at(col("sig"), b * 4 + r + 1).cast("string")): _*)
+              .as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
+  }
+
+  /** Streaming LSH ingest with PROBE-THEN-INSERT — the closed loop
+    * [[streamLshIngest]] lacks: every ingested document's bands enter a
+    * persistent band index (`transformWithState` ValueState, RocksDB), so
+    * two near-duplicate documents arriving in the SAME stream detect each
+    * other — the production semantics of incremental dedup (the batch
+    * index alone can never see intra-crawl duplicates, which is exactly
+    * where crawl duplication concentrates).
+    *
+    * Semantics (append-only index, FIRST ARRIVAL WINS): per band key,
+    * state holds the first stream document ever to carry it (the
+    * "carrier" — within a batch, the group's min doc_id claims). Each
+    * band row emits the carrier it collided with (−1 if it became the
+    * carrier). Downstream, a document's census combines its static-index
+    * collisions with its stream collisions; `admitted` = zero of both.
+    * Every document's bands enter the index whether or not it collided
+    * (near-dups of near-dups should also be flagged); an admitted-only
+    * insert would need a second cross-band coordination round per batch —
+    * the same signal is recoverable here by filtering on `admitted`.
+    *
+    * Determinism: within a batch each band group folds in doc_id order,
+    * so a single-`AvailableNow` drain — where the whole slice is one
+    * batch — has carrier ≡ the key's min doc_id and equals the batch
+    * oracle (min other-id same-key doc) exactly, independent of
+    * partitioning. Across multiple batches precedence is ARRIVAL order
+    * (earlier batch claims; later arrivals of ANY id are flagged against
+    * it — an ingest index must not silently miss a smaller-id twin that
+    * arrives later), deterministic for a given batch split; only the
+    * equality with the id-ordered batch oracle is single-drain. Replays
+    * of the same doc_id never flag themselves (carrier == id → no hit).
+    *
+    * Scale shape: map-side signatures (no pre-join shuffle), one keyed
+    * state exchange on (b, key) — the same key the batch index join
+    * shuffles on — state is one long per distinct band key (RocksDB,
+    * spills off-heap), and the static-index census joins the drained
+    * band table AFTER the stream, linear in the increment. At 100 TB the
+    * increment is a crawl slice; the index state grows with distinct
+    * band keys of the stream, not with the corpus.
+    *
+    * Durability (round 11): the carrier state is CHECKPOINT-scoped. With
+    * `spark.graft.stream.admitIndexPath` set, each drain also merges its
+    * increment's band rows into a parquet index table and the census
+    * probes the pre-drain snapshot of it — so a wiped checkpoint, an
+    * index migration, or a brand-new pipeline still collides with every
+    * prior run's admissions from parquet alone (spec: admit → wipe →
+    * restart → still flagged). Merge is idempotent (doc_id anti-join);
+    * cost ∝ increment. Off by default — the declared query's hash and
+    * plan are untouched. */
+  def streamLshAdmit(s: SparkSession, dir: String): DataFrame = {
+    val (data, ckpt) = Streams.sinkDirs()
+    // The DECLARED (oracle-gated) entry enforces the single-batch drain
+    // its id-order oracle equality assumes; the resume path below is
+    // multi-batch by design (first-arrival-wins across drains).
+    streamLshAdmitAt(s, dir, data, ckpt, singleBatch = true)
+  }
+
+  /** [[streamLshAdmit]] with caller-owned sink/checkpoint dirs — the
+    * RESUME path (exercised by `StreamsSpec`): a later invocation against
+    * the same checkpoint drains only newly-arrived source files, and the
+    * band-carrier ValueState resumes from its RocksDB store, so a
+    * document ingested in run N+1 collides with a carrier admitted in
+    * run N — restart-durable incremental dedup, the coordinator-resume
+    * semantics of the reference's own incremental philosophy. */
+  private[graft] def streamLshAdmitAt(s: SparkSession, dir: String,
+                                      data: String, ckpt: String,
+                                      singleBatch: Boolean = false): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Encs}
+
+    // STATE-LIFECYCLE KNOB (`spark.graft.stream.admitTtlMs`): an
+    // always-on ingest index otherwise accretes one carrier per distinct
+    // band key FOREVER. With a TTL, a band key unseen for the window is
+    // evicted (its next arrival re-admits as the new carrier — the
+    // standard freshness-window trade of production dedup indexes: only
+    // duplicates farther apart than the TTL are missed), while a live key
+    // still collides. OFF by default — TTLConfig.NONE + TimeMode.None
+    // keep the declared query's semantics and hash bit-identical. The
+    // knob value is part of the checkpoint contract like the lane count:
+    // resume with the same setting.
+    //
+    // BACKFILL CONTRACT (round 11): the TTL runs on PROCESSING time —
+    // wall clock, not data age. That is correct for steady-state ingest
+    // (where arrival time ≈ data time) and WRONG for replay: six months
+    // of crawl history drained in an hour would either retain everything
+    // (TTL > an hour — the freshness window silently becomes "all of
+    // history") or evict mid-replay by wall clock (TTL < the replay's
+    // duration — a historical duplicate re-admits even though its twin
+    // is "recent" in data time). The contract is therefore: DISABLE the
+    // TTL for backfill (carriers then persist across any wall-clock
+    // gap), re-enable it when the stream reaches steady state. An
+    // event-time retention mode is deliberately NOT offered: the band
+    // stream carries no event-time column (documents have no timestamp
+    // field in this data model), so any "data age" would be synthetic —
+    // and Spark's TTLConfig is processing-time-only. Both arms are
+    // spec'd in StreamsSpec ("backfill contract").
+    val ttlMs = s.conf.getOption("spark.graft.stream.admitTtlMs")
+      .map(_.toLong).filter(_ > 0L)
+    val ttlCfg = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
+      .getOrElse(TTLConfig.NONE)
+    val timeMode = if (ttlMs.isDefined) TimeMode.ProcessingTime()
+                   else TimeMode.None()
+
+    class CarrierProcessor extends StatefulProcessor[(Int, String), AdmitBand, AdmitHit] {
+      @transient private var st: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[Long]("carrier",
+          Encs.scalaLong, ttlCfg)
+      override def handleInputRows(key: (Int, String), rows: Iterator[AdmitBand],
+                                   timerValues: TimerValues): Iterator[AdmitHit] = {
+        // FIRST ARRIVAL WINS: the band key's carrier is claimed by the
+        // first document ever to reach it (within a batch, the min
+        // doc_id) and never changes — every later arrival, whatever its
+        // id, is flagged against that carrier. A min-id-takeover rule
+        // would silently MISS a smaller-id twin arriving in a later
+        // batch (carrier > doc_id ⇒ "no earlier doc" under an id-order
+        // definition); arrival order is the honest precedence for an
+        // ingest index, and on a single-`AvailableNow` drain it
+        // coincides with id order, so the batch oracle is unchanged.
+        val rs = rows.toArray.sortBy(_.doc_id)
+        val existing = if (st.exists()) st.get() else Long.MinValue
+        var carrier = existing
+        val out = rs.map { r =>
+          val hit = if (carrier != Long.MinValue && carrier != r.doc_id) carrier
+                    else -1L
+          if (carrier == Long.MinValue) carrier = r.doc_id
+          AdmitHit(r.doc_id, r.b, r.key, hit)
+        }
+        if (carrier != existing) st.update(carrier)
+        out.iterator
+      }
+    }
+
+    val bands = streamBands(s, dir)
+      .select(col("doc_id"), col("b").cast("int").as("b"), col("key"))
+      .as[AdmitBand]
+    val out = bands.groupByKey(r => (r.b, r.key))
+      .transformWithState(new CarrierProcessor, timeMode, OutputMode.Append())
+    // CHECKPOINT CONTRACT ENFORCEMENT (round 13): the state-lane count
+    // and the TTL knob shape the persisted RocksDB layout — resuming a
+    // checkpoint with a different lane count mis-routes keys to lanes
+    // whose stores never saw them (silently dropping carriers), and a
+    // changed TTL silently redefines which admissions survive. Both were
+    // documented as "resume with the same settings"; now the settings
+    // are PERSISTED beside the checkpoint on first start and a
+    // mismatched resume fails loudly naming both values instead of
+    // running mis-partitioned.
+    val lanes = 8
+    enforceCheckpointContract(s, ckpt, lanes, ttlMs)
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val durablePath = s.conf.getOption("spark.graft.stream.admitIndexPath")
+    val drained =
+      // 8 state lanes, not the 2 the small per-user flavors use: this
+      // stream keys state by BAND (16 per doc — ~20k groups at sf0.1),
+      // and per-key processing dominates; measured warm at sf0.1:
+      // 2 lanes 6.9 s, 8 lanes 3.9 s, 16 lanes 4.8 s (store-init wins
+      // past 8). Resume requires a constant lane count across runs —
+      // this constant is part of the checkpoint contract.
+      try Streams.withStatePartitions(s, lanes) {
+        // In TTL mode the engine runs under TimeMode.ProcessingTime, and
+        // every no-data batch ADVANCES processing time — which, with TTL
+        // state live, makes the engine schedule another no-data batch:
+        // an infinite instant-batch loop under AvailableNow (observed:
+        // 5,600+ committed no-data batches before the kill). This stream
+        // has no watermark, so the finalizing no-data batch contributes
+        // nothing here — disable it for the TTL drain.
+        def drain(): DataFrame =
+          if (singleBatch) Streams.appendToParquetSingleBatchAt(s, out.toDF(), data, ckpt)
+          else Streams.appendToParquetAt(s, out.toDF(), data, ckpt)
+        if (ttlMs.isDefined) {
+          val k = "spark.sql.streaming.noDataMicroBatches.enabled"
+          val prev0 = s.conf.getOption(k)
+          s.conf.set(k, "false")
+          try drain() finally prev0 match {
+            case Some(v) => s.conf.set(k, v)
+            case None    => s.conf.unset(k)
+          }
+        } else drain()
+      }
+      finally prev match {
+        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    // DURABLE ADMIT INDEX (`spark.graft.stream.admitIndexPath`, round 11):
+    // the RocksDB carrier state is CHECKPOINT-scoped — a wiped checkpoint,
+    // an index migration, or a fresh ingest pipeline loses every prior
+    // admission. With the knob set, each drain MERGES its increment's
+    // band rows into a generational parquet index and the census below
+    // probes the PRE-merge snapshot of it alongside the static corpus
+    // index, so run N+1 collides with run N's admissions from parquet
+    // alone. The index's whole lifecycle — layout, crash-safe merge
+    // accounting, both fencing sides, sweep recovery, compaction —
+    // lives in [[AdmitIndex]] (split out in round 13).
+    val durableIx: Option[(org.apache.hadoop.fs.FileSystem,
+        org.apache.hadoop.fs.Path, Seq[String])] = durablePath.map { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // fold any increment a crashed compactor left unswept BEFORE the
+      // census snapshot below is taken — otherwise a drain racing the
+      // repoint-to-sweep window would census against an index missing
+      // settled admissions and admit their twins permanently
+      AdmitIndex.recoverPendingSweep(s, fs, hp)
+      val snapFiles = AdmitIndex.admitGenDir(fs, hp)
+        .map(g => AdmitIndex.dataFilesIn(fs, g)).getOrElse(Seq.empty)
+      (fs, hp, snapFiles)
+    }
+    durableIx.foreach { case (fs, hp, snapFiles) =>
+      AdmitIndex.mergeIncrement(s, data, fs, hp, snapFiles, drained)
+    }
+    // static-index census post-drain: the left join fans a band row per
+    // index match, so the stream-side census counts DISTINCT bands
+    val staticIndex = graft.operators.Pipeline.minhashBands(s, dir)
+      .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
+      .select(col("b"), col("key"), col("doc_id").as("index_doc"))
+    val probed = durableIx match {
+      case Some((_, _, snapFiles)) if snapFiles.nonEmpty =>
+        val ix0 = s.read.parquet(snapFiles: _*)
+        // ARRIVAL-ORDERED index lane (round-11 review): a doc is flagged
+        // only against index rows merged STRICTLY BEFORE its own merge
+        // (static corpus rows predate everything — null ix_ms always
+        // counts). Without the ordering, a carrier whose twin merged
+        // LATER gets retroactively flagged against that twin on the next
+        // census — first-arrival-wins must stay stable under replays.
+        // TIES (ADVICE round 11, corrected by the round-12 review):
+        // merge stamps are strictly monotonic per index (max-existing+1
+        // floor), so on one index an equal stamp means SAME DRAIN — and
+        // docs co-merged in one drain already had their precedence
+        // decided by the STREAM lane of that drain (carrier admitted,
+        // twin flagged, recorded in the sink's stream_match). Nulling
+        // `>=` therefore keeps a co-merged carrier admitted under
+        // replays (flagging it against its same-drain twin here would
+        // break first-arrival-wins — the intra-drain regression the
+        // review caught in the first tie-break attempt). The ADVICE's
+        // original cross-drain millisecond tie is structurally gone via
+        // the monotonic stamp; only out-of-contract CONCURRENT writers
+        // could still tie, and the single-scheduler contract plus the
+        // merge/compaction fencing make that a non-shipped interleaving.
+        val durIx = ix0.select(col("b"), col("key"),
+          col("doc_id").as("index_doc"), col("merged_at_ms").as("ix_ms"))
+        val own = ix0.groupBy(col("doc_id"))
+          .agg(min(col("merged_at_ms")).as("own_ms"))
+        val index = staticIndex
+          .withColumn("ix_ms", lit(null).cast("long")).unionByName(durIx)
+        drained.join(own, Seq("doc_id"), "left")
+          .join(index, Seq("b", "key"), "left")
+          .withColumn("index_doc",
+            when(col("own_ms").isNotNull && col("ix_ms").isNotNull &&
+                col("ix_ms") >= col("own_ms"), lit(null).cast("long"))
+              .otherwise(col("index_doc")))
+          .drop("own_ms", "ix_ms")
+      case _ => drained.join(staticIndex, Seq("b", "key"), "left")
+    }
+    probed
+      .groupBy("doc_id")
+      .agg(count(col("index_doc")).as("n_index_hits"),
+        countDistinct(when(col("stream_match") >= 0, col("b")))
+          .as("n_stream_hits"),
+        min(col("index_doc")).as("fi"),
+        min(when(col("stream_match") >= 0, col("stream_match"))).as("fs"))
+      .select(col("doc_id"), col("n_index_hits"), col("n_stream_hits"),
+        // −1 sentinel (not NULL) for admitted docs: the census is a
+        // numeric column consumers aggregate over
+        when(col("fi").isNull && col("fs").isNull, lit(-1L))
+          .otherwise(least(coalesce(col("fi"), col("fs")),
+                           coalesce(col("fs"), col("fi")))).as("first_match"),
+        (col("n_index_hits") === 0 && col("n_stream_hits") === 0).as("admitted"))
+      .orderBy("doc_id")
+  }
+
+  /** Persist-and-enforce the stateful stream's checkpoint contract
+    * (round 13, VERDICT #3): on first start, `{lanes, admitTtlMs}` is
+    * written to `_graft_contract` inside the checkpoint dir (it travels
+    * with the checkpoint — copy the checkpoint, the contract comes
+    * along); every later start re-reads it and fails loudly on a
+    * mismatch instead of resuming with mis-partitioned state. Single
+    * writer by construction (one stream per checkpoint), so the
+    * publish's missing-file window ([[graft.util.MetaFiles.write]]) is
+    * unreachable here; a missing file simply re-registers the current
+    * settings — exactly the first-start semantics. */
+  private[graft] def enforceCheckpointContract(s: SparkSession, ckpt: String,
+                                               lanes: Int, ttlMs: Option[Long]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(ckpt, "_graft_contract")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val now = s"lanes=$lanes;admitTtlMs=${ttlMs.getOrElse(0L)}"
+    graft.util.MetaFiles.read(fs, p) match {
+      case Some(prev) if prev != now =>
+        throw new IllegalStateException(
+          s"checkpoint contract mismatch at $ckpt: the checkpoint was created with " +
+            s"[$prev] but this run resumes with [$now]. The lane count and TTL shape " +
+            "the persisted state layout - resume with the original settings, or start " +
+            "a fresh checkpoint to change them.")
+      case Some(_) => ()
+      case None =>
+        fs.mkdirs(p.getParent)
+        graft.util.MetaFiles.write(fs, p, now)
+    }
+  }
+}

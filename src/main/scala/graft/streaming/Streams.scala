@@ -65,7 +65,7 @@ object Streams {
     * duration: the append-mode queries rely on the finalizing no-data
     * batch to advance the watermark past the last input (without it they
     * would silently emit fewer rows, not fail). Restores the session conf. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  private[streaming] def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val keys = Seq("spark.sql.shuffle.partitions" -> n.toString,
                    "spark.sql.streaming.noDataMicroBatches.enabled" -> "true")
     val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
@@ -78,7 +78,7 @@ object Streams {
 
   /** Fresh (data, checkpoint) dirs for a one-shot file sink — registered
     * with [[graft.util.TempDirs]] for recursive removal at JVM shutdown. */
-  private def sinkDirs(): (String, String) = {
+  private[streaming] def sinkDirs(): (String, String) = {
     val root = graft.util.TempDirs.create("graft-stream-")
     (new java.io.File(root.toFile, "data").getAbsolutePath,
      new java.io.File(root.toFile, "ckpt").getAbsolutePath)
@@ -111,7 +111,7 @@ object Streams {
     * production resume path: a second drain against the same checkpoint
     * processes only files that arrived since the first, and stateful
     * operators resume from their persisted state store. */
-  private def appendToParquetAt(s: SparkSession, out: Dataset[_],
+  private[streaming] def appendToParquetAt(s: SparkSession, out: Dataset[_],
                                 data: String, ckpt: String): DataFrame = {
     val q = out.writeStream.outputMode("append").format("parquet")
       .option("path", data).option("checkpointLocation", ckpt)
@@ -138,7 +138,7 @@ object Streams {
     * id-ordered batch oracle only when the whole fixture drains in one
     * micro-batch — a directory-of-part-files fixture under
     * maxFilesPerTrigger=1 would otherwise diverge silently). */
-  private def appendToParquetSingleBatchAt(s: SparkSession, out0: Dataset[_],
+  private[streaming] def appendToParquetSingleBatchAt(s: SparkSession, out0: Dataset[_],
                                            data: String, ckpt: String): DataFrame = {
     val out = out0.toDF()
     @volatile var nonEmpty = 0
@@ -165,7 +165,7 @@ object Streams {
     * which overwrites the (small) aggregate snapshot per trigger — the
     * standard complete→file pattern. The write is a distributed
     * `batch.write.parquet`, not a driver collect. */
-  private def completeToParquet(s: SparkSession, agg: DataFrame,
+  private[streaming] def completeToParquet(s: SparkSession, agg: DataFrame,
                                 post: DataFrame => DataFrame = identity): DataFrame = {
     val (data, ckpt) = sinkDirs()
     val q = agg.writeStream.outputMode("complete")
@@ -374,7 +374,7 @@ object Streams {
     * the other tables, or a directory of part files. `maxFilesPerTrigger=1`
     * forces multi-batch processing where layout allows, so incremental
     * state genuinely carries across micro-batches. */
-  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+  private[streaming] def documentsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = Tables.documents(s, dir).schema
     val f = new java.io.File(dir, "documents.parquet")
     if (f.isDirectory)
@@ -685,791 +685,6 @@ object Streams {
       .select(col("user_id"), col("s.n_sessions").as("n_sessions"),
         col("s.n_events").as("n_events"))
       .orderBy("user_id")
-  }
-
-  /** Streaming LSH index probe — the ingest half of incremental near-dup
-    * detection ([[graft.operators.Pipeline.dedupIncremental]]'s streaming
-    * twin): newly-crawled documents (the doc_id ≡ 3 mod 4 snapshot
-    * slice) stream in, each row computes its own 64-permutation MinHash
-    * signature MAP-SIDE (array expressions over the row's shingle set —
-    * no aggregation, so the signature exists before any stateful
-    * operator), cuts it into the same 16×4 bands as the batch index, and
-    * probes the static accepted-corpus band table; the per-document
-    * collision census (band hits + earliest colliding index doc) is the
-    * accept/review signal the ingest emits.
-    *
-    * Scale shape: the stream side is per-row narrow projections; the
-    * static side is the memoized signature table's band fan-out (built
-    * once per corpus, re-read per micro-batch); the join is the same
-    * linear (band, key) equi-join as the batch path, and state is one
-    * fixed-width row per in-flight probe document. Per-row signatures are
-    * marginally more CPU than the batch path's one signature aggregation
-    * — the price of needing no shuffle before the probe join; at 100 TB
-    * the probe slice is a crawl increment, not the corpus. */
-  def streamLshIngest(s: SparkSession, dir: String): DataFrame = {
-    val bands = streamBands(s, dir)
-    val index = graft.operators.Pipeline.minhashBands(s, dir)
-      .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
-      .select(col("b"), col("key"), col("doc_id").as("index_doc"))
-    val probed = bands.join(index, Seq("b", "key"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_band_hits"),
-        min(col("index_doc")).as("first_match"))
-    withStatePartitions(s, 2) { completeToParquet(s, probed) }
-      .orderBy("doc_id")
-  }
-
-  /** The new-snapshot slice's MinHash band stream: per-row 64-perm
-    * signatures computed MAP-SIDE ([[VectorExpressions.minhashSig]] — one
-    * compiled pass for shingle hashes and all permutation minima; the
-    * higher-order-function composition runs interpreted per element,
-    * measured 6.1s), cut into the same 16×4 bands as the batch index.
-    * Empty shingle set → null signature → dropped, same as the batch
-    * path's absent signature. Shared by [[streamLshIngest]] (probe-only)
-    * and [[streamLshAdmit]] (probe-then-insert). */
-  private def streamBands(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{Fns, VectorExpressions}
-    val docs = documentsStream(s, dir)
-      .filter(pmod(col("doc_id"), lit(4L)) === 3L)
-      .select(col("doc_id"),
-        filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
-      .select(col("doc_id"),
-        when(size(col("t")) >= 3,
-            transform(sequence(lit(0), size(col("t")) - 3),
-              i => concat_ws(" ", element_at(col("t"), i + 1),
-                                  element_at(col("t"), i + 2),
-                                  element_at(col("t"), i + 3))))
-          .otherwise(array().cast("array<string>")).as("shs"))
-      .select(col("doc_id"), VectorExpressions.minhashSig(col("shs")).as("sig"))
-      .filter(col("sig").isNotNull)
-    docs.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(15)), b =>
-          struct(b.as("b"),
-            concat_ws(",", (0 until 4).map(r =>
-              element_at(col("sig"), b * 4 + r + 1).cast("string")): _*)
-              .as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.b").as("b"), col("bk.key").as("key"))
-  }
-
-  /** Streaming LSH ingest with PROBE-THEN-INSERT — the closed loop
-    * [[streamLshIngest]] lacks: every ingested document's bands enter a
-    * persistent band index (`transformWithState` ValueState, RocksDB), so
-    * two near-duplicate documents arriving in the SAME stream detect each
-    * other — the production semantics of incremental dedup (the batch
-    * index alone can never see intra-crawl duplicates, which is exactly
-    * where crawl duplication concentrates).
-    *
-    * Semantics (append-only index, FIRST ARRIVAL WINS): per band key,
-    * state holds the first stream document ever to carry it (the
-    * "carrier" — within a batch, the group's min doc_id claims). Each
-    * band row emits the carrier it collided with (−1 if it became the
-    * carrier). Downstream, a document's census combines its static-index
-    * collisions with its stream collisions; `admitted` = zero of both.
-    * Every document's bands enter the index whether or not it collided
-    * (near-dups of near-dups should also be flagged); an admitted-only
-    * insert would need a second cross-band coordination round per batch —
-    * the same signal is recoverable here by filtering on `admitted`.
-    *
-    * Determinism: within a batch each band group folds in doc_id order,
-    * so a single-`AvailableNow` drain — where the whole slice is one
-    * batch — has carrier ≡ the key's min doc_id and equals the batch
-    * oracle (min other-id same-key doc) exactly, independent of
-    * partitioning. Across multiple batches precedence is ARRIVAL order
-    * (earlier batch claims; later arrivals of ANY id are flagged against
-    * it — an ingest index must not silently miss a smaller-id twin that
-    * arrives later), deterministic for a given batch split; only the
-    * equality with the id-ordered batch oracle is single-drain. Replays
-    * of the same doc_id never flag themselves (carrier == id → no hit).
-    *
-    * Scale shape: map-side signatures (no pre-join shuffle), one keyed
-    * state exchange on (b, key) — the same key the batch index join
-    * shuffles on — state is one long per distinct band key (RocksDB,
-    * spills off-heap), and the static-index census joins the drained
-    * band table AFTER the stream, linear in the increment. At 100 TB the
-    * increment is a crawl slice; the index state grows with distinct
-    * band keys of the stream, not with the corpus.
-    *
-    * Durability (round 11): the carrier state is CHECKPOINT-scoped. With
-    * `spark.graft.stream.admitIndexPath` set, each drain also merges its
-    * increment's band rows into a parquet index table and the census
-    * probes the pre-drain snapshot of it — so a wiped checkpoint, an
-    * index migration, or a brand-new pipeline still collides with every
-    * prior run's admissions from parquet alone (spec: admit → wipe →
-    * restart → still flagged). Merge is idempotent (doc_id anti-join);
-    * cost ∝ increment. Off by default — the declared query's hash and
-    * plan are untouched. */
-  def streamLshAdmit(s: SparkSession, dir: String): DataFrame = {
-    val (data, ckpt) = sinkDirs()
-    // The DECLARED (oracle-gated) entry enforces the single-batch drain
-    // its id-order oracle equality assumes; the resume path below is
-    // multi-batch by design (first-arrival-wins across drains).
-    streamLshAdmitAt(s, dir, data, ckpt, singleBatch = true)
-  }
-
-  /** [[streamLshAdmit]] with caller-owned sink/checkpoint dirs — the
-    * RESUME path (exercised by `StreamsSpec`): a later invocation against
-    * the same checkpoint drains only newly-arrived source files, and the
-    * band-carrier ValueState resumes from its RocksDB store, so a
-    * document ingested in run N+1 collides with a carrier admitted in
-    * run N — restart-durable incremental dedup, the coordinator-resume
-    * semantics of the reference's own incremental philosophy. */
-  private[graft] def streamLshAdmitAt(s: SparkSession, dir: String,
-                                      data: String, ckpt: String,
-                                      singleBatch: Boolean = false): DataFrame = {
-    import s.implicits._
-    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
-    import org.apache.spark.sql.{Encoders => Encs}
-
-    // STATE-LIFECYCLE KNOB (`spark.graft.stream.admitTtlMs`): an
-    // always-on ingest index otherwise accretes one carrier per distinct
-    // band key FOREVER. With a TTL, a band key unseen for the window is
-    // evicted (its next arrival re-admits as the new carrier — the
-    // standard freshness-window trade of production dedup indexes: only
-    // duplicates farther apart than the TTL are missed), while a live key
-    // still collides. OFF by default — TTLConfig.NONE + TimeMode.None
-    // keep the declared query's semantics and hash bit-identical. The
-    // knob value is part of the checkpoint contract like the lane count:
-    // resume with the same setting.
-    //
-    // BACKFILL CONTRACT (round 11): the TTL runs on PROCESSING time —
-    // wall clock, not data age. That is correct for steady-state ingest
-    // (where arrival time ≈ data time) and WRONG for replay: six months
-    // of crawl history drained in an hour would either retain everything
-    // (TTL > an hour — the freshness window silently becomes "all of
-    // history") or evict mid-replay by wall clock (TTL < the replay's
-    // duration — a historical duplicate re-admits even though its twin
-    // is "recent" in data time). The contract is therefore: DISABLE the
-    // TTL for backfill (carriers then persist across any wall-clock
-    // gap), re-enable it when the stream reaches steady state. An
-    // event-time retention mode is deliberately NOT offered: the band
-    // stream carries no event-time column (documents have no timestamp
-    // field in this data model), so any "data age" would be synthetic —
-    // and Spark's TTLConfig is processing-time-only. Both arms are
-    // spec'd in StreamsSpec ("backfill contract").
-    val ttlMs = s.conf.getOption("spark.graft.stream.admitTtlMs")
-      .map(_.toLong).filter(_ > 0L)
-    val ttlCfg = ttlMs.map(ms => TTLConfig(java.time.Duration.ofMillis(ms)))
-      .getOrElse(TTLConfig.NONE)
-    val timeMode = if (ttlMs.isDefined) TimeMode.ProcessingTime()
-                   else TimeMode.None()
-
-    class CarrierProcessor extends StatefulProcessor[(Int, String), AdmitBand, AdmitHit] {
-      @transient private var st: ValueState[Long] = _
-      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-        st = getHandle.getValueState[Long]("carrier",
-          Encs.scalaLong, ttlCfg)
-      override def handleInputRows(key: (Int, String), rows: Iterator[AdmitBand],
-                                   timerValues: TimerValues): Iterator[AdmitHit] = {
-        // FIRST ARRIVAL WINS: the band key's carrier is claimed by the
-        // first document ever to reach it (within a batch, the min
-        // doc_id) and never changes — every later arrival, whatever its
-        // id, is flagged against that carrier. A min-id-takeover rule
-        // would silently MISS a smaller-id twin arriving in a later
-        // batch (carrier > doc_id ⇒ "no earlier doc" under an id-order
-        // definition); arrival order is the honest precedence for an
-        // ingest index, and on a single-`AvailableNow` drain it
-        // coincides with id order, so the batch oracle is unchanged.
-        val rs = rows.toArray.sortBy(_.doc_id)
-        val existing = if (st.exists()) st.get() else Long.MinValue
-        var carrier = existing
-        val out = rs.map { r =>
-          val hit = if (carrier != Long.MinValue && carrier != r.doc_id) carrier
-                    else -1L
-          if (carrier == Long.MinValue) carrier = r.doc_id
-          AdmitHit(r.doc_id, r.b, r.key, hit)
-        }
-        if (carrier != existing) st.update(carrier)
-        out.iterator
-      }
-    }
-
-    val bands = streamBands(s, dir)
-      .select(col("doc_id"), col("b").cast("int").as("b"), col("key"))
-      .as[AdmitBand]
-    val out = bands.groupByKey(r => (r.b, r.key))
-      .transformWithState(new CarrierProcessor, timeMode, OutputMode.Append())
-    // CHECKPOINT CONTRACT ENFORCEMENT (round 13): the state-lane count
-    // and the TTL knob shape the persisted RocksDB layout — resuming a
-    // checkpoint with a different lane count mis-routes keys to lanes
-    // whose stores never saw them (silently dropping carriers), and a
-    // changed TTL silently redefines which admissions survive. Both were
-    // documented as "resume with the same settings"; now the settings
-    // are PERSISTED beside the checkpoint on first start and a
-    // mismatched resume fails loudly naming both values instead of
-    // running mis-partitioned.
-    val lanes = 8
-    enforceCheckpointContract(s, ckpt, lanes, ttlMs)
-    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val durablePath = s.conf.getOption("spark.graft.stream.admitIndexPath")
-    val drained =
-      // 8 state lanes, not the 2 the small per-user flavors use: this
-      // stream keys state by BAND (16 per doc — ~20k groups at sf0.1),
-      // and per-key processing dominates; measured warm at sf0.1:
-      // 2 lanes 6.9 s, 8 lanes 3.9 s, 16 lanes 4.8 s (store-init wins
-      // past 8). Resume requires a constant lane count across runs —
-      // this constant is part of the checkpoint contract.
-      try withStatePartitions(s, lanes) {
-        // In TTL mode the engine runs under TimeMode.ProcessingTime, and
-        // every no-data batch ADVANCES processing time — which, with TTL
-        // state live, makes the engine schedule another no-data batch:
-        // an infinite instant-batch loop under AvailableNow (observed:
-        // 5,600+ committed no-data batches before the kill). This stream
-        // has no watermark, so the finalizing no-data batch contributes
-        // nothing here — disable it for the TTL drain.
-        def drain(): DataFrame =
-          if (singleBatch) appendToParquetSingleBatchAt(s, out.toDF(), data, ckpt)
-          else appendToParquetAt(s, out.toDF(), data, ckpt)
-        if (ttlMs.isDefined) {
-          val k = "spark.sql.streaming.noDataMicroBatches.enabled"
-          val prev0 = s.conf.getOption(k)
-          s.conf.set(k, "false")
-          try drain() finally prev0 match {
-            case Some(v) => s.conf.set(k, v)
-            case None    => s.conf.unset(k)
-          }
-        } else drain()
-      }
-      finally prev match {
-        case Some(v) => s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-        case None    => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
-    // DURABLE ADMIT INDEX (`spark.graft.stream.admitIndexPath`, round 11):
-    // the RocksDB carrier state is CHECKPOINT-scoped — a wiped checkpoint,
-    // an index migration, or a fresh ingest pipeline loses every prior
-    // admission. With the knob set, each drain MERGES its increment's
-    // band rows into a generational parquet index and the census below
-    // probes the PRE-merge snapshot of it alongside the static corpus
-    // index, so run N+1 collides with run N's admissions from parquet
-    // alone.
-    //
-    // Crash-safe increment accounting (round-11 review): the increment
-    // is "committed sink files without a marker in the index's _merged
-    // log" — NOT a pre/post directory diff of one run, which silently
-    // loses an increment forever when the process dies between the
-    // drain's checkpoint commit and the index append. Candidate files
-    // come from `input_file_name()` over the sink read-back. Orphan
-    // exclusion is per sink flavor (ADVICE round 11): the RESUME path
-    // writes through the streaming parquet file sink, whose
-    // `_spark_metadata` log the read-back honors — an orphaned task
-    // file from a failed attempt (on disk, absent from the log) never
-    // leaks rows into the index; the DECLARED single-batch path writes
-    // via `foreachBatch` + `batch.write.append`, which has no metadata
-    // log — there, orphan protection is the batch committer's
-    // `_temporary` staging (a failed task's output is never moved into
-    // the sink dir), and a crash-replayed batch that double-appends
-    // whole files heals through the row-granular anti-join below. A
-    // crash anywhere between the append and the last marker write just
-    // re-processes those files next drain, and the (doc_id, b, key)
-    // anti-join makes the retry idempotent at ROW granularity — a
-    // partially-appended doc heals instead of being excluded forever.
-    // The _merged log lives beside the generations and is never touched
-    // by compaction, so an age-pruned row's sink file stays marked and
-    // pruned history is never resurrected.
-    val durableIx: Option[(org.apache.hadoop.fs.FileSystem,
-        org.apache.hadoop.fs.Path, Seq[String])] = durablePath.map { p =>
-      val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      // fold any increment a crashed compactor left unswept BEFORE the
-      // census snapshot below is taken — otherwise a drain racing the
-      // repoint-to-sweep window would census against an index missing
-      // settled admissions and admit their twins permanently
-      recoverPendingSweep(s, fs, hp)
-      val snapFiles = admitGenDir(fs, hp).map(g => dataFilesIn(fs, g))
-        .getOrElse(Seq.empty)
-      (fs, hp, snapFiles)
-    }
-    durableIx.foreach { case (fs, hp, snapFiles) =>
-      val mergedLog = new org.apache.hadoop.fs.Path(hp, "_merged")
-      val sinkPath = new org.apache.hadoop.fs.Path(data)
-      val sinkFs = sinkPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val committedSink: Seq[String] =
-        if (!sinkFs.exists(sinkPath)) Seq.empty
-        else drained.select(input_file_name().as("f")).distinct()
-          .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
-      val marked: Set[String] =
-        if (!fs.exists(mergedLog)) Set.empty
-        else fs.listStatus(mergedLog).map(_.getPath.getName).toSet
-      // marker key = bare file name (unique per sink: job-UUID names),
-      // robust to scheme/prefix differences in input_file_name URIs
-      val newFiles = committedSink
-        .filterNot(f => marked(new org.apache.hadoop.fs.Path(f).getName))
-      if (newFiles.nonEmpty) {
-        val newRows = s.read.parquet(newFiles: _*)
-          .select(col("doc_id"), col("b"), col("key")).distinct()
-        val inc =
-          if (snapFiles.isEmpty) newRows
-          else newRows.join(
-            s.read.parquet(snapFiles: _*).select(col("doc_id"), col("b"), col("key")),
-            Seq("doc_id", "b", "key"), "left_anti")
-        // merged_at_ms stamps the MERGE (constant per drain): it orders
-        // the census's index lane (earlier-arrivals-only) and is the age
-        // axis [[compactAdmitIndex]]'s freshness prune cuts on. The
-        // stamp is STRICTLY GREATER than every stamp already in the
-        // index (ADVICE round 11): two sequential drains inside one
-        // wall-clock millisecond would otherwise tie, and a tied stamp
-        // makes arrival order ambiguous in the census lane.
-        val maxExisting: Long =
-          if (snapFiles.isEmpty) Long.MinValue
-          else {
-            val r = s.read.parquet(snapFiles: _*)
-              .agg(max(col("merged_at_ms"))).head()
-            if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
-          }
-        val stamp = math.max(System.currentTimeMillis(), maxExisting + 1L)
-        val incStamped = inc.withColumn("merged_at_ms", lit(stamp))
-        // COMPACTION FENCING (round 12, VERDICT top item): a compactor
-        // whose read snapshot predates this append repoints to a new
-        // generation WITHOUT our rows — if we then wrote markers, the
-        // increment would be invisible to admitIndexRows, the markers
-        // would block a re-merge, and the next compaction's GC would
-        // destroy it: silent admission loss. So after every append the
-        // pointer is RE-READ; if it moved, the rows the new current
-        // generation is missing (row-granular anti-join — the compactor
-        // may have caught some or all of the append) are re-appended to
-        // it, and only when an append settles with the pointer unmoved
-        // are the markers written. A crash anywhere in the loop leaves
-        // the markers unwritten, so the next drain retries idempotently.
-        val pointer = new org.apache.hadoop.fs.Path(hp, AdmitPointerFile)
-        val pointerHealthy = readSmallFile(fs, pointer)
-          .map(n => new org.apache.hadoop.fs.Path(hp, n))
-          .exists(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS")))
-        var gen = admitGenDir(fs, hp)
-          .getOrElse(new org.apache.hadoop.fs.Path(hp, newGenName(fs, hp)))
-        var pending = incStamped
-        var rounds = 0
-        var settled = false
-        while (!settled) {
-          pending.write.mode("append").parquet(gen.toString)
-          if (rounds == 0) {
-            // first-generation creation, or healing a pointer torn by a
-            // crash between a compactor's gen commit and its repoint.
-            // Re-read at heal time (ADVICE r12): a concurrent
-            // (out-of-contract) compactor may have published its repoint
-            // in the gap since the capture above — healing from the
-            // stale capture would resurrect the superseded generation
-            // and undo a completed prune until the next compaction, so
-            // heal only if the pointer is STILL unhealthy; the fencing
-            // loop's re-check below handles everything else.
-            if (!pointerHealthy && !readSmallFile(fs, pointer)
-                  .map(n => new org.apache.hadoop.fs.Path(hp, n))
-                  .exists(g => fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS"))))
-              writeSmallFile(fs, pointer, gen.getName)
-            admitMergePostAppendHook()
-          }
-          val cur = admitGenDir(fs, hp).getOrElse(gen)
-          if (cur.getName == gen.getName) settled = true
-          else {
-            rounds += 1
-            if (rounds > 5) throw new IllegalStateException(
-              "admit-index merge lost the generation race " + rounds +
-                " times: a compactor is repointing continuously — " +
-                "schedule drains and compaction from one owner")
-            // localCheckpoint: the anti-join against the repointed
-            // generation is consumed twice (emptiness probe + append) —
-            // materialize it once instead of rescanning the new
-            // generation per consumer (round-12 review)
-            pending = incStamped.join(
-              s.read.parquet(cur.toString)
-                .select(col("doc_id"), col("b"), col("key")),
-              Seq("doc_id", "b", "key"), "left_anti")
-              .localCheckpoint(true)
-            gen = cur
-            if (pending.isEmpty) settled = true
-          }
-        }
-        // markers LAST: written only after the increment is visible in
-        // the current generation
-        fs.mkdirs(mergedLog)
-        newFiles.foreach(f => fs.create(new org.apache.hadoop.fs.Path(mergedLog,
-          new org.apache.hadoop.fs.Path(f).getName), true).close())
-      }
-    }
-    // static-index census post-drain: the left join fans a band row per
-    // index match, so the stream-side census counts DISTINCT bands
-    val staticIndex = graft.operators.Pipeline.minhashBands(s, dir)
-      .filter(pmod(col("doc_id"), lit(4L)) =!= 3L)
-      .select(col("b"), col("key"), col("doc_id").as("index_doc"))
-    val probed = durableIx match {
-      case Some((_, _, snapFiles)) if snapFiles.nonEmpty =>
-        val ix0 = s.read.parquet(snapFiles: _*)
-        // ARRIVAL-ORDERED index lane (round-11 review): a doc is flagged
-        // only against index rows merged STRICTLY BEFORE its own merge
-        // (static corpus rows predate everything — null ix_ms always
-        // counts). Without the ordering, a carrier whose twin merged
-        // LATER gets retroactively flagged against that twin on the next
-        // census — first-arrival-wins must stay stable under replays.
-        // TIES (ADVICE round 11, corrected by the round-12 review):
-        // merge stamps are strictly monotonic per index (max-existing+1
-        // floor), so on one index an equal stamp means SAME DRAIN — and
-        // docs co-merged in one drain already had their precedence
-        // decided by the STREAM lane of that drain (carrier admitted,
-        // twin flagged, recorded in the sink's stream_match). Nulling
-        // `>=` therefore keeps a co-merged carrier admitted under
-        // replays (flagging it against its same-drain twin here would
-        // break first-arrival-wins — the intra-drain regression the
-        // review caught in the first tie-break attempt). The ADVICE's
-        // original cross-drain millisecond tie is structurally gone via
-        // the monotonic stamp; only out-of-contract CONCURRENT writers
-        // could still tie, and the single-scheduler contract plus the
-        // merge/compaction fencing make that a non-shipped interleaving.
-        val durIx = ix0.select(col("b"), col("key"),
-          col("doc_id").as("index_doc"), col("merged_at_ms").as("ix_ms"))
-        val own = ix0.groupBy(col("doc_id"))
-          .agg(min(col("merged_at_ms")).as("own_ms"))
-        val index = staticIndex
-          .withColumn("ix_ms", lit(null).cast("long")).unionByName(durIx)
-        drained.join(own, Seq("doc_id"), "left")
-          .join(index, Seq("b", "key"), "left")
-          .withColumn("index_doc",
-            when(col("own_ms").isNotNull && col("ix_ms").isNotNull &&
-                col("ix_ms") >= col("own_ms"), lit(null).cast("long"))
-              .otherwise(col("index_doc")))
-          .drop("own_ms", "ix_ms")
-      case _ => drained.join(staticIndex, Seq("b", "key"), "left")
-    }
-    probed
-      .groupBy("doc_id")
-      .agg(count(col("index_doc")).as("n_index_hits"),
-        countDistinct(when(col("stream_match") >= 0, col("b")))
-          .as("n_stream_hits"),
-        min(col("index_doc")).as("fi"),
-        min(when(col("stream_match") >= 0, col("stream_match"))).as("fs"))
-      .select(col("doc_id"), col("n_index_hits"), col("n_stream_hits"),
-        // −1 sentinel (not NULL) for admitted docs: the census is a
-        // numeric column consumers aggregate over
-        when(col("fi").isNull && col("fs").isNull, lit(-1L))
-          .otherwise(least(coalesce(col("fi"), col("fs")),
-                           coalesce(col("fs"), col("fi")))).as("first_match"),
-        (col("n_index_hits") === 0 && col("n_stream_hits") === 0).as("admitted"))
-      .orderBy("doc_id")
-  }
-
-  // ------------- durable admit index layout (round 11) -------------
-  //
-  //   p/_GRAFT_CURRENT      text file naming the current generation dir
-  //   p/gen-<epochms>/      parquet data (job _SUCCESS inside)
-  //   p/_merged/<filename>  one empty marker per merged sink data file
-  //
-  // Appends go into the current generation; compaction writes a NEW
-  // generation and repoints — nothing is ever deleted before its
-  // replacement is committed and referenced (the sigsPath generational
-  // discipline). The _merged log lives beside the generations, so
-  // compaction/pruning never forgets which sink files were merged.
-
-  private val AdmitPointerFile = "_GRAFT_CURRENT"
-  private val SweepPendingFile = "_GRAFT_SWEEP_PENDING"
-
-  /** Recover an interrupted compactor sweep (round-12 second review):
-    * the post-repoint sweep is the step that folds a racing drain's
-    * settled increment into the new generation — a compactor crash
-    * between its repoint and that sweep would otherwise orphan the
-    * increment permanently (markers written, rows only in the
-    * superseded generation, next GC destroys it). The compactor
-    * therefore records `(sourceGen, snapshot file set)` in
-    * [[SweepPendingFile]] BEFORE repointing and deletes it after the
-    * sweep; this recovery runs at every merge and compaction START, so
-    * the fold happens before any census snapshot or GC can act on the
-    * incomplete state. Idempotent (row-granular anti-join); no
-    * freshness filter — rows a pruning compaction would have dropped
-    * are folded conservatively and go out with the next prune. */
-  private def recoverPendingSweep(s: SparkSession,
-                                  fs: org.apache.hadoop.fs.FileSystem,
-                                  hp: org.apache.hadoop.fs.Path): Unit = {
-    // records are UNIQUE PER COMPACTION (suffix nonce) and ALL
-    // outstanding ones are replayed: a single fixed-name record would
-    // let one of two out-of-contract concurrent compactors clobber the
-    // other's obligation (and the survivor's cleanup delete it) before
-    // the other repointed — replay-all makes the obligation log safe
-    // under any number of writers. The legacy bare name is accepted.
-    if (!fs.exists(hp)) return
-    val recs = fs.listStatus(hp).toSeq
-      .filter(st => st.isFile &&
-        st.getPath.getName.startsWith(SweepPendingFile))
-      .map(_.getPath)
-    recs.foreach { rec =>
-      readSmallFile(fs, rec).foreach { v =>
-        val lines = v.split("\n").toSeq
-        val src = new org.apache.hadoop.fs.Path(hp, lines.head)
-        val snapNames = lines.tail.toSet
-        // a record is DISCHARGED (deletable) only once its obligation
-        // cannot recur: the pointer moved off the source generation
-        // (fold done below), or the source is gone. While cur == src
-        // the OWNING compactor is still between record-write and
-        // repoint — deleting its record here would reopen the orphan
-        // hole if it repoints and then crashes (third review pass). A
-        // record whose owner crashed before repointing self-discharges
-        // after the next successful compaction moves the pointer.
-        val discharged = admitGenDir(fs, hp) match {
-          case None => !fs.exists(src)
-          case Some(cur) =>
-            if (!fs.exists(src)) true
-            else if (cur.getName == src.getName) false
-            else {
-              val late = dataFilesIn(fs, src).filterNot(f =>
-                snapNames(new org.apache.hadoop.fs.Path(f).getName))
-              if (late.nonEmpty) {
-                val missing = s.read.parquet(late: _*)
-                  .join(s.read.parquet(cur.toString)
-                      .select(col("doc_id"), col("b"), col("key")),
-                    Seq("doc_id", "b", "key"), "left_anti")
-                missing.write.mode("append").parquet(cur.toString)
-              }
-              true
-            }
-        }
-        if (discharged) fs.delete(rec, false)
-      }
-    }
-    // crashed record PUBLISHES leave unique-named hidden temps the
-    // per-name sweep in MetaFiles.write can never match — collect them
-    // here once they are stale (third review pass)
-    fs.listStatus(hp).foreach { st =>
-      if (st.isFile && st.getPath.getName.startsWith("." + SweepPendingFile) &&
-          st.getModificationTime < System.currentTimeMillis() - 600000L)
-        fs.delete(st.getPath, false)
-    }
-  }
-
-  /** Test-only interleaving hook: runs once per durable-index merge,
-    * right after the first append and before the pointer re-check —
-    * `StreamsSpec` injects a compaction here to prove the fencing loop
-    * re-merges an increment a racing compactor orphaned. No-op in
-    * production. */
-  private[graft] var admitMergePostAppendHook: () => Unit = () => ()
-
-  /** Test-only twin of the merge hook on the COMPACTOR side: runs after
-    * the rewrite is verified, immediately before the repoint —
-    * `StreamsSpec` injects a drain here (one that settles and writes
-    * markers BEFORE the repoint, i.e. the interleaving the merge-side
-    * fence cannot see) to prove the post-repoint sweep folds that
-    * increment into the new generation. No-op in production. */
-  private[graft] var admitCompactPreRepointHook: () => Unit = () => ()
-
-  // shared metadata-file protocol (round 12: one implementation with a
-  // tmp+rename publish — a reader can see a missing pointer, never a
-  // torn one, and missing falls back to newest-committed/adoption)
-  private def dataFilesIn(fs: org.apache.hadoop.fs.FileSystem,
-                          dir: org.apache.hadoop.fs.Path): Seq[String] =
-    graft.util.MetaFiles.dataFiles(fs, dir)
-
-  private def readSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                            f: org.apache.hadoop.fs.Path): Option[String] =
-    graft.util.MetaFiles.read(fs, f)
-
-  private def writeSmallFile(fs: org.apache.hadoop.fs.FileSystem,
-                             f: org.apache.hadoop.fs.Path, v: String): Unit =
-    graft.util.MetaFiles.write(fs, f, v)
-
-  /** Persist-and-enforce the stateful stream's checkpoint contract
-    * (round 13, VERDICT #3): on first start, `{lanes, admitTtlMs}` is
-    * written to `_graft_contract` inside the checkpoint dir (it travels
-    * with the checkpoint — copy the checkpoint, the contract comes
-    * along); every later start re-reads it and fails loudly on a
-    * mismatch instead of resuming with mis-partitioned state. Single
-    * writer by construction (one stream per checkpoint), so the
-    * publish's missing-file window ([[graft.util.MetaFiles.write]]) is
-    * unreachable here; a missing file simply re-registers the current
-    * settings — exactly the first-start semantics. */
-  private[graft] def enforceCheckpointContract(s: SparkSession, ckpt: String,
-                                               lanes: Int, ttlMs: Option[Long]): Unit = {
-    val p = new org.apache.hadoop.fs.Path(ckpt, "_graft_contract")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val now = s"lanes=$lanes;admitTtlMs=${ttlMs.getOrElse(0L)}"
-    readSmallFile(fs, p) match {
-      case Some(prev) if prev != now =>
-        throw new IllegalStateException(
-          s"checkpoint contract mismatch at $ckpt: the checkpoint was created with " +
-            s"[$prev] but this run resumes with [$now]. The lane count and TTL shape " +
-            "the persisted state layout - resume with the original settings, or start " +
-            "a fresh checkpoint to change them.")
-      case Some(_) => ()
-      case None =>
-        fs.mkdirs(p.getParent)
-        writeSmallFile(fs, p, now)
-    }
-  }
-
-  /** The index's CURRENT generation: the pointer file's target if it is
-    * a committed generation, else the newest committed `gen-*` dir (a
-    * torn or missing pointer — crash between gen commit and repoint —
-    * recovers to the newest complete data rather than losing history). */
-  private[graft] def admitGenDir(fs: org.apache.hadoop.fs.FileSystem,
-                                 hp: org.apache.hadoop.fs.Path)
-      : Option[org.apache.hadoop.fs.Path] = {
-    if (!fs.exists(hp)) return None
-    def committed(g: org.apache.hadoop.fs.Path) =
-      fs.exists(g) && fs.exists(new org.apache.hadoop.fs.Path(g, "_SUCCESS"))
-    readSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile))
-      .map(n => new org.apache.hadoop.fs.Path(hp, n)).filter(committed)
-      .orElse {
-        fs.listStatus(hp).toSeq
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen-"))
-          .map(_.getPath).filter(committed).sortBy(_.getName).lastOption
-      }
-  }
-
-  /** A fresh generation name, strictly greater than any existing one so
-    * the torn-pointer fallback (newest by name) stays correct even under
-    * clock skew. */
-  private def newGenName(fs: org.apache.hadoop.fs.FileSystem,
-                         hp: org.apache.hadoop.fs.Path): String = {
-    val existingMax: Long =
-      if (!fs.exists(hp)) 0L
-      else fs.listStatus(hp).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("gen-"))
-        .flatMap(n => scala.util.Try(n.stripPrefix("gen-").toLong).toOption)
-        .foldLeft(0L)(math.max)
-    f"gen-${math.max(System.currentTimeMillis(), existingMax + 1L)}%013d"
-  }
-
-  /** Read the durable admit index's current generation — the user-facing
-    * read surface (empty frame with the index schema when absent).
-    * Distinct at read (ADVICE r12): in the out-of-contract window where
-    * a crashed sweep's recovery fold and the owning compactor both
-    * discharge the same obligation, the generation briefly holds
-    * double-appended IDENTICAL rows (same stamp — both folds copy the
-    * rows' original `merged_at_ms`) until the next compaction's
-    * distinct; deduping here keeps user-facing counts exact through
-    * that window. */
-  def admitIndexRows(s: SparkSession, path: String): DataFrame = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    admitGenDir(fs, hp) match {
-      case Some(g) => s.read.parquet(g.toString).distinct()
-      case None =>
-        import org.apache.spark.sql.types._
-        s.createDataFrame(java.util.Collections.emptyList[Row](),
-          StructType(Seq(StructField("doc_id", LongType),
-            StructField("b", IntegerType), StructField("key", StringType),
-            StructField("merged_at_ms", LongType))))
-    }
-  }
-
-  /** Compact the durable admit index (`spark.graft.stream.admitIndexPath`):
-    * every drain APPENDS one file set into the current generation, so a
-    * long-lived ingest pipeline accumulates part files with drain COUNT,
-    * not data size. Writes the survivors into a NEW right-sized
-    * generation (~128 MB targets, sized from the KEPT bytes), verifies
-    * the row count, REPOINTS, and GCs all generations but the new one
-    * and its predecessor (one-switch grace for census frames still
-    * holding the superseded files). Optionally prunes rows merged more
-    * than `maxAgeMs` ago — the freshness-window policy for deployments
-    * running the admit TTL: the index is append-only HISTORY the TTL
-    * never touches. (Freshness measures MERGE time: an increment whose
-    * drain crashed before its markers re-merges later with the retry's
-    * stamp, so a pipeline down longer than its window re-ages those
-    * unmarked admissions — the conservative direction: they flag twins
-    * for another window, never wrongly admit one.) Nothing is deleted
-    * before its replacement is
-    * committed AND referenced, so no crash point loses the index (a
-    * crash between gen commit and repoint recovers via the
-    * newest-committed fallback); the _merged log is untouched, so pruned
-    * history is never re-merged. Run it between drains — the one-shot
-    * `AvailableNow` model means one owner naturally schedules both — but
-    * since round 12 the contract is ENFORCED rather than assumed: a
-    * compaction that races a drain's merge cannot orphan the increment.
-    * The merge re-reads the pointer after its append and re-merges
-    * anything this compaction's snapshot missed into the new generation
-    * before writing its markers (the fencing loop in
-    * [[streamLshAdmitAt]]), and this compactor carries the mirror
-    * fence — after repointing it re-lists the source generation and
-    * folds any data file outside its rewrite snapshot into the new
-    * generation (a drain that settled before the repoint left exactly
-    * such a file, markers already written); appends after that listing
-    * see the moved pointer on their own re-check. Both interleavings
-    * are spec'd in `StreamsSpec` via the test hooks. */
-  def compactAdmitIndex(s: SparkSession, path: String,
-                        maxAgeMs: Option[Long] = None): Unit = {
-    val hp = new org.apache.hadoop.fs.Path(path)
-    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    // fold any increment a PREVIOUS compactor's crash left unswept
-    // before this run snapshots or GCs anything
-    recoverPendingSweep(s, fs, hp)
-    val gen = admitGenDir(fs, hp).getOrElse(return)
-    // EXPLICIT file-list snapshot (round-12 review): the rewrite reads
-    // exactly these files, and the post-repoint sweep below computes
-    // "files a racing drain appended after this point" against it — a
-    // directory read would leave the snapshot boundary implicit in
-    // Spark's file-index timing.
-    val snap = dataFilesIn(fs, gen)
-    if (snap.isEmpty) return // a just-created empty generation: nothing to do
-    // .distinct(): exact-duplicate rows can only enter through the
-    // documented double-append window (merge-side fence and compactor
-    // sweep racing under an out-of-contract schedule) — they are
-    // harmless-but-conservative in the census, and every compaction
-    // heals them here for one bounded exchange
-    val cur = s.read.parquet(snap: _*).distinct()
-    def inWindow(df: DataFrame): DataFrame = maxAgeMs match {
-      case Some(w) =>
-        val cutoff = System.currentTimeMillis() - w
-        df.filter(col("merged_at_ms") >= cutoff)
-      case None => df
-    }
-    val kept = inWindow(cur)
-    // right-size from the KEPT bytes (current-gen bytes scaled by the
-    // surviving row fraction): sizing from the unpruned data would fan a
-    // heavily-pruned survivor set into many near-empty files — the exact
-    // small-files overhead this compactor exists to remove. The two
-    // counts are cheap next to the rewrite and double as the
-    // row-preservation verification.
-    val totalRows = cur.count()
-    val keptRows = if (maxAgeMs.isEmpty) totalRows else kept.count()
-    val bytes = fs.getContentSummary(gen).getLength
-    val keptBytes = if (totalRows == 0L) 0L else bytes * keptRows / totalRows
-    val nFiles = math.max(1L, keptBytes / (128L << 20)).toInt
-    val newGen = new org.apache.hadoop.fs.Path(hp, newGenName(fs, hp))
-    kept.repartition(nFiles).write.mode("overwrite").parquet(newGen.toString)
-    val written = s.read.parquet(newGen.toString).count()
-    if (written != keptRows) {
-      fs.delete(newGen, true)
-      throw new IllegalStateException(
-        s"admit-index compaction row mismatch: $written written vs $keptRows kept")
-    }
-    admitCompactPreRepointHook()
-    // SWEEP OBLIGATION RECORD (round-12 second review): written BEFORE
-    // the repoint so a crash anywhere between the repoint and the end
-    // of the sweep leaves a durable instruction — any observer of the
-    // new pointer also sees the record, and both merges and compactions
-    // run [[recoverPendingSweep]] first, so a racing drain's settled
-    // increment can never be orphaned by a compactor crash, and a
-    // census snapshot taken in the repoint-to-sweep window folds the
-    // late rows before reading.
-    val sweepRec = new org.apache.hadoop.fs.Path(hp, SweepPendingFile +
-      "-" + java.lang.Long.toHexString(System.nanoTime()))
-    writeSmallFile(fs, sweepRec,
-      (gen.getName +: snap.map(f =>
-        new org.apache.hadoop.fs.Path(f).getName)).mkString("\n"))
-    writeSmallFile(fs, new org.apache.hadoop.fs.Path(hp, AdmitPointerFile),
-      newGen.getName)
-    // POST-REPOINT SWEEP (round 12, review): the merge-side fence only
-    // covers drains whose pointer re-check runs AFTER this repoint; a
-    // drain that appended after `snap` was listed but re-checked before
-    // the repoint has already written its markers, and its increment
-    // lives only in the superseded generation. Re-list the source gen
-    // now that the pointer has moved: any data file outside the
-    // snapshot is such an append — fold its rows (same freshness
-    // window) into the new generation, anti-joined so rows the
-    // merge-side fence already re-landed are not duplicated. Appends
-    // that arrive after THIS listing belong to merges that must see the
-    // moved pointer on their re-check (the listing happens after the
-    // repoint), so the two fences cover every interleaving.
-    val late = dataFilesIn(fs, gen).filterNot(snap.toSet)
-    if (late.nonEmpty) {
-      val missing = inWindow(s.read.parquet(late: _*))
-        .join(s.read.parquet(newGen.toString)
-            .select(col("doc_id"), col("b"), col("key")),
-          Seq("doc_id", "b", "key"), "left_anti")
-      missing.write.mode("append").parquet(newGen.toString)
-    }
-    fs.delete(sweepRec, false)
-    val keep = Set(newGen.getName, gen.getName)
-    fs.listStatus(hp).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("gen-") && !keep(n))
-        fs.delete(st.getPath, true)
-    }
   }
 
   /** Streaming drift monitor (15th flavor) — live traffic (odd

@@ -1,7 +1,7 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 
-/** CLI for [[graft.streaming.Streams.compactAdmitIndex]] — the between-
+/** CLI for [[graft.streaming.AdmitIndex.compactAdmitIndex]] — the between-
   * drains maintenance job a production admit pipeline schedules next to
   * its one-shot drains (per-drain appends grow the index's FILE COUNT
   * with drain count; an optional age prune applies the freshness window
@@ -33,8 +33,8 @@ object AdmitIndexCompact {
       spark.stop(); sys.exit(2)
     }
     val t0 = System.nanoTime()
-    graft.streaming.Streams.compactAdmitIndex(spark, path, maxAge)
-    val rows = graft.streaming.Streams.admitIndexRows(spark, path).count()
+    graft.streaming.AdmitIndex.compactAdmitIndex(spark, path, maxAge)
+    val rows = graft.streaming.AdmitIndex.admitIndexRows(spark, path).count()
     println(f"COMPACTED $path in ${(System.nanoTime() - t0) / 1e9}%.2f s, $rows rows")
     spark.stop()
   }

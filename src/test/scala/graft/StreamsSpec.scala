@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Relational
-import graft.streaming.Streams
+import graft.streaming.{AdmitIndex, LshStreams, Streams}
 
 /** Streaming ≡ batch equivalence on the fixture (single micro-batch). */
 class StreamsSpec extends AnyFunSuite {
@@ -226,7 +226,7 @@ class StreamsSpec extends AnyFunSuite {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"), min(col("index_doc")).as("fm"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val got = Streams.streamLshIngest(spark, sf).collect()
+    val got = LshStreams.streamLshIngest(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === batch)
     assert(got.nonEmpty) // the fixture has near-dup collisions to probe
@@ -258,7 +258,7 @@ class StreamsSpec extends AnyFunSuite {
     }
     val tmp = writeCorpus(1)
     try {
-      val got = Streams.streamLshAdmit(spark, tmp.toString).collect()
+      val got = LshStreams.streamLshAdmit(spark, tmp.toString).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
           r.getBoolean(4))).toSeq
       // (doc, n_index_hits, n_stream_hits, first_match, admitted)
@@ -285,7 +285,7 @@ class StreamsSpec extends AnyFunSuite {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), min(col("carrier")).as("fm"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val gotFix = Streams.streamLshAdmit(spark, sf)
+    val gotFix = LshStreams.streamLshAdmit(spark, sf)
       .filter(col("n_stream_hits") > 0)
       .select(col("doc_id"), col("n_stream_hits"),
         // isolate the stream-side match for comparison where no index hit
@@ -308,7 +308,7 @@ class StreamsSpec extends AnyFunSuite {
     val sink3 = new java.io.File(tmp3.toFile, "sink").getAbsolutePath
     val ckpt3 = new java.io.File(tmp3.toFile, "ckpt").getAbsolutePath
     try {
-      val byId = Streams.streamLshAdmitAt(spark, tmp3.toString, sink3, ckpt3)
+      val byId = LshStreams.streamLshAdmitAt(spark, tmp3.toString, sink3, ckpt3)
         .collect()
         .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
         .toMap
@@ -341,7 +341,7 @@ class StreamsSpec extends AnyFunSuite {
         .coalesce(1).write.mode("append").parquet(docsDir.getAbsolutePath)
     try {
       write(3L)
-      val run1 = Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+      val run1 = LshStreams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
         .collect().map(r => r.getLong(0) ->
           (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
       assert(run1(3L) === ((0L, -1L, true))) // A admitted clean in run 1
@@ -349,7 +349,7 @@ class StreamsSpec extends AnyFunSuite {
       // changed) — exercises the CorpusMemo invalidation hook
       write(7L)
       graft.util.CorpusMemo.invalidate(spark, tmp.toString)
-      val run2 = Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+      val run2 = LshStreams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
         .collect().map(r => r.getLong(0) ->
           (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
       assert(run2(3L) === ((0L, -1L, true)))  // run-1 rows still in the sink
@@ -375,7 +375,7 @@ class StreamsSpec extends AnyFunSuite {
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("append").parquet(docsDir.getAbsolutePath)
       // first start registers the contract beside the checkpoint
-      assert(Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt).collect().nonEmpty)
+      assert(LshStreams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt).collect().nonEmpty)
       val f = new java.io.File(ckpt, "_graft_contract")
       assert(f.isFile, "contract file must be persisted inside the checkpoint dir")
       val registered = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
@@ -383,16 +383,16 @@ class StreamsSpec extends AnyFunSuite {
       // resume with a different TTL: loud error naming BOTH values
       spark.conf.set(ttlKey, "60000")
       val e = intercept[IllegalStateException] {
-        Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+        LshStreams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
       }
       assert(e.getMessage.contains("admitTtlMs=0") && e.getMessage.contains("admitTtlMs=60000"),
         s"mismatch error must name both contracts: ${e.getMessage}")
       // matching resume is unaffected
       spark.conf.unset(ttlKey)
-      assert(Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt).collect().nonEmpty)
+      assert(LshStreams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt).collect().nonEmpty)
       // direct helper check for the lane half of the contract
       val e2 = intercept[IllegalStateException] {
-        Streams.enforceCheckpointContract(spark, ckpt, lanes = 4, ttlMs = None)
+        LshStreams.enforceCheckpointContract(spark, ckpt, lanes = 4, ttlMs = None)
       }
       assert(e2.getMessage.contains("lanes=8") && e2.getMessage.contains("lanes=4"))
     } finally {
@@ -417,7 +417,7 @@ class StreamsSpec extends AnyFunSuite {
           .coalesce(1).write.mode("append").parquet(docsDir)
       }
       val e = intercept[Exception] {
-        Streams.streamLshAdmit(spark, tmp.toString).collect()
+        LshStreams.streamLshAdmit(spark, tmp.toString).collect()
       }
       def msgs(x: Throwable): Seq[String] =
         Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++ msgs(t.getCause))
@@ -455,21 +455,21 @@ class StreamsSpec extends AnyFunSuite {
     val (tmp1, sink1, ckpt1, write1) = corpus()
     try withTtl(500L) {
       write1(3L)
-      assert(admitted(Streams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 3L))
+      assert(admitted(LshStreams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 3L))
       Thread.sleep(2000L) // comfortably past the 500 ms TTL
       write1(7L)
       graft.util.CorpusMemo.invalidate(spark, tmp1.toString)
-      assert(admitted(Streams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 7L),
+      assert(admitted(LshStreams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 7L),
         "carrier state past its TTL must evict: the twin re-admits")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp1.toFile)
     // RETENTION: same restart shape inside a generous TTL → still collides
     val (tmp2, sink2, ckpt2, write2) = corpus()
     try withTtl(3600000L) {
       write2(3L)
-      assert(admitted(Streams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 3L))
+      assert(admitted(LshStreams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 3L))
       write2(7L)
       graft.util.CorpusMemo.invalidate(spark, tmp2.toString)
-      assert(!admitted(Streams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 7L),
+      assert(!admitted(LshStreams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 7L),
         "a carrier inside the TTL window must still collide with its twin")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp2.toFile)
   }
@@ -500,11 +500,11 @@ class StreamsSpec extends AnyFunSuite {
     val (tmp1, sink1, ckpt1, write1) = corpus()
     try {
       write1(3L)
-      assert(admitted(Streams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 3L))
+      assert(admitted(LshStreams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 3L))
       Thread.sleep(1500L) // replay pause ≫ arm 2's 500 ms TTL
       write1(7L)
       graft.util.CorpusMemo.invalidate(spark, tmp1.toString)
-      assert(!admitted(Streams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 7L),
+      assert(!admitted(LshStreams.streamLshAdmitAt(spark, tmp1.toString, sink1, ckpt1), 7L),
         "backfill mode (TTL off) must retain carriers across wall-clock gaps")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp1.toFile)
     // ARM 2 — the documented hazard: the same replay shape under a TTL
@@ -514,11 +514,11 @@ class StreamsSpec extends AnyFunSuite {
     spark.conf.set("spark.graft.stream.admitTtlMs", "500")
     try {
       write2(3L)
-      assert(admitted(Streams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 3L))
+      assert(admitted(LshStreams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 3L))
       Thread.sleep(1500L)
       write2(7L)
       graft.util.CorpusMemo.invalidate(spark, tmp2.toString)
-      assert(admitted(Streams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 7L),
+      assert(admitted(LshStreams.streamLshAdmitAt(spark, tmp2.toString, sink2, ckpt2), 7L),
         "a TTL shorter than the replay's wall time re-admits the twin — " +
           "the documented reason backfill must disable the TTL")
     } finally {
@@ -548,7 +548,7 @@ class StreamsSpec extends AnyFunSuite {
     def run(dir: String, tag: String): Map[Long, (Long, Long, Long, Boolean)] = {
       val sink = new java.io.File(root.toFile, s"sink_$tag").getAbsolutePath
       val ckpt = new java.io.File(root.toFile, s"ckpt_$tag").getAbsolutePath
-      Streams.streamLshAdmitAt(spark, dir, sink, ckpt)
+      LshStreams.streamLshAdmitAt(spark, dir, sink, ckpt)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     }
@@ -557,7 +557,7 @@ class StreamsSpec extends AnyFunSuite {
     try {
       // run 1: slice 1 admits doc 3; its 16 band rows land in the index
       assert(run(s1, "1")(3L) === ((0L, 0L, -1L, true)))
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 16L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 16L,
         "all 16 band rows of the admitted doc must be merged")
       // CRASH-SAFE MERGE ACCOUNTING: losing the _merged markers (≙ a
       // crash between the index append and the marker writes) re-merges
@@ -566,7 +566,7 @@ class StreamsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(indexPath, "_merged"))
       assert(run(s1, "1")(3L) === ((0L, 0L, -1L, true)))
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 16L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 16L,
         "re-merging unmarked sink files must not duplicate index rows")
       // TOTAL STATE LOSS: run 2 uses a fresh checkpoint + sink (≙ wiped)
       // on a separate slice — doc 7 (identical text) must collide with
@@ -574,7 +574,7 @@ class StreamsSpec extends AnyFunSuite {
       val run2 = run(s2, "2")
       assert(run2(7L) === ((16L, 0L, 3L, false)),
         s"doc 7 must flag against run-1 admission 3 via the index: ${run2(7L)}")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L,
         "run 2's increment must also merge into the index")
       // IDEMPOTENT REPLAY: re-draining the same checkpoint (no new files)
       // re-censuses the sink against an index that now holds doc 7's own
@@ -582,7 +582,7 @@ class StreamsSpec extends AnyFunSuite {
       val run3 = run(s2, "2")
       assert(run3(7L) === ((16L, 0L, 3L, false)),
         s"replay must not self-collide or change the census: ${run3(7L)}")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L,
         "replay must not duplicate index rows")
       // COMPACTION: two drains appended two file sets; the compactor
       // rewrites them into a right-sized set, rows preserved, and the
@@ -594,9 +594,9 @@ class StreamsSpec extends AnyFunSuite {
           .count(f => f.isFile && f.getName.endsWith(".parquet"))
       }
       assert(partFiles() >= 2, "two drains must have appended two file sets")
-      Streams.compactAdmitIndex(spark, indexPath)
+      AdmitIndex.compactAdmitIndex(spark, indexPath)
       assert(partFiles() === 1, "fixture-sized index compacts to one file")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L)
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L)
       val run4 = run(s2, "2")
       assert(run4(7L) === ((16L, 0L, 3L, false)),
         s"the compacted index must still serve the census: ${run4(7L)}")
@@ -604,18 +604,18 @@ class StreamsSpec extends AnyFunSuite {
       // index is append-only history the TTL never prunes): everything
       // here merged more than 50 ms ago → a 1 ms window empties it; a
       // generous window keeps it
-      Streams.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(3600000L))
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+      AdmitIndex.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(3600000L))
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L,
         "rows inside the freshness window must survive an age-pruned compaction")
       Thread.sleep(50L)
-      Streams.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(1L))
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 0L,
+      AdmitIndex.compactAdmitIndex(spark, indexPath, maxAgeMs = Some(1L))
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 0L,
         "rows past the freshness window must be pruned")
       // NO RESURRECTION: a replay drain after the prune produces no new
       // sink files, so the merge (which sources the drain INCREMENT, not
       // the accumulated sink) must not re-append the pruned history
       val run5 = run(s2, "2")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 0L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 0L,
         "a pruned index must not be repopulated from old drains' sink rows")
       assert(run5(7L)._4 === true,
         "with the index history pruned, the census no longer index-flags the doc")
@@ -652,7 +652,7 @@ class StreamsSpec extends AnyFunSuite {
     def run(dir: String, tag: String): Map[Long, (Long, Long, Long, Boolean)] = {
       val sink = new java.io.File(root.toFile, s"sink_$tag").getAbsolutePath
       val ckpt = new java.io.File(root.toFile, s"ckpt_$tag").getAbsolutePath
-      Streams.streamLshAdmitAt(spark, dir, sink, ckpt)
+      LshStreams.streamLshAdmitAt(spark, dir, sink, ckpt)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     }
@@ -675,7 +675,7 @@ class StreamsSpec extends AnyFunSuite {
           .map(_.getName.stripPrefix("gen-").toLong).max
         f"gen-${mx + 1L}%013d"
       }
-      Streams.admitMergePostAppendHook = () => {
+      AdmitIndex.admitMergePostAppendHook = () => {
         // replay the lossy interleaving: rewrite ONLY the pre-drain rows
         // into a new generation and repoint — the drain's just-appended
         // increment is now invisible through the pointer
@@ -685,10 +685,10 @@ class StreamsSpec extends AnyFunSuite {
           new java.io.File(indexPath, "_GRAFT_CURRENT").toPath, nextGenName)
       }
       val r2 = try run(s2, "2")
-               finally Streams.admitMergePostAppendHook = () => ()
+               finally AdmitIndex.admitMergePostAppendHook = () => ()
       assert(r2(7L) === ((16L, 0L, 3L, false)),
         s"the interleaved census must still flag doc 7 against 3: ${r2(7L)}")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L,
         "the fencing loop must re-merge the orphaned increment into the " +
           "repointed generation before writing markers")
       assert(currentGen().getName === nextGenName,
@@ -696,18 +696,18 @@ class StreamsSpec extends AnyFunSuite {
       // the markers were written AFTER settling: a replay drain (no new
       // sink files) must neither re-append nor change the census
       val r3 = run(s2, "2")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L,
         "replay after the interleaved merge must not duplicate rows")
       assert(r3(7L) === ((16L, 0L, 3L, false)), s"census drifted: ${r3(7L)}")
       // MONOTONIC STAMPS (ADVICE round 11): drain 2's merge stamp is
       // strictly greater than drain 1's even inside one millisecond
-      val stamps = Streams.admitIndexRows(spark, indexPath)
+      val stamps = AdmitIndex.admitIndexRows(spark, indexPath)
         .groupBy("doc_id").agg(org.apache.spark.sql.functions.min("merged_at_ms"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(stamps(7L) > stamps(3L),
         s"merge stamps must be strictly monotonic across drains: $stamps")
     } finally {
-      Streams.admitMergePostAppendHook = () => ()
+      AdmitIndex.admitMergePostAppendHook = () => ()
       spark.conf.unset("spark.graft.stream.admitIndexPath")
       Seq(s1, s2).foreach(graft.util.CorpusMemo.invalidate(spark, _))
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
@@ -735,7 +735,7 @@ class StreamsSpec extends AnyFunSuite {
     val sink = new java.io.File(root.toFile, "sink").getAbsolutePath
     val ckpt = new java.io.File(root.toFile, "ckpt").getAbsolutePath
     def run(): Map[Long, (Long, Long, Long, Boolean)] =
-      Streams.streamLshAdmitAt(spark, dir.getAbsolutePath, sink, ckpt)
+      LshStreams.streamLshAdmitAt(spark, dir.getAbsolutePath, sink, ckpt)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     spark.conf.set("spark.graft.stream.admitIndexPath", indexPath)
@@ -743,7 +743,7 @@ class StreamsSpec extends AnyFunSuite {
       val r1 = run()
       assert(r1(3L) === ((0L, 0L, -1L, true)), s"carrier: ${r1(3L)}")
       assert(r1(7L) === ((0L, 16L, 3L, false)), s"twin: ${r1(7L)}")
-      assert(Streams.admitIndexRows(spark, indexPath)
+      assert(AdmitIndex.admitIndexRows(spark, indexPath)
         .select("merged_at_ms").distinct().count() === 1L,
         "one drain merges both docs under one stamp")
       // replay: both docs sit in the index at the SAME stamp — the
@@ -781,7 +781,7 @@ class StreamsSpec extends AnyFunSuite {
     def run(dir: String, tag: String): Map[Long, (Long, Long, Long, Boolean)] = {
       val sink = new java.io.File(root.toFile, s"sink_$tag").getAbsolutePath
       val ckpt = new java.io.File(root.toFile, s"ckpt_$tag").getAbsolutePath
-      Streams.streamLshAdmitAt(spark, dir, sink, ckpt)
+      LshStreams.streamLshAdmitAt(spark, dir, sink, ckpt)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     }
@@ -792,22 +792,22 @@ class StreamsSpec extends AnyFunSuite {
       // compaction with a drain racing in between rewrite and repoint:
       // the drain settles against the OLD pointer and writes markers
       var drained: Map[Long, (Long, Long, Long, Boolean)] = Map.empty
-      Streams.admitCompactPreRepointHook = () => { drained = run(s2, "2") }
-      try Streams.compactAdmitIndex(spark, indexPath)
-      finally Streams.admitCompactPreRepointHook = () => ()
+      AdmitIndex.admitCompactPreRepointHook = () => { drained = run(s2, "2") }
+      try AdmitIndex.compactAdmitIndex(spark, indexPath)
+      finally AdmitIndex.admitCompactPreRepointHook = () => ()
       assert(drained(7L) === ((16L, 0L, 3L, false)),
         s"the racing drain's own census is unaffected: ${drained(7L)}")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L,
         "the post-repoint sweep must fold the racing drain's increment " +
           "into the new generation")
       // markers were written by the racing drain: a replay appends
       // nothing and the census is stable against the swept index
       val r3 = run(s2, "2")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L,
         "replay after the sweep must not duplicate rows")
       assert(r3(7L) === ((16L, 0L, 3L, false)), s"census drifted: ${r3(7L)}")
     } finally {
-      Streams.admitCompactPreRepointHook = () => ()
+      AdmitIndex.admitCompactPreRepointHook = () => ()
       spark.conf.unset("spark.graft.stream.admitIndexPath")
       Seq(s1, s2).foreach(graft.util.CorpusMemo.invalidate(spark, _))
       org.apache.commons.io.FileUtils.deleteDirectory(root.toFile)
@@ -837,7 +837,7 @@ class StreamsSpec extends AnyFunSuite {
     def run(dir: String, tag: String): Map[Long, (Long, Long, Long, Boolean)] = {
       val sink = new java.io.File(root.toFile, s"sink_$tag").getAbsolutePath
       val ckpt = new java.io.File(root.toFile, s"ckpt_$tag").getAbsolutePath
-      Streams.streamLshAdmitAt(spark, dir, sink, ckpt)
+      LshStreams.streamLshAdmitAt(spark, dir, sink, ckpt)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     }
@@ -873,21 +873,21 @@ class StreamsSpec extends AnyFunSuite {
         (genA +: preDrain2.toSeq).mkString("\n"))
       java.nio.file.Files.writeString(
         new java.io.File(indexPath, "_GRAFT_CURRENT").toPath, genB)
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 16L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 16L,
         "the crash state serves the orphaned view before recovery")
       // the next drain recovers the sweep BEFORE its census snapshot:
       // doc 7's rows fold into B, the census still flags, no duplicates
       val r = run(s2, "2")
       assert(r(7L) === ((16L, 0L, 3L, false)), s"census after recovery: ${r(7L)}")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L,
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L,
         "recovery must fold the orphaned increment into the new " +
           "generation exactly once across all outstanding records")
       assert(new java.io.File(indexPath).listFiles()
           .count(_.getName.startsWith("_GRAFT_SWEEP_PENDING")) === 0,
         "every discharged sweep obligation is cleared")
       // and a compaction after recovery preserves everything
-      Streams.compactAdmitIndex(spark, indexPath)
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L)
+      AdmitIndex.compactAdmitIndex(spark, indexPath)
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L)
     } finally {
       spark.conf.unset("spark.graft.stream.admitIndexPath")
       Seq(s1, s2).foreach(graft.util.CorpusMemo.invalidate(spark, _))
@@ -913,7 +913,7 @@ class StreamsSpec extends AnyFunSuite {
         .toDF("doc_id", "text", "lang", "source", "n_chars")
         .coalesce(1).write.mode("append").parquet(docsDir)
     def run(): Map[Long, (Long, Long, Long, Boolean)] =
-      Streams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+      LshStreams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
         .collect().map(r => r.getLong(0) ->
           ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
     spark.conf.set("spark.graft.stream.admitIndexPath", indexPath)
@@ -927,7 +927,7 @@ class StreamsSpec extends AnyFunSuite {
         s"the carrier must not collide with its own index rows: ${r2(3L)}")
       assert(r2(7L) === ((16L, 16L, 3L, false)),
         s"a live-state resume with the index on reports BOTH lanes: ${r2(7L)}")
-      assert(Streams.admitIndexRows(spark, indexPath).count() === 32L)
+      assert(AdmitIndex.admitIndexRows(spark, indexPath).count() === 32L)
       // FIRST-ARRIVAL STABILITY (round-11 review): a third census, with
       // the twin's rows now IN the index, must not retroactively flag
       // the carrier against its later-arriving twin — the index lane is

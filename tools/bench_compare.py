@@ -145,6 +145,14 @@ def load(path):
     un = re.search(r'"unstable":\[([^\]]*)\]', tail)
     if un:
         out["unstable"] = re.findall(r'"(q_\w+)"', un.group(1))
+    # round 13: "deviant" sits at the FRONT of the line (truncated first),
+    # so if it survived, the by-name parse is safe; the flat q_* fallback
+    # above can never see it (it only runs when even pass1/pass2 — which
+    # sit later in the line — are gone)
+    dv = re.search(r'"deviant":\{([^}]*)\}', tail)
+    if dv:
+        out["deviant"] = {k: float(v) for k, v in re.findall(
+            r'"(q_\w+)":([0-9.]+)', dv.group(1))}
     print(f"note: {path} scraped from a (possibly truncated) driver tail — "
           f"{len(qs)} queries recovered, total recomputed from them")
     return out
@@ -228,7 +236,21 @@ def main(old_path, new_path):
     # (pass disagreement >2x) — a "regression" on one of those is a
     # measurement artifact until re-run, so it is reported separately,
     # not as a plan delta
+    # round 13: the artifact also self-flags ANCHOR-RELATIVE deviation vs
+    # its pre-run reference artifact ("deviant": query -> min / (ref_min
+    # x cal ratio)) — the correlated-noise catcher pass-disagreement
+    # can't be. Surface it, and treat deviant queries like unstable ones
+    # in the regression report (measurement artifact until re-run —
+    # unless the code actually changed, which the committer knows).
+    for label, art in (("old", old), ("new", new)):
+        dev = art.get("deviant")
+        if dev:
+            print(f"\n{label} artifact self-flagged anchor-relative deviation "
+                  "(min vs ref_min x cal ratio):")
+            for k, r in sorted(dev.items(), key=lambda x: -x[1]):
+                print(f"  {k:26s} {r:.2f}x off its own prediction")
     unstable = set(old.get("unstable", [])) | set(new.get("unstable", []))
+    unstable |= set(old.get("deviant", {})) | set(new.get("deviant", {}))
     flagged = [(k, ratios[k] / norm_for(k), oq[k], nq[k]) for k in common]
     flagged = [f for f in flagged if f[1] > 1.5 and f[3] > 0.4]
     solid = [f for f in flagged if f[0] not in unstable]
@@ -241,8 +263,9 @@ def main(old_path, new_path):
         print("\nno host-normalized per-query regression > 1.5x "
               "(outside self-flagged unstable queries)")
     if shaky:
-        print("flagged but SELF-REPORTED UNSTABLE in one artifact "
-              "(pass disagreement >2x — re-measure before believing):")
+        print("flagged but SELF-REPORTED UNSTABLE/DEVIANT in one artifact "
+              "(pass disagreement or anchor-relative deviation >2x — "
+              "re-measure before believing):")
         for k, r, o, n in sorted(shaky, key=lambda x: -x[1]):
             print(f"  {k:26s} {o:6.2f}s -> {n:6.2f}s   ({r:.2f}x normalized)")
     return 0
