@@ -2004,31 +2004,60 @@ object Oracles {
     // (k1, k2, v) decides which value sits at a duplicate-key boundary,
     // so engine and oracle must share the total order, and they now
     // share the integer one
+    // round 13: ONE shared scan order for all five columns — ties on
+    // (k1, k2) break by the full profiled-value tuple (v0..v4), exactly
+    // the engine's single-window order (rows tying on all seven are
+    // value-identical in every column, so run counts are well-defined)
     "q_encoding_stats" ->
-      s"""WITH u AS (
-         |  SELECT l_orderkey AS k1, l_linenumber AS k2, 'l_orderkey' AS c,
-         |    CAST(l_orderkey AS BIGINT) AS v FROM lineitem
-         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_partkey',
-         |    CAST(l_partkey AS BIGINT) FROM lineitem
-         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_quantity',
-         |    CAST(l_quantity AS BIGINT) FROM lineitem
-         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_returnflag',
-         |    CAST(ascii(l_returnflag) AS BIGINT) FROM lineitem
-         |  UNION ALL SELECT l_orderkey, l_linenumber, 'l_linestatus',
-         |    CAST(ascii(l_linestatus) AS BIGINT) FROM lineitem),
-         |r AS (SELECT c, v,
-         |    lag(v) OVER (PARTITION BY c ORDER BY k1, k2, v) AS pv FROM u),
-         |agg AS (SELECT c, CAST(count(*) AS BIGINT) AS n,
-         |    CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
-         |    CAST(sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
-         |      AS BIGINT) AS n_runs
-         |  FROM r GROUP BY c)
-         |SELECT c AS column_name, n, n_distinct, n_runs,
-         |  CAST(n * 100 // n_runs AS BIGINT) AS avg_run_x100,
-         |  CASE WHEN n_runs * 8 <= n THEN 'rle'
-         |       WHEN n_distinct * 256 <= n THEN 'dict'
+      s"""WITH b AS (
+         |  SELECT l_orderkey AS k1, l_linenumber AS k2,
+         |    CAST(l_orderkey AS BIGINT) AS v0,
+         |    CAST(l_partkey AS BIGINT) AS v1,
+         |    CAST(l_quantity AS BIGINT) AS v2,
+         |    CAST(ascii(l_returnflag) AS BIGINT) AS v3,
+         |    CAST(ascii(l_linestatus) AS BIGINT) AS v4 FROM lineitem),
+         |l AS (SELECT v0, v1, v2, v3, v4,
+         |    lag(v0) OVER w AS p0, lag(v1) OVER w AS p1,
+         |    lag(v2) OVER w AS p2, lag(v3) OVER w AS p3,
+         |    lag(v4) OVER w AS p4
+         |  FROM b WINDOW w AS (ORDER BY k1, k2, v0, v1, v2, v3, v4)),
+         |runs AS (
+         |  SELECT 'l_orderkey' AS c, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN p0 IS NULL OR p0 <> v0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_runs FROM l
+         |  UNION ALL SELECT 'l_partkey', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN p1 IS NULL OR p1 <> v1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) FROM l
+         |  UNION ALL SELECT 'l_quantity', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN p2 IS NULL OR p2 <> v2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) FROM l
+         |  UNION ALL SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN p3 IS NULL OR p3 <> v3 THEN 1 ELSE 0 END)
+         |      AS BIGINT) FROM l
+         |  UNION ALL SELECT 'l_linestatus', CAST(count(*) AS BIGINT),
+         |    CAST(sum(CASE WHEN p4 IS NULL OR p4 <> v4 THEN 1 ELSE 0 END)
+         |      AS BIGINT) FROM l),
+         |d AS (
+         |  SELECT 'l_orderkey' AS c,
+         |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+         |  FROM lineitem
+         |  UNION ALL SELECT 'l_partkey',
+         |    CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem
+         |  UNION ALL SELECT 'l_quantity',
+         |    CAST(count(DISTINCT CAST(l_quantity AS BIGINT)) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL SELECT 'l_returnflag',
+         |    CAST(count(DISTINCT ascii(l_returnflag)) AS BIGINT)
+         |  FROM lineitem
+         |  UNION ALL SELECT 'l_linestatus',
+         |    CAST(count(DISTINCT ascii(l_linestatus)) AS BIGINT)
+         |  FROM lineitem)
+         |SELECT r.c AS column_name, r.n, d.n_distinct, r.n_runs,
+         |  CAST(r.n * 100 // r.n_runs AS BIGINT) AS avg_run_x100,
+         |  CASE WHEN r.n_runs * 8 <= r.n THEN 'rle'
+         |       WHEN d.n_distinct * 256 <= r.n THEN 'dict'
          |       ELSE 'plain' END AS encoding
-         |FROM agg ORDER BY column_name""".stripMargin,
+         |FROM runs r JOIN d USING (c) ORDER BY column_name""".stripMargin,
 
     "q_profile" ->
       s"""SELECT * FROM (

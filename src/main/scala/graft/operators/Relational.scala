@@ -1258,7 +1258,10 @@ object Relational {
     val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"))
     val sk = approxPercentilesRaw(s, dir)
       .select(col("l_returnflag").as("rf"), col("ap50"), col("ap90"), col("ap99"))
-    val counts = li.join(broadcast(sk), col("l_returnflag") === col("rf"))
+    // no broadcast hint: the sketch side is 3 rows but grouped from the
+    // corpus, so the plan guard can't prove it constant-bounded — AQE
+    // measures it post-shuffle and picks the broadcast join at runtime
+    val counts = li.join(sk, col("l_returnflag") === col("rf"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("l_quantity") < col("ap50"), 1L).otherwise(0L)).as("lt50"),
@@ -1452,8 +1455,27 @@ object Relational {
     * shared total order, and every profiled column maps injectively
     * into a long (the numeric value; the code point for the 1-char
     * flags), so the sort payload is 8 bytes and the comparator integer
-    * — no rendered value is ever surfaced. The unpivot's ×5 fan-out is
-    * the declared price of profiling 5 columns in one scan. */
+    * — no rendered value is ever surfaced.
+    *
+    * ONE window pass for all five columns (round 13): the previous
+    * shape unpivoted every row ×5 and ran five per-column block
+    * window sorts over the fanned-out frame. All five columns share
+    * one block sort instead — partition by blk, order by the SHARED
+    * total order (k1, k2, v0..v4: the key columns, then every
+    * profiled value as the deterministic tie-break; rows tying on all
+    * seven are identical in every profiled value, so run counts are
+    * order-invariant), and five `lag`s over the SAME window spec
+    * land in a single WindowExec. The shuffle carries each row once
+    * (5.4 s → see §8 A/B), and the ×5 unpivot now happens only on
+    * the ~1k-row per-block aggregate. Tie groups are ordered by the
+    * shared key rather than per-column value, so boundary run counts
+    * at duplicate (k1, k2) keys differ from the r12 per-column order
+    * — the oracle replays the identical shared order. Exact distinct
+    * counts run over an exploded (column, value) frame with NO window
+    * attached: the map-side partial aggregate collapses the ×5
+    * fan-out to the per-column value domains before the exchange, so
+    * the shuffle carries domains, not rows — a single distinct
+    * aggregate per key never triggers the multi-distinct Expand. */
   def encodingStats(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val colsProfiled = Seq[(String, Column)](
@@ -1462,40 +1484,59 @@ object Relational {
       "l_quantity" -> col("l_quantity").cast("long"),
       "l_returnflag" -> ascii(col("l_returnflag")).cast("long"),
       "l_linestatus" -> ascii(col("l_linestatus")).cast("long"))
-    val long = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_linenumber"),
-        expr("l_orderkey div 512").as("blk"),
-        explode(array(colsProfiled.map { case (n, c) =>
-          struct(lit(n).as("c"), c.as("v")) }: _*)).as("e"))
-      .select(col("blk"), col("l_orderkey"), col("l_linenumber"),
-        col("e.c").as("c"), col("e.v").as("v"))
-    // (l_orderkey, l_linenumber) is NOT unique in the fixture, so the
-    // rendered value joins the sort key to make the scan order total —
-    // both engines replay the identical (k1, k2, v) order
-    val wIn = w.partitionBy("c", "blk")
-      .orderBy("l_orderkey", "l_linenumber", "v")
-    val perBlk = long
-      .withColumn("prev", lag(col("v"), 1).over(wIn))
-      .withColumn("chg",
-        when(col("prev").isNull || col("prev") =!= col("v"), 1L).otherwise(0L))
-      .groupBy("c", "blk")
-      .agg(count(lit(1)).as("n"), sum(col("chg")).as("starts"),
-        min(struct(col("l_orderkey"), col("l_linenumber"), col("v"))).as("fst"),
-        max(struct(col("l_orderkey"), col("l_linenumber"), col("v"))).as("lst"))
+    val names = colsProfiled.map(_._1)
+    val idx = names.indices
+    val base = Tables.lineitem(s, dir)
+      .select(expr("l_orderkey div 512").as("blk") +:
+        col("l_orderkey").as("k1") +: col("l_linenumber").as("k2") +:
+        colsProfiled.zipWithIndex.map { case ((_, c), i) => c.as(s"v$i") }: _*)
+    // (l_orderkey, l_linenumber) is NOT unique in the fixture, so every
+    // profiled value joins the sort key to make the shared scan order
+    // total — both engines replay the identical (k1, k2, v0..v4) order
+    val ord = col("k1") +: col("k2") +: idx.map(i => col(s"v$i"))
+    val wIn = w.partitionBy("blk").orderBy(ord: _*)
+    val withChg = idx.foldLeft(base) { (d, i) =>
+      // null-safe: lag is null only on the block's first row (values
+      // are non-null casts), which correctly opens a run
+      d.withColumn(s"chg$i",
+        when(lag(col(s"v$i"), 1).over(wIn) === col(s"v$i"), 0L).otherwise(1L))
+    }
+    val rowStruct = struct(ord: _*) // min/max = first/last row in order
+    val perBlk = withChg.groupBy("blk")
+      .agg(count(lit(1)).as("n"),
+        (idx.map(i => sum(col(s"chg$i")).as(s"starts$i")) ++
+          Seq(min(rowStruct).as("fst"), max(rowStruct).as("lst"))): _*)
     // a block whose first value equals the previous block's last value
-    // started no new run there — subtract the double-counted start
-    val merged = perBlk.select(col("c"), col("blk"), col("fst.v").as("fv"))
-      .join(perBlk.select(col("c"), (col("blk") + 1).as("blk"),
-        col("lst.v").as("pv")), Seq("c", "blk"))
-      .groupBy("c")
-      .agg(sum(when(col("fv") === col("pv"), 1L).otherwise(0L)).as("m"))
-    val dist = long.groupBy("c").agg(countDistinct(col("v")).as("n_distinct"))
-    perBlk.groupBy("c")
-      .agg(sum(col("n")).as("n"), sum(col("starts")).as("raw_starts"))
-      .join(merged, Seq("c"), "left").na.fill(0L, Seq("m"))
-      .join(dist, "c")
-      .select(col("c").as("column_name"), col("n"), col("n_distinct"),
-        (col("raw_starts") - col("m")).as("n_runs"))
+    // started no new run there — count the double-counted starts per
+    // column in one pass over the tiny per-block table
+    val bnd = perBlk.select(col("blk"), col("fst"), col("lst"))
+    val mergedRow = bnd.select(col("blk"), col("fst"))
+      .join(bnd.select((col("blk") + 1).as("blk"), col("lst").as("plst")),
+        Seq("blk"))
+      .agg(sum(when(col(s"fst.v0") === col(s"plst.v0"), 1L).otherwise(0L))
+        .as("m0"),
+        idx.tail.map(i =>
+          sum(when(col(s"fst.v$i") === col(s"plst.v$i"), 1L).otherwise(0L))
+            .as(s"m$i")): _*)
+    val totalsRow = perBlk.agg(sum(col("n")).as("n"),
+      idx.map(i => sum(col(s"starts$i")).as(s"raw$i")): _*)
+    // exact distinct per column: explode to (c, v) with no window in
+    // sight — map-side partial agg ships only the value domains, and a
+    // single countDistinct per group plans without the Expand rewrite
+    val dist = Tables.lineitem(s, dir)
+      .select(explode(array(colsProfiled.map { case (nme, c) =>
+        struct(lit(nme).as("c"), c.as("v")) }: _*)).as("e"))
+      .groupBy(col("e.c").as("column_name"))
+      .agg(countDistinct(col("e.v")).as("n_distinct"))
+    totalsRow.crossJoin(broadcast(mergedRow)) // 1 row × 1 row
+      .select(col("n"), explode(array(names.zip(idx).map { case (nme, i) =>
+        struct(lit(nme).as("column_name"),
+          (col(s"raw$i") - coalesce(col(s"m$i"), lit(0L))).as("n_runs"))
+      }: _*)).as("e"))
+      .select(col("e.column_name").as("column_name"), col("n"),
+        col("e.n_runs").as("n_runs"))
+      .join(dist, "column_name")
+      .select(col("column_name"), col("n"), col("n_distinct"), col("n_runs"))
       .withColumn("avg_run_x100", expr("n * 100 div n_runs"))
       .withColumn("encoding",
         when(col("n_runs") * 8 <= col("n"), "rle")

@@ -30,6 +30,7 @@ class PlanGuardSpec extends AnyFunSuite {
                               // planned once per consumer branch (block
                               // totals + the main stream both derive blk)
     "q_rfm"             -> 1, // 1-row customer-count total
+    "q_encoding_stats"  -> 1, // 1-row totals × 1-row boundary-merge counts
     "q_event_gaps"      -> 1, // 1-row gap-count total
     "q_hll_distinct"    -> 1, // 1-row register-stats aggregate
     "q_gini"            -> 5, // 1-row (n, total) aggregate + the 1-row
@@ -167,7 +168,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embedding_quantize" -> 1,
     "q_equidepth_hist" -> 6,
     "q_eval_confusion" -> 6,
-    "q_encoding_stats" -> 8, // unpivot ×5 then (c,blk) window + distinct + stitch
+    "q_encoding_stats" -> 8, // ONE blk window (5 lags) + distinct + stitch
     "q_graph_jaccard" -> 5, // cold memo build of the shared oriented/adj tables + credit groupBy
     // round-8 eval/monitoring family: one corpus pass over the shared
     // prototype-distance table each (kappa's marginals ride a single

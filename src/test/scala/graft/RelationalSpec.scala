@@ -409,19 +409,22 @@ class RelationalSpec extends AnyFunSuite {
       .collect()
     def runsOf(vals: Seq[Long]): Long =
       1L + vals.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
-    // the replay mirrors the round-12 FIXED-WIDTH LONG sort/compare key
-    // (numeric value; code point for the 1-char flags): the total order
-    // on (k1, k2, v) decides which value sits at a duplicate-key
-    // boundary, so the replay must share the engine's integer order
+    // the replay mirrors the round-13 SHARED total order: one sort on
+    // (k1, k2, v0..v4) — the key columns then every profiled value as
+    // tie-break — decides which value sits at every duplicate-key
+    // boundary for ALL five columns at once (the engine's single
+    // window pass); per-column run counts then read off that one order
     val cols: Seq[(String, org.apache.spark.sql.Row => Long)] = Seq(
       "l_orderkey" -> (_.getLong(0)),
       "l_partkey" -> (_.getLong(2)),
       "l_quantity" -> (_.getDouble(3).toLong),
       "l_returnflag" -> (_.getString(4).charAt(0).toLong),
       "l_linestatus" -> (_.getString(5).charAt(0).toLong))
-    val expected = cols.map { case (name, get) =>
-      val vals = li.map(r => (r.getLong(0), r.getInt(1), get(r)))
-        .sortBy(identity).map(_._3).toSeq
+    val sorted = li.map { r =>
+      (r.getLong(0), r.getInt(1).toLong, cols.map(_._2(r)))
+    }.sortBy { case (k1, k2, vs) => (k1, k2, vs(1), vs(2), vs(3), vs(4)) }
+    val expected = cols.zipWithIndex.map { case ((name, _), i) =>
+      val vals = sorted.map(_._3(i)).toSeq
       name -> (vals.length.toLong, vals.distinct.length.toLong, runsOf(vals))
     }.toMap
     val got = Relational.encodingStats(spark, sf).collect()
