@@ -1639,6 +1639,49 @@ object Oracles {
          |FROM o ORDER BY zkey, o_orderkey LIMIT 100""".stripMargin
     },
 
+    // zone-map skipping: block min/max manifest per layout, box-overlap
+    // prune, pruned-scan match count — replays the engine's exact blocks
+    "q_zone_map" -> {
+      def spread(e: String): String =
+        (0 until 16).map(i => s"(((($e) >> $i) & 1) << ${2 * i})").mkString(" + ")
+      s"""WITH z AS (SELECT o_orderkey,
+         |    CAST(o_custkey % 65536 AS BIGINT) AS cx,
+         |    CAST(datediff('day', DATE '1990-01-01', o_orderdate) % 65536
+         |      AS BIGINT) AS dy
+         |  FROM orders),
+         |zz AS (SELECT o_orderkey, cx, dy,
+         |    CAST(${spread("cx")} + (${spread("dy")}) * 2 AS BIGINT) AS zkey
+         |  FROM z),
+         |cells AS (
+         |  SELECT 'natural' AS layout, CAST(o_orderkey // 4096 AS BIGINT)
+         |    AS blk, cx, dy FROM zz
+         |  UNION ALL SELECT 'zorder', CAST(zkey // 1048576 AS BIGINT),
+         |    cx, dy FROM zz),
+         |manifest AS (SELECT layout, blk,
+         |    min(cx) AS min_cx, max(cx) AS max_cx,
+         |    min(dy) AS min_dy, max(dy) AS max_dy,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    (max(cx) >= 100 AND min(cx) <= 299 AND
+         |     max(dy) >= 2000 AND min(dy) <= 2499) AS h
+         |  FROM cells GROUP BY layout, blk),
+         |stats AS (SELECT layout, CAST(count(*) AS BIGINT) AS blocks_total,
+         |    CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS blocks_scanned,
+         |    CAST(sum(CASE WHEN h THEN n ELSE 0 END) AS BIGINT)
+         |      AS rows_in_scanned
+         |  FROM manifest GROUP BY layout),
+         |m AS (SELECT c.layout, CAST(count(*) AS BIGINT) AS rows_matched
+         |  FROM cells c JOIN manifest mf
+         |    ON mf.layout = c.layout AND mf.blk = c.blk AND mf.h
+         |  WHERE c.cx BETWEEN 100 AND 299 AND c.dy BETWEEN 2000 AND 2499
+         |  GROUP BY c.layout)
+         |SELECT s.layout, s.blocks_total, s.blocks_scanned,
+         |  s.rows_in_scanned,
+         |  CAST(COALESCE(m.rows_matched, 0) AS BIGINT) AS rows_matched
+         |FROM stats s LEFT JOIN m ON m.layout = s.layout
+         |ORDER BY s.layout""".stripMargin
+    },
+
     "q_range_frame_time" ->
       s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events)
          |SELECT event_id, user_id,

@@ -949,6 +949,74 @@ object Relational {
       .limit(100)
   }
 
+  /** Zone-map data skipping — the scan-reduction mechanism behind every
+    * lakehouse table format: a block-level min/max manifest (in
+    * production: parquet footer stats / the table format's metadata
+    * layer; here: an explicit per-block aggregate so the pruning is
+    * visible and checkable) answers "which blocks can a 2-d box
+    * predicate touch?", and the query reads ONLY those. Reported per
+    * physical LAYOUT — `natural` (insertion order: o_orderkey div 4096)
+    * vs `zorder` (Morton-key prefix cells: zkey div 2^20, the quadtree
+    * cells a z-ordered rewrite clusters into) — because zone maps are
+    * only as good as the layout: under insertion order every block
+    * spans the full custkey range so nothing skips; under z-order the
+    * box touches a bounded set of cells. Output per layout:
+    * blocks_total, blocks_scanned (manifest-overlap), rows_in_scanned,
+    * and rows_matched from the PRUNED scan (fact ⋈ qualifying block
+    * ids — AQE broadcasts the block list — then the exact predicate);
+    * soundness = rows_matched identical across layouts (spec'd, plus
+    * equality with the direct unpruned filter).
+    *
+    * Scale shape: the manifest is block-count-sized (corpus/4096), the
+    * skip decision is a manifest-only scan, and the pruned read is an
+    * equi-join on block id — at 100 TB this is the difference between
+    * reading ~0.5% of files and reading all of them; the operator keeps
+    * every step a declarative aggregate/join so the same plan holds on
+    * real file-level stats. */
+  def zoneMap(s: SparkSession, dir: String): DataFrame = {
+    def spread(c: Column): Column =
+      (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i))
+        .reduce(_ + _)
+    // box predicate: populated at every fixture SF (custkey ≥ 150,
+    // fixture order dates → dy ∈ [1826, 4230])
+    val (ca, cb, da, db) = (100L, 299L, 2000L, 2499L)
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536L)).as("cx"),
+        pmod(expr("datediff(to_date(o_orderdate), '1990-01-01')").cast("long"),
+          lit(65536L)).as("dy"))
+      .withColumn("zkey", spread(col("cx")) + spread(col("dy")) * 2)
+    val cells = base
+      .select(col("cx"), col("dy"), explode(array(
+        struct(lit("natural").as("layout"),
+          expr("o_orderkey div 4096").as("blk")),
+        struct(lit("zorder").as("layout"),
+          expr("zkey div 1048576").as("blk")))).as("e"))
+      .select(col("e.layout").as("layout"), col("e.blk").as("blk"),
+        col("cx"), col("dy"))
+    val manifest = cells.groupBy("layout", "blk")
+      .agg(min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+        min(col("dy")).as("min_dy"), max(col("dy")).as("max_dy"),
+        count(lit(1)).as("n"))
+      .withColumn("hit",
+        col("max_cx") >= ca && col("min_cx") <= cb &&
+          col("max_dy") >= da && col("min_dy") <= db)
+    val skipStats = manifest.groupBy("layout")
+      .agg(count(lit(1)).as("blocks_total"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("blocks_scanned"),
+        sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_in_scanned"))
+    val matched = cells
+      .join(manifest.filter(col("hit")).select("layout", "blk"),
+        Seq("layout", "blk"))
+      .filter(col("cx").between(ca, cb) && col("dy").between(da, db))
+      .groupBy("layout").agg(count(lit(1)).as("rows_matched"))
+    skipStats.join(matched, Seq("layout"), "left")
+      .na.fill(0L, Seq("rows_matched"))
+      .select(col("layout"), col("blocks_total"), col("blocks_scanned"),
+        col("rows_in_scanned"), col("rows_matched"))
+      .orderBy("layout")
+  }
+
   /** Time-based RANGE window frame: for every event, the count and sum of
     * the same user's events in the trailing hour BY EVENT TIME (not row
     * count — the frame a rate limiter or rolling-spend monitor needs).

@@ -168,7 +168,10 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embedding_quantize" -> 1,
     "q_equidepth_hist" -> 6,
     "q_eval_confusion" -> 6,
-    "q_encoding_stats" -> 8, // ONE blk window (5 lags) + distinct + stitch
+    "q_encoding_stats" -> 7, // ONE blk window (5 lags) + distinct + stitch
+    "q_zone_map" -> 5, // cells→manifest, skip stats, pruned scan join +
+                       // its layout rollup, stats⋈matched — all but the
+                       // first are block-count-sized
     "q_graph_jaccard" -> 5, // cold memo build of the shared oriented/adj tables + credit groupBy
     // round-8 eval/monitoring family: one corpus pass over the shared
     // prototype-distance table each (kappa's marginals ride a single

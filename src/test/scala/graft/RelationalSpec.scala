@@ -447,6 +447,38 @@ class RelationalSpec extends AnyFunSuite {
     assert(enc("l_returnflag") === "dict" && enc("l_linestatus") === "dict")
   }
 
+  test("zone_map pruning is sound and the z-order layout skips blocks") {
+    val rows = Relational.zoneMap(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("natural", "zorder"))
+    val byLayout = rows.map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // soundness: the pruned scan finds exactly the direct filter's rows,
+    // under BOTH layouts (a zone map may over-read, never under-read)
+    val direct = Tables.orders(spark, sf)
+      .select(pmod(col("o_custkey"), lit(65536L)).as("cx"),
+        pmod(expr("datediff(to_date(o_orderdate), '1990-01-01')")
+          .cast("long"), lit(65536L)).as("dy"))
+      .filter(col("cx").between(100L, 299L) && col("dy").between(2000L, 2499L))
+      .count()
+    assert(byLayout("natural")._4 === direct)
+    assert(byLayout("zorder")._4 === direct)
+    // every layout scans no more than everything and at least the matches
+    byLayout.values.foreach { case (total, scanned, inScanned, matched) =>
+      assert(scanned <= total)
+      assert(inScanned >= matched)
+    }
+    // the point of the operator: under insertion order the custkey range
+    // spans every block (no skipping); under z-order the box predicate
+    // touches a strict subset of cells
+    val (nt, ns, _, _) = byLayout("natural")
+    val (zt, zs, zr, _) = byLayout("zorder")
+    assert(ns === nt, "insertion-order blocks all overlap the box")
+    assert(zs < zt, "z-order cells must actually skip")
+    // and the pruned read is smaller than the corpus
+    val corpus = Tables.orders(spark, sf).count()
+    assert(zr < corpus)
+  }
+
   test("skyline equals the brute-force non-dominated set") {
     val pts = Tables.orders(spark, sf)
       .selectExpr("o_orderkey", "o_totalprice",
