@@ -1538,12 +1538,19 @@ object Relational {
     * the ~1k-row per-block aggregate. Tie groups are ordered by the
     * shared key rather than per-column value, so boundary run counts
     * at duplicate (k1, k2) keys differ from the r12 per-column order
-    * — the oracle replays the identical shared order. Exact distinct
-    * counts run over an exploded (column, value) frame with NO window
-    * attached: the map-side partial aggregate collapses the ×5
-    * fan-out to the per-column value domains before the exchange, so
-    * the shuffle carries domains, not rows — a single distinct
-    * aggregate per key never triggers the multi-distinct Expand. */
+    * — the oracle replays the identical shared order. The block
+    * boundary values ride as PLAIN LONGS: the first/last row of each
+    * block is identified by `lag(v0)`/`lead(v0)` being null inside
+    * the same window pass, and the per-block aggregate picks the
+    * boundary values with conditional max over longs — never min/max
+    * over a 7-field struct, whose non-codegen ordering dominated the
+    * first cut of this rewrite at 100× (~50 of 83 s). Exact distinct
+    * counts run as five narrow single-column passes (the q_profile
+    * per-column two-phase discipline): each pass prunes the scan to
+    * one parquet column and its exchange carries the value domain —
+    * measured 6.5 s vs 15.2 s for the exploded (c, v) alternative at
+    * 100× (the ×5 row fan-out costs more than five pruned scans);
+    * the extra exchanges are domain-sized, not corpus-sized. */
   def encodingStats(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val colsProfiled = Seq[(String, Column)](
@@ -1568,38 +1575,62 @@ object Relational {
       // are non-null casts), which correctly opens a run
       d.withColumn(s"chg$i",
         when(lag(col(s"v$i"), 1).over(wIn) === col(s"v$i"), 0L).otherwise(1L))
-    }
-    val rowStruct = struct(ord: _*) // min/max = first/last row in order
+    // block-boundary flags from the SAME window spec (one WindowExec):
+    // v0 is non-null, so lag/lead of it is null exactly on the block's
+    // first/last row — the boundary values then aggregate as
+    // conditional max over plain longs (codegen), never struct min/max
+    }.withColumn("isf", lag(col("v0"), 1).over(wIn).isNull)
+      .withColumn("isl", lead(col("v0"), 1).over(wIn).isNull)
     val perBlk = withChg.groupBy("blk")
       .agg(count(lit(1)).as("n"),
-        (idx.map(i => sum(col(s"chg$i")).as(s"starts$i")) ++
-          Seq(min(rowStruct).as("fst"), max(rowStruct).as("lst"))): _*)
+        idx.flatMap(i => Seq(
+          sum(col(s"chg$i")).as(s"starts$i"),
+          max(when(col("isf"), col(s"v$i"))).as(s"f$i"),
+          max(when(col("isl"), col(s"v$i"))).as(s"l$i"))): _*)
     // a block whose first value equals the previous block's last value
-    // started no new run there — count the double-counted starts per
-    // column in one pass over the tiny per-block table
-    val bnd = perBlk.select(col("blk"), col("fst"), col("lst"))
-    val mergedRow = bnd.select(col("blk"), col("fst"))
-      .join(bnd.select((col("blk") + 1).as("blk"), col("lst").as("plst")),
-        Seq("blk"))
-      .agg(sum(when(col(s"fst.v0") === col(s"plst.v0"), 1L).otherwise(0L))
-        .as("m0"),
-        idx.tail.map(i =>
-          sum(when(col(s"fst.v$i") === col(s"plst.v$i"), 1L).otherwise(0L))
-            .as(s"m$i")): _*)
-    val totalsRow = perBlk.agg(sum(col("n")).as("n"),
-      idx.map(i => sum(col(s"starts$i")).as(s"raw$i")): _*)
-    // exact distinct per column: explode to (c, v) with no window in
-    // sight — map-side partial agg ships only the value domains, and a
-    // single countDistinct per group plans without the Expand rewrite
-    val dist = Tables.lineitem(s, dir)
-      .select(explode(array(colsProfiled.map { case (nme, c) =>
-        struct(lit(nme).as("c"), c.as("v")) }: _*)).as("e"))
-      .groupBy(col("e.c").as("column_name"))
-      .agg(countDistinct(col("e.v")).as("n_distinct"))
-    totalsRow.crossJoin(broadcast(mergedRow)) // 1 row × 1 row
+    // started no new run there. The stitch CONSUMES perBlk EXACTLY ONCE:
+    // each block emits two rows — its own stats + first values keyed by
+    // blk, and its last values keyed by blk+1 — so one block-count-sized
+    // re-aggregation pairs every block with its predecessor's boundary,
+    // and the totals fold into the same global row (a self-join or a
+    // separate totals aggregate would each recompute the whole window
+    // subtree: column pruning specializes the branches, so nothing
+    // reuses — measured 42 s vs 17 s at 100× for the three-consumer
+    // shape this replaces; no cross join remains either)
+    val fSide = Seq(col("blk").as("key"), lit(0).as("side"),
+      col("n").as("n")) ++
+      idx.flatMap(i => Seq(col(s"starts$i").as(s"starts$i"),
+        col(s"f$i").as(s"b$i")))
+    val lSide = Seq((col("blk") + 1).as("key"), lit(1).as("side"),
+      lit(0L).as("n")) ++
+      idx.flatMap(i => Seq(lit(0L).as(s"starts$i"),
+        col(s"l$i").as(s"b$i")))
+    val sides = perBlk
+      .select(explode(array(struct(fSide: _*), struct(lSide: _*))).as("e"))
+      .select(col("e.*"))
+    val paired = sides.groupBy("key")
+      .agg(sum(col("n")).as("n"),
+        idx.flatMap(i => Seq(
+          sum(col(s"starts$i")).as(s"starts$i"),
+          max(when(col("side") === 0, col(s"b$i"))).as(s"f$i"),
+          max(when(col("side") === 1, col(s"b$i"))).as(s"l$i"))): _*)
+    // one global row: totals plus runs = starts − boundary merges (the
+    // f/l comparison is null at the corpus edges, which is no merge)
+    val one = paired.agg(sum(col("n")).as("n"),
+      idx.map(i => (sum(col(s"starts$i")) -
+        sum(when(col(s"f$i") === col(s"l$i"), 1L).otherwise(0L)))
+        .as(s"runs$i")): _*)
+    // exact distinct per column: five narrow single-column passes (the
+    // q_profile per-column two-phase discipline) — each pruned scan's
+    // exchange carries the column's value domain, and at 100× the five
+    // scans beat the exploded (c, v) fan-out 6.5 s to 15.2 s
+    val dist = colsProfiled.map { case (nme, c) =>
+      Tables.lineitem(s, dir).agg(countDistinct(c).as("n_distinct"))
+        .select(lit(nme).as("column_name"), col("n_distinct"))
+    }.reduce(_ unionAll _)
+    one
       .select(col("n"), explode(array(names.zip(idx).map { case (nme, i) =>
-        struct(lit(nme).as("column_name"),
-          (col(s"raw$i") - coalesce(col(s"m$i"), lit(0L))).as("n_runs"))
+        struct(lit(nme).as("column_name"), col(s"runs$i").as("n_runs"))
       }: _*)).as("e"))
       .select(col("e.column_name").as("column_name"), col("n"),
         col("e.n_runs").as("n_runs"))

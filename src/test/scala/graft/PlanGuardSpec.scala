@@ -30,7 +30,6 @@ class PlanGuardSpec extends AnyFunSuite {
                               // planned once per consumer branch (block
                               // totals + the main stream both derive blk)
     "q_rfm"             -> 1, // 1-row customer-count total
-    "q_encoding_stats"  -> 1, // 1-row totals × 1-row boundary-merge counts
     "q_event_gaps"      -> 1, // 1-row gap-count total
     "q_hll_distinct"    -> 1, // 1-row register-stats aggregate
     "q_gini"            -> 5, // 1-row (n, total) aggregate + the 1-row
@@ -168,7 +167,12 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_embedding_quantize" -> 1,
     "q_equidepth_hist" -> 6,
     "q_eval_confusion" -> 6,
-    "q_encoding_stats" -> 7, // ONE blk window (5 lags) + distinct + stitch
+    "q_encoding_stats" -> 13, // ONE blk window (5 lags) + boundary-pair
+                              // re-aggregation (block-count-sized) + five
+                              // per-column distinct passes (2 exchanges
+                              // each, all domain-sized — the per-column
+                              // discipline beat the exploded ×5 distinct
+                              // 6.5 s to 15.2 s at 100×)
     "q_zone_map" -> 5, // cells→manifest, skip stats, pruned scan join +
                        // its layout rollup, stats⋈matched — all but the
                        // first are block-count-sized
