@@ -223,6 +223,32 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("GIF synthesis round-trips through javax.imageio on random parameters") {
+    import graft.multimodal.Codecs
+    (1 to 25).foreach { trial =>
+      val w = 1 + rnd.nextInt(300)
+      val h = 1 + rnd.nextInt(40)
+      val nf = 1 + rnd.nextInt(12)
+      val base = rnd.nextInt(128)
+      val blob = Codecs.gifGray(w, h, nf, f => (base + f) % 128)
+      val n = w * h
+      val d = n + (n - 1) / 125 + 2
+      assert(blob.length === 398 + nf * (12 + d + (d + 254) / 255),
+        s"trial $trial ($w x $h x $nf)")
+      assert(Codecs.imageMeta(blob) === ((w.toLong, h.toLong, "gif")),
+        s"trial $trial")
+      val step = 1 + rnd.nextInt(4)
+      val (cnf, cw, ch, sums) = Codecs.gifFrameSums(blob, _ % step == 0)
+      assert(cnf === nf, s"trial $trial")
+      assert((cw, ch) === ((w.toLong, h.toLong)), s"trial $trial")
+      assert(sums.map(_._1) === (0 until nf by step), s"trial $trial")
+      sums.foreach { case (f, s) =>
+        assert(s === w.toLong * h * ((base + f) % 128) % 1000000007L,
+          s"trial $trial f=$f")
+      }
+    }
+  }
+
   test("WAV synthesis round-trips through javax.sound on random parameters") {
     import graft.multimodal.Codecs
     (1 to 40).foreach { trial =>
