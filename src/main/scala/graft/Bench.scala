@@ -127,6 +127,22 @@ object Bench {
     // overwrites it and used as the anchor-relative reference: each
     // query's min is divided by (reference min × the runs' calibration-
     // anchor ratio) and large deviations are named in the artifact.
+    // FIXTURE FINGERPRINT (round 13): per-table parquet byte lengths of
+    // the corpus this run measures. The driver REGENERATES fixtures
+    // between rounds; a regenerated corpus shifts per-query costs with
+    // no code change (r13 observed q_tpch_q10 at 2.2× its r12 reference
+    // purely from new file layout), so the artifact must distinguish
+    // "reference measured a different corpus" from "plan regressed".
+    // Byte lengths are free to read and any content change at identical
+    // lengths is vanishingly unlikely for regenerated parquet.
+    def fixturePrint(dir: String): Map[String, Long] =
+      try {
+        val d = new java.io.File(dir)
+        Option(d.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .map(f => f.getName.stripSuffix(".parquet") -> f.length()).toMap
+      } catch { case _: Throwable => Map.empty }
+    val fixture = fixturePrint(sfDir)
     val reference: Option[(Map[String, Double], Map[String, Double])] =
       try {
         val p = java.nio.file.Paths.get("bench.json")
@@ -150,6 +166,22 @@ object Bench {
               }.toMap
             qs.map(q => (q, cals))
           }
+        }
+      } catch { case _: Throwable => None }
+    // does the reference artifact describe the SAME corpus bytes? None =
+    // no reference or a pre-r13 reference without a fixture section
+    val fixtureChanged: Option[Boolean] =
+      try {
+        val p = java.nio.file.Paths.get("bench.json")
+        if (!java.nio.file.Files.exists(p) || reference.isEmpty) None
+        else {
+          val txt = java.nio.file.Files.readString(p)
+          "\"fixture\":\\{(.*?)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+            .map { sec =>
+              val ref = "\"([A-Za-z0-9_]+)\":([0-9]+)".r.findAllMatchIn(sec)
+                .map(m => m.group(1) -> m.group(2).toLong).toMap
+              ref != fixture
+            }
         }
       } catch { case _: Throwable => None }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -265,7 +297,10 @@ object Bench {
     // ratio values (tools/bench_compare.py parses the section by name)
     val deviantJson = deviant.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","deviant":$deviantJson,"has_reference":${reference.isDefined},"queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
+    val fixtureJson = fixture.toSeq.sorted
+      .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val fixtureChangedJson = fixtureChanged.map(_.toString).getOrElse("null")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","deviant":$deviantJson,"has_reference":${reference.isDefined},"fixture_changed":$fixtureChangedJson,"fixture":$fixtureJson,"queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
     // print first AND persist: the driver's log capture truncates long sbt
     // tails, so the artifact self-contains the totals either way
     println(json)

@@ -153,6 +153,13 @@ def load(path):
     if dv:
         out["deviant"] = {k: float(v) for k, v in re.findall(
             r'"(q_\w+)":([0-9.]+)', dv.group(1))}
+    fx = re.search(r'"fixture":\{([^}]*)\}', tail)
+    if fx:
+        out["fixture"] = {k: int(v) for k, v in re.findall(
+            r'"(\w+)":([0-9]+)', fx.group(1))}
+    fc = re.search(r'"fixture_changed":(true|false|null)', tail)
+    if fc and fc.group(1) != "null":
+        out["fixture_changed"] = fc.group(1) == "true"
     print(f"note: {path} scraped from a (possibly truncated) driver tail — "
           f"{len(qs)} queries recovered, total recomputed from them")
     return out
@@ -249,6 +256,18 @@ def main(old_path, new_path):
                   "(min vs ref_min x cal ratio):")
             for k, r in sorted(dev.items(), key=lambda x: -x[1]):
                 print(f"  {k:26s} {r:.2f}x off its own prediction")
+    # round 13: fixture fingerprints — a regenerated corpus shifts
+    # per-query costs with no code change, so flag cross-fixture compares
+    of, nf = old.get("fixture"), new.get("fixture")
+    if of and nf and of != nf:
+        diff = sorted(k for k in set(of) | set(nf) if of.get(k) != nf.get(k))
+        print(f"\nWARNING: the two artifacts measured DIFFERENT fixture bytes "
+              f"({', '.join(diff)}) — per-query deltas include fixture drift, "
+              "not just code/host")
+    for label, art in (("old", old), ("new", new)):
+        if art.get("fixture_changed") is True:
+            print(f"note: {label} artifact self-reports its reference was a "
+                  "different fixture (its deviant flags include fixture drift)")
     unstable = set(old.get("unstable", [])) | set(new.get("unstable", []))
     unstable |= set(old.get("deviant", {})) | set(new.get("deviant", {}))
     flagged = [(k, ratios[k] / norm_for(k), oq[k], nq[k]) for k in common]
