@@ -977,9 +977,17 @@ object Relational {
     def spread(c: Column): Column =
       (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i))
         .reduce(_ + _)
-    // box predicate: populated at every fixture SF (custkey ≥ 150,
-    // fixture order dates → dy ∈ [1826, 4230])
-    val (ca, cb, da, db) = (100L, 299L, 2000L, 2499L)
+    // box predicate, tunable via `spark.graft.zonemap.box` =
+    // "cxLo,cxHi,dyLo,dyHi" (the dfCap knob discipline: the declared
+    // query's hashes are pinned to the DEFAULT box, which is populated
+    // at every fixture SF — custkey ≥ 150, fixture order dates →
+    // dy ∈ [1826, 4230]; a deployment probes its own predicates)
+    val (ca, cb, da, db) =
+      s.conf.getOption("spark.graft.zonemap.box").map { v =>
+        val p = v.split(",").map(_.trim.toLong)
+        require(p.length == 4, s"spark.graft.zonemap.box wants 4 longs: $v")
+        (p(0), p(1), p(2), p(3))
+      }.getOrElse((100L, 299L, 2000L, 2499L))
     val base = Tables.orders(s, dir)
       .select(col("o_orderkey"),
         pmod(col("o_custkey"), lit(65536L)).as("cx"),

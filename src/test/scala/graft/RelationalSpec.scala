@@ -479,6 +479,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(zr < corpus)
   }
 
+  test("zone_map box knob retunes the predicate; soundness holds at any box") {
+    try {
+      spark.conf.set("spark.graft.zonemap.box", "0,65535,0,65535")
+      val all = Relational.zoneMap(spark, sf).collect()
+        .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(4)))).toMap
+      val corpus = Tables.orders(spark, sf).count()
+      // the everything-box: every block scanned, every row matched —
+      // pruning is sound at the degenerate extreme too
+      all.values.foreach { case (_, matched) => assert(matched === corpus) }
+      spark.conf.set("spark.graft.zonemap.box", "100,299,1,2")
+      val none = Relational.zoneMap(spark, sf).collect()
+      // an unpopulated dy band: zero matches, and the left join's fill
+      // keeps the row shape instead of dropping layouts
+      assert(none.map(_.getString(0)).toSeq === Seq("natural", "zorder"))
+      none.foreach(r => assert(r.getLong(4) === 0L))
+    } finally spark.conf.unset("spark.graft.zonemap.box")
+  }
+
   test("skyline equals the brute-force non-dominated set") {
     val pts = Tables.orders(spark, sf)
       .selectExpr("o_orderkey", "o_totalprice",
