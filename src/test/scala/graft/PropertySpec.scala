@@ -223,6 +223,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zone_map pruning is sound for random box predicates") {
+    import graft.operators.Relational
+    import org.apache.spark.sql.functions._
+    val sf = SparkTestSession.Sf
+    try {
+      (1 to 8).foreach { trial =>
+        // random boxes, including degenerate/empty bands: a zone map may
+        // over-read but NEVER under-read, whatever the predicate
+        val cxLo = rnd.nextInt(400).toLong
+        val cxHi = cxLo + rnd.nextInt(600)
+        val dyLo = (1500 + rnd.nextInt(3200)).toLong
+        val dyHi = dyLo + rnd.nextInt(800)
+        spark.conf.set("spark.graft.zonemap.box", s"$cxLo,$cxHi,$dyLo,$dyHi")
+        val rows = Relational.zoneMap(spark, sf).collect()
+        assert(rows.map(_.getString(0)).toSeq === Seq("natural", "zorder"),
+          s"trial $trial")
+        val direct = Tables.orders(spark, sf)
+          .select(pmod(col("o_custkey"), lit(65536L)).as("cx"),
+            pmod(expr("datediff(to_date(o_orderdate), '1990-01-01')")
+              .cast("long"), lit(65536L)).as("dy"))
+          .filter(col("cx").between(cxLo, cxHi) && col("dy").between(dyLo, dyHi))
+          .count()
+        rows.foreach { r =>
+          assert(r.getLong(4) === direct,
+            s"trial $trial ${r.getString(0)} box=$cxLo,$cxHi,$dyLo,$dyHi")
+          assert(r.getLong(3) >= r.getLong(4), s"trial $trial over-read bound")
+          assert(r.getLong(2) <= r.getLong(1), s"trial $trial block bound")
+        }
+      }
+    } finally spark.conf.unset("spark.graft.zonemap.box")
+  }
+
   test("GIF synthesis round-trips through javax.imageio on random parameters") {
     import graft.multimodal.Codecs
     (1 to 25).foreach { trial =>
