@@ -1,6 +1,40 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Median of per-anchor ratios cur/ref over `names` (anchors missing
+    * or unmeasured on either side are skipped); None when no anchor
+    * measured on both sides. Pure — spec'd by BenchNormalizeSpec. */
+  def medianRatio(cur: Map[String, Double], ref: Map[String, Double],
+                  names: Seq[String]): Option[Double] = {
+    val rs = names.flatMap { n =>
+      (cur.get(n), ref.get(n)) match {
+        case (Some(c), Some(r)) if c > 0 && r > 0 => Some(c / r)
+        case _ => None
+      }
+    }.sorted
+    if (rs.isEmpty) None else Some(rs(rs.size / 2))
+  }
+
+  /** Anchor-ratio-corrected headline (VERDICT r13 #3): the sum of this
+    * epoch's per-query minima each divided by its anchor class's
+    * cur/ref ratio — i.e. this run's measurements re-expressed in the
+    * REFERENCE artifact's host timescale. A uniformly-1.2×-slower epoch
+    * then self-reports ~the reference total instead of needing a judge
+    * to re-bench. Streaming queries normalize by the cal_stream ratio
+    * (their engine-init floor drifts independently); batch queries by
+    * the cpu/shuffle/scan median; a query whose class has no usable
+    * ratio contributes its raw timing. Failed queries (−1) are skipped
+    * — `value` and `errors` already surface them. Pure — spec'd. */
+  def normalizedTotal(results: Map[String, Double],
+                      batchR: Option[Double],
+                      streamR: Option[Double]): Double =
+    results.collect { case (k, v) if v > 0 =>
+      val r = if (k.startsWith("q_stream")) streamR.orElse(batchR)
+              else batchR
+      v / r.getOrElse(1.0)
+    }.sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -176,7 +210,10 @@ object Bench {
         if (!java.nio.file.Files.exists(p) || reference.isEmpty) None
         else {
           val txt = java.nio.file.Files.readString(p)
-          "\"fixture\":\\{(.*?)\\}".r.findFirstMatchIn(txt).map(_.group(1))
+          // [^}]* (not .*?) so a pretty-printed / hand-edited artifact
+          // with newlines inside the object still parses — keeps this
+          // scraper consistent with tools/bench_compare.py (ADVICE r14)
+          "\"fixture\":\\{([^}]*)\\}".r.findFirstMatchIn(txt).map(_.group(1))
             .map { sec =>
               val ref = "\"([A-Za-z0-9_]+)\":([0-9]+)".r.findAllMatchIn(sec)
                 .map(m => m.group(1) -> m.group(2).toLong).toMap
@@ -249,36 +286,31 @@ object Bench {
     // correlated-noise epoch self-identifies without a by-hand git
     // diff. A genuine plan change also flags once — and then becomes
     // the new reference when its artifact is committed.
-    val deviant: Map[String, Double] = reference match {
-      case None => Map.empty
-      case Some((refQ, refCal)) =>
-        val curCal = calibrations.map { case (name, _) =>
-          val vs = Seq(calBefore(name), calMid(name), calAfter(name)).filter(_ > 0)
-          name -> (if (vs.nonEmpty) vs.min else -1.0)
-        }.toMap
-        def ratio(names: Seq[String]): Option[Double] = {
-          val rs = names.flatMap { n =>
-            (curCal.get(n), refCal.get(n)) match {
-              case (Some(c), Some(r)) if c > 0 && r > 0 => Some(c / r)
+    val curCal = calibrations.map { case (name, _) =>
+      val vs = Seq(calBefore(name), calMid(name), calAfter(name)).filter(_ > 0)
+      name -> (if (vs.nonEmpty) vs.min else -1.0)
+    }.toMap
+    val (deviant: Map[String, Double], normTotal: Option[Double]) =
+      reference match {
+        case None => (Map.empty[String, Double], None)
+        case Some((refQ, refCal)) =>
+          val batchR = medianRatio(curCal, refCal,
+            Seq("cal_cpu", "cal_shuffle", "cal_scan"))
+          val streamR = medianRatio(curCal, refCal, Seq("cal_stream"))
+            .orElse(batchR)
+          val dev = results.toSeq.sorted.flatMap { case (k, v) =>
+            val r = if (k.startsWith("q_stream")) streamR else batchR
+            (r, refQ.get(k)) match {
+              case (Some(cr), Some(ref)) if v > 0.2 && ref > 0 =>
+                val d = v / (ref * cr)
+                if (d > 2.0 || d < 0.5)
+                  Some(k -> math.round(d * 100.0) / 100.0)
+                else None
               case _ => None
             }
-          }.sorted
-          if (rs.isEmpty) None else Some(rs(rs.size / 2))
-        }
-        val batchR = ratio(Seq("cal_cpu", "cal_shuffle", "cal_scan"))
-        val streamR = ratio(Seq("cal_stream")).orElse(batchR)
-        results.toSeq.sorted.flatMap { case (k, v) =>
-          val r = if (k.startsWith("q_stream")) streamR else batchR
-          (r, refQ.get(k)) match {
-            case (Some(cr), Some(ref)) if v > 0.2 && ref > 0 =>
-              val dev = v / (ref * cr)
-              if (dev > 2.0 || dev < 0.5)
-                Some(k -> math.round(dev * 100.0) / 100.0)
-              else None
-            case _ => None
-          }
-        }.toMap
-    }
+          }.toMap
+          (dev, Some(normalizedTotal(results, batchR, streamR)))
+      }
     def qJson(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = qJson(results)
@@ -300,7 +332,8 @@ object Bench {
     val fixtureJson = fixture.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fixtureChangedJson = fixtureChanged.map(_.toString).getOrElse("null")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","deviant":$deviantJson,"has_reference":${reference.isDefined},"fixture_changed":$fixtureChangedJson,"fixture":$fixtureJson,"queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
+    val normJson = normTotal.map(_.toString).getOrElse("null")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":$normJson,"deviant":$deviantJson,"has_reference":${reference.isDefined},"fixture_changed":$fixtureChangedJson,"fixture":$fixtureJson,"queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
     // print first AND persist: the driver's log capture truncates long sbt
     // tails, so the artifact self-contains the totals either way
     println(json)

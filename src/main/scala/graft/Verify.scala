@@ -19,6 +19,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Declared hashes are pinned to every knob's DEFAULT (the dfCap
+    // discipline): a session inherited with e.g. spark.graft.zonemap.box
+    // or spark.graft.ngram.dfCap still set would make a sound-but-
+    // differently-parameterized run fail the oracle compare spuriously
+    // (ADVICE r14). getOrCreate() can hand back a pre-existing session,
+    // so clear every graft knob before hashing anything.
+    spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+      .foreach(spark.conf.unset)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {

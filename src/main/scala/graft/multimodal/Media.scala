@@ -121,15 +121,50 @@ object Media {
     * same batched mapPartitions execution shape as the decode. */
   def mediaFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val frames = containerBlobs(s, dir).filter(_.kind == "video").mapPartitions { it =>
+    val (keep, stride) = decodeBudget(s)
+    val frames = containerBlobs(s, dir).filter(_.kind == "video")
+      .filter(b => keep(b.doc_id)).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.flatMap { b =>
-          val (_, _, _, sums) = Codecs.gifFrameSums(b.media, _ % 5 == 0)
+          val (_, _, _, sums) = Codecs.gifFrameSums(b.media, _ % stride == 0)
           sums.map { case (f, sum) => (b.doc_id, f.toLong, sum) }
         }
       }
     }.toDF("doc_id", "frame_no", "frame_fp")
     frames.orderBy("doc_id", "frame_no")
+  }
+
+  /** Decode-budget knobs for the FULL-decode lanes (round 14, VERDICT
+    * #4) — real decode is the declared price of transform/frames, but a
+    * 100 TB pipeline needs the audit-pass form: read in ONE place,
+    * dfCap discipline (declared hashes pinned to the defaults).
+    *
+    *  - `spark.graft.media.decodeFraction` (0 < f ≤ 1, default 1):
+    *    deterministic doc_id-hash sample — only blobs whose Knuth-hash
+    *    bucket falls under f·10⁶ are decoded at all, so a 1% audit pass
+    *    costs 1% of the codec time and REPEATS on the same documents
+    *    every run (hash-sampled, not random).
+    *  - `spark.graft.media.frameStride` (≥ 1, default 5): decode every
+    *    Nth video frame (random-access — skipped frames are never
+    *    decompressed).
+    *
+    * Both shape COST, and fraction < 1 deliberately changes which rows
+    * exist — that's what an audit pass is; the declared queries run at
+    * the defaults and stay bit-identical (MediaSpec pins a non-default
+    * value's exact subset semantics). */
+  private def decodeBudget(s: SparkSession): (Long => Boolean, Int) = {
+    val frac = s.conf.getOption("spark.graft.media.decodeFraction")
+      .map(_.toDouble).getOrElse(1.0)
+    require(frac > 0.0 && frac <= 1.0,
+      s"spark.graft.media.decodeFraction must be in (0, 1]: $frac")
+    val stride = s.conf.getOption("spark.graft.media.frameStride")
+      .map(_.toInt).getOrElse(5)
+    require(stride >= 1, s"spark.graft.media.frameStride must be >= 1: $stride")
+    val threshold = (frac * 1000000L).toLong
+    val keep = (id: Long) =>
+      frac >= 1.0 ||
+        Math.floorMod(id * 2654435761L + 12345L, 1000000L) < threshold
+    (keep, stride)
   }
 
   /** Transform stage over DECODED media. Images: full pixel decode
@@ -146,7 +181,9 @@ object Media {
     * arithmetic is integer so the DuckDB oracle reproduces it exactly. */
   def mediaTransform(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = containerBlobs(s, dir).mapPartitions { it =>
+    val (keep, stride) = decodeBudget(s)
+    val out = containerBlobs(s, dir).filter(b => keep(b.doc_id))
+      .mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { b =>
           b.kind match {
@@ -161,13 +198,14 @@ object Media {
               val (frames, sum) = Codecs.audioPcmSum(b.media)
               MediaFeature(b.doc_id, b.kind, frames / 2L, 1L, 1L, sum)
             case _ =>
-              val (_, w, h, sums) = Codecs.gifFrameSums(b.media, _ % 5 == 0)
+              val (_, w, h, sums) = Codecs.gifFrameSums(b.media, _ % stride == 0)
               val maxDim = math.max(w, h)
               val (ow, oh) =
                 if (maxDim <= 224) (w, h)
                 else (math.max(w * 224 / maxDim, 1L), math.max(h * 224 / maxDim, 1L))
-              // each per-frame sum < 1e9+7 and ≤ 3 frames are sampled,
-              // so the plain sum cannot overflow before the final mod
+              // each per-frame sum < 1e9+7 and fixture GIFs hold tens of
+              // frames at most, so the plain long sum sits far below
+              // overflow before the final mod at ANY stride
               val checksum = sums.map(_._2).sum % 1000000007L
               MediaFeature(b.doc_id, b.kind, ow, oh, sums.size.toLong, checksum)
           }

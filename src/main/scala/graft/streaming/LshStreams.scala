@@ -225,7 +225,18 @@ object LshStreams {
     // are PERSISTED beside the checkpoint on first start and a
     // mismatched resume fails loudly naming both values instead of
     // running mis-partitioned.
-    val lanes = 8
+    //
+    // LANE COUNT KNOB (round 14, VERDICT #7): `spark.graft.stream.lanes`
+    // lets a cluster deployment size state lanes to its cores without
+    // editing source (default 8 — the measured local sweet spot below;
+    // declared-query hashes are pinned to the default, which only shapes
+    // physical state layout, never results). The value still participates
+    // in the checkpoint contract: changing the knob against an existing
+    // checkpoint fails loudly with both values named, exactly like an
+    // in-source edit did.
+    val lanes = s.conf.getOption("spark.graft.stream.lanes")
+      .map(_.toInt).getOrElse(8)
+    require(lanes > 0, s"spark.graft.stream.lanes must be positive: $lanes")
     enforceCheckpointContract(s, ckpt, lanes, ttlMs)
     val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",

@@ -20,6 +20,10 @@ object BenchOne {
     // index (spark.graft.stream.admitIndexPath) for the merge-cost probes
     sys.env.get("GRAFT_ADMIT_INDEX_PATH").foreach(p =>
       spark.conf.set("spark.graft.stream.admitIndexPath", p))
+    // probe hook: GRAFT_ZONEMAP_PATH exercises the persisted zone-map
+    // manifest (spark.graft.zonemap.manifestPath) for the r14 100x probe
+    sys.env.get("GRAFT_ZONEMAP_PATH").foreach(p =>
+      spark.conf.set("spark.graft.zonemap.manifestPath", p))
     // Force with the noop sink, matching graft.Bench (count() lets
     // Catalyst prune measure columns — timings then under-measure).
     // GRAFT_FORCE=count switches back, ONLY for quantifying exactly that

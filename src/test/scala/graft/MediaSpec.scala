@@ -181,4 +181,37 @@ class MediaSpec extends AnyFunSuite {
       assert(byRank.toSeq === byRank.sorted.toSeq)
     }
   }
+
+  test("decode-budget knobs: hash-sampled audit pass and frame stride (r14)") {
+    val fracKey = "spark.graft.media.decodeFraction"
+    val strideKey = "spark.graft.media.frameStride"
+    val full = Media.mediaTransform(spark, sf).collect()
+    val fullFrames = Media.mediaFrames(spark, sf).collect()
+    try {
+      // fraction: the sampled run is EXACTLY the full run filtered by the
+      // deterministic doc_id hash — same rows, same values, repeatable
+      spark.conf.set(fracKey, "0.5")
+      def kept(id: Long): Boolean =
+        Math.floorMod(id * 2654435761L + 12345L, 1000000L) < 500000L
+      val sampled = Media.mediaTransform(spark, sf).collect()
+      assert(sampled.map(_.toString).toSeq ===
+        full.filter(r => kept(r.getLong(0))).map(_.toString).toSeq)
+      assert(sampled.length < full.length && sampled.nonEmpty,
+        s"0.5 sample should be a proper nonempty subset: ${sampled.length}/${full.length}")
+      spark.conf.unset(fracKey)
+      // stride: every-frame decode yields a superset of the default
+      // every-5th sample, with the default's rows intact
+      spark.conf.set(strideKey, "1")
+      val dense = Media.mediaFrames(spark, sf).collect()
+      val defaults = fullFrames.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val denseKeys = dense.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(defaults.subsetOf(denseKeys) && denseKeys.size > defaults.size)
+      // default run unchanged after knob churn (bit-identical declared path)
+      spark.conf.unset(strideKey)
+      assert(Media.mediaTransform(spark, sf).collect().map(_.toString).toSeq ===
+        full.map(_.toString).toSeq)
+    } finally {
+      spark.conf.unset(fracKey); spark.conf.unset(strideKey)
+    }
+  }
 }

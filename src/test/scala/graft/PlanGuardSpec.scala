@@ -83,26 +83,32 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
-  /** Recorded per-query shuffle-exchange ceilings, measured from the FINAL
-    * adaptive plan (post-AQE, reuse excluded) by
-    * [[graft.tools.ExchangeCensus]] at sf0.001. Every groupBy/join/
-    * distinct/repartition is one of these; an edit that adds a
-    * corpus-sized shuffle to a linear query fails HERE instead of waiting
-    * for a judge's plan audit. Ceilings, not exact counts: AQE may
-    * legally REMOVE an exchange (runtime broadcast conversion) but a new
-    * one above budget is a scale regression. Regenerate with
-    * `runMain graft.tools.ExchangeCensus` when a plan change is
-    * intentional. */
+  /** Recorded per-query shuffle-exchange ceilings, measured from the
+    * STATIC (pre-AQE initial) physical plan by
+    * [[graft.tools.ExchangeCensus]] at sf0.001 — round 14 moved the
+    * census off the final adaptive plan, whose count proved a function
+    * of host load (see the test body + ExchangeCensus scaladoc). Every
+    * groupBy/join/distinct/repartition is one of these; an edit that
+    * adds a corpus-sized shuffle to a linear query fails HERE instead
+    * of waiting for a judge's plan audit. Static counts include BOTH
+    * sides of a subtree AQE will later reuse (e.g. a union whose
+    * branches share a window subtree), so they read higher than the
+    * r13 final-plan numbers — that's the deterministic measure, not a
+    * regression. Ceilings, not exact counts: a warm session memo
+    * (CorpusMemo checkpoint built by an earlier query in the battery)
+    * legally REMOVES exchanges, but a new one above budget is a scale
+    * regression. Regenerate with `runMain graft.tools.ExchangeCensus`
+    * when a plan change is intentional. */
   private val shuffleBudget = Map(
     "q_ann_adc" -> 3,
     "q_ann_ivf" -> 4,
     "q_ann_lsh" -> 3,
-    "q_ann_recall" -> 4,
+    "q_ann_recall" -> 7,
     "q_adaptive_filter" -> 3,
     "q_anomaly" -> 3,
-    "q_anti_join" -> 0,
+    "q_anti_join" -> 1,
     "q_approx_distinct" -> 3,
-    "q_approx_percentile" -> 3, // sketch pass + broadcast-back rank-count pass (audit form, r13)
+    "q_approx_percentile" -> 2, // sketch pass + broadcast-back rank-count pass (audit form, r13)
     "q_approx_topk" -> 1,
     "q_argmax" -> 2,
     "q_array_functions" -> 1,
@@ -114,7 +120,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_bloom_join" -> 5,
     "q_bloom_fpr" -> 5, // ≤m-row bit table build + probe census + 1-row tails
     "q_bm25" -> 5,
-    "q_bpe_apply" -> 6,
+    "q_bpe_apply" -> 7,
     "q_bpe_train" -> 1,
     "q_bucketed_join" -> 2,
     "q_cdc_chunks" -> 1,
@@ -122,9 +128,9 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_char_diversity" -> 3,
     "q_chi2" -> 9, // corpus → contingency cells; marginals re-agg the cells
     "q_chunking" -> 1,
-    "q_cluster_labels" -> 6,
-    "q_collocations" -> 3,
-    "q_copurchase" -> 2,
+    "q_cluster_labels" -> 10,
+    "q_collocations" -> 4,
+    "q_copurchase" -> 0,
     "q_corr_exact" -> 2,
     "q_csv_dirty" -> 1,
     "q_cube_docs" -> 2,
@@ -136,7 +142,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_curation" -> 4,
     "q_dataset_card" -> 5,
     "q_date_functions" -> 1,
-    "q_decontamination" -> 7,
+    "q_decontamination" -> 8,
     // +2 in round 9: forced broadcast(drop) hint dropped (duplicate-mass-
     // linear drop list); the left-anti now shuffles both sides at tiny SF
     "q_dedup_apply" -> 4,
@@ -145,13 +151,13 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_dedup_exact" -> 2,
     "q_dedup_funnel" -> 4,
     "q_dedup_incremental" -> 3,
-    "q_dedup_lineage" -> 3, // sha-keyed canon agg + digest join-back +
+    "q_dedup_lineage" -> 4, // sha-keyed canon agg + digest join-back +
                             // doc_id left join to the memoized drop table
     // +1 in round 8: the forced broadcast() hints on the candidate-pair
     // table were dropped (they forced a corpus-linear table to the driver
     // at 100×); AQE now plans one extra shuffled semi-join at tiny SF,
     // which is the safe shape at scale
-    "q_dedup_minhash" -> 9,
+    "q_dedup_minhash" -> 16,
     "q_dedup_ngram" -> 1,
     "q_dedup_ngram_census" -> 1, // memoized 1-row shingle census +
                                  // 1-row pair count, broadcast-crossJoined
@@ -160,56 +166,56 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_doc_perplexity" -> 4,
     "q_domain_cap" -> 2,
     "q_pps_sample" -> 2,
-    "q_dpp_join" -> 3,
-    "q_dsir" -> 7,
+    "q_dpp_join" -> 4,
+    "q_dsir" -> 8,
     "q_embedding_neardup" -> 2,
-    "q_embedding_pq" -> 3,
+    "q_embedding_pq" -> 2,
     "q_embedding_quantize" -> 1,
     "q_equidepth_hist" -> 6,
-    "q_eval_confusion" -> 6,
+    "q_eval_confusion" -> 5,
     "q_encoding_stats" -> 13, // ONE blk window (5 lags) + boundary-pair
                               // re-aggregation (block-count-sized) + five
                               // per-column distinct passes (2 exchanges
                               // each, all domain-sized — the per-column
                               // discipline beat the exploded ×5 distinct
                               // 6.5 s to 15.2 s at 100×)
-    "q_zone_map" -> 5, // cells→manifest, skip stats, pruned scan join +
-                       // its layout rollup, stats⋈matched — all but the
-                       // first are block-count-sized
-    "q_graph_jaccard" -> 5, // cold memo build of the shared oriented/adj tables + credit groupBy
+    "q_zone_map" -> 3, // single-pass fold (r14): one cells→manifest block agg
+                       // (match count rides it) + layout rollup + sort —
+                       // all but the first block-count-sized
+    "q_graph_jaccard" -> 6, // cold memo build of the shared oriented/adj tables + credit groupBy
     // round-8 eval/monitoring family: one corpus pass over the shared
     // prototype-distance table each (kappa's marginals ride a single
     // unpivoted aggregate; calibration re-reads the pass once for its
     // observed-range bounds), plus tiny k-row tails
-    "q_kappa" -> 5,
-    "q_silhouette" -> 5,
-    "q_calibration" -> 6,
-    "q_drift_tvd" -> 5,
+    "q_kappa" -> 3,
+    "q_silhouette" -> 3,
+    "q_calibration" -> 5,
+    "q_drift_tvd" -> 7,
     "q_late_data" -> 3,
     "q_ks_test" -> 4,
     "q_ab_test" -> 2,
     "q_stratified_sample" -> 2,
-    "q_countmin" -> 2,
-    "q_stream_drift" -> 6,
+    "q_countmin" -> 3,
+    "q_stream_drift" -> 9,
     "q_stream_hll" -> 1, // 256-register complete-mode agg; post-drain is 257-row arithmetic
     "q_stream_gap_fill" -> 1, // one user-keyed state exchange; post-drain is a sorted read
     "q_embedding_drift" -> 4,
-    "q_robust_anomaly" -> 4,
-    "q_sample_bias" -> 4, // one corpus pass to |langs| cells, then cell-table arithmetic
+    "q_robust_anomaly" -> 5,
+    "q_sample_bias" -> 8, // one corpus pass to |langs| cells, then cell-table arithmetic
     "q_skew_audit" -> 3, // one (column, key) count shuffle — the same exchange any join pays
-    "q_event_gaps" -> 6, // user-keyed lag + minute-block two-phase rank, no global window
+    "q_event_gaps" -> 8, // user-keyed lag + minute-block two-phase rank, no global window
     "q_tpch_q18" -> 1, // HAVING collapses lineitem before any join; dims broadcast
-    "q_tpch_q5" -> 3, // lineitem shuffles once on l_orderkey; all dims broadcast
-    "q_tpch_q10" -> 3, // R-lines ⋈ quarter-orders once; customer/nation attach post-agg
-    "q_mta" -> 5, // user-keyed touch join + pid windows + hourly rollup
-    "q_path_purchase" -> 3, // one user-keyed lag window + path count + top-20
-    "q_benford" -> 3, // map-side digit extract → ≤9 cells + 1-row total
+    "q_tpch_q5" -> 4, // lineitem shuffles once on l_orderkey; all dims broadcast
+    "q_tpch_q10" -> 1, // R-lines ⋈ quarter-orders once; customer/nation attach post-agg
+    "q_mta" -> 6, // user-keyed touch join + pid windows + hourly rollup
+    "q_path_purchase" -> 5, // one user-keyed lag window + path count + top-20
+    "q_benford" -> 4, // map-side digit extract → ≤9 cells + 1-row total
     "q_multimodal_embed" -> 2, // 5-probe broadcast; scoring is map-side
-    "q_concurrency" -> 5, // sessionize exchange + hour-block two-phase prefix
+    "q_concurrency" -> 9, // sessionize exchange + hour-block two-phase prefix
     "q_freshness" -> 5, // corpus → (type, minute) cells; 1-row watermark back
     "q_asof_forward" -> 3, // union-and-carry: one keyed shuffle, reversed order
     "q_ivm_join" -> 6, // four delta-term joins (dim sides broadcast) + rollup
-    "q_stream_percentile" -> 3, // complete-mode cell state + post-drain windows
+    "q_stream_percentile" -> 2, // complete-mode cell state + post-drain windows
     "q_emb_health" -> 2, // map-side fold per row + one label-keyed agg
     "q_tpch_q1" -> 2, // grouped agg over bounded (flag, status) domain + range sort of ≤ 6 groups
     "q_tpch_q6" -> 1, // filtered scan → 1-row aggregate; no join anywhere
@@ -220,28 +226,28 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_tpch_q15" -> 2, // supplier-keyed revenue agg (built once, checkpointed) + argmax probe
     "q_tpch_q17" -> 2, // per-part avg agg + probe; brand-filtered part joins
                        // un-hinted (r9) — AQE broadcasts it while small
-    "q_bootstrap_ci" -> 3, // 66 conditional aggs in one map-side pass; 33-row tails
-    "q_changepoint" -> 3, // corpus → hourly cells; windows over ≤H cells
+    "q_bootstrap_ci" -> 2, // 66 conditional aggs in one map-side pass; 33-row tails
+    "q_changepoint" -> 4, // corpus → hourly cells; windows over ≤H cells
     "q_stream_changepoint" -> 2, // complete-mode cells + post-drain windows
     "q_reconcile" -> 4, // per-order lineitem rollup ⋈ header, 7-row bands
     "q_cohort_ltv" -> 6, // cohort min-month agg + carry-back join + cells
-    "q_split_parity" -> 7, // rides the memoized cluster split + cell TVD
+    "q_split_parity" -> 11, // rides the memoized cluster split + cell TVD
     "q_gap_fill" -> 2, // one user-keyed window, no joins
     "q_mom_growth" -> 2, // corpus → month cells; lag over cells
-    "q_graph_components" -> 12, // min-label supersteps over the memoized
+    "q_graph_components" -> 3, // min-label supersteps over the memoized
                                 // edge table (one join+agg per round,
                                 // rounds = component diameter)
-    "q_keyness" -> 7, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
-    "q_stream_active_users" -> 2, // per-batch dedup+window state exchanges
+    "q_keyness" -> 9, // corpus → (source,word) cells; totals re-agg cells; top-10 heap
+    "q_stream_active_users" -> 1, // per-batch dedup+window state exchanges
     "q_weighted_median" -> 3, // corpus → (flag, qty) cells; windows run over cells
     "q_constraint_check" -> 8, // one 1-row agg per constraint + the FK semi probe
     "q_spend_trend" -> 4, // corpus → segment×month cells; regression folds cells
-    "q_theil_sen" -> 5, // cells agg + months²-bounded pair self-join + rank window
+    "q_theil_sen" -> 9, // cells agg + months²-bounded pair self-join + rank window
     "q_dedup_keep_best" -> 2, // memoized cluster table ⋈ score projection + struct-max
-    "q_mann_kendall" -> 3, // cells agg + bounded pair self-join + per-seg fold
+    "q_mann_kendall" -> 4, // cells agg + bounded pair self-join + per-seg fold
     "q_active_users" -> 7, // (day,user) distinct, ≤7× fanout, re-distinct, DAU join
     "q_auc" -> 3, // corpus → (source,len) cells; rank window over cells
-    "q_assoc_rules" -> 4, // memoized pair supports + item-support distinct pass
+    "q_assoc_rules" -> 6, // memoized pair supports + item-support distinct pass
     "q_salted_agg" -> 5, // (key,salt) partials + per-key merge + pair distinct
     "q_except" -> 2,
     "q_except_all" -> 2,
@@ -249,11 +255,11 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_fingerprint" -> 1,
     "q_format_roundtrip" -> 2,
     "q_full_outer" -> 3,
-    "q_funnel" -> 5,
+    "q_funnel" -> 8,
     "q_fuzzy_join" -> 1,
     "q_gaps_islands" -> 3,
     "q_gopher_quality" -> 3,
-    "q_gini" -> 8, // customer-sized block-prefix rank + 1-row tails; +1
+    "q_gini" -> 18, // customer-sized block-prefix rank + 1-row tails; +1
                    // in r10: SinglePartition for the 1-row spend-extent
                    // aggregate behind the adaptive blocking
     "q_grep" -> 1,
@@ -280,7 +286,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_leakage_split" -> 3,
     "q_lateral_topk" -> 2,
     "q_map_functions" -> 3,
-    "q_minhash_error" -> 10, // +1 round 8, inherits q_dedup_minhash's change
+    "q_minhash_error" -> 16, // +1 round 8, inherits q_dedup_minhash's change
     "q_mixture_sample" -> 2,
     "q_moving_agg" -> 2,
     "q_mr_cogroup" -> 3,
@@ -293,14 +299,14 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_multimodal_frames" -> 1,
     "q_multimodal_meta" -> 1,
     "q_multimodal_transform" -> 1,
-    "q_next_token" -> 4,
+    "q_next_token" -> 5,
     "q_ngram_diversity" -> 3,
     "q_novelty" -> 4,
-    "q_oov_filter" -> 3,
+    "q_oov_filter" -> 4,
     "q_outer_join" -> 2,
-    "q_pack_sequences" -> 6, // +1 in r10: SinglePartition for the 1-row
+    "q_pack_sequences" -> 7, // +1 in r10: SinglePartition for the 1-row
                              // adaptive-block corpus-extent aggregate
-    "q_pagerank" -> 6,
+    "q_pagerank" -> 7,
     "q_partition_diag" -> 3,
     "q_partitioned_scan" -> 2,
     "q_percentiles" -> 2,
@@ -317,22 +323,22 @@ class PlanGuardSpec extends AnyFunSuite {
 
     "q_quality_score" -> 1,
     "q_langid_eval" -> 3,
-    "q_lsh_pr_sweep" -> 12,
+    "q_lsh_pr_sweep" -> 24,
     "q_quality_sweep" -> 3,
     "q_rank_fusion" -> 0,
-    "q_source_similarity" -> 3,
+    "q_source_similarity" -> 6,
     "q_range_frame_time" -> 2,
     "q_range_join" -> 2,
     "q_recursive_cte" -> 1,
     "q_redact" -> 1,
-    "q_repetition_filter" -> 2,
+    "q_repetition_filter" -> 3,
     "q_retention" -> 6,
-    "q_rfm" -> 11, // one unpivoted 3-dim rank pipeline + segment census
+    "q_rfm" -> 15, // one unpivoted 3-dim rank pipeline + segment census
                    // (customer-sized); +1 in r10: the 3-row per-dim
                    // extent aggregate behind the adaptive blocking
     "q_rollup" -> 2,
     "q_scd2" -> 2,
-    "q_seasonality" -> 3, // corpus→24·k cells, then cell-table re-aggs only
+    "q_seasonality" -> 4, // corpus→24·k cells, then cell-table re-aggs only
     "q_schema_evolution" -> 2,
     "q_semdedup" -> 3,
     "q_semdedup_sweep" -> 5,
@@ -372,7 +378,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_window_wm" -> 1,
     "q_string_functions" -> 1,
     "q_substring_dedup" -> 5,
-    "q_temperature_mix" -> 3,
+    "q_temperature_mix" -> 4,
     "q_text_roundtrip" -> 1,
     "q_text_stats" -> 1,
     "q_tfidf" -> 6,
@@ -383,7 +389,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_topk_orders" -> 0,
     "q_tpch_q3" -> 1,
     "q_transition_matrix" -> 4,
-    "q_triangle_count" -> 6, // +1 round 8: oriented list now a shared memoized checkpoint (cold build counted once)
+    "q_triangle_count" -> 7, // +1 round 8: oriented list now a shared memoized checkpoint (cold build counted once)
     "q_try_functions" -> 1,
     "q_tumbling_window" -> 2,
     "q_unicode_wordcount" -> 2,
@@ -391,7 +397,7 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_unpivot" -> 1,
     "q_upsert" -> 1,
     "q_variant_extract" -> 1,
-    "q_vocab_prune" -> 5,
+    "q_vocab_prune" -> 8,
     "q_window_navigation" -> 2,
     "q_window_rank" -> 2,
     "q_window_suite" -> 2,
@@ -402,18 +408,29 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_zorder" -> 0)
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-    test(s"$name: shuffle-exchange budget holds in the final adaptive plan") {
+    test(s"$name: shuffle-exchange budget holds in the static plan") {
       val budget = shuffleBudget.getOrElse(name,
         fail(s"$name has no recorded shuffle budget — run " +
           "`runMain graft.tools.ExchangeCensus` and add its row here"))
       val df = SparkEntry.queries(name)(spark, sf)
-      df.collect() // drive AQE to the final plan
+      // STATIC census, taken BEFORE execution (round 14, VERDICT #1):
+      // the final adaptive plan's exchange count is a function of
+      // runtime statistics — AQE stage-reuse timing, coalesce-to-one-
+      // partition exchange elision, join-strategy re-plans — and was
+      // measured floating 4↔6 for the SAME query on the SAME data
+      // purely with host load (tools/FlakeProbe; it broke two full
+      // batteries across r12/r13). The initial physical plan is what
+      // the CODE shape determines: deterministic under load, and AQE
+      // may only remove work from it at runtime, so pinning the static
+      // shape still catches every regression this guard exists for.
       val (shuffles, _) =
         graft.tools.ExchangeCensus.exchangeCounts(df.queryExecution.executedPlan)
       assert(shuffles <= budget,
-        s"$name shuffles $shuffles > recorded budget $budget — a new " +
-          "exchange appeared; if intentional, re-run ExchangeCensus and " +
-          "update the budget with a note on why the extra shuffle scales")
+        s"$name static shuffles $shuffles > recorded budget $budget — a " +
+          "new exchange appeared; if intentional, re-run ExchangeCensus " +
+          "and update the budget with a note on why the extra shuffle " +
+          "scales")
+      df.collect() // execute: auditHints reads the final adaptive plan
       // broadcast-hint audit on the SAME execution (a separate test would
       // re-run every streaming drain just to read a plan). For q_stream_*
       // this sees only the post-drain batch plan — hints inside the

@@ -447,6 +447,42 @@ class RelationalSpec extends AnyFunSuite {
     assert(enc("l_returnflag") === "dict" && enc("l_linestatus") === "dict")
   }
 
+  test("encoding_stats is exact on sparse key spaces (runs across empty blocks)") {
+    // ADVICE r14: the old stitch paired blk with blk+1, double-counting a
+    // run that crossed an EMPTY 512-key orderkey range relative to the
+    // oracle's single global order. Build a corpus with (a) a run
+    // crossing an empty block inside one superblock (keys 100 → 1500:
+    // block 0 → block 2, block 1 empty) and (b) a run crossing an empty
+    // SUPERBLOCK (keys 1500 → 9_000_000: superblock 0 → 4, 1–3 empty) so
+    // both stitch levels are exercised.
+    import spark.implicits._
+    val rows = Seq(
+      // (orderkey, linenumber, partkey, quantity, flag, status)
+      (100L, 1, 7L, 5.0, "A", "F"),
+      (100L, 2, 7L, 5.0, "A", "F"),
+      (1500L, 1, 7L, 5.0, "A", "F"),   // same values: one run across empty blk 1
+      (1500L, 2, 8L, 6.0, "N", "O"),   // value change inside block 2
+      (9000000L, 1, 8L, 6.0, "N", "O") // run across empty superblocks 1-3
+    )
+    val root = java.nio.file.Files.createTempDirectory("graft-sparse-enc").toString
+    try {
+      rows.toDF("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+          "l_returnflag", "l_linestatus")
+        .write.mode("overwrite").parquet(s"$root/lineitem.parquet")
+      val got = Relational.encodingStats(spark, root)
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      // global-order truth: partkey runs 7,7,7,8,8 → 2; orderkey runs
+      // 100,100,1500,1500,9000000 → 3; quantity/flag/status mirror partkey
+      assert(got("l_partkey") === 2L, s"partkey runs: $got")
+      assert(got("l_quantity") === 2L)
+      assert(got("l_returnflag") === 2L)
+      assert(got("l_linestatus") === 2L)
+      assert(got("l_orderkey") === 3L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("zone_map pruning is sound and the z-order layout skips blocks") {
     val rows = Relational.zoneMap(spark, sf).collect()
     assert(rows.map(_.getString(0)).toSeq === Seq("natural", "zorder"))

@@ -395,6 +395,26 @@ class StreamsSpec extends AnyFunSuite {
         LshStreams.enforceCheckpointContract(spark, ckpt, lanes = 4, ttlMs = None)
       }
       assert(e2.getMessage.contains("lanes=8") && e2.getMessage.contains("lanes=4"))
+      // lane-count KNOB (round 14, VERDICT #7): the deployment-sizing
+      // knob participates in the same contract — changing it against an
+      // existing checkpoint fails loudly…
+      val lanesKey = "spark.graft.stream.lanes"
+      spark.conf.set(lanesKey, "4")
+      try {
+        val e3 = intercept[IllegalStateException] {
+          LshStreams.streamLshAdmitAt(spark, tmp.toString, sink, ckpt)
+        }
+        assert(e3.getMessage.contains("lanes=8") && e3.getMessage.contains("lanes=4"),
+          s"knob mismatch must name both lane counts: ${e3.getMessage}")
+        // …and a FRESH checkpoint registers the knob's value
+        val sink2 = new java.io.File(tmp.toFile, "sink2").getAbsolutePath
+        val ckpt2 = new java.io.File(tmp.toFile, "ckpt2").getAbsolutePath
+        assert(LshStreams.streamLshAdmitAt(spark, tmp.toString, sink2, ckpt2)
+          .collect().nonEmpty)
+        val reg2 = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(ckpt2, "_graft_contract").toPath), "UTF-8").trim
+        assert(reg2 === "lanes=4;admitTtlMs=0")
+      } finally spark.conf.unset(lanesKey)
     } finally {
       spark.conf.unset(ttlKey)
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)

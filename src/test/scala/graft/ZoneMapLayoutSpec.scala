@@ -75,9 +75,15 @@ class ZoneMapLayoutSpec extends AnyFunSuite {
       assert(zRows < (total * 4) / 10,
         s"z-order should prune most row groups: $zRows of $total")
       assert(zRows < natRows)
-      // and the scan really pushed the box predicate down
+      // and the scan really pushed the box predicate down. Matched
+      // loosely (case-insensitive filter name + column + bound, any
+      // separators) so a Spark upgrade or a V1→V2 reader switch that
+      // re-renders the scan node's pushed-filter list doesn't fail the
+      // spec while behavior is unchanged (ADVICE r14); the behavioral
+      // proof is the scanOutputRows row-group skipping assertions above.
       val plan = boxScan(s"$root/z").queryExecution.executedPlan.toString
-      assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(cx,100)"),
+      val pushed = "(?is)pushedfilters.{0,400}?greaterthanorequal\\W{0,3}cx\\W{0,3}100".r
+      assert(pushed.findFirstIn(plan).isDefined,
         s"box filter not pushed:\n$plan")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))

@@ -179,6 +179,15 @@ def main(old_path, new_path):
           f"(old-only {len(set(oq)-set(nq))}, new-only {len(set(nq)-set(oq))})")
     print(f"old sum (common): {sum(oq[k] for k in common):8.1f}s   "
           f"new sum (common): {sum(nq[k] for k in common):8.1f}s")
+    # round 14: artifacts self-report their anchor-corrected headline
+    # (raw `value` re-expressed in THEIR OWN reference artifact's host
+    # timescale) — print both so a turbulent epoch is readable at a
+    # glance without this tool recomputing it
+    for label, art in (("old", old), ("new", new)):
+        norm = art.get("normalized_total")
+        if norm is not None and norm > 0:
+            print(f"{label} headline: raw {art['value']:.1f}s, "
+                  f"self-normalized {norm:.1f}s (vs its own reference)")
     if len(ratios) >= 2:
         qs = statistics.quantiles(list(ratios.values()), n=4)
         print(f"per-query ratio median: {med:.3f}  "
