@@ -72,6 +72,21 @@ object Tables {
   *    merged per admit drain; survives checkpoint wipes; compact with
   *    [[graft.streaming.AdmitIndex.compactAdmitIndex]] (optionally age-
   *    pruned — the TTL's complement).
+  *  - `spark.graft.stream.lanes` — state-lane count for the banded
+  *    streaming LSH flavors (default 8); enforced against the
+  *    checkpoint contract ([[graft.streaming.LshStreams]]).
+  *  - `spark.graft.ngram.dfCap` — stop-shingle document-frequency cap
+  *    for the near-dup pair table; grow with corpus-wide duplication
+  *    ([[graft.operators.Pipeline.maxShingleDf]]).
+  *  - `spark.graft.zonemap.box` — the zone-map probe predicate;
+  *    `spark.graft.zonemap.manifestPath` — persist the block manifest +
+  *    laid-out table per corpus fingerprint (footer-stats-derived,
+  *    generational); `spark.graft.zonemap.blockRows` — natural-layout
+  *    block width, part of the manifest fingerprint
+  *    ([[graft.operators.ZoneMaps]]).
+  *  - `spark.graft.media.decodeFraction` / `spark.graft.media.frameStride`
+  *    — multimodal decode budget: deterministic hash-sampled audit pass
+  *    and video frame stride ([[graft.multimodal.Media]]).
   *  - `spark.sql.autoBroadcastJoinThreshold` — set here to 64 MB, the
   *    single un-hinted broadcast policy; match to executor memory on a
   *    real cluster. */

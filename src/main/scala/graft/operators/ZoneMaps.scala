@@ -56,15 +56,31 @@ object ZoneMaps {
       .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(4).map("%02x".format(_)).mkString
 
-  /** Corpus identity: dir + row count + max orderkey — one cheap
-    * column-stats aggregate per resolve (the sigsPath fingerprint
-    * discipline; byte-identical regenerated corpora are
-    * indistinguishable, which is exactly the don't-rebuild case). */
+  /** Natural-layout block width in rows-of-orderkey-space. The 4096
+    * default is the fixture-scale demo value the oracle pins; at real
+    * scale a deployment sizes blocks to its file/row-group granularity
+    * (15 B orders at 4096 would mean millions of manifest partitions —
+    * `spark.graft.zonemap.blockRows` is the knob; it participates in
+    * the manifest FINGERPRINT, so a changed width can never serve a
+    * stale persisted layout). The z-order cell width needs no knob: the
+    * Morton-prefix div 2²⁰ bounds cells at 4096 for any corpus size. */
+  private[graft] def blockRows(s: SparkSession): Long = {
+    val v = s.conf.getOption("spark.graft.zonemap.blockRows")
+      .map(_.toLong).getOrElse(4096L)
+    require(v >= 1, s"spark.graft.zonemap.blockRows must be >= 1: $v")
+    v
+  }
+
+  /** Corpus identity: dir + row count + max orderkey + the block width
+    * the manifest was cut at — one cheap column-stats aggregate per
+    * resolve (the sigsPath fingerprint discipline; byte-identical
+    * regenerated corpora are indistinguishable, which is exactly the
+    * don't-rebuild case). */
   private[graft] def fingerprint(s: SparkSession, dir: String): String = {
     val r = Tables.orders(s, dir)
       .agg(count(lit(1)).as("n"), max(col("o_orderkey")).as("m")).head()
     val mx = if (r.isNullAt(1)) -1L else r.getLong(1)
-    s"graft-zonemap-v1|$dir|n=${r.getLong(0)}|max=$mx"
+    s"graft-zonemap-v1|$dir|n=${r.getLong(0)}|max=$mx|blk=${blockRows(s)}"
   }
 
   /** The zone columns + block ids of both layouts — the SINGLE
@@ -74,6 +90,7 @@ object ZoneMaps {
     def spread(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (0 until 16).map(i => shiftleft(shiftright(c, i).bitwiseAND(1), 2 * i))
         .reduce(_ + _)
+    val bw = blockRows(s)
     Tables.orders(s, dir)
       .select(col("o_orderkey"),
         pmod(col("o_custkey"), lit(65536L)).as("cx"),
@@ -82,7 +99,7 @@ object ZoneMaps {
       .withColumn("zkey", spread(col("cx")) + spread(col("dy")) * 2)
       .select(col("cx"), col("dy"), explode(array(
         struct(lit("natural").as("layout"),
-          expr("o_orderkey div 4096").as("blk")),
+          expr(s"o_orderkey div $bw").as("blk")),
         struct(lit("zorder").as("layout"),
           expr("zkey div 1048576").as("blk")))).as("e"))
       .select(col("e.layout").as("layout"), col("e.blk").as("blk"),

@@ -24,6 +24,15 @@ object BenchOne {
     // manifest (spark.graft.zonemap.manifestPath) for the r14 100x probe
     sys.env.get("GRAFT_ZONEMAP_PATH").foreach(p =>
       spark.conf.set("spark.graft.zonemap.manifestPath", p))
+    // probe hook: GRAFT_CHECKPOINT_DIR switches the per-corpus memos to
+    // reliable disk checkpoints (spark.graft.checkpoint.*) — the cluster
+    // deployment mode, and the memory-model knob for the 100x graph
+    // probes: localCheckpoint pins corpus-scale frames in block-manager
+    // storage, which starves execution in a bounded heap
+    sys.env.get("GRAFT_CHECKPOINT_DIR").foreach { p =>
+      spark.conf.set("spark.graft.checkpoint.reliable", "true")
+      spark.conf.set("spark.graft.checkpoint.dir", p)
+    }
     // Force with the noop sink, matching graft.Bench (count() lets
     // Catalyst prune measure columns — timings then under-measure).
     // GRAFT_FORCE=count switches back, ONLY for quantifying exactly that

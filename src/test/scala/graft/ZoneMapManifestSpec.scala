@@ -47,6 +47,43 @@ class ZoneMapManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("blockRows knob retunes the natural block width; soundness holds and the fingerprint tracks it") {
+    val key = "spark.graft.zonemap.blockRows"
+    val default = Relational.zoneMap(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft-zm-bw").toString
+    try {
+      spark.conf.set(key, "512")
+      val narrow = Relational.zoneMap(spark, sf).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+      // narrower blocks: MORE natural blocks, IDENTICAL matches (the
+      // soundness invariant at any width); zorder cells are width-free
+      assert(narrow("natural")._1 > default("natural")._1)
+      assert(narrow("natural")._2 === default("natural")._2)
+      assert(narrow("zorder") === default("zorder"))
+      // persisted path at the non-default width agrees with in-memory,
+      // and the width is part of the fingerprint: flipping it back
+      // triggers a rebuild rather than serving the 512-wide manifest
+      val p1 = withManifestPath(root) {
+        Relational.zoneMap(spark, sf).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+      }
+      assert(p1 === narrow)
+      val gens512 = genDirs(root)
+      spark.conf.unset(key)
+      val p2 = withManifestPath(root) {
+        Relational.zoneMap(spark, sf).collect()
+          .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4)))).toMap
+      }
+      assert(p2 === default)
+      assert(genDirs(root) !== gens512,
+        "a changed block width must publish a new generation")
+    } finally {
+      spark.conf.unset(key)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("corpus fingerprint mismatch triggers a rebuild that serves the new corpus") {
     val root = java.nio.file.Files.createTempDirectory("graft-zm-fp").toString
     val corpus2 = java.nio.file.Files.createTempDirectory("graft-zm-corpus").toString
