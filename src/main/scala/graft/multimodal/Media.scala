@@ -69,10 +69,16 @@ object Media {
     * audio, multi-frame animated GIF for video (all synthesized from
     * doc_id — [[Codecs]]). Built row-wise map-side; payloads never
     * shuffle. */
-  private def containerBlobs(s: SparkSession, dir: String) = {
+  private def containerBlobs(s: SparkSession, dir: String,
+                             keep: Long => Boolean = _ => true) = {
     import s.implicits._
+    // `keep` (the decodeFraction hash sample) filters on doc_id BEFORE
+    // the synthesis map — a 1% audit pass must skip 99% of the blob
+    // BUILD too, exactly as a storage-backed scan would push the
+    // sample predicate below the payload read
     Tables.documents(s, dir)
       .select(col("doc_id")).as[Long]
+      .filter(id => keep(id))
       .map { id =>
         (id % 3) match {
           case 0 => MediaBlob(id, Codecs.pngRgb(imgW(id), imgH(id), imgPixel(id)), "img")
@@ -122,8 +128,8 @@ object Media {
   def mediaFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (keep, stride) = decodeBudget(s)
-    val frames = containerBlobs(s, dir).filter(_.kind == "video")
-      .filter(b => keep(b.doc_id)).mapPartitions { it =>
+    val frames = containerBlobs(s, dir, keep).filter(_.kind == "video")
+      .mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.flatMap { b =>
           val (_, _, _, sums) = Codecs.gifFrameSums(b.media, _ % stride == 0)
@@ -182,8 +188,7 @@ object Media {
   def mediaTransform(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val (keep, stride) = decodeBudget(s)
-    val out = containerBlobs(s, dir).filter(b => keep(b.doc_id))
-      .mapPartitions { it =>
+    val out = containerBlobs(s, dir, keep).mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
         batch.iterator.map { b =>
           b.kind match {

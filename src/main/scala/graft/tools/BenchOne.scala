@@ -33,6 +33,12 @@ object BenchOne {
       spark.conf.set("spark.graft.checkpoint.reliable", "true")
       spark.conf.set("spark.graft.checkpoint.dir", p)
     }
+    // probe hooks: decode-budget knobs for the r14 multimodal audit-pass
+    // probe (spark.graft.media.*)
+    sys.env.get("GRAFT_MEDIA_FRACTION").foreach(v =>
+      spark.conf.set("spark.graft.media.decodeFraction", v))
+    sys.env.get("GRAFT_MEDIA_STRIDE").foreach(v =>
+      spark.conf.set("spark.graft.media.frameStride", v))
     // Force with the noop sink, matching graft.Bench (count() lets
     // Catalyst prune measure columns — timings then under-measure).
     // GRAFT_FORCE=count switches back, ONLY for quantifying exactly that
