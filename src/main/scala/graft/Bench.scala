@@ -2,19 +2,57 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
+  /** True median: even-sized inputs average the two middle elements
+    * (ADVICE r14 — `rs(rs.size / 2)` alone takes the UPPER middle,
+    * biasing the normalization ratio high whenever exactly two batch
+    * anchors survive). None on empty. */
+  private[graft] def medianOf(rs: Seq[Double]): Option[Double] = {
+    val s = rs.sorted
+    if (s.isEmpty) None
+    else if (s.size % 2 == 1) Some(s(s.size / 2))
+    else Some((s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+  }
+
   /** Median of per-anchor ratios cur/ref over `names` (anchors missing
     * or unmeasured on either side are skipped); None when no anchor
     * measured on both sides. Pure — spec'd by BenchNormalizeSpec. */
   def medianRatio(cur: Map[String, Double], ref: Map[String, Double],
-                  names: Seq[String]): Option[Double] = {
-    val rs = names.flatMap { n =>
+                  names: Seq[String]): Option[Double] =
+    medianOf(names.flatMap { n =>
       (cur.get(n), ref.get(n)) match {
         case (Some(c), Some(r)) if c > 0 && r > 0 => Some(c / r)
         case _ => None
       }
-    }.sorted
-    if (rs.isEmpty) None else Some(rs(rs.size / 2))
-  }
+    })
+
+  /** POPULATION estimator of the epoch's host-speed ratio (round 15,
+    * VERDICT r14 #1): the median per-query ratio cur/ref over one side
+    * of the measured population itself (`streamSide` selects the
+    * q_stream_* lane, whose engine-init floor drifts independently of
+    * batch — the r12 lesson), excluding `exclude` (this epoch's
+    * self-flagged unstable rows) and sub-noise-floor timings on either
+    * side. The anchor estimator bridges through four 0.15–0.7 s
+    * micro-probes whose min-of-3 amplifies transient contention that
+    * the 266-query population averages out — the r14 driver epoch's
+    * anchors read 1.36× while the population median moved 1.03×,
+    * mis-normalizing the headline ~20 % in the flattering direction.
+    * The median over the population is robust to that: a handful of
+    * genuinely changed queries (a round's real work) can't move it,
+    * while a host-wide slowdown moves every ratio identically.
+    * Trade-off, stated plainly: an optimization touching MORE THAN HALF
+    * of all queries would be partially normalized away here — the
+    * per-query `deviant` section still names each mover, and the
+    * anchor estimator (emitted alongside) is immune to that case;
+    * the `norm_disagreement` flag marks epochs where the two
+    * estimators diverge >10 % so no single number is over-trusted. */
+  def populationRatio(cur: Map[String, Double], ref: Map[String, Double],
+                      exclude: Set[String],
+                      streamSide: Boolean): Option[Double] =
+    medianRatio(cur, ref,
+      cur.keys.toSeq.filter { k =>
+        k.startsWith("q_stream") == streamSide && !exclude(k) &&
+          cur(k) > 0.2 && ref.get(k).exists(_ > 0.2)
+      })
 
   /** Anchor-ratio-corrected headline (VERDICT r13 #3): the sum of this
     * epoch's per-query minima each divided by its anchor class's
@@ -241,14 +279,17 @@ object Bench {
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
     calPass(record = false) // untimed warmup (JIT + page cache for the scan)
-    def pass(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { force(fn(spark, sfDir)); true } catch {
-        case e: Throwable =>
-          errors(name) = e.toString.linesIterator.next().take(200); false
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    def passOver(names: Iterable[String]): Map[String, Double] =
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        val ok = try { force(fn(spark, sfDir)); true } catch {
+          case e: Throwable =>
+            errors(name) = e.toString.linesIterator.next().take(200); false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    def pass(): Map[String, Double] = passOver(SparkEntry.queries.keys)
     // PER-PASS anchors (round 9 had before/after only): cal_* runs
     // before pass 1, BETWEEN the passes, and after pass 2, and the
     // artifact carries both passes' per-query timings — so a single-query
@@ -260,9 +301,6 @@ object Bench {
     val calMid = calPass()
     val second = pass()
     val calAfter = calPass()
-    val results = first.map { case (k, v) =>
-      k -> (if (v < 0 || second(k) < 0) -1.0 else math.min(v, second(k)))
-    }
     // SELF-FLAGGING PASS AGREEMENT (round 12, VERDICT): min-of-two-passes
     // cannot bound correlated within-run turbulence — r11's driver epoch
     // mis-stated four untouched queries 2.4-4.7x in BOTH passes. Queries
@@ -270,10 +308,26 @@ object Bench {
     // timings don't flag) are named IN the artifact, so any consumer
     // knows which numbers this run could not measure reliably, without
     // needing a second artifact to diff against.
-    val unstable = first.keys.toSeq.sorted.filter { k =>
-      val (a, b) = (first(k), second(k))
+    def disagree(a: Double, b: Double): Boolean =
       a > 0 && b > 0 && math.min(a, b) > 0.2 &&
         math.max(a, b) / math.min(a, b) > 2.0
+    // TARGETED THIRD PASS (round 15, VERDICT r14 #4): only the flagged
+    // rows re-run — a one-off interruption in either pass then stops
+    // contaminating the min estimator the deviant detection keys off,
+    // at ~the cost of the flagged queries alone instead of a whole
+    // third pass. A query stays flagged only if even its two CLOSEST
+    // samples of the three still disagree >2x — i.e. the turbulence is
+    // persistent, not a single outlier pass.
+    val flagged = first.keys.toSeq.sorted
+      .filter(k => disagree(first(k), second(k)))
+    val third = passOver(flagged)
+    val results = first.map { case (k, v) =>
+      val ps = Seq(Some(v), Some(second(k)), third.get(k)).flatten
+      k -> (if (ps.exists(_ < 0)) -1.0 else ps.min)
+    }
+    val unstable = flagged.filter { k =>
+      val ts = Seq(first(k), second(k), third(k)).filter(_ > 0).sorted
+      ts.size < 2 || ts(1) / ts(0) > 2.0
     }
     // ANCHOR-RELATIVE DEVIATION (round 13, VERDICT #2 — the other half
     // of self-flagging): each query's min vs the reference artifact's
@@ -290,16 +344,36 @@ object Bench {
       val vs = Seq(calBefore(name), calMid(name), calAfter(name)).filter(_ > 0)
       name -> (if (vs.nonEmpty) vs.min else -1.0)
     }.toMap
-    val (deviant: Map[String, Double], normTotal: Option[Double]) =
+    // TWO host-ratio estimators per lane (round 15, VERDICT r14 #1):
+    // the fixed-anchor bridge (four micro-probes, immune to code
+    // changes but noise-amplifying — it mis-normalized the r14 driver
+    // epoch ~20 % when the anchors read 1.36x under contention while
+    // the population moved 1.03x) and the population median (robust to
+    // anchor-only turbulence, but normalizes away an optimization that
+    // touches >half the queries — see populationRatio's scaladoc). The
+    // artifact carries BOTH normalized totals plus a disagreement flag
+    // at >10 % divergence; `normalized_total` is the population one
+    // (the estimator that was right the one time they disagreed), with
+    // the anchor bridge as fallback when the population overlap is
+    // empty. Deviant detection predicts each query from the population
+    // ratio for the same robustness reason — a query is "deviant" when
+    // it moved against the epoch's typical query, not against four
+    // micro-probes.
+    val (deviant: Map[String, Double], normAnchor: Option[Double],
+         normPop: Option[Double]) =
       reference match {
-        case None => (Map.empty[String, Double], None)
+        case None => (Map.empty[String, Double], None, None)
         case Some((refQ, refCal)) =>
-          val batchR = medianRatio(curCal, refCal,
+          val batchA = medianRatio(curCal, refCal,
             Seq("cal_cpu", "cal_shuffle", "cal_scan"))
-          val streamR = medianRatio(curCal, refCal, Seq("cal_stream"))
-            .orElse(batchR)
+          val streamA = medianRatio(curCal, refCal, Seq("cal_stream"))
+            .orElse(batchA)
+          val batchP = populationRatio(results, refQ, unstable.toSet,
+            streamSide = false).orElse(batchA)
+          val streamP = populationRatio(results, refQ, unstable.toSet,
+            streamSide = true).orElse(streamA)
           val dev = results.toSeq.sorted.flatMap { case (k, v) =>
-            val r = if (k.startsWith("q_stream")) streamR else batchR
+            val r = if (k.startsWith("q_stream")) streamP else batchP
             (r, refQ.get(k)) match {
               case (Some(cr), Some(ref)) if v > 0.2 && ref > 0 =>
                 val d = v / (ref * cr)
@@ -309,8 +383,15 @@ object Bench {
               case _ => None
             }
           }.toMap
-          (dev, Some(normalizedTotal(results, batchR, streamR)))
+          (dev, Some(normalizedTotal(results, batchA, streamA)),
+            Some(normalizedTotal(results, batchP, streamP)))
       }
+    val normTotal = normPop.orElse(normAnchor)
+    val normDisagree = (normAnchor, normPop) match {
+      case (Some(a), Some(p)) if a > 0 && p > 0 =>
+        Some(math.max(a, p) / math.min(a, p) > 1.10)
+      case _ => None
+    }
     def qJson(m: Map[String, Double]): String =
       m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = qJson(results)
@@ -332,8 +413,29 @@ object Bench {
     val fixtureJson = fixture.toSeq.sorted
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val fixtureChangedJson = fixtureChanged.map(_.toString).getOrElse("null")
-    val normJson = normTotal.map(_.toString).getOrElse("null")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":$normJson,"deviant":$deviantJson,"has_reference":${reference.isDefined},"fixture_changed":$fixtureChangedJson,"fixture":$fixtureJson,"queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
+    def optJson(v: Option[Any]): String = v.map(_.toString).getOrElse("null")
+    // STREAMING FLOOR ATTRIBUTION (round 15, VERDICT r14 #6): every
+    // q_stream_* row pays a per-query init floor (query start +
+    // checkpoint setup on a fresh location) that is MEASUREMENT
+    // overhead of running each flavor cold, not plan cost. cal_stream
+    // times the trivial form of that floor — a zero-batch AvailableNow
+    // drain on a fresh checkpoint in the already-warm session — which
+    // makes it a LOWER BOUND per query: stateful flavors additionally
+    // pay RocksDB state-store init and bigger plans (the committed-
+    // artifact spread runs 0.1–4 s/query against a ~0.08 s trivial
+    // drain on a quiet host). The artifact states the attribution
+    // explicitly: stream_floor (this epoch's cleanest trivial-drain
+    // measurement), stream_query_count, and their product
+    // stream_floor_total — the part of the raw streaming subtotal a
+    // consumer can attribute to init rather than query work with NO
+    // risk of over-subtraction; per-query init beyond the bound stays
+    // visible in the per-query timings, which is where cal_stream's
+    // RATIO (not level) already normalizes drift across epochs.
+    val streamFloor = curCal.getOrElse("cal_stream", -1.0)
+    val streamQueryCount = results.keys.count(_.startsWith("q_stream"))
+    val streamFloorTotal =
+      if (streamFloor > 0) streamFloor * streamQueryCount else -1.0
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":${optJson(normTotal)},"normalized_total_anchor":${optJson(normAnchor)},"normalized_total_population":${optJson(normPop)},"norm_disagreement":${optJson(normDisagree)},"stream_floor":$streamFloor,"stream_query_count":$streamQueryCount,"stream_floor_total":$streamFloorTotal,"deviant":$deviantJson,"has_reference":${reference.isDefined},"fixture_changed":$fixtureChangedJson,"fixture":$fixtureJson,"queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"pass3":${qJson(third)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""
     // print first AND persist: the driver's log capture truncates long sbt
     // tails, so the artifact self-contains the totals either way
     println(json)

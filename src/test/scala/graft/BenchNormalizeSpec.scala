@@ -51,6 +51,60 @@ class BenchNormalizeSpec extends AnyFunSuite {
     assert(Bench.medianRatio(Map.empty, refCal, Seq("cal_cpu")).isEmpty)
   }
 
+  test("anchors-only turbulence: population estimator recovers the total the anchor bridge provably cannot") {
+    // The r14 driver epoch, synthesized (VERDICT r14 #1): transient
+    // contention hits the 0.15-0.7s micro-anchors 1.4x while the query
+    // population moves only 1.03x — the anchor bridge then over-corrects
+    // the headline ~26% in the flattering direction; the population
+    // median measures the queries themselves and recovers the truth.
+    val anchorSlow = 1.4
+    val popSlow = 1.03
+    val refQ = (1 to 20).map(i => s"q_$i" -> (0.5 + i * 0.3)).toMap ++
+      (1 to 4).map(i => s"q_stream_$i" -> (1.0 + i * 0.2)).toMap
+    val curCal = refCal.map { case (k, v) => k -> v * anchorSlow }
+    val curQ = refQ.map { case (k, v) => k -> v * popSlow }
+    val batchA = Bench.medianRatio(curCal, refCal,
+      Seq("cal_cpu", "cal_shuffle", "cal_scan"))
+    val streamA = Bench.medianRatio(curCal, refCal, Seq("cal_stream"))
+    val batchP = Bench.populationRatio(curQ, refQ, Set.empty, streamSide = false)
+    val streamP = Bench.populationRatio(curQ, refQ, Set.empty, streamSide = true)
+    assert(batchP.exists(r => math.abs(r - popSlow) < 1e-9))
+    assert(streamP.exists(r => math.abs(r - popSlow) < 1e-9))
+    val refTotal = refQ.values.sum
+    val viaAnchor = Bench.normalizedTotal(curQ, batchA, streamA)
+    val viaPop = Bench.normalizedTotal(curQ, batchP, streamP)
+    // the anchor bridge divides a 1.03x epoch by 1.4 — off by >20%
+    assert(viaAnchor < refTotal * 0.80,
+      s"anchor estimator should provably over-correct here: $viaAnchor vs $refTotal")
+    assert(math.abs(viaPop - refTotal) < 1e-6,
+      s"population estimator should recover $refTotal, got $viaPop")
+  }
+
+  test("population estimator excludes unstable rows and sub-floor timings") {
+    val refQ = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 3.0,
+      "q_tiny" -> 0.05, "q_flagged" -> 4.0)
+    // q_flagged read 10x (the kind of row unstable names); q_tiny is
+    // sub-noise-floor on both sides; neither may drag the median
+    val curQ = Map("q_a" -> 1.1, "q_b" -> 2.2, "q_c" -> 3.3,
+      "q_tiny" -> 0.5, "q_flagged" -> 40.0)
+    val r = Bench.populationRatio(curQ, refQ, Set("q_flagged"),
+      streamSide = false)
+    assert(r.exists(v => math.abs(v - 1.1) < 1e-9), s"got $r")
+    // empty overlap -> None (caller falls back to the anchor bridge)
+    assert(Bench.populationRatio(curQ, Map.empty, Set.empty,
+      streamSide = false).isEmpty)
+  }
+
+  test("median averages the two middle elements on even-sized input") {
+    // ADVICE r14: two surviving anchors at ratios 1.0 and 1.2 must give
+    // 1.1, not the upper element 1.2
+    val cur = Map("cal_cpu" -> 2.0, "cal_shuffle" -> 3.6)
+    assert(Bench.medianRatio(cur, refCal,
+      Seq("cal_cpu", "cal_shuffle", "cal_scan")).contains(1.1))
+    assert(Bench.medianOf(Seq(1.0, 2.0, 3.0, 4.0)).contains(2.5))
+    assert(Bench.medianOf(Seq(3.0, 1.0, 2.0)).contains(2.0))
+  }
+
   test("failed queries are skipped; missing ratios fall back to raw") {
     val q = Map("q_a" -> 2.0, "q_b" -> -1.0, "q_stream_x" -> 3.0)
     // no anchors at all: raw sum of the positive timings

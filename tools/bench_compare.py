@@ -179,15 +179,44 @@ def main(old_path, new_path):
           f"(old-only {len(set(oq)-set(nq))}, new-only {len(set(nq)-set(oq))})")
     print(f"old sum (common): {sum(oq[k] for k in common):8.1f}s   "
           f"new sum (common): {sum(nq[k] for k in common):8.1f}s")
-    # round 14: artifacts self-report their anchor-corrected headline
-    # (raw `value` re-expressed in THEIR OWN reference artifact's host
-    # timescale) — print both so a turbulent epoch is readable at a
-    # glance without this tool recomputing it
+    # round 14: artifacts self-report a normalized headline (raw `value`
+    # re-expressed in THEIR OWN reference artifact's host timescale) —
+    # print both so a turbulent epoch is readable at a glance without
+    # this tool recomputing it. Round 15 (VERDICT r14 #1): the headline
+    # is the POPULATION estimator (median per-query ratio vs the
+    # reference, unstable rows excluded); the anchor-bridge estimate is
+    # carried alongside as normalized_total_anchor, and
+    # norm_disagreement=true marks epochs where the two diverge >10%
+    # (trust neither alone there — read the deviant section).
+    # NOTE (ADVICE r14): normalized_total sums only SUCCEEDED queries,
+    # while raw `value` sums failed ones as -1.0 — on an erroring epoch
+    # the two fields cover different populations by design (errors are
+    # named in `errors` and poison `value` loudly).
     for label, art in (("old", old), ("new", new)):
         norm = art.get("normalized_total")
         if norm is not None and norm > 0:
+            anchor = art.get("normalized_total_anchor")
+            extra = (f", anchor-bridge {anchor:.1f}s"
+                     if isinstance(anchor, (int, float)) and anchor > 0
+                     else "")
+            flag = " [ESTIMATORS DISAGREE >10%]" \
+                if art.get("norm_disagreement") else ""
             print(f"{label} headline: raw {art['value']:.1f}s, "
-                  f"self-normalized {norm:.1f}s (vs its own reference)")
+                  f"self-normalized {norm:.1f}s (vs its own reference)"
+                  f"{extra}{flag}")
+        # round 15 (VERDICT r14 #6): the artifact attributes the
+        # streaming per-query init floor explicitly — stream_floor is
+        # the trivial fresh-checkpoint drain (cal_stream min), a LOWER
+        # BOUND on each q_stream_* row's init overhead (stateful
+        # flavors pay RocksDB init on top); stream_floor_total is the
+        # part of the raw streaming subtotal safely attributable to
+        # init rather than plan work
+        floor_total = art.get("stream_floor_total")
+        if isinstance(floor_total, (int, float)) and floor_total > 0:
+            print(f"{label} streaming floor: "
+                  f"{art.get('stream_floor', -1):.2f}s trivial-drain init x "
+                  f"{art.get('stream_query_count', 0)} stream queries "
+                  f"= >={floor_total:.1f}s of the raw total is init, not work")
     if len(ratios) >= 2:
         qs = statistics.quantiles(list(ratios.values()), n=4)
         print(f"per-query ratio median: {med:.3f}  "
