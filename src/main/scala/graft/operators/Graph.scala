@@ -1,9 +1,10 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.util.Checkpoints
+import graft.util.{Checkpoints, FooterStats, GenStore}
 
 /** Graph analytics over derived co-occurrence graphs. Complements the
   * connected-components loop in [[Pipeline.minLabelComponents]] with the
@@ -42,17 +43,71 @@ object Graph {
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(20)
 
+  /** PERSISTED graph memos (round 15, VERDICT r14 #3): with
+    * `spark.graft.graph.memoPath` set, the four per-corpus basket-graph
+    * investments — pair supports, degrees, degree-oriented edges,
+    * sorted adjacency — are built ONCE PER CORPUS FINGERPRINT,
+    * published generationally ([[graft.util.GenStore]]: adoption-first,
+    * atomic-rename commits, newest-per-fingerprint retention), and
+    * every later SESSION resolves the stored tables instead of
+    * rebuilding. The honest-100× probe pays its 515 s memo build once
+    * per corpus, not once per session — the same once-per-corpus
+    * trajectory as the minhash sigsPath index and the zone-map
+    * manifests. The build is STAGED: each table is written, then the
+    * next derives from the just-written parquet — no recompute, peak
+    * lineage one stage deep, and a failed stage leaves only an
+    * uncommitted temp (GenStore refuses to publish it). Fingerprint:
+    * row count + per-row-group footer min/max of (l_orderkey,
+    * l_partkey) — the exact columns the graph derives from
+    * ([[graft.util.FooterStats]]; footer reads only, no row data).
+    * Default-off: declared queries and their hashes are untouched; the
+    * in-session `Checkpoints.stable` memos remain the local/bench
+    * shape. The first memoPath used per (session, corpus) wins for
+    * that session (the generation handle is itself session-memoized so
+    * warm resolves skip even the footer digest). */
+  private def persistedGen(s: SparkSession, dir: String): Option[Path] =
+    s.conf.getOption("spark.graft.graph.memoPath").map { p =>
+      genCache.computeIfAbsent((s, dir), _ => {
+        val (n, digest) = FooterStats.digest(s, s"$dir/lineitem.parquet",
+          Seq("l_orderkey", "l_partkey"))
+        val fp = s"graft-graphmemo-v1|$dir|n=$n|stats=$digest"
+        GenStore.resolveOrBuild(s, p, fp,
+          Seq("pairs", "degrees", "oriented", "adj")) { tmp =>
+          basketPairs(s, dir)
+            .groupBy("a", "b").agg(count(lit(1)).as("support"))
+            .write.mode("overwrite").parquet(new Path(tmp, "pairs").toString)
+          val pairs = s.read.parquet(new Path(tmp, "pairs").toString)
+          degreesOf(pairs.select("a", "b"))
+            .write.mode("overwrite").parquet(new Path(tmp, "degrees").toString)
+          val deg = s.read.parquet(new Path(tmp, "degrees").toString)
+          orientByDegree(pairs.select("a", "b"), deg)
+            .write.mode("overwrite").parquet(new Path(tmp, "oriented").toString)
+          sortedAdj(s.read.parquet(new Path(tmp, "oriented").toString))
+            .write.mode("overwrite").parquet(new Path(tmp, "adj").toString)
+        }
+      })
+    }
+
+  private val genCache =
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]())
+
   /** Pair-support table — each ordered (a < b) part pair with the number
     * of distinct orders containing both. The per-corpus shared investment
     * behind the co-purchase top-k, the association rules, and (via its
     * key projection) the distinct basket-edge table — the same memo
     * discipline as the near-dup pair table in [[Pipeline]]. Built and
     * materialized once per (session, corpus); see the lifecycle note at
-    * `Pipeline.scala` (entries live as long as their session). */
+    * `Pipeline.scala` (entries live as long as their session). With
+    * `spark.graft.graph.memoPath` set, served from the persisted
+    * generation instead ([[persistedGen]]). */
   private def pairSupport(s: SparkSession, dir: String): DataFrame =
     suppCache.computeIfAbsent((s, dir), _ =>
-      Checkpoints.stable(basketPairs(s, dir)
-        .groupBy("a", "b").agg(count(lit(1)).as("support"))))
+      persistedGen(s, dir) match {
+        case Some(g) => s.read.parquet(new Path(g, "pairs").toString)
+        case None => Checkpoints.stable(basketPairs(s, dir)
+          .groupBy("a", "b").agg(count(lit(1)).as("support")))
+      })
 
   private val suppCache =
     graft.util.CorpusMemo.register(
@@ -76,7 +131,10 @@ object Graph {
     * endpoint exchange three times inside [[triangleCount]]. */
   private def degrees(s: SparkSession, dir: String): DataFrame =
     degCache.computeIfAbsent((s, dir), _ =>
-      Checkpoints.stable(degreesOf(distinctEdges(s, dir))))
+      persistedGen(s, dir) match {
+        case Some(g) => s.read.parquet(new Path(g, "degrees").toString)
+        case None => Checkpoints.stable(degreesOf(distinctEdges(s, dir)))
+      })
 
   private val degCache =
     graft.util.CorpusMemo.register(
@@ -123,7 +181,11 @@ object Graph {
     * query (both pay the two degree-attach joins otherwise). */
   private def orientedOf(s: SparkSession, dir: String): DataFrame =
     orientCache.computeIfAbsent((s, dir), _ =>
-      Checkpoints.stable(orientByDegree(distinctEdges(s, dir), degrees(s, dir))))
+      persistedGen(s, dir) match {
+        case Some(g) => s.read.parquet(new Path(g, "oriented").toString)
+        case None => Checkpoints.stable(
+          orientByDegree(distinctEdges(s, dir), degrees(s, dir)))
+      })
 
   private val orientCache =
     graft.util.CorpusMemo.register(
@@ -172,7 +234,10 @@ object Graph {
   /** Memoized sorted out-neighbor adjacency over [[orientedOf]]. */
   private def adjOf(s: SparkSession, dir: String): DataFrame =
     adjCache.computeIfAbsent((s, dir), _ =>
-      Checkpoints.stable(sortedAdj(orientedOf(s, dir))))
+      persistedGen(s, dir) match {
+        case Some(g) => s.read.parquet(new Path(g, "adj").toString)
+        case None => Checkpoints.stable(sortedAdj(orientedOf(s, dir)))
+      })
 
   private val adjCache =
     graft.util.CorpusMemo.register(

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+import graft.util.CorpusMemo
+
+/** Persisted graph memos (round 15, VERDICT r14 #3): with
+  * `spark.graft.graph.memoPath` set, the basket-graph investments
+  * (pairs/degrees/oriented/adj) persist per corpus fingerprint and a
+  * later session ADOPTS the stored generation instead of rebuilding —
+  * results hash-identical to the default in-session path, rebuild
+  * guarded by the corpus fingerprint, default-off. */
+class GraphMemoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.Sf
+  private val Knob = "spark.graft.graph.memoPath"
+
+  private def genDirs(p: String): Seq[String] =
+    Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .map(_.getName).toSeq.sorted
+
+  private def withMemoPath[T](p: String)(f: => T): T = {
+    // drop the in-session memos so the knob is consulted (the memo
+    // caches are the unit the knob redirects), and again after so later
+    // suites see the default path
+    CorpusMemo.invalidate(spark, sf)
+    spark.conf.set(Knob, p)
+    try f finally {
+      spark.conf.unset(Knob)
+      CorpusMemo.invalidate(spark, sf)
+    }
+  }
+
+  test("persisted memos are hash-identical to the in-session path, and a second session adopts without rebuilding") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gm").toString
+    try {
+      val expectedTri = Graph.triangleCount(spark, sf).collect().map(_.toString)
+      val expectedJac = Graph.edgeJaccard(spark, sf).collect().map(_.toString)
+      val expectedHist = Graph.degreeHist(spark, sf).collect().map(_.toString)
+      val firstGens = withMemoPath(root) {
+        val tri = Graph.triangleCount(spark, sf).collect().map(_.toString)
+        val jac = Graph.edgeJaccard(spark, sf).collect().map(_.toString)
+        val hist = Graph.degreeHist(spark, sf).collect().map(_.toString)
+        assert(tri.toSeq === expectedTri.toSeq)
+        assert(jac.toSeq === expectedJac.toSeq)
+        assert(hist.toSeq === expectedHist.toSeq)
+        genDirs(root)
+      }
+      assert(firstGens.size === 1, s"one committed generation: $firstGens")
+      assert(new java.io.File(root, "_GRAFT_CURRENT").exists())
+      // "second session": the session memos are gone (invalidate inside
+      // withMemoPath), so the resolve path runs again — it must ADOPT
+      // the committed generation, not rebuild
+      withMemoPath(root) {
+        val tri = Graph.triangleCount(spark, sf).collect().map(_.toString)
+        assert(tri.toSeq === expectedTri.toSeq)
+        assert(genDirs(root) === firstGens, "warm resolve must not rebuild")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("corpus fingerprint mismatch rebuilds and serves the new corpus; flipping back adopts the retained generation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gm-fp").toString
+    val corpus2 = java.nio.file.Files.createTempDirectory("graft-gm-c2").toString
+    try {
+      withMemoPath(root) { Graph.degreeHist(spark, sf).collect() }
+      val gen1 = genDirs(root)
+      // a DIFFERENT corpus: every other lineitem row — same dir layout
+      Tables.lineitem(spark, sf).filter(col("l_orderkey") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$corpus2/lineitem.parquet")
+      val expected2 = Graph.degreeHist(spark, corpus2).collect().map(_.toString)
+      CorpusMemo.invalidate(spark, corpus2)
+      val got2 = withMemoPath(root) {
+        CorpusMemo.invalidate(spark, corpus2)
+        try Graph.degreeHist(spark, corpus2).collect().map(_.toString)
+        finally CorpusMemo.invalidate(spark, corpus2)
+      }
+      assert(got2.toSeq === expected2.toSeq,
+        "rebuilt memo must serve the new corpus exactly")
+      val gen2 = genDirs(root)
+      assert(gen2 !== gen1, "fingerprint mismatch must publish a new generation")
+      assert(gen2.size === 2,
+        s"newest-per-fingerprint retention keeps BOTH corpora's generations: $gen2")
+      // flipping back to the original corpus adopts its RETAINED
+      // generation (the ADVICE r14 alternating-corpora case): no new gen
+      withMemoPath(root) {
+        Graph.degreeHist(spark, sf).collect()
+        assert(genDirs(root) === gen2, "alternation must adopt, not rebuild")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpus2))
+    }
+  }
+}
