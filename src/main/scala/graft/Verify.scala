@@ -24,8 +24,20 @@ object Verify {
     // or spark.graft.ngram.dfCap still set would make a sound-but-
     // differently-parameterized run fail the oracle compare spuriously
     // (ADVICE r14). getOrCreate() can hand back a pre-existing session,
-    // so clear every graft knob before hashing anything.
-    spark.conf.getAll.keys.filter(_.startsWith("spark.graft."))
+    // so clear every graft knob before hashing anything — EXCEPT the
+    // operational confs that shape no result (round 15, ADVICE r14):
+    // blanket-unsetting spark.graft.checkpoint.* made a cluster-deployed
+    // Verify silently fall back to localCheckpoint, which is not
+    // fault-tolerant under executor loss. The allowlist is explicit and
+    // additive-by-review: a NEW knob defaults to cleared, which is the
+    // safe side for hashing (an operational knob left cleared costs a
+    // deployment property, never a wrong hash; a result-shaping knob
+    // left SET would corrupt the compare).
+    val operational = Set(
+      "spark.graft.checkpoint.reliable",
+      "spark.graft.checkpoint.dir")
+    spark.conf.getAll.keys
+      .filter(k => k.startsWith("spark.graft.") && !operational(k))
       .foreach(spark.conf.unset)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -98,7 +98,26 @@ class PlanGuardSpec extends AnyFunSuite {
     * (CorpusMemo checkpoint built by an earlier query in the battery)
     * legally REMOVES exchanges, but a new one above budget is a scale
     * regression. Regenerate with `runMain graft.tools.ExchangeCensus`
-    * when a plan change is intentional. */
+    * when a plan change is intentional.
+    *
+    * ORDER CONTRACT (ADVICE r14): these budgets were recorded with the
+    * session memos warmed in FULL-BATTERY SORTED ORDER — the order the
+    * per-query tests below register and ScalaTest runs them. Several
+    * budgets (e.g. q_graph_components 3, q_copurchase 0) assume an
+    * earlier query in that order already built a CorpusMemo checkpoint,
+    * truncating the censused plan at the checkpoint leaf. Consequences,
+    * stated so nobody trips on them: (a) a FILTERED run
+    * (`testOnly -z q_graph`) or any out-of-order execution censuses a
+    * COLDER plan — more exchanges than budgeted — and can fail
+    * spuriously; run the full suite (or at least this suite whole)
+    * before believing a budget failure. (b) The shuffles spent BUILDING
+    * a memo are censused only by whichever query triggers the build,
+    * and are invisible to every later consumer — the builder query's
+    * budget is the one that guards them. The alternative (census each
+    * query in a fresh-memo session) would make budgets order-
+    * independent but censuses a plan no production session runs twice,
+    * and triples the suite's wall-clock; the warm-order contract is the
+    * deliberate trade, documented here per ADVICE r14. */
   private val shuffleBudget = Map(
     "q_ann_adc" -> 3,
     "q_ann_ivf" -> 4,
