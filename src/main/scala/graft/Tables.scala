@@ -87,6 +87,13 @@ object Tables {
   *  - `spark.graft.media.decodeFraction` / `spark.graft.media.frameStride`
   *    — multimodal decode budget: deterministic hash-sampled audit pass
   *    and video frame stride ([[graft.multimodal.Media]]).
+  *  - `spark.graft.graph.memoPath` — persist the basket-graph memos
+  *    (pairs/degrees/oriented/adj) per corpus fingerprint; later
+  *    sessions adopt instead of rebuilding ([[graft.operators.Graph]]).
+  *  - `spark.graft.ann.modelPath` — persist the trained k-means
+  *    centroids + PQ codebooks per corpus fingerprint; assignments
+  *    recompute map-side from the k-row model
+  *    ([[graft.operators.Clustering]]).
   *  - `spark.sql.autoBroadcastJoinThreshold` — set here to 64 MB, the
   *    single un-hinted broadcast policy; match to executor memory on a
   *    real cluster. */

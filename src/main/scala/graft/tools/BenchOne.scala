@@ -33,6 +33,13 @@ object BenchOne {
       spark.conf.set("spark.graft.checkpoint.reliable", "true")
       spark.conf.set("spark.graft.checkpoint.dir", p)
     }
+    // probe hooks: persisted graph memos / ANN models (round 15 —
+    // spark.graft.graph.memoPath, spark.graft.ann.modelPath) for the
+    // once-per-corpus 100x probes
+    sys.env.get("GRAFT_GRAPH_MEMO_PATH").foreach(p =>
+      spark.conf.set("spark.graft.graph.memoPath", p))
+    sys.env.get("GRAFT_ANN_MODEL_PATH").foreach(p =>
+      spark.conf.set("spark.graft.ann.modelPath", p))
     // probe hooks: decode-budget knobs for the r14 multimodal audit-pass
     // probe (spark.graft.media.*)
     sys.env.get("GRAFT_MEDIA_FRACTION").foreach(v =>

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.GenStore
+
+/** Protocol-level tests for the shared generational store (round 15):
+  * publish/adopt/refuse/retain behaviors the consumer specs
+  * (ZoneMapManifestSpec, GraphMemoSpec, AnnModelSpec) exercise only
+  * end-to-end. */
+class GenStoreSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def genDirs(p: String): Seq[String] =
+    Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("gen="))
+      .map(_.getName).toSeq.sorted
+
+  private def writeTables(tmp: Path, tables: Seq[String]): Unit =
+    tables.foreach { t =>
+      spark.range(3).toDF("id").write.mode("overwrite")
+        .parquet(new Path(tmp, t).toString)
+    }
+
+  test("build publishes a committed generation; same-fingerprint resolves adopt without rebuilding") {
+    val root = Files.createTempDirectory("graft-gs").toString
+    try {
+      var builds = 0
+      def resolve() = GenStore.resolveOrBuild(spark, root, "fpA",
+        Seq("t1", "t2")) { tmp => builds += 1; writeTables(tmp, Seq("t1", "t2")) }
+      val g1 = resolve()
+      assert(builds === 1)
+      assert(genDirs(root).size === 1)
+      assert(Files.exists(Paths.get(root, "_GRAFT_CURRENT")))
+      assert(Files.readString(Paths.get(root, g1.getName,
+        "_GRAFT_FINGERPRINT")).trim === "fpA")
+      assert(spark.read.parquet(new Path(g1, "t1").toString).count() === 3)
+      val g2 = resolve()
+      assert(builds === 1, "warm resolve must not rebuild")
+      assert(g2.getName === g1.getName)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("a build that leaves a table uncommitted is refused whole, and a later correct build succeeds") {
+    val root = Files.createTempDirectory("graft-gs-bad").toString
+    try {
+      val e = intercept[IllegalStateException] {
+        GenStore.resolveOrBuild(spark, root, "fpA", Seq("t1", "t2")) { tmp =>
+          writeTables(tmp, Seq("t1")) // t2 missing
+        }
+      }
+      assert(e.getMessage.contains("t2"))
+      assert(genDirs(root).isEmpty, "nothing may be published")
+      val g = GenStore.resolveOrBuild(spark, root, "fpA", Seq("t1", "t2")) {
+        tmp => writeTables(tmp, Seq("t1", "t2"))
+      }
+      assert(genDirs(root) === Seq(g.getName))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("fingerprint change publishes a new generation; per-fingerprint retention lets alternation adopt both ways") {
+    val root = Files.createTempDirectory("graft-gs-fp").toString
+    try {
+      var builds = 0
+      def resolve(fp: String) = GenStore.resolveOrBuild(spark, root, fp,
+        Seq("t")) { tmp => builds += 1; writeTables(tmp, Seq("t")) }
+      val gA = resolve("fpA")
+      val gB = resolve("fpB")
+      assert(builds === 2)
+      assert(gB.getName !== gA.getName)
+      assert(genDirs(root).size === 2,
+        "newest-per-fingerprint retention keeps both")
+      assert(Files.readString(Paths.get(root, "_GRAFT_CURRENT")).trim
+        === gB.getName)
+      // alternate: both directions must adopt the retained generation
+      assert(resolve("fpA").getName === gA.getName)
+      assert(resolve("fpB").getName === gB.getName)
+      assert(builds === 2, "alternation must adopt, not rebuild")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("GC deletes a superseded same-fingerprint generation past the grace window, keeps newest-per-fingerprint") {
+    val root = Files.createTempDirectory("graft-gs-gc").toString
+    try {
+      val gA = GenStore.resolveOrBuild(spark, root, "fpA", Seq("t")) {
+        tmp => writeTables(tmp, Seq("t"))
+      }
+      // hand-craft an OLDER committed duplicate generation for fpA (the
+      // kind a crashed-before-GC history leaves behind): same contents,
+      // name sorts earlier, modification time past the 10-min grace
+      val dup = new java.io.File(root, "gen=0000dup")
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(root, gA.getName), dup)
+      val old = System.currentTimeMillis() - 20 * 60 * 1000L
+      Files.walk(dup.toPath).forEach(p => p.toFile.setLastModified(old))
+      assert(genDirs(root).size === 2)
+      // a pointer move (new fingerprint) triggers GC: the duplicate is
+      // neither current, nor previous pointer target, nor its
+      // fingerprint's newest committed generation, and it is past grace
+      GenStore.resolveOrBuild(spark, root, "fpB", Seq("t")) {
+        tmp => writeTables(tmp, Seq("t"))
+      }
+      val left = genDirs(root)
+      assert(!left.contains("gen=0000dup"), s"duplicate must be GC'd: $left")
+      assert(left.contains(gA.getName),
+        "fpA's newest generation must survive the fpB repoint")
+      assert(left.size === 2)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+}
