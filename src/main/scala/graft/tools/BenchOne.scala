@@ -46,6 +46,13 @@ object BenchOne {
       spark.conf.set("spark.graft.media.decodeFraction", v))
     sys.env.get("GRAFT_MEDIA_STRIDE").foreach(v =>
       spark.conf.set("spark.graft.media.frameStride", v))
+    // probe hook: arbitrary session confs for isolation experiments,
+    // e.g. GRAFT_SQL_CONF="spark.sql.parquet.enableNestedColumnVectorizedReader=false"
+    sys.env.get("GRAFT_SQL_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+      })
     // Force with the noop sink, matching graft.Bench (count() lets
     // Catalyst prune measure columns — timings then under-measure).
     // GRAFT_FORCE=count switches back, ONLY for quantifying exactly that

@@ -134,10 +134,15 @@ object GenStore {
         .toSet
       val grace = System.currentTimeMillis() - 600000L
       val keep = Set(current.getName) ++ prevPointer ++ newestPerFp
-      gens.map(_.getPath)
-        .filter(g => !keep(g.getName))
-        .filter(g => fs.getFileStatus(g).getModificationTime < grace)
-        .foreach(g => fs.delete(g, true))
+      gens
+        .filter(st => !keep(st.getPath.getName))
+        .filter(st => st.getModificationTime < grace)
+        // per-entry tolerance: a concurrent session's GC may have
+        // removed the same superseded generation between our listing
+        // and this delete — losing that race is success, not an error
+        .foreach(st =>
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () })
     }
     // stale temp debris from crashed builds (>10 min, the MetaFiles age
     // discipline — never races a live concurrent build)
