@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.FooterStats
+
+/** Footer-stats corpus identity (round 15): the fingerprint currency of
+  * every persisted per-corpus store must (a) survive regeneration of
+  * byte-identical data under fresh file names, (b) change when a
+  * summarized column's stats change, and (c) see THROUGH partitioned
+  * layouts — a direct-children-only listing would digest every
+  * partitioned corpus as empty and collide their identities. */
+class FooterStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def df() = {
+    import spark.implicits._
+    (0L until 1000L).map(i => (i, i % 7, s"v$i")).toDF("k", "p", "s")
+  }
+
+  test("regenerated identical data digests identically; an in-place value edit changes the digest") {
+    val a = Files.createTempDirectory("graft-fs-a").toString
+    val b = Files.createTempDirectory("graft-fs-b").toString
+    val c = Files.createTempDirectory("graft-fs-c").toString
+    try {
+      df().coalesce(1).write.mode("overwrite").parquet(a)
+      df().coalesce(1).write.mode("overwrite").parquet(b)
+      // the exact class the r14 count+max(k) fingerprint missed: one
+      // row of a DIFFERENT summarized column edited, count and every
+      // k-stat unchanged — visible only in p's row-group min/max.
+      // (The converse limit is inherent and documented: an interior
+      // edit that changes NO row group's extremes is invisible to any
+      // footer-cost identity.)
+      df().withColumn("p", when(col("k") === 500L, lit(99L)).otherwise(col("p")))
+        .coalesce(1).write.mode("overwrite").parquet(c)
+      val da = FooterStats.digest(spark, a, Seq("k", "p"))
+      val db = FooterStats.digest(spark, b, Seq("k", "p"))
+      val dc = FooterStats.digest(spark, c, Seq("k", "p"))
+      assert(da === db, "fresh part-file names must not change the identity")
+      assert(da._1 === 1000L)
+      assert(dc._1 === 1000L)
+      assert(da._2 !== dc._2,
+        "a value edit visible in row-group stats must change the digest")
+    } finally Seq(a, b, c).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
+  test("partitioned layouts digest their leaf files, not an empty directory") {
+    val a = Files.createTempDirectory("graft-fs-part").toString
+    val b = Files.createTempDirectory("graft-fs-part2").toString
+    try {
+      df().write.partitionBy("p").mode("overwrite").parquet(a)
+      val da = FooterStats.digest(spark, a, Seq("k"))
+      assert(da._1 === 1000L,
+        s"recursive listing must reach partition leaves: $da")
+      assert(da._2 !== "empty")
+      // a different partitioned corpus must not collide
+      df().filter(col("k") < 900L).write.partitionBy("p")
+        .mode("overwrite").parquet(b)
+      val dbb = FooterStats.digest(spark, b, Seq("k"))
+      assert(dbb._1 === 900L)
+      assert(da._2 !== dbb._2)
+    } finally Seq(a, b).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
+  test("columns without usable stats digest as na, deterministically") {
+    val a = Files.createTempDirectory("graft-fs-na").toString
+    try {
+      df().coalesce(1).write.mode("overwrite").parquet(a)
+      val d1 = FooterStats.digest(spark, a, Seq("k", "nonexistent_col"))
+      val d2 = FooterStats.digest(spark, a, Seq("k", "nonexistent_col"))
+      assert(d1 === d2)
+      // and the missing column is part of the identity: dropping it
+      // changes the digest (cells are named per column)
+      assert(d1._2 !== FooterStats.digest(spark, a, Seq("k"))._2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(a))
+  }
+}
