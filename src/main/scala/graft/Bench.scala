@@ -54,16 +54,21 @@ object Bench {
           cur(k) > 0.2 && ref.get(k).exists(_ > 0.2)
       })
 
-  /** Anchor-ratio-corrected headline (VERDICT r13 #3): the sum of this
-    * epoch's per-query minima each divided by its anchor class's
-    * cur/ref ratio — i.e. this run's measurements re-expressed in the
-    * REFERENCE artifact's host timescale. A uniformly-1.2×-slower epoch
-    * then self-reports ~the reference total instead of needing a judge
-    * to re-bench. Streaming queries normalize by the cal_stream ratio
-    * (their engine-init floor drifts independently); batch queries by
-    * the cpu/shuffle/scan median; a query whose class has no usable
-    * ratio contributes its raw timing. Failed queries (−1) are skipped
-    * — `value` and `errors` already surface them. Pure — spec'd. */
+  /** Ratio-corrected headline (VERDICT r13 #3): the sum of this
+    * epoch's per-query minima each divided by its lane's cur/ref
+    * host-speed ratio — i.e. this run's measurements re-expressed in
+    * the REFERENCE artifact's host timescale. A uniformly-1.2×-slower
+    * epoch then self-reports ~the reference total instead of needing a
+    * judge re-bench. Streaming queries normalize by the stream-lane
+    * ratio (their engine-init floor drifts independently of batch);
+    * the caller supplies either the calibration-anchor ratios or the
+    * population-median ratios (round 15 — both are emitted, see
+    * [[populationRatio]]); a query whose lane has no usable ratio
+    * contributes its raw timing. Failed queries (−1) are skipped —
+    * `value` and `errors` already surface them. NOTE the population
+    * consequence: normalized totals cover only SUCCEEDED queries,
+    * while the raw `value` sums failures as −1 (ADVICE r14; also
+    * documented at the bench_compare.py consumer). Pure — spec'd. */
   def normalizedTotal(results: Map[String, Double],
                       batchR: Option[Double],
                       streamR: Option[Double]): Double =
