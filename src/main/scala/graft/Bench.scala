@@ -320,16 +320,25 @@ object Bench {
     // rows re-run — a one-off interruption in either pass then stops
     // contaminating the min estimator the deviant detection keys off,
     // at ~the cost of the flagged queries alone instead of a whole
-    // third pass. A query stays flagged only if even its two CLOSEST
-    // samples of the three still disagree >2x — i.e. the turbulence is
-    // persistent, not a single outlier pass.
+    // third pass. Failure discipline: the two MAIN passes decide
+    // success (either failing poisons the row to -1, as before); a
+    // rerun failure on a query that already succeeded twice records
+    // its error (loud: named in `errors`, non-zero exit) but keeps the
+    // min of the two valid measurements — the rescue pass must not be
+    // able to DEMOTE a measured row to "no measurement" (round-15
+    // review).
     val flagged = first.keys.toSeq.sorted
       .filter(k => disagree(first(k), second(k)))
     val third = passOver(flagged)
     val results = first.map { case (k, v) =>
-      val ps = Seq(Some(v), Some(second(k)), third.get(k)).flatten
-      k -> (if (ps.exists(_ < 0)) -1.0 else ps.min)
+      k -> (if (v < 0 || second(k) < 0) -1.0
+            else (Seq(v, second(k)) ++ third.get(k).filter(_ > 0)).min)
     }
+    // a row stays flagged unless its MIN is corroborated: the second-
+    // smallest of the three samples within 2x of the smallest. (Not
+    // "any two samples agree": wall-clock noise only ever ADDS time,
+    // so the min is the estimate of record and agreement between two
+    // INFLATED samples validates nothing about it.)
     val unstable = flagged.filter { k =>
       val ts = Seq(first(k), second(k), third(k)).filter(_ > 0).sorted
       ts.size < 2 || ts(1) / ts(0) > 2.0
@@ -437,7 +446,11 @@ object Bench {
     // visible in the per-query timings, which is where cal_stream's
     // RATIO (not level) already normalizes drift across epochs.
     val streamFloor = curCal.getOrElse("cal_stream", -1.0)
-    val streamQueryCount = results.keys.count(_.startsWith("q_stream"))
+    // count only SUCCEEDED stream rows: a failed row contributes -1 to
+    // the raw total, not an init floor, and the attribution must never
+    // claim init seconds that are not in the total (round-15 review)
+    val streamQueryCount =
+      results.count { case (k, v) => k.startsWith("q_stream") && v > 0 }
     val streamFloorTotal =
       if (streamFloor > 0) streamFloor * streamQueryCount else -1.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","normalized_total":${optJson(normTotal)},"normalized_total_anchor":${optJson(normAnchor)},"normalized_total_population":${optJson(normPop)},"norm_disagreement":${optJson(normDisagree)},"stream_floor":$streamFloor,"stream_query_count":$streamQueryCount,"stream_floor_total":$streamFloorTotal,"deviant":$deviantJson,"has_reference":${reference.isDefined},"fixture_changed":$fixtureChangedJson,"fixture":$fixtureJson,"queries":$qs,"pass1":${qJson(first)},"pass2":${qJson(second)},"pass3":${qJson(third)},"unstable":$unstableJson,"errors":$errJson,"calibration":$calJson,"sf":"$sfDir"}"""

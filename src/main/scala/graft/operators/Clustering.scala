@@ -96,42 +96,58 @@ object Clustering {
     qVecsCache.computeIfAbsent((s, dir), _ => qVecs(s, dir).stable)
 
   /** PERSISTED ANN MODELS (round 15, VERDICT r14 #5): with
-    * `spark.graft.ann.modelPath` set, the two trained model tables —
-    * the k-row k-means centroids and the M·K-row PQ codebooks — are
-    * built once per corpus fingerprint and published generationally
+    * `spark.graft.ann.modelPath` set, each trained model table — the
+    * k-row k-means centroids, the M·K-row PQ codebooks — is built once
+    * per corpus fingerprint and published generationally
     * ([[graft.util.GenStore]]), the same once-per-corpus trajectory as
     * the graph memos and zone-map manifests: a multi-session deployment
     * pays the iterative Lloyd training once per CORPUS, and every later
-    * session's model resolve is a k-row parquet read. Deliberately NOT
-    * persisted: the assignments/encodings — they are corpus-sized (a
-    * copy of the corpus keyed by cluster), and recomputing them from
-    * the persisted centroids is ONE broadcast map-side pass with no
-    * iteration, which is cheaper to re-run than to re-read at any
-    * scale. The recomputed assignment is bit-identical to the trained
-    * run's final assignment (assign() is deterministic int64 arithmetic
-    * from the same centroids — spec'd). Fingerprint: row count +
-    * per-row-group footer min/max of (vec_id, embedding.list.element)
-    * — the exact inputs the models derive from. Default-off: declared
-    * hashes untouched. */
-  private def persistedGen(s: SparkSession, dir: String)
+    * session's model resolve is a k-row parquet read. The two families
+    * live in SEPARATE stores (`<modelPath>/kmeans`, `<modelPath>/pq`),
+    * each trained lazily by its first consumer — a deployment running
+    * only k-means queries never pays the PQ Lloyd loop, and vice versa
+    * (round-15 review). Deliberately NOT persisted: the
+    * assignments/encodings — they are corpus-sized (a copy of the
+    * corpus keyed by cluster), and recomputing them from the persisted
+    * model is ONE broadcast map-side pass with no iteration, which is
+    * cheaper to re-run than to re-read at any scale. The recomputed
+    * assignment is bit-identical to the trained run's final assignment
+    * (assign() is deterministic int64 arithmetic from the same
+    * centroids — spec'd). Fingerprint (shared per corpus, memoized):
+    * row count + per-row-group footer min/max of
+    * (vec_id, embedding.list.element) — the exact inputs the models
+    * derive from. Default-off: declared hashes untouched. */
+  private def persistedGen(s: SparkSession, dir: String, family: String,
+                           table: String,
+                           cache: java.util.concurrent.ConcurrentHashMap[
+                             (SparkSession, String), org.apache.hadoop.fs.Path],
+                           train: (SparkSession, String) => DataFrame)
       : Option[org.apache.hadoop.fs.Path] =
     s.conf.getOption("spark.graft.ann.modelPath").map { p =>
-      annGenCache.computeIfAbsent((s, dir), _ => {
-        val (n, digest) = graft.util.FooterStats.digest(s,
-          s"$dir/embeddings.parquet",
-          Seq("vec_id", "embedding.list.element"))
-        val fp = s"graft-annmodel-v1|$dir|n=$n|stats=$digest"
-        graft.util.GenStore.resolveOrBuild(s, p, fp,
-          Seq("kmeans_centroids", "pq_codebooks")) { tmp =>
-          trainCentroids(s, dir).write.mode("overwrite")
-            .parquet(new org.apache.hadoop.fs.Path(tmp, "kmeans_centroids").toString)
-          trainPqCodebooks(s, dir).write.mode("overwrite")
-            .parquet(new org.apache.hadoop.fs.Path(tmp, "pq_codebooks").toString)
-        }
-      })
+      cache.computeIfAbsent((s, dir), _ =>
+        graft.util.GenStore.resolveOrBuild(s,
+          new org.apache.hadoop.fs.Path(p, family).toString,
+          fingerprint(s, dir), Seq(table)) { tmp =>
+          train(s, dir).write.mode("overwrite")
+            .parquet(new org.apache.hadoop.fs.Path(tmp, table).toString)
+        })
     }
 
-  private val annGenCache = graft.util.CorpusMemo.register(
+  private def fingerprint(s: SparkSession, dir: String): String =
+    fpCache.computeIfAbsent((s, dir), _ => {
+      val (n, digest) = graft.util.FooterStats.digest(s,
+        s"$dir/embeddings.parquet",
+        Seq("vec_id", "embedding.list.element"))
+      s"graft-annmodel-v1|$dir|n=$n|stats=$digest"
+    })
+
+  private val fpCache = graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), String]())
+  private val kmGenCache = graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String), org.apache.hadoop.fs.Path]())
+  private val pqGenCache = graft.util.CorpusMemo.register(
     new java.util.concurrent.ConcurrentHashMap[
       (SparkSession, String), org.apache.hadoop.fs.Path]())
 
@@ -154,7 +170,8 @@ object Clustering {
     * (identical either way — see [[persistedGen]]). */
   private def model(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     modelCache.computeIfAbsent((s, dir), _ => {
-      val cents = persistedGen(s, dir) match {
+      val cents = persistedGen(s, dir, "kmeans", "kmeans_centroids",
+        kmGenCache, trainCentroids) match {
         case Some(g) => s.read.parquet(
           new org.apache.hadoop.fs.Path(g, "kmeans_centroids").toString)
         case None => trainCentroids(s, dir)
@@ -375,7 +392,8 @@ object Clustering {
     * deterministic one-pass broadcast scoring against those codebooks. */
   private def pqModel(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     pqCache.computeIfAbsent((s, dir), _ => {
-      val cents = persistedGen(s, dir) match {
+      val cents = persistedGen(s, dir, "pq", "pq_codebooks",
+        pqGenCache, trainPqCodebooks) match {
         case Some(g) => s.read.parquet(
           new org.apache.hadoop.fs.Path(g, "pq_codebooks").toString)
         case None => trainPqCodebooks(s, dir)

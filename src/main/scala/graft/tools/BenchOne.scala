@@ -47,11 +47,14 @@ object BenchOne {
     sys.env.get("GRAFT_MEDIA_STRIDE").foreach(v =>
       spark.conf.set("spark.graft.media.frameStride", v))
     // probe hook: arbitrary session confs for isolation experiments,
-    // e.g. GRAFT_SQL_CONF="spark.sql.parquet.enableNestedColumnVectorizedReader=false"
-    sys.env.get("GRAFT_SQL_CONF").foreach(_.split(",").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k.trim, v.trim)
+    // ';'-separated so list-valued confs keep their commas, e.g.
+    // GRAFT_SQL_CONF="spark.sql.parquet.enableNestedColumnVectorizedReader=false;spark.a=1,2"
+    sys.env.get("GRAFT_SQL_CONF").foreach(_.split(";").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => sys.error(s"GRAFT_SQL_CONF entry without '=': $kv")
+        }
       })
     // Force with the noop sink, matching graft.Bench (count() lets
     // Catalyst prune measure columns — timings then under-measure).

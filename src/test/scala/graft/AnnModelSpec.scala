@@ -31,7 +31,7 @@ class AnnModelSpec extends AnyFunSuite {
     }
   }
 
-  test("persisted models reproduce in-session training bit-for-bit; a second session adopts without rebuilding") {
+  test("persisted models reproduce in-session training bit-for-bit; a second session adopts without rebuilding; families train lazily") {
     val root = java.nio.file.Files.createTempDirectory("graft-ann").toString
     try {
       // kmeans covers the centroid table + recomputed assignment (its
@@ -39,19 +39,27 @@ class AnnModelSpec extends AnyFunSuite {
       // codebooks + recomputed encoding end-to-end through the ADC rank
       val expectedKm = Clustering.kmeans(spark, sf).collect().map(_.toString)
       val expectedAdc = Clustering.annAdc(spark, sf).collect().map(_.toString)
-      val firstGens = withModelPath(root) {
+      val (kmGens, pqGens) = withModelPath(root) {
+        val km = Clustering.kmeans(spark, sf).collect().map(_.toString)
+        assert(km.toSeq === expectedKm.toSeq)
+        // per-family laziness (round-15 review): kmeans-only work must
+        // not pay — or publish — the PQ Lloyd loop
+        assert(genDirs(s"$root/kmeans").size === 1)
+        assert(genDirs(s"$root/pq").isEmpty,
+          "PQ must not train until a PQ consumer asks")
+        val adc = Clustering.annAdc(spark, sf).collect().map(_.toString)
+        assert(adc.toSeq === expectedAdc.toSeq)
+        (genDirs(s"$root/kmeans"), genDirs(s"$root/pq"))
+      }
+      assert(kmGens.size === 1 && pqGens.size === 1)
+      // "second session" (memos invalidated): must adopt, not retrain
+      withModelPath(root) {
         val km = Clustering.kmeans(spark, sf).collect().map(_.toString)
         val adc = Clustering.annAdc(spark, sf).collect().map(_.toString)
         assert(km.toSeq === expectedKm.toSeq)
         assert(adc.toSeq === expectedAdc.toSeq)
-        genDirs(root)
-      }
-      assert(firstGens.size === 1, s"one committed generation: $firstGens")
-      // "second session" (memos invalidated): must adopt, not retrain
-      withModelPath(root) {
-        val km = Clustering.kmeans(spark, sf).collect().map(_.toString)
-        assert(km.toSeq === expectedKm.toSeq)
-        assert(genDirs(root) === firstGens, "warm resolve must not retrain")
+        assert(genDirs(s"$root/kmeans") === kmGens, "must not retrain")
+        assert(genDirs(s"$root/pq") === pqGens, "must not retrain")
       }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
@@ -63,7 +71,7 @@ class AnnModelSpec extends AnyFunSuite {
     val corpus2 = java.nio.file.Files.createTempDirectory("graft-ann-c2").toString
     try {
       withModelPath(root) { Clustering.kmeans(spark, sf).collect() }
-      val gen1 = genDirs(root)
+      val gen1 = genDirs(s"$root/kmeans")
       Tables.embeddings(spark, sf).filter(col("vec_id") % 2 === 0)
         .write.mode("overwrite").parquet(s"$corpus2/embeddings.parquet")
       val expected2 = Clustering.kmeans(spark, corpus2).collect().map(_.toString)
@@ -75,9 +83,9 @@ class AnnModelSpec extends AnyFunSuite {
       }
       assert(got2.toSeq === expected2.toSeq,
         "retrained model must serve the new corpus exactly")
-      assert(genDirs(root).size === 2,
+      assert(genDirs(s"$root/kmeans").size === 2,
         "per-fingerprint retention keeps both corpora's generations")
-      assert(genDirs(root) !== gen1)
+      assert(genDirs(s"$root/kmeans") !== gen1)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpus2))

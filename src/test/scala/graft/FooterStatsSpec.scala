@@ -67,6 +67,23 @@ class FooterStatsSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
 
+  test("a hidden-prefixed ANCESTOR directory does not hide the corpus (only segments below the root are filtered)") {
+    // round-15 review: listFiles returns scheme-qualified URIs, so an
+    // unqualified stripPrefix no-op'd and the _/. filter ran over the
+    // whole absolute path — a corpus under _work/ or .cache/ digested
+    // as (0, "empty"), making the fingerprint content-independent
+    val base = Files.createTempDirectory("graft-fs-anc")
+    val corpus = base.resolve("_work").resolve(".cache").resolve("t.parquet")
+    try {
+      Files.createDirectories(corpus.getParent)
+      df().coalesce(1).write.mode("overwrite").parquet(corpus.toString)
+      val d = FooterStats.digest(spark, corpus.toString, Seq("k"))
+      assert(d._1 === 1000L, s"hidden ancestors must not hide the corpus: $d")
+      assert(d._2 !== "empty")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(base.toFile)
+  }
+
   test("columns without usable stats digest as na, deterministically") {
     val a = Files.createTempDirectory("graft-fs-na").toString
     try {
