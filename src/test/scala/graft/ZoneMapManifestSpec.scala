@@ -101,11 +101,17 @@ class ZoneMapManifestSpec extends AnyFunSuite {
       assert(got2.toSeq === expected2.toSeq,
         "rebuilt manifest must serve the new corpus exactly")
       assert(genDirs(root) !== gen1, "fingerprint mismatch must publish a new generation")
-      // and pointing BACK at the original corpus adopts/builds correctly too
+      val gensBoth = genDirs(root)
+      assert(gensBoth.size === 2,
+        s"per-fingerprint retention keeps BOTH corpora's generations: $gensBoth")
+      // pointing BACK at the original corpus must ADOPT its retained
+      // generation — the ADVICE r14 alternating-corpora case: no
+      // rebuild ping-pong on a shared manifestPath
       val back = withManifestPath(root) {
         Relational.zoneMap(spark, sf).collect().map(_.toString)
       }
       assert(back.toSeq === Relational.zoneMap(spark, sf).collect().map(_.toString).toSeq)
+      assert(genDirs(root) === gensBoth, "alternation must adopt, not rebuild")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpus2))
