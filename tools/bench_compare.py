@@ -308,17 +308,27 @@ def main(old_path, new_path):
                   "different fixture (its deviant flags include fixture drift)")
     unstable = set(old.get("unstable", [])) | set(new.get("unstable", []))
     unstable |= set(old.get("deviant", {})) | set(new.get("deviant", {}))
+    # round 15: a query counts as a regression only if BOTH estimators
+    # agree — the anchor bracket of its min pass AND the per-query
+    # population median. The anchor bridge alone mis-reads turbulent
+    # epochs (r14: anchors 1.36x vs population 1.03x) and then flags
+    # sub-second noise as 1.8x "regressions" on identical code; a real
+    # plan delta moves one query against BOTH yardsticks, since a single
+    # query can't move the population median.
     flagged = [(k, ratios[k] / norm_for(k), oq[k], nq[k]) for k in common]
-    flagged = [f for f in flagged if f[1] > 1.5 and f[3] > 0.4]
+    flagged = [f for f in flagged
+               if f[1] > 1.5 and ratios[f[0]] / med > 1.5 and f[3] > 0.4]
     solid = [f for f in flagged if f[0] not in unstable]
     shaky = [f for f in flagged if f[0] in unstable]
     if solid:
-        print("\nhost-normalized regressions >1.5x (investigate these):")
+        print("\nhost-normalized regressions >1.5x by BOTH the anchor and "
+              "population estimators (investigate these):")
         for k, r, o, n in sorted(solid, key=lambda x: -x[1]):
-            print(f"  {k:26s} {o:6.2f}s -> {n:6.2f}s   ({r:.2f}x normalized)")
+            print(f"  {k:26s} {o:6.2f}s -> {n:6.2f}s   ({r:.2f}x anchor-normalized, "
+                  f"{ratios[k] / med:.2f}x population-normalized)")
     else:
-        print("\nno host-normalized per-query regression > 1.5x "
-              "(outside self-flagged unstable queries)")
+        print("\nno per-query regression > 1.5x by both the anchor and "
+              "population estimators (outside self-flagged unstable queries)")
     if shaky:
         print("flagged but SELF-REPORTED UNSTABLE/DEVIANT in one artifact "
               "(pass disagreement or anchor-relative deviation >2x — "
