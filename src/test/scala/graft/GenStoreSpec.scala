@@ -88,6 +88,56 @@ class GenStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("a build that loses the publish race adopts the winner and discards its own product") {
+    val root = Files.createTempDirectory("graft-gs-race").toString
+    try {
+      var outerRan = false
+      var inner: Path = null
+      // the outer build simulates a concurrent session finishing FIRST:
+      // its closure runs a full resolveOrBuild for the same fingerprint
+      // before the outer build's rename can happen — the outer must
+      // then adopt the committed winner and delete its own temp
+      val got = GenStore.resolveOrBuild(spark, root, "fpA", Seq("t")) { tmp =>
+        inner = GenStore.resolveOrBuild(spark, root, "fpA", Seq("t")) {
+          tmp2 => writeTables(tmp2, Seq("t"))
+        }
+        outerRan = true
+        writeTables(tmp, Seq("t"))
+      }
+      assert(outerRan)
+      assert(got.getName === inner.getName,
+        "the race loser must serve the winner's generation")
+      assert(genDirs(root) === Seq(inner.getName),
+        "the loser's product must not be published")
+      assert(Option(new java.io.File(root).listFiles()).get
+        .forall(!_.getName.contains("._build-")),
+        "the loser's temp dir must be cleaned up")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
+  test("a crash between rename and repoint (no pointer file) recovers by adoption, not rebuild") {
+    val root = Files.createTempDirectory("graft-gs-crash").toString
+    try {
+      var builds = 0
+      def resolve() = GenStore.resolveOrBuild(spark, root, "fpA", Seq("t")) {
+        tmp => builds += 1; writeTables(tmp, Seq("t"))
+      }
+      val g1 = resolve()
+      // simulate the crash window: generation committed, pointer never
+      // written (or lost)
+      Files.delete(Paths.get(root, "_GRAFT_CURRENT"))
+      val g2 = resolve()
+      assert(builds === 1, "a committed generation must be adopted, not rebuilt")
+      assert(g2.getName === g1.getName)
+      assert(Files.readString(Paths.get(root, "_GRAFT_CURRENT")).trim
+        === g1.getName, "the repoint must be repaired")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("GC deletes a superseded same-fingerprint generation past the grace window, keeps newest-per-fingerprint") {
     val root = Files.createTempDirectory("graft-gs-gc").toString
     try {
