@@ -38,26 +38,57 @@ object MetaFiles {
     try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     // atomic replace (no missing-file window) where the scheme supports
-    // FileContext — see the object scaladoc for the fallback contract
-    val replaced =
+    // FileContext — see the object scaladoc for the fallback contract.
+    // RETRIED: even rename-with-OVERWRITE is delete-then-rename INSIDE
+    // the filesystem layer on local/checksum schemes, so two concurrent
+    // publishers of the SAME file can interleave and one sees a
+    // transient FileAlreadyExistsException / rename refusal (round 16 —
+    // the GenStore two-writer stress spec caught it on its first run).
+    // Publish semantics are last-writer-wins between concurrent values,
+    // so the loser simply re-attempts; give up loudly only after the
+    // retries exhaust (a persistent failure is a real fault, not a race).
+    val fc =
+      try Some(org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf))
+      catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+    var attempt = 0
+    var published = false
+    var last: java.io.IOException = null
+    while (!published && attempt < 10) {
+      attempt += 1
       try {
-        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-          .rename(tmp, f, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.UnsupportedFileSystemException => false
-      }
-    if (!replaced) {
-      fs.delete(f, false) // HDFS rename refuses an existing destination
-      if (!fs.rename(tmp, f)) {
-        // a concurrent writer recreated f between delete and rename:
-        // last-writer-wins retry once, then give up loudly
-        fs.delete(f, false)
-        if (!fs.rename(tmp, f)) {
-          fs.delete(tmp, false)
-          throw new java.io.IOException(s"metadata publish failed: $tmp -> $f")
+        fc match {
+          case Some(c) =>
+            c.rename(tmp, f, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+          case None =>
+            fs.delete(f, false) // HDFS rename refuses an existing destination
+            if (!fs.rename(tmp, f))
+              throw new java.io.IOException(s"rename refused: $tmp -> $f")
         }
+        published = true
+      } catch {
+        case e: java.io.IOException =>
+          last = e
+          // the multi-step rename can THROW after consuming the temp
+          // (checksum schemes move the data file, then fail on the crc
+          // leg when a concurrent publisher races the destination — the
+          // stress spec observed exactly this). The temp file has
+          // exactly one consumer — our own rename — so temp-gone means
+          // our value landed at f (a concurrent winner may overwrite it
+          // a moment later, which is the last-writer-wins semantic):
+          // report success instead of retrying into FileNotFound.
+          if (!fs.exists(tmp)) published = true
+          // randomized backoff so two publishers in lockstep don't lose
+          // the same interleaving on every retry (the stress spec saw a
+          // 5-loss streak with immediate retries); the jitter source is
+          // the attempt-unique tmp nonce, not wall-clock randomness
+          else Thread.sleep(1L + (tmp.getName.hashCode.abs + attempt * 7) % 10)
       }
+    }
+    if (!published) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"metadata publish failed after $attempt attempts: $tmp -> $f " +
+          s"(last: $last)", last)
     }
   }
 

