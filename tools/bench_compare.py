@@ -121,8 +121,17 @@ def load(path):
         return {k: float(v) for k, v in re.findall(
             r'"(q_\w+)":(-?[0-9.]+(?:[eE][-+]?[0-9]+)?)', m.group(1))}
     p1, p2 = section("pass1"), section("pass2")
+    p3 = section("pass3") or {}
     if p1 is not None and p2 is not None:
-        qs = {k: (-1.0 if p1[k] < 0 or p2[k] < 0 else min(p1[k], p2[k]))
+        # round 16 (ADVICE r15 #1): fold the targeted third pass into the
+        # min reconstruction — a rescued row's reported min can come from
+        # pass3, and a pass1/pass2-only rebuild would diverge from the
+        # artifact's own queries section for exactly those rows
+        def min3(k):
+            cands = [p1[k], p2[k]] + \
+                ([p3[k]] if k in p3 and p3[k] > 0 else [])
+            return min(c for c in cands if c > 0)
+        qs = {k: (-1.0 if p1[k] < 0 or p2[k] < 0 else min3(k))
               for k in set(p1) & set(p2)}
     elif p2 is not None or p1 is not None:
         # only one pass section survived the truncation: its timings are
@@ -194,8 +203,9 @@ def main(old_path, new_path):
     # named in `errors` and poison `value` loudly).
     for label, art in (("old", old), ("new", new)):
         norm = art.get("normalized_total")
+        anchor = art.get("normalized_total_anchor")
+        pop = art.get("normalized_total_population")
         if norm is not None and norm > 0:
-            anchor = art.get("normalized_total_anchor")
             extra = (f", anchor-bridge {anchor:.1f}s"
                      if isinstance(anchor, (int, float)) and anchor > 0
                      else "")
@@ -204,6 +214,15 @@ def main(old_path, new_path):
             print(f"{label} headline: raw {art['value']:.1f}s, "
                   f"self-normalized {norm:.1f}s (vs its own reference)"
                   f"{extra}{flag}")
+        elif art.get("norm_disagreement") and \
+                isinstance(anchor, (int, float)) and \
+                isinstance(pop, (int, float)):
+            # round 16 (ADVICE r15 #2): the artifact WITHHOLDS the
+            # headline when its two estimators diverge >10% — print both
+            # so the reader judges, instead of trusting either alone
+            print(f"{label} headline WITHHELD (estimators disagree >10%): "
+                  f"raw {art['value']:.1f}s, anchor-bridge {anchor:.1f}s, "
+                  f"population {pop:.1f}s — read the deviant section")
         # round 15 (VERDICT r14 #6): the artifact attributes the
         # streaming per-query init floor explicitly — stream_floor is
         # the trivial fresh-checkpoint drain (cal_stream min), a LOWER
@@ -217,6 +236,17 @@ def main(old_path, new_path):
                   f"{art.get('stream_floor', -1):.2f}s trivial-drain init x "
                   f"{art.get('stream_query_count', 0)} stream queries "
                   f"= >={floor_total:.1f}s of the raw total is init, not work")
+        # round 16 (VERDICT r15 #5): the stateful anchor bounds the
+        # RocksDB flavors' EXTRA init above the trivial drain — additive
+        # to stream_floor_total, never over-subtracting (clamped at 0)
+        st_extra = art.get("stream_stateful_extra_total")
+        if isinstance(st_extra, (int, float)) and st_extra >= 0 and \
+                art.get("stream_stateful_query_count", 0) > 0:
+            print(f"{label} stateful-stream extra: "
+                  f"{art.get('stream_stateful_floor', -1):.2f}s RocksDB "
+                  f"no-op drain x {art.get('stream_stateful_query_count', 0)} "
+                  f"stateful queries = >={st_extra:.1f}s further init "
+                  f"beyond the trivial floor")
     if len(ratios) >= 2:
         qs = statistics.quantiles(list(ratios.values()), n=4)
         print(f"per-query ratio median: {med:.3f}  "
@@ -315,20 +345,38 @@ def main(old_path, new_path):
     # sub-second noise as 1.8x "regressions" on identical code; a real
     # plan delta moves one query against BOTH yardsticks, since a single
     # query can't move the population median.
+    # round 16 (ADVICE r15 #3): the population yardstick excludes
+    # self-flagged unstable/deviant rows (they are measurement noise by
+    # the artifacts' own account) and is only TRUSTED when enough clean
+    # rows back it — on a small-subset compare (e.g. two BenchOne runs)
+    # every ratio ≈ the median including the regressed query itself, so
+    # the population gate can never fire; fall back to the anchor-only
+    # gate there, with a printed caveat.
+    clean_ratios = [v for k, v in ratios.items() if k not in unstable]
+    med_clean = statistics.median(clean_ratios) if clean_ratios else med
+    MIN_POPULATION = 5
+    pop_gate = len(clean_ratios) >= MIN_POPULATION
+    if not pop_gate:
+        print(f"\nCAVEAT: only {len(clean_ratios)} clean common queries — "
+              "too few for a population yardstick; the regression gate "
+              "below is ANCHOR-ONLY (expect more noise flags)")
     flagged = [(k, ratios[k] / norm_for(k), oq[k], nq[k]) for k in common]
     flagged = [f for f in flagged
-               if f[1] > 1.5 and ratios[f[0]] / med > 1.5 and f[3] > 0.4]
+               if f[1] > 1.5 and f[3] > 0.4 and
+               (not pop_gate or ratios[f[0]] / med_clean > 1.5)]
     solid = [f for f in flagged if f[0] not in unstable]
     shaky = [f for f in flagged if f[0] in unstable]
+    gate_desc = ("BOTH the anchor and population estimators" if pop_gate
+                 else "the anchor estimator (population gate skipped)")
     if solid:
-        print("\nhost-normalized regressions >1.5x by BOTH the anchor and "
-              "population estimators (investigate these):")
+        print(f"\nhost-normalized regressions >1.5x by {gate_desc} "
+              "(investigate these):")
         for k, r, o, n in sorted(solid, key=lambda x: -x[1]):
             print(f"  {k:26s} {o:6.2f}s -> {n:6.2f}s   ({r:.2f}x anchor-normalized, "
-                  f"{ratios[k] / med:.2f}x population-normalized)")
+                  f"{ratios[k] / med_clean:.2f}x population-normalized)")
     else:
-        print("\nno per-query regression > 1.5x by both the anchor and "
-              "population estimators (outside self-flagged unstable queries)")
+        print(f"\nno per-query regression > 1.5x by {gate_desc} "
+              "(outside self-flagged unstable queries)")
     if shaky:
         print("flagged but SELF-REPORTED UNSTABLE/DEVIANT in one artifact "
               "(pass disagreement or anchor-relative deviation >2x — "
@@ -358,10 +406,19 @@ def pass_brackets(art):
 
 
 def pass_of(art, k):
-    """Which pass produced this query's reported min (1 or 2), or None."""
+    """Which pass produced this query's reported min (1 or 2), or None.
+
+    None also when the reported min came from the targeted THIRD pass
+    (round 16, ADVICE r15 #1): pass3 runs after calAfter, outside any
+    anchor bracket, so a rescued row has no per-pass anchor level — the
+    caller falls back to the run-level norm for it."""
     p1, p2 = art.get("pass1", {}).get(k), art.get("pass2", {}).get(k)
     if p1 is None or p2 is None:
         return None
+    q = art.get("queries", {}).get(k)
+    valid12 = [p for p in (p1, p2) if p > 0]
+    if q is not None and valid12 and q > 0 and q < min(valid12) - 1e-9:
+        return None  # min rescued by pass3 — no bracket applies
     if p1 < 0:
         return 2
     if p2 < 0:
