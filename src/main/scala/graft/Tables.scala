@@ -90,6 +90,15 @@ object Tables {
   *  - `spark.graft.graph.memoPath` — persist the basket-graph memos
   *    (pairs/degrees/oriented/adj) per corpus fingerprint; later
   *    sessions adopt instead of rebuilding ([[graft.operators.Graph]]).
+  *  - `spark.graft.graph.joinPartitions` — explicit width for the graph
+  *    kernels' giant array-SMJ joins and credit aggregation; when unset
+  *    the persisted-memo path sizes it from table bytes against the
+  *    per-task heap share ([[graft.operators.Graph.arrayJoinPartitions]]).
+  *  - `spark.graft.ngram.observedCappedPpm` — OUTPUT, not input: the
+  *    pair-memo build publishes its measured stop-shingle dropped
+  *    fraction here (integer ppm) so deployments can gate on the df-cap
+  *    recall cliff without scheduling the census query
+  *    ([[graft.operators.Pipeline]]).
   *  - `spark.graft.ann.modelPath` — persist the trained k-means
   *    centroids + PQ codebooks per corpus fingerprint; assignments
   *    recompute map-side from the k-row model

@@ -92,6 +92,48 @@ object Graph {
     graft.util.CorpusMemo.register(
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]())
 
+  /** Partition count that keeps ONE task's sorted-array SMJ working set
+    * inside its heap share (round 16, VERDICT r15 #2): the census and
+    * Jaccard kernels join O(m)-row tables whose rows carry O(√m)-long
+    * neighbor arrays, and at the honest-100× corpus the session default
+    * (32 partitions) puts ~3.75 M array-rows through EACH task's sort —
+    * 32 concurrent tasks in an 8 GB heap ran borderline (one warm
+    * episode OOM'd jaccard-after-triangle; SURVEY §9). Sizing: each
+    * concurrent task gets `heap × 0.25 / cores` of sort budget; input
+    * bytes are the PARQUET sizes of the persisted oriented+adj tables
+    * (free to read off the generation) times a 6× deserialization
+    * expansion for long-array rows (snappy-sorted longs compress ~3-4×,
+    * UnsafeArrayData adds headers). The count only ever grows past the
+    * session default, never shrinks it, and is overridable via
+    * `spark.graft.graph.joinPartitions`. More partitions of the SAME
+    * total shuffle — the joins exchanged both sides anyway — so plan
+    * shape, hashes, and network volume are unchanged; only per-task
+    * peak memory drops. At 1000 executors the same rule sizes tasks to
+    * executor heaps instead of hoping 32 partitions fit. */
+  private[graft] def arrayJoinPartitions(sessionParts: Int, cores: Int,
+                                         heapBytes: Long,
+                                         tableBytes: Long): Int = {
+    val perTaskBudget = math.max(32L << 20, heapBytes / 4 / math.max(1, cores))
+    val needed = ((tableBytes * 6) / perTaskBudget + 1).toInt
+    math.min(4000, math.max(sessionParts, needed))
+  }
+
+  /** The join partition count for this corpus's giant array SMJs — None
+    * off the persisted-memo path (test/bench SFs: session defaults are
+    * right there, and plans stay byte-identical to r15's). */
+  private def joinPartsOf(s: SparkSession, dir: String): Option[Int] =
+    s.conf.getOption("spark.graft.graph.joinPartitions").map(_.toInt)
+      .orElse(persistedGen(s, dir).map { g =>
+        val fs = g.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bytes = Seq("oriented", "adj")
+          .map(t => fs.getContentSummary(new Path(g, t)).getLength).sum
+        arrayJoinPartitions(
+          scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+            .getOrElse(s.sparkContext.defaultParallelism),
+          s.sparkContext.defaultParallelism,
+          Runtime.getRuntime.maxMemory(), bytes)
+      })
+
   /** Pair-support table — each ordered (a < b) part pair with the number
     * of distinct orders containing both. The per-corpus shared investment
     * behind the co-purchase top-k, the association rules, and (via its
@@ -243,15 +285,31 @@ object Graph {
     graft.util.CorpusMemo.register(
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
 
+  /** The oriented⋈adj(u)⋈adj(w) spine both kernels close triangles on,
+    * with the array-SMJ partition bound applied when the caller has one
+    * ([[joinPartsOf]]): both sides of each equi-join are pre-hashed to
+    * the SAME count, so the join adds no further exchange — the explicit
+    * repartition IS the join's shuffle, just wider. */
+  private def triangleSpine(oriented: DataFrame, adj: DataFrame,
+                            parts: Option[Int]): DataFrame = {
+    def byKey(df: DataFrame, k: String): DataFrame =
+      parts.map(n => df.repartition(n, col(k))).getOrElse(df)
+    val left = byKey(oriented.select(col("u"), col("w")), "u")
+      .join(byKey(adj, "u"), "u").withColumnRenamed("ns", "nu")
+    byKey(left, "w")
+      .join(byKey(adj.select(col("u").as("w"), col("ns").as("nw")), "w"), "w")
+  }
+
   /** Census core over an explicit edge list + degree table (exposed for
     * the hub-graph spec, which feeds an adversarial synthetic graph). */
   private[graft] def censusOf(edges: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = orientByDegree(edges, deg)
-    censusOf(edges, deg, oriented, sortedAdj(oriented))
+    censusOf(edges, deg, oriented, sortedAdj(oriented), None)
   }
 
   private def censusOf(edges: DataFrame, deg: DataFrame,
-                       oriented0: DataFrame, adj0: DataFrame): DataFrame = {
+                       oriented0: DataFrame, adj0: DataFrame,
+                       joinParts: Option[Int]): DataFrame = {
     // d·(d−1) is always even, so the integer halving is exact
     // coalesce: sum over an empty degree table is NULL, and a NULL count
     // would poison the census row (and the NaN-sensitive driver compare)
@@ -269,9 +327,7 @@ object Graph {
     // under adversarial skew. The inner join on w silently drops edges
     // whose head has no out-neighbors — those contribute 0 triangles.
     val adj = adj0
-    val tri = oriented.select(col("u"), col("w"))
-      .join(adj, "u").withColumnRenamed("ns", "nu")
-      .join(adj.select(col("u").as("w"), col("ns").as("nw")), "w")
+    val tri = triangleSpine(oriented, adj, joinParts)
       .select(graft.functions.VectorExpressions
         .sortedIntersectCount(col("nu"), col("nw")).as("t"))
     val nE = edges.agg(count(lit(1)).as("n_edges"))
@@ -307,7 +363,7 @@ object Graph {
     * int64 counts. */
   def triangleCount(s: SparkSession, dir: String): DataFrame =
     censusOf(distinctEdges(s, dir), degrees(s, dir),
-      orientedOf(s, dir), adjOf(s, dir))
+      orientedOf(s, dir), adjOf(s, dir), joinPartsOf(s, dir))
 
   /** Degree distribution of the part co-occurrence graph — the first
     * diagnostic a graph pipeline prints (skew detection on the same
@@ -343,25 +399,41 @@ object Graph {
     val deg = degrees(s, dir)
     val oriented = orientedOf(s, dir)
     val adj = adjOf(s, dir)
-    val tri = oriented.select(col("u"), col("w"))
-      .join(adj, "u").withColumnRenamed("ns", "nu")
-      .join(adj.select(col("u").as("w"), col("ns").as("nw")), "w")
+    val parts = joinPartsOf(s, dir)
+    // the same width bound on the kernel's TAIL (round 16: the probe's
+    // one OOM was NOT in the spine joins but here — the credit
+    // aggregation's final hash map, the edges⋈credits SMJ sort and the
+    // TakeOrdered all pipeline in ONE stage, and at the session default
+    // each of 32 tasks held ~3.75 M-edge maps+sorts at once). Widening
+    // replaces exchanges these operators insert anyway; the explicit
+    // pre-agg repartition does forgo map-side partial aggregation of
+    // the raw credit rows (they are 2 longs each — volume, not width),
+    // trading bounded shuffle bytes for a deterministic per-task memory
+    // bound, the same trade sortedAdj makes. Test/bench SFs: parts is
+    // None and the plan is byte-identical to r15's.
+    def byKeys(df: DataFrame, ks: String*): DataFrame =
+      parts.map(n => df.repartition(n, ks.map(col): _*)).getOrElse(df)
+    val tri = triangleSpine(oriented, adj, parts)
       .select(col("u"), col("w"),
         explode(graft.functions.VectorExpressions
           .sortedIntersect(col("nu"), col("nw"))).as("z"))
-    val credits = tri.select(explode(array(
+    val credits = byKeys(tri.select(explode(array(
         struct(least(col("u"), col("w")).as("a"),
                greatest(col("u"), col("w")).as("b")),
         struct(least(col("u"), col("z")).as("a"),
                greatest(col("u"), col("z")).as("b")),
         struct(least(col("w"), col("z")).as("a"),
                greatest(col("w"), col("z")).as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .select(col("e.a").as("a"), col("e.b").as("b")), "a", "b")
       .groupBy("a", "b").agg(count(lit(1)).as("t"))
-    edges.join(credits, Seq("a", "b"), "left")
-      .na.fill(0L, Seq("t"))
+    // the (a,b)-partitioned join output does NOT satisfy the single-key
+    // degree joins' clustering, so each would re-exchange at the session
+    // default — widen those exchanges too (byKeys is identity off the
+    // scale path)
+    byKeys(byKeys(edges, "a", "b").join(credits, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("t")), "a")
       .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .join(byKeys(deg.select(col("v").as("b"), col("d").as("db")), "b"), "b")
       // union ≥ 2 always (a ∈ Γ(b), b ∈ Γ(a)), so the div is safe
       .select(col("a").as("part_a"), col("b").as("part_b"),
         col("t").as("n_common"),

@@ -122,8 +122,17 @@ object Pipeline {
     * shingles identically, so the rare hash collisions are reproduced
     * bit-for-bit on both sides. */
   private def pairStats(s: SparkSession, dir: String): DataFrame =
-    pairCache.computeIfAbsent((s, dir), _ =>
-      computePairStats(s, dir).stable)
+    pairCache.computeIfAbsent((s, dir), _ => {
+      val ps = computePairStats(s, dir).stable
+      // SELF-FLAG at the build, not only in the separate census query
+      // (round 16, VERDICT r15 #3): a df-saturated corpus silently
+      // empties the pair table — a data-quality incident no downstream
+      // row carries. Every shingle-blocking consumer passes through
+      // this memo build exactly once per (session, corpus), so this is
+      // the one place the measurement reaches every run that needs it.
+      publishCapObservation(s, dir)
+      ps
+    })
 
   // Lifecycle note (applies to every (session, dir) memo cache here): an
   // entry lives as long as its session — fixture corpora are immutable
@@ -192,8 +201,12 @@ object Pipeline {
     * doc-set table ([[pairStatsOf]]'s collect_set aggregate —
     * shingle-corpus-sized), which costs far more storage than
     * re-aggregating the memo with the lighter countDistinct. */
-  def dedupNgramCensus(s: SparkSession, dir: String): DataFrame = {
-    val census = censusCache.computeIfAbsent((s, dir), _ =>
+  /** Memoized 1-row (n_keys, n_multi, n_capped) aggregate over the
+    * shared shingle frame — read by [[dedupNgramCensus]] AND by the
+    * pair-memo build's self-flag ([[publishCapObservation]]), so a
+    * session pays the pass once whichever consumer runs first. */
+  private def censusStats(s: SparkSession, dir: String): DataFrame =
+    censusCache.computeIfAbsent((s, dir), _ =>
       hashedShingles(s, dir)
         .select(col("doc_id"), col("h1").as("h"))
         .groupBy("h").agg(countDistinct(col("doc_id")).as("ndocs"))
@@ -202,6 +215,47 @@ object Pipeline {
           sum(when(col("ndocs") > maxShingleDf(s), 1L).otherwise(0L))
             .as("n_capped"))
         .stable)
+
+  /** Conf key the pair-memo build publishes its measured capped
+    * fraction to (integer ppm of pairable shingle keys dropped by the
+    * stop-shingle cap): the machine-readable form of the census's
+    * `capped_ppm`, set on EVERY session that builds the pair memo so a
+    * deployment can gate on it without scheduling the census query. */
+  private[graft] val CapObservedConf = "spark.graft.ngram.observedCappedPpm"
+
+  /** Measure the df-cap's dropped fraction and surface it: one collect
+    * of the memoized 1-row [[censusStats]] aggregate (metadata-bounded —
+    * a single row crosses the driver), published as [[CapObservedConf]],
+    * plus a LOUD log warning past [[CensusAdvisoryPpm]] naming the
+    * remediation — the silent-0-recall failure mode (SURVEY §9's
+    * honest-100× probe: every shingle's df inflated past the cap and
+    * `q_dedup_ngram` found 0 pairs in 57 s with no signal anywhere)
+    * now self-reports on the run that hits it. */
+  private def publishCapObservation(s: SparkSession, dir: String): Unit = {
+    val r = censusStats(s, dir).collect()(0)
+    val nMulti = r.getAs[Long]("n_multi")
+    val nCapped = r.getAs[Long]("n_capped")
+    val ppm = if (nMulti > 0) nCapped * 1000000L / nMulti else 0L
+    s.conf.set(CapObservedConf, ppm.toString)
+    if (ppm > CensusAdvisoryPpm) {
+      val msg =
+        s"dedup shingle blocking is recall-impaired on $dir: the " +
+          s"stop-shingle cap (df <= ${maxShingleDf(s)}) dropped $ppm ppm " +
+          s"of pairable shingle keys ($nCapped of $nMulti) — raise " +
+          "spark.graft.ngram.dfCap with corpus duplication or route " +
+          "this corpus through the MinHash band path " +
+          "(q_dedup_minhash); see q_dedup_ngram_census"
+      org.slf4j.LoggerFactory.getLogger("graft.Pipeline").warn(msg)
+      // ALSO stderr: a data-quality incident must survive quiet log
+      // configs (sessions commonly run setLogLevel("ERROR"), which
+      // raises the ROOT level and would swallow exactly this warning
+      // on exactly the mass-duplicated probe runs that need it)
+      System.err.println(s"[graft][WARN] $msg")
+    }
+  }
+
+  def dedupNgramCensus(s: SparkSession, dir: String): DataFrame = {
+    val census = censusStats(s, dir)
     val nPairs = dedupNgram(s, dir).agg(count(lit(1)).as("n_pairs"))
     // ADVISORY (round 11): the census no longer just reports the dropped
     // mass — past a pinned threshold it NAMES the remediation. When more

@@ -64,6 +64,37 @@ class GraphMemoSpec extends AnyFunSuite {
     }
   }
 
+  test("the array-SMJ partition bound widens with table bytes, never narrows the session default, and is result-neutral") {
+    // pure sizing rule (round 16, VERDICT r15 #2): 8 GB heap / 32 cores
+    // gives a 64 MB per-task budget; 2 GB of persisted array tables at
+    // the 6x expansion need ~192 tasks — the honest-100x shape
+    val g8 = 8L << 30
+    assert(Graph.arrayJoinPartitions(32, 32, g8, 2L << 30) === 193)
+    // small tables never narrow the session default
+    assert(Graph.arrayJoinPartitions(32, 32, g8, 1L << 20) === 32)
+    assert(Graph.arrayJoinPartitions(200, 32, g8, 1L << 20) === 200)
+    // runaway inputs are capped
+    assert(Graph.arrayJoinPartitions(32, 32, g8, 10L << 40) === 4000)
+    // and the floor keeps a tiny heap from exploding the count
+    assert(Graph.arrayJoinPartitions(32, 32, 256L << 20, 1L << 30) ===
+      ((6L << 30) / (32L << 20) + 1).toInt)
+    // result-neutral: an explicit override must reproduce the default
+    // path's census and jaccard rows exactly (wider shuffle, same data)
+    val expectedTri = Graph.triangleCount(spark, sf).collect().map(_.toString)
+    val expectedJac = Graph.edgeJaccard(spark, sf).collect().map(_.toString)
+    spark.conf.set("spark.graft.graph.joinPartitions", "7")
+    try {
+      CorpusMemo.invalidate(spark, sf)
+      assert(Graph.triangleCount(spark, sf).collect().map(_.toString).toSeq
+        === expectedTri.toSeq)
+      assert(Graph.edgeJaccard(spark, sf).collect().map(_.toString).toSeq
+        === expectedJac.toSeq)
+    } finally {
+      spark.conf.unset("spark.graft.graph.joinPartitions")
+      CorpusMemo.invalidate(spark, sf)
+    }
+  }
+
   test("corpus fingerprint mismatch rebuilds and serves the new corpus; flipping back adopts the retained generation") {
     val root = java.nio.file.Files.createTempDirectory("graft-gm-fp").toString
     val corpus2 = java.nio.file.Files.createTempDirectory("graft-gm-c2").toString
