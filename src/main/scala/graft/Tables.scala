@@ -88,8 +88,11 @@ object Tables {
   *    — multimodal decode budget: deterministic hash-sampled audit pass
   *    and video frame stride ([[graft.multimodal.Media]]).
   *  - `spark.graft.graph.memoPath` — persist the basket-graph memos
-  *    (pairs/degrees/oriented/adj) per corpus fingerprint; later
-  *    sessions adopt instead of rebuilding ([[graft.operators.Graph]]).
+  *    (pairs/degrees/oriented/adj) per corpus fingerprint, plus — each
+  *    in its own lazily-built store — the component label table
+  *    (`<path>/components`) and PageRank's degree-attached edge list
+  *    (`<path>/predges`); later sessions adopt instead of rebuilding
+  *    ([[graft.operators.Graph]]).
   *  - `spark.graft.graph.joinPartitions` — explicit width for the graph
   *    kernels' giant array-SMJ joins and credit aggregation; when unset
   *    the persisted-memo path sizes it from table bytes against the

@@ -65,12 +65,25 @@ object Graph {
     * shape. The first memoPath used per (session, corpus) wins for
     * that session (the generation handle is itself session-memoized so
     * warm resolves skip even the footer digest). */
+  /** Memoized basket-graph corpus fingerprint — footer stats of the
+    * exact columns the basket graph derives from, shared by the main
+    * memo store and the components store so a session pays the digest
+    * once per corpus. */
+  private def basketFp(s: SparkSession, dir: String): String =
+    fpCache.computeIfAbsent((s, dir), _ => {
+      val (n, digest) = FooterStats.digest(s, s"$dir/lineitem.parquet",
+        Seq("l_orderkey", "l_partkey"))
+      s"$dir|n=$n|stats=$digest"
+    })
+
+  private val fpCache =
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]())
+
   private def persistedGen(s: SparkSession, dir: String): Option[Path] =
     s.conf.getOption("spark.graft.graph.memoPath").map { p =>
       genCache.computeIfAbsent((s, dir), _ => {
-        val (n, digest) = FooterStats.digest(s, s"$dir/lineitem.parquet",
-          Seq("l_orderkey", "l_partkey"))
-        val fp = s"graft-graphmemo-v1|$dir|n=$n|stats=$digest"
+        val fp = s"graft-graphmemo-v1|${basketFp(s, dir)}"
         GenStore.resolveOrBuild(s, p, fp,
           Seq("pairs", "degrees", "oriented", "adj")) { tmp =>
           basketPairs(s, dir)
@@ -118,21 +131,50 @@ object Graph {
     math.min(4000, math.max(sessionParts, needed))
   }
 
+  /** The heap and concurrent-task-count a TASK's sort budget divides:
+    * on a cluster the EXECUTOR's heap and cores (the driver's heap says
+    * nothing about where tasks run — round-16 review); in local mode
+    * (no spark.executor.* set, or the executor memory conf's 1g default
+    * while master is local) driver == executor, so Runtime.maxMemory and
+    * defaultParallelism are the truth. */
+  private def taskBudgetInputs(s: SparkSession): (Long, Int) = {
+    val local = s.sparkContext.isLocal
+    val heap =
+      if (local) Runtime.getRuntime.maxMemory()
+      else s.conf.getOption("spark.executor.memory")
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(Runtime.getRuntime.maxMemory())
+    val cores =
+      if (local) s.sparkContext.defaultParallelism
+      else scala.util.Try(s.conf.get("spark.executor.cores").toInt)
+        .getOrElse(1)
+    (heap, cores)
+  }
+
   /** The join partition count for this corpus's giant array SMJs — None
     * off the persisted-memo path (test/bench SFs: session defaults are
-    * right there, and plans stay byte-identical to r15's). */
+    * right there, and plans stay byte-identical to r15's). Memoized per
+    * (session, corpus): committed generations are immutable, and on an
+    * object store getContentSummary is a recursive remote listing worth
+    * paying once, not per kernel invocation. */
   private def joinPartsOf(s: SparkSession, dir: String): Option[Int] =
     s.conf.getOption("spark.graft.graph.joinPartitions").map(_.toInt)
       .orElse(persistedGen(s, dir).map { g =>
-        val fs = g.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val bytes = Seq("oriented", "adj")
-          .map(t => fs.getContentSummary(new Path(g, t)).getLength).sum
-        arrayJoinPartitions(
-          scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
-            .getOrElse(s.sparkContext.defaultParallelism),
-          s.sparkContext.defaultParallelism,
-          Runtime.getRuntime.maxMemory(), bytes)
+        partsCache.computeIfAbsent((s, dir), _ => {
+          val fs = g.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val bytes = Seq("oriented", "adj")
+            .map(t => fs.getContentSummary(new Path(g, t)).getLength).sum
+          val (heap, cores) = taskBudgetInputs(s)
+          arrayJoinPartitions(
+            scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
+              .getOrElse(s.sparkContext.defaultParallelism),
+            cores, heap, bytes)
+        })
       })
+
+  private val partsCache =
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Integer]())
 
   /** Pair-support table — each ordered (a < b) part pair with the number
     * of distinct orders containing both. The per-corpus shared investment
@@ -467,16 +509,42 @@ object Graph {
     // the materialized blocks. Out-degree is STATIC across iterations, so
     // attaching it here means each superstep is a single ranks⋈edges
     // join instead of ranks⋈deg⋈edges.
+    // with `spark.graft.graph.memoPath` set, the degree-attached edge
+    // list persists per corpus fingerprint under `<memoPath>/predges`
+    // (round 16): it derives from DIFFERENT columns than the basket
+    // graph — orders(o_orderkey,o_custkey) ⋈ lineitem(l_orderkey,
+    // l_suppkey) — so it carries its own two-table footer fingerprint,
+    // and its own lazily-built store (a basket-only deployment never
+    // pays this derive). Each power iteration then re-reads committed
+    // parquet in every session instead of re-deriving the
+    // orders⋈lineitem distinct per session.
     val edgesD = prEdgeCache.computeIfAbsent((s, dir), _ => {
-      val e0 = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
-        .distinct()
-      val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
-      Checkpoints.stable(edges.join(deg, "u"))
+      def derive() = {
+        val e0 = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+          .distinct()
+        val edges = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+        val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+        edges.join(deg, "u")
+      }
+      s.conf.getOption("spark.graft.graph.memoPath") match {
+        case Some(p) =>
+          val (nl, dl) = FooterStats.digest(s, s"$dir/lineitem.parquet",
+            Seq("l_orderkey", "l_suppkey"))
+          val (no, dno) = FooterStats.digest(s, s"$dir/orders.parquet",
+            Seq("o_orderkey", "o_custkey"))
+          val fp = s"graft-graphpr-v1|$dir|l=$nl:$dl|o=$no:$dno"
+          val g = GenStore.resolveOrBuild(s, s"$p/predges", fp,
+            Seq("edges")) { tmp =>
+            derive().write.mode("overwrite")
+              .parquet(new Path(tmp, "edges").toString)
+          }
+          s.read.parquet(new Path(g, "edges").toString)
+        case None => Checkpoints.stable(derive())
+      }
     })
     // fixed unroll, ONE action: no per-iteration checkpoint needed — the
     // whole recurrence is a single DAG, so r1/r2 are each computed once
@@ -516,13 +584,42 @@ object Graph {
     * (label table is vertex-sized), rounds bounded by component
     * diameter; the census re-aggregates the vertex-sized label table
     * twice. */
+  /** Persisted component labels (round 16): the convergent min-label
+    * loop is the most superstep-heavy kernel in the family (145 s per
+    * session at the honest-100× corpus) and its output is a VERTEX-sized
+    * table — the classic persist-don't-recompute shape. Own lazily-built
+    * store under `<memoPath>/components` with its own fingerprint (the
+    * AnnModels discipline: a triangle-only deployment never pays the
+    * label-propagation loop), derived from the SAME basket fingerprint
+    * as the main memo. The build stages through [[distinctEdges]], so a
+    * cold store builds the main memo first and the loop reads its
+    * committed parquet — one stage deep, restartable. */
+  private def persistedCompGen(s: SparkSession, dir: String): Option[Path] =
+    s.conf.getOption("spark.graft.graph.memoPath").map { p =>
+      compGenCache.computeIfAbsent((s, dir), _ =>
+        GenStore.resolveOrBuild(s, s"$p/components",
+          s"graft-graphcomp-v1|${basketFp(s, dir)}", Seq("labels")) { tmp =>
+          Pipeline.minLabelComponents(distinctEdges(s, dir))
+            .write.mode("overwrite").parquet(new Path(tmp, "labels").toString)
+        })
+    }
+
+  private val compGenCache =
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]())
+
   def components(s: SparkSession, dir: String): DataFrame = {
     // the vertex→component label table is the same kind of per-corpus
     // investment as the dedup cluster table (Pipeline.clustersCache): the
     // convergent loop runs once per (session, corpus), downstream reads
-    // re-read the materialized vertex-sized table
+    // re-read the materialized vertex-sized table — and with
+    // `spark.graft.graph.memoPath` set, once per CORPUS ([[persistedCompGen]])
     val comp = compCache.computeIfAbsent((s, dir), _ =>
-      Checkpoints.stable(Pipeline.minLabelComponents(distinctEdges(s, dir))))
+      persistedCompGen(s, dir) match {
+        case Some(g) => s.read.parquet(new Path(g, "labels").toString)
+        case None =>
+          Checkpoints.stable(Pipeline.minLabelComponents(distinctEdges(s, dir)))
+      })
     comp.groupBy("cluster_id").agg(count(lit(1)).as("component_size"))
       .groupBy("component_size")
       .agg(count(lit(1)).as("n_components"))

@@ -130,7 +130,13 @@ object Pipeline {
       // row carries. Every shingle-blocking consumer passes through
       // this memo build exactly once per (session, corpus), so this is
       // the one place the measurement reaches every run that needs it.
-      publishCapObservation(s, dir)
+      // Try-wrapped: the observation is telemetry — a failure in the
+      // census pass must degrade to a missing observation, never fail
+      // the pair build that already succeeded (round-16 review).
+      scala.util.Try(publishCapObservation(s, dir)).failed.foreach(e =>
+        System.err.println(
+          s"[graft][WARN] df-cap observation failed on $dir " +
+            s"(dedup results unaffected): ${e.getMessage}"))
       ps
     })
 
@@ -176,35 +182,18 @@ object Pipeline {
       .select("doc_a", "doc_b", "common", "sz_a", "sz_b")
   }
 
-  /** The df-cap's self-report: a 1-row census of how much pairable
-    * shingle mass the stop-shingle cap DROPPED — `n_keys` distinct
-    * shingle hashes, `n_multi` of them pairable (df ≥ 2), `n_capped`
-    * dropped by the df > [[maxShingleDf]] cap, `capped_ppm` the dropped
-    * fraction of pairable keys in ppm, and `n_pairs` the pair rows
-    * [[dedupNgram]] actually emitted. The honest-100× probe (SURVEY §9)
-    * showed the fixed cap going recall-BLIND under mass duplication —
-    * every shingle's df inflates past the cap and the pair table silently
-    * empties. This census is how a production run SEES that blindness:
-    * `capped_ppm` spiking while `n_pairs` collapses is the signal to
-    * raise the cap or route the corpus through the MinHash band path.
-    * Emitted as its own 1-row query (not a column on the pair rows)
-    * precisely because the blindness scenario is ZERO pair rows — a
-    * column on an empty table reports nothing.
-    *
-    * Scale shape: one memoized aggregate pass over the shared
-    * [[hashedShingles]] frame (groupBy int64 h, countDistinct doc —
-    * since r14 the tokenize+hash scan itself is the shared memo, so
-    * this pass re-reads a checkpoint, not the corpus) + a 1-row count
-    * of the memoized pair table; both 1-row sides crossJoin by
-    * broadcast. The AGGREGATION stays separate from the pair build on
-    * purpose: sharing it would require materializing the per-hash
-    * doc-set table ([[pairStatsOf]]'s collect_set aggregate —
-    * shingle-corpus-sized), which costs far more storage than
-    * re-aggregating the memo with the lighter countDistinct. */
   /** Memoized 1-row (n_keys, n_multi, n_capped) aggregate over the
-    * shared shingle frame — read by [[dedupNgramCensus]] AND by the
-    * pair-memo build's self-flag ([[publishCapObservation]]), so a
-    * session pays the pass once whichever consumer runs first. */
+    * shared shingle frame — read by [[dedupNgramCensus]] (which
+    * documents the full census row it feeds) AND by the pair-memo
+    * build's self-flag ([[publishCapObservation]]), so a session pays
+    * the pass once whichever consumer runs first. One aggregate pass
+    * over the memoized [[hashedShingles]] frame (groupBy int64 h,
+    * countDistinct doc — re-reads a checkpoint, not the corpus). Stays
+    * SEPARATE from the pair build on purpose: sharing would require
+    * materializing the per-hash doc-set table ([[pairStatsOf]]'s
+    * collect_set aggregate — shingle-corpus-sized), which costs far
+    * more storage than re-aggregating the memo with the lighter
+    * countDistinct. */
   private def censusStats(s: SparkSession, dir: String): DataFrame =
     censusCache.computeIfAbsent((s, dir), _ =>
       hashedShingles(s, dir)
@@ -254,6 +243,27 @@ object Pipeline {
     }
   }
 
+  /** The df-cap's self-report: a 1-row census of how much pairable
+    * shingle mass the stop-shingle cap DROPPED — `n_keys` distinct
+    * shingle hashes, `n_multi` of them pairable (df ≥ 2), `n_capped`
+    * dropped by the df > [[maxShingleDf]] cap, `capped_ppm` the dropped
+    * fraction of pairable keys in ppm, and `n_pairs` the pair rows
+    * [[dedupNgram]] actually emitted. The honest-100× probe (SURVEY §9)
+    * showed the fixed cap going recall-BLIND under mass duplication —
+    * every shingle's df inflates past the cap and the pair table silently
+    * empties. This census is how a production run SEES that blindness:
+    * `capped_ppm` spiking while `n_pairs` collapses is the signal to
+    * raise the cap or route the corpus through the MinHash band path.
+    * Emitted as its own 1-row query (not a column on the pair rows)
+    * precisely because the blindness scenario is ZERO pair rows — a
+    * column on an empty table reports nothing. (Since round 16 the
+    * pair-memo build additionally publishes the measured fraction as
+    * [[CapObservedConf]] + a loud warning, so even an UNSCHEDULED
+    * census can't leave the cliff silent.)
+    *
+    * Scale shape: the memoized [[censusStats]] aggregate + a 1-row
+    * count of the memoized pair table; both 1-row sides crossJoin by
+    * broadcast. */
   def dedupNgramCensus(s: SparkSession, dir: String): DataFrame = {
     val census = censusStats(s, dir)
     val nPairs = dedupNgram(s, dir).agg(count(lit(1)).as("n_pairs"))

@@ -81,7 +81,10 @@ object MetaFiles {
           // the same interleaving on every retry (the stress spec saw a
           // 5-loss streak with immediate retries); the jitter source is
           // the attempt-unique tmp nonce, not wall-clock randomness
-          else Thread.sleep(1L + (tmp.getName.hashCode.abs + attempt * 7) % 10)
+          // floorMod: hashCode can be Int.MinValue (whose .abs is still
+          // negative) — a raw % could hand Thread.sleep a negative
+          else Thread.sleep(
+            1L + java.lang.Math.floorMod(tmp.getName.hashCode + attempt * 7, 10))
       }
     }
     if (!published) {

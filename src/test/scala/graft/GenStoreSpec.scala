@@ -211,6 +211,11 @@ class GenStoreSpec extends AnyFunSuite {
       })
       val ts = Seq(worker(0), worker(1))
       ts.foreach(_.start()); ts.foreach(_.join(300000))
+      // a hang IS the regression class this spec exists to catch — a
+      // timed-out join with empty errs must not pass vacuously (and the
+      // finally-block delete must not race still-running workers)
+      assert(ts.forall(!_.isAlive),
+        "a worker is still running after the join timeout — publish hang")
       assert(errs.isEmpty, errs.toArray.mkString("; "))
       // steady state: at most one retained generation per fingerprint
       // plus anything inside the grace window — here everything is

@@ -64,6 +64,36 @@ class GraphMemoSpec extends AnyFunSuite {
     }
   }
 
+  test("components labels and pagerank edges persist LAZILY in their own stores, hash-identical, adopting on a second session") {
+    val root = java.nio.file.Files.createTempDirectory("graft-gm-cp").toString
+    try {
+      val expectedComp = Graph.components(spark, sf).collect().map(_.toString)
+      val expectedPr = Graph.pageRank(spark, sf).collect().map(_.toString)
+      withMemoPath(root) {
+        assert(Graph.components(spark, sf).collect().map(_.toString).toSeq
+          === expectedComp.toSeq)
+        assert(genDirs(s"$root/components").size === 1)
+        // LAZY: running components must not have built the pagerank store
+        assert(genDirs(s"$root/predges").isEmpty,
+          "a components-only session must not pay the pagerank derive")
+        assert(Graph.pageRank(spark, sf).collect().map(_.toString).toSeq
+          === expectedPr.toSeq)
+        assert(genDirs(s"$root/predges").size === 1)
+      }
+      val gens = (genDirs(s"$root/components"), genDirs(s"$root/predges"))
+      withMemoPath(root) {
+        assert(Graph.components(spark, sf).collect().map(_.toString).toSeq
+          === expectedComp.toSeq)
+        assert(Graph.pageRank(spark, sf).collect().map(_.toString).toSeq
+          === expectedPr.toSeq)
+        assert((genDirs(s"$root/components"), genDirs(s"$root/predges"))
+          === gens, "second session must adopt both stores, not rebuild")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
+
   test("the array-SMJ partition bound widens with table bytes, never narrows the session default, and is result-neutral") {
     // pure sizing rule (round 16, VERDICT r15 #2): 8 GB heap / 32 cores
     // gives a 64 MB per-task budget; 2 GB of persisted array tables at
