@@ -123,13 +123,25 @@ object Graph {
     * shape, hashes, and network volume are unchanged; only per-task
     * peak memory drops. At 1000 executors the same rule sizes tasks to
     * executor heaps instead of hoping 32 partitions fit. */
+  /** The shared sizing core (round-16 review consolidated the join and
+    * contraction variants — the MetaFiles two-copies lesson): enough
+    * partitions that `tableBytes × expansion` of in-memory working set
+    * splits into per-task shares of `heap/4/cores`. The cap bounds
+    * runaway INPUTS only — it is applied to `needed` BEFORE the floor,
+    * so a session default wider than the cap is never narrowed. Long
+    * math throughout (a PB-scale input overflowed the Int form). */
+  private[graft] def sizedPartitions(sessionParts: Int, cores: Int,
+                                     heapBytes: Long, tableBytes: Long,
+                                     expansion: Int, cap: Int): Int = {
+    val perTaskBudget = math.max(32L << 20, heapBytes / 4 / math.max(1, cores))
+    val needed = (tableBytes * expansion) / perTaskBudget + 1L
+    math.max(sessionParts, math.min(cap.toLong, needed).toInt)
+  }
+
   private[graft] def arrayJoinPartitions(sessionParts: Int, cores: Int,
                                          heapBytes: Long,
-                                         tableBytes: Long): Int = {
-    val perTaskBudget = math.max(32L << 20, heapBytes / 4 / math.max(1, cores))
-    val needed = ((tableBytes * 6) / perTaskBudget + 1).toInt
-    math.min(4000, math.max(sessionParts, needed))
-  }
+                                         tableBytes: Long): Int =
+    sizedPartitions(sessionParts, cores, heapBytes, tableBytes, 6, 4000)
 
   /** The heap and concurrent-task-count a TASK's sort budget divides:
     * on a cluster the EXECUTOR's heap and cores (the driver's heap says
@@ -151,26 +163,33 @@ object Graph {
     (heap, cores)
   }
 
-  /** The join partition count for this corpus's giant array SMJs — None
-    * off the persisted-memo path (test/bench SFs: session defaults are
+  /** Resolve a sized width for this corpus's heavy stages — None off
+    * the persisted-memo path (test/bench SFs: session defaults are
     * right there, and plans stay byte-identical to r15's). Memoized per
-    * (session, corpus): committed generations are immutable, and on an
-    * object store getContentSummary is a recursive remote listing worth
-    * paying once, not per kernel invocation. */
-  private def joinPartsOf(s: SparkSession, dir: String): Option[Int] =
+    * (session, corpus, tag): committed generations are immutable, and
+    * on an object store getContentSummary is a recursive remote listing
+    * worth paying once, not per kernel invocation. The explicit
+    * `spark.graft.graph.joinPartitions` override governs the whole
+    * graph-kernel width family. */
+  private def sizedPartsOf(s: SparkSession, dir: String, tag: String,
+                           tables: Seq[String], expansion: Int,
+                           cap: Int): Option[Int] =
     s.conf.getOption("spark.graft.graph.joinPartitions").map(_.toInt)
       .orElse(persistedGen(s, dir).map { g =>
-        partsCache.computeIfAbsent((s, dir), _ => {
+        partsCache.computeIfAbsent((s, s"$tag|$dir"), _ => {
           val fs = g.getFileSystem(s.sparkContext.hadoopConfiguration)
-          val bytes = Seq("oriented", "adj")
+          val bytes = tables
             .map(t => fs.getContentSummary(new Path(g, t)).getLength).sum
           val (heap, cores) = taskBudgetInputs(s)
-          arrayJoinPartitions(
+          sizedPartitions(
             scala.util.Try(s.conf.get("spark.sql.shuffle.partitions").toInt)
               .getOrElse(s.sparkContext.defaultParallelism),
-            cores, heap, bytes)
+            cores, heap, bytes, expansion, cap)
         })
       })
+
+  private def joinPartsOf(s: SparkSession, dir: String): Option[Int] =
+    sizedPartsOf(s, dir, "join", Seq("oriented", "adj"), 6, 4000)
 
   private val partsCache =
     graft.util.CorpusMemo.register(
@@ -599,7 +618,8 @@ object Graph {
       compGenCache.computeIfAbsent((s, dir), _ =>
         GenStore.resolveOrBuild(s, s"$p/components",
           s"graft-graphcomp-v1|${basketFp(s, dir)}", Seq("labels")) { tmp =>
-          Pipeline.minLabelComponents(distinctEdges(s, dir))
+          Pipeline.minLabelComponents(distinctEdges(s, dir),
+              contractParts = contractPartsOf(s, dir))
             .write.mode("overwrite").parquet(new Path(tmp, "labels").toString)
         })
     }
@@ -607,6 +627,27 @@ object Graph {
   private val compGenCache =
     graft.util.CorpusMemo.register(
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Path]())
+
+  /** Partition count that keeps ONE contraction task's union-find map
+    * inside its heap share (round 16 — the components sibling of
+    * [[arrayJoinPartitions]]). The 36× expansion is DELIBERATELY the
+    * boxed-HashMap-era sizing even though the contraction now runs on
+    * the ~24 B/entry [[graft.util.LongLongMap]] with streamed output:
+    * the probe needed both halves (width alone re-OOM'd 3-for-3), and
+    * keeping the conservative factor leaves ~4× headroom over the
+    * primitive map's actual footprint for input-tuple churn and
+    * shuffle-write buffers — do not "re-derive" it down to the map's
+    * byte count. */
+  private[graft] def unionFindPartitions(sessionParts: Int, cores: Int,
+                                         heapBytes: Long,
+                                         pairBytes: Long): Int =
+    sizedPartitions(sessionParts, cores, heapBytes, pairBytes, 36, 8000)
+
+  /** Contraction width for this corpus — sized from the persisted pairs
+    * table's bytes; None off the persisted-memo path (session default —
+    * dedup clusters and test/bench SFs unchanged). */
+  private def contractPartsOf(s: SparkSession, dir: String): Option[Int] =
+    sizedPartsOf(s, dir, "contract", Seq("pairs"), 36, 8000)
 
   def components(s: SparkSession, dir: String): DataFrame = {
     // the vertex→component label table is the same kind of per-corpus
@@ -618,7 +659,8 @@ object Graph {
       persistedCompGen(s, dir) match {
         case Some(g) => s.read.parquet(new Path(g, "labels").toString)
         case None =>
-          Checkpoints.stable(Pipeline.minLabelComponents(distinctEdges(s, dir)))
+          Checkpoints.stable(Pipeline.minLabelComponents(distinctEdges(s, dir),
+            contractParts = contractPartsOf(s, dir)))
       })
     comp.groupBy("cluster_id").agg(count(lit(1)).as("component_size"))
       .groupBy("component_size")

@@ -855,7 +855,8 @@ object Pipeline {
     * per round. This is the standard iterative-graph pattern (GraphX
     * materializes per superstep the same way). */
   def minLabelComponents(pairs: DataFrame, floorRounds: Int = 4,
-                         maxRounds: Int = 64): DataFrame = {
+                         maxRounds: Int = 64,
+                         contractParts: Option[Int] = None): DataFrame = {
     val Array(a, b) = pairs.columns
     // LOCAL CONTRACTION before any superstep: each partition runs an
     // in-memory union-find over its own edges and emits one (v, local
@@ -879,24 +880,44 @@ object Pipeline {
     // Both edge directions are emitted here so the contracted table needs
     // no second union pass; self-pairs keep isolated-self-edge vertices
     // visible to the label init below.
+    // `contractParts` (round 16): per-task union-find memory grows with
+    // edges-per-partition, so the partition count must GROW with the
+    // edge list — at the honest-100× corpus the session default (32)
+    // put ~7.5 M directed edges through each task's parent map (one
+    // probe session OOM'd, the rerun passed — a coin flip, not a
+    // memory model; the boxed-HashMap era cost ~110 B/entry, and even
+    // the primitive map below wants a real bound).
+    // Callers that know the edge table's size pass a heap-keyed count
+    // ([[graft.operators.Graph.unionFindPartitions]]); None keeps the
+    // session default (test SFs, the doc near-dup graph). Wider
+    // contraction trades collapse ratio for a deterministic bound —
+    // correctness holds under ANY partitioning (see above).
     val raw = pairs.union(pairs.select(col(b), col(a)))
       .toDF("src", "dst")
-      .repartition(pairs.sparkSession.sessionState.conf.numShufflePartitions)
+      .repartition(contractParts.getOrElse(
+        pairs.sparkSession.sessionState.conf.numShufflePartitions))
     val contractedPairs = {
       import org.apache.spark.sql.Encoders
       raw.select(col("src").cast("long"), col("dst").cast("long"))
         .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
         .mapPartitions { it =>
-          val parent = new java.util.HashMap[Long, Long]()
+          // primitive open-addressing parent table + STREAMED output
+          // (round 16): the boxed java.util.HashMap cost ~100 B/entry
+          // and the buffered ArrayBuffer another ~100 B/pair — at the
+          // honest-100× corpus that was ~250 MB/task × 32 concurrent,
+          // an OOM even after the width fix. The flat-array map is
+          // ~24 B/entry and the output iterator materializes nothing;
+          // per-task peak is now the parent table alone.
+          val parent = new graft.util.LongLongMap(1 << 12)
           def find(x: Long): Long = {
             var r = x
-            while (parent.get(r) != r) r = parent.get(r)
+            while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
             var c = x
-            while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+            while (c != r) { val n = parent.getOrElse(c, c); parent.put(c, r); c = n }
             r
           }
           def add(x: Long): Unit =
-            if (!parent.containsKey(x)) parent.put(x, x)
+            if (!parent.contains(x)) parent.put(x, x)
           it.foreach { case (x, y) =>
             add(x); add(y)
             val rx = find(x); val ry = find(y)
@@ -904,14 +925,12 @@ object Pipeline {
               if (rx < ry) parent.put(ry, rx) else parent.put(rx, ry)
             }
           }
-          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
-          val ks = parent.keySet.iterator
-          while (ks.hasNext) {
-            val v = ks.next(); val r = find(v)
-            out += ((v, r))
-            if (r != v) out += ((r, v))
+          // no NEW keys are inserted below (find only path-compresses
+          // existing ones), so the snapshot iteration is stable
+          parent.keysSnapshot.flatMap { v =>
+            val r = find(v)
+            if (r == v) Iterator.single((v, r)) else Iterator((v, r), (r, v))
           }
-          out.iterator
         }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
         .toDF("src", "dst")
     }

@@ -179,6 +179,41 @@ object GenStore {
       if (st.getModificationTime < System.currentTimeMillis() - 600000L)
         fs.delete(st.getPath, true)
     } catch { case _: java.io.IOException => () }
+    // UNCOMMITTED generation debris (round 16): a crash in the window
+    // between the publish rename and the marker write — or a pre-marker
+    // (r15) store migrating — leaves a gen dir that is corpus-sized,
+    // can never be adopted (no _GRAFT_COMMITTED), and would otherwise
+    // leak forever on a store whose pointer never moves again (the main
+    // GC runs only on repoints). Swept on EVERY resolve. Age comes from
+    // the NEWEST FILE inside the candidate, not the directory entry: on
+    // object stores a "directory" mtime is synthetic (often 0), and a
+    // marker-less dir may be a CONCURRENT PUBLISH MID-COPY — its
+    // file-by-file copy loop keeps landing fresh objects, so the
+    // newest-file age stays inside the grace for as long as the copy
+    // runs (round-16 review: a dir-mtime age would sweep a live copy).
+    // The 60-minute grace also gives still-running PRE-MARKER (r15)
+    // readers a migration window; past it, the generation's fingerprint
+    // has a newer committed build, which is exactly when the
+    // reader-lifetime contract already permits collection. Cost: one
+    // recursive listing per MARKERLESS candidate — committed
+    // generations (the steady state) never pay it.
+    def newestFileMs(p: Path): Long =
+      try {
+        var newest = 0L
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) newest = math.max(newest, it.next().getModificationTime)
+        newest
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    try fs.listStatus(hp).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("gen="))
+      .filter(st => !fs.exists(new Path(st.getPath, CommitMarkerFile)))
+      .filter(st => st.getPath.getName != current.getName)
+      .filter(st => math.max(st.getModificationTime, newestFileMs(st.getPath)) <
+        System.currentTimeMillis() - 3600000L)
+      .foreach(st =>
+        try fs.delete(st.getPath, true)
+        catch { case _: java.io.IOException => () })
+    catch { case _: java.io.IOException => () }
     current
   }
 }

@@ -170,6 +170,18 @@ class GenStoreSpec extends AnyFunSuite {
       assert(builds === 2, "a torn-only store must trigger a fresh build")
       assert(g3.getName !== torn.getName)
       assert(Files.exists(Paths.get(root, g3.getName, "_GRAFT_COMMITTED")))
+      // debris sweep: the torn dir survives while inside the 10-min
+      // grace (could be a racing build's rename→marker window)...
+      assert(torn.exists(), "an in-grace markerless dir must not be swept")
+      // ...and is deleted by the next resolve once past it — a crashed
+      // or pre-marker-protocol generation must not leak forever on a
+      // store whose pointer never moves again. Age is the NEWEST FILE
+      // inside the dir (dir mtimes are synthetic on object stores and a
+      // mid-copy publish keeps landing fresh files), grace 60 min
+      val old = System.currentTimeMillis() - 90 * 60 * 1000L
+      Files.walk(torn.toPath).forEach(p => p.toFile.setLastModified(old))
+      resolve()
+      assert(!torn.exists(), "a stale markerless dir must be swept")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }

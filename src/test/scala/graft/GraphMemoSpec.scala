@@ -103,15 +103,27 @@ class GraphMemoSpec extends AnyFunSuite {
     // small tables never narrow the session default
     assert(Graph.arrayJoinPartitions(32, 32, g8, 1L << 20) === 32)
     assert(Graph.arrayJoinPartitions(200, 32, g8, 1L << 20) === 200)
-    // runaway inputs are capped
+    // runaway inputs are capped — but the cap never NARROWS a session
+    // default that is already wider (round-16 review: the old
+    // cap-after-floor order silently shrank a 9000-partition session)
     assert(Graph.arrayJoinPartitions(32, 32, g8, 10L << 40) === 4000)
+    assert(Graph.arrayJoinPartitions(9000, 32, g8, 10L << 40) === 9000)
+    assert(Graph.unionFindPartitions(9000, 32, g8, 1L << 20) === 9000)
     // and the floor keeps a tiny heap from exploding the count
     assert(Graph.arrayJoinPartitions(32, 32, 256L << 20, 1L << 30) ===
       ((6L << 30) / (32L << 20) + 1).toInt)
+    // the union-find contraction sibling: ~36x in-heap expansion of the
+    // pairs parquet — 733 MB of pairs at 8 GB/32 cores needs ~413 tasks
+    // (the honest-100x shape where 32 was a coin flip)
+    assert(Graph.unionFindPartitions(32, 32, g8, 733L << 20) === 413)
+    assert(Graph.unionFindPartitions(32, 32, g8, 1L << 20) === 32)
+    assert(Graph.unionFindPartitions(32, 32, g8, 10L << 40) === 8000)
     // result-neutral: an explicit override must reproduce the default
-    // path's census and jaccard rows exactly (wider shuffle, same data)
+    // path's census, jaccard and components rows exactly (wider
+    // shuffle/contraction, same data)
     val expectedTri = Graph.triangleCount(spark, sf).collect().map(_.toString)
     val expectedJac = Graph.edgeJaccard(spark, sf).collect().map(_.toString)
+    val expectedComp = Graph.components(spark, sf).collect().map(_.toString)
     spark.conf.set("spark.graft.graph.joinPartitions", "7")
     try {
       CorpusMemo.invalidate(spark, sf)
@@ -119,6 +131,8 @@ class GraphMemoSpec extends AnyFunSuite {
         === expectedTri.toSeq)
       assert(Graph.edgeJaccard(spark, sf).collect().map(_.toString).toSeq
         === expectedJac.toSeq)
+      assert(Graph.components(spark, sf).collect().map(_.toString).toSeq
+        === expectedComp.toSeq)
     } finally {
       spark.conf.unset("spark.graft.graph.joinPartitions")
       CorpusMemo.invalidate(spark, sf)
