@@ -101,7 +101,12 @@ object Tables {
   *    pair-memo build publishes its measured stop-shingle dropped
   *    fraction here (integer ppm) so deployments can gate on the df-cap
   *    recall cliff without scheduling the census query
-  *    ([[graft.operators.Pipeline]]).
+  *    ([[graft.operators.Pipeline]]). Single-corpus-session assumption
+  *    (ADVICE r16): the key is session-global and overwritten per
+  *    pair-memo build — in a session touching several corpora it holds
+  *    the LAST corpus's observation only; a multi-corpus deployment
+  *    gate must sample it after each corpus's build (the stderr/logger
+  *    warning still fires per build either way).
   *  - `spark.graft.ann.modelPath` — persist the trained k-means
   *    centroids + PQ codebooks per corpus fingerprint; assignments
   *    recompute map-side from the k-row model

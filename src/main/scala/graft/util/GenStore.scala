@@ -158,8 +158,14 @@ object GenStore {
         .filter(st => committed(fs, st.getPath, tables))
         .flatMap(st => genFp(fs, st.getPath).map(_ -> st))
         .groupBy(_._1)
+        // (mtime, name) — the SAME total order adoption sorts by, so at
+        // equal mtimes (same-millisecond commits, synthetic object-store
+        // mtimes) retention keeps exactly the generation adoption picks
+        // (ADVICE r16)
         .map { case (_, sts) =>
-          sts.maxBy(_._2.getModificationTime)._2.getPath.getName }
+          sts.maxBy(st =>
+            (st._2.getModificationTime, st._2.getPath.getName))._2
+            .getPath.getName }
         .toSet
       val grace = System.currentTimeMillis() - 600000L
       val keep = Set(current.getName) ++ prevPointer ++ newestPerFp

@@ -27,16 +27,23 @@ object MetaFiles {
     // sweep temp debris from CRASHED publishes of this same file (>10
     // minutes old by modtime — a live concurrent publish is seconds
     // old, and the age guard keeps this from racing one)
+    // contains, not startsWith (ADVICE r16): a checksum scheme names the
+    // temp's OWN sidecar "..<name>.tmp-<nonce>.crc" — the extra leading
+    // dot escaped the old prefix match and the sidecar could leak forever
     try fs.listStatus(f.getParent).foreach { st =>
-      if (st.isFile && st.getPath.getName.startsWith("." + f.getName + ".tmp-")
+      if (st.isFile && st.getPath.getName.contains("." + f.getName + ".tmp-")
           && st.getModificationTime < System.currentTimeMillis() - 600000L)
         fs.delete(st.getPath, false)
     } catch { case _: java.io.IOException => () }
-    val tmp = new Path(f.getParent,
-      "." + f.getName + ".tmp-" + java.lang.Long.toHexString(System.nanoTime()))
-    val out = fs.create(tmp, true)
-    try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    def mkTmp(): Path = {
+      val t = new Path(f.getParent,
+        "." + f.getName + ".tmp-" + java.lang.Long.toHexString(System.nanoTime()))
+      val out = fs.create(t, true)
+      try out.write(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      t
+    }
+    var tmp = mkTmp()
     // atomic replace (no missing-file window) where the scheme supports
     // FileContext — see the object scaladoc for the fallback contract.
     // RETRIED: even rename-with-OVERWRITE is delete-then-rename INSIDE
@@ -73,10 +80,22 @@ object MetaFiles {
           // leg when a concurrent publisher races the destination — the
           // stress spec observed exactly this). The temp file has
           // exactly one consumer — our own rename — so temp-gone means
-          // our value landed at f (a concurrent winner may overwrite it
-          // a moment later, which is the last-writer-wins semantic):
-          // report success instead of retrying into FileNotFound.
-          if (!fs.exists(tmp)) published = true
+          // A value landed at f (ours, or a concurrent winner's — the
+          // last-writer-wins semantic makes both success). But VERIFY it
+          // (ADVICE r16): a crc-leg failure can leave the destination
+          // with a STALE checksum sidecar, where every read fails
+          // verification and degrades to None while this writer believed
+          // the pointer published. Readable → success; unreadable →
+          // clear the wreck (delete drops the sidecar too) and retry
+          // through a fresh temp.
+          if (!fs.exists(tmp)) {
+            if (read(fs, f).isDefined) published = true
+            else {
+              try fs.delete(f, false)
+              catch { case _: java.io.IOException => () }
+              tmp = mkTmp()
+            }
+          }
           // randomized backoff so two publishers in lockstep don't lose
           // the same interleaving on every retry (the stress spec saw a
           // 5-loss streak with immediate retries); the jitter source is

@@ -19,4 +19,55 @@ object GraftShims {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Presentation-sort elision at the declared-query seam (optimization
+    * round 17, guide §2.4 "an orderBy used only to make output
+    * deterministic").
+    *
+    * The engine's output contract is ORDER-INSENSITIVE (SURVEY §1: "The
+    * Spark engine may emit any row order; correctness is order-insensitive"
+    * — the reference harness sorts output before comparing, and the
+    * driver's oracle hash row-sorts the same way, tools/compare.py). Yet
+    * nearly every declared query ended with a cosmetic `orderBy`, and a
+    * global sort is the single most expensive no-op Spark can plan: the
+    * range exchange first runs a SEPARATE boundary-sampling job that
+    * RE-EXECUTES the entire child plan (RangePartitioner.sketch over
+    * child.execute()), then shuffles and sorts every output row. At sf0.1
+    * that roughly doubles a small query; at 100 TB it is a full extra pass
+    * plus a full-output shuffle, purely to order rows a consumer is free
+    * to receive in any order.
+    *
+    * This helper removes exactly the presentation sorts and nothing else:
+    * starting at the ROOT of the analyzed plan it walks down through
+    * row-wise order-agnostic nodes only (Project / Filter with
+    * deterministic expressions, SubqueryAlias) and splices out any
+    * GLOBAL Sort found on that chain. Everything order-SIGNIFICANT is
+    * structurally out of reach:
+    *  - `orderBy(...).limit(k)` top-k: the root is GlobalLimit, which the
+    *    walk does not descend through, so the sort that selects WHICH k
+    *    rows survive is untouched;
+    *  - window / aggregation / join-internal sorts: below non-chain nodes;
+    *  - `sortWithinPartitions`: global=false, never matched.
+    * The result is the identical row multiset with the terminal
+    * rangepartitioning Exchange + Sort (and its hidden sampling pass)
+    * gone. Queries whose OPERATOR is the sort itself (q_sort_docs, the
+    * reference's sort-by-key) bypass this seam — see SparkEntry.qSorted. */
+  def stripRootSort(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case s: Sort if s.global => strip(s.child)
+      case pr: Project if pr.projectList.forall(_.deterministic) =>
+        pr.copy(child = strip(pr.child))
+      case f: Filter if f.condition.deterministic =>
+        f.copy(child = strip(f.child))
+      case a: SubqueryAlias => a.copy(child = strip(a.child))
+      case other => other
+    }
+    val analyzed = ds.queryExecution.analyzed
+    val stripped = strip(analyzed)
+    if (stripped.fastEquals(analyzed)) df
+    else classic.Dataset.ofRows(ds.sparkSession, stripped)
+  }
 }

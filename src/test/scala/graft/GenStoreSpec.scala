@@ -268,4 +268,44 @@ class GenStoreSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     }
   }
+
+  test("MetaFiles: a stale-crc wreck is overwritten readably, and crc temp sidecars are swept (ADVICE r16)") {
+    val root = Files.createTempDirectory("graft-mf-crc").toString
+    try {
+      val p = new Path(new java.io.File(root, "ptr").getAbsolutePath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      graft.util.MetaFiles.write(fs, p, "v1")
+      assert(graft.util.MetaFiles.read(fs, p).contains("v1"))
+      // simulate the crc-leg wreck ADVICE r16 describes: the destination
+      // data file is fine but its checksum sidecar is stale garbage, so
+      // every verified read fails and degrades to None
+      Files.write(Paths.get(root, ".ptr.crc"),
+        Array[Byte](0x63, 0x72, 0x63, 0x00, 0, 0, 0, 99, 1, 2, 3, 4))
+      if (graft.util.MetaFiles.read(fs, p).isEmpty) {
+        // a re-publish over the wreck must land a READABLE value (the
+        // recovery branch re-drives the publish through a fresh temp
+        // when the destination stays unreadable)
+        graft.util.MetaFiles.write(fs, p, "v2")
+        assert(graft.util.MetaFiles.read(fs, p).contains("v2"),
+          "publish over a stale-crc destination must leave it readable")
+      } // (a raw, non-checksum scheme never sees the wreck — vacuous there)
+      // the temp's own crc sidecar ("..ptr.tmp-<nonce>.crc") must be
+      // inside the debris sweep's name match — the old startsWith
+      // prefix missed the extra leading dot and leaked it forever
+      val deadTmp = Paths.get(root, ".ptr.tmp-deadbeef")
+      val deadCrc = Paths.get(root, "..ptr.tmp-deadbeef.crc")
+      Files.writeString(deadTmp, "x")
+      Files.writeString(deadCrc, "x")
+      val old = System.currentTimeMillis() - 20 * 60 * 1000L
+      deadTmp.toFile.setLastModified(old)
+      deadCrc.toFile.setLastModified(old)
+      graft.util.MetaFiles.write(fs, p, "v3")
+      assert(!Files.exists(deadTmp), "aged temp debris must be swept")
+      assert(!Files.exists(deadCrc),
+        "the temp's crc sidecar must be swept with it")
+      assert(graft.util.MetaFiles.read(fs, p).contains("v3"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    }
+  }
 }

@@ -139,6 +139,38 @@ class GraphMemoSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster budget inputs resolve every unknown toward WIDER, never narrower (VERDICT r16 #1, ADVICE r16)") {
+    // spark.executor.memory unset on a cluster → Spark's 1 GiB executor
+    // default, NOT the (possibly huge) driver heap: with a 64 GB driver
+    // the old fallback gave each task a 512 MB budget and 32 partitions
+    // where the honest bound needs ~8 MB/task widths
+    assert(Graph.clusterBudgetInputs(None, Some("4"), 64, 16)
+      === ((1L << 30), 4))
+    // unitless executor.memory means MiB in Spark's own convention —
+    // "4096" is 4 GiB, not 4096 bytes collapsing to the 32 MB floor
+    assert(Graph.clusterBudgetInputs(Some("4096"), Some("4"), 64, 16)
+      === ((4L << 30), 4))
+    assert(Graph.clusterBudgetInputs(Some("8g"), Some("4"), 64, 16)
+      === ((8L << 30), 4))
+    // executor.cores unset (standalone: executor takes ALL worker cores)
+    // → estimate cores/executor from total parallelism over live
+    // executors instead of assuming 1 (which would overestimate the
+    // per-task share cores-fold)
+    assert(Graph.clusterBudgetInputs(Some("8g"), None, 64, 4)
+      === ((8L << 30), 16))
+    // degenerate executor listing (0 rows seen yet) still floors at 1
+    assert(Graph.clusterBudgetInputs(Some("8g"), None, 64, 0)
+      === ((8L << 30), 64))
+    // the widened inputs flow through the sizing rule in the widening
+    // direction: 1 GiB heap / 16-core estimate floors at the 32 MB/task
+    // budget → 2 GB of array tables at 6x expansion need ~385 tasks,
+    // not the session default the old driver-heap/1-core fallback kept
+    // on a 16 GB driver (4 GiB/task budget → "32 is plenty")
+    val (h, c) = Graph.clusterBudgetInputs(None, None, 64, 4)
+    assert(Graph.arrayJoinPartitions(32, c, h, 2L << 30) >
+      Graph.arrayJoinPartitions(32, 1, 16L << 30, 2L << 30))
+  }
+
   test("corpus fingerprint mismatch rebuilds and serves the new corpus; flipping back adopts the retained generation") {
     val root = java.nio.file.Files.createTempDirectory("graft-gm-fp").toString
     val corpus2 = java.nio.file.Files.createTempDirectory("graft-gm-c2").toString
