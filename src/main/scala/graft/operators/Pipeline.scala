@@ -711,35 +711,52 @@ object Pipeline {
       .select(col("doc_id"), col("sz"), col("bk.b").as("b"), col("bk.key").as("key"))
   }
 
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val bands = minhashBands(s, dir)
-    val cand = bands.select(col("b"), col("key"),
-        col("doc_id").as("doc_a"), col("sz").as("sz_a"))
-      .join(bands.select(col("b"), col("key"),
-        col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("b", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sz_a", "sz_b").distinct()
-    // exact-Jaccard verification restricted to candidate docs only.
-    // No broadcast hints here: the candidate set is corpus-linear, so a
-    // forced broadcast would ship a multi-GB table to the driver and every
-    // executor at 100×. AQE still picks a broadcast join at runtime when
-    // the measured candidate table is small; otherwise these stay safe
-    // shuffled (semi-)joins.
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b"))).distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
-    val common = shc.select(col("sh"), col("doc_id").as("doc_a"))
-      .join(shc.select(col("sh"), col("doc_id").as("doc_b")), "sh")
-      .filter(col("doc_a") < col("doc_b"))
-      .join(cand.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    cand.join(common, Seq("doc_a", "doc_b"), "left")
-      .select(col("doc_a"), col("doc_b"),
-        (coalesce(col("common"), lit(0L)).cast("double") /
-          (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L))).cast("double")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
-  }
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy("doc_a", "doc_b")
+
+  // the verified LSH pair table is the corpus's minhash decision table —
+  // the SAME per-(session, dir) investment discipline as the ngram pair
+  // table at [[pairCache]] (round 17): it is consumed whole by
+  // q_dedup_minhash, re-read by q_minhash_error's estimator join, and
+  // scanned TWICE by q_lsh_pr_sweep's precision/recall legs — without the
+  // memo each consumer re-ran the band self-join + candidate-restricted
+  // exact verify end to end (and, worse, through dedupMinhash's
+  // presentation sort). Tiny like the ngram table (one row per candidate
+  // pair). Lifecycle: see the note at pairCache.
+  private val mhPairCache =
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
+
+  private[graft] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    mhPairCache.computeIfAbsent((s, dir), _ => {
+      val sh = shingles(s, dir)
+      val bands = minhashBands(s, dir)
+      val cand = bands.select(col("b"), col("key"),
+          col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+        .join(bands.select(col("b"), col("key"),
+          col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("b", "key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b", "sz_a", "sz_b").distinct()
+      // exact-Jaccard verification restricted to candidate docs only.
+      // No broadcast hints here: the candidate set is corpus-linear, so a
+      // forced broadcast would ship a multi-GB table to the driver and every
+      // executor at 100×. AQE still picks a broadcast join at runtime when
+      // the measured candidate table is small; otherwise these stay safe
+      // shuffled (semi-)joins.
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b"))).distinct()
+      val shc = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      val common = shc.select(col("sh"), col("doc_id").as("doc_a"))
+        .join(shc.select(col("sh"), col("doc_id").as("doc_b")), "sh")
+        .filter(col("doc_a") < col("doc_b"))
+        .join(cand.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+      cand.join(common, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"),
+          (coalesce(col("common"), lit(0L)).cast("double") /
+            (col("sz_a") + col("sz_b") - coalesce(col("common"), lit(0L))).cast("double")).as("jaccard"))
+        .stable
+    })
 
   /** INCREMENTAL near-dup detection — the production form of minhash
     * dedup: a crawl pipeline doesn't re-pair the whole corpus per
@@ -792,14 +809,23 @@ object Pipeline {
     * count / 64 and one IEEE subtraction), so the full table
     * hash-matches the oracle with no rounding. */
   def minhashError(s: SparkSession, dir: String): DataFrame = {
-    val jc = dedupMinhash(s, dir)
-    val sigArr = minhashSigs(s, dir).select(col("doc_id"),
-      array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("sig"))
-    jc.join(sigArr.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigArr.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), _ + _).as("n_agree"),
+    val jc = minhashPairs(s, dir)
+    // per-permutation agreement as a FLAT codegen sum (round 17): the
+    // old zip_with+aggregate pair is a higher-order function whose
+    // lambda evaluates interpreted per element (the SNIPPETS.md HOF
+    // lesson); 64 inline column equalities whole-stage-compile and sum
+    // to the identical integer. Joined off the memoized signature and
+    // pair tables, so nothing here re-reads the corpus.
+    val agree = (0 until MinhashPerms).map(i =>
+      when(col(s"ma$i") === col(s"mb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sigs = minhashSigs(s, dir)
+    def side(suffix: String): DataFrame =
+      sigs.select(col("doc_id").as(s"doc_$suffix") +:
+        (0 until MinhashPerms).map(i => col(s"m$i").as(s"m$suffix$i")): _*)
+    jc.join(side("a"), "doc_a")
+      .join(side("b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), agree.as("n_agree"),
         col("jaccard"))
       .select(col("doc_a"), col("doc_b"), col("n_agree"),
         (col("n_agree").cast("double") / lit(64.0)).as("jaccard_est"),
@@ -1168,16 +1194,28 @@ object Pipeline {
   def ngramDiversity(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .select(col("lang"), filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
-    def grams(n: Int): DataFrame = {
-      val g = if (n == 1) col("t") else
+    // ONE tokenize pass (round 17): the old three-branch union scanned
+    // and re-tokenized the corpus once per n — at 100 TB, three full
+    // passes where one suffices (guide §1.2: remove unnecessary passes).
+    // Each row now emits its 1/2/3-gram rows from a single tagged array
+    // concat; the grouped counts (and so every output cell) are
+    // integer-identical, union order never mattered to a groupBy.
+    def gramsArr(n: Int) = {
+      val structType = "array<struct<n:bigint,g:string>>"
+      if (n == 1)
+        transform(col("t"), g => struct(lit(1L).as("n"), g.as("g")))
+          .cast(structType)
+      else
         when(size(col("t")) >= n,
           transform(sequence(lit(0), size(col("t")) - n),
-            i => concat_ws(" ", (0 until n).map(k => element_at(col("t"), i + k + 1)): _*)))
-        .otherwise(array().cast("array<string>"))
-      d.select(col("lang"), lit(n.toLong).as("n"), explode(g).as("g"))
+            i => struct(lit(n.toLong).as("n"),
+              concat_ws(" ", (0 until n).map(k =>
+                element_at(col("t"), i + k + 1)): _*).as("g"))))
+          .otherwise(array().cast(structType)).cast(structType)
     }
-    grams(1).union(grams(2)).union(grams(3))
-      .select(col("lang"), col("n"), Fns.polyHash(col("g")).as("h"))
+    d.select(col("lang"),
+        explode(concat(gramsArr(1), gramsArr(2), gramsArr(3))).as("x"))
+      .select(col("lang"), col("x.n").as("n"), Fns.polyHash(col("x.g")).as("h"))
       .groupBy("lang", "n", "h").agg(count(lit(1)).as("c"))
       .groupBy("lang", "n")
       .agg(sum(col("c")).cast("long").as("n_total"), count(lit(1)).as("n_distinct"))
@@ -1747,14 +1785,32 @@ object Pipeline {
   def gopherQuality(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"),
       filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
-    val stats = d.select(col("doc_id"),
+    // ONE tokenize pass (round 17): the per-doc scalars ride the bigram
+    // explode (explode_outer keeps bigram-less docs — the old left
+    // join's no-match rows) and re-aggregate as max() through the two
+    // keyed levels, so the corpus is scanned and tokenized once instead
+    // of twice-plus-a-doc_id-join. Every output cell is the same
+    // integer/division as before.
+    // the scalars are computed in their OWN projection below the explode:
+    // folded into the generate's select they analyze into a Project ABOVE
+    // the Generate and re-evaluate per BIGRAM row (array_distinct per
+    // bigram — measured 2× the whole query)
+    val pre = d.select(col("doc_id"),
       size(col("t")).cast("long").as("n_tokens"),
-      size(array_distinct(col("t"))).cast("long").as("n_distinct"))
-    val bigrams = d.select(col("doc_id"),
-      explode(Fns.bigramsArr(col("t"))).as("bg"))
-    val top = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
-    stats.join(top, Seq("doc_id"), "left")
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+      Fns.bigramsArr(col("t")).as("bgs"))
+    val base = pre.select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      explode_outer(col("bgs")).as("bg"))
+    val top = base
+      .groupBy("doc_id", "bg")
+      .agg(count(col("bg")).as("c"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"))
+      .groupBy("doc_id")
+      .agg(max(when(col("bg").isNotNull, col("c"))).as("top_bigram_n"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"))
+    top
       .select(col("doc_id"), col("n_tokens"),
         when(col("n_tokens") > 0,
           col("n_distinct").cast("double") / col("n_tokens").cast("double"))
@@ -1791,29 +1847,45 @@ object Pipeline {
       filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
     // sum of token lengths ≡ count of letter chars (tokens are the
     // maximal letter runs) — one O(n) scan, same trick as textStats
-    val base = d.select(col("doc_id"),
+    // ONE tokenize pass (round 17, same move as [[gopherQuality]]): the
+    // per-doc scalars ride the 5-gram explode (explode_outer keeps
+    // gram-less docs) and re-aggregate as max() through both keyed
+    // levels — one corpus scan + tokenize + letter-count instead of two
+    // of each plus a doc_id join. Cells are integer-identical.
+    // scalars in their OWN projection below the explode (same trap as
+    // [[gopherQuality]]: folded into the generate's select they analyze
+    // into a Project ABOVE the Generate and the regexp letter-count
+    // re-runs per 5-GRAM row — measured 3× the whole query)
+    val pre = d.select(col("doc_id"),
       size(col("t")).cast("long").as("n_tokens"),
       length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
-        .cast("long").as("sum_token_len"))
-    val grams = d.select(col("doc_id"),
-      explode(when(size(col("t")) >= 5,
+        .cast("long").as("sum_token_len"),
+      when(size(col("t")) >= 5,
           transform(sequence(lit(0), size(col("t")) - 5),
             i => concat_ws(" ", element_at(col("t"), i + 1),
                                 element_at(col("t"), i + 2),
                                 element_at(col("t"), i + 3),
                                 element_at(col("t"), i + 4),
                                 element_at(col("t"), i + 5))))
-        .otherwise(array().cast("array<string>"))).as("g"))
-    val counts = grams
-      .select(col("doc_id"), xxhash64(col("g")).as("h"),
+        .otherwise(array().cast("array<string>")).as("gs"))
+    val all = pre.select(col("doc_id"), col("n_tokens"),
+      col("sum_token_len"), explode_outer(col("gs")).as("g"))
+    val counts = all
+      .select(col("doc_id"), col("n_tokens"), col("sum_token_len"),
+        when(col("g").isNotNull, xxhash64(col("g"))).as("h"),
         (length(col("g")) - 4).cast("long").as("glen"))
       .groupBy("doc_id", "h")
-      .agg(count(lit(1)).as("c"), max(col("glen")).as("glen"))
-    val dup = counts.filter(col("c") > 1)
-      .groupBy("doc_id").agg(sum(col("c") * col("glen")).as("dup_chars"))
-    base.join(dup, Seq("doc_id"), "left")
+      .agg(count(col("h")).as("c"), max(col("glen")).as("glen"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("sum_token_len")).as("sum_token_len"))
+    counts
+      .groupBy("doc_id")
+      .agg(coalesce(sum(when(col("h").isNotNull && col("c") > 1,
+          col("c") * col("glen"))), lit(0L)).as("dup_chars"),
+        max(col("n_tokens")).as("n_tokens"),
+        max(col("sum_token_len")).as("sum_token_len"))
       .select(col("doc_id"), col("n_tokens"), col("sum_token_len"),
-        coalesce(col("dup_chars"), lit(0L)).as("dup_5gram_chars"))
+        col("dup_chars").as("dup_5gram_chars"))
       .withColumn("dup_frac",
         when(col("sum_token_len") > 0,
           col("dup_5gram_chars").cast("double") /
@@ -2114,7 +2186,17 @@ object Pipeline {
                       element_at(col("t"), i + 2).as("w2")))).as("b"))
       .select(col("doc_id"), col("lang"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // STABILIZE the LM table (round 17): `lm` feeds the context totals,
+    // the scored join AND (transitively) the final per-doc join — three
+    // compiled subtrees, each re-running the corpus tokenize+explode
+    // underneath without the checkpoint (measured: 6 live document
+    // scans in the final adaptive plan). The bigram LM is vocabulary²-
+    // bounded — the table a perplexity service ships, orders of
+    // magnitude under the corpus — so materializing it once is the
+    // guide-§5 trade at every scale; the per-occurrence scoring join
+    // below still re-reads the corpus exactly once.
     val lm = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .stable
     val ctx = lm.groupBy("w1").agg(sum(col("cb")).cast("long").as("cu"))
     val scored = lm.join(ctx, "w1")
       .select(col("w1"), col("w2"),
@@ -3133,11 +3215,18 @@ object Pipeline {
           i => concat_ws(" ", slice(col("t"), i + 1, lit(SpanTokens))))).as("sp"))
       .select(col("doc_id"), polyHash(col("sp")).as("h"))
       .distinct()
-    val owners = spans.groupBy("h")
-      .agg(min("doc_id").as("owner"), count(lit(1)).as("nd"))
-      .filter(col("nd") > 1)
-    spans.join(owners, "h")
-      .filter(col("doc_id") > col("owner"))
+    // ONE pass over the span table (round 17): the owner (min doc_id)
+    // and the span's document count are PER-SPAN-HASH window aggregates
+    // — the old groupBy-then-join-back shape compiled the corpus-sized
+    // span pipeline (tokenize + 20-token span explode + hash + distinct)
+    // into BOTH join inputs, re-running it end to end, and then shuffled
+    // both for the SMJ. The window needs exactly the join's h-exchange
+    // and nothing else; rows, counts, and witnesses are integer-identical.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    spans
+      .withColumn("owner", min("doc_id").over(w))
+      .withColumn("nd", count(lit(1)).over(w))
+      .filter(col("nd") > 1 && col("doc_id") > col("owner"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"), min("owner").as("first_witness"))
       .orderBy("doc_id")

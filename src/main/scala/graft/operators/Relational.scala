@@ -679,7 +679,10 @@ object Relational {
     val offsets = blockTotals
       .withColumn("off", coalesce(sum("bt").over(wBlk), lit(0L)))
       .drop("bt")
-    val total = li.agg(count(lit(1)).as("n"))
+    // derived from the ≤22-row block table, NOT a third corpus scan
+    // (round 17): the total is the same integer either way, and one
+    // full lineitem pass drops out of the plan at every scale
+    val total = blockTotals.agg(sum(col("bt")).cast("long").as("n"))
     val wIn = w.partitionBy("blk")
       .orderBy(col("p"), col("l_orderkey"), col("l_linenumber"))
     val ranked = li.join(broadcast(offsets), "blk")
@@ -796,14 +799,27 @@ object Relational {
     * result comes from approx sketches ([[approxPercentiles]]) — this is
     * the exact small-group form. */
   def percentilesDisc(s: SparkSession, dir: String): DataFrame = {
+    // DOMAIN-COLLAPSED discrete percentiles (round 17): the old form
+    // ranked every corpus row through a 3-partition row_number window —
+    // one task per return flag sorting a third of lineitem, the
+    // unpartitioned-window cliff at 100 TB. The discrete percentile only
+    // needs the VALUE at the target rank, and l_quantity's domain is ≤50
+    // distinct values: one map-side-combined (flag, quantity) count
+    // collapses the corpus, the running sum walks a ≤50-row table per
+    // flag, and the answer is the smallest quantity whose cumulative
+    // count reaches ceil(q·n) — exactly the row the old rank equality
+    // picked (ties share a value by construction).
     val W = org.apache.spark.sql.expressions.Window
-    val byFlag = W.partitionBy("l_returnflag").orderBy("l_quantity")
-    val ranked = Tables.lineitem(s, dir)
+    val counts = Tables.lineitem(s, dir)
       .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("rn", row_number().over(byFlag))
-      .withColumn("n", count(lit(1)).over(W.partitionBy("l_returnflag")))
+      .groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
+    val byFlag = W.partitionBy("l_returnflag").orderBy("l_quantity")
+    val ranked = counts
+      .withColumn("cum", sum(col("c"))
+        .over(byFlag.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .withColumn("n", sum(col("c")).over(W.partitionBy("l_returnflag")))
     def pick(q: Double, out: String) =
-      max(when(col("rn") === ceil(lit(q) * col("n")), col("l_quantity"))).as(out)
+      min(when(col("cum") >= ceil(lit(q) * col("n")), col("l_quantity"))).as(out)
     ranked.groupBy("l_returnflag")
       .agg(pick(0.5, "p50_disc"), pick(0.9, "p90_disc"), pick(0.99, "p99_disc"))
       .orderBy("l_returnflag")
@@ -2277,24 +2293,39 @@ object Relational {
       .select(col("o_orderkey").as("k"),
         expr("cast(floor(o_totalprice * 100) as bigint)").as("cents"))
     // replica 32 carries weight 1 everywhere — the exact sample rides the
-    // SAME single corpus pass as the 32 resamples. The inner transform
-    // computes each replica's hash draw r once; the outer maps r through
-    // the Poisson(1) CDF (sentinel −1 → the exact-sample replica).
-    val weights =
-      "transform(transform(sequence(0, 32)," +
-        " b -> IF(b = 32, -1L," +
-        " ((k % 1000000007L) * (2654435761L + b * 40503L)" +
-        " + 97L + b * 131L) % 1000000007L % 10000L))," +
-        " r -> CASE WHEN r = -1 THEN 1L WHEN r < 3679 THEN 0L" +
-        " WHEN r < 7358 THEN 1L WHEN r < 9197 THEN 2L" +
-        " WHEN r < 9810 THEN 3L WHEN r < 9963 THEN 4L" +
-        " WHEN r < 9994 THEN 5L WHEN r < 9999 THEN 6L ELSE 7L END)"
-    val withW = o.select(col("cents"), expr(weights).as("ws"))
+    // SAME single corpus pass as the 32 resamples. Round 17: the weights
+    // are 33 NAMED CODEGEN COLUMNS, not a higher-order-function array —
+    // ArrayTransform evaluates its lambda interpreted per element (the
+    // SNIPPETS.md HOF lesson), which put 33 interpreted CASE evaluations
+    // per row on the query's only corpus pass; the flat per-replica
+    // expressions whole-stage-compile, same pinned affine draw, same
+    // integer CDF, bit-identical weights (guide §4: keep the hot path in
+    // codegen).
+    def weight(b: Int): Column =
+      if (b == 32) lit(1L)
+      else {
+        val r = expr(
+          s"((k % 1000000007L) * (2654435761L + $b * 40503L)" +
+            s" + 97L + $b * 131L) % 1000000007L % 10000L")
+        when(r < 3679, 0L).when(r < 7358, 1L).when(r < 9197, 2L)
+          .when(r < 9810, 3L).when(r < 9963, 4L).when(r < 9994, 5L)
+          .when(r < 9999, 6L).otherwise(7L)
+      }
+    val withW = o.select(col("cents") +:
+      (0 to 32).map(b => weight(b).as(s"w$b")): _*)
     val aggs = (0 to 32).flatMap { b =>
-      Seq(sum(element_at(col("ws"), b + 1)).as(s"n$b"),
-        sum(element_at(col("ws"), b + 1) * col("cents")).as(s"sc$b"))
+      Seq(sum(col(s"w$b")).as(s"n$b"),
+        sum(col(s"w$b") * col("cents")).as(s"sc$b"))
     }
     val one = withW.agg(aggs.head, aggs.tail: _*)
+    // STABILIZE the 33-row replica table (round 17): `m` feeds BOTH the
+    // CI-rank window and the exact-sample row, and the crossJoin's two
+    // sides compile as separate subtrees — without the checkpoint the
+    // 66-aggregate corpus pass (the query's entire cost) planned THREE
+    // times and AQE's exchange reuse recovered only one of the copies
+    // (measured: 2 live corpus scans in the final adaptive plan). One
+    // materialized pass is the guide-§5 trade at any scale: 33 rows
+    // held, a full corpus aggregation saved per reuse.
     val m = one.select(explode(array((0 to 32).map(b =>
         struct(lit(b).as("b"), col(s"n$b").as("n"), col(s"sc$b").as("sc"))): _*))
         .as("t"))
@@ -2302,6 +2333,7 @@ object Relational {
       .select(col("b"),
         expr("cast(cast(sc as decimal(38,0)) * 1000000 div n as bigint)")
           .as("mean_micro"), col("n"))
+      .stable
     val ranked = m.filter(col("b") < 32).withColumn("rank", row_number().over(
       org.apache.spark.sql.expressions.Window.orderBy("mean_micro", "b")))
     val ci = ranked.agg(

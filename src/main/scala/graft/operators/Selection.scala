@@ -248,7 +248,7 @@ object Selection {
     val thr = explode(array(PrThresholds.map(lit): _*)).as("threshold")
     val truth = Pipeline.dedupNgram(s, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_ngram"))
-    val cand = Pipeline.dedupMinhash(s, dir)
+    val cand = Pipeline.minhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_exact"))
     val t1 = truth.select(thr, col("j_ngram"))
       .groupBy("threshold")

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.util.Checkpoints.StableOps
 
 /** Temporal join operators Spark lacks as primitives — as-of join and
   * interval/range join — composed from equi-join + window machinery so the
@@ -480,6 +481,13 @@ object Temporal {
         .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy("user_id", "sess_id")
       .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      // STABILIZE the session table (round 17): the sweep-line below
+      // fans it out twice (start points ∪ end points) and each union
+      // branch compiled the whole events window pipeline again — one
+      // sessionize pass, not two, at every scale (guide §5: reuse beats
+      // recompute when the reused table is the smaller one; sessions are
+      // a fraction of events)
+      .stable
     val pts = sess
       .select(col("st").as("t"), lit(1L).as("d"), col("user_id"), col("sess_id"))
       .unionAll(sess.select(col("en").as("t"), lit(-1L).as("d"),
