@@ -266,7 +266,7 @@ object Pipeline {
     * broadcast. */
   def dedupNgramCensus(s: SparkSession, dir: String): DataFrame = {
     val census = censusStats(s, dir)
-    val nPairs = dedupNgram(s, dir).agg(count(lit(1)).as("n_pairs"))
+    val nPairs = ngramJaccard(s, dir).agg(count(lit(1)).as("n_pairs"))
     // ADVISORY (round 11): the census no longer just reports the dropped
     // mass — past a pinned threshold it NAMES the remediation. When more
     // than [[CensusAdvisoryPpm]] of the pairable keys were capped, the
@@ -305,12 +305,19 @@ object Pipeline {
     * would sit ≫ 0.8). The cap's dropped-mass self-report is
     * [[dedupNgramCensus]]. */
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    ngramJaccard(s, dir).orderBy("doc_a", "doc_b")
+
+  /** [[dedupNgram]] without the presentation sort — the form every
+    * INTERNAL consumer (census, clusters, funnel, the PR sweep's truth
+    * leg) reads: an interior Sort under an aggregate/Generate is not
+    * always pruned by the optimizer, and its range exchange re-executes
+    * the child for boundary sampling (round 17). */
+  private[graft] def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     pairStats(s, dir)
       .select(col("doc_a"), col("doc_b"),
         (col("common").cast("double") /
           (col("sz_a") + col("sz_b") - col("common")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .orderBy("doc_a", "doc_b")
 
   /** Containment near-dup (quotation detection): pairs scored by the
     * OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|) instead of Jaccard — the
@@ -860,7 +867,7 @@ object Pipeline {
       .orderBy("doc_id")
 
   private def computeClusters(s: SparkSession, dir: String): DataFrame =
-    minLabelComponents(dedupNgram(s, dir).select(col("doc_a"), col("doc_b")))
+    minLabelComponents(ngramJaccard(s, dir).select(col("doc_a"), col("doc_b")))
 
   /** Min-label propagation to convergence over an undirected pair graph
     * (two Long columns: endpoints of each edge). Returns one row per
@@ -1063,7 +1070,7 @@ object Pipeline {
     * the argmax is a map-side-combinable struct-max per cluster. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val clusters = dedupClusters(s, dir)
-    val scores = qualityScore(s, dir).select(col("doc_id"), col("score"))
+    val scores = qualityScores(s, dir).select(col("doc_id"), col("score"))
     clusters.join(scores, "doc_id")
       .groupBy("cluster_id")
       .agg(count(lit(1)).as("n_members"),
@@ -1350,7 +1357,7 @@ object Pipeline {
     * bounded by |sources|², never corpus-sized. */
   def syndication(s: SparkSession, dir: String): DataFrame = {
     val src = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    dedupNgram(s, dir).select("doc_a", "doc_b")
+    ngramJaccard(s, dir).select("doc_a", "doc_b")
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .select(least(col("sa"), col("sb")).as("source_a"),
@@ -1666,7 +1673,7 @@ object Pipeline {
     * doc_id are safe at any scale, and AQE still broadcasts whichever
     * side measures small at runtime. */
   def curationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val kept = qualityScore(s, dir).filter(col("keep")).select("doc_id")
+    val kept = qualityScores(s, dir).filter(col("keep")).select("doc_id")
     val drop = dedupClusters(s, dir)
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val curated = Tables.documents(s, dir)
@@ -1752,7 +1759,13 @@ object Pipeline {
     * signals, with a keep/drop verdict — the standard pre-training corpus
     * filter shape. All signals are integers; the score is a fixed rational
     * combination, so both engines agree bitwise. */
-  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    qualityScores(s, dir).orderBy("doc_id")
+
+  /** [[qualityScore]] without the presentation sort — for internal
+    * consumers (curation, adaptive filter, rank fusion, the quality
+    * sweep); same rationale as [[ngramJaccard]] (round 17). */
+  private[graft] def qualityScores(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"),
       filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
     val scored = d.select(
@@ -1771,7 +1784,6 @@ object Pipeline {
         when(col("punct_ratio") < 0.2, 0.25).otherwise(0.0))
     scored.select(col("doc_id"), col("n_tokens"), col("n_stop"), col("n_punct"),
         col("score"), (col("score") >= 0.75).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** Repetition-based quality signals (the Gopher-paper filter family:
@@ -2414,8 +2426,13 @@ object Pipeline {
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val t = toks(s, dir)
     val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = t.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
+    // document frequency FROM the tf table (round 17): tf already holds
+    // one row per (doc, word), so counting its rows per word IS the
+    // distinct-doc count — and both consumers now share the identical
+    // (doc_id, word) exchange subtree, which AQE reuses: one corpus
+    // tokenize pass instead of two, one aggregation instead of a
+    // distinct + aggregation
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
     // corpus size as a broadcast 1-row subplan, not a driver-side count():
     // one job per invocation, and at scale no separate full-corpus pass
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))

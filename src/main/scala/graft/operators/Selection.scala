@@ -104,7 +104,7 @@ object Selection {
     * engines. */
   def rankFusion(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val byQuality = Pipeline.qualityScore(s, dir)
+    val byQuality = Pipeline.qualityScores(s, dir)
       .select(col("doc_id"), col("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(RrfListSize)
       .withColumn("r_quality", row_number().over(
@@ -246,7 +246,7 @@ object Selection {
     * threshold key. */
   def lshPrSweep(s: SparkSession, dir: String): DataFrame = {
     val thr = explode(array(PrThresholds.map(lit): _*)).as("threshold")
-    val truth = Pipeline.dedupNgram(s, dir)
+    val truth = Pipeline.ngramJaccard(s, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_ngram"))
     val cand = Pipeline.minhashPairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_exact"))
@@ -291,7 +291,7 @@ object Selection {
     * the thr = 0 row IS the corpus total — no second corpus pass). */
   def qualitySweep(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sc = Pipeline.qualityScore(s, dir)
+    val sc = Pipeline.qualityScores(s, dir)
       .select(col("doc_id"), col("n_tokens"), col("score"))
     sc.select(col("n_tokens"), col("score"),
         explode(array(SweepThresholds.map(lit): _*)).as("threshold"))

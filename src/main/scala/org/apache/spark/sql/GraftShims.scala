@@ -54,7 +54,7 @@ object GraftShims {
     * reference's sort-by-key) bypass this seam — see SparkEntry.qSorted. */
   def stripRootSort(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.{
-      Filter, LogicalPlan, Project, Sort, SubqueryAlias}
+      Filter, LogicalPlan, Project, Sort, SubqueryAlias, WithCTE}
     val ds = df.asInstanceOf[classic.Dataset[Row]]
     def strip(p: LogicalPlan): LogicalPlan = p match {
       case s: Sort if s.global => strip(s.child)
@@ -63,6 +63,11 @@ object GraftShims {
       case f: Filter if f.condition.deterministic =>
         f.copy(child = strip(f.child))
       case a: SubqueryAlias => a.copy(child = strip(a.child))
+      // a SQL query with CTEs roots at WithCTE whose `plan` is the main
+      // query — the presentation ORDER BY of a recursive-CTE query (and
+      // its boundary-sampling re-execution of the whole recursion) lives
+      // one level down (round 17); the definitions are untouched
+      case w: WithCTE => w.copy(plan = strip(w.plan))
       case other => other
     }
     val analyzed = ds.queryExecution.analyzed
