@@ -1148,26 +1148,44 @@ object Relational {
     * cluster by event_type — with k-row median/MAD tables broadcast
     * back; output is k rows. */
   def robustAnomaly(s: SparkSession, dir: String): DataFrame = {
+    // ONE corpus pass (round 17). The old form ranked every event row
+    // through a per-type row_number window — one task per event type
+    // sorting a fifth of the corpus, TWICE (value median, then MAD) —
+    // and scanned events three times. A discrete median only needs the
+    // VALUE at rank ⌈n/2⌉, which is the smallest value whose cumulative
+    // count reaches the target — computable from (type, value) COUNTS.
+    // And the absolute deviations are a pure function of the distinct
+    // values, so the MAD's count table derives from the same value-count
+    // table by regrouping on |value − med| — as does the outlier census.
+    // The corpus collapses once (map-side combined) to a distinct-value-
+    // sized table and never gets touched again; windows now walk count
+    // tables, not events. Every picked value, count, and IEEE operation
+    // is identical to the row-ranked form (ranks fall inside a value's
+    // run; |v − med| per distinct v is the same operand pair per row).
     val W = org.apache.spark.sql.expressions.Window
-    val ev = Tables.events(s, dir)
-      .select(col("event_type"), col("event_id"), col("value"))
-    def medianOf(df: DataFrame, c: String, out: String) = {
-      val byT = W.partitionBy("event_type").orderBy(col(c), col("event_id"))
-      df.withColumn("rn", row_number().over(byT))
-        .withColumn("n", count(lit(1)).over(W.partitionBy("event_type")))
+    val byType = W.partitionBy("event_type")
+    def medOf(counts: DataFrame, c: String, out: String) =
+      counts
+        .withColumn("cum", sum(col("cnt"))
+          .over(byType.orderBy(c).rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(byType))
         .groupBy("event_type")
-        .agg(max(when(col("rn") === ceil(lit(0.5) * col("n")), col(c))).as(out))
-    }
-    val med = medianOf(ev, "value", "med")
-    val dev = ev.join(broadcast(med), Seq("event_type"))
-      .withColumn("adev", abs(col("value") - col("med")))
-    val mad = medianOf(dev, "adev", "mad")
-    dev.join(broadcast(mad), Seq("event_type"))
+        .agg(min(when(col("cum") >= ceil(lit(0.5) * col("n")), col(c))).as(out))
+    val vc = Tables.events(s, dir)
+      .select(col("event_type"), col("value"))
+      .groupBy("event_type", "value").agg(count(lit(1)).as("cnt"))
+    val med = medOf(vc, "value", "med")
+    val devc = vc.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("adev"), col("cnt"))
+      .groupBy("event_type", "med", "adev").agg(sum(col("cnt")).as("cnt"))
+    val mad = medOf(devc, "adev", "mad")
+    devc.join(broadcast(mad), Seq("event_type"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
+      .agg(sum(col("cnt")).as("n_events"),
         max(col("med")).as("median"), max(col("mad")).as("mad"),
-        sum(when(col("adev") > lit(3.0) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+        sum(when(col("adev") > lit(3.0) * col("mad"), col("cnt"))
+          .otherwise(0L)).as("n_outliers"))
       .withColumn("outlier_ppm", expr("n_outliers * 1000000L div n_events"))
       .orderBy("event_type")
   }

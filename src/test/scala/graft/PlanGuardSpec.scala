@@ -219,7 +219,15 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_stream_hll" -> 1, // 256-register complete-mode agg; post-drain is 257-row arithmetic
     "q_stream_gap_fill" -> 1, // one user-keyed state exchange; post-drain is a sorted read
     "q_embedding_drift" -> 4,
-    "q_robust_anomaly" -> 5,
+    // 5 → 10 in round 17: the one-corpus-pass rewrite derives median,
+    // MAD and the outlier census from a (type, value) COUNT table, whose
+    // subtree (and the deviation-count table's) appears under every
+    // downstream consumer in the STATIC plan — AQE reuses the identical
+    // exchanges at runtime (one corpus aggregation total; the row-ranked
+    // form it replaced sorted a fifth of the corpus per window task,
+    // twice, and scanned events three times). All 10 are count-table or
+    // broadcast exchanges, none corpus-wide.
+    "q_robust_anomaly" -> 10,
     "q_sample_bias" -> 8, // one corpus pass to |langs| cells, then cell-table arithmetic
     "q_skew_audit" -> 3, // one (column, key) count shuffle — the same exchange any join pays
     "q_event_gaps" -> 8, // user-keyed lag + minute-block two-phase rank, no global window
