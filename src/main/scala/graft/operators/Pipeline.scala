@@ -1786,6 +1786,31 @@ object Pipeline {
         col("score"), (col("score") >= 0.75).as("keep"))
   }
 
+  /** [[gopherQuality]]'s diversity signal ALONE — doc_id → distinct-token
+    * fraction as a pure per-doc projection, for consumers that need only
+    * this column (rank fusion). Round 18: the r17 single-pass
+    * [[gopherQuality]] threads the per-doc scalars THROUGH the bigram
+    * aggregations (as max() over groups where they are constant), so
+    * column pruning can no longer strip its two corpus-keyed exchanges
+    * for a distinct_frac-only consumer — rank fusion regressed 0.57 →
+    * 1.62 s paying for a bigram census it discards. This restores the
+    * projection-only path: the SAME size/array_distinct division on the
+    * SAME token array, cell-identical to what gopherQuality re-derives
+    * through the aggregation (the scalars are per-doc constants), and
+    * every doc appears exactly once on both paths (explode_outer keeps
+    * bigram-less docs there; no explode exists here). */
+  private[graft] def distinctFracs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"),
+      filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+    d.select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"),
+        when(col("n_tokens") > 0,
+          col("n_distinct").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(0.0).as("distinct_frac"))
+  }
+
   /** Repetition-based quality signals (the Gopher-paper filter family:
     * excessive repetition marks machine-generated/boilerplate text):
     * distinct-token fraction and the share of the most frequent word

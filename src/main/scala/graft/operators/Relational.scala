@@ -718,9 +718,19 @@ object Relational {
     // recency rank: days-since-last-order ascending ≡ last-order-day
     // DESCENDING, so the corpus max date (the oracle's r_days anchor)
     // never needs to join — x = −epoch_day(last_d) ranks identically
-    val base = o.groupBy("o_custkey")
+    // `.stable` (round 18): base feeds THREE consumers (the unpivoted
+    // rank spine, the n census, and the final score join) — without the
+    // checkpoint the static plan carries six orders scans plus the
+    // custkey aggregation under each subtree, and AQE exchange reuse
+    // only collapses the ones that canonicalize identically. The
+    // materialized table is one narrow row per CUSTOMER (the dimension
+    // the query scores over — orders of magnitude below the fact table
+    // at any scale), the same bounded-intermediate trade as the memoized
+    // signature tables. Decimal sum `m` is materialized unchanged, so
+    // the fold order and every downstream cell are untouched.
+    val base = graft.util.Checkpoints.stable(o.groupBy("o_custkey")
       .agg((-unix_date(max(col("d")))).cast("long").as("r_key"),
-        count(lit(1)).as("f"), sum(col("p")).as("m"))
+        count(lit(1)).as("f"), sum(col("p")).as("m")))
     val n = base.agg(count(lit(1)).as("n"))
     // all three dimensions rank in ONE unpivoted pipeline (dim, blk)
     // instead of three separate window pipelines: the ×3 map-side

@@ -109,7 +109,11 @@ object Selection {
       .orderBy(col("score").desc, col("doc_id")).limit(RrfListSize)
       .withColumn("r_quality", row_number().over(
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-    val byDiversity = Pipeline.gopherQuality(s, dir)
+    // distinct_frac via the projection-only path (round 18): this leg
+    // needs no bigram census, and under the r17 single-pass gopherQuality
+    // the pruner could no longer remove those two corpus-keyed exchanges
+    // — see [[Pipeline.distinctFracs]] for the cell-identity argument.
+    val byDiversity = Pipeline.distinctFracs(s, dir)
       .select(col("doc_id"), col("distinct_frac"))
       .orderBy(col("distinct_frac").desc, col("doc_id")).limit(RrfListSize)
       .withColumn("r_diversity", row_number().over(

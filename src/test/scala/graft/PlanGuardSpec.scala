@@ -352,14 +352,14 @@ class PlanGuardSpec extends AnyFunSuite {
     "q_langid_eval" -> 3,
     "q_lsh_pr_sweep" -> 24,
     "q_quality_sweep" -> 3,
-    // 0 → 2 in round 17: the gopherQuality input became the single-pass
-    // explode_outer + two keyed aggregations (one corpus tokenize
-    // instead of two plus a doc_id join) — its (doc_id, bg) and (doc_id)
-    // exchanges now sit under this consumer's TakeOrdered subtree. Both
-    // are map-side-combined doc-keyed aggregations, corpus-linear, the
-    // scaling shape the rewrite bought; the join they replaced carried
-    // its exchanges on the q_gopher_quality side of the old census.
-    "q_rank_fusion" -> 2,
+    // 2 → 0 in round 18 (was 0 → 2 in r17): the diversity leg needs only
+    // distinct_frac — a pure per-doc projection — but the r17 single-pass
+    // gopherQuality threads the scalars through its bigram aggregations,
+    // so pruning could no longer strip those two corpus-keyed exchanges
+    // from this consumer. Pipeline.distinctFracs restores the
+    // projection-only leg (cell-identical); both RRF legs are again
+    // TakeOrdered over map-only subtrees.
+    "q_rank_fusion" -> 0,
     "q_source_similarity" -> 6,
     "q_range_frame_time" -> 2,
     "q_range_join" -> 2,
