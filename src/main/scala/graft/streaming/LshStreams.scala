@@ -55,21 +55,29 @@ object LshStreams {
     * Empty shingle set → null signature → dropped, same as the batch
     * path's absent signature. Shared by [[streamLshIngest]] (probe-only)
     * and [[streamLshAdmit]] (probe-then-insert). */
-  private def streamBands(s: SparkSession, dir: String): DataFrame = {
+  private[streaming] def streamBands(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.{Fns, VectorExpressions}
+    // Round 18: the shingle-less-doc drop is the CHEAP predicate
+    // size(t) >= 3, NOT `sig.isNotNull` — they are equivalent (minhashSig
+    // is null iff the shingle array is empty iff fewer than 3 tokens; the
+    // transform over sequence(0, size−3) is never empty at size ≥ 3), but
+    // a filter on the computed sig column is pushed below the projections
+    // with every intermediate INLINED: the pushed condition re-evaluates
+    // `filter(split(text))` inside each of the three element_at calls of
+    // every shingle — a per-row O(tokens × shingles) re-tokenize that
+    // measured ~10× the whole single-evaluation pass (ScanProbe). With
+    // the early cheap filter the sig kernel runs exactly once per row.
     val docs = Streams.documentsStream(s, dir)
       .filter(pmod(col("doc_id"), lit(4L)) === 3L)
       .select(col("doc_id"),
         filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
+      .filter(size(col("t")) >= 3)
       .select(col("doc_id"),
-        when(size(col("t")) >= 3,
-            transform(sequence(lit(0), size(col("t")) - 3),
-              i => concat_ws(" ", element_at(col("t"), i + 1),
-                                  element_at(col("t"), i + 2),
-                                  element_at(col("t"), i + 3))))
-          .otherwise(array().cast("array<string>")).as("shs"))
+        transform(sequence(lit(0), size(col("t")) - 3),
+          i => concat_ws(" ", element_at(col("t"), i + 1),
+                              element_at(col("t"), i + 2),
+                              element_at(col("t"), i + 3))).as("shs"))
       .select(col("doc_id"), VectorExpressions.minhashSig(col("shs")).as("sig"))
-      .filter(col("sig").isNotNull)
     docs.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(15)), b =>
           struct(b.as("b"),
@@ -244,11 +252,14 @@ object LshStreams {
     val durablePath = s.conf.getOption("spark.graft.stream.admitIndexPath")
     val drained =
       // 8 state lanes, not the 2 the small per-user flavors use: this
-      // stream keys state by BAND (16 per doc — ~20k groups at sf0.1),
-      // and per-key processing dominates; measured warm at sf0.1:
-      // 2 lanes 6.9 s, 8 lanes 3.9 s, 16 lanes 4.8 s (store-init wins
-      // past 8). Resume requires a constant lane count across runs —
-      // this constant is part of the checkpoint contract.
+      // stream keys state by BAND (16 per doc — ~20k groups at sf0.1).
+      // r17 measured 2 lanes 6.9 s / 8 lanes 3.9 s / 16 lanes 4.8 s, but
+      // that sweep was dominated by the sig-filter pushdown re-tokenize
+      // (fixed round 18 — see streamBands); the r18 re-sweep (LshProbe)
+      // reads FLAT 2.3–2.6 s across 1/2/4/8 lanes at sf0.1. 8 stays the
+      // default: per-key work scales with the increment on a real
+      // deployment, and resume requires a constant lane count across
+      // runs — this constant is part of the checkpoint contract.
       try Streams.withStatePartitions(s, lanes) {
         // In TTL mode the engine runs under TimeMode.ProcessingTime, and
         // every no-data batch ADVANCES processing time — which, with TTL
