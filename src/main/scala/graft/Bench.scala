@@ -151,11 +151,13 @@ object Bench {
     // entry, so its once-per-corpus build landed in whichever of
     // dedup_minhash/minhash_error/lsh_pr_sweep ran pass 1 first instead
     // of being attributed like the ngram pair table's build)
+    // q_knn_graph warms the memoized LSH candidate PAIR table (round 18;
+    // shared with q_hard_negatives — same attribution rationale)
     Seq("q_wordcount", "q_stream_window",
         "q_bucketed_join", "q_partitioned_scan", "q_text_roundtrip",
         "q_dedup_ngram", "q_degree_hist", "q_dedup_clusters",
         "q_dedup_incremental", "q_eval_confusion", "q_triangle_count",
-        "q_dedup_minhash").foreach { w =>
+        "q_dedup_minhash", "q_knn_graph").foreach { w =>
       SparkEntry.queries.get(w).foreach { fn =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
       }

@@ -132,6 +132,20 @@ object Engine {
       spark.conf.set("graft.registered", "true")
     }
     val c = spark.conf
+    // InferFiltersFromGenerate excluded (round 18, guide §4.4): the rule
+    // copies each Generate's child expression into an inferred
+    // `size(e) > 0 AND isnotnull(e)` filter below it. For this engine's
+    // generators that child is a COMPUTED array (tokenize + shingle
+    // chains — higher-order functions, CodegenFallback, no
+    // subexpression elimination), so the "free" filter re-runs the
+    // whole tokenize per row just to skip rows the Generate would emit
+    // nothing for anyway (plan census: q_bm25 / q_collocations /
+    // q_token_positions each carried a duplicated tokenize filter).
+    // Row sets are identical with the rule on or off — exploding an
+    // empty/null array produces no rows either way — so every hash is
+    // unchanged; only the duplicated evaluation disappears.
+    c.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -1615,9 +1615,13 @@ object Pipeline {
   /** (doc_id, chunk_start, n_tokens, chunk_text) rows for a docs frame
     * with (doc_id, text) — the shared chunker core. */
   private def chunkRows(docs: DataFrame): DataFrame = {
+    // token-less docs drop on the RAW text (round 18): ≥1 token ⟺ any
+    // letter — `filter(size(t) > 0)` on the computed array pushes below
+    // the projection with the tokenize inlined (2× split per row);
+    // the one-char regex probe is near-free and row-set-identical
     val d = docs
+      .filter(col("text").rlike("[a-zA-Z]"))
       .select(col("doc_id"), filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
-      .filter(size(col("t")) > 0)
     d.select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("t")), lit(ChunkStride)),
           st => struct(st.as("chunk_start"),
@@ -2213,10 +2217,18 @@ object Pipeline {
     * terms, so the mean NLL is rounded to 4 decimals (house float-parity
     * discipline, same as [[wordEntropy]]). */
   def docPerplexity(s: SparkSession, dir: String, topN: Int = 25): DataFrame = {
+    // bigram-less docs drop on the RAW text (round 18): ≥2 tokens ⟺ two
+    // letter runs ⟺ one regex find — `filter(size(t) >= 2)` on the
+    // computed array is pushed below the projection with the tokenize
+    // INLINED, paying split+filter twice per row on BOTH corpus passes
+    // this subtree compiles into (guide §4.4's duplication, expression
+    // flavor). Row set is identical: tokens are exactly the maximal
+    // [a-zA-Z] runs.
     val d = Tables.documents(s, dir)
+      .filter(col("text").rlike("[a-zA-Z][^a-zA-Z]+[a-zA-Z]"))
       .select(col("doc_id"), col("lang"),
         filter(Fns.tokensArr(col("text")), w => w =!= lit("")).as("t"))
-    val bg = d.filter(size(col("t")) >= 2)
+    val bg = d
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(0), size(col("t")) - 2),
           i => struct(element_at(col("t"), i + 1).as("w1"),
@@ -2991,13 +3003,30 @@ object Pipeline {
     * afterwards, so the wide 64-dim arrays never ride through the
     * pair-dedup exchange (ship ids, not payloads — the same discipline as
     * the shingle pipeline). */
+  /** The deduplicated LSH candidate pair table — directed (src, nb)
+    * bucket-mate pairs over [[lshIndex]]. Memoized per (session, corpus)
+    * (round 18): [[knnGraph]] and [[hardNegatives]] build the IDENTICAL
+    * pair set (same index, same dedup), so without the memo each ran the
+    * 8-table self-join + distinct end to end. Id-only rows (tiny, like
+    * the ngram/minhash pair memos); lifecycle: see the note at
+    * [[pairCache]]. */
+  private val embPairCache =
+    graft.util.CorpusMemo.register(
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]())
+
+  private def embPairs(s: SparkSession, dir: String): DataFrame =
+    embPairCache.computeIfAbsent((s, dir), _ => {
+      val idx = lshIndex(s, dir)
+      idx.select(col("vec_id").as("src"), col("t"), col("bucket"))
+        .join(idx.select(col("vec_id").as("nb"), col("t"), col("bucket")),
+          Seq("t", "bucket"))
+        .filter(col("src") =!= col("nb"))
+        .select("src", "nb").distinct()
+        .stable
+    })
+
   def knnGraph(s: SparkSession, dir: String): DataFrame = {
-    val idx = lshIndex(s, dir)
-    val pairs = idx.select(col("vec_id").as("src"), col("t"), col("bucket"))
-      .join(idx.select(col("vec_id").as("nb"), col("t"), col("bucket")),
-        Seq("t", "bucket"))
-      .filter(col("src") =!= col("nb"))
-      .select("src", "nb").distinct()
+    val pairs = embPairs(s, dir)
     val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
     val scored = pairs
       .join(e.select(col("vec_id").as("src"), col("v").as("sv"),
@@ -3023,13 +3052,8 @@ object Pipeline {
     * the dot-product cost. Cosines are the strict left-to-right folds
     * the oracle replays bit-for-bit; ties break by neighbor id. */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
-    val idx = lshIndex(s, dir)
     val lbl = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
-    val pairs = idx.select(col("vec_id").as("src"), col("t"), col("bucket"))
-      .join(idx.select(col("vec_id").as("nb"), col("t"), col("bucket")),
-        Seq("t", "bucket"))
-      .filter(col("src") =!= col("nb"))
-      .select("src", "nb").distinct()
+    val pairs = embPairs(s, dir) // shared memoized candidate table
     val e = embDouble(s, dir).withColumn("nrm", normD(col("v")))
     val scored = pairs
       .join(lbl.select(col("vec_id").as("src"), col("label").as("src_label")),
@@ -3079,15 +3103,24 @@ object Pipeline {
   def packSequences(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val ext = Tables.documents(s, dir).agg(max(col("doc_id")).as("mx"))
+    // empty docs drop on the RAW text (round 18): n > 0 ⟺ any non-space
+    // char (tokens here are the maximal non-space runs) — the filter on
+    // the computed n pushed below the projection with the split INLINED,
+    // paying the tokenize twice per row; `.stable` because this narrow
+    // (doc_id, n, blk) table feeds BOTH the block-totals aggregation and
+    // the within-block cumulative join — without it each consumer
+    // re-scans and re-splits the corpus (one row per doc, the same
+    // bounded-intermediate class as the rfm base).
     val d = Tables.documents(s, dir)
+      .filter(col("text").rlike("[^ ]"))
       .select(col("doc_id"),
         size(filter(split(col("text"), " +"), t => t =!= lit("")))
           .cast("long").as("n"))
-      .filter(col("n") > 0)
       .crossJoin(broadcast(ext))
       .withColumn("blk", expr(
         s"doc_id div greatest(${PackBlock}L, (mx + 1) div $PackMaxBlocks)"))
       .drop("mx")
+      .stable
     val blockTotals = d.groupBy("blk").agg(sum("n").as("bt"))
     val wBlk = w.orderBy("blk")
       .rowsBetween(w.unboundedPreceding, -1)
@@ -3135,7 +3168,13 @@ object Pipeline {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"),
         filter(tokensArr(col("text")), t => t =!= lit("")).as("t"))
+    // `.stable` (round 18): dl feeds both the corpus stats aggregate and
+    // the per-doc score join — two compiled subtrees, each re-running
+    // the scan+tokenize underneath. One narrow row per doc (the same
+    // bounded-intermediate class as the rfm base); the tf branch below
+    // still tokenizes exactly once.
     val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+      .stable
     val stats = dl.agg(count(lit(1)).as("nn"), sum("dl").as("ss"))
     val tf = toks.select(col("doc_id"), explode(col("t")).as("w"))
       .filter(col("w").isin(Bm25Terms: _*))
@@ -3247,10 +3286,16 @@ object Pipeline {
   private val SpanTokens = 20
 
   def substringDedup(s: SparkSession, dir: String): DataFrame = {
+    // span-less docs drop on the RAW text (round 18): ≥20 tokens ⟺ 19
+    // (letter-run, separator) pairs then a 20th run start — one regex
+    // find with an early exit on long docs, instead of the pushed-down
+    // `size(t) >= 20` re-tokenizing every row a second time below the
+    // span projection. Tokens are exactly the maximal [a-zA-Z] runs, so
+    // the row set is identical.
     val d = Tables.documents(s, dir)
+      .filter(col("text").rlike(s"([a-zA-Z]+[^a-zA-Z]+){${SpanTokens - 1}}[a-zA-Z]"))
       .select(col("doc_id"),
         filter(tokensArr(col("text")), t => t =!= lit("")).as("t"))
-      .filter(size(col("t")) >= SpanTokens)
     val spans = d
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("t")) - SpanTokens),

@@ -56,9 +56,15 @@ def main(src: str, out: str, n: int) -> None:
                 "collision would break the disjoint-shard guarantee")
         sel = ", ".join(
             f"{c} + i * {STRIDE} AS {c}" if c in keys else c for c in cols)
+        # small row groups so Spark's scan can actually split the file:
+        # the driver fixtures are single-row-group, which serializes every
+        # map stage locally -- a probe corpus must not replicate that
+        # layout artifact (real corpora arrive as many files/row groups)
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{src}/{t}.parquet'), "
-            f"range({n}) r(i)) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+            f"range({n}) r(i)) TO '{out}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE "
+            f"{2048 if t in ('documents', 'embeddings') else 16384})")
         print(t, con.execute(
             f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0])
 
