@@ -144,8 +144,15 @@ object Engine {
     // Row sets are identical with the rule on or off — exploding an
     // empty/null array produces no rows either way — so every hash is
     // unchanged; only the duplicated evaluation disappears.
-    c.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    // merged, not overwritten: a deployment excluding other rules keeps
+    // them (idempotent across the per-query tune calls)
+    val inferFilters =
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    val excluded = c.getOption("spark.sql.optimizer.excludedRules")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty)).getOrElse(Array.empty)
+    if (!excluded.contains(inferFilters))
+      c.set("spark.sql.optimizer.excludedRules",
+        (excluded :+ inferFilters).mkString(","))
     c.set("spark.sql.adaptive.enabled", "true")
     c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     c.set("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -863,12 +863,24 @@ object Relational {
 
   /** The sketch estimate beside its exact twin — audit helper for the
     * accuracy spec in RelationalSpec. */
-  private[graft] def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
+  private[graft] def approxDistinctRaw(s: SparkSession, dir: String): DataFrame = {
+    // Round 18: mixing a distinct aggregate (countDistinct) with a
+    // non-distinct one (the HLL sketch) makes Spark plan an Expand ×2 —
+    // every corpus row streams through the first aggregate twice. The
+    // HLL estimate is MULTIPLICITY-BLIND (registers depend only on the
+    // value SET: duplicate values rewrite identical register maxima), so
+    // both aggregates run over the deduplicated (flag, partkey) table
+    // instead: one map-side-combined exchange carrying the value domain,
+    // then a domain-sized pass. approx_parts is bit-identical to the
+    // raw-row sketch; exact_parts = count over the dedup table ≡
+    // countDistinct. Oracle replays the exact side unchanged.
+    val dedup = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_partkey")).distinct()
+    dedup.groupBy("l_returnflag")
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-           countDistinct(col("l_partkey")).as("exact_parts"))
+           count(lit(1)).as("exact_parts"))
       .orderBy("l_returnflag")
+  }
 
   /** Pearson correlation computed from EXACT integer moment sums, so the
     * result is bit-stable under any partitioning — unlike the built-in
